@@ -1,38 +1,728 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps every implemented operator from SURVEY.md §2 (plus the scale
+extensions) to a (queries(), oracle_sql()) pair; see
+kafka_connect_hdfs_spark/ for the engine itself.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.session import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.session import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.session import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _kafka_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.sources import events_as_kafka_records
+
+    return events_as_kafka_records(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship (SURVEY.md §7.2 step 1): events → hourly time-partitioned
+    parquet landing (P5 + O2 + F1 manifest) → read back → per-partition counts.
+    Exercises partitioner, sink, filename contract and read-back in one pass.
+    """
+    from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+    from kafka_connect_hdfs_spark.pipeline import land
+
+    sf_dir = "/root/testdata/sf0.001"
+    scratch = tempfile.mkdtemp(prefix="kchs_entry_")
+    cfg = HdfsSinkConfig(
+        url=f"file://{scratch}", format="parquet", flush_size=100,
+        partitioner="hourly", timezone="UTC",
+    )
+    records = _kafka_records(spark, sf_dir)
+    land(spark, records, cfg, topic="events", ts_col="ts", discard_partial=False)
+    back = spark.read.parquet(f"{scratch}/topics/events")
+    return (
+        back.groupBy("year", "month", "day", "hour")
+        .agg(F.count("*").alias("n_records"))
+        .orderBy("year", "month", "day", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — pipeline operators
+
+
+def _q_p1_default_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 DefaultPartitioner: encodedPartition = 'partition=<kafkaPartition>'."""
+    from kafka_connect_hdfs_spark.operators.partitioners import DefaultPartitioner
+
+    spec = DefaultPartitioner().apply(_kafka_records(spark, sf_dir))
+    return (
+        spec.df.withColumn("encodedPartition", spec.encoded)
+        .groupBy("encodedPartition")
+        .agg(F.count("*").alias("n_records"), F.min("offset").alias("min_offset"),
+             F.max("offset").alias("max_offset"))
+        .orderBy("encodedPartition")
+    )
+
+
+def _q_p2_field_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 FieldPartitioner on event_type."""
+    from kafka_connect_hdfs_spark.operators.partitioners import FieldPartitioner
+
+    spec = FieldPartitioner(["event_type"]).apply(_events(spark, sf_dir))
+    return (
+        spec.df.withColumn("encodedPartition", spec.encoded)
+        .groupBy("encodedPartition")
+        .agg(F.count("*").alias("n_records"))
+        .orderBy("encodedPartition")
+    )
+
+
+def _q_p3_hourly_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 HourlyPartitioner (UTC) over events.ts."""
+    from kafka_connect_hdfs_spark.operators.partitioners import HourlyPartitioner
+
+    spec = HourlyPartitioner("UTC").apply(_events(spark, sf_dir))
+    return (
+        spec.df.withColumn("encodedPartition", spec.encoded)
+        .groupBy("year", "month", "day", "hour", "encodedPartition")
+        .agg(F.count("*").alias("n_records"))
+        .orderBy("encodedPartition")
+    )
+
+
+def _q_p4_daily_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 DailyPartitioner over orders.o_orderdate."""
+    from kafka_connect_hdfs_spark.operators.partitioners import DailyPartitioner
+    from kafka_connect_hdfs_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    spec = DailyPartitioner("UTC", ts_col="o_orderdate").apply(orders)
+    return (
+        spec.df.withColumn("encodedPartition", spec.encoded)
+        .groupBy("encodedPartition")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("encodedPartition")
+    )
+
+
+def _q_p5_timebased_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 TimeBasedPartitioner: 6h windows floored in America/Los_Angeles
+    local time (the DST-sensitive path, TimeUtils.java:26-37)."""
+    from kafka_connect_hdfs_spark.operators.partitioners import TimeBasedPartitioner
+
+    part = TimeBasedPartitioner(
+        6 * 3600 * 1000, "America/Los_Angeles",
+        components=("year", "month", "day", "hour"), ts_col="ts",
+    )
+    spec = part.apply(_events(spark, sf_dir))
+    return (
+        spec.df.withColumn("encodedPartition", spec.encoded)
+        .groupBy("encodedPartition")
+        .agg(F.count("*").alias("n_records"))
+        .orderBy("encodedPartition")
+    )
+
+
+def _q_f1_rotation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+W6: size-based chunking (flush.size=100) + offset-encoded committed
+    file names per (kafkaPartition, encodedPartition)."""
+    from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+    from kafka_connect_hdfs_spark.pipeline import ingest_batch
+
+    cfg = HdfsSinkConfig(format="parquet", flush_size=100, partitioner="default")
+    res = ingest_batch(_kafka_records(spark, sf_dir), cfg, topic="events", ts_col="ts")
+    return res.manifest.select(
+        "partition", "encodedPartition", "chunk",
+        "start_offset", "end_offset", "record_count", "file_name",
+    ).orderBy("partition", "chunk")
+
+
+def _q_e2_schema_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 schema projection: drop a field, add a defaulted field, cast a type
+    (Connect SchemaProjector semantics, schema/SchemaUtils.java:64-91)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from kafka_connect_hdfs_spark.operators.schema_evolution import (
+        VersionedSchema, project,
+    )
+
+    ev = _events(spark, sf_dir)
+    source = VersionedSchema(ev.schema, version=1)
+    target = VersionedSchema(
+        StructType([
+            StructField("event_id", LongType(), False),
+            StructField("user_id", LongType(), False),
+            StructField("event_type", StringType(), False),
+            StructField("value", DoubleType(), False),
+            StructField("source", StringType(), True, metadata={"default": "kafka"}),
+        ]),
+        version=2,
+    )
+    return project(ev, source, target).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# queries — analytics surface
+
+
+# ---------------------------------------------------------------------------
+# queries — text analysis
+
+
+def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.text import with_token_stats
+
+    return (
+        with_token_stats(_docs(spark, sf_dir))
+        .select(
+            "doc_id", "n_chars_calc", "ws_tokens", "bpe_tokens",
+            F.round("avg_token_len", 6).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.text import with_quality_score
+
+    return (
+        with_quality_score(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.round("alpha_ratio", 6).alias("alpha_ratio"),
+            F.round("punct_ratio", 6).alias("punct_ratio"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            F.round("uniq_ratio", 6).alias("uniq_ratio"),
+            "quality_score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.text import with_lang_scores
+
+    return (
+        with_lang_scores(_docs(spark, sf_dir))
+        .select("doc_id", "score_en", "score_de", "score_fr", "score_es", "lang_pred")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — dedup
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir)).orderBy("fingerprint")
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.05, max_shingle_freq=200
+    ).orderBy("id_a", "id_b")
+
+
+def _q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=8, n=3).orderBy("doc_id")
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), num_hashes=8, bands=4, n=3
+    ).orderBy("id_a", "id_b")
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir), bits=16).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# queries — similarity search
+
+
+def _q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def _q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.similarity import with_lsh_bucket
+
+    emb = _emb(spark, sf_dir)
+    return (
+        with_lsh_bucket(emb, dim=64, planes=8)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        _emb(spark, sf_dir), dim=64, threshold=0.2, planes=8
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# queries — multimodal
+
+
+def _q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        documents_as_media, media_summary,
+    )
+
+    return media_summary(documents_as_media(_docs(spark, sf_dir)))
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing: the Arrow-batched stub decoder's outputs
+    are deterministic functions of payload length, so SQL can verify the
+    whole path."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        documents_as_media, extract_features,
+    )
+
+    feats = extract_features(documents_as_media(_docs(spark, sf_dir)))
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "width", "height", "n_frames",
+        "feature_hash",
+    ).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kafka_connect_hdfs_spark.plans import analytics as A
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # pipeline operators (SURVEY.md §2.3-2.7)
+        "p1_default_partition": _q_p1_default_partition,
+        "p2_field_partition": _q_p2_field_partition,
+        "p3_hourly_partition": _q_p3_hourly_partition,
+        "p4_daily_partition": _q_p4_daily_partition,
+        "p5_timebased_tz": _q_p5_timebased_tz,
+        "f1_rotation_manifest": _q_f1_rotation_manifest,
+        "e2_schema_projection": _q_e2_schema_projection,
+        # analytics surface (SURVEY.md §2.9)
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "q3_unshipped_orders": A.q3_unshipped_orders,
+        "q5_local_supplier_volume": A.q5_local_supplier_volume,
+        "q_top_events_per_user": A.q_top_events_per_user,
+        "q_event_type_rollup": A.q_event_type_rollup,
+        # text analysis
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        # dedup
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_signatures": _q_dedup_minhash_signatures,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        # similarity search
+        "ann_topk_bruteforce": _q_ann_topk_bruteforce,
+        "ann_lsh_buckets": _q_ann_lsh_buckets,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # multimodal
+        "media_summary": _q_media_summary,
+        "media_features": _q_media_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect), one per queries() key
+
+
+#: normalized text + tokens, shared by several oracles
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+#: md5-derived 48-bit shingle hash (matches operators.dedup._shingle_hash64)
+_H48 = "(('0x' || substr(md5(shingle), 1, 12))::BIGINT)"
+
+_SHINGLES_CTE = f"""
+shingles AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct([array_to_string(t[j+1:j+3], ' ')
+                             FOR j IN range(len(t) - 2)])
+    END) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+)
+"""
+
+
+def _minhash_oracle(num_hashes: int = 8) -> str:
+    mins = ",\n       ".join(
+        f"min(({_H48} * {2 * i + 1} + {7919 * (i + 1)}) % {(1 << 61) - 1}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id, {mins}
+FROM shingles GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _minhash_lsh_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_exprs.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS band_sig FROM sigs"
+        )
+    union = " UNION ALL ".join(band_exprs)
+    mins = ", ".join(
+        f"min(({_H48} * {2 * i + 1} + {7919 * (i + 1)}) % {(1 << 61) - 1}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
+buckets AS ({union})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.band_sig = b.band_sig
+WHERE a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum((((h >> {i}) % 2) * 2 - 1)) AS v_{i}" for i in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 12))::BIGINT AS h FROM tokens
+),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {packed} AS simhash FROM votes ORDER BY doc_id
+"""
+
+
+def _lsh_bucket_sql(vec_expr: str, planes: int = 8, dim: int = 64) -> str:
+    """bucket expression replicating similarity._hyperplane + with_lsh_bucket."""
+    terms = []
+    for p in range(planes):
+        comps = ", ".join(
+            str((p * 1103515245 + j * 12345 + 42) % 2147483647 / 2147483647.0 * 2.0 - 1.0)
+            for j in range(dim)
+        )
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{comps}]) > 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_COSINE = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kafka_connect_hdfs_spark.plans import analytics as A
+
+    sql: dict[str, str] = {}
+
+    # --- pipeline operators
+    sql["p1_default_partition"] = """
+SELECT 'partition=' || (user_id % 4) AS encodedPartition,
+       count(*) AS n_records,
+       min(event_id) AS min_offset, max(event_id) AS max_offset
+FROM events GROUP BY 1 ORDER BY 1
+"""
+    sql["p2_field_partition"] = """
+SELECT 'event_type=' || event_type AS encodedPartition, count(*) AS n_records
+FROM events GROUP BY 1 ORDER BY 1
+"""
+    sql["p3_hourly_partition"] = """
+SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+       strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour,
+       'year=' || strftime(ts, '%Y') || '/month=' || strftime(ts, '%m') ||
+       '/day=' || strftime(ts, '%d') || '/hour=' || strftime(ts, '%H')
+         AS encodedPartition,
+       count(*) AS n_records
+FROM events GROUP BY 1, 2, 3, 4, 5 ORDER BY encodedPartition
+"""
+    sql["p4_daily_partition"] = """
+SELECT 'year=' || strftime(o_orderdate, '%Y') ||
+       '/month=' || strftime(o_orderdate, '%m') ||
+       '/day=' || strftime(o_orderdate, '%d') AS encodedPartition,
+       count(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+    # P3 with tz: UTC instant -> LA wall clock, floor to 6h in local time
+    sql["p5_timebased_tz"] = """
+WITH local_ts AS (
+  SELECT timezone('America/Los_Angeles', timezone('UTC', ts::TIMESTAMP)) AS lts
+  FROM events
+),
+floored AS (
+  SELECT make_timestamp(((epoch(lts)::BIGINT - epoch(lts)::BIGINT % 21600))
+                        * 1000000) AS f
+  FROM local_ts
+)
+SELECT 'year=' || strftime(f, '%Y') || '/month=' || strftime(f, '%m') ||
+       '/day=' || strftime(f, '%d') || '/hour=' || strftime(f, '%H')
+         AS encodedPartition,
+       count(*) AS n_records
+FROM floored GROUP BY 1 ORDER BY 1
+"""
+    sql["f1_rotation_manifest"] = """
+WITH ranked AS (
+  SELECT (user_id % 4)::INT AS "partition", event_id AS "offset",
+         'partition=' || (user_id % 4) AS encodedPartition,
+         row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1 AS rn
+  FROM events
+),
+chunked AS (
+  SELECT "partition", encodedPartition, "offset", (rn // 100)::BIGINT AS chunk
+  FROM ranked
+),
+sized AS (
+  SELECT "partition", encodedPartition, chunk,
+         min("offset") AS start_offset, max("offset") AS end_offset,
+         count(*) AS record_count
+  FROM chunked GROUP BY 1, 2, 3 HAVING count(*) = 100
+)
+SELECT "partition", encodedPartition, chunk, start_offset, end_offset, record_count,
+       'events' || '+' || "partition" || '+' ||
+       lpad(start_offset::VARCHAR, 10, '0') || '+' ||
+       lpad(end_offset::VARCHAR, 10, '0') || '.parquet' AS file_name
+FROM sized ORDER BY "partition", chunk
+"""
+    sql["e2_schema_projection"] = """
+SELECT event_id, user_id, event_type, value, 'kafka' AS source
+FROM events ORDER BY event_id
+"""
+
+    # --- analytics
+    sql["q1_pricing_summary"] = A.Q1_SQL
+    sql["q3_unshipped_orders"] = A.Q3_SQL
+    sql["q5_local_supplier_volume"] = A.Q5_SQL
+    sql["q_top_events_per_user"] = A.Q_TOP_EVENTS_SQL
+    sql["q_event_type_rollup"] = A.Q_ROLLUP_SQL
+
+    # --- text
+    sql["text_token_stats"] = """
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+       round(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+             THEN length(regexp_replace(text, '\\s+', '', 'g'))
+                  / len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE
+             ELSE 0.0 END, 6) AS avg_token_len
+FROM documents ORDER BY doc_id
+"""
+    _en = "['the','and','of','to','a','in','is','it']"
+    sql["text_quality"] = f"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS total,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE AS punct,
+         len({_TOKS})::DOUBLE AS n_tok,
+         len(list_filter({_TOKS}, x -> list_contains({_en}, x)))::DOUBLE AS n_stop,
+         len(list_distinct({_TOKS}))::DOUBLE AS n_uniq
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id,
+         CASE WHEN total > 0 THEN alpha / total ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN total > 0 THEN punct / total ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END AS uniq_ratio
+  FROM feats
+)
+SELECT doc_id,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(uniq_ratio, 6) AS uniq_ratio,
+       round((alpha_ratio + (1 - punct_ratio) +
+              least(1.0, 4 * stopword_ratio) + uniq_ratio) / 4, 6) AS quality_score
+FROM ratios ORDER BY doc_id
+"""
+    _langs = {
+        "en": "['the','and','of','to','a','in','is','it']",
+        "de": "['der','die','das','und','ist','nicht','ein']",
+        "fr": "['le','la','les','et','est','une','pas']",
+        "es": "['el','la','los','y','es','una','no']",
+    }
+    score_cols = ",\n       ".join(
+        f"len(list_filter({_TOKS}, x -> list_contains({arr}, x))) AS score_{lang}"
+        for lang, arr in _langs.items()
+    )
+    pair_list = ", ".join(f"(-score_{lang}, '{lang}')" for lang in _langs)
+    sql["text_lang_id"] = f"""
+WITH scored AS (
+  SELECT doc_id, {score_cols}
+  FROM documents
+),
+best AS (
+  SELECT doc_id, score_en, score_de, score_fr, score_es,
+         list_min([{pair_list}]) AS b
+  FROM scored
+)
+SELECT doc_id, score_en, score_de, score_fr, score_es,
+       CASE WHEN b[1] = 0 THEN 'und' ELSE b[2] END AS lang_pred
+FROM best ORDER BY doc_id
+"""
+
+    # --- dedup
+    sql["dedup_exact"] = f"""
+SELECT md5({_NORM}) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+    sql["dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+freq AS (SELECT shingle, count(*) AS df_ FROM shingles GROUP BY shingle),
+filtered AS (
+  SELECT s.doc_id, s.shingle FROM shingles s JOIN freq f ON s.shingle = f.shingle
+  WHERE f.df_ <= 200
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM filtered a JOIN filtered b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       round(n_common / (sa.set_size + sb.set_size - n_common)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE round(n_common / (sa.set_size + sb.set_size - n_common)::DOUBLE, 6) >= 0.05
+ORDER BY id_a, id_b
+"""
+    sql["dedup_minhash_signatures"] = _minhash_oracle(8)
+    sql["dedup_minhash_lsh"] = _minhash_lsh_oracle(8, 4)
+    sql["dedup_simhash"] = _simhash_oracle(16)
+
+    # --- similarity
+    sql["ann_topk_bruteforce"] = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(q.embedding AS DOUBLE[]) AS qv, CAST(c.embedding AS DOUBLE[]) AS cv
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+),
+sims AS (
+  SELECT query_id, neighbor_id, {_COSINE} AS cosine FROM pairs
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+    bucket_expr = _lsh_bucket_sql("CAST(embedding AS DOUBLE[])", planes=8, dim=64)
+    sql["ann_lsh_buckets"] = f"""
+SELECT ({bucket_expr}) AS bucket,
+       count(*) AS n_vectors, min(vec_id) AS min_vec_id
+FROM embeddings GROUP BY 1 ORDER BY 1
+"""
+    sql["embedding_near_dup"] = f"""
+WITH bucketed AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         ({_lsh_bucket_sql("CAST(embedding AS DOUBLE[])", planes=8, dim=64)}) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv, b.v AS cv
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {_COSINE} AS cosine
+FROM pairs
+WHERE {_COSINE} >= 0.2
+ORDER BY id_a, id_b
+"""
+
+    # --- multimodal
+    _mt = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+    sql["media_summary"] = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, {_mt} AS media_type,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT media_type, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+       min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+FROM media GROUP BY media_type ORDER BY media_type
+"""
+    sql["media_features"] = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, {_mt} AS media_type,
+         octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS feature_hash
+  FROM documents
+)
+SELECT media_id, media_type, n_bytes,
+       CASE media_type WHEN 'image' THEN (n_bytes % 640) + 1
+                       WHEN 'audio' THEN 0
+                       ELSE (n_bytes % 1920) + 1 END::INT AS width,
+       CASE media_type WHEN 'image' THEN (n_bytes % 480) + 1
+                       WHEN 'audio' THEN 0
+                       ELSE (n_bytes % 1080) + 1 END::INT AS height,
+       CASE media_type WHEN 'image' THEN 1
+                       WHEN 'audio' THEN (n_bytes % 1000) + 1
+                       ELSE (n_bytes % 120) + 1 END::INT AS n_frames,
+       feature_hash
+FROM media ORDER BY media_id
+"""
+    return sql

@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() forces the full plan; results
+stay distributed — no collect of data rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from kafka_connect_hdfs_spark.session import get_spark
+
+    spark = get_spark("kchs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        "q1_pricing_summary",
+        "q3_unshipped_orders",
+        "q5_local_supplier_volume",
+        "q_top_events_per_user",
+        "q_event_type_rollup",
+        "p3_hourly_partition",
+        "f1_rotation_manifest",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "text_token_stats",
+        "ann_topk_bruteforce",
+        "media_features",
+    ]
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = qs[name]
+        # warm the reader metadata once so timings measure the query, not
+        # first-touch file listing
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time, local[%s]"
+                % os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

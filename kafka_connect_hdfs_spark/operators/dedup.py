@@ -1,0 +1,263 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (it has no relational layer, SURVEY.md §2.9) — these are
+the first-class scale extensions: the dedup passes a 100 TB corpus pipeline
+runs before training.
+
+Design for scale (all shapes hold at 1000 executors):
+  - exact / fingerprint dedup: hash → groupBy(hash) → keep min id. One
+    shuffle on the hash (uniform by construction — no skew), map-side partial
+    aggregation.
+  - n-gram Jaccard: explode shingles → inverted index (shingle → doc list) →
+    candidate pairs from co-occurrence → exact Jaccard on candidates only.
+    Never materializes the O(n²) pair space; frequent-shingle cap bounds the
+    worst case (stop-shingle skew).
+  - MinHash + LSH: k independent permutation-style hashes from md5(token)
+    mixed with per-hash constants → band signatures → bucket-join. Candidate
+    generation is a groupBy on (band, bucket) — pairs only form inside
+    buckets.
+  - SimHash: 64-bit weighted-projection fingerprint; near-dup = small
+    Hamming distance; banded prefix match for candidate generation.
+  - embedding cosine near-dup: see similarity.py (shared kernel).
+
+Determinism: every hash derives from md5 (identical in DuckDB) so the
+correctness oracle can replay the exact pipeline in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_text(text_col: str) -> F.Column:
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact (normalized) dedup: one row per distinct fingerprint with the
+    kept (min-id) doc and the duplicate count.
+
+    Scale: shuffle only (fingerprint, id, count) triples — the text itself
+    never moves; at 100 TB the shuffle payload is ~40 bytes/doc.
+    """
+    with_fp = df.select(F.col(id_col), F.md5(_norm_text(text_col)).alias("fingerprint"))
+    return (
+        with_fp.groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+def dedup_keep_first(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The filtered corpus: keep the min-id representative of each fingerprint
+    group. Implemented as a self-semi-join on (fingerprint, min id) so the
+    wide text column is only shuffled for surviving rows.
+    """
+    keep = exact_duplicates(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+
+
+def with_shingles(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """word n-gram shingle set per document (distinct), as one exploded row
+    per (doc, shingle).
+
+    Built-ins only: split → transform over index range → concat_ws. The
+    explode multiplies rows by ~tokens/doc; downstream operators aggregate
+    immediately, so nothing holds the full exploded set in memory at once.
+    """
+    tokens = F.split(_norm_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    shingles = F.when(F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+        )
+    )
+    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Candidate-pair n-gram Jaccard similarity via inverted index.
+
+    jaccard(a,b) = |A∩B| / (|A|+|B|-|A∩B|); computed exactly, but only for
+    pairs sharing ≥1 (non-stop) shingle. ``max_shingle_freq`` drops shingles
+    appearing in more than that many docs — the classic stop-shingle guard
+    that bounds the per-shingle pair blowup (freq² pairs) and removes the
+    skew hot key at scale.
+    """
+    sh = with_shingles(df, n, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    sh_f = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
+    a = sh_f.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_f.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _shingle_hash64(col: F.Column) -> F.Column:
+    """Deterministic 48-bit integer from md5 hex (DuckDB-replayable):
+    first 12 hex chars → bigint. 48 bits leaves headroom for the universal-
+    hash multiply (a ≤ 31) without int64 overflow."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+#: Mersenne prime 2^61-1 — the classic universal-hash modulus
+_MERSENNE = (1 << 61) - 1
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over shingles of
+    ((a_i * h + b_i) mod M), h = md5-derived shingle hash.
+
+    a_i/b_i are fixed odd constants derived from i (public
+    universal-hashing construction) so both Spark and the SQL oracle can
+    regenerate them. One groupBy(doc) computes all k mins in a single pass
+    (no per-hash shuffle).
+    """
+    sh = with_shingles(df, n, id_col, text_col)
+    h = _shingle_hash64(F.col("shingle"))
+    aggs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1          # odd multiplier
+        b = 7919 * (i + 1)     # arbitrary fixed offsets (7919 = 1000th prime)
+        aggs.append(F.min((h * a + b) % F.lit(_MERSENNE)).alias(f"mh_{i}"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: split the k-hash signature into ``bands`` bands of
+    k/bands rows; docs agreeing on any full band are candidate pairs.
+
+    Scale: candidates form inside (band, band-signature) buckets — a single
+    groupBy-like self-join on the bucket key; bucket sizes are the only
+    quadratic factor and are tunable via bands/rows.
+    """
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for bnd in range(bands):
+        cols = [F.col(f"mh_{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(bnd).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("sig"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("band_sig"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_signatures(
+    df: DataFrame, bits: int = 48, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash: per token, md5-derived bit pattern votes +1/-1 per bit
+    position; the signature is the sign vector packed into a bigint.
+
+    Implemented set-oriented: explode tokens → for each bit position sum
+    (2*bit-1) → pack. One groupBy(doc) with ``bits`` conditional sums (all
+    map-side combinable). ``bits`` ≤ 48 matches the md5-derived hash width.
+    """
+    tokens = F.split(_norm_text(text_col), " ")
+    tok = df.select(F.col(id_col), F.explode(F.array_distinct(tokens)).alias("token"))
+    h = _shingle_hash64(F.col("token"))
+    votes = [
+        F.sum(((F.shiftright(h, i) % 2) * 2 - 1)).alias(f"v_{i}") for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        term = bit * F.lit(1 << i).cast("bigint")
+        packed = term if packed is None else packed + term
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_distance: int = 3,
+    prefix_bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidates from equal
+    low-``prefix_bits`` blocks (one rotation — the multi-table generalization
+    is the same plan repeated on rotated signatures).
+
+    Scale: the block-join is an equi-join on a short key; Hamming distance
+    via bit_count(xor) is a codegen-able builtin.
+    """
+    sig = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    block = (F.col("simhash") % F.lit(1 << prefix_bits)).alias("block")
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), block)
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), block)
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )

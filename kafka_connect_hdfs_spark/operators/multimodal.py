@@ -1,0 +1,133 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` columns with typed metadata — the schema,
+partitioning, Arrow batch shape, and UDF signatures are real and tested; the
+actual codec calls are stubbed (image/audio libraries are not in this
+container) behind clearly-marked deterministic fakes / NotImplementedError.
+
+Scale design:
+  - decode / feature-extract run as ``mapInPandas`` (Arrow-batched, one
+    Python worker per partition) — the only operators in this repo allowed to
+    use Python, because codecs genuinely can't be column expressions.
+  - binary payloads are capped per batch via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of 10 MB
+    videos doesn't materialize as one giant Arrow batch.
+  - metadata-only operations (routing, filtering, partitioning by media
+    type) never touch the binary column — column pruning keeps the payload
+    on disk.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal record schema: payload + typed sidecar metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),   # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    list(MEDIA_SCHEMA.fields)
+    + [
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("feature_hash", StringType(), True),
+    ]
+)
+
+STUB_DECODERS_REAL = False  # flips when real codec libs are wired in
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: materialize a media table from the documents fixture (the
+    container ships no binary corpus) — payload = utf-8 bytes of the text,
+    media_type round-robins image/audio/video. Deterministic, so correctness
+    oracles can replay it.
+    """
+    media_type = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        media_type.alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.concat(F.lit("application/x-fake-"), media_type).alias("mime"),
+        F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_decode(media_type: str, payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a codec: derives (width, height, n_frames)
+    from payload length. Replace with PIL/ffmpeg when available.
+    """
+    if STUB_DECODERS_REAL:  # pragma: no cover
+        raise NotImplementedError("real codecs not wired in this container")
+    n = len(payload or b"")
+    if media_type == "image":
+        return (n % 640) + 1, (n % 480) + 1, 1
+    if media_type == "audio":
+        return 0, 0, (n % 1000) + 1
+    return (n % 1920) + 1, (n % 1080) + 1, (n % 120) + 1
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    The per-batch function works on pandas DataFrames — the shape a real
+    decoder (PIL / torchaudio / pyav) would consume. Feature hash is md5 of
+    the payload: a deterministic stand-in for an embedding.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [
+                _fake_decode(mt, pl)
+                for mt, pl in zip(pdf["media_type"], pdf["payload"])
+            ]
+            pdf = pdf.copy()
+            pdf["width"] = [d[0] for d in dims]
+            pdf["height"] = [d[1] for d in dims]
+            pdf["n_frames"] = [d[2] for d in dims]
+            pdf["feature_hash"] = [
+                hashlib.md5(p or b"").hexdigest() for p in pdf["payload"]
+            ]
+            yield pdf
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def media_summary(df: DataFrame) -> DataFrame:
+    """Metadata-only rollup — never touches the payload column (check
+    ReadSchema in the plan: payload must be pruned away)."""
+    return (
+        df.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )

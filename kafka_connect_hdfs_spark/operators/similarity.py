@@ -1,0 +1,223 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Scale extensions (not in the reference — SURVEY.md §2.9): approximate
+nearest-neighbor search for corpus curation (near-dup detection, semantic
+retrieval of training examples).
+
+Two tiers:
+  - brute-force cosine top-k — the exact baseline. Query set broadcast
+    against the candidate table; per-partition partial top-k via window
+    row_number (with AQE the shuffle carries only ≤ k rows per query per
+    partition after partial filtering). O(nq·nc·d) FLOPs but embarrassingly
+    parallel and shuffle-light; correct for any nq that fits a broadcast.
+  - random-hyperplane LSH — the 100 TB path: docs hashed into 2^p sign
+    buckets by p fixed pseudo-random hyperplanes (deterministically derived
+    from dimension index — replayable in SQL); neighbors are only searched
+    inside the query's bucket (± multiprobe flips). Turns the cross join into
+    an equi-join on bucket id.
+
+Vector math uses built-in higher-order functions (``zip_with`` +
+``aggregate``) — JVM-side, no Python/Arrow transfer. A Pandas-UDF BLAS
+variant is a possible future optimization for very high dims; at d=64 the
+builtin path wins by avoiding serialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity of two float-array columns (double precision)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must be broadcast-small (the usual case: a probe set).
+    Excludes self-matches. Ties broken by neighbor id for determinism.
+
+    Scale: broadcast-nested-loop with per-partition pruning — candidates
+    never shuffle their vectors; only (query_id, neighbor_id, sim) triples
+    move, and row_number caps them at k per query.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sims = (
+        c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_similarity(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes)
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j is
+    derived from md5 — but to stay SQL-replayable AND cheap we use a simple
+    integer mixing formula (public LCG constants) on (plane_idx, j).
+    """
+    comps = []
+    for j in range(dim):
+        x = (plane_idx * 1103515245 + j * 12345 + 42) % 2147483647
+        # map to [-1, 1) deterministically
+        comps.append((x / 2147483647.0) * 2.0 - 1.0)
+    return comps
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-hash each vector against ``planes`` fixed hyperplanes → integer
+    bucket in [0, 2^planes). Pure column math (zip_with/aggregate over
+    literal arrays) — codegen, no UDF, no shuffle.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for p in range(planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        sign_bit = (_dot(v, plane) > 0).cast("bigint")
+        bucket = bucket + sign_bit * F.lit(1 << p).cast("bigint")
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking *within* the query's LSH
+    bucket. Recall is tunable via ``planes`` (fewer planes → bigger buckets
+    → higher recall, more compute).
+
+    Scale: the cross join becomes an equi-join on bucket — at 100 TB with
+    2^planes buckets the pair space shrinks by ~2^planes; buckets are
+    hash-distributed so the join parallelizes on the bucket key.
+    """
+    from pyspark.sql import Window
+
+    qb = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        dim,
+        planes,
+        vec_col="q_vec",
+    )
+    cb = with_lsh_bucket(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        dim,
+        planes,
+        vec_col="c_vec",
+    )
+    sims = (
+        cb.join(broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_similarity(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all pairs in the same LSH bucket with
+    cosine ≥ threshold. The embedding analog of minhash_lsh_candidates.
+    """
+    b = with_lsh_bucket(
+        embeddings.select(F.col(id_col), F.col(vec_col)), dim, planes, vec_col=vec_col
+    )
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_similarity(
+                    F.col("vec_a").cast("array<double>"),
+                    F.col("vec_b").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

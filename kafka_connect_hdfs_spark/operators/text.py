@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (it has no expression layer — SURVEY.md §2.9);
+these are the operations a 100 TB document pipeline needs, built entirely from
+JVM-side built-in functions (no Python UDFs in the hot path — every expression
+here compiles into whole-stage codegen).
+
+Operators:
+  - token_stats: whitespace + BPE-ish regex token counting
+  - quality_score: length / punctuation / stopword / repetition heuristics
+  - lang_id: n-gram/stopword-overlap language scoring (heuristic)
+  - fingerprint: normalized-text document fingerprint (md5)
+
+All are pure ``DataFrame -> DataFrame`` with deterministic, SQL-expressible
+semantics so the DuckDB oracle can verify them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the heuristic lang scorer.
+# (Public common stopwords; the point is the *operator shape* — per-language
+# token-overlap scoring — not lexicon quality.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "no"),
+}
+
+#: BPE-ish tokenization: word pieces, numbers, or single non-space symbols —
+#: a public-regex approximation of byte-pair pretokenizers.
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count, BPE-ish token count, char / word statistics."""
+    t = F.col(text_col)
+    ws_tokens = F.split(F.trim(t), r"\s+")
+    return (
+        df.withColumn("n_chars_calc", F.length(t))
+        .withColumn(
+            "ws_tokens",
+            F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(ws_tokens)),
+        )
+        .withColumn(
+            "bpe_tokens", F.size(F.regexp_extract_all(t, F.lit(BPE_REGEX), F.lit(0)))
+        )
+        .withColumn(
+            "avg_token_len",
+            F.when(
+                F.col("ws_tokens") > 0,
+                (F.length(F.regexp_replace(t, r"\s+", "")) / F.col("ws_tokens")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1].
+
+    Features (all codegen-able column expressions):
+      - alpha_ratio: alphabetic chars / total chars
+      - punct_ratio: punctuation chars / total chars
+      - stopword_ratio: English stopword tokens / tokens
+      - uniq_ratio: distinct tokens / tokens (repetition detector)
+    Composite: mean of (alpha_ratio, 1 - punct_ratio, min(1, 4*stopword_ratio),
+    uniq_ratio) — deliberately simple and fully SQL-expressible.
+    """
+    t = F.col(text_col)
+    total = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", "")).cast("double")
+    tokens = F.split(F.lower(F.trim(t)), r"\s+")
+    n_tok = F.size(tokens).cast("double")
+    stop_arr = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(tokens, lambda x: F.array_contains(stop_arr, x))).cast("double")
+    n_uniq = F.size(F.array_distinct(tokens)).cast("double")
+    out = (
+        df.withColumn("alpha_ratio", F.when(total > 0, alpha / total).otherwise(0.0))
+        .withColumn("punct_ratio", F.when(total > 0, punct / total).otherwise(0.0))
+        .withColumn("stopword_ratio", F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0))
+        .withColumn("uniq_ratio", F.when(n_tok > 0, n_uniq / n_tok).otherwise(0.0))
+    )
+    return out.withColumn(
+        "quality_score",
+        F.round(
+            (
+                F.col("alpha_ratio")
+                + (1 - F.col("punct_ratio"))
+                + F.least(F.lit(1.0), 4 * F.col("stopword_ratio"))
+                + F.col("uniq_ratio")
+            )
+            / 4,
+            6,
+        ),
+    )
+
+
+def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: per-language stopword-overlap counts and argmax.
+
+    Scale: pure column expressions — the per-language marker arrays are
+    literals folded into codegen; no shuffle, no UDF.
+    """
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    out = df
+    score_cols = []
+    def _contains(arr):
+        # single-arg lambda: a two-arg lambda would be read as (element, index)
+        return lambda x: F.array_contains(arr, x)
+
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array([F.lit(w) for w in markers])
+        col_name = f"score_{lang}"
+        out = out.withColumn(col_name, F.size(F.filter(tokens, _contains(arr))))
+        score_cols.append(col_name)
+    # deterministic argmax: highest score, ties broken by smallest language
+    # code — struct comparison is fieldwise, so min over (-score, lang) does it
+    pairs = F.array(
+        *[F.struct((-F.col(c)).alias("neg"), F.lit(c[-2:]).alias("l")) for c in score_cols]
+    )
+    best = F.array_min(pairs)
+    out = out.withColumn(
+        "lang_pred", F.when(best["neg"] == 0, F.lit("und")).otherwise(best["l"])
+    )
+    return out
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of case/whitespace-normalized text.
+
+    The normalized form (lower, collapse runs of whitespace, trim) makes the
+    fingerprint robust to formatting-only edits — the standard first pass of
+    corpus dedup. md5 matches DuckDB's md5() byte-for-byte for the oracle.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))

@@ -1,0 +1,144 @@
+"""The ingest pipeline: records → partition → rotate → land → register.
+
+Batch-first (SURVEY.md §7.1): ``ingest_batch`` is a pure function used both by
+tests/correctness harness (static DataFrame in) and by the streaming wrapper
+(``streaming/pipeline.py`` calls it from ``foreachBatch``). It reproduces the
+reference data path (HdfsSinkTask.put → DataWriter.write →
+TopicPartitionWriter state machine, SURVEY.md §3.2) in set-oriented form:
+
+  1. optional schema projection to the current schema (E2)
+  2. partitioner → partition columns + encodedPartition (P1-P7)
+  3. size-based chunking + offset bookkeeping (F1, W6)
+  4. partitioned write in the configured format (O1-O4)
+  5. file manifest with the reference's offset-encoded names (W6/F5)
+
+Scale: one shuffle total — the window for chunking partitions by
+(kafkaPartition, encodedPartition), which is exactly the layout the
+partitioned write wants; everything else is narrow. Writes are
+append-immutable like the reference's rename-commit (F5); Spark's file-sink
+commit protocol provides the atomicity the WAL provided (W1-W5 — SURVEY.md
+§2.5 maps them to checkpoint + ``_spark_metadata``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+from kafka_connect_hdfs_spark.operators.partitioners import build_partitioner
+from kafka_connect_hdfs_spark.operators.rotation import chunk_file_manifest, size_based_chunks
+from kafka_connect_hdfs_spark.sinks import build_sink
+
+#: Kafka-envelope columns (FIXTURES.md §5) that are bookkeeping, not payload
+ENVELOPE_COLS = ("topic", "partition", "offset", "timestamp", "key")
+
+
+@dataclass
+class IngestResult:
+    data: DataFrame          # records that were committed (chunk-complete)
+    manifest: DataFrame      # one row per committed file (W6 contract)
+    partition_columns: list[str]
+
+
+def ingest_batch(
+    df: DataFrame,
+    cfg: HdfsSinkConfig,
+    topic: str,
+    ts_col: str = "ts",
+    discard_partial: bool = True,
+) -> IngestResult:
+    """Assign every record to its (partition dir, committed file) — the
+    set-oriented equivalent of one DataWriter.write() pass. Does NOT write;
+    ``land`` does, so correctness tests can verify assignment without I/O.
+    """
+    part = build_partitioner(cfg, ts_col=ts_col)
+    spec = part.apply(df)
+    flush = cfg.flush_size or 1000
+    sink = build_sink(cfg)
+    chunked = size_based_chunks(
+        spec.df,
+        spec.encoded,
+        flush,
+        discard_partial=discard_partial,
+    )
+    manifest = chunk_file_manifest(
+        chunked, topic, sink.extension, pad_width=cfg.filename_offset_zero_pad_width
+    )
+    return IngestResult(chunked, manifest, spec.partition_columns)
+
+
+def land(
+    spark: SparkSession,
+    df: DataFrame,
+    cfg: HdfsSinkConfig,
+    topic: str,
+    ts_col: str = "ts",
+    discard_partial: bool = True,
+    register_table: bool = False,
+) -> IngestResult:
+    """Full data path: assign + write + (optionally) register in the catalog.
+
+    Directory layout mirrors the reference
+    (``<url>/<topics.dir>/<topic>/<encodedPartition>/...``, SURVEY.md §1.3)
+    via ``partitionBy`` on the partitioner's columns.
+    """
+    res = ingest_batch(df, cfg, topic, ts_col=ts_col, discard_partial=discard_partial)
+    sink = build_sink(cfg)
+    path = f"{cfg.topics_path}/{topic}"
+    out = res.data.drop("encodedPartition", "chunk")
+    sink.write(out, path, res.partition_columns)
+    if register_table:
+        register_external_table(spark, cfg, topic, res.partition_columns, path)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Hive/catalog operators H1-H4 (SURVEY.md §2.8)
+
+
+def register_external_table(
+    spark: SparkSession,
+    cfg: HdfsSinkConfig,
+    topic: str,
+    partition_columns: list[str],
+    path: str,
+) -> None:
+    """H1 + H4 — create the external partitioned table and sync partitions.
+
+    Reference: avro/AvroHiveUtil.constructAvroTable (AvroHiveUtil.java:73-97),
+    ParquetHiveUtil.java:61-84; partition registration
+    TopicPartitionWriter.addHivePartition (:787-800) and
+    DataWriter.syncWithHive (:383-420). Spark: CREATE TABLE USING + MSCK.
+    """
+    table = table_name_for_topic(cfg, topic)
+    schema = spark.read.format(cfg.format if cfg.format != "text" else "text").load(path).schema
+    # data columns first, partition columns last (Spark's table layout rule);
+    # USING syntax lists every column once, PARTITIONED BY takes names only
+    ordered = [f for f in schema.fields if f.name not in partition_columns] + [
+        f for f in schema.fields if f.name in partition_columns
+    ]
+    cols_sql = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in ordered)
+    part_sql = ", ".join(f"`{c}`" for c in partition_columns)
+    fmt = {"parquet": "PARQUET", "avro": "AVRO", "json": "JSON", "text": "TEXT"}[cfg.format]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    partitioned = f" PARTITIONED BY ({part_sql})" if part_sql else ""
+    spark.sql(
+        f"CREATE TABLE {table} ({cols_sql}) USING {fmt}{partitioned} LOCATION '{path}'"
+    )
+    if partition_columns:
+        spark.sql(f"MSCK REPAIR TABLE {table}")  # H4 sync
+
+
+def add_partition(spark: SparkSession, cfg: HdfsSinkConfig, topic: str, spec: str) -> None:
+    """H3 — ALTER TABLE ADD IF NOT EXISTS PARTITION (addHivePartition :787-800)."""
+    table = table_name_for_topic(cfg, topic)
+    spark.sql(f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION ({spec})")
+
+
+def table_name_for_topic(cfg: HdfsSinkConfig, topic: str) -> str:
+    """Topics may contain dots (`topic.with.dots`,
+    HdfsSinkConnectorTestBase.java:48); Hive table names can't."""
+    return f"{cfg.hive_database}.`{topic.replace('.', '_')}`"

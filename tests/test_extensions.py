@@ -1,0 +1,129 @@
+"""Scale-extension operators: dedup, similarity, text, multimodal — sanity
+semantics on constructed fixtures (the oracle check verifies them against
+DuckDB on the driver tables)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),       # exact dup of 1
+        (3, "The  quick brown FOX jumps over the lazy dog "),     # normalized dup of 1
+        (4, "a completely different document about spark engines"),
+        (5, "the quick brown fox jumps over the sleepy dog"),     # near dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_groups_normalized(spark, docs):
+    from kafka_connect_hdfs_spark.operators.dedup import dedup_keep_first, exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    by_keep = {r.keep_id: r.n_copies for r in groups}
+    assert by_keep[1] == 3      # docs 1,2,3 collapse
+    assert by_keep[4] == 1 and by_keep[5] == 1
+    kept = sorted(r.doc_id for r in dedup_keep_first(docs).collect())
+    assert kept == [1, 4, 5]
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    from kafka_connect_hdfs_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 5) in got and 0.4 <= got[(1, 5)] < 1.0
+    assert all(4 not in pair for pair in got)
+
+
+def test_minhash_lsh_candidates_include_exact_dups(spark, docs):
+    from kafka_connect_hdfs_spark.operators.dedup import minhash_lsh_candidates
+
+    cand = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(docs, 16, 4).collect()}
+    assert (1, 2) in cand and (1, 3) in cand  # identical signatures always collide
+
+
+def test_simhash_identical_docs_equal_signatures(spark, docs):
+    from kafka_connect_hdfs_spark.operators.dedup import simhash_signatures
+
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs, bits=16).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert sigs[1] != sigs[4]
+
+
+def test_brute_force_topk_math(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),     # cosine 1 with 0
+        (2, [0.0, 1.0]),     # cosine 0 with 0
+        (3, [1.0, 1.0]),     # cosine ~0.7071 with 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    assert [r.neighbor_id for r in out] == [1, 3, 2]
+    assert out[0].cosine == 1.0 and abs(out[1].cosine - 0.707107) < 1e-6
+
+
+def test_lsh_buckets_group_identical_vectors(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import with_lsh_bucket
+
+    rows = [(0, [1.0] * 8), (1, [1.0] * 8), (2, [-1.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.bucket for r in with_lsh_bucket(emb, dim=8, planes=6).collect()}
+    assert got[0] == got[1] != got[2]
+
+
+def test_token_stats_and_quality(spark):
+    from kafka_connect_hdfs_spark.operators.text import (
+        with_quality_score, with_token_stats,
+    )
+
+    df = spark.createDataFrame([(1, "Hello, world! 42 times.")], "doc_id long, text string")
+    r = with_token_stats(df).first()
+    assert r.ws_tokens == 4
+    # Hello , world ! 42 times . -> 7 BPE-ish tokens
+    assert r.bpe_tokens == 7
+    q = with_quality_score(df).first()
+    assert 0.0 <= q.quality_score <= 1.0
+    assert q.punct_ratio > 0
+
+
+def test_lang_id_marker_overlap(spark):
+    from kafka_connect_hdfs_spark.operators.text import with_lang_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht ein katze und das ist gut"),
+            (3, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in with_lang_scores(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_multimodal_feature_plumbing(spark):
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        documents_as_media, extract_features, media_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abcd"), (1, "efgh"), (2, "ij")], "doc_id long, text string"
+    )
+    media = documents_as_media(docs)
+    feats = extract_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert rows[0].media_type == "image" and rows[0].n_frames == 1
+    assert rows[1].media_type == "audio" and rows[1].width == 0
+    assert rows[2].media_type == "video" and rows[2].n_frames == 3  # len 2 % 120 + 1
+    assert rows[0].feature_hash == __import__("hashlib").md5(b"abcd").hexdigest()
+    summary = {r.media_type: r.n_media for r in media_summary(media).collect()}
+    assert summary == {"image": 1, "audio": 1, "video": 1}

@@ -1,0 +1,104 @@
+"""End-to-end ingest: land + read-back verification, the reference's dominant
+test pattern (TestWithMiniDFSCluster.verify(), :266-359: list files, compare
+names, read back, compare records)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+from kafka_connect_hdfs_spark.pipeline import ingest_batch, land
+from kafka_connect_hdfs_spark.sources import events_as_kafka_records
+
+
+@pytest.fixture()
+def records(spark, sf_dir):
+    from kafka_connect_hdfs_spark.session import load_table
+
+    return events_as_kafka_records(load_table(spark, sf_dir, "events"))
+
+
+def test_ingest_batch_manifest_covers_all_committed(spark, records):
+    cfg = HdfsSinkConfig(flush_size=100, partitioner="default")
+    res = ingest_batch(records, cfg, topic="events", ts_col="ts")
+    m = res.manifest.collect()
+    assert all(r.record_count == 100 for r in m)
+    # offset ranges must not overlap within a partition dir
+    for part in {r.partition for r in m}:
+        ranges = sorted(
+            (r.start_offset, r.end_offset) for r in m if r.partition == part
+        )
+        for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+            assert e1 < s2
+    assert res.data.count() == 100 * len(m)
+
+
+def test_land_parquet_roundtrip(spark, records, tmp_path):
+    cfg = HdfsSinkConfig(
+        url=f"file://{tmp_path}", format="parquet", flush_size=50,
+        partitioner="field", partition_fields=["event_type"],
+    )
+    res = land(spark, records, cfg, topic="events", ts_col="ts", discard_partial=False)
+    base = f"{tmp_path}/topics/events"
+    dirs = {os.path.basename(p) for p in glob.glob(f"{base}/*") if os.path.isdir(p)}
+    assert dirs == {
+        f"event_type={r['event_type']}"
+        for r in records.select("event_type").distinct().collect()
+    }
+    back = spark.read.parquet(base)
+    assert back.count() == records.count()
+    # per-dir record counts match the source grouping
+    src = {r["event_type"]: r["n"] for r in
+           records.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    got = {r["event_type"]: r["n"] for r in
+           back.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got == src
+
+
+def test_land_discards_partial_chunks(spark, records, tmp_path):
+    cfg = HdfsSinkConfig(url=f"file://{tmp_path}", format="parquet", flush_size=100)
+    res = land(spark, records, cfg, topic="events", ts_col="ts", discard_partial=True)
+    back = spark.read.parquet(f"{tmp_path}/topics/events")
+    # only full 100-record chunks are committed (F6 discard semantics)
+    assert back.count() % 100 == 0
+    assert back.count() < records.count()  # tails were discarded
+    assert back.count() == res.manifest.agg(F.sum("record_count")).first()[0]
+
+
+def test_json_and_text_sinks(spark, records, tmp_path):
+    for fmt in ("json", "text"):
+        cfg = HdfsSinkConfig(
+            url=f"file://{tmp_path}/{fmt}", format=fmt, flush_size=500,
+            partitioner="default",
+        )
+        land(spark, records, cfg, topic="events", ts_col="ts", discard_partial=False)
+        files = glob.glob(f"{tmp_path}/{fmt}/topics/events/partition=*/part-*")
+        assert files, fmt
+
+
+def test_avro_sink_if_available(spark, records, tmp_path):
+    cfg = HdfsSinkConfig(url=f"file://{tmp_path}", format="avro", flush_size=500)
+    try:
+        land(spark, records.drop("props"), cfg, topic="events", ts_col="ts",
+             discard_partial=False)
+    except Exception as e:  # spark-avro jar may be absent in some images
+        pytest.skip(f"avro datasource unavailable: {e}")
+    back = spark.read.format("avro").load(f"{tmp_path}/topics/events")
+    assert back.count() == records.count()
+
+
+def test_register_external_table(spark, records, tmp_path):
+    cfg = HdfsSinkConfig(
+        url=f"file://{tmp_path}", format="parquet", flush_size=100,
+        partitioner="field", partition_fields=["event_type"],
+    )
+    land(spark, records, cfg, topic="events", ts_col="ts",
+         discard_partial=False, register_table=True)
+    n = spark.sql("SELECT count(*) AS n FROM default.`events`").first()["n"]
+    assert n == records.count()
+    parts = spark.sql("SHOW PARTITIONS default.`events`").count()
+    assert parts == records.select("event_type").distinct().count()
