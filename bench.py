@@ -42,11 +42,17 @@ def main() -> None:
         "media_features",
     ]
     qs = entrymod.queries()
+    # JVM/codegen + file-listing + Python-worker-pool warmup so timings
+    # measure the queries, not one-time process startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
-        # warm the reader metadata once so timings measure the query, not
-        # first-touch file listing
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_connect_hdfs_spark.functions import fan_out
+
 
 def _norm_text(text_col: str) -> F.Column:
     return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
@@ -75,6 +77,7 @@ def with_shingles(
     explode multiplies rows by ~tokens/doc; downstream operators aggregate
     immediately, so nothing holds the full exploded set in memory at once.
     """
+    df = fan_out(df)
     tokens = F.split(_norm_text(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
     shingles = F.when(F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))).otherwise(
@@ -161,8 +164,12 @@ def minhash_signatures(
     regenerate them. One groupBy(doc) computes all k mins in a single pass
     (no per-hash shuffle).
     """
-    sh = with_shingles(df, n, id_col, text_col)
-    h = _shingle_hash64(F.col("shingle"))
+    # materialize the md5-derived hash ONCE per shingle — referencing the
+    # expression inside each of the k aggregates would recompute md5 k times
+    sh = with_shingles(df, n, id_col, text_col).withColumn(
+        "h", _shingle_hash64(F.col("shingle"))
+    )
+    h = F.col("h")
     aggs = []
     for i in range(num_hashes):
         a = 2 * i + 1          # odd multiplier
@@ -221,9 +228,13 @@ def simhash_signatures(
     (2*bit-1) → pack. One groupBy(doc) with ``bits`` conditional sums (all
     map-side combinable). ``bits`` ≤ 48 matches the md5-derived hash width.
     """
+    df = fan_out(df)
     tokens = F.split(_norm_text(text_col), " ")
-    tok = df.select(F.col(id_col), F.explode(F.array_distinct(tokens)).alias("token"))
-    h = _shingle_hash64(F.col("token"))
+    # materialize the hash once per token (see minhash_signatures note)
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens)).alias("token")
+    ).withColumn("h", _shingle_hash64(F.col("token")))
+    h = F.col("h")
     votes = [
         F.sum(((F.shiftright(h, i) % 2) * 2 - 1)).alias(f"v_{i}") for i in range(bits)
     ]

@@ -115,7 +115,9 @@ def extract_features(df: DataFrame) -> DataFrame:
             ]
             yield pdf
 
-    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    from kafka_connect_hdfs_spark.functions import fan_out
+
+    return fan_out(df).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def media_summary(df: DataFrame) -> DataFrame:

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from kafka_connect_hdfs_spark.functions import fan_out
+
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(
@@ -67,8 +69,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    c = fan_out(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
     )
     sims = (
         c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -155,8 +159,10 @@ def lsh_topk(
         vec_col="q_vec",
     )
     cb = with_lsh_bucket(
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        fan_out(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            )
         ),
         dim,
         planes,
@@ -197,7 +203,8 @@ def embedding_near_duplicates(
     cosine ≥ threshold. The embedding analog of minhash_lsh_candidates.
     """
     b = with_lsh_bucket(
-        embeddings.select(F.col(id_col), F.col(vec_col)), dim, planes, vec_col=vec_col
+        fan_out(embeddings.select(F.col(id_col), F.col(vec_col))),
+        dim, planes, vec_col=vec_col,
     )
     a = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"

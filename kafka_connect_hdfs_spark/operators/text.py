@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_connect_hdfs_spark.functions import fan_out
+
 # Tiny per-language stopword marker sets for the heuristic lang scorer.
 # (Public common stopwords; the point is the *operator shape* — per-language
 # token-overlap scoring — not lexicon quality.)
@@ -37,6 +39,7 @@ BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count, BPE-ish token count, char / word statistics."""
+    df = fan_out(df)
     t = F.col(text_col)
     ws_tokens = F.split(F.trim(t), r"\s+")
     return (
@@ -69,6 +72,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     Composite: mean of (alpha_ratio, 1 - punct_ratio, min(1, 4*stopword_ratio),
     uniq_ratio) — deliberately simple and fully SQL-expressible.
     """
+    df = fan_out(df)
     t = F.col(text_col)
     total = F.length(t).cast("double")
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
@@ -105,6 +109,7 @@ def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     Scale: pure column expressions — the per-language marker arrays are
     literals folded into codegen; no shuffle, no UDF.
     """
+    df = fan_out(df)
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     out = df
     score_cols = []
