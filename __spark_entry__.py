@@ -333,8 +333,19 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
+    from kafka_connect_hdfs_spark.plans import analytics2 as A2
 
     return {
+        # pipeline operators, tranche 2
+        "f4_schema_rotation": A2.q_f4_schema_rotation,
+        "w6_offset_recovery": A2.q_offset_recovery,
+        "json_schemaless": A2.q_json_schemaless,
+        # analytics, tranche 2
+        "q6_forecast_revenue": A2.q6_forecast_revenue,
+        "q_semi_anti_customers": A2.q_semi_anti_customers,
+        "q_set_ops_users": A2.q_set_ops_users,
+        "q_sessionize": A2.q_sessionize,
+        "asof_last_signup": A2.q_asof_last_signup,
         # pipeline operators (SURVEY.md §2.3-2.7)
         "p1_default_partition": _q_p1_default_partition,
         "p2_field_partition": _q_p2_field_partition,
@@ -469,8 +480,17 @@ _COSINE = (
 
 def oracle_sql() -> dict[str, str]:
     from kafka_connect_hdfs_spark.plans import analytics as A
+    from kafka_connect_hdfs_spark.plans import analytics2 as A2
 
     sql: dict[str, str] = {}
+    sql["f4_schema_rotation"] = A2.Q_F4_SQL
+    sql["w6_offset_recovery"] = A2.Q_OFFSET_RECOVERY_SQL
+    sql["json_schemaless"] = A2.Q_JSON_SQL
+    sql["q6_forecast_revenue"] = A2.Q6_SQL
+    sql["q_semi_anti_customers"] = A2.Q_SEMI_ANTI_SQL
+    sql["q_set_ops_users"] = A2.Q_SET_OPS_SQL
+    sql["q_sessionize"] = A2.Q_SESSIONIZE_SQL
+    sql["asof_last_signup"] = A2.Q_ASOF_SQL
 
     # --- pipeline operators
     sql["p1_default_partition"] = """

@@ -156,6 +156,84 @@ def time_interval_chunks(
     ).withColumn("file_open_ts", F.col("rotation_window.start")).drop("rotation_window")
 
 
+def schema_rotation_chunks(
+    df: DataFrame,
+    version_col: str,
+    flush_size: int,
+    compatibility: str = "BACKWARD",
+    offset_col: str = "offset",
+    kafka_partition_col: str = "partition",
+    encoded_partition: Column | None = None,
+) -> DataFrame:
+    """F4 — rotate-on-schema-change combined with size rotation, batch form.
+
+    The reference commits the open file before writing a record whose schema
+    "should change" the writer schema (TopicPartitionWriter.java:354-365),
+    then counts records per file as usual (F1). Set-oriented equivalent:
+
+      * the **current schema** at each offset is a running aggregate of the
+        version column — BACKWARD/FULL: running max (newer wins); FORWARD:
+        running min (older wins, SchemaUtils semantics §2.7); NONE: the
+        record's own version (every change rotates);
+      * a **run** starts wherever the current schema changes (lag != value);
+      * files chunk within (kafkaPartition, encodedPartition, run) by
+        row_number div flush_size.
+
+    One window over the same (partition, dir) key the write shuffles on —
+    no extra shuffle vs. plain size rotation.
+    """
+    enc = encoded_partition if encoded_partition is not None else F.lit("")
+    w = Window.partitionBy(F.col(kafka_partition_col), enc).orderBy(F.col(offset_col))
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    v = F.col(version_col)
+    if compatibility in ("BACKWARD", "FULL"):
+        current = F.max(v).over(running)
+    elif compatibility == "FORWARD":
+        current = F.min(v).over(running)
+    elif compatibility == "NONE":
+        current = v
+    else:
+        raise ValueError(f"unknown compatibility {compatibility}")
+    out = (
+        df.withColumn("encodedPartition", enc)
+        .withColumn("current_version", current)
+        .withColumn(
+            "_schema_changed",
+            F.when(
+                F.lag("current_version").over(w).isNull()
+                | (F.lag("current_version").over(w) != F.col("current_version")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("run_id", F.sum("_schema_changed").over(running))
+    )
+    run_w = Window.partitionBy(
+        F.col(kafka_partition_col), F.col("encodedPartition"), F.col("run_id")
+    ).orderBy(F.col(offset_col))
+    return (
+        out.withColumn("_rn", F.row_number().over(run_w) - 1)
+        .withColumn("chunk", (F.col("_rn") / flush_size).cast("bigint"))
+        .drop("_rn", "_schema_changed")
+    )
+
+
+def next_offset_per_partition(
+    manifest: DataFrame, kafka_partition_col: str = "partition"
+) -> DataFrame:
+    """S2/W6 — offset restore: the next offset to consume per topic-partition
+    is max committed end offset + 1 (FileUtils.fileStatusWithMaxOffset,
+    FileUtils.java:106-140; TopicPartitionWriter.readOffset :526-537).
+
+    Input is a committed-file manifest (chunk_file_manifest output or a
+    listing of parsed committed filenames).
+    """
+    return (
+        manifest.groupBy(kafka_partition_col)
+        .agg((F.max("end_offset") + 1).alias("next_offset"))
+        .orderBy(kafka_partition_col)
+    )
+
+
 def next_scheduled_rotation(now: datetime, interval_ms: int, timezone: str) -> datetime:
     """F3 — midnight-anchored next fire time.
 
