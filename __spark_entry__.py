@@ -224,6 +224,20 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.text import vocab_top_tokens
+
+    return vocab_top_tokens(_docs(spark, sf_dir), top_n=50)
+
+
+def _q_dedup_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.dedup import dedup_keep_first
+
+    return dedup_keep_first(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "n_chars"
+    ).orderBy("doc_id")
+
+
 def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.operators.text import with_lang_scores
 
@@ -364,6 +378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
+        "text_vocab_top": _q_text_vocab,
+        "dedup_corpus_keep": _q_dedup_corpus_keep,
         # dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -637,6 +653,30 @@ best AS (
 SELECT doc_id, score_en, score_de, score_fr, score_es,
        CASE WHEN b[1] = 0 THEN 'und' ELSE b[2] END AS lang_pred
 FROM best ORDER BY doc_id
+"""
+
+    sql["text_vocab_top"] = f"""
+WITH per_doc AS (
+  SELECT unnest(list_distinct({_TOKS})) AS token FROM documents
+),
+all_occ AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+),
+df_ AS (SELECT token, count(*) AS doc_freq FROM per_doc GROUP BY token),
+tot AS (SELECT token, count(*) AS total_count FROM all_occ GROUP BY token)
+SELECT df_.token AS token, doc_freq, total_count
+FROM df_ JOIN tot ON df_.token = tot.token
+ORDER BY doc_freq DESC, total_count DESC, df_.token ASC
+LIMIT 50
+"""
+    sql["dedup_corpus_keep"] = f"""
+WITH fp AS (
+  SELECT doc_id, lang, source, n_chars, md5({_NORM}) AS f FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT fp.doc_id, lang, source, n_chars
+FROM fp JOIN keep ON fp.doc_id = keep.doc_id
+ORDER BY fp.doc_id
 """
 
     # --- dedup

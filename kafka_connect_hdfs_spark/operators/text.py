@@ -134,6 +134,28 @@ def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def vocab_top_tokens(
+    df: DataFrame, top_n: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary building: token → document frequency + total count, top-N
+    by document frequency (ties broken by token for determinism).
+
+    Scale: explode → two-level aggregation, both map-side combinable; the
+    top-N is a TakeOrdered (no global sort materialization). The standard
+    first step of tokenizer/vocab training over a 100 TB corpus.
+    """
+    tokens = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    per_doc = df.select(F.explode(F.array_distinct(tokens)).alias("token"))
+    all_occurrences = df.select(F.explode(tokens).alias("token"))
+    doc_freq = per_doc.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    tot = all_occurrences.groupBy("token").agg(F.count("*").alias("total_count"))
+    return (
+        doc_freq.join(tot, "token")
+        .orderBy(F.desc("doc_freq"), F.desc("total_count"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of case/whitespace-normalized text.
 

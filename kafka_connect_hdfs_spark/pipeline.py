@@ -132,6 +132,26 @@ def register_external_table(
         spark.sql(f"MSCK REPAIR TABLE {table}")  # H4 sync
 
 
+def alter_table_schema(
+    spark: SparkSession, cfg: HdfsSinkConfig, topic: str, new_columns: dict[str, str]
+) -> None:
+    """H2 — evolve the catalog table to the latest schema by adding the new
+    columns (Avro path replaces avro.schema.literal, Parquet path replaces
+    the column list — avro/AvroHiveUtil.java:62-71, ParquetHiveUtil.java:53-59;
+    triggered async in TopicPartitionWriter.alterHiveSchema :772-785).
+
+    Spark: ALTER TABLE ADD COLUMNS — additive evolution matches the
+    BACKWARD/FULL gate (H6) under which hive integration runs.
+    """
+    table = table_name_for_topic(cfg, topic)
+    existing = {f.name for f in spark.table(table).schema.fields}
+    cols = ", ".join(
+        f"`{name}` {dtype}" for name, dtype in new_columns.items() if name not in existing
+    )
+    if cols:
+        spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({cols})")
+
+
 def add_partition(spark: SparkSession, cfg: HdfsSinkConfig, topic: str, spec: str) -> None:
     """H3 — ALTER TABLE ADD IF NOT EXISTS PARTITION (addHivePartition :787-800)."""
     table = table_name_for_topic(cfg, topic)

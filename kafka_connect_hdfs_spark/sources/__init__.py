@@ -10,6 +10,38 @@ from kafka_connect_hdfs_spark.streaming.pipeline import file_replay_source, kafk
 __all__ = ["kafka_source", "file_replay_source", "load_table", "load_tables"]
 
 
+def schema_source_stream(spark, rows_per_second: int = 10, num_partitions: int = 1):
+    """S3 — the reference's synthetic SchemaSourceTask
+    (tools/SchemaSourceTask.java:128-196): a rate-limited stream of versioned
+    struct records alternating between schema v1 and v2 (v2 adds an optional
+    defaulted string field — FIXTURES.md §1-2).
+
+    Spark phrasing: the ``rate`` source + column expressions; the v2-only
+    field is null for v1 records, and ``schema_version`` drives evolution
+    logic downstream.
+    """
+    from pyspark.sql import functions as F
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+    v2 = (F.col("value") % 2) == 1
+    return rate.select(
+        F.col("timestamp"),
+        F.col("value").alias("offset"),
+        F.when(v2, 2).otherwise(1).alias("schema_version"),
+        F.lit(True).alias("boolean"),
+        (F.col("value") % 16 + 16).cast("int").alias("int"),
+        F.lit(16).cast("long").alias("long"),
+        F.lit(12.2).cast("float").alias("float"),
+        F.lit(12.2).cast("double").alias("double"),
+        F.when(v2, F.lit("abc")).otherwise(F.lit(None).cast("string")).alias("string"),
+    )
+
+
 def events_as_kafka_records(df, topic: str = "events", num_partitions: int = 4):
     """Adapter: present the driver's ``events`` table as Connect-envelope
     records (FIXTURES.md §6: user_id % N → kafkaPartition, event_id → offset,

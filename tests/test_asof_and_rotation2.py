@@ -1,0 +1,86 @@
+"""Tests for the as-of join, schema-change rotation, and offset recovery."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_connect_hdfs_spark.operators.asof import asof_join
+from kafka_connect_hdfs_spark.operators.rotation import (
+    next_offset_per_partition,
+    schema_rotation_chunks,
+)
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m, 0)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5)), (1, _ts(10)), (2, _ts(3))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(4), "a"), (1, _ts(9), "b"), (2, _ts(7), "c")],
+        "k long, ts timestamp, v string",
+    )
+    out = {
+        (r.k, r.ts.minute): r.v_asof
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert out[(1, 5)] == "a"      # latest right <= 00:05 is 00:04
+    assert out[(1, 10)] == "b"     # latest right <= 00:10 is 00:09
+    assert out[(2, 3)] is None     # no right row at-or-before 00:03
+
+
+def test_asof_equal_timestamp_matches(spark):
+    left = spark.createDataFrame([(1, _ts(5))], "k long, ts timestamp")
+    right = spark.createDataFrame([(1, _ts(5), "x")], "k long, ts timestamp, v string")
+    r = asof_join(left, right, on="k").first()
+    assert r.v_asof == "x"
+
+
+def test_schema_rotation_runs_backward(spark):
+    # versions 1,1,2,1,2 BACKWARD: current = running max -> runs [1,1],[2,1,2]
+    rows = [(0, i, v) for i, v in enumerate([1, 1, 2, 1, 2])]
+    df = spark.createDataFrame(rows, "partition int, offset long, v int")
+    out = schema_rotation_chunks(df, "v", flush_size=10, compatibility="BACKWARD")
+    got = [(r.offset, r.current_version, r.run_id) for r in out.orderBy("offset").collect()]
+    assert got == [(0, 1, 1), (1, 1, 1), (2, 2, 2), (3, 2, 2), (4, 2, 2)]
+
+
+def test_schema_rotation_runs_none(spark):
+    # NONE: every version flip starts a run
+    rows = [(0, i, v) for i, v in enumerate([1, 2, 1, 1, 2])]
+    df = spark.createDataFrame(rows, "partition int, offset long, v int")
+    out = schema_rotation_chunks(df, "v", flush_size=10, compatibility="NONE")
+    got = [r.run_id for r in out.orderBy("offset").collect()]
+    assert got == [1, 2, 3, 3, 4]
+
+
+def test_schema_rotation_forward_runs(spark):
+    # FORWARD: current = running min (older wins)
+    rows = [(0, i, v) for i, v in enumerate([2, 2, 1, 2, 1])]
+    df = spark.createDataFrame(rows, "partition int, offset long, v int")
+    out = schema_rotation_chunks(df, "v", flush_size=10, compatibility="FORWARD")
+    got = [(r.current_version, r.run_id) for r in out.orderBy("offset").collect()]
+    assert got == [(2, 1), (2, 1), (1, 2), (1, 2), (1, 2)]
+
+
+def test_schema_rotation_size_interaction(spark):
+    # flush=2 within a single run chunks records pairwise
+    rows = [(0, i, 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "partition int, offset long, v int")
+    out = schema_rotation_chunks(df, "v", flush_size=2, compatibility="BACKWARD")
+    got = [(r.offset, r.chunk) for r in out.orderBy("offset").collect()]
+    assert got == [(0, 0), (1, 0), (2, 1), (3, 1), (4, 2)]
+
+
+def test_next_offset_per_partition(spark):
+    manifest = spark.createDataFrame(
+        [(0, 0, 99), (0, 100, 199), (1, 0, 49)],
+        "partition int, start_offset long, end_offset long",
+    )
+    got = {r.partition: r.next_offset for r in next_offset_per_partition(manifest).collect()}
+    assert got == {0: 200, 1: 50}

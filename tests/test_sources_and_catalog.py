@@ -1,0 +1,101 @@
+"""P6 timestamp extractors, S3 schema source, H2 alter schema, O5 readers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+from kafka_connect_hdfs_spark.operators.partitioners import extract_timestamp
+
+
+def test_timestamp_extractor_record_field(spark):
+    # RecordField (`timestamp.field`) — TopicPartitionWriter.java:174-185
+    cfg = HdfsSinkConfig(timestamp_extractor="RecordField", timestamp_field="ts")
+    df = spark.createDataFrame(
+        [(dt.datetime(2020, 1, 2, 3, 4, 5),)], "ts timestamp"
+    ).withColumn("extracted", extract_timestamp(cfg))
+    assert df.first()["extracted"] == dt.datetime(2020, 1, 2, 3, 4, 5)
+
+
+def test_timestamp_extractor_record(spark):
+    # Record = the Kafka record timestamp column
+    cfg = HdfsSinkConfig(timestamp_extractor="Record")
+    df = spark.createDataFrame(
+        [(dt.datetime(2021, 5, 6),)], "timestamp timestamp"
+    ).withColumn("extracted", extract_timestamp(cfg))
+    assert df.first()["extracted"] == dt.datetime(2021, 5, 6)
+
+
+def test_timestamp_extractor_wallclock_injectable(spark):
+    # Wallclock takes `now` as a parameter (MockTime pattern,
+    # avro/TopicPartitionWriterTest.java:82) — never the real clock in tests
+    cfg = HdfsSinkConfig(timestamp_extractor="Wallclock")
+    df = spark.range(1).withColumn(
+        "extracted", extract_timestamp(cfg, now="2022-02-02 00:00:00")
+    )
+    assert df.first()["extracted"] == dt.datetime(2022, 2, 2)
+
+
+def test_schema_source_stream_alternates_versions(spark, tmp_path):
+    # S3 — tools/SchemaSourceTask alternating v1/v2 (FIXTURES.md §1-2)
+    from kafka_connect_hdfs_spark.sources import schema_source_stream
+
+    src = schema_source_stream(spark, rows_per_second=100)
+    q = (
+        src.writeStream.format("memory")
+        .queryName("schema_src")
+        .option("checkpointLocation", f"{tmp_path}/chk")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        n = spark.sql("SELECT count(*) AS n FROM schema_src").first()["n"]
+        if n >= 4:
+            break
+        time.sleep(1)
+    q.stop()
+    rows = spark.sql("SELECT * FROM schema_src ORDER BY offset").collect()
+    assert len(rows) >= 4
+    for r in rows:
+        if r.schema_version == 1:
+            assert r.string is None
+        else:
+            assert r.string == "abc"
+        assert r.long == 16 and abs(r.double - 12.2) < 1e-9
+
+
+def test_alter_table_schema_adds_columns(spark, sf_dir, tmp_path):
+    from kafka_connect_hdfs_spark.pipeline import alter_table_schema, land
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.sources import events_as_kafka_records
+
+    records = events_as_kafka_records(load_table(spark, sf_dir, "events"))
+    cfg = HdfsSinkConfig(
+        url=f"file://{tmp_path}", format="parquet", flush_size=100,
+        partitioner="default", compatibility="BACKWARD", hive_integration=True,
+    )
+    land(spark, records, cfg, topic="evolve_topic", ts_col="ts",
+         discard_partial=False, register_table=True)
+    alter_table_schema(spark, cfg, "evolve_topic", {"new_field": "string"})
+    cols = [f.name for f in spark.table("default.`evolve_topic`").schema.fields]
+    assert "new_field" in cols
+    # idempotent: re-adding existing columns is a no-op
+    alter_table_schema(spark, cfg, "evolve_topic", {"new_field": "string"})
+
+
+def test_schema_file_reader_recovers_schema(spark, sf_dir, tmp_path):
+    # O5 — recover the landed schema from committed files
+    from kafka_connect_hdfs_spark.sinks import build_sink
+
+    cfg = HdfsSinkConfig(format="parquet")
+    sink = build_sink(cfg)
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    sink.write(df, f"{tmp_path}/out", [])
+    schema = sink.schema_of(spark, f"{tmp_path}/out")
+    assert [f.name for f in schema.fields] == ["id", "s"]
