@@ -160,6 +160,43 @@ def _q_f1_rotation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("partition", "chunk")
 
 
+def _q_f2_time_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 event-time rotation: tumbling 6h windows per kafka partition —
+    file-open timestamps and record counts (rotate.interval.ms semantics,
+    TopicPartitionWriter.java:516-519, batch form)."""
+    from kafka_connect_hdfs_spark.operators.rotation import time_interval_chunks
+
+    records = _kafka_records(spark, sf_dir)
+    chunked = time_interval_chunks(records, rotate_interval_ms=6 * 3600 * 1000)
+    return (
+        chunked.groupBy("partition", "file_open_ts")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("offset").alias("start_offset"),
+            F.max("offset").alias("end_offset"),
+        )
+        .orderBy("partition", "file_open_ts")
+    )
+
+
+def _q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the aggregation behind IVF coarse
+    quantizers / class prototypes): posexplode → per-(label, dim) mean.
+
+    Scale: explode multiplies rows by dim but aggregates immediately with
+    map-side combine; shuffle carries only (label × dim) partials."""
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 def _q_e2_schema_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 schema projection: drop a field, add a defaulted field, cast a type
     (Connect SchemaProjector semantics, schema/SchemaUtils.java:64-91)."""
@@ -367,7 +404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_daily_partition": _q_p4_daily_partition,
         "p5_timebased_tz": _q_p5_timebased_tz,
         "f1_rotation_manifest": _q_f1_rotation_manifest,
+        "f2_time_rotation": _q_f2_time_rotation,
         "e2_schema_projection": _q_e2_schema_projection,
+        "embedding_centroids": _q_embedding_centroids,
         # analytics surface (SURVEY.md §2.9)
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_unshipped_orders": A.q3_unshipped_orders,
@@ -574,6 +613,23 @@ SELECT "partition", encodedPartition, chunk, start_offset, end_offset, record_co
        lpad(start_offset::VARCHAR, 10, '0') || '+' ||
        lpad(end_offset::VARCHAR, 10, '0') || '.parquet' AS file_name
 FROM sized ORDER BY "partition", chunk
+"""
+    sql["f2_time_rotation"] = """
+SELECT (user_id % 4)::INT AS "partition",
+       make_timestamp((epoch(ts)::BIGINT // 21600 * 21600) * 1000000) AS file_open_ts,
+       count(*) AS n_records,
+       min(event_id) AS start_offset, max(event_id) AS end_offset
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    sql["embedding_centroids"] = """
+WITH exploded AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+SELECT label, dim, round(avg(val), 6) AS centroid_val, count(*) AS n_vectors
+FROM exploded GROUP BY 1, 2 ORDER BY 1, 2
 """
     sql["e2_schema_projection"] = """
 SELECT event_id, user_id, event_type, value, 'kafka' AS source
