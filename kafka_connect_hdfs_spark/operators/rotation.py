@@ -80,22 +80,25 @@ def size_based_chunks(
     ``discard_partial`` (the reference's close semantics, F6) trailing
     records that don't fill a chunk are dropped.
     """
-    w = Window.partitionBy(F.col(kafka_partition_col), encoded_partition).orderBy(
-        F.col(offset_col)
-    )
-    out = (
-        df.withColumn("encodedPartition", encoded_partition)
-        .withColumn("_rn", F.row_number().over(w) - 1)
-        .withColumn("chunk", (F.col("_rn") / flush_size).cast("bigint"))
+    # materialize the dir key first so every window keys on the SAME
+    # attribute — re-evaluated expressions would plan as distinct keys and
+    # force a second shuffle
+    base = df.withColumn("encodedPartition", encoded_partition)
+    key = [F.col(kafka_partition_col), F.col("encodedPartition")]
+    w = Window.partitionBy(*key).orderBy(F.col(offset_col))
+    out = base.withColumn("_rn", F.row_number().over(w) - 1).withColumn(
+        "chunk", (F.col("_rn") / flush_size).cast("bigint")
     )
     if discard_partial:
-        cnt_w = Window.partitionBy(
-            F.col(kafka_partition_col), F.col("encodedPartition"), F.col("chunk")
+        # a record is in a full chunk iff its rank < floor(group_total /
+        # flush) * flush; the count window shares the row_number window's
+        # partitioning key, so this adds NO second shuffle (plan check:
+        # tests/test_plan_quality.py::test_ingest_single_shuffle)
+        total_w = Window.partitionBy(*key)
+        out = out.withColumn("_total", F.count("*").over(total_w)).filter(
+            F.col("_rn") < F.floor(F.col("_total") / flush_size) * flush_size
         )
-        out = out.withColumn("chunk_size", F.count("*").over(cnt_w)).filter(
-            F.col("chunk_size") == flush_size
-        )
-    return out.drop("_rn", "chunk_size")
+    return out.drop("_rn", "_total")
 
 
 def chunk_file_manifest(
