@@ -382,6 +382,15 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        documents_as_media, extract_features, sample_frames,
+    )
+
+    feats = extract_features(documents_as_media(_docs(spark, sf_dir)))
+    return sample_frames(feats, every_n=10).orderBy("media_id", "frame_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -432,6 +441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "media_summary": _q_media_summary,
         "media_features": _q_media_features,
+        "media_frame_sample": _q_media_frame_sample,
+        # analytics, tranche 3
+        "q17_small_quantity": A2.q17_small_quantity_revenue,
+        "q_distinct_users": A2.q_distinct_users,
     }
 
 
@@ -542,6 +555,8 @@ def oracle_sql() -> dict[str, str]:
     sql["w6_offset_recovery"] = A2.Q_OFFSET_RECOVERY_SQL
     sql["json_schemaless"] = A2.Q_JSON_SQL
     sql["q6_forecast_revenue"] = A2.Q6_SQL
+    sql["q17_small_quantity"] = A2.Q17_SQL
+    sql["q_distinct_users"] = A2.Q_DISTINCT_SQL
     sql["q_semi_anti_customers"] = A2.Q_SEMI_ANTI_SQL
     sql["q_set_ops_users"] = A2.Q_SET_OPS_SQL
     sql["q_sessionize"] = A2.Q_SESSIONIZE_SQL
@@ -840,5 +855,19 @@ SELECT media_id, media_type, n_bytes,
                        ELSE (n_bytes % 120) + 1 END::INT AS n_frames,
        feature_hash
 FROM media ORDER BY media_id
+"""
+    sql["media_frame_sample"] = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, {_mt} AS media_type,
+         octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents
+),
+video AS (
+  SELECT media_id, ((n_bytes % 120) + 1)::INT AS n_frames
+  FROM media WHERE media_type = 'video'
+)
+SELECT media_id, n_frames, unnest(range(0, n_frames, 10))::INT AS frame_idx,
+       md5(media_id::VARCHAR || ':' || unnest(range(0, n_frames, 10))::VARCHAR) AS frame_hash
+FROM video ORDER BY media_id, frame_idx
 """
     return sql

@@ -73,6 +73,14 @@ class HdfsSinkConfig:
     shutdown_timeout_ms: int = 3000
     schema_cache_size: int = 1000
 
+    # Kerberos (DataWriter.java:121-206: optional secure-HDFS login + ticket
+    # renewal thread; on Spark, principal/keytab map to
+    # spark.kerberos.principal/keytab and renewal is driver-managed)
+    hdfs_authentication_kerberos: bool = False
+    connect_hdfs_principal: str = ""
+    connect_hdfs_keytab: str = ""
+    kerberos_ticket_renew_period_ms: int = 3_600_000
+
     def __post_init__(self) -> None:
         if self.format not in VALID_FORMATS:
             raise ConfigException(f"format must be one of {VALID_FORMATS}: {self.format}")
@@ -94,6 +102,14 @@ class HdfsSinkConfig:
             )
         if self.partitioner == "field" and not self.partition_fields:
             raise ConfigException("field partitioner requires partition.field.name")
+        # DataWriter.java:128-140: kerberos requires both principal and keytab
+        if self.hdfs_authentication_kerberos and not (
+            self.connect_hdfs_principal and self.connect_hdfs_keytab
+        ):
+            raise ConfigException(
+                "hdfs.authentication.kerberos requires connect.hdfs.principal "
+                "and connect.hdfs.keytab"
+            )
 
     @property
     def topics_path(self) -> str:

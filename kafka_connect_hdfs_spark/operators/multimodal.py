@@ -120,6 +120,37 @@ def extract_features(df: DataFrame) -> DataFrame:
     return fan_out(df).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame index
+    (0, every_n, 2*every_n, ... < n_frames) with a per-frame feature hash.
+
+    Scale shape: the frame-index explosion is a builtin ``sequence`` +
+    ``explode`` (no Python) — rows multiply by n_frames/every_n but carry
+    only ids and the short hash, never the payload; the real per-frame
+    decode would then run in mapInPandas batches over (media_id, frame_idx)
+    joined back to payloads partition-locally.
+    """
+    frames = df.filter(F.col("media_type") == "video").select(
+        "media_id",
+        "n_frames",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.col("n_frames") - 1,
+                F.lit(every_n),
+            )
+        ).alias("frame_idx"),
+    )
+    # deterministic per-frame "feature": md5 of (media_id, frame_idx) — the
+    # stub stand-in for a frame embedding (payload decode gated, see
+    # _fake_decode)
+    return frames.withColumn(
+        "frame_hash",
+        F.md5(F.concat_ws(":", F.col("media_id").cast("string"),
+                          F.col("frame_idx").cast("string"))),
+    )
+
+
 def media_summary(df: DataFrame) -> DataFrame:
     """Metadata-only rollup — never touches the payload column (check
     ReadSchema in the plan: payload must be pruned away)."""

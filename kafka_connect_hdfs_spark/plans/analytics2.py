@@ -245,6 +245,71 @@ ORDER BY p.event_id
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery — lineitems below 50%
+    of their part's average quantity.
+
+    Scale: the subquery decorrelates into a per-part aggregate joined back;
+    the aggregate side is tiny (one row per part) and broadcasts, so the
+    fact table is scanned once and never shuffled.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = (
+        li.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.5).alias("half_avg_qty"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(avg_qty.join(part.select("p_partkey"),
+                                     F.col("l_partkey") == F.col("p_partkey"), "semi")),
+              "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            (_dsum(_dec("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation surface: exact distinct users + events per type.
+
+    Scale: count(DISTINCT) plans as a two-level aggregate (distinct-expand
+    then count) — partials combine map-side; for approximate mode at 100 TB
+    swap in approx_count_distinct (HLL) without changing the query shape.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_f4_schema_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 schema-change rotation boundaries in batch form: synthetic
     alternating schema versions derived from event offsets (the reference's
