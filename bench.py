@@ -31,8 +31,12 @@ def main() -> None:
         "q1_pricing_summary",
         "q3_unshipped_orders",
         "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q17_small_quantity",
         "q_top_events_per_user",
         "q_event_type_rollup",
+        "q_sessionize",
+        "asof_last_signup",
         "p3_hourly_partition",
         "f1_rotation_manifest",
         "dedup_exact",

@@ -122,7 +122,10 @@ def register_external_table(
     ]
     cols_sql = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in ordered)
     part_sql = ", ".join(f"`{c}`" for c in partition_columns)
-    fmt = {"parquet": "PARQUET", "avro": "AVRO", "json": "JSON", "text": "TEXT"}[cfg.format]
+    fmt = {
+        "parquet": "PARQUET", "orc": "ORC", "avro": "AVRO",
+        "json": "JSON", "text": "TEXT",
+    }[cfg.format]
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     partitioned = f" PARTITIONED BY ({part_sql})" if part_sql else ""
     spark.sql(

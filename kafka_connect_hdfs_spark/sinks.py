@@ -89,6 +89,12 @@ def build_sink(cfg: HdfsSinkConfig) -> FormatSink:
             ".avro",
             {"compression": "uncompressed" if cfg.avro_codec in ("null", "") else cfg.avro_codec},
         ),
+        "orc": FormatSink(
+            "orc",
+            ".orc",
+            # ORC profile mirrors the parquet one: snappy + dictionary on
+            {"compression": "snappy"},
+        ),
         "json": FormatSink("json", ".json", {}),
         "text": TextSink("text", ".txt", {}),
     }

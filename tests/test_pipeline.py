@@ -80,6 +80,34 @@ def test_json_and_text_sinks(spark, records, tmp_path):
         assert files, fmt
 
 
+def test_orc_sink_roundtrip(spark, records, tmp_path):
+    cfg = HdfsSinkConfig(
+        url=f"file://{tmp_path}", format="orc", flush_size=100,
+        partitioner="default",
+    )
+    land(spark, records, cfg, topic="events", ts_col="ts", discard_partial=False)
+    back = spark.read.orc(f"{tmp_path}/topics/events")
+    assert back.count() == records.count()
+    assert set(back.columns) == set(records.columns)
+
+
+def test_landed_table_partition_pruning(spark, records, tmp_path):
+    """Reading a landed partitioned table with a partition filter must prune
+    directories (the read-side payoff of Hive-style layout, SURVEY.md §4)."""
+    cfg = HdfsSinkConfig(
+        url=f"file://{tmp_path}", format="parquet", flush_size=100,
+        partitioner="field", partition_fields=["event_type"],
+    )
+    land(spark, records, cfg, topic="events", ts_col="ts", discard_partial=False)
+    df = spark.read.parquet(f"{tmp_path}/topics/events").filter(
+        F.col("event_type") == "purchase"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
 def test_avro_sink_if_available(spark, records, tmp_path):
     cfg = HdfsSinkConfig(url=f"file://{tmp_path}", format="avro", flush_size=500)
     try:
