@@ -335,6 +335,14 @@ def _q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    return ivf_topk(emb, queries, k=5, n_seeds=8).orderBy("query_id", "rank")
+
+
 def _q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.operators.similarity import with_lsh_bucket
 
@@ -436,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         # similarity search
         "ann_topk_bruteforce": _q_ann_topk_bruteforce,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
         "embedding_near_dup": _q_embedding_near_dup,
         # multimodal
@@ -792,6 +801,46 @@ WITH pairs AS (
 ),
 sims AS (
   SELECT query_id, neighbor_id, {_COSINE} AS cosine FROM pairs
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+    sql["ann_ivf_topk"] = """
+WITH seeds AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, v, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim
+  FROM vecs, seeds
+),
+cells AS (
+  SELECT vec_id, v, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, seed_id ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM cells WHERE vec_id < 10),
+pairs AS (
+  SELECT query_id, c.vec_id AS neighbor_id, qv, c.v AS cv
+  FROM cells c JOIN q ON c.cell = q.cell
+  WHERE c.vec_id != q.query_id
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM pairs
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,

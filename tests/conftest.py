@@ -16,3 +16,9 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+# hypothesis-driven tests can't take function-scoped fixtures; session alias
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
