@@ -139,6 +139,32 @@ class TimeBasedPartitioner:
         self.components = components
         self.ts_col = F.col(ts_col) if isinstance(ts_col, str) else ts_col
 
+    #: Joda tokens accepted in the reference's `path.format`
+    #: (docs/configuration_options.rst, e.g. `'year'=YYYY/'month'=MM/...`)
+    _JODA = {"YYYY": "year", "yyyy": "year", "MM": "month", "dd": "day",
+             "HH": "hour", "mm": "minute"}
+
+    @classmethod
+    def from_path_format(
+        cls,
+        path_format: str,
+        duration_ms: int,
+        timezone: str = "UTC",
+        ts_col: Column | str = "ts",
+    ) -> "TimeBasedPartitioner":
+        """Build from the reference's Joda-style ``path.format`` string, e.g.
+        ``'year'=YYYY/'month'=MM/'day'=dd/'hour'=HH`` — each segment's format
+        token selects the matching path component (TimeBasedPartitioner
+        configuration, partitioner/TimeBasedPartitioner.java:23-26)."""
+        comps: list[str] = []
+        for segment in path_format.split("/"):
+            token = segment.split("=")[-1].strip("'\" ")
+            comp = cls._JODA.get(token)
+            if comp is None:
+                raise ValueError(f"unsupported path.format token: {token!r}")
+            comps.append(comp)
+        return cls(duration_ms, timezone, tuple(comps), ts_col)
+
     def _floored_local(self) -> Column:
         """Local wall-clock time floored to duration_ms (TimeUtils.java:26-37)."""
         local = F.convert_timezone(F.lit("UTC"), F.lit(self.timezone), self.ts_col)

@@ -95,6 +95,35 @@ def land(
     return res
 
 
+def land_topics(
+    spark: SparkSession,
+    df: DataFrame,
+    cfg: HdfsSinkConfig,
+    topic_col: str = "topic",
+    ts_col: str = "ts",
+    discard_partial: bool = True,
+    register_tables: bool = False,
+) -> dict[str, IngestResult]:
+    """Multi-topic landing (R1 routing: DataWriter keeps one writer per
+    topic-partition, DataWriter.java:314-333). Each topic lands under its own
+    ``<topics.dir>/<topic>/`` root — the reference's raw-topic-name layout,
+    which ``partitionBy`` alone can't produce (it would emit ``topic=`` dirs).
+
+    One write job per topic; jobs are independent and the Spark scheduler
+    overlaps them — with hundreds of topics, submit via thread pool (the
+    reference serializes on one task thread; we don't have to).
+    """
+    topics = [r[0] for r in df.select(topic_col).distinct().collect()]
+    out: dict[str, IngestResult] = {}
+    for topic in sorted(topics):
+        sub = df.filter(F.col(topic_col) == topic)
+        out[topic] = land(
+            spark, sub, cfg, topic, ts_col=ts_col,
+            discard_partial=discard_partial, register_table=register_tables,
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Hive/catalog operators H1-H4 (SURVEY.md §2.8)
 
