@@ -261,6 +261,32 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation — must equal the plain groupBy
+    (the oracle IS the plain groupBy)."""
+    from kafka_connect_hdfs_spark.functions import salted_agg
+
+    ev = _events(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "total_value": ("sum", "value_dec"),
+            "min_event": ("min", "event_id"),
+            "max_event": ("max", "event_id"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type", "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "min_event", "max_event",
+    ).orderBy("event_type")
+
+
 def _q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.operators.text import vocab_top_tokens
 
@@ -454,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics, tranche 3
         "q17_small_quantity": A2.q17_small_quantity_revenue,
         "q_distinct_users": A2.q_distinct_users,
+        "q_salted_agg": _q_salted_agg,
     }
 
 
@@ -566,6 +593,12 @@ def oracle_sql() -> dict[str, str]:
     sql["q6_forecast_revenue"] = A2.Q6_SQL
     sql["q17_small_quantity"] = A2.Q17_SQL
     sql["q_distinct_users"] = A2.Q_DISTINCT_SQL
+    sql["q_salted_agg"] = """
+SELECT event_type, count(event_id) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       min(event_id) AS min_event, max(event_id) AS max_event
+FROM events GROUP BY event_type ORDER BY event_type
+"""
     sql["q_semi_anti_customers"] = A2.Q_SEMI_ANTI_SQL
     sql["q_set_ops_users"] = A2.Q_SET_OPS_SQL
     sql["q_sessionize"] = A2.Q_SESSIONIZE_SQL

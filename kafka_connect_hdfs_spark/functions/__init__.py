@@ -24,6 +24,46 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     return df
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys.
+
+    Phase 1 groups by (key, salt) — a hot key splits across ``salt_buckets``
+    reducers; phase 2 re-aggregates the per-salt partials by key. Supported
+    aggs: {"out_col": (fn, in_col)} with fn in sum/count/min/max — the
+    partial-mergeable functions.
+
+    When AQE's skew handling isn't enough (single giant groupBy key rather
+    than a skewed join), this is the standard manual remedy; the salt is
+    deterministic (hash of the full row spread via monotonically increasing
+    id would be non-deterministic on retry — use a stable column hash).
+    """
+    salt = (F.xxhash64(*[F.col(c) for c in df.columns]) % salt_buckets).alias("_salt")
+    phase1_aggs = []
+    phase2_aggs = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            phase1_aggs.append(F.count(col).alias(f"_p_{out}"))
+            phase2_aggs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "sum":
+            phase1_aggs.append(F.sum(col).alias(f"_p_{out}"))
+            phase2_aggs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "min":
+            phase1_aggs.append(F.min(col).alias(f"_p_{out}"))
+            phase2_aggs.append(F.min(f"_p_{out}").alias(out))
+        elif fn == "max":
+            phase1_aggs.append(F.max(col).alias(f"_p_{out}"))
+            phase2_aggs.append(F.max(f"_p_{out}").alias(out))
+        else:
+            raise ValueError(f"non-mergeable agg {fn}")
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*phase1_aggs)
+    return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
 def md5_int48(col: Column) -> Column:
     """Deterministic 48-bit integer from md5 hex (first 12 chars).
 

@@ -49,6 +49,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # defensive: the harness may hand us a session built without our
+    # defaults — nanos handling and UTC rendering are load-bearing for every
+    # events-based query and both are runtime-settable SQL confs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer division — float division loses precision at 2^63-scale nanos
