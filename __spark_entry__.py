@@ -481,6 +481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": A2.q17_small_quantity_revenue,
         "q_distinct_users": A2.q_distinct_users,
         "q_salted_agg": _q_salted_agg,
+        "q_pivot_daily": A2.q_pivot_daily_events,
+        "q_value_percentiles": A2.q_value_percentiles,
     }
 
 
@@ -593,6 +595,8 @@ def oracle_sql() -> dict[str, str]:
     sql["q6_forecast_revenue"] = A2.Q6_SQL
     sql["q17_small_quantity"] = A2.Q17_SQL
     sql["q_distinct_users"] = A2.Q_DISTINCT_SQL
+    sql["q_pivot_daily"] = A2.Q_PIVOT_SQL
+    sql["q_value_percentiles"] = A2.Q_PERCENTILES_SQL
     sql["q_salted_agg"] = """
 SELECT event_type, count(event_id) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -310,6 +310,65 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: day × event_type count matrix.
+
+    Scale: pivot with an explicit value list compiles to one aggregation
+    with conditional counts — single shuffle, no per-pivot-value passes.
+    """
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of value per event type.
+
+    Scale note: exact percentile requires the sorted group in one place —
+    fine for bounded group counts; at 100 TB with huge groups switch to
+    percentile_approx (t-digest) at the same call site.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.min("value"), 2).alias("v_min"),
+            F.round(F.max("value"), 2).alias("v_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(min(value), 2) AS v_min,
+       round(max(value), 2) AS v_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_f4_schema_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 schema-change rotation boundaries in batch form: synthetic
     alternating schema versions derived from event offsets (the reference's
