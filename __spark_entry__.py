@@ -336,10 +336,15 @@ def _q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_connect_hdfs_spark.operators.dedup import minhash_lsh_candidates
+    """Recommended composition (scaling probe: 7.5x at 20x duplication):
+    collapse exact duplicates first, then LSH with a bucket-size cap."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        dedup_keep_first, minhash_lsh_candidates,
+    )
 
+    kept = dedup_keep_first(_docs(spark, sf_dir))
     return minhash_lsh_candidates(
-        _docs(spark, sf_dir), num_hashes=8, bands=4, n=3
+        kept, num_hashes=8, bands=4, n=3, max_bucket_size=100
     ).orderBy("id_a", "id_b")
 
 
@@ -520,7 +525,9 @@ FROM shingles GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def _minhash_lsh_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+def _minhash_lsh_oracle(
+    num_hashes: int = 8, bands: int = 4, max_bucket_size: int = 100
+) -> str:
     rows = num_hashes // bands
     band_exprs = []
     for b in range(bands):
@@ -533,12 +540,29 @@ def _minhash_lsh_oracle(num_hashes: int = 8, bands: int = 4) -> str:
         f"min(({_H48} * {2 * i + 1} + {7919 * (i + 1)}) % {(1 << 61) - 1}) AS mh_{i}"
         for i in range(num_hashes)
     )
+    # mirror the Spark composition: exact-dedup keep-first, then capped LSH
+    shingles_kept = _SHINGLES_CTE.replace("FROM documents", "FROM kept_docs")
     return f"""
-WITH {_SHINGLES_CTE},
+WITH fp AS (
+  SELECT doc_id, text, md5({_NORM}) AS f FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+kept_docs AS (
+  SELECT fp.doc_id, text FROM fp JOIN keep ON fp.doc_id = keep.doc_id
+),
+{shingles_kept},
 sigs AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
-buckets AS ({union})
+buckets AS ({union}),
+small AS (
+  SELECT band, band_sig FROM buckets GROUP BY band, band_sig
+  HAVING count(*) <= {max_bucket_size}
+),
+capped AS (
+  SELECT b.* FROM buckets b JOIN small s
+  ON b.band = s.band AND b.band_sig = s.band_sig
+)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM buckets a JOIN buckets b ON a.band = b.band AND a.band_sig = b.band_sig
+FROM capped a JOIN capped b ON a.band = b.band AND a.band_sig = b.band_sig
 WHERE a.doc_id < b.doc_id
 ORDER BY id_a, id_b
 """

