@@ -73,6 +73,7 @@ def start_ingest(
     ts_col: str = "ts",
     trigger_seconds: float | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    use_contract_names: bool = False,
 ):
     """Run the ingest pipeline on a streaming source.
 
@@ -90,14 +91,25 @@ def start_ingest(
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
-        land(
-            spark,
-            batch_df,
-            cfg,
-            topic,
-            ts_col=ts_col,
-            discard_partial=False,
-        )
+        if use_contract_names:
+            # offset-encoded filenames on disk; replay-idempotent renames
+            # make batch re-runs converge (W2 semantics)
+            from kafka_connect_hdfs_spark.contract_names import (
+                land_with_contract_names,
+            )
+
+            land_with_contract_names(
+                spark, batch_df, cfg, topic, ts_col=ts_col, discard_partial=False
+            )
+        else:
+            land(
+                spark,
+                batch_df,
+                cfg,
+                topic,
+                ts_col=ts_col,
+                discard_partial=False,
+            )
 
     writer = source.writeStream.foreachBatch(batch_fn).option(
         "checkpointLocation", checkpoint_dir

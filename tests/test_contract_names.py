@@ -59,6 +59,39 @@ def test_contract_names_on_disk(spark, records, tmp_path):
     assert parsed == want
 
 
+def test_streaming_with_contract_names(spark, records, tmp_path, sf_dir):
+    """Full streaming path with offset-encoded filenames — every landed file
+    matches the reference pattern and offsets are exactly-once."""
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.streaming.pipeline import (
+        file_replay_source, start_ingest,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = f"{tmp_path}/src"
+    events.repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    cfg = HdfsSinkConfig(
+        url=f"file://{tmp_path}/landed", format="parquet", flush_size=100
+    )
+    stream = file_replay_source(spark, src_dir, schema, max_files_per_trigger=1)
+    q = start_ingest(
+        spark, stream, cfg, topic="events", checkpoint_dir=f"{tmp_path}/chk",
+        ts_col="ts", transform=lambda df: events_as_kafka_records(df),
+        use_contract_names=True,
+    )
+    q.awaitTermination(120)
+    files = glob.glob(f"{tmp_path}/landed/topics/events/partition=*/*.parquet")
+    assert files
+    import re
+
+    rx = re.compile(r"^events\+\d+\+\d{10}\+\d{10}\.parquet$")
+    assert all(rx.match(os.path.basename(f)) for f in files), files[:3]
+    back = read_committed(spark, cfg, "events")
+    assert back.count() == events.count()
+    assert back.select("offset").distinct().count() == events.count()
+
+
 def test_contract_names_replay_idempotent(spark, records, tmp_path):
     """Re-landing the same batch must not duplicate or rename-clash —
     the idempotent-redo property of WAL recovery (FSWAL.apply,
