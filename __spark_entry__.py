@@ -488,6 +488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_agg": _q_salted_agg,
         "q_pivot_daily": A2.q_pivot_daily_events,
         "q_value_percentiles": A2.q_value_percentiles,
+        "q4_order_priority": A2.q4_order_priority,
+        "q12_priority_shipping": A2.q12_priority_shipping,
     }
 
 
@@ -621,6 +623,8 @@ def oracle_sql() -> dict[str, str]:
     sql["q_distinct_users"] = A2.Q_DISTINCT_SQL
     sql["q_pivot_daily"] = A2.Q_PIVOT_SQL
     sql["q_value_percentiles"] = A2.Q_PERCENTILES_SQL
+    sql["q4_order_priority"] = A2.Q4_SQL
+    sql["q12_priority_shipping"] = A2.Q12_SQL
     sql["q_salted_agg"] = """
 SELECT event_type, count(event_id) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
