@@ -366,6 +366,16 @@ def _q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def _q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS/Arrow variant of brute-force top-k — same oracle as the columnar
+    version (semantics identical, execution path different)."""
+    from kafka_connect_hdfs_spark.operators.similarity import brute_force_topk_arrow
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk_arrow(emb, queries, k=5).orderBy("query_id", "rank")
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.operators.similarity import ivf_topk
 
@@ -475,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         # similarity search
         "ann_topk_bruteforce": _q_ann_topk_bruteforce,
+        "ann_topk_arrow": _q_ann_topk_arrow,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -916,6 +927,7 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
+    sql["ann_topk_arrow"] = sql["ann_topk_bruteforce"]
     bucket_expr = _lsh_bucket_sql("CAST(embedding AS DOUBLE[])", planes=8, dim=64)
     sql["ann_lsh_buckets"] = f"""
 SELECT ({bucket_expr}) AS bucket,
