@@ -1,0 +1,87 @@
+"""Small-file compaction for landed partitions.
+
+A streaming sink writing every trigger produces many small files per
+partition dir (the reference bounds this only via flush.size — small files
+are its known operational pain; docs/hdfs_connector.rst advises sizing
+flush.size accordingly). At 100 TB the read-side cost of millions of small
+files dominates, so compaction is a first-class maintenance operator:
+
+  - groups landed files per partition directory,
+  - rewrites each directory to ceil(bytes / target) files,
+  - atomically swaps via write-to-temp + directory rename (same
+    temp-then-rename discipline as F5).
+
+Scale: one job per compaction run; within the job each partition dir is an
+independent task group (no cross-dir shuffle — ``repartition`` happens
+within the dir's data only when needed). Run it off the ingest path (the
+reference's Hive-sync pattern: maintenance decoupled from the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_partitions(
+    spark: SparkSession,
+    table_path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 256 * 1024 * 1024,   # reference parquet block size
+    min_files_to_compact: int = 2,
+) -> dict[str, tuple[int, int]]:
+    """Compact every leaf partition directory under ``table_path``.
+
+    Returns {relative_dir: (files_before, files_after)} for dirs rewritten.
+    Uses Hadoop FS listing (works on hdfs:// and file:// alike) and the
+    atomic-rename swap; readers either see the old file set or the new one.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(table_path)
+    fs = root.getFileSystem(conf)
+
+    # find leaf dirs containing data files
+    leaves: list[tuple[str, list, int]] = []
+
+    def walk(p):
+        entries = list(fs.listStatus(p))
+        subdirs = [e for e in entries if e.isDirectory()]
+        files = [
+            e for e in entries
+            if e.isFile() and not e.getPath().getName().startswith(("_", "."))
+        ]
+        if files and not subdirs:
+            leaves.append(
+                (p.toString(), files, sum(e.getLen() for e in files))
+            )
+        for d in subdirs:
+            walk(d.getPath())
+
+    walk(root)
+
+    results: dict[str, tuple[int, int]] = {}
+    base_str = root.toString().rstrip("/")
+    for dir_str, files, total_bytes in leaves:
+        if len(files) < min_files_to_compact:
+            continue
+        n_target = max(1, -(-total_bytes // target_file_bytes))  # ceil
+        if n_target >= len(files):
+            continue
+        rel = dir_str[len(base_str):].lstrip("/")
+        df = spark.read.format(fmt).load(dir_str)
+        tmp_dir = f"{dir_str}__compact_tmp"
+        df.repartition(n_target).write.format(fmt).mode("overwrite").save(tmp_dir)
+        # swap: remove originals, move compacted files in, drop temp dir
+        for e in files:
+            fs.delete(e.getPath(), False)
+        moved = 0
+        for e in fs.listStatus(Path(tmp_dir)):
+            name = e.getPath().getName()
+            if e.isFile() and not name.startswith(("_", ".")):
+                fs.rename(e.getPath(), Path(f"{dir_str}/compacted-{moved:05d}-{name}"))
+                moved += 1
+        fs.delete(Path(tmp_dir), True)
+        results[rel] = (len(files), moved)
+    return results
