@@ -18,7 +18,17 @@ Everything is DataFrame/SQL-level: no RDDs, no custom Catalyst rules
 """
 
 from kafka_connect_hdfs_spark.config import HdfsSinkConfig
-from kafka_connect_hdfs_spark.session import get_spark
+from kafka_connect_hdfs_spark.session import get_spark, load_table, load_tables
 
-__all__ = ["HdfsSinkConfig", "get_spark"]
+__all__ = [
+    "HdfsSinkConfig",
+    "get_spark",
+    "load_table",
+    "load_tables",
+    # main entry points (imported lazily to keep module import light):
+    #   pipeline.land / land_topics / ingest_batch / register_external_table
+    #   contract_names.land_with_contract_names / read_committed
+    #   compaction.compact_partitions
+    #   streaming.pipeline.kafka_source / start_ingest
+]
 __version__ = "0.1.0"

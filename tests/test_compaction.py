@@ -36,7 +36,6 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     # row-for-row identical content
     after = spark.read.parquet(base)
     assert after.count() == before_count
-    b = spark.createDataFrame([], after.schema)
     # per-type counts unchanged
     got = {r["event_type"]: r["n"] for r in
            after.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
