@@ -84,6 +84,29 @@ def test_timebased_duration_flooring(spark):
     assert got == ["year=2020/month=06/day=15/hour=12"]
 
 
+def test_custom_partitioner_plugin(spark):
+    """P7 — any strategy object with .apply(df) -> PartitionSpec plugs in
+    (the reference loads Partitioner classes reflectively,
+    DataWriter.java:537-558 + PartitionerWrapper :560-588)."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.partitioners import PartitionSpec
+
+    class BucketByUserMod:
+        def apply(self, df):
+            out = df.withColumn("bucket", (F.col("user_id") % 7).cast("int"))
+            return PartitionSpec(
+                out, ["bucket"],
+                F.concat(F.lit("bucket="), F.col("bucket").cast("string")),
+            )
+
+    df = spark.createDataFrame([(13,), (7,)], "user_id long")
+    spec = BucketByUserMod().apply(df)
+    got = sorted(r["e"] for r in spec.df.select(spec.encoded.alias("e")).collect())
+    assert got == ["bucket=0", "bucket=6"]
+    assert spec.partition_columns == ["bucket"]
+
+
 def test_partition_columns_are_write_ready(spark):
     """partitionBy columns must exist on the output frame."""
     ts = datetime.datetime(2021, 1, 2, 3, 4, 5)
