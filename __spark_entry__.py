@@ -443,6 +443,7 @@ def _q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
+    from kafka_connect_hdfs_spark.plans import analytics3 as A3
 
     return {
         # pipeline operators, tranche 2
@@ -501,6 +502,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_value_percentiles": A2.q_value_percentiles,
         "q4_order_priority": A2.q4_order_priority,
         "q12_priority_shipping": A2.q12_priority_shipping,
+        # analytics, tranche 4: remaining TPC-H shapes (adapted — no partsupp)
+        "q2_min_balance_supplier": A3.q2_min_balance_supplier,
+        "q7_volume_shipping": A3.q7_volume_shipping,
+        "q8_market_share": A3.q8_market_share,
+        "q9_product_profit": A3.q9_product_profit,
+        "q10_returned_items": A3.q10_returned_items,
+        "q11_revenue_concentration": A3.q11_revenue_concentration,
+        "q13_order_count_distribution": A3.q13_order_count_distribution,
+        "q14_promo_revenue": A3.q14_promo_revenue,
+        "q15_top_supplier": A3.q15_top_supplier,
+        "q16_supplier_variety": A3.q16_supplier_variety,
+        "q18_large_orders": A3.q18_large_orders,
+        "q19_disjunctive_revenue": A3.q19_disjunctive_revenue,
+        "q21_late_suppliers": A3.q21_late_suppliers,
+        "q22_dormant_customers": A3.q22_dormant_customers,
+        "q_window_suite": A3.q_window_suite,
     }
 
 
@@ -624,8 +641,24 @@ _COSINE = (
 def oracle_sql() -> dict[str, str]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
+    from kafka_connect_hdfs_spark.plans import analytics3 as A3
 
     sql: dict[str, str] = {}
+    sql["q2_min_balance_supplier"] = A3.Q2_SQL
+    sql["q7_volume_shipping"] = A3.Q7_SQL
+    sql["q8_market_share"] = A3.Q8_SQL
+    sql["q9_product_profit"] = A3.Q9_SQL
+    sql["q10_returned_items"] = A3.Q10_SQL
+    sql["q11_revenue_concentration"] = A3.Q11_SQL
+    sql["q13_order_count_distribution"] = A3.Q13_SQL
+    sql["q14_promo_revenue"] = A3.Q14_SQL
+    sql["q15_top_supplier"] = A3.Q15_SQL
+    sql["q16_supplier_variety"] = A3.Q16_SQL
+    sql["q18_large_orders"] = A3.Q18_SQL
+    sql["q19_disjunctive_revenue"] = A3.Q19_SQL
+    sql["q21_late_suppliers"] = A3.Q21_SQL
+    sql["q22_dormant_customers"] = A3.Q22_SQL
+    sql["q_window_suite"] = A3.Q_WINDOW_SQL
     sql["f4_schema_rotation"] = A2.Q_F4_SQL
     sql["w6_offset_recovery"] = A2.Q_OFFSET_RECOVERY_SQL
     sql["json_schemaless"] = A2.Q_JSON_SQL
