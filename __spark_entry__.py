@@ -404,6 +404,25 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: int8-quantized integer dot-product shortlist
+    (exact cross-engine arithmetic — floor quantization, no float rounding),
+    then float-cosine rerank of k×3 candidates."""
+    from kafka_connect_hdfs_spark.operators.similarity import quantized_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return quantized_topk(emb, queries, k=5, rerank_factor=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.text import with_repetition_signals
+
+    return with_repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # queries — multimodal
 
@@ -489,7 +508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_arrow": _q_ann_topk_arrow,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
+        "ann_quantized_topk": _q_ann_quantized_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "text_repetition": _q_text_repetition,
         # multimodal
         "media_summary": _q_media_summary,
         "media_features": _q_media_features,
@@ -961,6 +982,72 @@ SELECT query_id, neighbor_id, cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
     sql["ann_topk_arrow"] = sql["ann_topk_bruteforce"]
+    _Q8 = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> floor(greatest(-1.0, least(1.0, x)) * 127))"
+    )
+    sql["ann_quantized_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, {_Q8} AS q8
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, {_Q8} AS c8
+  FROM embeddings
+),
+coarse AS (
+  SELECT query_id, neighbor_id, qv, cv,
+         CAST(list_dot_product(q8, c8) AS BIGINT) AS approx_score
+  FROM q, c WHERE query_id != neighbor_id
+),
+short AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_score DESC, neighbor_id ASC) AS cr
+  FROM coarse
+),
+rr AS (
+  SELECT query_id, neighbor_id, approx_score, {_COSINE} AS cosine
+  FROM short WHERE cr <= 15
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_score, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rr
+)
+SELECT query_id, neighbor_id, approx_score, cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+    sql["text_repetition"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+),
+tok_stats AS (
+  SELECT doc_id,
+         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_ratio,
+         CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS distinct_token_ratio
+  FROM tok_counts GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+  FROM toks
+),
+bg_counts AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+bg_stats AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_ratio
+  FROM bg_counts GROUP BY doc_id
+)
+SELECT doc_id, top_token_ratio, distinct_token_ratio, top_bigram_ratio
+FROM tok_stats JOIN bg_stats USING (doc_id)
+ORDER BY doc_id
+"""
     bucket_expr = _lsh_bucket_sql("CAST(embedding AS DOUBLE[])", planes=8, dim=64)
     sql["ann_lsh_buckets"] = f"""
 SELECT ({bucket_expr}) AS bucket,

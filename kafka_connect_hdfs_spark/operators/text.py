@@ -165,3 +165,48 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals per document (the Gopher-rules
+    family): top_token_ratio (most frequent token / token count),
+    distinct_token_ratio, and top_bigram_ratio. High top-*-ratio = template
+    or looping text — standard pretraining-corpus filters.
+
+    Scale: tokens/bigrams explode map-side and aggregate per (doc, gram)
+    then per doc — two shuffles keyed by doc_id, payload a few counters per
+    row; nothing is collected and no UDF is involved.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = F.split(norm, " ")
+    base = df.select("doc_id", toks.alias("t"))
+
+    tok_counts = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_token_ratio"
+        ),
+        (F.count("*").cast("double") / F.sum("c").cast("double")).alias(
+            "distinct_token_ratio"
+        ),
+    )
+
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    bg_counts = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_bigram_ratio"
+        )
+    )
+    return tok_stats.join(bg_stats, "doc_id")

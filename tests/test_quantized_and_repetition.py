@@ -1,0 +1,61 @@
+"""Unit goldens for int8-quantized ANN and repetition quality signals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_quantize_int8_golden(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [Row(v=[0.0, 1.0, -1.0, 0.5, -0.5, 2.0, -2.0, 0.999])]
+    )
+    got = df.select(quantize_int8(F.col("v")).alias("q")).first().q
+    # floor(clip(x)*127): 0, 127, -127, floor(63.5)=63, floor(-63.5)=-64,
+    # clip→127, clip→-127, floor(126.873)=126
+    assert got == [0, 127, -127, 63, -64, 127, -127, 126]
+
+
+def test_quantized_topk_matches_bruteforce_neighbors(spark, sf_dir):
+    """With a generous rerank factor the two-stage retriever recovers the
+    exact top-k (the standard recall check for quantized retrieval)."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        brute_force_topk, quantized_topk,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    quant = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in quantized_topk(emb, queries, k=3, rerank_factor=10).collect()
+    }
+    overlap = sum(1 for k in exact if quant.get(k) == exact[k])
+    assert overlap / len(exact) >= 0.8  # int8 coarse pass rarely misses at 10x
+
+
+def test_repetition_signals_golden(spark):
+    from kafka_connect_hdfs_spark.operators.text import with_repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a a"),          # one token repeated 4x
+            Row(doc_id=2, text="w x y z"),          # all distinct
+        ]
+    )
+    rows = {r.doc_id: r for r in with_repetition_signals(df).collect()}
+    r1 = rows[1]
+    assert r1.top_token_ratio == 1.0
+    assert r1.distinct_token_ratio == 0.25
+    assert r1.top_bigram_ratio == 1.0  # "a a" is every bigram
+    r2 = rows[2]
+    assert r2.top_token_ratio == 0.25
+    assert r2.distinct_token_ratio == 1.0
+    assert r2.top_bigram_ratio == pytest.approx(1 / 3)  # 3 distinct bigrams
