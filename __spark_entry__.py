@@ -423,6 +423,35 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set overlap removal: docs sharing any 5-gram with the
+    'benchmark' slice (doc_id < 20). n_hits = distinct shared shingles."""
+    from kafka_connect_hdfs_spark.operators.text import decontaminate_against
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate_against(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), n=5
+    ).orderBy("doc_id")
+
+
+def _q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (corpus mixing):
+    per-source keep rates, reproducible across engines/partitionings."""
+    from kafka_connect_hdfs_spark.operators.text import stratified_sample
+
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    kept = stratified_sample(_docs(spark, sf_dir), rates, default_rate=0.05)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — multimodal
 
@@ -511,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": _q_ann_quantized_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "text_repetition": _q_text_repetition,
+        "text_decontaminate": _q_text_decontaminate,
+        "corpus_sample_mix": _q_corpus_sample_mix,
         # multimodal
         "media_summary": _q_media_summary,
         "media_features": _q_media_features,
@@ -1017,6 +1048,41 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, approx_score, cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+    sql["text_decontaminate"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct([array_to_string(t[j+1:j+5], ' ')
+                             FOR j IN range(len(t) - 4)])
+    END) AS shingle
+  FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
+FROM sh s JOIN bench USING (shingle)
+WHERE s.doc_id >= 20
+GROUP BY s.doc_id
+ORDER BY doc_id
+"""
+    sql["corpus_sample_mix"] = """
+WITH u AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           / 281474976710656.0 AS unif,
+         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                     ELSE 0.05 END AS rate
+  FROM documents
+)
+SELECT source, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM u WHERE unif < rate
+GROUP BY source ORDER BY source
 """
     sql["text_repetition"] = r"""
 WITH toks AS (

@@ -210,3 +210,61 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return tok_stats.join(bg_stats, "doc_id")
+
+
+def decontaminate_against(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the number of distinct
+    word n-grams it shares with any benchmark document (0 = clean). The
+    standard test-set-overlap filter of a pretraining pipeline — drop or
+    down-weight rows with n_hits > 0.
+
+    Scale: both sides explode to (doc, shingle) and meet in ONE shuffle on
+    the shingle key; the benchmark side is tiny (a test set), so Spark
+    broadcasts it — training text itself never moves. Contamination counts
+    aggregate map-side.
+    """
+    from kafka_connect_hdfs_spark.operators.dedup import with_shingles
+
+    train_sh = with_shingles(df, n=n, text_col=text_col)
+    bench_sh = (
+        with_shingles(benchmark, n=n, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling for corpus mixing: keep a row iff
+    uniform(md5(id)) < rate[stratum]. Hash-derived uniforms make the sample
+    reproducible across runs, engines, and partitionings — unlike
+    ``df.sample`` whose output depends on partition layout.
+
+    Scale: a pure map-side filter — no shuffle, no state; rates live in the
+    plan as a literal CASE. This is how you mix sources at 100 TB without a
+    sampling pass.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 48))
+    )
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return df.filter(u < rate)

@@ -1,0 +1,44 @@
+"""Decontamination and deterministic stratified sampling unit goldens."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_connect_hdfs_spark.operators.text import (
+    decontaminate_against, stratified_sample,
+)
+
+
+def test_decontaminate_finds_only_real_overlap(spark):
+    bench = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog")]
+    )
+    train = spark.createDataFrame(
+        [
+            # contains "quick brown fox" → one shared 3-gram
+            Row(doc_id=100, text="a quick brown fox appeared in town"),
+            Row(doc_id=101, text="completely unrelated words only here"),
+        ]
+    )
+    hits = {r.doc_id: r.n_hits for r in decontaminate_against(train, bench, n=3).collect()}
+    assert hits == {100: 1}
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    rows = [Row(doc_id=i, source="a" if i % 2 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    k1 = stratified_sample(df, {"a": 0.3, "b": 0.7}).select("doc_id")
+    k2 = stratified_sample(df, {"a": 0.3, "b": 0.7}).select("doc_id")
+    ids1 = {r.doc_id for r in k1.collect()}
+    ids2 = {r.doc_id for r in k2.collect()}
+    assert ids1 == ids2  # reproducible, partition-layout independent
+
+    # rate=1.0 keeps everything; higher rate is a superset of lower rate
+    all_a = stratified_sample(df, {"a": 1.0}, default_rate=0.0)
+    assert all_a.count() == 500
+    lo = {r.doc_id for r in stratified_sample(df, {"a": 0.2}).collect()}
+    hi = {r.doc_id for r in stratified_sample(df, {"a": 0.6}).collect()}
+    assert lo <= hi
+    # realized rate lands near the nominal one
+    assert 0.1 < len(lo) / 500 < 0.3
