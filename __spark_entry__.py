@@ -452,6 +452,38 @@ def _q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_o1_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O5 through the correctness gate: land a deterministic events slice
+    as Avro container files (pure-Python codec, deflate), read them back,
+    aggregate. The oracle aggregates the source rows directly — any
+    encode/decode corruption breaks the hash match."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.sinks import build_sink
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    sink = build_sink(
+        HdfsSinkConfig(url="file:///unused", format="avro", flush_size=1000,
+                       avro_codec="deflate")
+    )
+    path = tempfile.mkdtemp(prefix="kchs_avro_rt_") + "/landed"
+    sink.write(ev, path, ["event_type"])
+    back = sink.read(spark, path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — multimodal
 
@@ -511,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_daily_partition": _q_p4_daily_partition,
         "p5_timebased_tz": _q_p5_timebased_tz,
         "f1_rotation_manifest": _q_f1_rotation_manifest,
+        "o1_avro_roundtrip": _q_o1_avro_roundtrip,
         "f2_time_rotation": _q_f2_time_rotation,
         "e2_schema_projection": _q_e2_schema_projection,
         "embedding_centroids": _q_embedding_centroids,
@@ -1048,6 +1081,12 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, approx_score, cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+    sql["o1_avro_roundtrip"] = """
+SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_ids,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events WHERE event_id < 2000
+GROUP BY event_type ORDER BY event_type
 """
     sql["text_decontaminate"] = r"""
 WITH toks AS (

@@ -1,0 +1,354 @@
+"""Dependency-free Avro Object Container File writer/reader.
+
+The reference's primary format is Avro (O1: avro/AvroRecordWriterProvider.java
+:50-103 — DataFileWriter with codec from ``avro.codec``, schema bound at the
+first record per file; O5: avro/AvroFileReader.java:42-53 — schema recovered
+from the container header). This container image has no spark-avro module and
+no avro Python package, so this module implements the public Avro 1.x
+container spec directly from the specification (magic ``Obj\\x01``, metadata
+map with ``avro.schema``/``avro.codec``, 16-byte sync markers, zigzag-varint
+binary encoding) — enough to land Spark rows as valid .avro files and read
+them back, schema included.
+
+Codecs: ``null`` (reference default) and ``deflate`` (raw RFC-1951 via zlib),
+matching the two spec-mandated codecs (avro.codec test:
+DataWriterAvroTest.testAvroCompression:405-442).
+
+Scale note: files are written per Spark partition on the executors
+(mapPartitionsWithIndex) — the driver never sees row data. On a real cluster
+with spark-avro on the classpath, ``sinks.build_sink`` uses the JVM writer
+instead; this pure-Python path is the fallback that keeps Avro parity
+runnable anywhere.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from hashlib import md5
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------------------
+# binary primitives (Avro spec §"Binary encoding")
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def read_long(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        (b,) = buf.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return _unzigzag(acc)
+
+
+def write_bytes(buf: io.BytesIO, b: bytes) -> None:
+    write_long(buf, len(b))
+    buf.write(b)
+
+
+def read_bytes(buf: io.BytesIO) -> bytes:
+    return buf.read(read_long(buf))
+
+
+# ---------------------------------------------------------------------------
+# schema mapping: Spark StructType ↔ Avro record schema
+
+
+def struct_to_avro_schema(schema, name: str = "record0") -> dict:
+    """StructField → Avro field; nullable → union [null, T] with null default
+    (the same mapping AvroData applies to optional Connect fields)."""
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {
+                "name": f.name,
+                "type": (["null", _avro_type(f.dataType)] if f.nullable else _avro_type(f.dataType)),
+                **({"default": None} if f.nullable else {}),
+            }
+            for f in schema.fields
+        ],
+    }
+
+
+def _avro_type(dt):
+    s = dt.simpleString()
+    if s == "bigint":
+        return "long"
+    if s == "int":
+        return "int"
+    if s in ("smallint", "tinyint"):
+        return "int"
+    if s == "double":
+        return "double"
+    if s == "float":
+        return "float"
+    if s == "string":
+        return "string"
+    if s == "boolean":
+        return "boolean"
+    if s == "binary":
+        return "bytes"
+    if s == "timestamp":
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if s == "date":
+        return {"type": "int", "logicalType": "date"}
+    if s.startswith("array<"):
+        return {"type": "array", "items": _avro_type(dt.elementType)}
+    raise TypeError(f"unsupported Spark type for avro: {s}")
+
+
+def avro_to_struct(avro_schema: dict):
+    from pyspark.sql import types as T
+
+    def f_type(t):
+        if isinstance(t, list):  # union [null, X]
+            inner = [x for x in t if x != "null"][0]
+            return f_type(inner)
+        if isinstance(t, dict):
+            lt = t.get("logicalType")
+            if lt == "timestamp-micros":
+                return T.TimestampType()
+            if lt == "date":
+                return T.DateType()
+            if t.get("type") == "array":
+                return T.ArrayType(f_type(t["items"]))
+            return f_type(t["type"])
+        return {
+            "long": T.LongType(),
+            "int": T.IntegerType(),
+            "double": T.DoubleType(),
+            "float": T.FloatType(),
+            "string": T.StringType(),
+            "boolean": T.BooleanType(),
+            "bytes": T.BinaryType(),
+        }[t]
+
+    return T.StructType(
+        [
+            T.StructField(f["name"], f_type(f["type"]), isinstance(f["type"], list))
+            for f in avro_schema["fields"]
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# datum encode/decode
+
+
+def _encode_value(buf: io.BytesIO, t, v) -> None:
+    if isinstance(t, list):  # union [null, T]
+        if v is None:
+            write_long(buf, 0)
+            return
+        write_long(buf, 1)
+        _encode_value(buf, [x for x in t if x != "null"][0], v)
+        return
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt == "timestamp-micros":
+            us = int(v.timestamp() * 1_000_000) if hasattr(v, "timestamp") else int(v)
+            write_long(buf, us)
+            return
+        if lt == "date":
+            write_long(buf, v.toordinal() - 719163 if hasattr(v, "toordinal") else int(v))
+            return
+        if t.get("type") == "array":
+            if v:
+                write_long(buf, len(v))
+                for item in v:
+                    _encode_value(buf, t["items"], item)
+            write_long(buf, 0)
+            return
+        _encode_value(buf, t["type"], v)
+        return
+    if t == "long" or t == "int":
+        write_long(buf, int(v))
+    elif t == "double":
+        buf.write(struct.pack("<d", float(v)))
+    elif t == "float":
+        buf.write(struct.pack("<f", float(v)))
+    elif t == "string":
+        write_bytes(buf, v.encode("utf-8"))
+    elif t == "bytes":
+        write_bytes(buf, bytes(v))
+    elif t == "boolean":
+        buf.write(b"\x01" if v else b"\x00")
+    elif t == "null":
+        pass
+    else:
+        raise TypeError(f"unsupported avro type {t!r}")
+
+
+def _decode_value(buf: io.BytesIO, t):
+    import datetime
+
+    if isinstance(t, list):
+        idx = read_long(buf)
+        branch = t[idx]
+        return None if branch == "null" else _decode_value(buf, branch)
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt == "timestamp-micros":
+            us = read_long(buf)
+            return datetime.datetime.fromtimestamp(us / 1_000_000, datetime.timezone.utc).replace(tzinfo=None)
+        if lt == "date":
+            return datetime.date.fromordinal(read_long(buf) + 719163)
+        if t.get("type") == "array":
+            out = []
+            while True:
+                n = read_long(buf)
+                if n == 0:
+                    break
+                if n < 0:  # block with byte size prefix
+                    n = -n
+                    read_long(buf)
+                for _ in range(n):
+                    out.append(_decode_value(buf, t["items"]))
+            return out
+        return _decode_value(buf, t["type"])
+    if t == "long":
+        return read_long(buf)
+    if t == "int":
+        return read_long(buf)
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "string":
+        return read_bytes(buf).decode("utf-8")
+    if t == "bytes":
+        return read_bytes(buf)
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t == "null":
+        return None
+    raise TypeError(f"unsupported avro type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# container file
+
+
+def write_container(
+    out_path: str, avro_schema: dict, rows, codec: str = "null", block_records: int = 1000
+) -> int:
+    """Write an Avro Object Container File; returns the record count.
+
+    Sync marker is md5(path) — deterministic, so re-running an idempotent
+    task attempt produces byte-identical files (the same property the
+    reference gets from offset-encoded filenames, F5/W2).
+    """
+    schema_json = json.dumps(avro_schema)
+    sync = md5(out_path.encode()).digest()
+    fields = avro_schema["fields"]
+    n = 0
+    with open(out_path, "wb") as fh:
+        fh.write(MAGIC)
+        meta = io.BytesIO()
+        write_long(meta, 2)
+        write_bytes(meta, b"avro.schema")
+        write_bytes(meta, schema_json.encode())
+        write_bytes(meta, b"avro.codec")
+        write_bytes(meta, codec.encode())
+        write_long(meta, 0)
+        fh.write(meta.getvalue())
+        fh.write(sync)
+
+        block: list = []
+
+        def flush_block():
+            nonlocal block
+            if not block:
+                return
+            payload = io.BytesIO()
+            for row in block:
+                for f in fields:
+                    _encode_value(payload, f["type"], row[f["name"]])
+            raw = payload.getvalue()
+            if codec == "deflate":
+                raw = zlib.compress(raw, 6)[2:-4]  # raw RFC-1951 (strip zlib wrapper)
+            elif codec == "bzip2":
+                import bz2
+
+                raw = bz2.compress(raw)
+            head = io.BytesIO()
+            write_long(head, len(block))
+            write_long(head, len(raw))
+            fh.write(head.getvalue())
+            fh.write(raw)
+            fh.write(sync)
+            block = []
+
+        for row in rows:
+            block.append(row)
+            n += 1
+            if len(block) >= block_records:
+                flush_block()
+        flush_block()
+    return n
+
+
+def read_container(path: str) -> tuple[dict, list[dict]]:
+    """O5 — schema from the container header + all records decoded."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    buf = io.BytesIO(data)
+    assert buf.read(4) == MAGIC, f"not an avro container: {path}"
+    meta: dict[str, bytes] = {}
+    while True:
+        cnt = read_long(buf)
+        if cnt == 0:
+            break
+        if cnt < 0:
+            read_long(buf)
+            cnt = -cnt
+        for _ in range(cnt):
+            k = read_bytes(buf).decode()
+            meta[k] = read_bytes(buf)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = buf.read(16)
+    fields = schema["fields"]
+    out: list[dict] = []
+    while buf.tell() < len(data):
+        n_rec = read_long(buf)
+        n_bytes = read_long(buf)
+        payload = buf.read(n_bytes)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        elif codec == "bzip2":
+            import bz2
+
+            payload = bz2.decompress(payload)
+        pb = io.BytesIO(payload)
+        for _ in range(n_rec):
+            out.append({f["name"]: _decode_value(pb, f["type"]) for f in fields})
+        assert buf.read(16) == sync, f"sync marker mismatch in {path}"
+    return schema, out

@@ -1,0 +1,97 @@
+"""Pure-Python Avro container format: encode/decode goldens, Spark pipeline
+round-trip, codec variants, and (when spark-avro is present) cross-validation
+against the JVM reader — the strongest spec-compliance check available.
+"""
+
+from __future__ import annotations
+
+import datetime
+import io
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+from kafka_connect_hdfs_spark.formats.avro_io import (
+    read_container, read_long, struct_to_avro_schema, write_container, write_long,
+)
+from kafka_connect_hdfs_spark.sinks import PurePythonAvroSink, build_sink
+
+
+def test_zigzag_varint_golden():
+    # spec examples: 0→00, -1→01, 1→02, -2→03, 2→04; -64→7f, 64→80 01
+    for n, expect in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"),
+                      (2, b"\x04"), (-64, b"\x7f"), (64, b"\x80\x01")]:
+        buf = io.BytesIO()
+        write_long(buf, n)
+        assert buf.getvalue() == expect, n
+        assert read_long(io.BytesIO(expect)) == n
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2"])
+def test_container_roundtrip_all_types(tmp_path, codec):
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": ["null", "string"], "default": None},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "arr", "type": {"type": "array", "items": "float"}},
+        ],
+    }
+    rows = [
+        {"i": 1, "s": "héllo", "d": 2.5, "b": True,
+         "ts": datetime.datetime(2001, 2, 3, 4, 5, 6, 789000),
+         "arr": [1.5, -2.25]},
+        {"i": -42, "s": None, "d": -0.125, "b": False,
+         "ts": datetime.datetime(1999, 12, 31, 23, 59, 59),
+         "arr": []},
+    ] * 700  # multiple blocks (block_records=1000)
+    p = str(tmp_path / "t.avro")
+    assert write_container(p, schema, iter(rows), codec=codec) == 1400
+    got_schema, got = read_container(p)
+    assert got_schema == schema
+    assert len(got) == 1400
+    assert got[0]["s"] == "héllo" and got[1]["s"] is None
+    assert got[0]["ts"] == rows[0]["ts"]
+    assert got[0]["arr"] == [1.5, -2.25]
+    assert got[1]["i"] == -42
+
+
+def test_spark_partitioned_write_and_readback(spark, sf_dir, tmp_path):
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    sink = build_sink(HdfsSinkConfig(url="file:///x", format="avro", flush_size=10))
+    assert isinstance(sink, PurePythonAvroSink)
+    out = f"{tmp_path}/landed"
+    sink.write(ev.withColumn("etype", F.col("event_type")), out, ["etype"])
+    back = sink.read(spark, out)
+    assert back.count() == 300
+    # payload columns survive; partition col comes back from the dir name
+    assert set(back.columns) == set(ev.columns) | {"etype"}
+    orig_sum = ev.agg(F.sum("event_id")).first()[0]
+    assert back.agg(F.sum("event_id")).first()[0] == orig_sum
+    # O5: schema recovered from the newest landed container header
+    rec = sink.schema_of(spark, out)
+    assert {f.name for f in rec.fields} == set(ev.columns)
+
+
+def test_jvm_reader_cross_validation(spark, tmp_path):
+    """If spark-avro is on the classpath, the JVM reader must accept our
+    files byte-for-byte (the real spec-compliance oracle)."""
+    df = spark.createDataFrame(
+        [Row(a=i, b=f"s{i}", c=float(i) / 4) for i in range(50)]
+    )
+    sink = PurePythonAvroSink("avro", ".avro", {})
+    out = f"{tmp_path}/plain"
+    sink.write(df, out, [])
+    try:
+        back = spark.read.format("avro").load(out)
+        n = back.count()
+    except Exception as e:
+        pytest.skip(f"JVM avro datasource unavailable: {e}")
+    assert n == 50
+    assert back.agg(F.sum("a")).first()[0] == sum(range(50))

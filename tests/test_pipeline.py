@@ -108,14 +108,16 @@ def test_landed_table_partition_pruning(spark, records, tmp_path):
     assert "PartitionFilters: [isnotnull(event_type" in plan
 
 
-def test_avro_sink_if_available(spark, records, tmp_path):
+def test_avro_sink_roundtrip(spark, records, tmp_path):
+    """O1: avro landing via the pure-Python container writer (no spark-avro
+    needed); read back through the same sink (JVM reader covered separately
+    in test_avro_format.py when the datasource exists)."""
+    from kafka_connect_hdfs_spark.sinks import build_sink
+
     cfg = HdfsSinkConfig(url=f"file://{tmp_path}", format="avro", flush_size=500)
-    try:
-        land(spark, records.drop("props"), cfg, topic="events", ts_col="ts",
-             discard_partial=False)
-    except Exception as e:  # spark-avro jar may be absent in some images
-        pytest.skip(f"avro datasource unavailable: {e}")
-    back = spark.read.format("avro").load(f"{tmp_path}/topics/events")
+    land(spark, records.drop("props"), cfg, topic="events", ts_col="ts",
+         discard_partial=False)
+    back = build_sink(cfg).read(spark, f"{tmp_path}/topics/events")
     assert back.count() == records.count()
 
 
