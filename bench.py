@@ -44,6 +44,10 @@ def main() -> None:
         "text_token_stats",
         "ann_topk_bruteforce",
         "media_features",
+        "q7_volume_shipping",
+        "q_window_suite",
+        "ann_quantized_topk",
+        "text_decontaminate",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings
