@@ -705,8 +705,9 @@ ORDER BY p_partkey, s_suppkey
 
 def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape adapted (no partsupp value): parts whose revenue from
-    ASIA-nation suppliers exceeds 0.1% of all such revenue (HAVING against a
-    scalar subquery).
+    ASIA-nation suppliers exceeds 2x the average per-part value (HAVING
+    against a scalar subquery; the 2x-average form stays selective at every
+    scale factor, unlike a fraction-of-total cutoff).
     """
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
@@ -725,10 +726,10 @@ def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = base.groupBy("l_partkey").agg(
         F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("val_d")
     )
-    total = per_part.agg(F.sum("val_d").alias("tot_d"))
+    total = per_part.agg((F.sum("val_d") / F.count("*")).alias("avg_d"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("val_d") > F.col("tot_d") * 0.001)
+        .filter(F.col("val_d") > F.col("avg_d") * 2)
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.col("val_d").cast("double").alias("part_value"),
@@ -751,7 +752,7 @@ WITH base AS (
 )
 SELECT l_partkey AS p_partkey, CAST(val_d AS DOUBLE) AS part_value
 FROM base
-WHERE val_d > (SELECT sum(val_d) FROM base) * 0.001
+WHERE val_d > (SELECT sum(val_d) / count(*) FROM base) * 2
 ORDER BY part_value DESC, p_partkey
 """
 
