@@ -184,7 +184,10 @@ class PurePythonAvroSink(FormatSink):
         )
 
         local = path.removeprefix("file://")
-        files = sorted(_glob.glob(os.path.join(local, "**", "*.avro"), recursive=True))
+        files = sorted(
+            _glob.glob(os.path.join(local, "**", "*.avro"), recursive=True),
+            key=lambda p: (os.path.getmtime(p), p),
+        )
         schema_json, _ = read_container(files[-1])
         return avro_to_struct(schema_json)
 

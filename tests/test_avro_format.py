@@ -95,3 +95,42 @@ def test_jvm_reader_cross_validation(spark, tmp_path):
         pytest.skip(f"JVM avro datasource unavailable: {e}")
     assert n == 50
     assert back.agg(F.sum("a")).first()[0] == sum(range(50))
+
+
+def test_e3_schema_bootstrap_from_avro_containers(spark, tmp_path):
+    """Reference flow: restart with compatibility=BACKWARD bootstraps the
+    current schema from the NEWEST committed avro file
+    (TopicPartitionWriter.java:334-350 + AvroFileReader.java:42-53), then
+    projects older records up to it."""
+    from kafka_connect_hdfs_spark.operators.schema_evolution import (
+        VersionedSchema, project,
+    )
+
+    sink = PurePythonAvroSink("avro", ".avro", {})
+    out = f"{tmp_path}/evolve"
+    v1 = spark.createDataFrame([Row(id=1, name="a"), Row(id=2, name="b")])
+    sink.write(v1, out, [])
+    import time as _t
+
+    _t.sleep(0.05)  # schema_of picks the newest file by mtime
+    v2 = spark.createDataFrame(
+        [Row(id=3, name="c", score=1.5)]
+    )
+    import os
+
+    os.makedirs(f"{out}/gen2", exist_ok=True)
+    sink.write(v2, f"{out}/gen2", [])
+
+    current = sink.schema_of(spark, out)  # newest = v2 (sorted last)
+    assert "score" in current.fieldNames()
+
+    projected = project(
+        v1,
+        VersionedSchema(v1.schema, version=1),
+        VersionedSchema(current, version=2),
+    )
+    rows = projected.orderBy("id").collect()
+    assert [r.asDict() for r in rows] == [
+        {"id": 1, "name": "a", "score": None},
+        {"id": 2, "name": "b", "score": None},
+    ]
