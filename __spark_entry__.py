@@ -484,6 +484,34 @@ def _q_o1_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ops_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction through the gate: land a fragmented partitioned
+    table (many tiny files), compact every leaf dir, and aggregate the
+    compacted table — the oracle aggregates the source rows, so any
+    row loss/duplication in the rewrite breaks the hash match."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.compaction import compact_partitions
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    path = tempfile.mkdtemp(prefix="kchs_compact_rt_") + "/t"
+    # 8 files per partition dir → guaranteed compaction work
+    ev.repartition(8).write.partitionBy("event_type").parquet(path)
+    stats = compact_partitions(spark, path, min_files_to_compact=2)
+    assert stats, "nothing compacted — fixture did not fragment"
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — multimodal
 
@@ -544,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_timebased_tz": _q_p5_timebased_tz,
         "f1_rotation_manifest": _q_f1_rotation_manifest,
         "o1_avro_roundtrip": _q_o1_avro_roundtrip,
+        "ops_compaction_roundtrip": _q_ops_compaction_roundtrip,
         "f2_time_rotation": _q_f2_time_rotation,
         "e2_schema_projection": _q_e2_schema_projection,
         "embedding_centroids": _q_embedding_centroids,
@@ -1081,6 +1110,12 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, approx_score, cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+    sql["ops_compaction_roundtrip"] = """
+SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_ids,
+       count(DISTINCT user_id) AS n_users
+FROM events WHERE event_id < 3000
+GROUP BY event_type ORDER BY event_type
 """
     sql["o1_avro_roundtrip"] = """
 SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_ids,
