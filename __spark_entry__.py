@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_variety": A3.q16_supplier_variety,
         "q18_large_orders": A3.q18_large_orders,
         "q19_disjunctive_revenue": A3.q19_disjunctive_revenue,
+        "q20_dominant_suppliers": A3.q20_dominant_suppliers,
         "q21_late_suppliers": A3.q21_late_suppliers,
         "q22_dormant_customers": A3.q22_dormant_customers,
         "q_window_suite": A3.q_window_suite,
@@ -770,6 +771,7 @@ def oracle_sql() -> dict[str, str]:
     sql["q16_supplier_variety"] = A3.Q16_SQL
     sql["q18_large_orders"] = A3.Q18_SQL
     sql["q19_disjunctive_revenue"] = A3.Q19_SQL
+    sql["q20_dominant_suppliers"] = A3.Q20_SQL
     sql["q21_late_suppliers"] = A3.Q21_SQL
     sql["q22_dormant_customers"] = A3.Q22_SQL
     sql["q_window_suite"] = A3.Q_WINDOW_SQL

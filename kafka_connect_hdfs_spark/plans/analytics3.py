@@ -809,3 +809,69 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day),
        wcum AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY event_type, day
 """
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (no partsupp.availqty): suppliers who shipped
+    more than half of some widget-family part's total 1996 volume — the
+    nested-IN + correlated-quantity-threshold shape, with "availqty > ½
+    shipped" replaced by "supplier's share > ½ of part total".
+
+    Scale: the inner aggregate runs once over the date+part-filtered
+    lineitem slice (part filter broadcast-semi); part totals join back on
+    l_partkey (tiny, broadcast); supplier/nation dims broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    per = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains("widget")).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q_d"))
+    )
+    tot = per.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("q_d").alias("tq_d")
+    )
+    dominant = (
+        per.join(F.broadcast(tot), F.col("l_partkey") == F.col("tk"))
+        .filter(F.col("q_d") > F.col("tq_d") * 0.5)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH per AS (
+  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q_d
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, sum(q_d) AS tq_d FROM per GROUP BY 1)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT DISTINCT l_suppkey FROM per JOIN tot USING (l_partkey)
+  WHERE q_d > tq_d * 0.5)
+ORDER BY s_suppkey
+"""

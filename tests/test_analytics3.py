@@ -35,6 +35,7 @@ ALL = [
     A3.q16_supplier_variety,
     A3.q18_large_orders,
     A3.q19_disjunctive_revenue,
+    A3.q20_dominant_suppliers,
     A3.q21_late_suppliers,
     A3.q22_dormant_customers,
     A3.q_window_suite,
