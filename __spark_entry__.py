@@ -633,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_late_suppliers": A3.q21_late_suppliers,
         "q22_dormant_customers": A3.q22_dormant_customers,
         "q_window_suite": A3.q_window_suite,
+        "q_cube_events": A3.q_cube_events,
+        "q_grouping_sets_events": A3.q_grouping_sets_events,
     }
 
 
@@ -775,6 +777,8 @@ def oracle_sql() -> dict[str, str]:
     sql["q21_late_suppliers"] = A3.Q21_SQL
     sql["q22_dormant_customers"] = A3.Q22_SQL
     sql["q_window_suite"] = A3.Q_WINDOW_SQL
+    sql["q_cube_events"] = A3.Q_CUBE_SQL
+    sql["q_grouping_sets_events"] = A3.Q_GROUPING_SETS_SQL
     sql["f4_schema_rotation"] = A2.Q_F4_SQL
     sql["w6_offset_recovery"] = A2.Q_OFFSET_RECOVERY_SQL
     sql["json_schemaless"] = A2.Q_JSON_SQL

@@ -875,3 +875,57 @@ WHERE s_suppkey IN (
   WHERE q_d > tq_d * 0.5)
 ORDER BY s_suppkey
 """
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday): all four grouping-set combinations in
+    one pass — with ROLLUP (analytics.q_event_type_rollup) and the explicit
+    GROUPING SETS below this completes the multi-level aggregation surface.
+
+    Scale: one shuffle; the expand operator multiplies rows by the number of
+    grouping sets BEFORE partial aggregation, so map-side combine still
+    collapses per set.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("weekday", F.date_format("ts", "E"))
+        .cube("event_type", "weekday")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("weekday").asc_nulls_first(),
+        )
+    )
+
+
+Q_CUBE_SQL = """
+SELECT event_type, strftime(ts, '%a') AS weekday, count(*) AS n_events
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%a'))
+ORDER BY event_type NULLS FIRST, weekday NULLS FIRST
+"""
+
+
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((event_type), (lang-of-user bucket), ()) —
+    the irregular-set case neither ROLLUP nor CUBE express."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("int")
+    )
+    ev.createOrReplaceTempView("ev_gs")
+    return ev.sparkSession.sql(
+        """
+        SELECT event_type, user_bucket, count(*) AS n_events
+        FROM ev_gs
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
+        """
+    )
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT event_type, CAST(user_id % 10 AS INTEGER) AS user_bucket, count(*) AS n_events
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 10 AS INTEGER)), ())
+ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
+"""

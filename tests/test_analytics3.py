@@ -39,6 +39,8 @@ ALL = [
     A3.q21_late_suppliers,
     A3.q22_dormant_customers,
     A3.q_window_suite,
+    A3.q_cube_events,
+    A3.q_grouping_sets_events,
 ]
 
 
