@@ -161,21 +161,44 @@ def minhash_signatures(
 
     a_i/b_i are fixed odd constants derived from i (public
     universal-hashing construction) so both Spark and the SQL oracle can
-    regenerate them. One groupBy(doc) computes all k mins in a single pass
-    (no per-hash shuffle).
+    regenerate them.
+
+    Scale: fully map-side — the shingle set stays an ARRAY column and each
+    sig_i is array_min(transform(...)), so there is NO explode and NO
+    shuffle (a doc's shingles never leave its row). The earlier
+    explode+groupBy formulation shuffled ~50 rows per doc; this one moves
+    nothing until the caller's own aggregation.
     """
-    # materialize the md5-derived hash ONCE per shingle — referencing the
-    # expression inside each of the k aggregates would recompute md5 k times
-    sh = with_shingles(df, n, id_col, text_col).withColumn(
-        "h", _shingle_hash64(F.col("shingle"))
+    df = fan_out(df)
+    tokens = F.split(_norm_text(text_col), " ")
+    shingle_arr = F.when(
+        F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+            )
+        )
     )
-    h = F.col("h")
-    aggs = []
+    # md5-derived 48-bit hash computed ONCE per shingle, then k mins over it
+    out = df.select(
+        F.col(id_col),
+        F.transform(shingle_arr, lambda s: _shingle_hash64(s)).alias("_hs"),
+    )
+    def _universal(a: int, b: int):
+        # closure, NOT default args — a two-param lambda would make Spark
+        # pass the array index as the second argument
+        return lambda h: (h * a + b) % F.lit(_MERSENNE)
+
+    sig_cols = []
     for i in range(num_hashes):
         a = 2 * i + 1          # odd multiplier
         b = 7919 * (i + 1)     # arbitrary fixed offsets (7919 = 1000th prime)
-        aggs.append(F.min((h * a + b) % F.lit(_MERSENNE)).alias(f"mh_{i}"))
-    return sh.groupBy(id_col).agg(*aggs)
+        sig_cols.append(
+            F.array_min(F.transform(F.col("_hs"), _universal(a, b))).alias(f"mh_{i}")
+        )
+    return out.select(F.col(id_col), *sig_cols)
 
 
 def minhash_lsh_candidates(
