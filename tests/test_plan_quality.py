@@ -76,6 +76,24 @@ def test_ingest_single_shuffle(spark, sf):
     assert plan.count("Exchange") <= 2, plan
 
 
+def test_minhash_signatures_shuffle_free(spark, sf):
+    """MinHash signatures must be computed map-side: the shingle set stays an
+    array column and every sig_i is array_min(transform(...)), so the ONLY
+    Exchange in the plan is the deliberate round-robin fan_out — never a
+    hash-partitioned aggregation. At 100 TB an explode+groupBy here would
+    shuffle ~50 rows per document."""
+    from kafka_connect_hdfs_spark.operators.dedup import minhash_signatures
+    from kafka_connect_hdfs_spark.session import load_table
+
+    plan = _plan(minhash_signatures(load_table(spark, sf, "documents")))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    # formatted explain prints each node twice (tree + detail): one Exchange
+    # node — the fan_out round-robin — appears as exactly 2 string hits
+    assert plan.count("Exchange") == 2 and "RoundRobinPartitioning" in plan
+
+
 def test_media_summary_prunes_payload(spark, sf):
     """Metadata-only rollups must not read the binary payload column."""
     from kafka_connect_hdfs_spark.operators.multimodal import (
