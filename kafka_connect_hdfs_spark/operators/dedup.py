@@ -260,27 +260,35 @@ def simhash_signatures(
     """SimHash: per token, md5-derived bit pattern votes +1/-1 per bit
     position; the signature is the sign vector packed into a bigint.
 
-    Implemented set-oriented: explode tokens → for each bit position sum
-    (2*bit-1) → pack. One groupBy(doc) with ``bits`` conditional sums (all
-    map-side combinable). ``bits`` ≤ 48 matches the md5-derived hash width.
+    Scale: fully map-side, like minhash_signatures — the distinct token set
+    stays an array column, each bit's vote total is
+    ``aggregate(hashes, 0, acc + (2*bit-1))``, and the pack is a plain
+    column sum. NO explode, NO shuffle: a doc's tokens never leave its row.
+    ``bits`` ≤ 48 matches the md5-derived hash width.
     """
     df = fan_out(df)
     tokens = F.split(_norm_text(text_col), " ")
-    # materialize the hash once per token (see minhash_signatures note)
-    tok = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens)).alias("token")
-    ).withColumn("h", _shingle_hash64(F.col("token")))
-    h = F.col("h")
-    votes = [
-        F.sum(((F.shiftright(h, i) % 2) * 2 - 1)).alias(f"v_{i}") for i in range(bits)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    # materialize the md5-derived hash ONCE per token, then fold per bit
+    hs = df.select(
+        F.col(id_col),
+        F.transform(F.array_distinct(tokens), lambda t: _shingle_hash64(t)).alias(
+            "_hs"
+        ),
+    )
+
+    def _votes(i: int) -> F.Column:
+        return F.aggregate(
+            F.col("_hs"),
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + ((F.shiftright(h, i) % 2) * 2 - 1),
+        )
+
     packed = None
     for i in range(bits):
-        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        bit = F.when(_votes(i) > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
         term = bit * F.lit(1 << i).cast("bigint")
         packed = term if packed is None else packed + term
-    return agg.select(F.col(id_col), packed.alias("simhash"))
+    return hs.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_hamming_pairs(
