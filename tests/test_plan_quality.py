@@ -82,16 +82,20 @@ def test_minhash_signatures_shuffle_free(spark, sf):
     Exchange in the plan is the deliberate round-robin fan_out — never a
     hash-partitioned aggregation. At 100 TB an explode+groupBy here would
     shuffle ~50 rows per document."""
-    from kafka_connect_hdfs_spark.operators.dedup import minhash_signatures
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        minhash_signatures, simhash_signatures,
+    )
     from kafka_connect_hdfs_spark.session import load_table
 
-    plan = _plan(minhash_signatures(load_table(spark, sf, "documents")))
-    assert "hashpartitioning" not in plan
-    assert "rangepartitioning" not in plan
-    assert "HashAggregate" not in plan and "SortAggregate" not in plan
-    # formatted explain prints each node twice (tree + detail): one Exchange
-    # node — the fan_out round-robin — appears as exactly 2 string hits
-    assert plan.count("Exchange") == 2 and "RoundRobinPartitioning" in plan
+    docs = load_table(spark, sf, "documents")
+    for sig_fn in (minhash_signatures, simhash_signatures):
+        plan = _plan(sig_fn(docs))
+        assert "hashpartitioning" not in plan, sig_fn.__name__
+        assert "rangepartitioning" not in plan, sig_fn.__name__
+        assert "HashAggregate" not in plan and "SortAggregate" not in plan
+        # formatted explain prints each node twice (tree + detail): one
+        # Exchange node — the fan_out round-robin — is exactly 2 string hits
+        assert plan.count("Exchange") == 2 and "RoundRobinPartitioning" in plan
 
 
 def test_media_summary_prunes_payload(spark, sf):
