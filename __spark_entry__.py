@@ -1118,13 +1118,13 @@ SELECT query_id, neighbor_id, approx_score, cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
     sql["ops_compaction_roundtrip"] = """
-SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_ids,
+SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
        count(DISTINCT user_id) AS n_users
 FROM events WHERE event_id < 3000
 GROUP BY event_type ORDER BY event_type
 """
     sql["o1_avro_roundtrip"] = """
-SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_ids,
+SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events WHERE event_id < 2000
 GROUP BY event_type ORDER BY event_type
@@ -1222,10 +1222,10 @@ ORDER BY id_a, id_b
     sql["media_summary"] = f"""
 WITH media AS (
   SELECT doc_id AS media_id, {_mt} AS media_type,
-         octet_length(encode(text)) AS n_bytes
+         octet_length(encode(text))::BIGINT AS n_bytes
   FROM documents
 )
-SELECT media_type, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+SELECT media_type, count(*) AS n_media, sum(n_bytes)::BIGINT AS total_bytes,
        min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
 FROM media GROUP BY media_type ORDER BY media_type
 """

@@ -201,7 +201,7 @@ def q_json_schemaless(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_JSON_SQL = """
 SELECT (json_extract(props, '$.k')::BIGINT) % 10 AS k_mod,
        count(*) AS n_events,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k
 FROM events
 GROUP BY 1 ORDER BY 1
 """
@@ -496,8 +496,8 @@ flagged AS (
 ),
 run_ids AS (
   SELECT "partition", "offset", current_version,
-         sum(changed) OVER (PARTITION BY "partition" ORDER BY "offset"
-                            ROWS UNBOUNDED PRECEDING) AS run_id
+         (sum(changed) OVER (PARTITION BY "partition" ORDER BY "offset"
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS run_id
   FROM flagged
 ),
 chunked AS (
