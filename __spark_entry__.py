@@ -512,6 +512,72 @@ def _q_ops_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_o1_avro_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro decimal logical type (bytes + precision/scale) through the sink:
+    reference passes Connect decimals through AvroData unchanged (SURVEY §1.2);
+    any drift in the two's-complement unscaled encoding breaks the sum."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.sinks import build_sink
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id", "event_type",
+            F.col("value").cast("decimal(18,2)").alias("amount"),
+        )
+    )
+    sink = build_sink(
+        HdfsSinkConfig(url="file:///unused", format="avro", flush_size=1000,
+                       avro_codec="deflate")
+    )
+    path = tempfile.mkdtemp(prefix="kchs_avro_dec_") + "/landed"
+    sink.write(ev, path, ["event_type"])
+    back = sink.read(spark, path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("amount").cast("double").alias("total_amount"),
+            F.min("amount").cast("double").alias("min_amount"),
+            F.max("amount").cast("double").alias("max_amount"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_o1_avro_primitive_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare-primitive value stream (NonRecordContainer unwrap, reference
+    avro/AvroRecordWriterProvider.java:79-85, HdfsSinkTaskTest.java:221-222):
+    a single 'value' column lands with a primitive container schema."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.sinks import build_sink
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(F.col("event_id").alias("value"))
+    )
+    sink = build_sink(
+        HdfsSinkConfig(url="file:///unused", format="avro", flush_size=1000)
+    )
+    path = tempfile.mkdtemp(prefix="kchs_avro_prim_") + "/landed"
+    sink.write(ev, path, [])
+    back = sink.read(spark, path)
+    return back.agg(
+        F.count("*").alias("n_values"),
+        F.sum("value").alias("sum_values"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — multimodal
 
@@ -553,76 +619,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
     from kafka_connect_hdfs_spark.plans import analytics3 as A3
 
+    # Ordered so queries without a green CORRECTNESS row yet come first:
+    # the driver checks the first 50 entries per round, and rounds compose —
+    # r01 checked (and passed) 45 of the entries now in the tail.
     return {
-        # pipeline operators, tranche 2
-        "f4_schema_rotation": A2.q_f4_schema_rotation,
-        "w6_offset_recovery": A2.q_offset_recovery,
-        "json_schemaless": A2.q_json_schemaless,
-        # analytics, tranche 2
-        "q6_forecast_revenue": A2.q6_forecast_revenue,
-        "q_semi_anti_customers": A2.q_semi_anti_customers,
-        "q_set_ops_users": A2.q_set_ops_users,
-        "q_sessionize": A2.q_sessionize,
-        "asof_last_signup": A2.q_asof_last_signup,
-        # pipeline operators (SURVEY.md §2.3-2.7)
-        "p1_default_partition": _q_p1_default_partition,
-        "p2_field_partition": _q_p2_field_partition,
-        "p3_hourly_partition": _q_p3_hourly_partition,
-        "p4_daily_partition": _q_p4_daily_partition,
-        "p5_timebased_tz": _q_p5_timebased_tz,
-        "f1_rotation_manifest": _q_f1_rotation_manifest,
-        "o1_avro_roundtrip": _q_o1_avro_roundtrip,
-        "ops_compaction_roundtrip": _q_ops_compaction_roundtrip,
-        "f2_time_rotation": _q_f2_time_rotation,
-        "e2_schema_projection": _q_e2_schema_projection,
-        "embedding_centroids": _q_embedding_centroids,
-        # analytics surface (SURVEY.md §2.9)
-        "q1_pricing_summary": A.q1_pricing_summary,
-        "q3_unshipped_orders": A.q3_unshipped_orders,
-        "q5_local_supplier_volume": A.q5_local_supplier_volume,
-        "q_top_events_per_user": A.q_top_events_per_user,
-        "q_event_type_rollup": A.q_event_type_rollup,
-        # text analysis
-        "text_token_stats": _q_text_token_stats,
-        "text_quality": _q_text_quality,
-        "text_lang_id": _q_text_lang_id,
-        "text_vocab_top": _q_text_vocab,
-        "dedup_corpus_keep": _q_dedup_corpus_keep,
-        # dedup
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_minhash_signatures": _q_dedup_minhash_signatures,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,
-        # similarity search
-        "ann_topk_bruteforce": _q_ann_topk_bruteforce,
-        "ann_topk_arrow": _q_ann_topk_arrow,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_lsh_buckets": _q_ann_lsh_buckets,
-        "ann_quantized_topk": _q_ann_quantized_topk,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "text_repetition": _q_text_repetition,
-        "text_decontaminate": _q_text_decontaminate,
-        "corpus_sample_mix": _q_corpus_sample_mix,
-        # multimodal
-        "media_summary": _q_media_summary,
-        "media_features": _q_media_features,
-        "media_frame_sample": _q_media_frame_sample,
-        # analytics, tranche 3
-        "q17_small_quantity": A2.q17_small_quantity_revenue,
-        "q_distinct_users": A2.q_distinct_users,
-        "q_salted_agg": _q_salted_agg,
-        "q_pivot_daily": A2.q_pivot_daily_events,
-        "q_value_percentiles": A2.q_value_percentiles,
-        "q4_order_priority": A2.q4_order_priority,
-        "q12_priority_shipping": A2.q12_priority_shipping,
-        # analytics, tranche 4: remaining TPC-H shapes (adapted — no partsupp)
+        # never-checked in r01: TPC-H tranche 4 + tranche-3 stragglers
         "q2_min_balance_supplier": A3.q2_min_balance_supplier,
+        "q4_order_priority": A2.q4_order_priority,
         "q7_volume_shipping": A3.q7_volume_shipping,
         "q8_market_share": A3.q8_market_share,
         "q9_product_profit": A3.q9_product_profit,
         "q10_returned_items": A3.q10_returned_items,
         "q11_revenue_concentration": A3.q11_revenue_concentration,
+        "q12_priority_shipping": A2.q12_priority_shipping,
         "q13_order_count_distribution": A3.q13_order_count_distribution,
         "q14_promo_revenue": A3.q14_promo_revenue,
         "q15_top_supplier": A3.q15_top_supplier,
@@ -635,6 +644,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_suite": A3.q_window_suite,
         "q_cube_events": A3.q_cube_events,
         "q_grouping_sets_events": A3.q_grouping_sets_events,
+        "q_value_percentiles": A2.q_value_percentiles,
+        # hash-failed in r01 (HUGEINT oracle casts fixed this round)
+        "f4_schema_rotation": A2.q_f4_schema_rotation,
+        "json_schemaless": A2.q_json_schemaless,
+        "o1_avro_roundtrip": _q_o1_avro_roundtrip,
+        "ops_compaction_roundtrip": _q_ops_compaction_roundtrip,
+        "media_summary": _q_media_summary,
+        # new this round
+        "o1_avro_decimal_roundtrip": _q_o1_avro_decimal_roundtrip,
+        "o1_avro_primitive_values": _q_o1_avro_primitive_values,
+        # green in r01 — re-checked as budget allows
+        "w6_offset_recovery": A2.q_offset_recovery,
+        "q6_forecast_revenue": A2.q6_forecast_revenue,
+        "q_semi_anti_customers": A2.q_semi_anti_customers,
+        "q_set_ops_users": A2.q_set_ops_users,
+        "q_sessionize": A2.q_sessionize,
+        "asof_last_signup": A2.q_asof_last_signup,
+        "p1_default_partition": _q_p1_default_partition,
+        "p2_field_partition": _q_p2_field_partition,
+        "p3_hourly_partition": _q_p3_hourly_partition,
+        "p4_daily_partition": _q_p4_daily_partition,
+        "p5_timebased_tz": _q_p5_timebased_tz,
+        "f1_rotation_manifest": _q_f1_rotation_manifest,
+        "f2_time_rotation": _q_f2_time_rotation,
+        "e2_schema_projection": _q_e2_schema_projection,
+        "embedding_centroids": _q_embedding_centroids,
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "q3_unshipped_orders": A.q3_unshipped_orders,
+        "q5_local_supplier_volume": A.q5_local_supplier_volume,
+        "q_top_events_per_user": A.q_top_events_per_user,
+        "q_event_type_rollup": A.q_event_type_rollup,
+        "q17_small_quantity": A2.q17_small_quantity_revenue,
+        "q_distinct_users": A2.q_distinct_users,
+        "q_salted_agg": _q_salted_agg,
+        "q_pivot_daily": A2.q_pivot_daily_events,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_vocab_top": _q_text_vocab,
+        "dedup_corpus_keep": _q_dedup_corpus_keep,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_signatures": _q_dedup_minhash_signatures,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_topk_bruteforce": _q_ann_topk_bruteforce,
+        "ann_topk_arrow": _q_ann_topk_arrow,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_lsh_buckets": _q_ann_lsh_buckets,
+        "ann_quantized_topk": _q_ann_quantized_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "text_repetition": _q_text_repetition,
+        "text_decontaminate": _q_text_decontaminate,
+        "corpus_sample_mix": _q_corpus_sample_mix,
+        "media_features": _q_media_features,
+        "media_frame_sample": _q_media_frame_sample,
     }
 
 
@@ -1122,6 +1187,19 @@ SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
        count(DISTINCT user_id) AS n_users
 FROM events WHERE event_id < 3000
 GROUP BY event_type ORDER BY event_type
+"""
+    sql["o1_avro_decimal_roundtrip"] = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+       CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_amount,
+       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_amount
+FROM events WHERE event_id < 2000
+GROUP BY event_type ORDER BY event_type
+"""
+    sql["o1_avro_primitive_values"] = """
+SELECT count(*) AS n_values, sum(event_id)::BIGINT AS sum_values,
+       min(event_id) AS min_value, max(event_id) AS max_value
+FROM events WHERE event_id < 2000
 """
     sql["o1_avro_roundtrip"] = """
 SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,

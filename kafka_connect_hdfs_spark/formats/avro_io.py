@@ -99,6 +99,15 @@ def struct_to_avro_schema(schema, name: str = "record0") -> dict:
 
 def _avro_type(dt):
     s = dt.simpleString()
+    if s.startswith("decimal("):
+        # Connect decimal pass-through (SURVEY §1.2): bytes + logicalType
+        # decimal with precision/scale, matching AvroData's mapping.
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     if s == "bigint":
         return "long"
     if s == "int":
@@ -137,6 +146,8 @@ def avro_to_struct(avro_schema: dict):
                 return T.TimestampType()
             if lt == "date":
                 return T.DateType()
+            if lt == "decimal":
+                return T.DecimalType(t["precision"], t["scale"])
             if t.get("type") == "array":
                 return T.ArrayType(f_type(t["items"]))
             return f_type(t["type"])
@@ -150,6 +161,10 @@ def avro_to_struct(avro_schema: dict):
             "bytes": T.BinaryType(),
         }[t]
 
+    if not (isinstance(avro_schema, dict) and avro_schema.get("type") == "record"):
+        # top-level primitive schema (NonRecordContainer unwrap,
+        # avro/AvroRecordWriterProvider.java:79-85): single column "value"
+        return T.StructType([T.StructField("value", f_type(avro_schema), True)])
     return T.StructType(
         [
             T.StructField(f["name"], f_type(f["type"]), isinstance(f["type"], list))
@@ -173,11 +188,25 @@ def _encode_value(buf: io.BytesIO, t, v) -> None:
     if isinstance(t, dict):
         lt = t.get("logicalType")
         if lt == "timestamp-micros":
-            us = int(v.timestamp() * 1_000_000) if hasattr(v, "timestamp") else int(v)
+            if hasattr(v, "timestamp"):
+                import datetime as _dt
+
+                # naive datetimes are UTC wall time by convention (decode
+                # returns the same); integer arithmetic — no float rounding
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                us = (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+            else:
+                us = int(v)
             write_long(buf, us)
             return
         if lt == "date":
             write_long(buf, v.toordinal() - 719163 if hasattr(v, "toordinal") else int(v))
+            return
+        if lt == "decimal":
+            unscaled = int(v.scaleb(t["scale"]).to_integral_value())
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            write_bytes(buf, unscaled.to_bytes(nbytes, "big", signed=True))
             return
         if t.get("type") == "array":
             if v:
@@ -217,9 +246,15 @@ def _decode_value(buf: io.BytesIO, t):
         lt = t.get("logicalType")
         if lt == "timestamp-micros":
             us = read_long(buf)
-            return datetime.datetime.fromtimestamp(us / 1_000_000, datetime.timezone.utc).replace(tzinfo=None)
+            # integer arithmetic, symmetric with encode: naive UTC wall time
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
         if lt == "date":
             return datetime.date.fromordinal(read_long(buf) + 719163)
+        if lt == "decimal":
+            import decimal as _decimal
+
+            n = int.from_bytes(read_bytes(buf), "big", signed=True)
+            return _decimal.Decimal(n).scaleb(-t["scale"])
         if t.get("type") == "array":
             out = []
             while True:
@@ -267,7 +302,8 @@ def write_container(
     """
     schema_json = json.dumps(avro_schema)
     sync = md5(out_path.encode()).digest()
-    fields = avro_schema["fields"]
+    is_record = isinstance(avro_schema, dict) and avro_schema.get("type") == "record"
+    fields = avro_schema["fields"] if is_record else None
     n = 0
     with open(out_path, "wb") as fh:
         fh.write(MAGIC)
@@ -289,8 +325,12 @@ def write_container(
                 return
             payload = io.BytesIO()
             for row in block:
-                for f in fields:
-                    _encode_value(payload, f["type"], row[f["name"]])
+                if is_record:
+                    for f in fields:
+                        _encode_value(payload, f["type"], row[f["name"]])
+                else:
+                    # NonRecordContainer unwrap: row IS the bare value
+                    _encode_value(payload, avro_schema, row)
             raw = payload.getvalue()
             if codec == "deflate":
                 raw = zlib.compress(raw, 6)[2:-4]  # raw RFC-1951 (strip zlib wrapper)
@@ -315,6 +355,25 @@ def write_container(
     return n
 
 
+def read_schema(path: str) -> dict:
+    """Schema from the container header only — no record decode, O(header)
+    bytes read (what AvroFileReader.getSchema does, avro/AvroFileReader.java:42-53)."""
+    with open(path, "rb") as fh:
+        assert fh.read(4) == MAGIC, f"not an avro container: {path}"
+        meta: dict[str, bytes] = {}
+        while True:
+            cnt = read_long(fh)
+            if cnt == 0:
+                break
+            if cnt < 0:
+                read_long(fh)
+                cnt = -cnt
+            for _ in range(cnt):
+                k = read_bytes(fh).decode()
+                meta[k] = read_bytes(fh)
+    return json.loads(meta["avro.schema"])
+
+
 def read_container(path: str) -> tuple[dict, list[dict]]:
     """O5 — schema from the container header + all records decoded."""
     with open(path, "rb") as fh:
@@ -335,8 +394,9 @@ def read_container(path: str) -> tuple[dict, list[dict]]:
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     sync = buf.read(16)
-    fields = schema["fields"]
-    out: list[dict] = []
+    is_record = isinstance(schema, dict) and schema.get("type") == "record"
+    fields = schema["fields"] if is_record else None
+    out: list = []
     while buf.tell() < len(data):
         n_rec = read_long(buf)
         n_bytes = read_long(buf)
@@ -349,6 +409,10 @@ def read_container(path: str) -> tuple[dict, list[dict]]:
             payload = bz2.decompress(payload)
         pb = io.BytesIO(payload)
         for _ in range(n_rec):
-            out.append({f["name"]: _decode_value(pb, f["type"]) for f in fields})
+            if is_record:
+                out.append({f["name"]: _decode_value(pb, f["type"]) for f in fields})
+            else:
+                # primitive container: surface under the "value" column
+                out.append({"value": _decode_value(pb, schema)})
         assert buf.read(16) == sync, f"sync marker mismatch in {path}"
     return schema, out

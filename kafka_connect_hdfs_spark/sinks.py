@@ -71,6 +71,45 @@ class TextSink(FormatSink):
         w.format("text").save(path)
 
 
+#: cached result of the one-time JVM avro datasource probe (None = not probed)
+_JVM_AVRO_AVAILABLE: bool | None = None
+
+
+def jvm_avro_available(spark: SparkSession) -> bool:
+    """Probe once for the JVM ``avro`` datasource (spark-avro). On clusters
+    that bundle it the codegen JVM writer/reader is strictly better than the
+    pure-Python codec; this container lacks it, so the probe fails fast."""
+    global _JVM_AVRO_AVAILABLE
+    if _JVM_AVRO_AVAILABLE is None:
+        try:
+            # datasource present → listing fails with PATH_NOT_FOUND;
+            # datasource absent → FAILED_FIND_DATA_SOURCE before listing
+            spark.read.format("avro").schema("value string").load(
+                "/nonexistent-kchs-avro-probe"
+            )
+            _JVM_AVRO_AVAILABLE = True
+        except Exception as e:
+            msg = str(e)
+            _JVM_AVRO_AVAILABLE = (
+                "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+            )
+    return _JVM_AVRO_AVAILABLE
+
+
+def _committed_sort_key(path: str):
+    """Order candidates the way the reference bootstraps the current schema:
+    by committed END OFFSET parsed from the contract filename
+    (FileUtils.fileStatusWithMaxOffset, TopicPartitionWriter.java:334-350),
+    falling back to mtime for non-contract names."""
+    import os
+    import re
+
+    m = re.match(r"^.+\+\d+\+\d+\+(\d+)\.[a-z]+$", os.path.basename(path))
+    if m:
+        return (1, int(m.group(1)), 0.0, path)
+    return (0, 0, os.path.getmtime(path), path)
+
+
 class PurePythonAvroSink(FormatSink):
     """O1/O5 without spark-avro: lands genuine Avro Object Container Files
     via the dependency-free codec in formats/avro_io.py (container spec:
@@ -80,32 +119,67 @@ class PurePythonAvroSink(FormatSink):
     Files are written per Spark partition on the executors
     (mapPartitionsWithIndex) — no driver collect. Hive-style partition dirs
     are grouped within each task, mirroring the reference's one-writer-per
-    -encodedPartition layout (TopicPartitionWriter.getWriter).
-    Used automatically when the JVM ``avro`` datasource is unavailable.
+    -encodedPartition layout (TopicPartitionWriter.getWriter). Every write
+    call stamps a fresh run id into its filenames, so appending a second
+    batch never overwrites committed files. Reads decode executor-side.
+
+    When the JVM ``avro`` datasource is present (real cluster), write/read
+    delegate to it instead — same layout, codegen speed.
     """
 
     def write(self, df: DataFrame, path: str, partition_by: list[str], mode: str = "append") -> None:
+        import glob as _glob
         import os
+        import uuid
 
         from kafka_connect_hdfs_spark.formats.avro_io import (
             struct_to_avro_schema, write_container,
         )
 
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"avro sink supports append/overwrite, got {mode!r}")
+        if jvm_avro_available(df.sparkSession):
+            return FormatSink.write(self, df, path, partition_by, mode)
+
         local = path.removeprefix("file://")
+        if mode == "overwrite" and os.path.isdir(local):
+            for fp in _glob.glob(os.path.join(local, "**", "*.avro"), recursive=True):
+                os.remove(fp)
         codec = self.options.get("compression", "null")
         if codec not in ("deflate", "bzip2"):
             codec = "null"  # snappy needs the native lib; reference default is null
         payload_fields = [f for f in df.schema.fields if f.name not in partition_by]
-        avro_schema = struct_to_avro_schema(
-            type(df.schema)(payload_fields), name="spark_record"
+        # NonRecordContainer unwrap (avro/AvroRecordWriterProvider.java:79-85):
+        # a bare-primitive value stream lands with a primitive container
+        # schema, not a one-field record
+        unwrap = (
+            self.options.get("unwrapPrimitives", True)
+            and len(payload_fields) == 1
+            and payload_fields[0].name == "value"
+            and not payload_fields[0].dataType.typeName() == "struct"
         )
+        if unwrap:
+            from kafka_connect_hdfs_spark.formats.avro_io import _avro_type
+
+            f0 = payload_fields[0]
+            avro_schema = (
+                ["null", _avro_type(f0.dataType)] if f0.nullable else _avro_type(f0.dataType)
+            )
+        else:
+            avro_schema = struct_to_avro_schema(
+                type(df.schema)(payload_fields), name="spark_record"
+            )
         pcols = list(partition_by)
         names = [f.name for f in payload_fields]
+        run_id = uuid.uuid4().hex[:8]  # unique per write call — appends never collide
 
         if pcols:
             df = df.repartition(*[F.col(c) for c in pcols]).sortWithinPartitions(
                 *[F.col(c) for c in pcols]
             )
+
+        def to_datum(r):
+            return r["value"] if unwrap else {c: r[c] for c in names}
 
         def write_part(idx, rows):
             import itertools
@@ -120,17 +194,17 @@ class PurePythonAvroSink(FormatSink):
                     )
                     os.makedirs(d, exist_ok=True)
                     n += write_container(
-                        os.path.join(d, f"part-{idx:05d}.avro"),
+                        os.path.join(d, f"part-{idx:05d}-{run_id}.avro"),
                         avro_schema,
-                        ({c: r[c] for c in names} for r in group),
+                        (to_datum(r) for r in group),
                         codec=codec,
                     )
             else:
                 os.makedirs(local, exist_ok=True)
                 n += write_container(
-                    os.path.join(local, f"part-{idx:05d}.avro"),
+                    os.path.join(local, f"part-{idx:05d}-{run_id}.avro"),
                     avro_schema,
-                    ({c: r[c] for c in names} for r in rows),
+                    (to_datum(r) for r in rows),
                     codec=codec,
                 )
             yield n
@@ -139,57 +213,77 @@ class PurePythonAvroSink(FormatSink):
         df.rdd.mapPartitionsWithIndex(write_part).sum()
 
     def read(self, spark: SparkSession, path: str) -> DataFrame:
+        """Distributed decode: the driver only globs file names and reads ONE
+        container header for the schema; record decode runs executor-side
+        (parallelized file list → per-file decode), so a 100 TB landing zone
+        never funnels through the driver."""
         import glob as _glob
         import os
 
         from kafka_connect_hdfs_spark.formats.avro_io import (
-            avro_to_struct, read_container,
+            avro_to_struct, read_container, read_schema,
         )
+
+        if jvm_avro_available(spark):
+            return FormatSink.read(self, spark, path)
 
         local = path.removeprefix("file://")
         files = sorted(_glob.glob(os.path.join(local, "**", "*.avro"), recursive=True))
         if not files:
             raise FileNotFoundError(f"no .avro files under {path}")
-        schema_json, _ = read_container(files[0])
-        struct = avro_to_struct(schema_json)
-        rows = []
+        struct = avro_to_struct(read_schema(files[0]))
+
+        # hive-style partition values come from dir names (driver-side: names only)
+        tasks = []
+        part_keys: set[str] = set()
         for fp in files:
-            _, recs = read_container(fp)
             rel = os.path.relpath(os.path.dirname(fp), local)
             pvals = dict(
                 seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg
             )
-            for r in recs:
-                rows.append({**r, **pvals})
-        out_struct = struct
-        pdf_cols = set(struct.fieldNames())
-        extra = sorted({k for r in rows for k in r if k not in pdf_cols})
+            part_keys.update(pvals)
+            tasks.append((fp, pvals))
+
         from pyspark.sql import types as T
 
-        for c in extra:
+        out_struct = struct
+        for c in sorted(part_keys - set(struct.fieldNames())):
             out_struct = out_struct.add(T.StructField(c, T.StringType(), True))
-        return spark.createDataFrame(
-            [tuple(r.get(f) for f in out_struct.fieldNames()) for r in rows],
-            out_struct,
-        )
+        field_names = out_struct.fieldNames()
+
+        def decode(it):
+            for fp, pvals in it:
+                _, recs = read_container(fp)
+                for r in recs:
+                    merged = {**r, **pvals}
+                    yield tuple(merged.get(f) for f in field_names)
+
+        rdd = spark.sparkContext.parallelize(
+            tasks, max(1, min(len(tasks), spark.sparkContext.defaultParallelism))
+        ).mapPartitions(decode)
+        return spark.createDataFrame(rdd, out_struct)
 
     def schema_of(self, spark: SparkSession, path: str):
-        """Reference semantics: schema of the NEWEST committed file
-        (TopicPartitionWriter.java:334-350 bootstraps from it)."""
+        """Reference semantics: schema of the file with the MAX COMMITTED
+        OFFSET (FileUtils.fileStatusWithMaxOffset, TopicPartitionWriter.java
+        :334-350) — contract-named files sort by end offset; mtime is only
+        the fallback for non-contract names. Header-only read."""
         import glob as _glob
         import os
 
         from kafka_connect_hdfs_spark.formats.avro_io import (
-            avro_to_struct, read_container,
+            avro_to_struct, read_schema,
         )
+
+        if jvm_avro_available(spark):
+            return FormatSink.schema_of(self, spark, path)
 
         local = path.removeprefix("file://")
         files = sorted(
             _glob.glob(os.path.join(local, "**", "*.avro"), recursive=True),
-            key=lambda p: (os.path.getmtime(p), p),
+            key=_committed_sort_key,
         )
-        schema_json, _ = read_container(files[-1])
-        return avro_to_struct(schema_json)
+        return avro_to_struct(read_schema(files[-1]))
 
 
 def build_sink(cfg: HdfsSinkConfig) -> FormatSink:

@@ -134,3 +134,144 @@ def test_e3_schema_bootstrap_from_avro_containers(spark, tmp_path):
         {"id": 1, "name": "a", "score": None},
         {"id": 2, "name": "b", "score": None},
     ]
+
+
+def test_decimal_logical_type_roundtrip(tmp_path):
+    """Decimal-as-bytes (two's-complement unscaled int + precision/scale),
+    the Connect decimal pass-through (SURVEY §1.2)."""
+    import decimal
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "amt", "type": {"type": "bytes", "logicalType": "decimal",
+                                     "precision": 18, "scale": 2}},
+            {"name": "opt", "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                                              "precision": 10, "scale": 3}],
+             "default": None},
+        ],
+    }
+    D = decimal.Decimal
+    rows = [
+        {"amt": D("1234567890123456.78"), "opt": D("-0.001")},
+        {"amt": D("-0.01"), "opt": None},
+        {"amt": D("0.00"), "opt": D("9999999.999")},
+    ]
+    p = str(tmp_path / "dec.avro")
+    write_container(p, schema, iter(rows))
+    _, got = read_container(p)
+    assert [r["amt"] for r in got] == [r["amt"] for r in rows]
+    assert [r["opt"] for r in got] == [r["opt"] for r in rows]
+
+
+def test_timestamp_codec_integer_utc():
+    """Encode/decode must use integer micros with a UTC convention on both
+    sides — naive datetimes round-trip identically in any OS timezone."""
+    import calendar
+
+    from kafka_connect_hdfs_spark.formats.avro_io import _decode_value, _encode_value
+
+    t = {"type": "long", "logicalType": "timestamp-micros"}
+    for dt_ in [
+        datetime.datetime(2001, 2, 3, 4, 5, 6, 789001),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),  # negative micros
+        datetime.datetime(2262, 1, 1, 0, 0, 0, 1),            # past float precision comfort
+    ]:
+        buf = io.BytesIO()
+        _encode_value(buf, t, dt_)
+        buf.seek(0)
+        micros_expect = calendar.timegm(dt_.timetuple()) * 1_000_000 + dt_.microsecond
+        buf2 = io.BytesIO(buf.getvalue())
+        assert read_long(buf2) == micros_expect
+        buf.seek(0)
+        assert _decode_value(buf, t) == dt_
+
+
+def test_primitive_value_container_unwrap(spark, tmp_path):
+    """NonRecordContainer semantics (AvroRecordWriterProvider.java:79-85):
+    a single bare 'value' column lands with a PRIMITIVE container schema."""
+    from kafka_connect_hdfs_spark.formats.avro_io import read_schema
+
+    df = spark.range(100).select(F.col("id").alias("value"))
+    sink = PurePythonAvroSink("avro", ".avro", {})
+    out = f"{tmp_path}/prim"
+    sink.write(df, out, [])
+    import glob
+
+    files = glob.glob(f"{out}/*.avro")
+    assert files
+    schema = read_schema(files[0])
+    # nullable long -> union [null, long]; NOT a record wrapper
+    assert schema == ["null", "long"] or schema == "long"
+    back = sink.read(spark, out)
+    assert back.columns == ["value"]
+    assert back.agg(F.sum("value")).first()[0] == sum(range(100))
+
+
+def test_append_batches_never_overwrite(spark, tmp_path):
+    """ADVICE(high): a second append into the same partition dirs must not
+    reuse filenames — both batches' rows survive."""
+    sink = PurePythonAvroSink("avro", ".avro", {})
+    out = f"{tmp_path}/appends"
+    b1 = spark.createDataFrame([Row(k="a", v=i) for i in range(10)])
+    b2 = spark.createDataFrame([Row(k="a", v=i) for i in range(10, 30)])
+    sink.write(b1, out, ["k"])
+    sink.write(b2, out, ["k"])  # same partition dir k=a, same partition indices
+    back = sink.read(spark, out)
+    assert back.count() == 30
+    assert back.agg(F.sum("v")).first()[0] == sum(range(30))
+
+
+def test_overwrite_mode_and_invalid_mode(spark, tmp_path):
+    sink = PurePythonAvroSink("avro", ".avro", {})
+    out = f"{tmp_path}/ow"
+    sink.write(spark.createDataFrame([Row(v=1), Row(v=2)]), out, [])
+    sink.write(spark.createDataFrame([Row(v=10)]), out, [], mode="overwrite")
+    assert [r.v for r in sink.read(spark, out).collect()] == [10]
+    with pytest.raises(ValueError):
+        sink.write(spark.createDataFrame([Row(v=1)]), out, [], mode="errorifexists")
+
+
+def test_schema_of_prefers_max_committed_offset(spark, tmp_path):
+    """Reference bootstraps from the file with the MAX END OFFSET
+    (FileUtils.fileStatusWithMaxOffset), not the newest mtime: a replayed
+    older chunk re-written later (newer mtime) must not win."""
+    import os
+    import time
+
+    from kafka_connect_hdfs_spark.formats.avro_io import write_container
+
+    out = f"{tmp_path}/boot"
+    os.makedirs(out)
+    new_schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "id", "type": "long"},
+                             {"name": "extra", "type": "string"}]}
+    old_schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "id", "type": "long"}]}
+    # higher end offset written FIRST (older mtime)
+    write_container(f"{out}/t+0+200+299.avro", new_schema,
+                    iter([{"id": 1, "extra": "x"}]))
+    time.sleep(0.05)
+    # replay of an older chunk lands later (newer mtime, lower offset)
+    write_container(f"{out}/t+0+000+099.avro", old_schema, iter([{"id": 2}]))
+    sink = PurePythonAvroSink("avro", ".avro", {})
+    got = sink.schema_of(spark, out)
+    assert "extra" in got.fieldNames()
+
+
+def test_distributed_read_multifile(spark, tmp_path):
+    """Read path decodes executor-side over a parallelized file list — many
+    files, one job, no driver-side row materialization (plan check: the
+    result is RDD-backed, built from N file tasks)."""
+    sink = PurePythonAvroSink("avro", ".avro", {})
+    out = f"{tmp_path}/many"
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    ).repartition(8)
+    sink.write(df, out, ["g"])
+    import glob
+
+    n_files = len(glob.glob(f"{out}/**/*.avro", recursive=True))
+    assert n_files >= 7  # one file per (task, partition-dir) pair at least
+    back = sink.read(spark, out)
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(1000))
