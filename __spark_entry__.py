@@ -1061,12 +1061,12 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
     sql["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
 freq AS (SELECT shingle, count(*) AS df_ FROM shingles GROUP BY shingle),
 filtered AS (
   SELECT s.doc_id, s.shingle FROM shingles s JOIN freq f ON s.shingle = f.shingle
   WHERE f.df_ <= 200
 ),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM filtered GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM filtered a JOIN filtered b ON a.shingle = b.shingle

@@ -58,14 +58,18 @@ def main() -> None:
     ).count()
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
+    # median of 3 runs per query: the shared-host VM shows 2-4x single-run
+    # noise, medians make round-over-round regressions attributable
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -47,7 +47,10 @@ def compact_partitions(
 
     def walk(p):
         entries = list(fs.listStatus(p))
-        subdirs = [e for e in entries if e.isDirectory()]
+        subdirs = [
+            e for e in entries
+            if e.isDirectory() and not e.getPath().getName().startswith(("_", "."))
+        ]
         files = [
             e for e in entries
             if e.isFile() and not e.getPath().getName().startswith(("_", "."))
@@ -71,17 +74,23 @@ def compact_partitions(
             continue
         rel = dir_str[len(base_str):].lstrip("/")
         df = spark.read.format(fmt).load(dir_str)
-        tmp_dir = f"{dir_str}__compact_tmp"
+        # hidden siblings ('.'-prefixed → invisible to Hadoop PathFilters and
+        # Spark partition discovery) so readers never see a half-built dir
+        parent, leaf = dir_str.rsplit("/", 1)
+        tmp_dir = f"{parent}/.{leaf}__compact_tmp"
+        old_dir = f"{parent}/.{leaf}__compact_old"
+        fs.delete(Path(tmp_dir), True)  # clear any crashed prior attempt
+        fs.delete(Path(old_dir), True)
         df.repartition(n_target).write.format(fmt).mode("overwrite").save(tmp_dir)
-        # swap: remove originals, move compacted files in, drop temp dir
-        for e in files:
-            fs.delete(e.getPath(), False)
-        moved = 0
-        for e in fs.listStatus(Path(tmp_dir)):
-            name = e.getPath().getName()
-            if e.isFile() and not name.startswith(("_", ".")):
-                fs.rename(e.getPath(), Path(f"{dir_str}/compacted-{moved:05d}-{name}"))
-                moved += 1
-        fs.delete(Path(tmp_dir), True)
-        results[rel] = (len(files), moved)
+        n_new = sum(
+            1 for e in fs.listStatus(Path(tmp_dir))
+            if e.isFile() and not e.getPath().getName().startswith(("_", "."))
+        )
+        # atomic swap via two directory renames: readers see the old file set
+        # or the new one; a crash in between leaves the data intact in
+        # old_dir (recoverable), never a partially-deleted live dir
+        fs.rename(Path(dir_str), Path(old_dir))
+        fs.rename(Path(tmp_dir), Path(dir_str))
+        fs.delete(Path(old_dir), True)
+        results[rel] = (len(files), n_new)
     return results

@@ -98,16 +98,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Candidate-pair n-gram Jaccard similarity via inverted index.
 
-    jaccard(a,b) = |A∩B| / (|A|+|B|-|A∩B|); computed exactly, but only for
-    pairs sharing ≥1 (non-stop) shingle. ``max_shingle_freq`` drops shingles
-    appearing in more than that many docs — the classic stop-shingle guard
-    that bounds the per-shingle pair blowup (freq² pairs) and removes the
-    skew hot key at scale.
+    jaccard(a,b) = |A∩B| / (|A|+|B|-|A∩B|), computed exactly over the
+    FILTERED shingle universe: ``max_shingle_freq`` drops shingles appearing
+    in more than that many docs — the classic stop-shingle guard that bounds
+    the per-shingle pair blowup (freq² pairs) and removes the skew hot key
+    at scale. Set sizes come from the same filtered set as the intersection,
+    so the ratio is a true Jaccard (of filtered sets), not biased low for
+    pairs sharing frequent shingles.
     """
     sh = with_shingles(df, n, id_col, text_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     sh_f = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
+    sizes = sh_f.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = sh_f.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh_f.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (

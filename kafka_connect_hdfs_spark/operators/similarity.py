@@ -267,32 +267,46 @@ def assign_ivf_cells(
     (FAISS-style IVF) build. Seeds here are any deterministic small set
     (first k vectors, or k-means output when trained offline).
 
-    Scale: seeds broadcast; assignment is a per-row argmax over k dot
-    products — narrow, no shuffle. The cell id becomes the partition key for
-    search, exactly like the LSH bucket but data-adaptive.
+    Scale: seeds become LITERAL vectors baked into a single projection —
+    the per-row argmax is array_max over (sim, -seed_id) structs, entirely
+    map-side: no join, no row explosion, no Window shuffle of the corpus
+    (the same shuffle-free pattern as the minhash signatures; plan-guarded
+    by test_plan_quality). Per-seed norms are precomputed driver-side
+    constants. For huge codebooks (≥10⁴ cells × large dim) where a literal
+    expression tree stops scaling, use the Arrow path
+    (brute_force_topk_arrow against the centroid set) to assign instead.
     """
-    s = seeds.select(
-        F.col(id_col).alias("seed_id"), F.col(vec_col).alias("s_vec")
-    )
-    scored = embeddings.select(
-        F.col(id_col), F.col(vec_col)
-    ).join(broadcast(s), F.lit(True))
-    scored = scored.withColumn(
-        "sim",
-        F.round(
-            cosine_similarity(
-                F.col(vec_col).cast("array<double>"), F.col("s_vec").cast("array<double>")
-            ),
-            6,
-        ),
-    )
-    from pyspark.sql import Window
+    import math
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("seed_id"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("seed_id").alias("cell"))
+    seed_rows = sorted(
+        seeds.select(
+            F.col(id_col).alias("seed_id"),
+            F.col(vec_col).cast("array<double>").alias("s_vec"),
+        ).collect(),
+        key=lambda r: r["seed_id"],
+    )
+    v = F.col(vec_col).cast("array<double>")
+    norm_v = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    choices = []
+    for r in seed_rows:
+        svec = [float(x) for x in r["s_vec"]]
+        s_norm = math.sqrt(sum(x * x for x in svec))
+        s_arr = F.array(*[F.lit(x) for x in svec])
+        dot = F.aggregate(
+            F.zip_with(v, s_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sim = F.round(dot / (norm_v * F.lit(s_norm)), 6)
+        choices.append(
+            F.struct(
+                sim.alias("sim"), F.lit(-int(r["seed_id"])).cast("long").alias("nsid")
+            )
+        )
+    # lexicographic struct max == (highest sim, then lowest seed_id)
+    best = F.array_max(F.array(*choices))
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), (-best["nsid"]).alias("cell")
     )
 
 

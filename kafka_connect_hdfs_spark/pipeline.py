@@ -128,6 +128,22 @@ def land_topics(
 # Hive/catalog operators H1-H4 (SURVEY.md §2.8)
 
 
+def avro_schema_literal(schema, partition_columns: list[str], topic: str) -> str:
+    """The ``avro.schema.literal`` table property the reference attaches to
+    Avro Hive tables (avro/AvroHiveUtil.java:73-97): the latest landed
+    PAYLOAD schema (partition columns excluded — they live in the dir
+    layout) as an Avro record named after the topic."""
+    import json
+
+    from kafka_connect_hdfs_spark.formats.avro_io import struct_to_avro_schema
+
+    payload = [f for f in schema.fields if f.name not in partition_columns]
+    record = struct_to_avro_schema(
+        type(schema)(payload), name=topic.replace(".", "_")
+    )
+    return json.dumps(record)
+
+
 def register_external_table(
     spark: SparkSession,
     cfg: HdfsSinkConfig,
@@ -141,9 +157,22 @@ def register_external_table(
     ParquetHiveUtil.java:61-84; partition registration
     TopicPartitionWriter.addHivePartition (:787-800) and
     DataWriter.syncWithHive (:383-420). Spark: CREATE TABLE USING + MSCK.
+    Avro tables carry ``avro.schema.literal`` exactly like the reference's
+    (AvroHiveUtil.java:73-97) — recomputed from the landed files, replaced
+    on every evolution (H2).
     """
+    from kafka_connect_hdfs_spark.sinks import build_sink
+
     table = table_name_for_topic(cfg, topic)
-    schema = spark.read.format(cfg.format if cfg.format != "text" else "text").load(path).schema
+    sink = build_sink(cfg)
+    schema = sink.schema_of(spark, path)
+    if cfg.format == "avro":
+        # partition cols come from dir names, not the container schema
+        from pyspark.sql import types as T
+
+        for c in partition_columns:
+            if c not in schema.fieldNames():
+                schema = schema.add(T.StructField(c, T.StringType(), True))
     # data columns first, partition columns last (Spark's table layout rule);
     # USING syntax lists every column once, PARTITIONED BY takes names only
     ordered = [f for f in schema.fields if f.name not in partition_columns] + [
@@ -155,10 +184,19 @@ def register_external_table(
         "parquet": "PARQUET", "orc": "ORC", "avro": "AVRO",
         "json": "JSON", "text": "TEXT",
     }[cfg.format]
+    props = ""
+    if cfg.format == "avro":
+        literal = avro_schema_literal(schema, partition_columns, topic)
+        props = (
+            " TBLPROPERTIES ('avro.schema.literal' = '"
+            + literal.replace("'", "\\'")
+            + "')"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     partitioned = f" PARTITIONED BY ({part_sql})" if part_sql else ""
     spark.sql(
-        f"CREATE TABLE {table} ({cols_sql}) USING {fmt}{partitioned} LOCATION '{path}'"
+        f"CREATE TABLE {table} ({cols_sql}) USING {fmt}{partitioned}"
+        f"{props} LOCATION '{path}'"
     )
     if partition_columns:
         spark.sql(f"MSCK REPAIR TABLE {table}")  # H4 sync
@@ -182,6 +220,21 @@ def alter_table_schema(
     )
     if cols:
         spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({cols})")
+    if cfg.format == "avro":
+        # replace avro.schema.literal with the evolved schema, exactly the
+        # reference's alterSchema (avro/AvroHiveUtil.java:62-71)
+        desc = spark.sql(f"DESCRIBE TABLE {table}").collect()
+        part_cols, in_part = [], False
+        for r in desc:
+            if r.col_name.startswith("# Partition"):
+                in_part = True
+            elif in_part and r.col_name and not r.col_name.startswith("#"):
+                part_cols.append(r.col_name)
+        literal = avro_schema_literal(spark.table(table).schema, part_cols, topic)
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            "('avro.schema.literal' = '" + literal.replace("'", "\\'") + "')"
+        )
 
 
 def add_partition(spark: SparkSession, cfg: HdfsSinkConfig, topic: str, spec: str) -> None:

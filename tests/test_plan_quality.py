@@ -111,3 +111,21 @@ def test_media_summary_prunes_payload(spark, sf):
     assert "text" in read_schema  # payload derives from text here…
     # …but the wide original text column is projected away before the agg
     assert "collect" not in plan.lower()
+
+
+def test_ivf_cell_assignment_shuffle_free(spark, sf):
+    """IVF coarse quantization must be a map-side argmax over literal seed
+    vectors: no join with the seed set, no Window shuffle of the corpus.
+    The old formulation (broadcast cross-join × n_seeds + row_number window)
+    shuffled n_seeds× the corpus INCLUDING the embedding column."""
+    from kafka_connect_hdfs_spark.operators.similarity import assign_ivf_cells
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    seeds = emb.filter(emb.vec_id < 8)
+    plan = _plan(assign_ivf_cells(emb, seeds))
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan

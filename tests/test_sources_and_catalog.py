@@ -99,3 +99,75 @@ def test_schema_file_reader_recovers_schema(spark, sf_dir, tmp_path):
     sink.write(df, f"{tmp_path}/out", [])
     schema = sink.schema_of(spark, f"{tmp_path}/out")
     assert [f.name for f in schema.fields] == ["id", "s"]
+
+
+def test_avro_schema_literal_tracks_evolution(spark, tmp_path):
+    """H-avro fidelity (avro/AvroHiveUtil.java:73-97, :62-71): the
+    avro.schema.literal property is computed from the LANDED schema and
+    replaced after evolution — verified end-to-end on the landed files
+    (the DDL attach/replace path needs the JVM avro datasource; the literal
+    contract itself is exercised here without it)."""
+    import json
+    import time
+
+    from kafka_connect_hdfs_spark.pipeline import avro_schema_literal
+    from kafka_connect_hdfs_spark.sinks import PurePythonAvroSink
+
+    from pyspark.sql import Row
+
+    sink = PurePythonAvroSink("avro", ".avro", {})
+    out = f"{tmp_path}/t"
+    v1 = spark.createDataFrame([Row(id=1, name="a")])
+    sink.write(v1, out, [])
+    lit1 = avro_schema_literal(sink.schema_of(spark, out), [], "my.topic")
+    parsed1 = json.loads(lit1)
+    assert parsed1["name"] == "my_topic"
+    assert [f["name"] for f in parsed1["fields"]] == ["id", "name"]
+
+    time.sleep(0.05)
+    v2 = spark.createDataFrame([Row(id=2, name="b", score=1.5)])
+    sink.write(v2, out, [])
+    lit2 = avro_schema_literal(sink.schema_of(spark, out), [], "my.topic")
+    parsed2 = json.loads(lit2)
+    assert [f["name"] for f in parsed2["fields"]] == ["id", "name", "score"]
+    # partition columns are excluded from the literal (they live in dir layout)
+    lit3 = avro_schema_literal(sink.schema_of(spark, out), ["name"], "my.topic")
+    assert [f["name"] for f in json.loads(lit3)["fields"]] == ["id", "score"]
+
+
+def test_avro_table_ddl_attaches_literal(spark, tmp_path):
+    """Full H1/H2 avro DDL path — only runnable with the JVM avro
+    datasource (real cluster); skipped in this container."""
+    import pytest as _pytest
+
+    from kafka_connect_hdfs_spark.sinks import jvm_avro_available
+
+    if not jvm_avro_available(spark):
+        _pytest.skip("JVM avro datasource unavailable in this container")
+    import json
+
+    from pyspark.sql import Row
+
+    from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+    from kafka_connect_hdfs_spark.pipeline import (
+        alter_table_schema, register_external_table, table_name_for_topic,
+    )
+
+    cfg = HdfsSinkConfig(url=f"file://{tmp_path}", format="avro")
+    out = f"{tmp_path}/topics/evt"
+    spark.createDataFrame([Row(id=1, name="a")]).write.format("avro").save(out)
+    register_external_table(spark, cfg, "evt", [], out)
+    table = table_name_for_topic(cfg, "evt")
+    props = dict(
+        (r.key, r.value)
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    )
+    lit = json.loads(props["avro.schema.literal"])
+    assert [f["name"] for f in lit["fields"]] == ["id", "name"]
+    alter_table_schema(spark, cfg, "evt", {"score": "double"})
+    props2 = dict(
+        (r.key, r.value)
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    )
+    lit2 = json.loads(props2["avro.schema.literal"])
+    assert [f["name"] for f in lit2["fields"]] == ["id", "name", "score"]
