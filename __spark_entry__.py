@@ -348,6 +348,20 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair→cluster resolution: connected components (min-label propagation)
+    over the n-gram Jaccard candidate pairs; cluster_id = min doc id in the
+    component, so transitive duplicates (a~b, b~c) collapse to one keeper."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        duplicate_clusters, ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.05, max_shingle_freq=200
+    )
+    return duplicate_clusters(pairs).orderBy("node")
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.operators.dedup import simhash_signatures
 
@@ -382,6 +396,18 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select("vec_id")
     return ivf_topk(emb, queries, k=5, n_seeds=8).orderBy("query_id", "rank")
+
+
+def _q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe=2 (the FAISS nprobe recall knob): queries search
+    their TWO nearest cells; corpus side still carries one cell."""
+    from kafka_connect_hdfs_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    return ivf_topk(emb, queries, k=5, n_seeds=8, n_probe=2).orderBy(
+        "query_id", "rank"
+    )
 
 
 def _q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,6 +458,25 @@ def _q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_against(
         docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), n=5
     ).orderBy("doc_id")
+
+
+def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): per-doc checksum of the distinct
+    window-min k-gram hashes — any drift in gram extraction, hashing, or
+    window minima breaks n/min/max/sum simultaneously."""
+    from kafka_connect_hdfs_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.min("fingerprint").alias("min_fp"),
+            F.max("fingerprint").alias("max_fp"),
+            F.sum("fingerprint").alias("sum_fp"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round
         "o1_avro_decimal_roundtrip": _q_o1_avro_decimal_roundtrip,
         "o1_avro_primitive_values": _q_o1_avro_primitive_values,
+        "dedup_clusters": _q_dedup_clusters,
+        "text_winnow": _q_text_winnow,
+        "ann_ivf_multiprobe": _q_ann_ivf_multiprobe,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1081,6 +1129,39 @@ JOIN sizes sb ON inter.id_b = sb.doc_id
 WHERE round(n_common / (sa.set_size + sb.set_size - n_common)::DOUBLE, 6) >= 0.05
 ORDER BY id_a, id_b
 """
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip()},
+freq AS (SELECT shingle, count(*) AS df_ FROM shingles GROUP BY shingle),
+filtered AS (
+  SELECT s.doc_id, s.shingle FROM shingles s JOIN freq f ON s.shingle = f.shingle
+  WHERE f.df_ <= 200
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM filtered GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM filtered a JOIN filtered b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE round(n_common / (sa.set_size + sb.set_size - n_common)::DOUBLE, 6) >= 0.05
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+)
+SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
+"""
     sql["dedup_minhash_signatures"] = _minhash_oracle(8)
     sql["dedup_minhash_lsh"] = _minhash_lsh_oracle(8, 4)
     sql["dedup_simhash"] = _simhash_oracle(16)
@@ -1128,6 +1209,45 @@ q AS (SELECT vec_id AS query_id, v AS qv, cell FROM cells WHERE vec_id < 10),
 pairs AS (
   SELECT query_id, c.vec_id AS neighbor_id, qv, c.v AS cv
   FROM cells c JOIN q ON c.cell = q.cell
+  WHERE c.vec_id != q.query_id
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM pairs
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+    sql["ann_ivf_multiprobe"] = """
+WITH seeds AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, v, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, seed_id ASC) AS r
+  FROM vecs, seeds
+),
+cells AS (SELECT vec_id, v, seed_id AS cell FROM scored WHERE r = 1),
+qcells AS (
+  SELECT vec_id AS query_id, v AS qv, seed_id AS cell
+  FROM scored WHERE vec_id < 10 AND r <= 2
+),
+pairs AS (
+  SELECT query_id, c.vec_id AS neighbor_id, qv, c.v AS cv
+  FROM cells c JOIN qcells q ON c.cell = q.cell
   WHERE c.vec_id != q.query_id
 ),
 sims AS (
@@ -1227,6 +1347,33 @@ FROM sh s JOIN bench USING (shingle)
 WHERE s.doc_id >= 20
 GROUP BY s.doc_id
 ORDER BY doc_id
+"""
+    sql["text_winnow"] = rf"""
+WITH norm AS (
+  SELECT doc_id, {_NORM} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < 8 THEN [t]
+              ELSE [substr(t, i, 8) FOR i IN range(1, length(t) - 6)]
+         END AS gs
+  FROM norm
+),
+hashes AS (
+  SELECT doc_id,
+         list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS hs
+  FROM grams
+),
+fps AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+                ELSE [list_min(hs[j:j+3]) FOR j IN range(1, len(hs) - 2)]
+           END)) AS fingerprint
+  FROM hashes
+)
+SELECT doc_id, count(*) AS n_fps, min(fingerprint) AS min_fp,
+       max(fingerprint) AS max_fp, sum(fingerprint)::BIGINT AS sum_fp
+FROM fps GROUP BY doc_id ORDER BY doc_id
 """
     sql["corpus_sample_mix"] = """
 WITH u AS (

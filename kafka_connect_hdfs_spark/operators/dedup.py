@@ -318,3 +318,71 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components over candidate pairs)
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve candidate duplicate PAIRS into duplicate CLUSTERS: connected
+    components where each doc's cluster_id is the min doc id in its
+    component. This is the step between pair generation (LSH / Jaccard /
+    simhash) and the actual keep/drop decision — without it, transitive
+    duplicates (a~b, b~c) get kept twice.
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    list — label(v) ← min(label(v), min of neighbors' labels) until a fixed
+    point. Iterations ≤ component diameter; dedup clusters are shallow
+    (near-cliques), so 2-4 rounds in practice, ``max_iter`` bounds
+    pathological chains. Each round is one join + one groupBy, both keyed on
+    node id; ``localCheckpoint`` truncates the lineage so plans stay flat.
+    At larger diameters swap in the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — same
+    primitive ops, O(log²) rounds.
+
+    Returns (node, cluster_id) for every node appearing in ``pairs``.
+    Singleton docs (no candidate pair) are absent by construction — assign
+    them cluster_id = own id with a left join at the call site.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("n_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "cluster_id")

@@ -276,6 +276,17 @@ def assign_ivf_cells(
     expression tree stops scaling, use the Arrow path
     (brute_force_topk_arrow against the centroid set) to assign instead.
     """
+    best = F.array_max(_ivf_choice_array(seeds, id_col, vec_col))
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), (-best["nsid"]).alias("cell")
+    )
+
+
+def _ivf_choice_array(seeds: DataFrame, id_col: str, vec_col: str) -> F.Column:
+    """Literal array of (cosine-to-seed, -seed_id) structs for the current
+    row's vector — the shared map-side kernel behind single- and multi-probe
+    assignment. Struct ordering is lexicographic, so array_max / descending
+    sort rank by (highest sim, then lowest seed_id)."""
     import math
 
     seed_rows = sorted(
@@ -303,11 +314,24 @@ def assign_ivf_cells(
                 sim.alias("sim"), F.lit(-int(r["seed_id"])).cast("long").alias("nsid")
             )
         )
-    # lexicographic struct max == (highest sim, then lowest seed_id)
-    best = F.array_max(F.array(*choices))
-    return embeddings.select(
-        F.col(id_col), F.col(vec_col), (-best["nsid"]).alias("cell")
+    return F.array(*choices)
+
+
+def assign_ivf_probe_cells(
+    embeddings: DataFrame,
+    seeds: DataFrame,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe assignment: each vector's ``n_probe`` NEAREST cells as an
+    array (probe order). Same map-side kernel as ``assign_ivf_cells`` — the
+    sort happens inside the row over n_seeds structs, still zero shuffle."""
+    ranked = F.reverse(F.array_sort(_ivf_choice_array(seeds, id_col, vec_col)))
+    cells = F.transform(
+        F.slice(ranked, 1, n_probe), lambda s: -s["nsid"]
     )
+    return embeddings.select(F.col(id_col), F.col(vec_col), cells.alias("cells"))
 
 
 def ivf_topk(
@@ -315,24 +339,47 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_seeds: int = 8,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: exact cosine ranking within the query's coarse cell only.
+    """IVF ANN: exact cosine ranking within the query's nearest coarse
+    cell(s) only.
 
     Seeds are the first ``n_seeds`` vectors by id (deterministic; swap in
     k-means centroids for production recall). Compared to LSH: cells adapt
-    to the data distribution, and recall/cost tunes via n_seeds and
-    multi-probe (searching the p nearest cells — single-probe here).
+    to the data distribution, and recall/cost tunes via ``n_seeds`` and
+    ``n_probe`` (searching the p nearest cells — the FAISS nprobe knob:
+    recall climbs with p while cost stays p/n_seeds of the corpus).
+
+    Scale: corpus vectors carry ONE cell id (map-side argmax, no shuffle);
+    only the small query side fans out ×n_probe. The join is an equi-join
+    on cell with the query side broadcast.
     """
     from pyspark.sql import Window
 
     seeds = embeddings.filter(F.col(id_col) < n_seeds)
     cells = assign_ivf_cells(embeddings, seeds, id_col, vec_col)
-    q = cells.join(
-        queries.select(F.col(id_col).alias("query_id")),
-        cells[id_col] == F.col("query_id"),
-    ).select("query_id", F.col(vec_col).alias("q_vec"), F.col("cell"))
+    if n_probe == 1:
+        q = cells.join(
+            queries.select(F.col(id_col).alias("query_id")),
+            cells[id_col] == F.col("query_id"),
+        ).select("query_id", F.col(vec_col).alias("q_vec"), F.col("cell"))
+    else:
+        probe = assign_ivf_probe_cells(
+            embeddings, seeds, n_probe, id_col, vec_col
+        )
+        q = (
+            probe.join(
+                queries.select(F.col(id_col).alias("query_id")),
+                probe[id_col] == F.col("query_id"),
+            )
+            .select(
+                "query_id",
+                F.col(vec_col).alias("q_vec"),
+                F.explode("cells").alias("cell"),
+            )
+        )
     c = cells.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
     )

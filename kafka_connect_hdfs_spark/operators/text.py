@@ -268,3 +268,41 @@ def stratified_sample(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
     return df.filter(u < rate)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    the MOSS algorithm): hash every character k-gram, slide a window of w
+    consecutive hashes, keep each window's minimum. Guarantees any shared
+    substring of length ≥ k+w-1 yields a shared fingerprint, at ~1/w the
+    storage of full k-gram sets.
+
+    Returns one row per (doc, distinct fingerprint).
+
+    Scale: fully map-side until the final explode — the k-gram hashes and
+    window minima are array-column transforms inside one projection (no
+    explode of raw k-grams, no shuffle; same pattern as the minhash
+    signatures). Hashes are md5-derived 48-bit ints, so the SQL oracle
+    replays the pipeline exactly.
+    """
+    df = fan_out(df)
+    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    gram_idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+    hashes = F.transform(
+        gram_idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(t, i, k)), 1, 12), 16, 10
+        ).cast("bigint"),
+    )
+    win_idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(1)))
+    fps = F.array_distinct(
+        F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
+    )
+    return df.select(F.col(id_col), F.explode(fps).alias("fingerprint"))

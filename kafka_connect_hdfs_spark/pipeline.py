@@ -109,19 +109,27 @@ def land_topics(
     ``<topics.dir>/<topic>/`` root — the reference's raw-topic-name layout,
     which ``partitionBy`` alone can't produce (it would emit ``topic=`` dirs).
 
-    One write job per topic; jobs are independent and the Spark scheduler
-    overlaps them — with hundreds of topics, submit via thread pool (the
-    reference serializes on one task thread; we don't have to).
+    One write job per topic, submitted from a driver-side thread pool so the
+    Spark scheduler overlaps them (FIFO scheduling interleaves task sets;
+    the reference serializes on one task thread — we don't have to). Threads
+    only submit jobs; all data movement stays on the executors.
     """
-    topics = [r[0] for r in df.select(topic_col).distinct().collect()]
-    out: dict[str, IngestResult] = {}
-    for topic in sorted(topics):
+    from concurrent.futures import ThreadPoolExecutor
+
+    topics = sorted(r[0] for r in df.select(topic_col).distinct().collect())
+
+    def land_one(topic: str) -> IngestResult:
         sub = df.filter(F.col(topic_col) == topic)
-        out[topic] = land(
+        return land(
             spark, sub, cfg, topic, ts_col=ts_col,
             discard_partial=discard_partial, register_table=register_tables,
         )
-    return out
+
+    if len(topics) <= 1:
+        return {t: land_one(t) for t in topics}
+    with ThreadPoolExecutor(max_workers=min(8, len(topics))) as pool:
+        results = pool.map(land_one, topics)
+        return dict(zip(topics, results))
 
 
 # ---------------------------------------------------------------------------

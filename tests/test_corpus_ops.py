@@ -42,3 +42,27 @@ def test_stratified_sample_deterministic_and_monotone(spark):
     assert lo <= hi
     # realized rate lands near the nominal one
     assert 0.1 < len(lo) / 500 < 0.3
+
+
+def test_duplicate_clusters_components(spark):
+    """Connected components over candidate pairs: transitive chains collapse
+    to min-id cluster, disjoint components stay separate, and a long chain
+    (diameter 10) converges within max_iter."""
+    from kafka_connect_hdfs_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.cluster_id for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 110)], "id_a long, id_b long"
+    )
+    got2 = {r.node: r.cluster_id for r in duplicate_clusters(chain).collect()}
+    assert set(got2.values()) == {100}
+    assert len(got2) == 11

@@ -127,3 +127,49 @@ def test_multimodal_feature_plumbing(spark):
     assert rows[0].feature_hash == __import__("hashlib").md5(b"abcd").hexdigest()
     summary = {r.media_type: r.n_media for r in media_summary(media).collect()}
     assert summary == {"image": 1, "audio": 1, "video": 1}
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """n_probe=2 must find neighbors at least as close as n_probe=1 for
+    every query (more cells searched → cosine of rank-1 can only improve),
+    and its result set recall vs brute force is >= single-probe recall."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        brute_force_topk, ivf_topk,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < 10).select("vec_id")
+    qfull = emb.filter(emb.vec_id < 10)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    truth = pairs(brute_force_topk(emb, qfull, k=5))
+    p1 = pairs(ivf_topk(emb, queries, k=5, n_seeds=8, n_probe=1))
+    p2 = pairs(ivf_topk(emb, queries, k=5, n_seeds=8, n_probe=2))
+    recall1 = len(p1 & truth) / len(truth)
+    recall2 = len(p2 & truth) / len(truth)
+    assert recall2 >= recall1
+    # rank-1 cosine per query can only improve with more probes
+    best1 = {r.query_id: r.cosine
+             for r in ivf_topk(emb, queries, 5, 8, 1).filter("rank = 1").collect()}
+    best2 = {r.query_id: r.cosine
+             for r in ivf_topk(emb, queries, 5, 8, 2).filter("rank = 1").collect()}
+    for qid, c1 in best1.items():
+        assert best2[qid] >= c1 - 1e-9
+
+
+def test_ivf_probe_cells_map_side(spark, sf_dir):
+    """Multi-probe assignment stays shuffle-free like single-probe."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        assign_ivf_probe_cells,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(emb.vec_id < 8)
+    plan = assign_ivf_probe_cells(emb, seeds, 2)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan and "Join" not in plan and "Window" not in plan
