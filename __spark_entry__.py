@@ -557,6 +557,59 @@ def _q_ops_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — Structured Streaming's
+    F.window(size, slide) semantics in batch form: each event lands in
+    size/slide = 3 overlapping windows."""
+    ev = _events(spark, sf_dir)
+    w = F.window("ts", "6 hours", "2 hours")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def _q_range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: per early order, lineitems shipped within the 7
+    days from its order date (start <= point < end) — point-in-interval
+    semantics the DataFrame API lacks, executed as bucket equi-join."""
+    from kafka_connect_hdfs_spark.operators.asof import bucketed_range_join
+    from kafka_connect_hdfs_spark.session import load_table
+
+    epoch = F.lit("1970-01-01")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 50)
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), epoch).alias("start_day"),
+            (F.datediff(F.col("o_orderdate"), epoch) + 7).alias("end_day"),
+        )
+    )
+    points = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), epoch).alias("ship_day")
+    )
+    joined = bucketed_range_join(
+        points, orders, "ship_day", "start_day", "end_day", bucket_width=7
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_shipments"),
+            F.min("ship_day").alias("first_ship_day"),
+            F.max("ship_day").alias("last_ship_day"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def _q_o1_avro_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro decimal logical type (bytes + precision/scale) through the sink:
     reference passes Connect decimals through AvroData unchanged (SURVEY §1.2);
@@ -702,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "text_winnow": _q_text_winnow,
         "ann_ivf_multiprobe": _q_ann_ivf_multiprobe,
+        "q_hopping_windows": _q_hopping_windows,
+        "q_range_join_shipments": _q_range_join_shipments,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -996,6 +1051,31 @@ WITH exploded AS (
 )
 SELECT label, dim, round(avg(val), 6) AS centroid_val, count(*) AS n_vectors
 FROM exploded GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    sql["q_hopping_windows"] = """
+WITH e AS (
+  SELECT event_type, floor(epoch(ts))::BIGINT AS es FROM events
+),
+expanded AS (
+  SELECT event_type,
+         ((es // 7200) - j) * 7200 AS ws
+  FROM e, unnest([0, 1, 2]) AS t(j)
+)
+SELECT make_timestamp(ws * 1000000) AS window_start,
+       make_timestamp((ws + 21600) * 1000000) AS window_end,
+       event_type, count(*) AS n_events
+FROM expanded
+GROUP BY 1, 2, 3 ORDER BY window_start, event_type
+"""
+    sql["q_range_join_shipments"] = """
+SELECT o_orderkey, count(*) AS n_shipments,
+       min((l_shipdate::DATE - DATE '1970-01-01')::INT) AS first_ship_day,
+       max((l_shipdate::DATE - DATE '1970-01-01')::INT) AS last_ship_day
+FROM orders JOIN lineitem
+  ON l_shipdate::DATE >= o_orderdate::DATE
+ AND l_shipdate::DATE < o_orderdate::DATE + 7
+WHERE o_orderkey < 50
+GROUP BY o_orderkey ORDER BY o_orderkey
 """
     sql["e2_schema_projection"] = """
 SELECT event_id, user_id, event_type, value, 'kafka' AS source

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 
 def asof_join(
@@ -66,3 +67,46 @@ def asof_join(
     for c in carried:
         out = out.drop(c).withColumnRenamed(f"_f_{c}", c)
     return out.drop("_is_left", "_ts")
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Point-in-interval (range) join without a cross product — the second
+    custom join Spark's DataFrame API lacks (after as-of). Matches every
+    point row to every interval row with ``start <= point < end``.
+
+    Plan shape: intervals explode into the buckets they COVER
+    (``floor(start/w) .. floor((end-1)/w)`` — ≤ ceil(len/w)+1 rows each);
+    points map to exactly ONE bucket; then a plain equi-join on the bucket
+    plus the exact range filter. With bucket_width ≈ typical interval
+    length, each interval lands in ≤2 buckets, so the join is ~2× the
+    interval count instead of |points| × |intervals| — the standard interval
+    bucketing trick behind production range joins.
+
+    Scale: points (the big side) gain one narrow column and shuffle once on
+    the bucket — or not at all when ``broadcast_intervals`` (default) keeps
+    the exploded interval side broadcast. Skewed buckets (one interval
+    covering everything) degrade toward broadcast-nested-loop — cap interval
+    length / pick bucket_width accordingly.
+    """
+    b_start = F.floor(F.col(start_col) / bucket_width)
+    b_end = F.floor((F.col(end_col) - 1) / bucket_width)
+    iv = intervals.withColumn("_bucket", F.explode(F.sequence(b_start, b_end)))
+    if broadcast_intervals:
+        iv = broadcast(iv)
+    pt = points.withColumn("_bucket", F.floor(F.col(point_col) / bucket_width))
+    return (
+        pt.join(iv, "_bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )

@@ -84,3 +84,27 @@ def test_next_offset_per_partition(spark):
     )
     got = {r.partition: r.next_offset for r in next_offset_per_partition(manifest).collect()}
     assert got == {0: 200, 1: 50}
+
+
+def test_bucketed_range_join_semantics(spark):
+    """Half-open [start, end) membership; intervals spanning multiple
+    buckets still match points in every covered bucket; no cross product
+    (equi-join on bucket, interval side broadcast)."""
+    from kafka_connect_hdfs_spark.operators.asof import bucketed_range_join
+
+    intervals = spark.createDataFrame(
+        [(1, 10, 20), (2, 15, 45), (3, 100, 101)],
+        "iv_id long, s long, e long",
+    )
+    points = spark.createDataFrame(
+        [(10,), (19,), (20,), (44,), (45,), (100,), (99,)], "p long"
+    )
+    out = bucketed_range_join(points, intervals, "p", "s", "e", bucket_width=10)
+    got = sorted((r.iv_id, r.p) for r in out.collect())
+    # 10→iv1 (start inclusive), 19→iv1+iv2, 20→iv2 only (iv1 end exclusive),
+    # 44→iv2, 45 excluded, 100→iv3, 99 unmatched
+    assert got == [(1, 10), (1, 19), (2, 19), (2, 20), (2, 44), (3, 100)]
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
