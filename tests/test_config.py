@@ -45,3 +45,41 @@ def test_invalid_enums():
     ):
         with pytest.raises(ConfigException):
             HdfsSinkConfig(**kwargs)
+
+
+def test_kerberos_renewer_lifecycle():
+    """Initial synchronous login, periodic renewal on the configured cadence,
+    immediate stop (DataWriter.java:121-206 semantics, injectable login)."""
+    import time
+
+    from kafka_connect_hdfs_spark.config import ConfigException, HdfsSinkConfig
+    from kafka_connect_hdfs_spark.security import (
+        KerberosTicketRenewer, build_renewer,
+    )
+
+    calls = []
+    r = KerberosTicketRenewer(
+        "user@REALM", "/etc/kt", renew_period_ms=40,
+        login_fn=lambda p, k: calls.append((p, k)),
+    )
+    r.start()
+    assert calls == [("user@REALM", "/etc/kt")]  # synchronous initial login
+    time.sleep(0.25)
+    r.stop()
+    n_after_stop = len(calls)
+    assert n_after_stop >= 3  # initial + >=2 renewals in 250ms at 40ms period
+    time.sleep(0.1)
+    assert len(calls) == n_after_stop  # nothing after stop
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigException):
+        KerberosTicketRenewer("", "/etc/kt", 1000, lambda p, k: None)
+
+    assert build_renewer(HdfsSinkConfig(), lambda p, k: None) is None
+    cfg = HdfsSinkConfig(
+        hdfs_authentication_kerberos=True,
+        connect_hdfs_principal="u@R", connect_hdfs_keytab="/kt",
+    )
+    rn = build_renewer(cfg, lambda p, k: None)
+    assert rn is not None and rn.renew_period_ms == 3_600_000
