@@ -676,6 +676,89 @@ def _q_o1_avro_primitive_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_o3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 JSON writer through the gate: land a deterministic events slice as
+    line-delimited JSON (one object per line, JsonRecordWriterProvider
+    semantics), read back with explicit schema, aggregate."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.sinks import build_sink
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    sink = build_sink(HdfsSinkConfig(url="file:///unused", format="json"))
+    path = tempfile.mkdtemp(prefix="kchs_json_rt_") + "/landed"
+    sink.write(ev.select("event_id", "user_id", "event_type", "value"),
+               path, ["event_type"])
+    back = spark.read.schema(
+        "event_id long, user_id long, value double, event_type string"
+    ).json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_o_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC writer (parquet-profile sibling) through the gate."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.sinks import build_sink
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    sink = build_sink(HdfsSinkConfig(url="file:///unused", format="orc"))
+    path = tempfile.mkdtemp(prefix="kchs_orc_rt_") + "/landed"
+    sink.write(ev, path, ["event_type"])
+    back = sink.read(spark, path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_o4_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 string writer: a lone string value column lands verbatim one per
+    line (StringRecordWriterProvider); read back and fingerprint."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.sinks import build_sink
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    lines = ev.select(
+        F.concat_ws("|", F.col("event_id"), F.col("event_type")).alias("value")
+    )
+    sink = build_sink(HdfsSinkConfig(url="file:///unused", format="text"))
+    path = tempfile.mkdtemp(prefix="kchs_text_rt_") + "/landed"
+    sink.write(lines, path, [])
+    back = spark.read.text(path)
+    parsed = back.select(
+        F.split(F.col("value"), r"\|").getItem(0).cast("long").alias("event_id"),
+        F.split(F.col("value"), r"\|").getItem(1).alias("event_type"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.count("*").alias("n_lines"), F.sum("event_id").alias("sum_ids"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — multimodal
 
@@ -757,6 +840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_multiprobe": _q_ann_ivf_multiprobe,
         "q_hopping_windows": _q_hopping_windows,
         "q_range_join_shipments": _q_range_join_shipments,
+        "o3_json_roundtrip": _q_o3_json_roundtrip,
+        "o_orc_roundtrip": _q_o_orc_roundtrip,
+        "o4_text_roundtrip": _q_o4_text_roundtrip,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1386,6 +1472,23 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
        count(DISTINCT user_id) AS n_users
 FROM events WHERE event_id < 3000
+GROUP BY event_type ORDER BY event_type
+"""
+    sql["o3_json_roundtrip"] = """
+SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events WHERE event_id < 2000
+GROUP BY event_type ORDER BY event_type
+"""
+    sql["o_orc_roundtrip"] = """
+SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
+       count(DISTINCT user_id) AS n_users
+FROM events WHERE event_id < 2000
+GROUP BY event_type ORDER BY event_type
+"""
+    sql["o4_text_roundtrip"] = """
+SELECT event_type, count(*) AS n_lines, sum(event_id)::BIGINT AS sum_ids
+FROM events WHERE event_id < 2000
 GROUP BY event_type ORDER BY event_type
 """
     sql["o1_avro_decimal_roundtrip"] = """
