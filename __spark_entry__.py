@@ -759,6 +759,65 @@ def _q_o4_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concatenate-and-chunk): every document's assignment
+    to a fixed 512-token training sequence — shard, sequence index, and the
+    token offset where the document starts. Doc-level output so any drift in
+    sharding, ordering, or the running total breaks the hash."""
+    from kafka_connect_hdfs_spark.operators.packing import with_sequence_packing
+
+    docs = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    with_tokens = docs.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .alias("n_tokens"),
+    )
+    return with_sequence_packing(
+        with_tokens, budget=512, token_col="n_tokens", id_col="doc_id", shards=8
+    ).orderBy("doc_id")
+
+
+def _q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: per-document counts of email / IPv4 / SSN-shaped spans
+    plus an md5 fingerprint of the redacted text (full-text equality without
+    hashing megabytes through the gate)."""
+    from kafka_connect_hdfs_spark.operators.packing import scrub_pii
+
+    return scrub_pii(_docs(spark, sf_dir)).select(
+        "doc_id", "n_email", "n_id_number", "n_ipv4", "scrubbed_fp"
+    ).orderBy("doc_id")
+
+
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val/test split: per-(split, lang) counts and
+    id/char aggregates. Stable under corpus growth by construction."""
+    from kafka_connect_hdfs_spark.operators.packing import split_corpus
+
+    return (
+        split_corpus(_docs(spark, sf_dir))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _q_ann_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means (Lloyd) refinement of the IVF codebook: nearest-seed
+    assignment (map-side argmax) then per-(cell, dim) centroid means."""
+    from kafka_connect_hdfs_spark.operators.similarity import lloyd_refine
+
+    emb = _emb(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < 8)
+    return lloyd_refine(emb, seeds).orderBy("cell", "dim")
+
+
 # ---------------------------------------------------------------------------
 # queries — multimodal
 
@@ -843,6 +902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_json_roundtrip": _q_o3_json_roundtrip,
         "o_orc_roundtrip": _q_o_orc_roundtrip,
         "o4_text_roundtrip": _q_o4_text_roundtrip,
+        "corpus_pack_sequences": _q_corpus_pack_sequences,
+        "text_pii_scrub": _q_text_pii_scrub,
+        "corpus_split": _q_corpus_split,
+        "ann_lloyd_refine": _q_ann_lloyd_refine,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1490,6 +1553,81 @@ GROUP BY event_type ORDER BY event_type
 SELECT event_type, count(*) AS n_lines, sum(event_id)::BIGINT AS sum_ids
 FROM events WHERE event_id < 2000
 GROUP BY event_type ORDER BY event_type
+"""
+    sql["corpus_pack_sequences"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 8 AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT - n_tokens
+           AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, shard,
+       floor(start_tok::DOUBLE / 512)::BIGINT AS seq,
+       start_tok % 512 AS offset_in_seq
+FROM c ORDER BY doc_id
+"""
+    sql["text_pii_scrub"] = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_id_number,
+       len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '<ID_NUMBER>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'))
+         AS scrubbed_fp
+FROM documents ORDER BY doc_id
+"""
+    sql["corpus_split"] = """
+WITH t AS (
+  SELECT *,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 12))::BIGINT
+           / 281474976710656.0 AS u
+  FROM documents
+)
+SELECT CASE WHEN u < 0.05 THEN 'test'
+            WHEN u < 0.95 THEN 'train'
+            ELSE 'val' END AS split,
+       lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM t GROUP BY 1, 2 ORDER BY split, lang
+"""
+    sql["ann_lloyd_refine"] = """
+WITH seeds AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, v, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim
+  FROM vecs, seeds
+),
+cells AS (
+  SELECT vec_id, v, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, seed_id ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+exploded AS (
+  SELECT cell, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val
+  FROM cells
+)
+SELECT cell, dim, round(avg(val), 6) AS centroid_val, count(*) AS n_members
+FROM exploded GROUP BY 1, 2 ORDER BY cell, dim
 """
     sql["o1_avro_decimal_roundtrip"] = """
 SELECT event_type, count(*) AS n_events,

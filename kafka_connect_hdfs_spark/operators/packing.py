@@ -1,0 +1,142 @@
+"""Corpus-preparation operators: sequence packing, PII scrubbing, splits.
+
+Beyond the reference's surface (it has no expression layer — SURVEY.md §2.9);
+these are the last-mile operations a training-data pipeline runs after
+dedup/filtering and before tokenized shards are written:
+
+  - with_sequence_packing: concatenate-and-chunk documents into fixed
+    token-budget training sequences (the GPT-style packing layout)
+  - scrub_pii: regex redaction of emails / IPv4s / SSN-shaped ids with
+    per-document redaction counts
+  - split_corpus: deterministic hash-based train/val/test assignment
+
+All are built from JVM-side built-in functions only (whole-stage codegen;
+no Python UDFs), deterministic, and SQL-expressible so the DuckDB oracle
+verifies them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_connect_hdfs_spark.functions import fan_out
+
+#: Public-shape PII patterns, valid in both Java regex (Spark) and RE2
+#: (DuckDB oracle): email, dotted-quad IPv4, SSN-shaped ddd-dd-dddd ids.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "id_number": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def _hash_uniform(col: F.Column, salt: str = "") -> F.Column:
+    """Deterministic uniform in [0, 1) from md5 — reproducible across
+    engines/partitionings (same trick as text.stratified_sample)."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("double") / F.lit(
+        float(1 << 48)
+    )
+
+
+def with_sequence_packing(
+    df: DataFrame,
+    budget: int = 2048,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shards: int = 64,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: documents are laid end-to-end
+    in deterministic (shard, id) order and cut into ``budget``-token
+    training sequences; each document is assigned to the sequence where its
+    first token lands. Returns the pruned assignment table
+    ``(id, n_tokens, shard, seq, offset_in_seq)`` — join text back by id
+    when materializing shards, so the text column never enters the shuffle.
+
+    Scale: the corpus is split into ``shards`` independent hash shards
+    (md5-uniform, so shard sizes are balanced) and the running-total window
+    runs per shard — the sort is (corpus/shards)-sized, parallel across
+    executors, and carries only (id, n_tokens) ≈ 16 B/doc. At 100 TB raise
+    ``shards`` so each shard's projection fits an executor's sort buffer;
+    assignment quality is unaffected because packing is per-shard by
+    construction.
+    """
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+        ).cast("bigint"),
+        F.lit(shards),
+    )
+    pruned = df.select(F.col(id_col), F.col(token_col).cast("bigint"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = F.sum(token_col).over(w)
+    start = (cum - F.col(token_col)).alias("start_tok")
+    return pruned.select(
+        F.col(id_col),
+        F.col(token_col),
+        F.col("shard"),
+        F.floor(start / F.lit(budget)).alias("seq"),
+        (start % F.lit(budget)).alias("offset_in_seq"),
+    )
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans, replacing each match with ``<TYPE>`` and
+    counting redactions per type (``n_<type>`` columns) plus a
+    ``scrubbed_fp`` md5 fingerprint of the redacted text.
+
+    Scale: pure map-side codegen — a regexp_extract_all count and a chained
+    regexp_replace per pattern; no shuffle, no state. Patterns are applied
+    in sorted-name order so output is deterministic regardless of dict
+    ordering.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    df = fan_out(df)
+    t = F.col(text_col)
+    scrubbed = t
+    counts = []
+    for name in sorted(pats):
+        pat = pats[name]
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select(
+        "*", *counts, F.md5(scrubbed).alias("scrubbed_fp")
+    )
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: uniform(md5(salt || id))
+    against cumulative weight boundaries. Hash-based splits are stable
+    under re-runs, engine changes, and corpus growth (a document's split
+    never changes when others are added/removed) — unlike randomSplit,
+    which depends on partition layout.
+
+    Scale: map-side CASE expression, no shuffle. The salt namespaces
+    independent splits over the same corpus.
+    """
+    ws = weights if weights is not None else {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(ws.values())
+    u = _hash_uniform(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    # deterministic boundary order: sorted by name
+    items = sorted(ws.items())
+    for name, wgt in items[:-1]:
+        acc += wgt / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", split)

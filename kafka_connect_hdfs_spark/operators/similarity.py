@@ -532,3 +532,33 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_score", "cosine", "rank")
     )
+
+
+def lloyd_refine(
+    embeddings: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd (k-means) refinement iteration over the IVF codebook:
+    assign every vector to its nearest seed (map-side literal argmax —
+    the same shuffle-free kernel as :func:`assign_ivf_cells`), then emit
+    the recomputed centroids as a flat ``(cell, dim, centroid_val,
+    n_members)`` table. Iterating ``lloyd_refine`` (feeding the output
+    back as seeds, reassembled to arrays) trains the coarse quantizer
+    that :func:`ivf_topk` / :func:`assign_ivf_probe_cells` consume —
+    the training loop FAISS-style IVF indexes run before ingest.
+
+    Scale: assignment is zero-shuffle; the explode multiplies rows by dim
+    but aggregates immediately with map-side partial combine, so the
+    shuffle carries only (cells × dim) partials — independent of corpus
+    size. Driver holds only the codebook (seeds), never corpus data.
+    """
+    assigned = assign_ivf_cells(embeddings, seeds, id_col, vec_col)
+    exploded = assigned.select(
+        "cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val")
+    )
+    return exploded.groupBy("cell", "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid_val"),
+        F.count("*").alias("n_members"),
+    )

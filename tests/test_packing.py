@@ -1,0 +1,119 @@
+"""Sequence packing, PII scrubbing, deterministic splits, Lloyd refinement."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from kafka_connect_hdfs_spark.operators.packing import (
+    scrub_pii,
+    split_corpus,
+    with_sequence_packing,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"word {'x ' * (i % 7)}doc{i}", 10 + i % 5) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+
+
+def _tokens(df):
+    t = F.trim(F.col("text"))
+    return df.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .alias("n_tokens"),
+    )
+
+
+class TestSequencePacking:
+    def test_offsets_within_budget_and_contiguous(self, docs):
+        packed = with_sequence_packing(_tokens(docs), budget=16, shards=4)
+        rows = sorted(packed.collect(), key=lambda r: (r.shard, r.doc_id))
+        assert all(0 <= r.offset_in_seq < 16 for r in rows)
+        # within a shard, start positions are the running total of tokens:
+        # seq * budget + offset reconstructs the concatenation order exactly
+        by_shard: dict[int, int] = {}
+        for r in rows:
+            start = r.seq * 16 + r.offset_in_seq
+            assert start == by_shard.get(r.shard, 0)
+            by_shard[r.shard] = start + r.n_tokens
+
+    def test_deterministic_across_partitionings(self, docs):
+        base = _tokens(docs)
+        a = with_sequence_packing(base.repartition(1), budget=32, shards=4)
+        b = with_sequence_packing(base.repartition(13), budget=32, shards=4)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_long_doc_spans_sequences(self, spark):
+        df = spark.createDataFrame(
+            [(1, 100), (2, 5)], "doc_id long, n_tokens long"
+        )
+        packed = {r.doc_id: r for r in with_sequence_packing(
+            df, budget=16, shards=1
+        ).collect()}
+        # doc 1 starts at 0; doc 2 starts at token 100 → sequence 6, offset 4
+        assert (packed[2].seq, packed[2].offset_in_seq) == (6, 4)
+
+
+class TestScrubPii:
+    def test_redacts_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a@b.com and c.d@e.org, ip 10.0.0.1, id 123-45-6789"),
+                (2, "clean text with no pii at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in scrub_pii(df).collect()}
+        assert (out[1].n_email, out[1].n_ipv4, out[1].n_id_number) == (2, 1, 1)
+        assert (out[2].n_email, out[2].n_ipv4, out[2].n_id_number) == (0, 0, 0)
+
+    def test_fingerprint_of_clean_text_is_md5_of_original(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame([(1, "nothing here")], "doc_id long, text string")
+        row = scrub_pii(df).first()
+        assert row.scrubbed_fp == hashlib.md5(b"nothing here").hexdigest()
+
+
+class TestSplitCorpus:
+    def test_partition_of_unity_and_rough_weights(self, docs):
+        out = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r.split: r.n for r in out.groupBy("split").agg(
+            F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 200
+        assert counts["train"] > counts.get("val", 0)
+        assert counts["train"] > counts.get("test", 0)
+
+    def test_assignment_stable_under_corpus_growth(self, docs):
+        full = split_corpus(docs).select("doc_id", "split").collect()
+        half = split_corpus(docs.filter(F.col("doc_id") < 100)).select(
+            "doc_id", "split"
+        ).collect()
+        full_map = {r.doc_id: r.split for r in full}
+        assert all(full_map[r.doc_id] == r.split for r in half)
+
+
+class TestLloydRefine:
+    def test_membership_totals_and_centroid_of_singleton(self, spark):
+        from kafka_connect_hdfs_spark.operators.similarity import lloyd_refine
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.0, 1.0]),
+                (2, [0.9, 0.1]),
+                (3, [0.05, 0.99]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        seeds = emb.filter(F.col("vec_id") < 2)
+        out = lloyd_refine(emb, seeds)
+        rows = {(r.cell, r.dim): r for r in out.collect()}
+        # vectors 0,2 → cell 0; vectors 1,3 → cell 1; dims both present
+        assert rows[(0, 0)].n_members == 2 and rows[(1, 0)].n_members == 2
+        assert rows[(0, 0)].centroid_val == pytest.approx(0.95)
+        assert rows[(1, 1)].centroid_val == pytest.approx(0.995)
