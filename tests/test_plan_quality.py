@@ -129,3 +129,42 @@ def test_ivf_cell_assignment_shuffle_free(spark, sf):
     assert "Window" not in plan, plan
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_pii_scrub_and_split_are_map_side(spark, sf):
+    """PII scrubbing and hash splits must compile to pure projections: the
+    only allowed Exchange is the fan_out round-robin (scrub_pii), never a
+    hash/range shuffle or a join."""
+    from kafka_connect_hdfs_spark.operators.packing import scrub_pii, split_corpus
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(scrub_pii(docs))
+    assert "hashpartitioning" not in plan and "Join" not in plan, plan
+    plan = _plan(split_corpus(docs))
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_pack_sequences_single_pruned_shuffle(spark, sf):
+    """Sequence packing shuffles exactly once (the per-shard window) and the
+    exchange carries only the pruned (id, tokens, shard) projection — the
+    text column must never reach the shuffle."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.packing import with_sequence_packing
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    t = F.trim(F.col("text"))
+    pruned = docs.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .alias("n_tokens"),
+    )
+    plan = _plan(with_sequence_packing(pruned, budget=512, shards=8))
+    assert plan.count("Exchange") <= 2, plan  # shard hash + AQE read at most
+    # the scan must prune to (doc_id, text): no other document columns
+    assert "lang" not in plan and "source" not in plan, plan
+    # shuffle output schema is the pruned projection, not the raw text
+    assert "Window" in plan, plan
