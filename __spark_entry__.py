@@ -808,6 +808,14 @@ def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (smoothed idf, deterministic
+    tie-break) — corpus keyword extraction through the gate."""
+    from kafka_connect_hdfs_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), top_n=5).orderBy("doc_id", "rank")
+
+
 def _q_ann_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means (Lloyd) refinement of the IVF codebook: nearest-seed
     assignment (map-side argmax) then per-(cell, dim) centroid means."""
@@ -906,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _q_text_pii_scrub,
         "corpus_split": _q_corpus_split,
         "ann_lloyd_refine": _q_ann_lloyd_refine,
+        "text_tfidf": _q_text_tfidf,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1602,6 +1611,28 @@ SELECT CASE WHEN u < 0.05 THEN 'test'
        lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
        sum(n_chars)::BIGINT AS sum_chars
 FROM t GROUP BY 1, 2 ORDER BY split, lang
+"""
+    sql["text_tfidf"] = """
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((n.n_docs + 1) / (dfreq.doc_freq + 1.0)) + 1.0), 6)
+           AS tfidf
+  FROM tf, dfreq, n WHERE tf.term = dfreq.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rank
+FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
 """
     sql["ann_lloyd_refine"] = """
 WITH seeds AS (

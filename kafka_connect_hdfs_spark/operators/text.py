@@ -306,3 +306,53 @@ def winnow_fingerprints(
         F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
     )
     return df.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-N terms by smoothed TF-IDF
+    (``tf × (ln((N+1)/(df+1)) + 1)``) — the classic corpus-keyword /
+    relevance-weighting operator. Tokens are lowercase ``[a-z0-9]+`` runs.
+    Ties rank deterministically by (score desc, term asc).
+
+    Scale: one explode feeding two aggregations that both combine map-side —
+    the (doc, term) tf table shuffles term-count partials (bounded by
+    per-doc vocabulary, not token count), and the document-frequency table
+    derives from tf (one extra agg over (doc, term) rows, never a second
+    text pass). df-table is vocabulary-sized → broadcast back onto tf. The
+    corpus size N is a single scalar count, not a collect. The final top-N
+    window partitions by doc — uniform keys, no skew.
+    """
+    from pyspark.sql import Window
+
+    df = fan_out(df)
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("doc_freq") + F.lit(1.0))) + F.lit(
+        1.0
+    )
+    scored = tf.join(F.broadcast(doc_freq), "term").select(
+        F.col(id_col),
+        F.col("term"),
+        F.col("tf"),
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

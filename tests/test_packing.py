@@ -117,3 +117,30 @@ class TestLloydRefine:
         assert rows[(0, 0)].n_members == 2 and rows[(1, 0)].n_members == 2
         assert rows[(0, 0)].centroid_val == pytest.approx(0.95)
         assert rows[(1, 1)].centroid_val == pytest.approx(0.995)
+
+
+class TestTfidf:
+    def test_top_terms_rank_and_smoothed_idf(self, spark):
+        import math
+
+        from kafka_connect_hdfs_spark.operators.text import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [
+                (1, "apple apple banana common"),
+                (2, "banana cherry common"),
+                (3, "cherry cherry cherry common"),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_top_terms(df, top_n=2)
+        rows = {(r.doc_id, r.rank): r for r in out.collect()}
+        # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+        assert rows[(1, 1)].term == "apple"
+        exp = round(2 * (math.log(4 / 2) + 1.0), 6)
+        assert rows[(1, 1)].tfidf == pytest.approx(exp)
+        # doc 2: banana/cherry (df=2) outrank 'common' (df=3, idf=1.0);
+        # equal scores break ties alphabetically
+        assert rows[(2, 1)].term == "banana" and rows[(2, 2)].term == "cherry"
+        # doc 3: cherry tf=3 dominates
+        assert rows[(3, 1)].term == "cherry"
