@@ -48,6 +48,9 @@ def main() -> None:
         "q_window_suite",
         "ann_quantized_topk",
         "text_decontaminate",
+        "corpus_pack_sequences",
+        "text_tfidf",
+        "text_pii_scrub",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings
