@@ -816,6 +816,31 @@ def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), top_n=5).orderBy("doc_id", "rank")
 
 
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window aggregation (the same operator
+    Structured Streaming uses for stateful sessions, here in batch): windows
+    [ts, ts+gap) merge while they overlap, so a new session starts iff the
+    gap is >= 30 min — verified against a first-principles gaps-and-islands
+    oracle. Complements q_sessionize (the manual lag/running-sum phrasing).
+
+    Scale: single shuffle on user_id; the merge is a sort-based in-partition
+    pass (no state store in batch mode)."""
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def _q_ann_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means (Lloyd) refinement of the IVF codebook: nearest-seed
     assignment (map-side argmax) then per-(cell, dim) centroid means."""
@@ -915,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "ann_lloyd_refine": _q_ann_lloyd_refine,
         "text_tfidf": _q_text_tfidf,
+        "q_session_windows": _q_session_windows,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1611,6 +1637,27 @@ SELECT CASE WHEN u < 0.05 THEN 'test'
        lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
        sum(n_chars)::BIGINT AS sum_chars
 FROM t GROUP BY 1, 2 ORDER BY split, lang
+"""
+    sql["q_session_windows"] = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS sid
+  FROM gaps
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
 """
     sql["text_tfidf"] = """
 WITH terms AS (
