@@ -759,6 +759,38 @@ def _q_o4_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_o_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV writer round-trip: land a deterministic events slice partitioned
+    by event_type, read it back (header on, strings), cast, aggregate. Any
+    quoting/header/partition-dir drift breaks the hash."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.sinks import build_sink
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    sink = build_sink(HdfsSinkConfig(url="file:///unused", format="csv"))
+    path = tempfile.mkdtemp(prefix="kchs_csv_rt_") + "/landed"
+    sink.write(
+        ev.select("event_id", "user_id", "value", "event_type"),
+        path,
+        ["event_type"],
+    )
+    back = sink.read(spark, path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("event_id").cast("long")).alias("sum_ids"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concatenate-and-chunk): every document's assignment
     to a fixed 512-token training sequence — shard, sequence index, and the
@@ -941,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lloyd_refine": _q_ann_lloyd_refine,
         "text_tfidf": _q_text_tfidf,
         "q_session_windows": _q_session_windows,
+        "o_csv_roundtrip": _q_o_csv_roundtrip,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1637,6 +1670,12 @@ SELECT CASE WHEN u < 0.05 THEN 'test'
        lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
        sum(n_chars)::BIGINT AS sum_chars
 FROM t GROUP BY 1, 2 ORDER BY split, lang
+"""
+    sql["o_csv_roundtrip"] = """
+SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events WHERE event_id < 2000
+GROUP BY event_type ORDER BY event_type
 """
     sql["q_session_windows"] = """
 WITH gaps AS (

@@ -15,7 +15,7 @@ class ConfigException(ValueError):
     """Invalid connector configuration (mirrors Connect's ConfigException)."""
 
 
-VALID_FORMATS = ("parquet", "orc", "avro", "json", "text")
+VALID_FORMATS = ("parquet", "orc", "avro", "json", "text", "csv")
 VALID_COMPAT = ("NONE", "BACKWARD", "FORWARD", "FULL")
 VALID_PARTITIONERS = ("default", "field", "time", "daily", "hourly")
 VALID_EXTRACTORS = ("Wallclock", "Record", "RecordField")

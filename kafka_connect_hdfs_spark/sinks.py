@@ -43,7 +43,9 @@ class FormatSink:
         writer.format(self.format).save(path)
 
     def read(self, spark: SparkSession, path: str) -> DataFrame:
-        return spark.read.format(self.format).load(path)
+        # write-side options ride along: harmless for footer formats, and
+        # csv needs header/timestampFormat symmetric on both sides
+        return spark.read.format(self.format).options(**self.options).load(path)
 
     def schema_of(self, spark: SparkSession, path: str):
         """O5 — the landed schema (Catalyst reads footer/container header)."""
@@ -314,6 +316,13 @@ def build_sink(cfg: HdfsSinkConfig) -> FormatSink:
             {"compression": "snappy"},
         ),
         "json": FormatSink("json", ".json", {}),
+        # header-on, explicit non-localized timestamp format so files are
+        # self-describing and re-parse identically on read-back
+        "csv": FormatSink(
+            "csv",
+            ".csv",
+            {"header": "true", "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        ),
         "text": TextSink("text", ".txt", {}),
     }
     return registry[cfg.format]

@@ -168,3 +168,16 @@ def test_pack_sequences_single_pruned_shuffle(spark, sf):
     assert "lang" not in plan and "source" not in plan, plan
     # shuffle output schema is the pruned projection, not the raw text
     assert "Window" in plan, plan
+
+
+def test_tfidf_broadcasts_doc_freq(spark, sf):
+    """The vocabulary-sized document-frequency table must come back onto the
+    (doc, term) tf table as a broadcast join — a SortMergeJoin here would
+    shuffle the whole tf table a second time."""
+    from kafka_connect_hdfs_spark.operators.text import tfidf_top_terms
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(tfidf_top_terms(docs, 5))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
