@@ -313,6 +313,7 @@ def tfidf_top_terms(
     top_n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Per-document top-N terms by smoothed TF-IDF
     (``tf × (ln((N+1)/(df+1)) + 1)``) — the classic corpus-keyword /
@@ -324,13 +325,15 @@ def tfidf_top_terms(
     per-doc vocabulary, not token count), and the document-frequency table
     derives from tf (one extra agg over (doc, term) rows, never a second
     text pass). df-table is vocabulary-sized → broadcast back onto tf. The
-    corpus size N is a single scalar count, not a collect. The final top-N
-    window partitions by doc — uniform keys, no skew.
+    corpus size N is a single scalar count (pass ``n_docs`` when the caller
+    already knows it to skip that pre-pass entirely). The final top-N window
+    partitions by doc — uniform keys, no skew.
     """
     from pyspark.sql import Window
 
     df = fan_out(df)
-    n_docs = df.count()
+    if n_docs is None:
+        n_docs = df.count()
     terms = df.select(
         F.col(id_col),
         F.explode(

@@ -50,3 +50,75 @@ def test_streaming_sessionize_closes_gap_sessions(spark, sf_dir, tmp_path):
         n_events, session_end = b[key]
         assert r.n_events == n_events
         assert r.session_end == session_end
+
+
+def test_streaming_builtin_session_window_matches_batch(spark, sf_dir, tmp_path):
+    """Spark's built-in session_window in STREAMING mode (watermark + append
+    output): events arrive in four chronologically-ordered files, so nothing
+    is ever late, and the 30-min watermark lets every session that closes
+    before the final watermark be emitted. Every emitted session must equal
+    the batch session_window grouping bit-for-bit."""
+    from pyspark.sql import Window
+
+    from kafka_connect_hdfs_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = f"{tmp_path}/sw_src"
+    # four time-ordered chunks appended sequentially -> ascending mtimes ->
+    # the file stream replays them chronologically
+    chunked = events.withColumn(
+        "chunk", F.ntile(4).over(Window.orderBy("ts"))
+    )
+    for i in range(1, 5):
+        (chunked.filter(F.col("chunk") == i).drop("chunk")
+         .coalesce(1).write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sw_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/sw_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sw_out").collect()
+    }
+
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in (
+            events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        ).collect()
+    }
+    # append emits sessions the watermark passed; events were replayed in
+    # order, so the emitted set must be a nonempty exact subset of batch
+    assert got, "no sessions emitted"
+    for key, val in got.items():
+        assert batch[key] == val, (key, val, batch[key])
