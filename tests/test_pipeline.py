@@ -132,3 +132,92 @@ def test_register_external_table(spark, records, tmp_path):
     assert n == records.count()
     parts = spark.sql("SHOW PARTITIONS default.`events`").count()
     assert parts == records.select("event_type").distinct().count()
+
+
+def test_backfill_replaces_only_touched_partitions(spark, records, tmp_path):
+    """Backfill semantics: re-landing a corrected slice for one partition
+    value replaces that directory's content and leaves every other
+    partition's files byte-untouched (same paths, same mtimes)."""
+    from kafka_connect_hdfs_spark.pipeline import backfill
+
+    cfg = HdfsSinkConfig(
+        url=f"file://{tmp_path}", format="parquet", flush_size=50,
+        partitioner="field", partition_fields=["event_type"],
+    )
+    land(spark, records, cfg, topic="events", ts_col="ts", discard_partial=False)
+    base = f"{tmp_path}/topics/events"
+    types = sorted(
+        r.event_type for r in records.select("event_type").distinct().collect()
+    )
+    target, others = types[0], types[1:]
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{base}/**/*.parquet", recursive=True)
+    }
+
+    # corrected slice: double the value column for the target partition
+    fixed = records.filter(F.col("event_type") == target).withColumn(
+        "value", F.col("value") * 2
+    )
+    backfill(spark, fixed, cfg, topic="events", ts_col="ts")
+
+    # untouched partitions: identical file sets and mtimes
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{base}/**/*.parquet", recursive=True)
+    }
+    for p, mt in before.items():
+        if f"event_type={target}" not in p:
+            assert p in after and after[p] == mt, p
+    # target partition: replaced content (doubled values), same row count
+    back = spark.read.parquet(base)
+    src = records.withColumn(
+        "value",
+        F.when(F.col("event_type") == target, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    assert back.count() == src.count()
+    exp = src.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias("s")
+    )
+    got = back.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias("s")
+    )
+    assert {(r.event_type, r.s) for r in exp.collect()} == {
+        (r.event_type, r.s) for r in got.collect()
+    }
+
+
+def test_backfill_avro_pure_python_path(spark, records, tmp_path):
+    """Avro backfill without spark-avro: touched dirs cleared and re-landed
+    through the container codec; untouched dirs keep their files."""
+    from kafka_connect_hdfs_spark.pipeline import backfill
+    from kafka_connect_hdfs_spark.sinks import build_sink, jvm_avro_available
+
+    if jvm_avro_available(spark):
+        pytest.skip("JVM avro present — native dynamic overwrite covers this")
+    cfg = HdfsSinkConfig(
+        url=f"file://{tmp_path}", format="avro", flush_size=50,
+        partitioner="field", partition_fields=["event_type"],
+    )
+    small = records.filter(F.col("event_id") < 1000)
+    land(spark, small, cfg, topic="events", ts_col="ts", discard_partial=False)
+    base = f"{tmp_path}/topics/events"
+    types = sorted(
+        r.event_type for r in small.select("event_type").distinct().collect()
+    )
+    target = types[0]
+    before_other = {
+        p for p in glob.glob(f"{base}/**/*.avro", recursive=True)
+        if f"event_type={target}" not in p
+    }
+    fixed = small.filter(F.col("event_type") == target)
+    backfill(spark, fixed, cfg, topic="events", ts_col="ts")
+    after_other = {
+        p for p in glob.glob(f"{base}/**/*.avro", recursive=True)
+        if f"event_type={target}" not in p
+    }
+    assert before_other == after_other
+    back = build_sink(cfg).read(spark, base)
+    assert back.filter(F.col("event_type") == target).count() == fixed.count()

@@ -181,3 +181,23 @@ def test_tfidf_broadcasts_doc_freq(spark, sf):
     plan = _plan(tfidf_top_terms(docs, 5))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_landed_output_partition_pruned_on_read(spark, sf, tmp_path_factory):
+    """Reading a landed partition-dir layout with a partition predicate must
+    prune at the catalog/file-listing level (PartitionFilters), not scan all
+    dirs and filter rows — the property that makes a 100 TB landing zone
+    queryable by partition."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.session import load_table
+
+    out = str(tmp_path_factory.mktemp("pruned")) + "/landed"
+    ev = load_table(spark, sf, "events")
+    ev.write.partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan, plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200], plan
+    # the predicate must NOT survive as a post-scan row Filter
+    assert "Filter (" not in plan or "click" not in plan.split("Filter", 1)[1][:120], plan
