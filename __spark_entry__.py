@@ -840,6 +840,43 @@ def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: reproducible (shard, position)
+    per document from a seeded hash — no rand(), engine-independent."""
+    from kafka_connect_hdfs_spark.operators.packing import shuffle_order
+
+    return (
+        shuffle_order(_docs(spark, sf_dir), shards=8)
+        .select("doc_id", "shard", "position")
+        .orderBy("doc_id")
+    )
+
+
+def _q_corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-prep composition through ONE gate: exact dedup
+    (keep min-id) → PII scrub → deterministic split → per-split rollup.
+    Verifies the operators compose (column contracts, no name collisions,
+    deterministic interplay), not just work in isolation."""
+    from kafka_connect_hdfs_spark.operators.dedup import dedup_keep_first
+    from kafka_connect_hdfs_spark.operators.packing import scrub_pii, split_corpus
+
+    kept = dedup_keep_first(_docs(spark, sf_dir))
+    scrubbed = scrub_pii(kept)
+    return (
+        split_corpus(scrubbed)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.col("n_email") + F.col("n_id_number") + F.col("n_ipv4")
+            ).alias("n_pii"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
+
+
 def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 TF-IDF terms (smoothed idf, deterministic
     tie-break) — corpus keyword extraction through the gate."""
@@ -974,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "q_session_windows": _q_session_windows,
         "o_csv_roundtrip": _q_o_csv_roundtrip,
+        "corpus_shuffle_order": _q_corpus_shuffle_order,
+        "corpus_e2e_pipeline": _q_corpus_e2e_pipeline,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1676,6 +1715,47 @@ SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events WHERE event_id < 2000
 GROUP BY event_type ORDER BY event_type
+"""
+    sql["corpus_shuffle_order"] = """
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('epoch0' || doc_id::VARCHAR), 1, 12))::BIGINT
+           AS sort_key,
+         ('0x' || substr(md5('epoch0' || doc_id::VARCHAR), 13, 12))::BIGINT % 8
+           AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id)
+         AS position
+FROM t ORDER BY doc_id
+"""
+    sql["corpus_e2e_pipeline"] = f"""
+WITH fp AS (
+  SELECT doc_id, md5({_NORM}) AS f FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+kept AS (SELECT d.* FROM documents d JOIN keep ON d.doc_id = keep.doc_id),
+pii AS (
+  SELECT doc_id, n_chars, source,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+         + len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b'))
+         + len(regexp_extract_all(text,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+           AS n_pii_doc,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 12))::BIGINT
+           / 281474976710656.0 AS u
+  FROM kept
+)
+SELECT CASE WHEN u < 0.05 THEN 'test'
+            WHEN u < 0.95 THEN 'train'
+            ELSE 'val' END AS split,
+       count(*) AS n_docs,
+       sum(n_pii_doc)::BIGINT AS n_pii,
+       sum(n_chars)::BIGINT AS sum_chars,
+       count(DISTINCT source) AS n_sources
+FROM pii GROUP BY 1 ORDER BY split
 """
     sql["q_session_windows"] = """
 WITH gaps AS (

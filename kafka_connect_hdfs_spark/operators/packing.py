@@ -140,3 +140,34 @@ def split_corpus(
     last = items[-1][0]
     split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", split)
+
+
+def shuffle_order(
+    df: DataFrame,
+    shards: int = 64,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic global training order: every row gets a reproducible
+    (shard, position) from md5(seed || id) — the shuffled data order a
+    training run consumes, stable across engines and re-runs (unlike
+    ``orderBy(rand())``). Changing ``seed`` gives an independent
+    permutation per epoch.
+
+    Scale: shard assignment is map-side; the position sort is per-shard
+    (corpus/shards rows), exactly the layout a sharded dataloader wants —
+    there is never a global sort. Position is the rank of the hash within
+    the shard.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    u = F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+    shard = F.pmod(F.conv(F.substring(h, 13, 12), 16, 10).cast("bigint"), F.lit(shards))
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.withColumn("sort_key", u)
+        .withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w))
+        .drop("sort_key")
+    )

@@ -144,3 +144,24 @@ class TestTfidf:
         assert rows[(2, 1)].term == "banana" and rows[(2, 2)].term == "cherry"
         # doc 3: cherry tf=3 dominates
         assert rows[(3, 1)].term == "cherry"
+
+
+class TestShuffleOrder:
+    def test_positions_dense_per_shard_and_seed_changes_order(self, docs):
+        from kafka_connect_hdfs_spark.operators.packing import shuffle_order
+
+        a = shuffle_order(docs, shards=4, seed="epoch0")
+        rows = a.select("doc_id", "shard", "position").collect()
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r.position)
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+        # a different seed permutes assignments
+        b = shuffle_order(docs, shards=4, seed="epoch1")
+        a_map = {r.doc_id: (r.shard, r.position) for r in rows}
+        b_map = {r.doc_id: (r.shard, r.position) for r in b.collect()}
+        assert any(a_map[i] != b_map[i] for i in a_map)
+        # same seed is reproducible regardless of partitioning
+        c = shuffle_order(docs.repartition(13), shards=4, seed="epoch0")
+        assert {r.doc_id: (r.shard, r.position) for r in c.collect()} == a_map
