@@ -840,6 +840,21 @@ def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of single-probe IVF against the exact top-5 — the quality
+    metric that closes the ANN loop (build index → query → measure). Uses
+    the same seeds/queries as ann_ivf_topk / ann_topk_bruteforce."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        ann_recall, brute_force_topk, ivf_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(emb, queries, k=5, n_seeds=8, n_probe=1)
+    exact = brute_force_topk(emb, queries, k=5)
+    return ann_recall(approx, exact).orderBy("query_id")
+
+
 def _q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training order: reproducible (shard, position)
     per document from a seeded hash — no rand(), engine-independent."""
@@ -1013,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_csv_roundtrip": _q_o_csv_roundtrip,
         "corpus_shuffle_order": _q_corpus_shuffle_order,
         "corpus_e2e_pipeline": _q_corpus_e2e_pipeline,
+        "ann_ivf_recall": _q_ann_ivf_recall,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2004,5 +2020,21 @@ video AS (
 SELECT media_id, n_frames, unnest(range(0, n_frames, 10))::INT AS frame_idx,
        md5(media_id::VARCHAR || ':' || unnest(range(0, n_frames, 10))::VARCHAR) AS frame_hash
 FROM video ORDER BY media_id, frame_idx
+"""
+    # composed AFTER its constituents: recall@5 of IVF vs the exact top-5
+    sql["ann_ivf_recall"] = f"""
+WITH approx AS ({sql["ann_ivf_topk"]}),
+exact AS ({sql["ann_topk_bruteforce"]}),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+SELECT t.query_id, coalesce(h.n_hits, 0) AS n_hits, t.n_exact,
+       round(coalesce(h.n_hits, 0) / t.n_exact, 6) AS recall
+FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+ORDER BY t.query_id
 """
     return sql

@@ -562,3 +562,41 @@ def lloyd_refine(
         F.round(F.avg("val"), 6).alias("centroid_val"),
         F.count("*").alias("n_members"),
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact top-k: the
+    operational quality metric for LSH/IVF parameter tuning (probes, cells,
+    bucket bits). Both inputs are (query_id, neighbor_id[, ...]) top-k
+    tables; output is per-query hits / exact-count plus the neighbor sets'
+    sizes, so a macro-average is one further agg.
+
+    Scale: both sides are top-k tables (queries × k rows — tiny relative to
+    the corpus); the inner join on (query, neighbor) and the per-query aggs
+    shuffle only those."""
+    a = approx.select(
+        F.col(query_col).alias("qid"), F.col(neighbor_col).alias("nid")
+    )
+    e = exact.select(
+        F.col(query_col).alias("qid"), F.col(neighbor_col).alias("nid")
+    )
+    hits = a.join(e, ["qid", "nid"]).groupBy("qid").agg(
+        F.count("*").alias("n_hits")
+    )
+    totals = e.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    return (
+        totals.join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias(query_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.col("n_exact"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
