@@ -840,6 +840,26 @@ def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing (applyInPandas; documents never split).
+    Greedy FFD is not SQL-expressible — no oracle entry; the driver records
+    the rows-only check, and tests/test_packing.py proves budget/assignment
+    invariants."""
+    from kafka_connect_hdfs_spark.operators.packing import pack_sequences_bestfit
+
+    docs = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    with_tokens = docs.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .alias("n_tokens"),
+    )
+    return pack_sequences_bestfit(
+        with_tokens, budget=512, shards=8
+    ).orderBy("doc_id")
+
+
 def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of single-probe IVF against the exact top-5 — the quality
     metric that closes the ANN loop (build index → query → measure). Uses
@@ -1029,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_order": _q_corpus_shuffle_order,
         "corpus_e2e_pipeline": _q_corpus_e2e_pipeline,
         "ann_ivf_recall": _q_ann_ivf_recall,
+        "corpus_pack_bestfit": _q_corpus_pack_bestfit,  # rows-only: greedy FFD
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,

@@ -1,0 +1,94 @@
+"""End-to-end training-data preparation over a landed corpus.
+
+The composition a 100 TB pretraining pipeline runs nightly, expressed with
+this repo's operators (each individually oracle-verified; the composition
+itself is gated by the `corpus_e2e_pipeline` query):
+
+    documents
+      → quality + token stats        (pure codegen columns)
+      → exact dedup (keep min id)    (hash groupBy; text never shuffles)
+      → MinHash-LSH near-dup pairs   (banded bucket join, skew-capped)
+      → PII scrubbing                (map-side regex)
+      → decontamination vs benchmark (shingle overlap join)
+      → deterministic train/val/test (hash CASE)
+      → sequence packing             (per-shard running-total window)
+      → deterministic epoch shuffle  (seeded hash order)
+      → partitioned parquet landing  (split=... directories)
+
+Run: python examples/training_pipeline.py  [sf_dir]  [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp() + "/corpus"
+
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        dedup_keep_first, minhash_lsh_candidates,
+    )
+    from kafka_connect_hdfs_spark.operators.packing import (
+        scrub_pii, shuffle_order, split_corpus, with_sequence_packing,
+    )
+    from kafka_connect_hdfs_spark.operators.text import (
+        decontaminate_against, with_quality_score, with_token_stats,
+    )
+    from kafka_connect_hdfs_spark.session import get_spark, load_table
+
+    spark = get_spark("training-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. stats + quality filter (keep docs with some substance)
+    scored = with_quality_score(with_token_stats(docs))
+    kept = scored.filter((F.col("ws_tokens") >= 5))
+
+    # 2. exact dedup, then near-dup candidate audit (report only here;
+    #    production would drop one side of each confirmed pair)
+    deduped = dedup_keep_first(kept)
+    near = minhash_lsh_candidates(deduped)
+    print(f"near-dup candidate pairs: {near.count()}")
+
+    # 3. PII scrub + decontamination against a benchmark slice
+    #    (decontaminate_against returns CONTAMINATED docs → anti-join them out)
+    scrubbed = scrub_pii(deduped)
+    benchmark = docs.filter(F.col("doc_id") < 20)
+    train_side = scrubbed.filter(F.col("doc_id") >= 20)
+    contaminated = decontaminate_against(train_side, benchmark, n=5)
+    clean = train_side.join(
+        contaminated.select("doc_id"), "doc_id", "anti"
+    )
+
+    # 4. split + packing assignment + epoch order
+    final = split_corpus(clean)
+    pack = with_sequence_packing(
+        final.select("doc_id", F.col("ws_tokens").alias("n_tokens")),
+        budget=2048, shards=16,
+    )
+    ordered = shuffle_order(final, shards=16, seed="epoch0")
+
+    # 5. land: documents partitioned by split; packing + order as sidecars
+    final.select("doc_id", "text", "lang", "source", "split").write.mode(
+        "overwrite"
+    ).partitionBy("split").parquet(f"{out}/documents")
+    pack.write.mode("overwrite").parquet(f"{out}/packing")
+    ordered.select("doc_id", "shard", "position").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/epoch0_order")
+
+    n = spark.read.parquet(f"{out}/documents").count()
+    print(f"landed {n} documents to {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

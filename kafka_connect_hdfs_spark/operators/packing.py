@@ -171,3 +171,61 @@ def shuffle_order(
         .withColumn("position", F.row_number().over(w))
         .drop("sort_key")
     )
+
+
+def pack_sequences_bestfit(
+    df: DataFrame,
+    budget: int = 2048,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shards: int = 64,
+) -> DataFrame:
+    """First-fit-decreasing bin packing: documents are NEVER split across
+    sequences (the no-truncation packing used when document integrity
+    matters); docs longer than ``budget`` get a dedicated overflow bin.
+    Returns ``(id, n_tokens, shard, seq)``.
+
+    Greedy FFD is inherently sequential, so this is the legitimately
+    imperative sibling of :func:`with_sequence_packing` — implemented as
+    ``applyInPandas`` over hash shards: each shard's pruned (id, tokens)
+    projection packs independently in one Arrow batch. Deterministic:
+    shard assignment is md5-based, packing order is (tokens desc, id).
+
+    Scale: same shuffle profile as the window variant (one shuffle of the
+    ~16 B/doc projection, keyed by shard); Python cost is O(docs × bins)
+    per shard — size ``shards`` so a shard's doc count keeps that cheap.
+    """
+    import pandas as pd
+
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+        ).cast("bigint"),
+        F.lit(shards),
+    )
+    pruned = df.select(
+        F.col(id_col), F.col(token_col).cast("bigint"), shard.alias("shard")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bin_loads: list[int] = []
+        seqs = []
+        for tok in pdf[token_col]:
+            placed = None
+            for b, load in enumerate(bin_loads):
+                if load + tok <= budget:
+                    placed = b
+                    break
+            if placed is None:
+                placed = len(bin_loads)
+                bin_loads.append(0)
+            bin_loads[placed] += int(tok)
+            seqs.append(placed)
+        pdf["seq"] = pd.Series(seqs, dtype="int64")
+        return pdf
+
+    out_schema = f"{id_col} long, {token_col} long, shard long, seq long"
+    return pruned.groupBy("shard").applyInPandas(pack, schema=out_schema)

@@ -165,3 +165,38 @@ class TestShuffleOrder:
         # same seed is reproducible regardless of partitioning
         c = shuffle_order(docs.repartition(13), shards=4, seed="epoch0")
         assert {r.doc_id: (r.shard, r.position) for r in c.collect()} == a_map
+
+
+class TestBestfitPacking:
+    def test_bins_within_budget_and_all_docs_assigned(self, docs):
+        from kafka_connect_hdfs_spark.operators.packing import pack_sequences_bestfit
+
+        packed = pack_sequences_bestfit(_tokens(docs), budget=16, shards=4)
+        rows = packed.collect()
+        assert {r.doc_id for r in rows} == set(range(200))
+        loads: dict[tuple[int, int], int] = {}
+        for r in rows:
+            loads[(r.shard, r.seq)] = loads.get((r.shard, r.seq), 0) + r.n_tokens
+        # every doc here fits the budget, so no bin may exceed it
+        assert all(v <= 16 for v in loads.values()), loads
+
+    def test_oversized_doc_gets_own_overflow_bin(self, spark):
+        from kafka_connect_hdfs_spark.operators.packing import pack_sequences_bestfit
+
+        df = spark.createDataFrame(
+            [(1, 100), (2, 10), (3, 10)], "doc_id long, n_tokens long"
+        )
+        rows = {r.doc_id: r for r in pack_sequences_bestfit(
+            df, budget=16, shards=1
+        ).collect()}
+        # doc 1 (oversized) is alone in its bin; docs 2,3 share or split bins
+        big_bin = rows[1].seq
+        assert all(r.seq != big_bin for i, r in rows.items() if i != 1)
+
+    def test_deterministic_across_partitionings(self, docs):
+        from kafka_connect_hdfs_spark.operators.packing import pack_sequences_bestfit
+
+        base = _tokens(docs)
+        a = pack_sequences_bestfit(base.repartition(1), budget=32, shards=4)
+        b = pack_sequences_bestfit(base.repartition(13), budget=32, shards=4)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
