@@ -840,6 +840,23 @@ def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + control-char strip + whitespace squeeze
+    (pandas UDF for the NFC step — no Spark built-in exists), verified
+    against DuckDB's native nfc_normalize."""
+    from kafka_connect_hdfs_spark.operators.text import normalize_text
+
+    return (
+        normalize_text(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.md5(F.col("norm_text")).alias("norm_fp"),
+            F.length("norm_text").alias("norm_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1050,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_e2e_pipeline": _q_corpus_e2e_pipeline,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "corpus_pack_bestfit": _q_corpus_pack_bestfit,  # rows-only: greedy FFD
+        "text_normalize": _q_text_normalize,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1752,6 +1770,17 @@ SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events WHERE event_id < 2000
 GROUP BY event_type ORDER BY event_type
+"""
+    sql["text_normalize"] = r"""
+WITH n AS (
+  SELECT doc_id,
+         nfc_normalize(trim(regexp_replace(
+             regexp_replace(text, '[\p{Cc}\p{Cf}]', '', 'g'),
+             '\s+', ' ', 'g'))) AS norm_text
+  FROM documents
+)
+SELECT doc_id, md5(norm_text) AS norm_fp, length(norm_text) AS norm_len
+FROM n ORDER BY doc_id
 """
     sql["corpus_shuffle_order"] = """
 WITH t AS (

@@ -17,6 +17,8 @@ semantics so the DuckDB oracle can verify them bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -359,3 +361,42 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization + cleanup: control characters stripped, runs of
+    whitespace squeezed to single spaces, then Unicode ``form`` (NFC/NFKC)
+    normalization. The canonical first stage of multilingual corpus prep —
+    without it, visually-identical strings hash to different dedup
+    fingerprints.
+
+    The regex cleanup stays JVM-side codegen; Unicode normalization has no
+    Spark built-in, so it is the textbook case for an Arrow-batched pandas
+    UDF (SURVEY §7.1: UDF only where built-ins genuinely can't express the
+    semantics). Verified against DuckDB's native ``nfc_normalize``.
+
+    Scale: map-side only — no shuffle, no state; Arrow transfer is the only
+    cost over a builtin, and only the text column crosses it.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # pandas imported module-level: postponed annotations (PEP 563) make the
+    # UDF signature a string that pandas_udf resolves via module globals
+    @pandas_udf("string")
+    def _unicode_norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize(form, v) if v is not None else None
+        )
+
+    df = fan_out(df)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), r"[\p{Cc}\p{Cf}]", ""), r"\s+", " "
+    )
+    return df.withColumn(out_col, _unicode_norm(F.trim(cleaned)))

@@ -275,3 +275,53 @@ def test_distributed_read_multifile(spark, tmp_path):
     back = sink.read(spark, out)
     assert back.count() == 1000
     assert back.agg(F.sum("id")).first()[0] == sum(range(1000))
+
+
+class TestPropertyRoundtrip:
+    """Hypothesis fuzz of the container codec: arbitrary rows of every
+    supported primitive must survive encode→decode bit-for-bit, in every
+    codec, including block-boundary and empty-string/None edges."""
+
+    def test_fuzz_rows_roundtrip(self, tmp_path):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from kafka_connect_hdfs_spark.formats.avro_io import (
+            read_container, write_container,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "fuzz",
+            "fields": [
+                {"name": "i", "type": ["null", "long"]},
+                {"name": "s", "type": ["null", "string"]},
+                {"name": "d", "type": ["null", "double"]},
+                {"name": "b", "type": ["null", "boolean"]},
+                {"name": "raw", "type": ["null", "bytes"]},
+            ],
+        }
+        row = st.fixed_dictionaries(
+            {
+                "i": st.none() | st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                "s": st.none() | st.text(max_size=40),
+                "d": st.none()
+                | st.floats(allow_nan=False, allow_infinity=True, width=64),
+                "b": st.none() | st.booleans(),
+                "raw": st.none() | st.binary(max_size=20),
+            }
+        )
+        counter = [0]
+
+        @settings(max_examples=30, deadline=None)
+        @given(rows=st.lists(row, max_size=25), codec=st.sampled_from(
+            ["null", "deflate", "bzip2"]))
+        def run(rows, codec):
+            counter[0] += 1
+            path = str(tmp_path / f"fuzz{counter[0]}.avro")
+            n = write_container(path, schema, iter(rows), codec=codec)
+            assert n == len(rows)
+            _, back = read_container(path)
+            assert back == rows
+
+        run()
