@@ -51,6 +51,8 @@ def main() -> None:
         "corpus_pack_sequences",
         "text_tfidf",
         "text_pii_scrub",
+        "text_normalize",
+        "corpus_e2e_pipeline",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

@@ -1,9 +1,12 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
 Beyond the reference's surface (it has no expression layer — SURVEY.md §2.9);
-these are the operations a 100 TB document pipeline needs, built entirely from
-JVM-side built-in functions (no Python UDFs in the hot path — every expression
-here compiles into whole-stage codegen).
+these are the operations a 100 TB document pipeline needs, built from
+JVM-side built-in functions (every expression compiles into whole-stage
+codegen) with ONE deliberate exception: Unicode NFC normalization
+(normalize_text), which has no Spark built-in and uses an Arrow-batched
+pandas UDF — the documented "UDF only where built-ins can't express it"
+escape hatch.
 
 Operators:
   - token_stats: whitespace + BPE-ish regex token counting
