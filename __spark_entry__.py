@@ -857,6 +857,35 @@ def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES exponential
+    race keys from hash-uniforms): 50 docs drawn proportionally to length.
+    The quality-weighted corpus-selection primitive."""
+    from kafka_connect_hdfs_spark.operators.packing import weighted_sample
+
+    return (
+        weighted_sample(_docs(spark, sf_dir), k=50, weight_col="n_chars")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a re-crawled batch (even doc_ids) anti-joined
+    by normalized-text fingerprint against an already-landed snapshot
+    (doc_id % 5 < 2) — survivors are the genuinely-new pages."""
+    from kafka_connect_hdfs_spark.operators.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    snapshot = docs.filter(F.col("doc_id") % 5 < 2)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    return (
+        incremental_dedup(batch, snapshot)
+        .select("doc_id", "fingerprint", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1068,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_ivf_recall,
         "corpus_pack_bestfit": _q_corpus_pack_bestfit,  # rows-only: greedy FFD
         "text_normalize": _q_text_normalize,
+        "corpus_weighted_sample": _q_corpus_weighted_sample,
+        "dedup_incremental": _q_dedup_incremental,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1781,6 +1812,29 @@ WITH n AS (
 )
 SELECT doc_id, md5(norm_text) AS norm_fp, length(norm_text) AS norm_len
 FROM n ORDER BY doc_id
+"""
+    sql["corpus_weighted_sample"] = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         -ln((('0x' || substr(md5('wsample0' || doc_id::VARCHAR), 1, 12))::BIGINT
+              + 1.0) / 281474976710656.0) / n_chars AS sample_key
+  FROM documents WHERE n_chars > 0
+),
+winners AS (
+  SELECT doc_id, source, n_chars FROM keyed
+  ORDER BY sample_key ASC, doc_id LIMIT 50
+)
+SELECT doc_id, source, n_chars FROM winners ORDER BY doc_id
+"""
+    sql["dedup_incremental"] = f"""
+WITH fp AS (
+  SELECT doc_id, source, n_chars, md5({_NORM}) AS fingerprint FROM documents
+)
+SELECT doc_id, fingerprint, source, n_chars
+FROM fp
+WHERE doc_id % 2 = 0
+  AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 5 < 2)
+ORDER BY doc_id
 """
     sql["corpus_shuffle_order"] = """
 WITH t AS (

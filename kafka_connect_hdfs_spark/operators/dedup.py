@@ -386,3 +386,35 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select("node", "cluster_id")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: drop batch rows whose normalized-text
+    fingerprint already exists in a previously-landed corpus snapshot — the
+    re-crawl filter of a continuously-ingested pipeline (today's crawl vs
+    everything already in the corpus). Complements ``dedup_keep_first``,
+    which dedups *within* one batch.
+
+    Returns the surviving batch rows with their ``fingerprint`` attached
+    (so the survivors can be appended to the snapshot's fingerprint index
+    without recomputing it).
+
+    Scale: the snapshot side is pruned to a distinct 32-char md5 per row
+    before the anti-join, so 100 TB of history enters the shuffle as
+    fingerprints only (~32 B/doc); the join key is md5-uniform — no skew.
+    The (much smaller) daily batch rides the single anti-join shuffle with
+    its payload. Mirrors the reference's "don't re-land committed offsets"
+    recovery idea (TopicPartitionWriter.java:334-350) lifted from offsets
+    to content.
+    """
+    from kafka_connect_hdfs_spark.operators.text import with_fingerprint
+
+    seen_fp = with_fingerprint(seen, text_col=text_col).select("fingerprint").distinct()
+    return with_fingerprint(batch, text_col=text_col).join(
+        seen_fp, "fingerprint", "left_anti"
+    )

@@ -229,3 +229,46 @@ def pack_sequences_bestfit(
 
     out_schema = f"{id_col} long, {token_col} long, shard long, seq long"
     return pruned.groupBy("shard").applyInPandas(pack, schema=out_schema)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "wsample0",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006 — the A-ES
+    algorithm): each row draws an exponential race key ``-ln(u) / w`` and
+    the k smallest keys win, which selects row i with probability
+    proportional to ``w_i`` at every step. Used for quality-weighted corpus
+    selection ("sample 10 M docs, long/high-quality docs proportionally
+    more often").
+
+    ``u`` is a hash-uniform in (0, 1] derived from md5(seed || id) — NOT
+    ``rand()`` — so the sample is reproducible across runs, engines, and
+    partition layouts, and an interrupted job resumes with the identical
+    sample. Rows with non-positive weight are excluded (their inclusion
+    probability is 0).
+
+    Scale: the plan is a map-side key projection + ``TakeOrderedAndProject``
+    — every partition forwards only its local k best rows, so the merge
+    cost is k * n_partitions regardless of corpus size; there is no global
+    sort and no shuffle of the corpus. Beyond the reference's surface
+    (SURVEY.md §2.9 — its query layer is Hive-delegated).
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    # (hash + 1) / 2^48 lies in (0, 1]: ln() never sees 0, and ln(1) = 0 is
+    # a valid (winning) key.
+    u = (F.conv(F.substring(h, 1, 12), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 48)
+    )
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.asc("sample_key"), F.col(id_col))
+        .limit(k)
+        .drop("sample_key")
+    )

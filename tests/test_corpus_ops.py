@@ -66,3 +66,40 @@ def test_duplicate_clusters_components(spark):
     got2 = {r.node: r.cluster_id for r in duplicate_clusters(chain).collect()}
     assert set(got2.values()) == {100}
     assert len(got2) == 11
+
+
+def test_incremental_dedup_drops_seen_fingerprints(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha  beta"), Row(doc_id=2, text="gamma")]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="Alpha Beta"),   # normalized dup of seen #1
+            Row(doc_id=11, text="gamma"),        # exact dup of seen #2
+            Row(doc_id=12, text="delta"),        # new
+            Row(doc_id=13, text="DELTA"),        # dup of 12 but NOT of seen
+        ]
+    )
+    got = incremental_dedup(batch, seen)
+    ids = sorted(r.doc_id for r in got.collect())
+    # within-batch dups are NOT this operator's job — both deltas survive
+    assert ids == [12, 13]
+    assert "fingerprint" in got.columns
+
+
+def test_incremental_dedup_prunes_snapshot_to_fingerprints(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import incremental_dedup
+
+    seen = spark.createDataFrame([Row(doc_id=1, text="a", extra="payload")])
+    batch = spark.createDataFrame([Row(doc_id=2, text="b", extra="payload")])
+    plan = (
+        incremental_dedup(batch, seen)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the snapshot side must be pruned to a fingerprint-only projection
+    # (the anti-join build input is `Project [md5(...) AS fingerprint]`,
+    # never the snapshot's payload columns) and deduplicated before the join
+    assert "Project [md5(" in plan
+    assert "Aggregate [fingerprint" in plan

@@ -200,3 +200,46 @@ class TestBestfitPacking:
         a = pack_sequences_bestfit(base.repartition(1), budget=32, shards=4)
         b = pack_sequences_bestfit(base.repartition(13), budget=32, shards=4)
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestWeightedSample:
+    def test_k_rows_deterministic_and_partition_invariant(self, docs):
+        from kafka_connect_hdfs_spark.operators.packing import weighted_sample
+
+        a = weighted_sample(docs, k=25, weight_col="n_chars")
+        b = weighted_sample(docs.repartition(13), k=25, weight_col="n_chars")
+        ra = sorted(map(tuple, a.collect()))
+        assert len(ra) == 25
+        assert ra == sorted(map(tuple, b.collect()))
+
+    def test_nonpositive_weights_never_sampled(self, spark):
+        from kafka_connect_hdfs_spark.operators.packing import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, "t", 0 if i % 2 else 5) for i in range(40)],
+            "doc_id long, text string, n_chars int",
+        )
+        got = weighted_sample(df, k=40, weight_col="n_chars").collect()
+        assert {r.doc_id % 2 for r in got} == {0}  # only positive-weight rows
+        assert len(got) == 20
+
+    def test_heavier_rows_win_proportionally(self, spark):
+        from kafka_connect_hdfs_spark.operators.packing import weighted_sample
+
+        # 1000 rows: ids < 100 carry 50x the weight of the rest. Expected
+        # heavy share of a k=100 A-ES sample is >> the 10% population share;
+        # seeded hash keys make the outcome exact and stable, not flaky.
+        df = spark.createDataFrame(
+            [(i, 50 if i < 100 else 1) for i in range(1000)],
+            "doc_id long, w int",
+        )
+        got = weighted_sample(df, k=100, weight_col="w")
+        n_heavy = got.filter(F.col("doc_id") < 100).count()
+        assert n_heavy > 50
+
+    def test_plan_is_take_ordered_no_shuffle(self, docs):
+        from kafka_connect_hdfs_spark.operators.packing import weighted_sample
+
+        plan = weighted_sample(docs, k=10, weight_col="n_chars")._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
