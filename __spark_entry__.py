@@ -886,6 +886,26 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction to latest-record-per-key via one max(struct)
+    aggregate (partial-agg map-side; no per-key sort — the plan a 100 TB
+    log compaction needs)."""
+    from kafka_connect_hdfs_spark.operators.cdc import latest_state
+
+    return latest_state(_events(spark, sf_dir)).orderBy("user_id")
+
+
+def _q_cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction with tombstones: keys whose final record is an 'error'
+    event drop out of the state table (Kafka null-value delete semantics
+    over a type column)."""
+    from kafka_connect_hdfs_spark.operators.cdc import compact_changelog
+
+    return compact_changelog(
+        _events(spark, sf_dir), tombstone_types=["error"]
+    ).orderBy("user_id")
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1099,6 +1119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
         "dedup_incremental": _q_dedup_incremental,
+        # registered beyond the driver's 50-query check budget this round —
+        # locally oracle-verified now, first in line for the r3 rotation
+        "cdc_latest_state": _q_cdc_latest_state,
+        "cdc_changelog_compact": _q_cdc_changelog_compact,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1835,6 +1859,28 @@ FROM fp
 WHERE doc_id % 2 = 0
   AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 5 < 2)
 ORDER BY doc_id
+"""
+    sql["cdc_latest_state"] = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+    sql["cdc_changelog_compact"] = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id
 """
     sql["corpus_shuffle_order"] = """
 WITH t AS (

@@ -103,3 +103,46 @@ def test_incremental_dedup_prunes_snapshot_to_fingerprints(spark):
     # never the snapshot's payload columns) and deduplicated before the join
     assert "Project [md5(" in plan
     assert "Aggregate [fingerprint" in plan
+
+
+def test_cdc_latest_state_tiebreak_and_tombstone_resurrect(spark):
+    from kafka_connect_hdfs_spark.operators.cdc import compact_changelog, latest_state
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # key 1: same-ts tie → event_id 7 wins deterministically
+        (1, t0, 6, "view", 1.0),
+        (1, t0, 7, "click", 2.0),
+        # key 2: deleted then re-created → survives compaction
+        (2, t0, 1, "error", 0.0),
+        (2, t0 + dt.timedelta(hours=1), 2, "signup", 3.0),
+        # key 3: final record is a tombstone → dropped
+        (3, t0, 3, "signup", 1.0),
+        (3, t0 + dt.timedelta(hours=1), 4, "error", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    state = {r.user_id: r for r in latest_state(df).collect()}
+    assert state[1].last_event_id == 7 and state[1].last_event_type == "click"
+    assert state[2].last_event_type == "signup"
+    compacted = sorted(
+        r.user_id for r in compact_changelog(df, tombstone_types=["error"]).collect()
+    )
+    assert compacted == [1, 2]
+
+
+def test_cdc_latest_state_plan_has_no_sort_or_window(spark):
+    from kafka_connect_hdfs_spark.operators.cdc import latest_state
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1), 1, "view", 1.0)],
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    )
+    plan = latest_state(df)._jdf.queryExecution().executedPlan().toString()
+    # the whole point: a partial-aggregable max(struct), not a windowed sort
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "Window" not in plan
+    assert "partial_max" in plan
