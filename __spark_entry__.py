@@ -906,6 +906,15 @@ def _q_cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding mean/std in one map-side aggregate (exact
+    fixed-point sums — no float-accumulation nondeterminism); the
+    normalization pass before indexing/training."""
+    from kafka_connect_hdfs_spark.operators.similarity import dim_stats
+
+    return dim_stats(_emb(spark, sf_dir), dim=64).orderBy("dim")
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1123,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally oracle-verified now, first in line for the r3 rotation
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
+        "embedding_dim_stats": _q_embedding_dim_stats,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1881,6 +1891,23 @@ WITH r AS (
 SELECT user_id, ts AS last_ts, event_id AS last_event_id,
        event_type AS last_event_type, value AS last_value
 FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id
+"""
+    sql["embedding_dim_stats"] = """
+WITH s AS (
+  SELECT i - 1 AS dim, count(*) AS n,
+         sum(floor(embedding[i]::DOUBLE * 1000000.0)::BIGINT)::BIGINT
+           AS sum_scaled,
+         sum(floor(embedding[i]::DOUBLE * 1000000.0)::BIGINT
+             * floor(embedding[i]::DOUBLE * 1000000.0)::BIGINT)::BIGINT
+           AS sumsq_scaled
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY 1
+)
+SELECT dim, n, sum_scaled, sumsq_scaled,
+       sum_scaled / n AS mean_scaled,
+       sqrt(greatest(sumsq_scaled / n - (sum_scaled / n) * (sum_scaled / n),
+                     0.0)) AS std_scaled
+FROM s ORDER BY dim
 """
     sql["corpus_shuffle_order"] = """
 WITH t AS (

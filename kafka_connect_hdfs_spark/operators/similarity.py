@@ -600,3 +600,81 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension corpus statistics of an embedding column — the
+    normalization pass (mean-centering / whitening prep) every embedding
+    pipeline runs before indexing or training. Returns one row per
+    dimension: ``(dim, n, sum_scaled, sumsq_scaled, mean_scaled,
+    std_scaled)`` in fixed-point ``scale`` units.
+
+    Determinism: values are floored to integers at ``scale`` precision
+    BEFORE summing (floor truncates identically everywhere, unlike
+    double-accumulation whose result depends on summation order — the
+    cross-engine float trap), so the sums are exact integers and the
+    derived mean/std are pure functions of them.
+
+    Scale: ONE aggregate over 2*dim+1 columns — partial-aggregated
+    map-side, so the shuffle carries a single row of partials per
+    partition regardless of corpus size. The per-dimension reshape
+    (posexplode) runs on that one result row. The naive phrasing
+    (posexplode the corpus then groupBy(dim)) shuffles n*dim rows —
+    unusable at 100 TB.
+    """
+    scaled = [
+        F.floor(F.col(vec_col)[i].cast("double") * F.lit(float(scale))).cast("bigint")
+        for i in range(dim)
+    ]
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.array(*[F.sum(s) for s in scaled]).alias("sums"),
+        F.array(*[F.sum(s * s) for s in scaled]).alias("sumsqs"),
+    )
+    mean = F.col("sum_scaled") / F.col("n")
+    var = F.col("sumsq_scaled") / F.col("n") - mean * mean
+    return (
+        agg.select(
+            "n", F.posexplode(F.arrays_zip("sums", "sumsqs")).alias("dim", "z")
+        )
+        .select(
+            "dim",
+            "n",
+            F.col("z.sums").alias("sum_scaled"),
+            F.col("z.sumsqs").alias("sumsq_scaled"),
+        )
+        .withColumn("mean_scaled", mean)
+        .withColumn("std_scaled", F.sqrt(F.greatest(var, F.lit(0.0))))
+    )
+
+
+def standardize(
+    df: DataFrame,
+    stats: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Apply :func:`dim_stats` output: replace ``vec_col`` with the
+    per-dimension standardized vector ``(x - mean) / std`` (dimensions with
+    zero variance map to 0). ``stats`` is collected to the driver — it is
+    dim-sized (the codebook pattern, same as the IVF seeds), never
+    corpus-sized — and applied as a literal zip_with: pure map-side, no
+    join, no shuffle.
+    """
+    rows = sorted(stats.collect(), key=lambda r: r["dim"])
+    means = F.array(*[F.lit(r["mean_scaled"] / scale) for r in rows])
+    stds = F.array(*[F.lit(r["std_scaled"] / scale) for r in rows])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), means, lambda x, m: x - m
+    )
+    return df.withColumn(
+        vec_col,
+        F.zip_with(
+            centered, stds, lambda x, s: F.when(s > 0, x / s).otherwise(F.lit(0.0))
+        ),
+    )

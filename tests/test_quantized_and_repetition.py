@@ -59,3 +59,45 @@ def test_repetition_signals_golden(spark):
     assert r2.top_token_ratio == 0.25
     assert r2.distinct_token_ratio == 1.0
     assert r2.top_bigram_ratio == pytest.approx(1 / 3)  # 3 distinct bigrams
+
+
+class TestDimStats:
+    def test_stats_exact_and_standardize_normalizes(self, spark):
+        import math
+
+        from kafka_connect_hdfs_spark.operators.similarity import (
+            dim_stats, standardize,
+        )
+
+        rows = [(i, [float(i), 10.0, -i / 4.0]) for i in range(1, 9)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        stats = {r.dim: r for r in dim_stats(df, dim=3).collect()}
+        # dim 0: values 1..8 → sum 36e6, mean 4.5e6 exact in fixed point
+        assert stats[0].sum_scaled == 36_000_000
+        assert stats[0].mean_scaled == 4_500_000.0
+        assert math.isclose(stats[0].std_scaled / 1e6, 2.29128784747792, rel_tol=1e-9)
+        # dim 1 is constant → zero variance
+        assert stats[1].std_scaled == 0.0
+
+        std_df = standardize(df, dim_stats(df, dim=3))
+        vecs = [r.embedding for r in std_df.collect()]
+        for d in range(3):
+            vals = [v[d] for v in vecs]
+            m = sum(vals) / len(vals)
+            s2 = sum(x * x for x in vals) / len(vals) - m * m
+            if d == 1:
+                assert vals == [0.0] * 8  # zero-variance dim maps to 0
+            else:
+                assert abs(m) < 1e-6 and abs(s2 - 1.0) < 1e-6
+
+    def test_plan_aggregates_before_explode(self, spark):
+        from kafka_connect_hdfs_spark.operators.similarity import dim_stats
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+        )
+        plan = dim_stats(df, dim=2)._jdf.queryExecution().executedPlan().toString()
+        # the corpus is aggregated FIRST (map-side partials); the generator
+        # reshapes the single result row, never the input rows
+        assert plan.index("Generate") < plan.index("HashAggregate")
+        assert "partial_sum" in plan or "partial_count" in plan
