@@ -915,6 +915,35 @@ def _q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim_stats(_emb(spark, sf_dir), dim=64).orderBy("dim")
 
 
+def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count: per event type, the exact distinct
+    users (oracle ground truth) plus two Spark-side self-checks — the
+    direct sketch estimate within 2%, and the per-day-sketch union-merge
+    agreeing with the direct sketch (the incremental-rollup contract).
+    The booleans' expected value is constant TRUE; the oracle verifies
+    n_exact and the self-check columns as literals."""
+    from kafka_connect_hdfs_spark.operators.sketches import (
+        daily_sketch_rollup, distinct_with_sketch,
+    )
+
+    ev = _events(spark, sf_dir)
+    direct = distinct_with_sketch(ev, "event_type", "user_id")
+    merged = daily_sketch_rollup(ev, "event_type", "user_id")
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_est") - F.col("n_exact"))
+                <= 0.02 * F.col("n_exact")
+            ).alias("est_within_2pct"),
+            (F.col("n_union") == F.col("n_est")).alias("merge_consistent"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1133,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
         "embedding_dim_stats": _q_embedding_dim_stats,
+        "q_hll_distinct_users": _q_hll_distinct_users,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1908,6 +1938,11 @@ SELECT dim, n, sum_scaled, sumsq_scaled,
        sqrt(greatest(sumsq_scaled / n - (sum_scaled / n) * (sum_scaled / n),
                      0.0)) AS std_scaled
 FROM s ORDER BY dim
+"""
+    sql["q_hll_distinct_users"] = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact,
+       TRUE AS est_within_2pct, TRUE AS merge_consistent
+FROM events GROUP BY event_type ORDER BY event_type
 """
     sql["corpus_shuffle_order"] = """
 WITH t AS (

@@ -101,3 +101,35 @@ class TestDimStats:
         # reshapes the single result row, never the input rows
         assert plan.index("Generate") < plan.index("HashAggregate")
         assert "partial_sum" in plan or "partial_count" in plan
+
+
+class TestSketches:
+    def test_hll_exact_at_small_cardinality_and_merge_lossless(self, spark):
+        import datetime as dt
+
+        from kafka_connect_hdfs_spark.operators.sketches import (
+            daily_sketch_rollup, distinct_with_sketch,
+        )
+
+        rows = [
+            (i % 5, i % 937, dt.datetime(2026, 1, 1 + i % 20)) for i in range(5000)
+        ]
+        df = spark.createDataFrame(rows, "g int, u long, ts timestamp")
+        direct = {r.g: r for r in distinct_with_sketch(df, "g", "u").collect()}
+        merged = {r.g: r for r in daily_sketch_rollup(df, "g", "u").collect()}
+        for g, r in direct.items():
+            assert abs(r.n_est - r.n_exact) <= 0.02 * r.n_exact
+            # union of per-day sketches == single-pass sketch (mergeability)
+            assert merged[g].n_union == r.n_est
+
+    def test_sketch_agg_is_partial_map_side(self, spark):
+        from kafka_connect_hdfs_spark.operators.sketches import distinct_with_sketch
+
+        df = spark.createDataFrame([(1, 2)], "g int, u long")
+        plan = (
+            distinct_with_sketch(df, "g", "u")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the sketch must partial-aggregate before the shuffle — fixed-size
+        # registers cross the wire, not values
+        assert "partial_hll_sketch_agg" in plan
