@@ -74,3 +74,26 @@ def stream_stream_join(
         & (F.col("__rts") <= F.col(left_ts) + F.expr(f"INTERVAL {max_lag}"))
     )
     return l.join(r2, cond, how).drop("__rk", "__rts")
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a dimension
+    table at ingest (user → account tier, topic → schema metadata — the
+    lookup every landing pipeline performs before partitioning).
+
+    The static side is broadcast-hinted: each micro-batch ships the dim
+    table to executors and the stream side never shuffles — the only plan
+    that works when the stream is 100 TB/day and the dim is millions of
+    rows. Spark re-resolves the static side per micro-batch, so a dim
+    backed by files/Delta picks up updates between batches without
+    restarting the query (the streaming analogue of the reference's
+    per-batch schema-registry lookup, SURVEY.md §2.3).
+
+    No watermark is needed: stream-static joins keep no state.
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)

@@ -79,3 +79,40 @@ def test_stream_stream_join_time_bound(spark, sf_dir, tmp_path):
     )
     assert got == expected
     assert expected > 0  # the bound actually matches something
+
+
+def test_stream_static_enrichment_broadcasts_and_matches_batch(spark, sf_dir, tmp_path):
+    from kafka_connect_hdfs_spark.streaming.dedup_join import enrich_stream
+
+    ev = load_table(spark, sf_dir, "events").limit(1000).cache()
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 1), ("purchase", 5), ("signup", 3), ("error", 0)],
+        "event_type string, weight int",
+    )
+    stream = _replay(spark, ev, f"{tmp_path}/src")
+    q = (
+        enrich_stream(stream, dim, on="event_type")
+        .writeStream.format("memory")
+        .queryName("enriched_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp_path}/chk")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select count(*) n, sum(weight) w from enriched_out"
+    ).first()
+    expected = (
+        ev.join(dim, "event_type")
+        .agg(F.count("*").alias("n"), F.sum("weight").alias("w"))
+        .first()
+    )
+    assert (got.n, got.w) == (expected.n, expected.w)
+    # the join must broadcast the dim side (same logical plan the
+    # micro-batches execute) — the stream side never shuffles
+    plan = (
+        enrich_stream(ev, dim, on="event_type")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan
