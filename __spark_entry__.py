@@ -944,6 +944,19 @@ def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory mergeable quantiles (Greenwald-Khanna) self-checked
+    against the exact per-group percentiles; the oracle pins the exact
+    values, the boolean pins the approximation quality."""
+    from kafka_connect_hdfs_spark.operators.sketches import (
+        quantiles_with_approx_check,
+    )
+
+    return quantiles_with_approx_check(
+        _events(spark, sf_dir), "event_type", "value"
+    ).orderBy("event_type")
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1163,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog_compact": _q_cdc_changelog_compact,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "q_hll_distinct_users": _q_hll_distinct_users,
+        "q_approx_quantiles": _q_approx_quantiles,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1942,6 +1956,13 @@ FROM s ORDER BY dim
     sql["q_hll_distinct_users"] = """
 SELECT event_type, count(DISTINCT user_id) AS n_exact,
        TRUE AS est_within_2pct, TRUE AS merge_consistent
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+    sql["q_approx_quantiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       TRUE AS approx_ok
 FROM events GROUP BY event_type ORDER BY event_type
 """
     sql["corpus_shuffle_order"] = """

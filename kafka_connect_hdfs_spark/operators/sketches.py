@@ -58,3 +58,32 @@ def daily_sketch_rollup(
             F.hll_union_agg(F.col("sk"), F.lit(False))
         ).alias("n_union")
     )
+
+
+def quantiles_with_approx_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    accuracy: int = 100_000,
+) -> DataFrame:
+    """Per-group exact p50/p95 alongside the mergeable approximation:
+    ``(group, p50, p95, approx_ok)``. Exact ``percentile`` must hold each
+    sorted group in one place; ``percentile_approx`` (Greenwald-Khanna,
+    bounded memory ~O(accuracy), partial-aggregable) is what survives
+    100 TB groups — the check asserts it lands within 1% of the value
+    range of the exact answer, so the gate proves the approximation is
+    usable, not just runnable.
+    """
+    v = F.col(value_col)
+    rng = F.max(v) - F.min(v)
+    return df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("p50"),
+        F.round(F.expr(f"percentile({value_col}, 0.95)"), 6).alias("p95"),
+        (
+            F.abs(
+                F.percentile_approx(v, F.lit(0.5), F.lit(accuracy))
+                - F.expr(f"percentile({value_col}, 0.5)")
+            )
+            <= F.greatest(rng * 0.01, F.lit(1e-9))
+        ).alias("approx_ok"),
+    )

@@ -133,3 +133,22 @@ class TestSketches:
         # the sketch must partial-aggregate before the shuffle — fixed-size
         # registers cross the wire, not values
         assert "partial_hll_sketch_agg" in plan
+
+    def test_approx_quantile_check_and_partial_agg(self, spark):
+        from kafka_connect_hdfs_spark.operators.sketches import (
+            quantiles_with_approx_check,
+        )
+
+        df = spark.createDataFrame(
+            [(i % 3, float(i)) for i in range(3000)], "g int, v double"
+        )
+        rows = {r.g: r for r in quantiles_with_approx_check(df, "g", "v").collect()}
+        for r in rows.values():
+            assert r.approx_ok
+        # group 0: values 0,3,...,2997 → median 1498.5 (interpolated)
+        assert rows[0].p50 == 1498.5
+        plan = (
+            quantiles_with_approx_check(df, "g", "v")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "partial_percentile_approx" in plan
