@@ -957,6 +957,31 @@ def _q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter screen: top-5 users by true frequency, each
+    with the CMS estimate. md5 bucketing makes the sketch — including its
+    collisions — byte-reproducible, so the oracle checks the ESTIMATES,
+    not just the exact counts."""
+    from kafka_connect_hdfs_spark.operators.sketches import (
+        cms_estimate, count_min_table,
+    )
+
+    ev = _events(spark, sf_dir)
+    cms = count_min_table(ev, "user_id")
+    true_top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("user_id"))
+        .limit(5)
+    )
+    return (
+        cms_estimate(cms, true_top, "user_id")
+        .join(true_top, "user_id")
+        .select("user_id", "true_n", "est_n")
+        .orderBy("user_id")
+    )
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1177,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": _q_embedding_dim_stats,
         "q_hll_distinct_users": _q_hll_distinct_users,
         "q_approx_quantiles": _q_approx_quantiles,
+        "q_cms_heavy_hitters": _q_cms_heavy_hitters,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1964,6 +1990,29 @@ SELECT event_type,
        round(quantile_cont(value, 0.95), 6) AS p95,
        TRUE AS approx_ok
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+    sql["q_cms_heavy_hitters"] = """
+WITH cms AS (
+  SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || user_id::VARCHAR),
+                            1, 12))::BIGINT % 256 AS bucket,
+         count(*) AS c
+  FROM events, range(0, 4) t(r)
+  GROUP BY 1, 2
+),
+true_top AS (
+  SELECT user_id, count(*) AS true_n FROM events
+  GROUP BY user_id ORDER BY true_n DESC, user_id LIMIT 5
+),
+buckets AS (
+  SELECT user_id, true_n, r,
+         ('0x' || substr(md5(r::VARCHAR || ':' || user_id::VARCHAR),
+                         1, 12))::BIGINT % 256 AS bucket
+  FROM true_top, range(0, 4) t(r)
+)
+SELECT b.user_id, b.true_n, min(cms.c) AS est_n
+FROM buckets b JOIN cms USING (r, bucket)
+GROUP BY b.user_id, b.true_n
+ORDER BY b.user_id
 """
     sql["corpus_shuffle_order"] = """
 WITH t AS (

@@ -53,6 +53,11 @@ def main() -> None:
         "text_pii_scrub",
         "text_normalize",
         "corpus_e2e_pipeline",
+        "corpus_weighted_sample",
+        "dedup_incremental",
+        "cdc_latest_state",
+        "q_hll_distinct_users",
+        "embedding_dim_stats",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

@@ -87,3 +87,102 @@ def quantiles_with_approx_check(
             <= F.greatest(rng * 0.01, F.lit(1e-9))
         ).alias("approx_ok"),
     )
+
+
+def count_min_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch as a relational table: ``(r, bucket, c)`` with
+    ``depth`` md5-derived hash rows over ``width`` buckets. Point-frequency
+    estimates come from :func:`cms_estimate`; the estimate upper-bounds the
+    true count (collisions only ever add), with error ≤ 2N/width at
+    probability 1 - (1/2)^depth — the heavy-hitter screen that replaces a
+    full ``groupBy(key)`` when the key space is huge.
+
+    Unlike ``F.count_min_sketch`` (an opaque serialized binary), this
+    sketch is a plain DataFrame: mergeable by summing ``c`` over
+    ``(r, bucket)``, inspectable, and byte-reproducible on any engine with
+    md5 — which is what lets the oracle verify the ESTIMATES exactly, not
+    just the true counts.
+
+    Scale: the groupBy partial-aggregates map-side into at most
+    depth × width cells per partition, so the shuffle carries ≤ 1024
+    partial rows per partition regardless of corpus size or key skew —
+    the key itself never shuffles.
+    """
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(str(r)), F.lit(":"),
+                                    F.col(key_col).cast("string"),
+                                )
+                            ),
+                            1, 12,
+                        ),
+                        16, 10,
+                    ).cast("bigint"),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+            for r in range(depth)
+        ])
+    )
+    return (
+        df.select(rows.alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Query a :func:`count_min_table`: per item, the minimum bucket count
+    across the sketch's hash rows — ``(key, est_n)``. ``items`` is a small
+    key list (the candidate heavy hitters); the sketch is ≤ depth × width
+    rows, so the join broadcasts both ways and touches no corpus data.
+    """
+    buckets = items.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(str(r)), F.lit(":"),
+                                        F.col(key_col).cast("string"),
+                                    )
+                                ),
+                                1, 12,
+                            ),
+                            16, 10,
+                        ).cast("bigint"),
+                        F.lit(width),
+                    ).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("cell"),
+    ).select(key_col, F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+    return (
+        buckets.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("est_n"))
+    )

@@ -152,3 +152,50 @@ class TestSketches:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "partial_percentile_approx" in plan
+
+    def test_cms_upper_bounds_and_merges(self, spark):
+        from kafka_connect_hdfs_spark.operators.sketches import (
+            cms_estimate, count_min_table,
+        )
+
+        df = spark.createDataFrame(
+            [(i % 50,) for i in range(2000)], "k long"
+        )
+        items = df.groupBy("k").agg(F.count("*").alias("true_n"))
+        cms = count_min_table(df, "k", depth=4, width=64)
+        est = {
+            r.k: r.est_n
+            for r in cms_estimate(cms, items, "k", depth=4, width=64).collect()
+        }
+        for r in items.collect():
+            assert est[r.k] >= r.true_n  # CMS never undercounts
+        # a wide sketch has no collisions over 50 keys → exact
+        wide = count_min_table(df, "k", depth=4, width=4096)
+        est_w = {
+            r.k: r.est_n
+            for r in cms_estimate(wide, items, "k", depth=4, width=4096).collect()
+        }
+        assert all(est_w[r.k] == r.true_n for r in items.collect())
+        # mergeability: sketch(a) + sketch(b) == sketch(a ∪ b), cell-wise
+        a, b = df.filter(F.col("k") < 25), df.filter(F.col("k") >= 25)
+        merged = (
+            count_min_table(a, "k", width=64)
+            .unionByName(count_min_table(b, "k", width=64))
+            .groupBy("r", "bucket").agg(F.sum("c").alias("c"))
+        )
+        whole = count_min_table(df, "k", width=64)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_cms_shuffle_is_bounded_by_cells(self, spark):
+        from kafka_connect_hdfs_spark.operators.sketches import count_min_table
+
+        df = spark.createDataFrame([(1,)], "k long")
+        plan = (
+            count_min_table(df, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # partial agg before the exchange: per-partition shuffle volume is
+        # depth x width cells, never the key stream
+        assert "partial_count" in plan
