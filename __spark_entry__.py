@@ -982,6 +982,24 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (user_id, minute-of-day) — the clustering key
+    of the multi-dimensional file-skipping layout (pure codegen bit fold;
+    layout itself is one repartitionByRange, pytest-verified disjoint)."""
+    from kafka_connect_hdfs_spark.operators.layout import zvalue
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 200)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            (F.hour("ts") * 60 + F.minute("ts")).alias("minute_of_day"),
+        )
+        .withColumn("z", zvalue(["user_id", "minute_of_day"], bits=11))
+        .orderBy("event_id")
+    )
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1203,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct_users": _q_hll_distinct_users,
         "q_approx_quantiles": _q_approx_quantiles,
         "q_cms_heavy_hitters": _q_cms_heavy_hitters,
+        "q_zorder_values": _q_zorder_values,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2013,6 +2032,18 @@ SELECT b.user_id, b.true_n, min(cms.c) AS est_n
 FROM buckets b JOIN cms USING (r, bucket)
 GROUP BY b.user_id, b.true_n
 ORDER BY b.user_id
+"""
+    sql["q_zorder_values"] = """
+SELECT event_id, user_id,
+       (extract(hour FROM ts) * 60 + extract(minute FROM ts))::BIGINT
+         AS minute_of_day,
+       list_sum([
+         (((user_id >> i) & 1) << (2 * i))
+         + ((((extract(hour FROM ts) * 60 + extract(minute FROM ts))::BIGINT
+              >> i) & 1) << (2 * i + 1))
+         FOR i IN range(0, 11)
+       ])::BIGINT AS z
+FROM events WHERE event_id < 200 ORDER BY event_id
 """
     sql["corpus_shuffle_order"] = """
 WITH t AS (

@@ -199,3 +199,54 @@ class TestSketches:
         # partial agg before the exchange: per-partition shuffle volume is
         # depth x width cells, never the key stream
         assert "partial_count" in plan
+
+
+class TestZOrder:
+    def test_zvalue_interleave_known_pairs(self, spark):
+        from kafka_connect_hdfs_spark.operators.layout import zvalue
+
+        df = spark.createDataFrame([(3, 5), (0, 0), (7, 1)], "x long, y long")
+        got = {
+            (r.x, r.y): r.z
+            for r in df.select("x", "y", zvalue(["x", "y"], bits=3).alias("z")).collect()
+        }
+        # x bits land at even positions, y bits at odd
+        assert got == {(3, 5): 39, (0, 0): 0, (7, 1): 23}
+
+    def test_zvalue_rejects_overflow_and_stays_codegen(self, spark):
+        import pytest as _pytest
+
+        from kafka_connect_hdfs_spark.operators.layout import zvalue
+
+        with _pytest.raises(ValueError):
+            zvalue(["a", "b"], bits=32)
+        df = spark.createDataFrame([(1, 2)], "x long, y long")
+        plan = (
+            df.select(zvalue(["x", "y"]).alias("z"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_zorder_layout_ranges_disjoint_and_locality(self, spark):
+        from kafka_connect_hdfs_spark.operators.layout import zorder_layout, zvalue
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(32) for y in range(32)], "x long, y long"
+        )
+        laid = zorder_layout(df, ["x", "y"], bits=5, n_files=8)
+        ranges = (
+            laid.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+            .orderBy("lo")
+            .collect()
+        )
+        # every output split covers a contiguous, non-overlapping z-range —
+        # the precondition for min/max file skipping
+        for prev, cur in zip(ranges, ranges[1:]):
+            assert prev.hi < cur.lo
+        # locality: an equality predicate on EITHER column touches few
+        # splits (here: at most half), though neither is the sort prefix
+        with_p = laid.withColumn("p", F.spark_partition_id())
+        for col in ("x", "y"):
+            n_touched = with_p.filter(F.col(col) == 7).select("p").distinct().count()
+            assert n_touched <= 4
