@@ -1000,6 +1000,45 @@ def _q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full clustering loop: z-order events on (user_id, minute)
+    buckets, write 16 range-split files, build the min/max manifest, prune
+    for a user_id range, read ONLY surviving files. The aggregate over the
+    pruned read must equal the oracle's direct filtered scan (skipping
+    loses nothing); files_skipped self-checks that pruning bit (>= half
+    the files dropped)."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.operators.layout import (
+        file_stats, prune_files, zorder_layout,
+    )
+
+    ev = _events(spark, sf_dir)
+    maxu = ev.agg(F.max("user_id")).first()[0]
+    lo, hi = maxu // 10, maxu // 5
+    # quantize both dims to 8-bit buckets so the interleave is balanced
+    minute = F.hour("ts") * 60 + F.minute("ts")
+    prepped = ev.select(
+        "event_id", "user_id", "value",
+        F.floor(F.col("user_id") * 256 / (maxu + 1)).alias("u_bucket"),
+        F.floor(minute / 6).alias("m_bucket"),
+    )
+    path = tempfile.mkdtemp(prefix="kchs_zorder_") + "/landed"
+    zorder_layout(prepped, ["u_bucket", "m_bucket"], bits=8, n_files=16).write.parquet(path)
+
+    stats = file_stats(spark, path, ["user_id"])
+    n_total = stats.count()
+    pruned = prune_files(stats, "user_id", lo, hi)
+    files = [r.file for r in pruned.collect()]
+    back = spark.read.parquet(*files).filter(F.col("user_id").between(lo, hi))
+    return back.agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.lit(len(files) <= n_total // 2).alias("files_skipped"),
+    )
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1222,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_quantiles": _q_approx_quantiles,
         "q_cms_heavy_hitters": _q_cms_heavy_hitters,
         "q_zorder_values": _q_zorder_values,
+        "q_file_skipping": _q_file_skipping,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2044,6 +2084,14 @@ SELECT event_id, user_id,
          FOR i IN range(0, 11)
        ])::BIGINT AS z
 FROM events WHERE event_id < 200 ORDER BY event_id
+"""
+    sql["q_file_skipping"] = """
+SELECT count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       TRUE AS files_skipped
+FROM events
+WHERE user_id BETWEEN (SELECT max(user_id) // 10 FROM events)
+                  AND (SELECT max(user_id) // 5 FROM events)
 """
     sql["corpus_shuffle_order"] = """
 WITH t AS (

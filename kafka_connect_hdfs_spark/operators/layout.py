@@ -64,3 +64,33 @@ def zorder_layout(
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
     )
+
+
+def file_stats(spark, path: str, cols: Sequence[str]) -> DataFrame:
+    """Per-file min/max column statistics over a parquet directory — the
+    file-skipping index (what Delta/Iceberg keep in their manifests,
+    FileUtils.java:151-176 is the reference's nearest analogue: it lists
+    leaf files but keeps no stats). One distributed pass; output is
+    file-count-sized: ``(file, n_rows, min_<c>, max_<c>, ...)``.
+
+    Build it once after a :func:`zorder_layout` write and the manifest can
+    answer "which files can contain x BETWEEN lo AND hi" for EVERY
+    z-ordered column without opening a single footer.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def prune_files(stats: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Select manifest rows whose ``[min_col, max_col]`` interval
+    intersects ``[lo, hi]`` — the files a scan for ``col BETWEEN lo AND
+    hi`` must read; every other file is provably irrelevant. Sound for
+    any layout; the payoff (files actually skipped) comes from the
+    clustering :func:`zorder_layout` provides.
+    """
+    return stats.filter(
+        ~((F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi)))
+    )

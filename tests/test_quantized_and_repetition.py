@@ -250,3 +250,29 @@ class TestZOrder:
         for col in ("x", "y"):
             n_touched = with_p.filter(F.col(col) == 7).select("p").distinct().count()
             assert n_touched <= 4
+
+    def test_file_stats_prune_is_sound(self, spark, tmp_path):
+        from kafka_connect_hdfs_spark.operators.layout import (
+            file_stats, prune_files, zorder_layout,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 97, (i * 7) % 211) for i in range(5000)],
+            "rid long, x long, y long",
+        )
+        path = str(tmp_path / "laid")
+        zorder_layout(df, ["x", "y"], bits=8, n_files=8).write.parquet(path)
+        stats = file_stats(spark, path, ["x", "y"])
+        assert stats.count() == 8
+        for col, lo, hi in (("x", 10, 20), ("y", 100, 120)):
+            files = [r.file for r in prune_files(stats, col, lo, hi).collect()]
+            got = (
+                spark.read.parquet(*files)
+                .filter(F.col(col).between(lo, hi))
+                .select("rid")
+            )
+            want = df.filter(F.col(col).between(lo, hi)).select("rid")
+            # soundness: the pruned read loses no matching rows
+            assert sorted(r.rid for r in got.collect()) == sorted(
+                r.rid for r in want.collect()
+            )
