@@ -1039,6 +1039,19 @@ def _q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel signup → view → purchase with a 6-hour
+    stage-to-stage horizon: one shuffle + sorted-array fold (the staged-min
+    oracle scans the log once per stage — same semantics, different plan)."""
+    from kafka_connect_hdfs_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _events(spark, sf_dir),
+        stages=("signup", "view", "purchase"),
+        horizon_hours=6,
+    ).orderBy("stage")
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1262,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_heavy_hitters": _q_cms_heavy_hitters,
         "q_zorder_values": _q_zorder_values,
         "q_file_skipping": _q_file_skipping,
+        "q_funnel_stages": _q_funnel_stages,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2092,6 +2106,29 @@ SELECT count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
 FROM events
 WHERE user_id BETWEEN (SELECT max(user_id) // 10 FROM events)
                   AND (SELECT max(user_id) // 5 FROM events)
+"""
+    sql["q_funnel_stages"] = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > t1.ts1
+    AND e.ts <= t1.ts1 + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+    AND e.ts <= t2.ts2 + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'signup' AS stage_type,
+       (SELECT count(*) FROM t1) AS n_users
+UNION ALL SELECT 2, 'view', (SELECT count(*) FROM t2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+ORDER BY stage
 """
     sql["corpus_shuffle_order"] = """
 WITH t AS (

@@ -1,0 +1,104 @@
+"""Ordered-sequence funnel analysis — MATCH_RECOGNIZE-lite over event logs.
+
+Semantics: per user, stage 1 completes at the FIRST stage-1 event; stage
+i+1 completes at the first stage-(i+1) event STRICTLY after stage i (and
+within ``horizon_hours`` of it, when set). The classic conversion funnel
+(signup → view → purchase) no Spark built-in expresses directly.
+
+Scale: irrelevant event types are filtered map-side BEFORE the one shuffle
+on user_id; each user's remaining events fold through a sorted-array
+``aggregate`` — whole-stage codegen, no Python, no window functions, no
+re-scan per stage (the equivalent staged-min formulation scans and joins
+the log once PER STAGE). Per-user state is the user's own funnel-relevant
+events; with a horizon set, pre-filtering to the analysis window bounds it
+the way production funnels run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    df: DataFrame,
+    stages: Sequence[str],
+    horizon_hours: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Per-user funnel completion times: ``(user, t0, t1, ..., t{k-1})``
+    with ``t_i`` the stage-i completion timestamp (null = never reached).
+    """
+    k = len(stages)
+    evs = df.filter(F.col(type_col).isin(list(stages)))
+    per_user = evs.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("ts"),
+                    F.col(tie_col).alias("tid"),
+                    F.col(type_col).alias("tp"),
+                )
+            )
+        ).alias("evs")
+    )
+
+    init = F.struct(
+        *[F.lit(None).cast("timestamp").alias(f"t{i}") for i in range(k)]
+    )
+
+    def step(acc, e):
+        new_fields = []
+        for i in range(k):
+            fill = acc[f"t{i}"].isNull() & (e["tp"] == stages[i])
+            if i > 0:
+                prev = acc[f"t{i - 1}"]
+                fill = fill & prev.isNotNull() & (e["ts"] > prev)
+                if horizon_hours is not None:
+                    fill = fill & (
+                        e["ts"] <= prev + F.expr(f"INTERVAL {horizon_hours} HOURS")
+                    )
+            new_fields.append(
+                F.when(fill, e["ts"]).otherwise(acc[f"t{i}"]).alias(f"t{i}")
+            )
+        return F.struct(*new_fields)
+
+    folded = F.aggregate(F.col("evs"), init, step)
+    return per_user.select(
+        user_col, *[folded[f"t{i}"].alias(f"t{i}") for i in range(k)]
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: Sequence[str],
+    horizon_hours: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Stage-level rollup of :func:`funnel_times`:
+    ``(stage, stage_type, n_users)`` — users reaching each stage. The
+    per-stage counts aggregate the (users × k) table; the reshape runs on
+    the single result row.
+    """
+    k = len(stages)
+    times = funnel_times(df, stages, horizon_hours=horizon_hours, **kwargs)
+    agg = times.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(k)]
+    )
+    return agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i + 1).alias("stage"),
+                    F.lit(stages[i]).alias("stage_type"),
+                    F.col(f"n{i}").alias("n_users"),
+                )
+                for i in range(k)
+            ])
+        ).alias("s")
+    ).select("s.stage", "s.stage_type", "s.n_users")

@@ -146,3 +146,55 @@ def test_cdc_latest_state_plan_has_no_sort_or_window(spark):
     assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
     assert "Window" not in plan
     assert "partial_max" in plan
+
+
+def test_funnel_strict_order_horizon_and_plan(spark):
+    import datetime as dt
+
+    from kafka_connect_hdfs_spark.operators.funnel import (
+        funnel_counts, funnel_times,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1 completes all three in order
+        (1, t0, 1, "signup"), (1, t0 + h, 2, "view"), (1, t0 + 2 * h, 3, "purchase"),
+        # u2: view BEFORE signup and another AT the signup instant — neither
+        # counts (strictly-after semantics); no purchase stage
+        (2, t0 - h, 4, "view"), (2, t0, 5, "view"), (2, t0, 6, "signup"),
+        # u3: view arrives past the 6h horizon → funnel stalls at stage 1
+        (3, t0, 7, "signup"), (3, t0 + dt.timedelta(hours=7), 8, "view"),
+        # u4: purchase before its view → only stages 1-2
+        (4, t0, 9, "signup"), (4, t0 + h, 10, "purchase"), (4, t0 + 2 * h, 11, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    times = {
+        r.user_id: r
+        for r in funnel_times(
+            df, ("signup", "view", "purchase"), horizon_hours=6
+        ).collect()
+    }
+    assert times[1].t2 == t0 + 2 * h
+    assert times[2].t1 is None
+    assert times[3].t1 is None and times[3].t0 == t0
+    assert times[4].t1 == t0 + 2 * h and times[4].t2 is None
+
+    counts = {
+        r.stage: r.n_users
+        for r in funnel_counts(
+            df, ("signup", "view", "purchase"), horizon_hours=6
+        ).collect()
+    }
+    assert counts == {1: 4, 2: 2, 3: 1}
+
+    plan = (
+        funnel_times(df, ("signup", "view", "purchase"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one keyed aggregate, no window functions, no Python evaluation
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1
