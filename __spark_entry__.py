@@ -1052,6 +1052,16 @@ def _q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage")
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix anchored on first signup — one
+    co-partitioned user_id shuffle end to end."""
+    from kafka_connect_hdfs_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir)).orderBy(
+        "cohort_week", "week_n"
+    )
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1276,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_values": _q_zorder_values,
         "q_file_skipping": _q_file_skipping,
         "q_funnel_stages": _q_funnel_stages,
+        "q_cohort_retention": _q_cohort_retention,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2129,6 +2140,18 @@ SELECT 1 AS stage, 'signup' AS stage_type,
 UNION ALL SELECT 2, 'view', (SELECT count(*) FROM t2)
 UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
 ORDER BY stage
+"""
+    sql["q_cohort_retention"] = """
+WITH first_seen AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT strftime(date_trunc('week', t0), '%Y-%m-%d') AS cohort_week,
+       (epoch(e.ts)::BIGINT - epoch(t0)::BIGINT) // 604800 AS week_n,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first_seen USING (user_id)
+WHERE e.ts >= t0
+GROUP BY 1, 2 ORDER BY 1, 2
 """
     sql["corpus_shuffle_order"] = """
 WITH t AS (

@@ -102,3 +102,46 @@ def funnel_counts(
             ])
         ).alias("s")
     ).select("s.stage", "s.stage_type", "s.n_users")
+
+
+def cohort_retention(
+    df: DataFrame,
+    anchor_type: str = "signup",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their first
+    ``anchor_type`` event; for each (cohort_week, weeks_since_anchor), the
+    distinct users still active — the retention table behind every
+    "week-4 retention" metric.
+
+    Scale: the anchor pass and the activity join both key on ``user_col``
+    — ONE co-partitioned shuffle key end to end (Spark reuses the exchange
+    under AQE; with the events table bucketed by user the whole operator
+    is shuffle-free). Week arithmetic is integer epoch math, deterministic
+    across engines. The countDistinct shuffles (cohort, week, user)
+    triples — at 100 TB swap in the HLL sketch from
+    :mod:`..operators.sketches` at the same call site.
+    """
+    anchor = (
+        df.filter(F.col(type_col) == anchor_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    joined = df.join(anchor, user_col).filter(F.col(ts_col) >= F.col("_t0"))
+    return (
+        joined.select(
+            F.date_format(F.date_trunc("week", F.col("_t0")), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            (
+                (
+                    F.unix_timestamp(ts_col) - F.unix_timestamp("_t0")
+                ) / F.lit(604800)
+            ).cast("bigint").alias("week_n"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct(user_col).alias("n_active"))
+    )

@@ -198,3 +198,29 @@ def test_funnel_strict_order_horizon_and_plan(spark):
     assert "Window" not in plan
     assert "EvalPython" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    from kafka_connect_hdfs_spark.operators.funnel import cohort_retention
+
+    mon = dt.datetime(2026, 1, 5, 10, 0)  # a Monday
+    wk = dt.timedelta(days=7)
+    rows = [
+        # u1 signs up week 0, active weeks 0 and 2
+        (1, mon, 1, "signup"), (1, mon + 2 * wk, 2, "view"),
+        # u2 signs up week 0, active week 0 only; a pre-signup event is
+        # excluded from the matrix
+        (2, mon - wk, 3, "view"), (2, mon + dt.timedelta(days=2), 4, "signup"),
+        # u3 never signs up → not in any cohort
+        (3, mon, 5, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r.cohort_week, r.week_n): r.n_active
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {("2026-01-05", 0): 2, ("2026-01-05", 2): 1}
