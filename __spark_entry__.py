@@ -1062,6 +1062,34 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten roundtrip: land events bucketed by user,
+    erase three users, aggregate the survivors. The oracle filters the
+    source directly (erasure removes exactly the victims and nothing
+    else); dirs_untouched self-checks that only victim buckets were
+    rewritten."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.erasure import erase_keys
+
+    ev = _events(spark, sf_dir)
+    maxu = ev.agg(F.max("user_id")).first()[0]
+    victims = [maxu // 10, maxu // 10 + 1, maxu // 10 + 2]
+    path = tempfile.mkdtemp(prefix="kchs_erase_") + "/landed"
+    ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(8))).write.partitionBy(
+        "bucket"
+    ).parquet(path)
+    stats = erase_keys(spark, path, "user_id", victims)
+    return spark.read.parquet(path).agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.lit(stats["n_dirs_rewritten"] < stats["n_dirs_total"]).alias(
+            "dirs_untouched"
+        ),
+    )
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1287,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_file_skipping": _q_file_skipping,
         "q_funnel_stages": _q_funnel_stages,
         "q_cohort_retention": _q_cohort_retention,
+        "q_user_erasure": _q_user_erasure,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2152,6 +2181,17 @@ SELECT strftime(date_trunc('week', t0), '%Y-%m-%d') AS cohort_week,
 FROM events e JOIN first_seen USING (user_id)
 WHERE e.ts >= t0
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    sql["q_user_erasure"] = """
+WITH victims AS (
+  SELECT (max(user_id) // 10) AS v FROM events
+)
+SELECT count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
+       count(DISTINCT user_id) AS n_users, TRUE AS dirs_untouched
+FROM events
+WHERE user_id NOT IN (SELECT v FROM victims
+                      UNION ALL SELECT v + 1 FROM victims
+                      UNION ALL SELECT v + 2 FROM victims)
 """
     sql["corpus_shuffle_order"] = """
 WITH t AS (
