@@ -1090,6 +1090,28 @@ def _q_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release diff between two corpus snapshots (v1: ids % 7 != 0;
+    v2: ids % 5 != 0, with ids % 11 == 0 edited): per-status id counts.
+    Pruned (id, fingerprint) full-outer join — text never shuffles."""
+    from kafka_connect_hdfs_spark.operators.dedup import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    v1 = docs.filter(F.col("doc_id") % 7 != 0)
+    v2 = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return (
+        snapshot_diff(v1, v2)
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .orderBy("status")
+    )
+
+
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
     Greedy FFD is not SQL-expressible — no oracle entry; the driver records
@@ -1316,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel_stages": _q_funnel_stages,
         "q_cohort_retention": _q_cohort_retention,
         "q_user_erasure": _q_user_erasure,
+        "corpus_snapshot_diff": _q_corpus_snapshot_diff,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2192,6 +2215,28 @@ FROM events
 WHERE user_id NOT IN (SELECT v FROM victims
                       UNION ALL SELECT v + 1 FROM victims
                       UNION ALL SELECT v + 2 FROM victims)
+"""
+    sql["corpus_snapshot_diff"] = f"""
+WITH v1 AS (
+  SELECT doc_id, md5({_NORM}) AS fp FROM documents WHERE doc_id % 7 <> 0
+),
+v2 AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(
+             CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END
+         ), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 5 <> 0
+),
+d AS (
+  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.fp IS NULL THEN 'added'
+              WHEN v2.fp IS NULL THEN 'removed'
+              WHEN v1.fp = v2.fp THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT status, count(*) AS n_docs, min(doc_id) AS min_id
+FROM d GROUP BY status ORDER BY status
 """
     sql["corpus_shuffle_order"] = """
 WITH t AS (

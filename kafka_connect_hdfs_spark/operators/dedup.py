@@ -418,3 +418,37 @@ def incremental_dedup(
     return with_fingerprint(batch, text_col=text_col).join(
         seen_fp, "fingerprint", "left_anti"
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus release diff: classify every document id across two snapshots
+    as ``added`` / ``removed`` / ``changed`` / ``unchanged`` by normalized
+    content fingerprint — the audit table behind "what moved between
+    corpus v1 and v2".
+
+    Scale: both snapshots are pruned to (id, fingerprint) projections
+    (~40 B/row) before the ONE full-outer join on the id — document text
+    never enters the shuffle; the id key is unique per side, so there is
+    no skew and no row explosion.
+    """
+    from kafka_connect_hdfs_spark.operators.text import with_fingerprint
+
+    o = with_fingerprint(old, text_col=text_col).select(
+        F.col(id_col), F.col("fingerprint").alias("fp_old")
+    )
+    n = with_fingerprint(new, text_col=text_col).select(
+        F.col(id_col), F.col("fingerprint").alias("fp_new")
+    )
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

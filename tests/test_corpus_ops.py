@@ -224,3 +224,23 @@ def test_cohort_retention_matrix(spark):
         for r in cohort_retention(df).collect()
     }
     assert got == {("2026-01-05", 0): 2, ("2026-01-05", 2): 1}
+
+
+def test_snapshot_diff_classification_and_pruned_join(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "beta"), (3, "GAMMA  edited"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(v1, v2).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # text must be pruned out before the join: only fingerprints travel
+    plan = snapshot_diff(v1, v2)._jdf.queryExecution().optimizedPlan().toString()
+    join_part = plan.split("Join FullOuter")[1]
+    assert "text" not in join_part.split("LogicalRDD")[0].replace(
+        "md5(cast(trim(regexp_replace(lower(text", ""
+    )

@@ -201,3 +201,31 @@ def test_landed_output_partition_pruned_on_read(spark, sf, tmp_path_factory):
     assert "event_type" in plan.split("PartitionFilters", 1)[1][:200], plan
     # the predicate must NOT survive as a post-scan row Filter
     assert "Filter (" not in plan or "click" not in plan.split("Filter", 1)[1][:120], plan
+
+
+def test_grouped_topk_partial_limit_before_shuffle(spark, sf):
+    """Per-key top-k must push a PARTIAL WindowGroupLimit below the
+    exchange: every map task forwards at most k rows per key, so the
+    shuffle carries ~k x keys rows, not the event log. (Spark's
+    InferWindowGroupLimit fires on rank <= k filters — this guard keeps
+    the query shape inside that optimization.)"""
+    from kafka_connect_hdfs_spark.plans.analytics import q_top_events_per_user
+
+    plan = q_top_events_per_user(spark, sf)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("Exchange hashpartitioning")[-1], (
+        "partial group-limit must sit below the hash exchange"
+    )
+
+
+def test_funnel_single_exchange_no_python(spark, sf):
+    from kafka_connect_hdfs_spark.operators.funnel import funnel_times
+    from kafka_connect_hdfs_spark.session import load_table
+
+    df = funnel_times(
+        load_table(spark, sf, "events"), ("signup", "view", "purchase")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan and "Window" not in plan
