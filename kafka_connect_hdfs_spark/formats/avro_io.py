@@ -126,6 +126,10 @@ def _avro_type(dt):
         return "bytes"
     if s == "timestamp":
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if s == "timestamp_ntz":
+        # Spark 4 reads parquet timestamps without isAdjustedToUTC as NTZ;
+        # Avro 1.10+ spec maps that to local-timestamp-micros.
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
     if s == "date":
         return {"type": "int", "logicalType": "date"}
     if s.startswith("array<"):
@@ -144,6 +148,8 @@ def avro_to_struct(avro_schema: dict):
             lt = t.get("logicalType")
             if lt == "timestamp-micros":
                 return T.TimestampType()
+            if lt == "local-timestamp-micros":
+                return T.TimestampNTZType()
             if lt == "date":
                 return T.DateType()
             if lt == "decimal":
@@ -187,7 +193,7 @@ def _encode_value(buf: io.BytesIO, t, v) -> None:
         return
     if isinstance(t, dict):
         lt = t.get("logicalType")
-        if lt == "timestamp-micros":
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
             if hasattr(v, "timestamp"):
                 import datetime as _dt
 
@@ -244,7 +250,7 @@ def _decode_value(buf: io.BytesIO, t):
         return None if branch == "null" else _decode_value(buf, branch)
     if isinstance(t, dict):
         lt = t.get("logicalType")
-        if lt == "timestamp-micros":
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
             us = read_long(buf)
             # integer arithmetic, symmetric with encode: naive UTC wall time
             return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)

@@ -47,7 +47,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     micros TimestampType so downstream time logic is uniform.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     # defensive: the harness may hand us a session built without our
     # defaults — nanos handling and UTC rendering are load-bearing for every
@@ -59,6 +59,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer division — float division loses precision at 2^63-scale nanos
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            # parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as NTZ in
+            # Spark 4; with the session tz pinned to UTC this cast preserves
+            # wall time exactly, and keeps the engine-wide invariant that
+            # event time is TimestampType (required by withWatermark, and by
+            # the DuckDB oracles which read the same files as naive UTC)
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
