@@ -1263,6 +1263,52 @@ def _q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(feats, every_n=10).orderBy("media_id", "frame_idx")
 
 
+def _q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup with reassembly (chunk = 2 tokens so the small
+    fixture vocabulary actually produces cross-document repeats)."""
+    from kafka_connect_hdfs_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(_docs(spark, sf_dir), chunk_tokens=2).orderBy("doc_id")
+
+
+def _q_dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup candidates with exact-prefix blocking."""
+    from kafka_connect_hdfs_spark.operators.dedup import fuzzy_prefix_pairs
+
+    return fuzzy_prefix_pairs(
+        _docs(spark, sf_dir), block_chars=8, prefix_chars=48, max_dist=12
+    ).orderBy("id_a", "id_b")
+
+
+def _q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash-style near-dup pairs over the media adapter; per-block pair
+    counts keep the result small and deterministic."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        documents_as_media, phash_near_dup_pairs,
+    )
+
+    pairs = phash_near_dup_pairs(documents_as_media(_docs(spark, sf_dir)))
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_rolling_7d_revenue
+
+    return q_rolling_7d_revenue(spark, sf_dir)
+
+
+def _q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_customer_value_deciles
+
+    return q_customer_value_deciles(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -1339,6 +1385,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": _q_cohort_retention,
         "q_user_erasure": _q_user_erasure,
         "corpus_snapshot_diff": _q_corpus_snapshot_diff,
+        "dedup_chunks": _q_dedup_chunks,
+        "dedup_fuzzy_prefix": _q_dedup_fuzzy_prefix,
+        "text_unigram_logprob": _q_text_unigram_logprob,
+        "media_phash_neardup": _q_media_phash_neardup,
+        "q_rolling_7d_revenue": _q_rolling_7d_revenue,
+        "q_customer_deciles": _q_customer_deciles,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2543,4 +2595,80 @@ SELECT t.query_id, coalesce(h.n_hits, 0) AS n_hits, t.n_exact,
 FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
 ORDER BY t.query_id
 """
+    sql["dedup_chunks"] = """
+WITH toks AS (
+  SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents
+),
+chunked AS (
+  SELECT doc_id,
+         CAST(ceil(len(t) / 2.0) AS INT) AS n_chunks,
+         list_transform(range(0, CAST(ceil(len(t) / 2.0) AS INT)),
+                        i -> struct_pack(idx := i,
+                                         chunk := array_to_string(t[i*2+1:i*2+2], ' '))) AS cl
+  FROM toks
+),
+ex AS (SELECT doc_id, n_chunks, unnest(cl) AS u FROM chunked),
+flat AS (SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM ex),
+kept AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM flat
+),
+reassembled AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_chunks,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(r.clean_text, '') AS clean_text
+FROM chunked c LEFT JOIN reassembled r ON c.doc_id = r.doc_id
+ORDER BY c.doc_id
+"""
+    sql["dedup_fuzzy_prefix"] = """
+WITH pref AS (
+  SELECT doc_id, substr(text, 1, 8) AS block, substr(text, 1, 48) AS prefix
+  FROM documents
+),
+sizes AS (SELECT block, count(*) AS bn FROM pref GROUP BY 1),
+small AS (SELECT p.* FROM pref p JOIN sizes s ON p.block = s.block AND s.bn <= 1000)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.prefix, b.prefix)::INT AS edit_dist
+FROM small a JOIN small b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 12
+ORDER BY id_a, id_b
+"""
+    sql["text_unigram_logprob"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt)
+SELECT toks.doc_id, count(*) AS n_tokens,
+       round(avg(ln(cnt.c / tot.t)), 6) AS avg_logprob
+FROM toks JOIN cnt USING (term) CROSS JOIN tot
+GROUP BY toks.doc_id ORDER BY toks.doc_id
+"""
+    sql["media_phash_neardup"] = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         ('0x' || substr(md5(text), 1, 12))::BIGINT AS phash
+  FROM documents
+),
+blocked AS (SELECT media_id, phash, phash >> 40 AS block FROM h),
+sizes AS (SELECT block, count(*) AS bn FROM blocked GROUP BY 1),
+small AS (SELECT b.* FROM blocked b JOIN sizes s ON b.block = s.block AND s.bn <= 10000)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       bit_count(xor(a.phash, b.phash))::INT AS hamming
+FROM small a JOIN small b ON a.block = b.block AND a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 20
+ORDER BY id_a, id_b
+"""
+    from kafka_connect_hdfs_spark.plans.analytics4 import (
+        Q_DECILES_SQL, Q_ROLLING_7D_SQL,
+    )
+
+    sql["q_rolling_7d_revenue"] = Q_ROLLING_7D_SQL
+    sql["q_customer_deciles"] = Q_DECILES_SQL
     return sql

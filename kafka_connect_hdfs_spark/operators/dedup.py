@@ -26,7 +26,7 @@ correctness oracle can replay the exact pipeline in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_connect_hdfs_spark.functions import fan_out
@@ -451,4 +451,118 @@ def snapshot_diff(
         .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("status"),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Paragraph-level (chunk-level) exact dedup with document reassembly —
+    the repeated-paragraph removal step of C4/RefinedWeb-style pipelines:
+    a chunk that appears in multiple documents survives only at its first
+    occurrence (lowest ``(id, position)``), and every document is rebuilt
+    from its surviving chunks in order.
+
+    Chunks here are fixed ``chunk_tokens`` windows of the whitespace token
+    stream (the corpus fixture is single-line; on real corpora pass the
+    paragraph split upstream and ``chunk_tokens`` large enough to cover it).
+
+    Returns one row per input document: ``(id, n_chunks, n_kept,
+    clean_text)`` — ``n_kept`` may be 0 (fully-duplicated document).
+
+    Scale: the only corpus-sized shuffles are (1) the chunk groupBy for the
+    keep-first window, keyed by the chunk TEXT — md5-uniform in practice;
+    cap pathological repeats the same way lsh caps buckets — and (2) the
+    per-document reassembly groupBy on the unique id. Chunking itself is a
+    map-side array expression (no explode until after the per-doc arrays
+    are built, and the exploded rows carry only (id, idx, chunk) — never
+    the full document).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.expr(
+        f"transform(sequence(0, int(ceil(size(split(trim({text_col}), '\\\\s+')) / {chunk_tokens}.0)) - 1, 1), "
+        f"i -> struct(i AS idx, array_join(slice(split(trim({text_col}), '\\\\s+'), i * {chunk_tokens} + 1, {chunk_tokens}), ' ') AS chunk))"
+    )
+    base = df.select(F.col(id_col), n_chunks.alias("n_chunks"), chunks.alias("_chunks"))
+    ex = base.select(id_col, F.explode("_chunks").alias("c")).select(
+        id_col, F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy(id_col, "idx")
+    kept = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        base.select(id_col, "n_chunks")
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def fuzzy_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_chars: int = 8,
+    prefix_chars: int = 48,
+    max_dist: int = 12,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Edit-distance near-duplicate candidate pairs with prefix blocking:
+    two documents pair when their first ``block_chars`` characters match
+    exactly (the block key) and the Levenshtein distance between their
+    ``prefix_chars`` prefixes is ≤ ``max_dist`` — the title/lead-paragraph
+    fuzzy matcher of news/web dedup stacks, built entirely from codegen
+    expressions (``levenshtein`` is a JVM built-in).
+
+    Scale: never O(n²) — candidates come from an equi-join on the block
+    key, and blocks larger than ``max_block_size`` are dropped (the same
+    stop-bucket cap as minhash-LSH: a hot prefix like boilerplate headers
+    would otherwise explode quadratically). Only (id, prefix) projections
+    enter the shuffle. Levenshtein runs on the ≤``prefix_chars``-char
+    prefix, bounding per-pair cost.
+    """
+    pref = df.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, block_chars).alias("block"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("prefix"),
+    )
+    sizes = pref.groupBy("block").agg(F.count("*").alias("_bn"))
+    small = sizes.filter(F.col("_bn") <= max_block_size).select("block")
+    pref = pref.join(F.broadcast(small), "block")
+    a = pref.select(
+        F.col("block"), F.col(id_col).alias("id_a"), F.col("prefix").alias("pref_a")
+    )
+    b = pref.select(
+        F.col("block"), F.col(id_col).alias("id_b"), F.col("prefix").alias("pref_b")
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("pref_a", "pref_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
     )

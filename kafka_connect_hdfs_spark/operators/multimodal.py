@@ -164,3 +164,45 @@ def media_summary(df: DataFrame) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    hamming_max: int = 20,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate candidates over a media table: a
+    48-bit content hash per payload (the stand-in for a real pHash/aHash —
+    with codec libs wired in, compute the hash from decoded pixels inside
+    ``extract_features`` instead; the join machinery is identical), then
+    pairs within the same coarse block whose Hamming distance is ≤
+    ``hamming_max``.
+
+    Scale: the same banded shape as simhash dedup — candidates come from an
+    equi-join on the top-8-bit block (256-way split of the corpus), with
+    oversized blocks dropped (``max_block_size``) so a degenerate constant
+    payload can't go quadratic. Only (media_id, 8-byte hash) projections
+    shuffle; payloads stay on disk (column pruning). bit_count(xor) is a
+    codegen JVM expression — no Python in the pair loop.
+    """
+    from kafka_connect_hdfs_spark.functions import md5_int48
+
+    h = df.select(
+        F.col("media_id"),
+        md5_int48(F.col("payload")).alias("phash"),
+    ).withColumn("block", F.shiftright(F.col("phash"), 40))
+    sizes = h.groupBy("block").agg(F.count("*").alias("_bn"))
+    small = sizes.filter(F.col("_bn") <= max_block_size).select("block")
+    h = h.join(F.broadcast(small), "block")
+    a = h.select("block", F.col("media_id").alias("id_a"), F.col("phash").alias("ph_a"))
+    b = h.select("block", F.col("media_id").alias("id_b"), F.col("phash").alias("ph_b"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+    )

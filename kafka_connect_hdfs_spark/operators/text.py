@@ -403,3 +403,46 @@ def normalize_text(
         F.regexp_replace(F.col(text_col), r"[\p{Cc}\p{Cf}]", ""), r"\s+", " "
     )
     return df.withColumn(out_col, _unicode_norm(F.trim(cleaned)))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    total_tokens: int | None = None,
+) -> DataFrame:
+    """Corpus-unigram language-model scoring: every document's mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheap "perplexity-ish" quality signal training pipelines use to rank
+    documents when no external LM is available (low mean log-prob = rare
+    -token soup; high = stereotyped boilerplate).
+
+    Two passes over the token stream, both shuffle-bounded by vocabulary:
+    pass 1 builds the term-count table (map-side combine makes the shuffle
+    vocabulary-sized, not token-sized); pass 2 re-joins counts onto the
+    (id, term) pairs — the count table is broadcast (a vocabulary is
+    ~millions of rows even at 100 TB corpus scale) so the corpus side
+    never re-shuffles; the per-document average then groups on the unique
+    id. Pass ``total_tokens`` when known to skip the scalar pre-count.
+    All math is deterministic up to float addition order; the output is
+    rounded to 6 places like the other float-valued operators.
+    """
+    df = fan_out(df)
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term"),
+    )
+    counts = terms.groupBy("term").agg(F.count("*").alias("c"))
+    if total_tokens is None:
+        total_tokens = counts.agg(F.sum("c")).collect()[0][0]
+    logp = F.log(F.col("c") / F.lit(float(total_tokens)))
+    return (
+        terms.join(F.broadcast(counts), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Fourth tranche of the query surface: time-range window frames.
+
+The reference delegates relational queries to Hive over its landed tables
+(docs/hdfs_connector.rst:192-200, SURVEY.md §2.9); rolling *time-interval*
+aggregation is the canonical shape Hive users run on event-partitioned
+landings (a moving 7-day revenue view), so it belongs in the same surface.
+
+Scale stance (100 TB): a RANGE-interval window shuffles once on its
+partition key (customer) and sorts within partitions — no self-join
+(the naive rolling-window formulation is an O(n·w) range self-join; the
+window-frame formulation is O(n log n) with a single exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_hdfs_spark.plans.analytics import _t
+
+
+def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: the customer's order count and revenue over the 7 days up
+    to and including that order's date (RANGE BETWEEN INTERVAL frame).
+
+    Scale: one exchange on o_custkey (uniform key), one sort per partition;
+    the frame is evaluated in a single Window operator — no self-join, no
+    re-shuffle for the second aggregate (both share the frame). Sums run in
+    DECIMAL(18,2) so the result is order-independent (bitwise reproducible
+    across partitionings), then surface as DOUBLE.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    frame = (
+        "PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW"
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.expr(
+                f"CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER ({frame}) AS DOUBLE)"
+            ).alias("revenue_7d"),
+            F.expr(f"count(*) OVER ({frame})").alias("n_orders_7d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q_ROLLING_7D_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS revenue_7d,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+         AS n_orders_7d
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime spend bucketed into global deciles (ntile) with
+    per-decile totals — the spend-distribution report behind quota/quality
+    tiering (and the quality-quantile filtering pattern training pipelines
+    apply per-language to documents).
+
+    Scale: the per-customer aggregate shuffles on o_custkey (uniform);
+    ntile(10) needs a single global ordering of the ~customer-count rows —
+    fine at any corpus scale because it runs on the *aggregated* table
+    (customers, not orders). Totals run in DECIMAL for reproducibility.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_d"),
+        F.count("*").alias("n_orders"),
+    )
+    decile = F.expr("ntile(10) OVER (ORDER BY spend_d DESC, o_custkey)")
+    return (
+        spend.select("o_custkey", "spend_d", "n_orders", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("spend_d").cast("double").alias("decile_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+Q_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_d,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+tiled AS (
+  SELECT *, ntile(10) OVER (ORDER BY spend_d DESC, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile::INT AS decile, count(*) AS n_customers,
+       sum(n_orders)::BIGINT AS n_orders,
+       CAST(sum(spend_d) AS DOUBLE) AS decile_spend
+FROM tiled GROUP BY 1 ORDER BY 1
+"""

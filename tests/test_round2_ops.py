@@ -1,0 +1,136 @@
+"""Unit tests for the round-2 operator batch: chunk-level dedup with
+reassembly, Levenshtein fuzzy-prefix pairs, unigram log-prob scoring,
+pHash near-dup pairs, and the time-range window queries."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_chunk_dedup_removes_repeats_and_reassembles(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # chunks (2-tok): "a b" "c d" "e f"
+            (2, "a b x y"),           # "a b" duplicates doc 1's first chunk
+            (3, "c d e f"),           # both chunks already seen in doc 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(docs, chunk_tokens=2).collect()}
+    assert out[1]["n_chunks"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "x y"
+    # doc 3 fully duplicated: survives as a row with empty text
+    assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
+
+
+def test_chunk_dedup_keeps_first_occurrence_order(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [(10, "p q r s"), (2, "p q")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(docs, chunk_tokens=2).collect()}
+    # lowest doc_id wins the shared chunk
+    assert out[2]["n_kept"] == 1
+    assert out[10]["n_kept"] == 1 and out[10]["clean_text"] == "r s"
+
+
+def test_fuzzy_prefix_pairs_blocks_and_thresholds(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import fuzzy_prefix_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "breaking news: markets rally on cpi data today"),
+            (2, "breaking news: markets rally on cpi data tonite"),
+            (3, "breaking news: something entirely different happened here now"),
+            (4, "completely unrelated document text goes here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in fuzzy_prefix_pairs(
+            docs, block_chars=8, prefix_chars=48, max_dist=12
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # different block
+    # 1 vs 3 share the block but diverge past the threshold
+    assert (1, 3) not in pairs
+
+
+def test_fuzzy_prefix_block_cap_drops_hot_blocks(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import fuzzy_prefix_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "same-head different tail %d" % i) for i in range(6)],
+        "doc_id long, text string",
+    )
+    capped = fuzzy_prefix_pairs(docs, max_block_size=2).count()
+    assert capped == 0  # block of 6 > cap 2 → dropped entirely
+
+
+def test_unigram_logprob_hand_computed(spark):
+    from kafka_connect_hdfs_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b")], "doc_id long, text string"
+    )
+    # corpus counts: a=2, b=2, total=4 → logp(a)=logp(b)=ln(0.5)
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 1
+    expected = round(math.log(0.5), 6)
+    assert abs(out[1]["avg_logprob"] - expected) < 1e-9
+    assert abs(out[2]["avg_logprob"] - expected) < 1e-9
+
+
+def test_phash_near_dup_identical_payloads(spark):
+    from kafka_connect_hdfs_spark.operators.multimodal import phash_near_dup_pairs
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"same-bytes")),
+            (2, "image", bytearray(b"same-bytes")),
+            (3, "image", bytearray(b"other-bytes")),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(media, hamming_max=0).collect()
+    }
+    assert pairs == {(1, 2): 0}
+
+
+def test_rolling_7d_revenue_frame_bounds(spark, sf_dir):
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_rolling_7d_revenue
+    from kafka_connect_hdfs_spark.session import load_table
+
+    out = q_rolling_7d_revenue(spark, sf_dir)
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert out.count() == n_orders
+    # every row's rolling revenue includes at least its own order
+    bad = out.filter(
+        (F.col("n_orders_7d") < 1) | (F.col("revenue_7d") <= 0)
+    ).count()
+    assert bad == 0
+
+
+def test_customer_deciles_partition_customers(spark, sf_dir):
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_customer_value_deciles
+    from kafka_connect_hdfs_spark.session import load_table
+
+    rows = q_customer_value_deciles(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    # deciles are ordered by spend: first decile outearns the last
+    assert rows[0]["decile_spend"] > rows[-1]["decile_spend"]
