@@ -1297,6 +1297,22 @@ def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-percentile gate (keep top 80% within language)."""
+    from kafka_connect_hdfs_spark.operators.text import quality_percentile_filter
+
+    return quality_percentile_filter(_docs(spark, sf_dir), min_percentile=0.2).orderBy(
+        "doc_id"
+    )
+
+
+def _q_text_unk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-vocabulary pruning: corpus-frequency < 2 → <unk>."""
+    from kafka_connect_hdfs_spark.operators.text import unk_replace
+
+    return unk_replace(_docs(spark, sf_dir), min_count=2).orderBy("doc_id")
+
+
 def _q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.plans.analytics4 import q_rolling_7d_revenue
 
@@ -1388,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": _q_dedup_chunks,
         "dedup_fuzzy_prefix": _q_dedup_fuzzy_prefix,
         "text_unigram_logprob": _q_text_unigram_logprob,
+        "text_quality_filter": _q_text_quality_filter,
+        "text_unk_replace": _q_text_unk_replace,
         "media_phash_neardup": _q_media_phash_neardup,
         "q_rolling_7d_revenue": _q_rolling_7d_revenue,
         "q_customer_deciles": _q_customer_deciles,
@@ -2671,4 +2689,46 @@ ORDER BY id_a, id_b
 
     sql["q_rolling_7d_revenue"] = Q_ROLLING_7D_SQL
     sql["q_customer_deciles"] = Q_DECILES_SQL
+    sql["text_quality_filter"] = f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         length(text)::DOUBLE AS total,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE AS punct,
+         len({_TOKS})::DOUBLE AS n_tok,
+         len(list_filter({_TOKS}, x -> list_contains({_en}, x)))::DOUBLE AS n_stop,
+         len(list_distinct({_TOKS}))::DOUBLE AS n_uniq
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         round((CASE WHEN total > 0 THEN alpha / total ELSE 0.0 END
+                + (1 - CASE WHEN total > 0 THEN punct / total ELSE 0.0 END)
+                + least(1.0, 4 * CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END)
+                + CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END) / 4, 6)
+           AS quality_score
+  FROM feats
+),
+ranked AS (
+  SELECT *, round(percent_rank() OVER (PARTITION BY lang ORDER BY quality_score), 6)
+              AS q_pct
+  FROM scored
+)
+SELECT doc_id, lang, quality_score, q_pct
+FROM ranked WHERE q_pct >= 0.2 ORDER BY doc_id
+"""
+    sql["text_unk_replace"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents
+),
+cnt AS (SELECT term, count(*) AS c
+        FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1),
+keptl AS (SELECT list(term) AS kl FROM cnt WHERE c >= 2)
+SELECT doc_id, len(t)::INT AS n_tokens,
+       len(list_filter(t, x -> NOT list_contains(kl, x)))::INT AS n_unk,
+       array_to_string(list_transform(t, x -> CASE WHEN list_contains(kl, x)
+                                                   THEN x ELSE '<unk>' END), ' ')
+         AS pruned_text
+FROM toks CROSS JOIN keptl ORDER BY doc_id
+"""
     return sql

@@ -330,15 +330,21 @@ def tfidf_top_terms(
     per-doc vocabulary, not token count), and the document-frequency table
     derives from tf (one extra agg over (doc, term) rows, never a second
     text pass). df-table is vocabulary-sized → broadcast back onto tf. The
-    corpus size N is a single scalar count (pass ``n_docs`` when the caller
-    already knows it to skip that pre-pass entirely). The final top-N window
-    partitions by doc — uniform keys, no skew.
+    corpus size N stays INSIDE the plan as a broadcast one-row aggregate
+    (count-star over the pruned id column — parquet answers it from
+    footers) so the operator is one job with no eager driver action; pass
+    ``n_docs`` to skip even that. The final top-N window partitions by
+    doc — uniform keys, no skew.
     """
     from pyspark.sql import Window
 
     df = fan_out(df)
     if n_docs is None:
-        n_docs = df.count()
+        n_col = F.col("_n_docs")
+        n_df = F.broadcast(df.select(id_col).agg(F.count("*").alias("_n_docs")))
+    else:
+        n_col = F.lit(int(n_docs))
+        n_df = None
     terms = df.select(
         F.col(id_col),
         F.explode(
@@ -349,10 +355,13 @@ def tfidf_top_terms(
     )
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     doc_freq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("doc_freq") + F.lit(1.0))) + F.lit(
-        1.0
-    )
-    scored = tf.join(F.broadcast(doc_freq), "term").select(
+    idf = F.log(
+        (n_col.cast("double") + F.lit(1.0)) / (F.col("doc_freq") + F.lit(1.0))
+    ) + F.lit(1.0)
+    joined = tf.join(F.broadcast(doc_freq), "term")
+    if n_df is not None:
+        joined = joined.crossJoin(n_df)
+    scored = joined.select(
         F.col(id_col),
         F.col("term"),
         F.col("tf"),
@@ -445,4 +454,76 @@ def unigram_logprob(
             F.count("*").alias("n_tokens"),
             F.round(F.avg(logp), 6).alias("avg_logprob"),
         )
+    )
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_percentile: float = 0.2,
+) -> DataFrame:
+    """Per-language quality-percentile gate: rank every document by its
+    heuristic ``quality_score`` WITHIN its language and keep documents at or
+    above ``min_percentile`` — the relative (not absolute-threshold) quality
+    cut real corpus pipelines apply so low-resource languages aren't wiped
+    out by an absolute bar tuned on English.
+
+    Scale: one exchange on the language key. Languages are few and skewed
+    (English dominates) — percent_rank needs a per-language sort, so a hot
+    language concentrates in one task; at 100 TB swap the exact
+    percent_rank for a two-pass approx-quantile threshold per language
+    (percentile_approx on quality, then a map-side filter) — same
+    semantics to within sketch error, no per-language sort. The exact
+    window form is the oracle-checkable reference.
+    """
+    scored = with_quality_score(df, text_col=text_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy("quality_score")
+    return (
+        scored.withColumn("q_pct", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("q_pct") >= min_percentile)
+        .select(id_col, lang_col, "quality_score", "q_pct")
+    )
+
+
+def unk_replace(
+    df: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary pruning: replace every token whose CORPUS frequency is
+    below ``min_count`` with ``<unk>`` and rebuild the document — the
+    closed-vocabulary preprocessing step of classic LM training (and the
+    shape of any "rare value → other" recode at corpus scale).
+
+    Returns ``(id, n_tokens, n_unk, pruned_text)``.
+
+    Scale: pass 1 is the vocabulary count (map-side combined, shuffle is
+    vocab-sized); the kept-vocabulary is then BROADCAST as a set and pass 2
+    is a map-side array transform — the corpus never shuffles at all, and
+    the document rebuild is position-preserving by construction (no
+    explode/reassemble round trip). Works because a kept-vocab of even
+    millions of short tokens is megabytes; for larger vocabs switch to the
+    explode+join+reassemble form (chunk_dedup's machinery).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    kept = [r["term"] for r in counts.filter(F.col("c") >= min_count).collect()]
+    kept_arr = F.array([F.lit(t) for t in sorted(kept)])
+    replaced = F.transform(
+        toks, lambda x: F.when(F.array_contains(kept_arr, x), x).otherwise(F.lit("<unk>"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(replaced, lambda x: x == F.lit("<unk>"))).alias("n_unk"),
+        F.array_join(replaced, " ").alias("pruned_text"),
     )

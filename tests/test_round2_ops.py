@@ -134,3 +134,38 @@ def test_customer_deciles_partition_customers(spark, sf_dir):
     assert sum(r["n_customers"] for r in rows) == n_cust
     # deciles are ordered by spend: first decile outearns the last
     assert rows[0]["decile_spend"] > rows[-1]["decile_spend"]
+
+
+def test_quality_percentile_filter_keeps_top_share(spark):
+    from kafka_connect_hdfs_spark.operators.text import quality_percentile_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat on the mat and it is nice"),
+            (2, "en", "zzzz zzzz zzzz zzzz"),
+            (3, "en", "a clean readable sentence with the usual words in it"),
+            (4, "de", "der hund ist nicht da und das ist gut"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    kept = quality_percentile_filter(docs, min_percentile=0.5).collect()
+    ids = {r["doc_id"] for r in kept}
+    # the repetitive no-stopword doc ranks lowest among "en" and is cut
+    assert 2 not in ids
+    # the lone "de" doc is percentile 0 of its own language -> cut at 0.5...
+    # percent_rank of a single-row partition is 0, which is < 0.5
+    assert 4 not in ids
+    assert {1, 3} & ids
+
+
+def test_unk_replace_positions_and_counts(spark):
+    from kafka_connect_hdfs_spark.operators.text import unk_replace
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unk_replace(docs, min_count=2).collect()}
+    # alpha(2) and beta(2) survive; gamma(1) -> <unk>
+    assert out[1]["pruned_text"] == "alpha beta alpha" and out[1]["n_unk"] == 0
+    assert out[2]["pruned_text"] == "beta <unk>" and out[2]["n_unk"] == 1
+    assert out[2]["n_tokens"] == 2
