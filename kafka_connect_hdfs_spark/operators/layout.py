@@ -94,3 +94,64 @@ def prune_files(stats: DataFrame, col: str, lo, hi) -> DataFrame:
     return stats.filter(
         ~((F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi)))
     )
+
+
+def write_with_bloom_filters(
+    df: DataFrame,
+    path: str,
+    bloom_cols: Sequence[str],
+    ndv: int = 100_000,
+    mode: str = "overwrite",
+    disable_dictionary: bool = False,
+) -> None:
+    """Land parquet with per-column bloom filters — the point-lookup
+    complement to min/max stats: range predicates skip via ``file_stats``/
+    ``prune_files``; equality probes on high-cardinality columns (user ids,
+    fingerprints) skip via blooms even when every file's [min,max] straddles
+    the probe value. This is the parquet-native feature Delta/Iceberg expose
+    as bloom filter indexes; Spark's parquet writer takes it as per-column
+    write options.
+
+    ``ndv`` sizes the filter (expected distinct values per file) — oversize
+    rather than undersize: a saturated bloom skips nothing.
+
+    Dictionary interplay (parquet-mr semantics, verified in the test):
+    a column whose pages stay fully dictionary-encoded gets NO bloom —
+    the dictionary page already answers membership exactly. At real scale
+    high-cardinality columns overflow the dictionary and the bloom kicks
+    in automatically; ``disable_dictionary`` forces it for small/test
+    writes.
+    """
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+        if disable_dictionary:
+            w = w.option(f"parquet.enable.dictionary#{c}", "false")
+    w.parquet(path)
+
+
+def partition_profile(df: DataFrame) -> DataFrame:
+    """Physical-partition skew report: rows per Spark partition (id, count,
+    share of max). The first diagnostic to run when a stage straggles —
+    a top-heavy profile means the upstream key needs salting
+    (``functions.salted_agg``), AQE skew-join splitting, or a different
+    partitioner.
+
+    Scale: one count-per-partition aggregate (map-side, no data movement
+    beyond one long per partition).
+    """
+    from pyspark.sql import Window
+
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.col("_pid").alias("partition_id"),
+            "n_rows",
+            F.round(
+                F.col("n_rows") / F.max("n_rows").over(Window.partitionBy()), 4
+            ).alias("share_of_max"),
+        )
+    )
