@@ -58,6 +58,8 @@ def main() -> None:
         "cdc_latest_state",
         "q_hll_distinct_users",
         "embedding_dim_stats",
+        "dedup_chunks",
+        "q_rolling_7d_revenue",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

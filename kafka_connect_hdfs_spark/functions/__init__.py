@@ -16,7 +16,15 @@ from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
-    """Repartition up to defaultParallelism×multiplier iff under-partitioned."""
+    """Repartition up to defaultParallelism×multiplier iff under-partitioned.
+
+    Streaming frames pass through untouched (partition introspection is a
+    batch-only action; micro-batch parallelism comes from the source's own
+    splitting) — this is what lets every corpus operator compose with
+    readStream unchanged.
+    """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiplier
     if df.rdd.getNumPartitions() < target:

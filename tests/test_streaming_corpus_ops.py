@@ -1,0 +1,88 @@
+"""The corpus operators are stateless column transforms, so they must
+compose with Structured Streaming unchanged (the property that makes the
+batch pipeline reusable for continuous ingestion): stream the documents
+fixture through quality scoring + token stats + fingerprinting and assert
+the result matches the batch run exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _doc_stream(spark, tmp_path, docs, n_files=3):
+    path = f"{tmp_path}/docs_src"
+    docs.repartition(n_files).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+
+
+def test_corpus_scoring_composes_with_streaming(spark, tmp_path):
+    from kafka_connect_hdfs_spark.operators.text import (
+        with_fingerprint, with_quality_score, with_token_stats,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def pipeline(df):
+        scored = with_quality_score(with_token_stats(df))
+        return with_fingerprint(scored).select(
+            "doc_id", "ws_tokens", "bpe_tokens", "quality_score", "fingerprint"
+        )
+
+    stream = _doc_stream(spark, tmp_path, docs)
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_stream_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp_path}/chk")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"], r["quality_score"], r["fingerprint"])
+        for r in pipeline(docs).collect()
+    }
+    streamed = spark.sql("SELECT * FROM corpus_stream_out").collect()
+    assert len(streamed) == len(batch)
+    for r in streamed:
+        assert batch[r["doc_id"]] == (
+            r["ws_tokens"], r["bpe_tokens"], r["quality_score"], r["fingerprint"]
+        ), r["doc_id"]
+
+
+def test_streaming_quality_gate_filters_inline(spark, tmp_path):
+    """An absolute-threshold quality gate (the streaming-safe variant of the
+    percentile gate, which needs a global rank and is batch-only) drops the
+    same documents the batch filter drops."""
+    from kafka_connect_hdfs_spark.operators.text import with_quality_score
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    thresh = 0.55
+
+    stream = _doc_stream(spark, tmp_path, docs)
+    q = (
+        with_quality_score(stream)
+        .filter(F.col("quality_score") >= thresh)
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("gate_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp_path}/chk2")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM gate_out").collect()}
+    want = {
+        r["doc_id"]
+        for r in with_quality_score(docs)
+        .filter(F.col("quality_score") >= thresh)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and 0 < len(want) < docs.count()
