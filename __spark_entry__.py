@@ -1297,6 +1297,16 @@ def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (m=4 subspaces, 16 codes/subspace,
+    deterministic first-16 codebook)."""
+    from kafka_connect_hdfs_spark.operators.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, k=5, m=4, n_codes=16).orderBy("query_id", "rank")
+
+
 def _q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality-percentile gate (keep top 80% within language)."""
     from kafka_connect_hdfs_spark.operators.text import quality_percentile_filter
@@ -1407,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": _q_text_quality_filter,
         "text_unk_replace": _q_text_unk_replace,
         "media_phash_neardup": _q_media_phash_neardup,
+        "ann_pq_topk": _q_ann_pq_topk,
         "q_rolling_7d_revenue": _q_rolling_7d_revenue,
         "q_customer_deciles": _q_customer_deciles,
         # green in r01 — re-checked as budget allows
@@ -2716,6 +2727,40 @@ ranked AS (
 )
 SELECT doc_id, lang, quality_score, q_pct
 FROM ranked WHERE q_pct >= 0.2 ORDER BY doc_id
+"""
+    sql["ann_pq_topk"] = """
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+book AS (SELECT vec_id AS c_id, v FROM vecs WHERE vec_id < 16),
+subs AS (SELECT unnest(range(0, 4)) AS j),
+enc_d AS (
+  SELECT e.vec_id, s.j, b.c_id,
+         round(list_sum(list_transform(range(1, 17),
+               i -> (e.v[s.j*16 + i] - b.v[s.j*16 + i])
+                    * (e.v[s.j*16 + i] - b.v[s.j*16 + i]))), 6) AS d
+  FROM vecs e CROSS JOIN subs s CROSS JOIN book b
+),
+codes AS (
+  SELECT vec_id, j, c_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c_id) AS rn
+    FROM enc_d
+  ) WHERE rn = 1
+),
+qtab AS (SELECT vec_id AS query_id, j, c_id, d FROM enc_d WHERE vec_id < 10),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list(q.d ORDER BY q.j)), 6) AS adc_dist
+  FROM codes c JOIN qtab q ON c.j = q.j AND c.code = q.c_id
+  WHERE c.vec_id != q.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, adc_dist, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
     sql["text_unk_replace"] = """
 WITH toks AS (

@@ -60,6 +60,7 @@ def main() -> None:
         "embedding_dim_stats",
         "dedup_chunks",
         "q_rolling_7d_revenue",
+        "ann_pq_topk",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

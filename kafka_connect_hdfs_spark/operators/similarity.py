@@ -678,3 +678,142 @@ def standardize(
             centered, stds, lambda x, s: F.when(s > 0, x / s).otherwise(F.lit(0.0))
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — FAISS-style compressed-domain ANN
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebook: subspace ``j``'s
+    centroids are the ``j``-th subvectors of the first ``n_codes`` vectors
+    by id (the same deterministic-seed convention as IVF; refine offline
+    with ``lloyd_refine`` for production recall). Returns
+    ``book[j][c] = centroid c of subspace j`` (python lists — the codebook
+    is by construction tiny and becomes literal expression trees).
+    """
+    rows = sorted(
+        embeddings.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    dim = len(rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    return [
+        [[float(x) for x in r["v"][j * dsub : (j + 1) * dsub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _pq_subspace_dists(vec: F.Column, book_j: list[list[float]], j: int) -> list[F.Column]:
+    """Rounded squared-L2 distances from the current row's subvector ``j``
+    to every centroid of subspace ``j`` — pure codegen fold per centroid."""
+    dsub = len(book_j[0])
+    sub = F.slice(vec, j * dsub + 1, dsub)
+    out = []
+    for cent in book_j:
+        c_arr = F.array(*[F.lit(x) for x in cent])
+        d = F.aggregate(
+            F.zip_with(sub, c_arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out.append(F.round(d, 6))
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    book: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode: each vector compresses to ``m`` small codes (the argmin
+    centroid per subspace, ties to the lowest code id).
+
+    Scale: entirely map-side — the codebook is literal arrays folded into
+    whole-stage codegen, the argmin is array_min over (dist, code) structs;
+    zero shuffle, zero Python (the same shuffle-free pattern as minhash
+    signatures and IVF assignment; plan-guarded in test_plan_quality).
+    A 100 TB corpus compresses to m bytes/vector of codes + ids without
+    any data movement.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    code_cols = []
+    for j, book_j in enumerate(book):
+        choices = F.array(
+            *[
+                F.struct(d.alias("d"), F.lit(c).alias("c"))
+                for c, d in enumerate(_pq_subspace_dists(v, book_j, j))
+            ]
+        )
+        code_cols.append(F.array_min(choices)["c"])
+    return embeddings.select(
+        F.col(id_col), F.array(*code_cols).cast("array<int>").alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries stay
+    full-precision, candidates are looked up through their codes in a
+    per-query distance table — the memory-bound ANN configuration real
+    vector stores run when the corpus can't hold floats
+    (approx distance = Σ_j table_j[code_j]).
+
+    Scale: codes are computed map-side (see ``pq_encode``); the per-query
+    tables are tiny (m × n_codes doubles) and ride a broadcast join; the
+    only shuffle is the per-query top-k window over (query, candidate,
+    dist) triples — vectors themselves never move, and the candidate side
+    reads only m ints per row. Ties break by neighbor id.
+    """
+    from pyspark.sql import Window
+
+    book = pq_codebook(embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    codes = fan_out(pq_encode(embeddings, book, id_col=id_col, vec_col=vec_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col("codes")
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    tables = F.array(
+        *[F.array(*_pq_subspace_dists(qv, book_j, j)) for j, book_j in enumerate(book)]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), tables.alias("tabs"))
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("tabs"),
+                F.col("codes"),
+                lambda tab, code: F.element_at(tab, code + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    sims = (
+        codes.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", adc)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

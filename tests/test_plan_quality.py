@@ -229,3 +229,18 @@ def test_funnel_single_exchange_no_python(spark, sf):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "EvalPython" not in plan and "Window" not in plan
+
+
+def test_pq_encode_shuffle_free(spark):
+    """PQ encoding must be map-side: codebook folded into literals, argmin
+    via array_min over structs — no Exchange, no aggregate in the plan.
+    At 100 TB this is what lets the corpus compress to m bytes/vector
+    without any data movement."""
+    from kafka_connect_hdfs_spark.operators.similarity import pq_codebook, pq_encode
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    book = pq_codebook(emb, m=4, n_codes=8)
+    plan = _plan(pq_encode(emb, book))
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan

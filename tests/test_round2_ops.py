@@ -208,3 +208,41 @@ def test_partition_profile_reports_skew(spark):
     # a single-partition frame is maximally skewed: one row, share 1.0
     one = partition_profile(spark.range(10).coalesce(1)).collect()
     assert len(one) == 1 and one[0]["share_of_max"] == 1.0
+
+
+def test_pq_topk_recall_against_exact(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        brute_force_topk, pq_topk,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = pq_topk(emb, queries, k=10, m=4, n_codes=16).collect()
+    assert len(approx) == 5 * 10
+    hits = sum(1 for r in approx if (r["query_id"], r["neighbor_id"]) in exact)
+    # compressed-domain search is approximate; deterministic fixture makes
+    # this a stable regression bound rather than a flaky recall target
+    assert hits / len(approx) >= 0.3
+
+
+def test_pq_codes_shape_and_range(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import pq_codebook, pq_encode
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    book = pq_codebook(emb, m=4, n_codes=8)
+    assert len(book) == 4 and all(len(bj) == 8 for bj in book)
+    rows = pq_encode(emb, book).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
+    # a codebook member encodes (in its own subspaces) to itself: vec 3's
+    # subvector distance to centroid 3 is 0 in every subspace
+    own = next(r for r in rows if r["vec_id"] == 3)
+    assert own["codes"] == [3, 3, 3, 3]
