@@ -1297,6 +1297,41 @@ def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_ops_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE through the gate: land events partitioned by type, upsert a
+    deterministic batch (ids %5==0 get value+1000; ids 3000-3199 insert),
+    read the table back and aggregate — the oracle computes the expected
+    post-merge state from the source table, so lost updates, duplicated
+    inserts, or collateral partition damage all break the hash."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.merge import merge_upsert
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") < 3000)
+    path = tempfile.mkdtemp(prefix="kchs_merge_rt_") + "/t"
+    base.write.partitionBy("event_type").parquet(path)
+    updates = base.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    inserts = ev.filter((F.col("event_id") >= 3000) & (F.col("event_id") < 3200))
+    merge_upsert(
+        spark, path, updates.unionByName(inserts.select(*updates.columns)),
+        key_col="event_id", partition_col="event_type",
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (m=4 subspaces, 16 codes/subspace,
     deterministic first-16 codebook)."""
@@ -1418,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unk_replace": _q_text_unk_replace,
         "media_phash_neardup": _q_media_phash_neardup,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ops_merge_upsert": _q_ops_merge_upsert,
         "q_rolling_7d_revenue": _q_rolling_7d_revenue,
         "q_customer_deciles": _q_customer_deciles,
         # green in r01 — re-checked as budget allows
@@ -2727,6 +2763,19 @@ ranked AS (
 )
 SELECT doc_id, lang, quality_score, q_pct
 FROM ranked WHERE q_pct >= 0.2 ORDER BY doc_id
+"""
+    sql["ops_merge_upsert"] = """
+WITH merged AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 5 = 0 THEN value + 1000.0 ELSE value END AS value
+  FROM events WHERE event_id < 3000
+  UNION ALL
+  SELECT event_id, event_type, value
+  FROM events WHERE event_id >= 3000 AND event_id < 3200
+)
+SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM merged GROUP BY event_type ORDER BY event_type
 """
     sql["ann_pq_topk"] = """
 WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1,0 +1,87 @@
+"""Partition-scoped MERGE (upsert) over landed data — the lakehouse
+operation the reference cannot express (it can only append new files,
+SURVEY.md §2.4-2.6): apply a batch of keyed updates/inserts to a
+partitioned parquet/orc landing, rewriting ONLY the partitions the batch
+touches.
+
+Semantics: last-writer-wins per key — an update replaces the existing
+row with the same key; unseen keys insert into their partition.
+
+Execution shape (Spark-first, 100 TB-ready):
+  1. ONE job stages the merged state of every affected partition into a
+     hidden staging dir: the target is scanned with a partition-value
+     filter (Catalyst prunes untouched directories at planning time —
+     they are never opened), existing rows of updated keys drop via a
+     broadcast anti-join, and the update batch unions in.
+  2. The driver then swaps each staged partition directory into place
+     with the same hidden-sibling double-rename discipline as
+     :mod:`.compaction` and :mod:`.erasure` — metadata-only renames,
+     readers see old or new, a crash leaves originals recoverable and
+     re-running converges.
+
+Untouched partitions are never read, written, or renamed (byte-identical
+files, same inode — asserted in tests). The update-key anti-join is
+broadcast because a merge batch is small relative to the table; swap in a
+shuffle join for giant backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_col: str,
+    partition_col: str,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """MERGE ``updates`` into the partitioned table at ``table_path``.
+
+    ``updates`` must carry the full row schema including ``partition_col``
+    (a key's partition value must not change across the merge — moving a
+    key between partitions is a delete+insert the caller expresses
+    explicitly). Returns
+    ``{"n_partitions_touched", "n_update_rows", "n_rows_after_affected"}``.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(table_path).getFileSystem(conf)
+
+    parts = sorted(r[0] for r in updates.select(partition_col).distinct().collect())
+    n_update_rows = updates.count()
+
+    tgt = spark.read.format(fmt).load(table_path)
+    existing = tgt.filter(F.col(partition_col).isin(parts))
+    keep = existing.join(
+        F.broadcast(updates.select(key_col).distinct()), key_col, "left_anti"
+    )
+    merged = keep.unionByName(updates.select(*keep.columns))
+
+    staging = f"{table_path}/.merge_tmp"
+    fs.delete(Path(staging), True)
+    # one job: stage the post-merge state of every affected partition
+    merged.write.format(fmt).mode("overwrite").partitionBy(partition_col).save(staging)
+    n_after = spark.read.format(fmt).load(staging).count()
+
+    for p in parts:
+        leaf = f"{partition_col}={p}"
+        live = f"{table_path}/{leaf}"
+        old = f"{table_path}/.{leaf}__merge_old"
+        staged = f"{staging}/{leaf}"
+        fs.delete(Path(old), True)
+        if fs.exists(Path(live)):
+            fs.rename(Path(live), Path(old))
+        fs.rename(Path(staged), Path(live))
+        fs.delete(Path(old), True)
+    fs.delete(Path(staging), True)
+
+    return {
+        "n_partitions_touched": len(parts),
+        "n_update_rows": n_update_rows,
+        "n_rows_after_affected": n_after,
+    }

@@ -1,0 +1,87 @@
+"""MERGE (upsert) over a partitioned landing: correctness, partition
+isolation (untouched dirs byte-identical), idempotent re-run."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_connect_hdfs_spark.merge import merge_upsert
+from kafka_connect_hdfs_spark.session import load_table
+
+
+def _land(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 600)
+    path = f"{tmp_path}/t"
+    ev.write.partitionBy("event_type").parquet(path)
+    return ev, path
+
+
+def _inode_map(path):
+    return {
+        f: (os.stat(f).st_ino, os.stat(f).st_mtime_ns)
+        for f in glob.glob(f"{path}/*/*.parquet")
+    }
+
+
+def test_merge_updates_inserts_and_isolates_partitions(spark, sf_dir, tmp_path):
+    ev, path = _land(spark, sf_dir, tmp_path)
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    touched, untouched = types[0], types[1:]
+
+    base = ev.filter(F.col("event_type") == touched)
+    updates = base.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    inserts = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= 600) & (F.col("event_id") < 650))
+        .withColumn("event_type", F.lit(touched))
+    )
+    batch = updates.unionByName(inserts.select(*updates.columns))
+
+    before = _inode_map(path)
+    stats = merge_upsert(spark, path, batch, key_col="event_id",
+                         partition_col="event_type")
+    assert stats["n_partitions_touched"] == 1
+    assert stats["n_update_rows"] == batch.count()
+
+    after = _inode_map(path)
+    for f, sig in before.items():
+        part = f.split("event_type=")[1].split("/")[0]
+        if part in untouched:
+            assert after.get(f) == sig, f"untouched file rewritten: {f}"
+
+    back = spark.read.parquet(path)
+    # updated rows carry the new value
+    upd_back = back.filter(
+        (F.col("event_type") == touched) & (F.col("event_id") % 3 == 0)
+        & (F.col("event_id") < 600)
+    )
+    assert upd_back.filter(F.col("value") < 1000.0).count() == 0
+    # inserts arrived exactly once; non-updated rows intact
+    assert back.count() == ev.count() + inserts.count()
+    assert (
+        back.filter((F.col("event_id") >= 600) & (F.col("event_id") < 650)).count()
+        == inserts.count()
+    )
+
+
+def test_merge_rerun_is_idempotent(spark, sf_dir, tmp_path):
+    ev, path = _land(spark, sf_dir, tmp_path)
+    t0 = sorted(r[0] for r in ev.select("event_type").distinct().collect())[0]
+    batch = (
+        ev.filter((F.col("event_type") == t0) & (F.col("event_id") % 7 == 0))
+        .withColumn("value", F.lit(-1.0))
+    )
+    merge_upsert(spark, path, batch, "event_id", "event_type")
+    first = sorted(
+        (r["event_id"], r["value"]) for r in spark.read.parquet(path).collect()
+    )
+    merge_upsert(spark, path, batch, "event_id", "event_type")
+    second = sorted(
+        (r["event_id"], r["value"]) for r in spark.read.parquet(path).collect()
+    )
+    assert first == second
