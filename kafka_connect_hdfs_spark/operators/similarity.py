@@ -714,21 +714,35 @@ def pq_codebook(
     ]
 
 
-def _pq_subspace_dists(vec: F.Column, book_j: list[list[float]], j: int) -> list[F.Column]:
-    """Rounded squared-L2 distances from the current row's subvector ``j``
-    to every centroid of subspace ``j`` — pure codegen fold per centroid."""
+def _pq_subspace_dists(vec: F.Column, book_j: list[list[float]], j: int) -> F.Column:
+    """Array of rounded squared-L2 distances from the current row's
+    subvector ``j`` to every centroid of subspace ``j``.
+
+    The codebook enters as ONE literal 2-D array and the per-centroid fold
+    runs inside a single ``transform`` — a loop in the generated code
+    rather than ``n_codes`` unrolled expression copies (the unrolled form
+    worked but cost seconds of codegen per plan compile)."""
     dsub = len(book_j[0])
     sub = F.slice(vec, j * dsub + 1, dsub)
-    out = []
-    for cent in book_j:
-        c_arr = F.array(*[F.lit(x) for x in cent])
-        d = F.aggregate(
-            F.zip_with(sub, c_arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # ONE parsed SQL literal instead of ~n_codes×dsub Column objects — the
+    # py4j round-trips to build them dominated plan-construction time
+    book_arr = F.expr(
+        "array(%s)"
+        % ", ".join(
+            "array(%s)" % ", ".join(f"{x!r}D" for x in cent) for cent in book_j
         )
-        out.append(F.round(d, 6))
-    return out
+    )
+    return F.transform(
+        book_arr,
+        lambda cent: F.round(
+            F.aggregate(
+                F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
 
 
 def pq_encode(
@@ -750,13 +764,10 @@ def pq_encode(
     v = F.col(vec_col).cast("array<double>")
     code_cols = []
     for j, book_j in enumerate(book):
-        choices = F.array(
-            *[
-                F.struct(d.alias("d"), F.lit(c).alias("c"))
-                for c, d in enumerate(_pq_subspace_dists(v, book_j, j))
-            ]
-        )
-        code_cols.append(F.array_min(choices)["c"])
+        dists = _pq_subspace_dists(v, book_j, j)
+        # array_position finds the FIRST occurrence of the min → ties
+        # resolve to the lowest code id, matching the oracle's (d, c) order
+        code_cols.append(F.array_position(dists, F.array_min(dists)) - 1)
     return embeddings.select(
         F.col(id_col), F.array(*code_cols).cast("array<int>").alias("codes")
     )
@@ -791,7 +802,7 @@ def pq_topk(
     )
     qv = F.col(vec_col).cast("array<double>")
     tables = F.array(
-        *[F.array(*_pq_subspace_dists(qv, book_j, j)) for j, book_j in enumerate(book)]
+        *[_pq_subspace_dists(qv, book_j, j) for j, book_j in enumerate(book)]
     )
     q = queries.select(F.col(id_col).alias("query_id"), tables.alias("tabs"))
     adc = F.round(
