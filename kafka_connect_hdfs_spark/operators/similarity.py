@@ -298,23 +298,34 @@ def _ivf_choice_array(seeds: DataFrame, id_col: str, vec_col: str) -> F.Column:
     )
     v = F.col(vec_col).cast("array<double>")
     norm_v = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    choices = []
-    for r in seed_rows:
-        svec = [float(x) for x in r["s_vec"]]
-        s_norm = math.sqrt(sum(x * x for x in svec))
-        s_arr = F.array(*[F.lit(x) for x in svec])
-        dot = F.aggregate(
-            F.zip_with(v, s_arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # ONE parsed literal array of seed structs + a transform loop — not
+    # per-seed unrolled expressions built from thousands of py4j F.lit
+    # calls (same plan-construction fix as the PQ codebook literal)
+    entries = ", ".join(
+        "named_struct('nsid', {nsid}L, 'snorm', CAST({snorm!r} AS DOUBLE), "
+        "'sv', array({sv}))".format(
+            nsid=-int(r["seed_id"]),
+            snorm=math.sqrt(sum(float(x) * float(x) for x in r["s_vec"])),
+            sv=", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in r["s_vec"]),
         )
-        sim = F.round(dot / (norm_v * F.lit(s_norm)), 6)
-        choices.append(
-            F.struct(
-                sim.alias("sim"), F.lit(-int(r["seed_id"])).cast("long").alias("nsid")
-            )
-        )
-    return F.array(*choices)
+        for r in seed_rows
+    )
+    seeds_lit = F.expr(f"array({entries})")
+    return F.transform(
+        seeds_lit,
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, s["sv"], lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (norm_v * s["snorm"]),
+                6,
+            ).alias("sim"),
+            s["nsid"].alias("nsid"),
+        ),
+    )
 
 
 def assign_ivf_probe_cells(
