@@ -1297,6 +1297,18 @@ def _q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition: probe the 2 nearest coarse cells, score the
+    shortlist in the compressed domain (ADC over PQ codes)."""
+    from kafka_connect_hdfs_spark.operators.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        emb, queries, k=5, n_seeds=8, n_probe=2, m=4, n_codes=16
+    ).orderBy("query_id", "rank")
+
+
 def _q_ops_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE through the gate: land events partitioned by type, upsert a
     deterministic batch (ids %5==0 get value+1000; ids 3000-3199 insert),
@@ -1453,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unk_replace": _q_text_unk_replace,
         "media_phash_neardup": _q_media_phash_neardup,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ops_merge_upsert": _q_ops_merge_upsert,
         "q_rolling_7d_revenue": _q_rolling_7d_revenue,
         "q_customer_deciles": _q_customer_deciles,
@@ -2763,6 +2776,58 @@ ranked AS (
 )
 SELECT doc_id, lang, quality_score, q_pct
 FROM ranked WHERE q_pct >= 0.2 ORDER BY doc_id
+"""
+    sql["ann_ivfpq_topk"] = """
+WITH seeds AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, v, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, seed_id ASC) AS r
+  FROM vecs, seeds
+),
+cells AS (SELECT vec_id, seed_id AS cell FROM scored WHERE r = 1),
+qcells AS (
+  SELECT vec_id AS query_id, seed_id AS cell
+  FROM scored WHERE vec_id < 10 AND r <= 2
+),
+book AS (SELECT vec_id AS c_id, v FROM vecs WHERE vec_id < 16),
+subs AS (SELECT unnest(range(0, 4)) AS j),
+enc_d AS (
+  SELECT e.vec_id, s.j, b.c_id,
+         round(list_sum(list_transform(range(1, 17),
+               i -> (e.v[s.j*16 + i] - b.v[s.j*16 + i])
+                    * (e.v[s.j*16 + i] - b.v[s.j*16 + i]))), 6) AS d
+  FROM vecs e CROSS JOIN subs s CROSS JOIN book b
+),
+codes AS (
+  SELECT vec_id, j, c_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c_id) AS rn
+    FROM enc_d
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list(qd.d ORDER BY qd.j)), 6) AS adc_dist
+  FROM cells c
+  JOIN qcells q ON c.cell = q.cell AND c.vec_id != q.query_id
+  JOIN codes co ON co.vec_id = c.vec_id
+  JOIN enc_d qd ON qd.vec_id = q.query_id AND qd.j = co.j AND qd.c_id = co.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, adc_dist, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
     sql["ops_merge_upsert"] = """
 WITH merged AS (

@@ -772,16 +772,22 @@ def pq_encode(
     A 100 TB corpus compresses to m bytes/vector of codes + ids without
     any data movement.
     """
-    v = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col),
+        _pq_codes_col(F.col(vec_col).cast("array<double>"), book).alias("codes"),
+    )
+
+
+def _pq_codes_col(v: F.Column, book: list[list[list[float]]]) -> F.Column:
+    """The m-code array for the current row's vector (shared by
+    ``pq_encode`` and ``ivfpq_topk``)."""
     code_cols = []
     for j, book_j in enumerate(book):
         dists = _pq_subspace_dists(v, book_j, j)
         # array_position finds the FIRST occurrence of the min → ties
         # resolve to the lowest code id, matching the oracle's (d, c) order
         code_cols.append(F.array_position(dists, F.array_min(dists)) - 1)
-    return embeddings.select(
-        F.col(id_col), F.array(*code_cols).cast("array<int>").alias("codes")
-    )
+    return F.array(*code_cols).cast("array<int>")
 
 
 def pq_topk(
@@ -830,6 +836,78 @@ def pq_topk(
     )
     sims = (
         codes.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", adc)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_seeds: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the production FAISS index architecture composed from this
+    module's two map-side kernels: candidates come only from the query's
+    ``n_probe`` nearest coarse cells (IVF routing), and are scored in the
+    compressed domain via ADC over their PQ codes (queries stay
+    full-precision).
+
+    Scale: the corpus side is ONE projection computing (cell, codes) —
+    both argmins over literal centroid tables, zero shuffle, no join —
+    so 100 TB of vectors reduce to (id, int, m×int) before anything
+    moves. The query side fans out ×n_probe and broadcasts; the only
+    shuffle is the final per-query top-k window over candidate triples.
+    """
+    from pyspark.sql import Window
+
+    seeds = embeddings.filter(F.col(id_col) < n_seeds)
+    book = pq_codebook(embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    best = F.array_max(_ivf_choice_array(seeds, id_col, vec_col))
+    enc = fan_out(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            (-best["nsid"]).alias("cell"),
+            _pq_codes_col(v, book).alias("codes"),
+        )
+    )
+    ranked = F.reverse(F.array_sort(_ivf_choice_array(seeds, id_col, vec_col)))
+    probe_cells = F.transform(F.slice(ranked, 1, n_probe), lambda s: -s["nsid"])
+    tables = F.array(
+        *[_pq_subspace_dists(v, book_j, j) for j, book_j in enumerate(book)]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_cells).alias("cell"),
+        tables.alias("tabs"),
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("tabs"),
+                F.col("codes"),
+                lambda tab, code: F.element_at(tab, code + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    sims = (
+        enc.join(broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("adc_dist", adc)
         .select("query_id", "neighbor_id", "adc_dist")
     )

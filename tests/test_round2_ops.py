@@ -246,3 +246,30 @@ def test_pq_codes_shape_and_range(spark):
     # subvector distance to centroid 3 is 0 in every subspace
     own = next(r for r in rows if r["vec_id"] == 3)
     assert own["codes"] == [3, 3, 3, 3]
+
+
+def test_ivfpq_candidates_respect_cells(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        assign_ivf_cells, ivfpq_topk,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivfpq_topk(emb, queries, k=5, n_seeds=8, n_probe=2).collect()
+    assert len(out) == 3 * 5
+    # every returned neighbor must live in one of its query's 2 probed cells
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in assign_ivf_cells(emb, emb.filter(F.col("vec_id") < 8)).collect()
+    }
+    from kafka_connect_hdfs_spark.operators.similarity import assign_ivf_probe_cells
+
+    probes = {
+        r["vec_id"]: set(r["cells"])
+        for r in assign_ivf_probe_cells(
+            emb.filter(F.col("vec_id") < 3), emb.filter(F.col("vec_id") < 8), 2
+        ).collect()
+    }
+    for r in out:
+        assert cells[r["neighbor_id"]] in probes[r["query_id"]], r
