@@ -282,20 +282,30 @@ def assign_ivf_cells(
     )
 
 
-def _ivf_choice_array(seeds: DataFrame, id_col: str, vec_col: str) -> F.Column:
-    """Literal array of (cosine-to-seed, -seed_id) structs for the current
-    row's vector — the shared map-side kernel behind single- and multi-probe
-    assignment. Struct ordering is lexicographic, so array_max / descending
-    sort rank by (highest sim, then lowest seed_id)."""
-    import math
-
-    seed_rows = sorted(
+def _collect_seed_rows(seeds: DataFrame, id_col: str, vec_col: str) -> list:
+    """One driver collect of the (small) seed set, reusable across the
+    kernels that need it — callers composing several stages (ivfpq_topk)
+    collect once instead of once per stage."""
+    return sorted(
         seeds.select(
             F.col(id_col).alias("seed_id"),
             F.col(vec_col).cast("array<double>").alias("s_vec"),
         ).collect(),
         key=lambda r: r["seed_id"],
     )
+
+
+def _ivf_choice_array(
+    seeds: DataFrame, id_col: str, vec_col: str, seed_rows: list | None = None
+) -> F.Column:
+    """Literal array of (cosine-to-seed, -seed_id) structs for the current
+    row's vector — the shared map-side kernel behind single- and multi-probe
+    assignment. Struct ordering is lexicographic, so array_max / descending
+    sort rank by (highest sim, then lowest seed_id)."""
+    import math
+
+    if seed_rows is None:
+        seed_rows = _collect_seed_rows(seeds, id_col, vec_col)
     v = F.col(vec_col).cast("array<double>")
     norm_v = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     # ONE parsed literal array of seed structs + a transform loop — not
@@ -874,8 +884,9 @@ def ivfpq_topk(
 
     seeds = embeddings.filter(F.col(id_col) < n_seeds)
     book = pq_codebook(embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    seed_rows = _collect_seed_rows(seeds, id_col, vec_col)
     v = F.col(vec_col).cast("array<double>")
-    best = F.array_max(_ivf_choice_array(seeds, id_col, vec_col))
+    best = F.array_max(_ivf_choice_array(seeds, id_col, vec_col, seed_rows))
     enc = fan_out(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
@@ -883,7 +894,7 @@ def ivfpq_topk(
             _pq_codes_col(v, book).alias("codes"),
         )
     )
-    ranked = F.reverse(F.array_sort(_ivf_choice_array(seeds, id_col, vec_col)))
+    ranked = F.reverse(F.array_sort(_ivf_choice_array(seeds, id_col, vec_col, seed_rows)))
     probe_cells = F.transform(F.slice(ranked, 1, n_probe), lambda s: -s["nsid"])
     tables = F.array(
         *[_pq_subspace_dists(v, book_j, j) for j, book_j in enumerate(book)]
