@@ -52,11 +52,30 @@ def main() -> None:
     scored = with_quality_score(with_token_stats(docs))
     kept = scored.filter((F.col("ws_tokens") >= 5))
 
+    # 1b. relative quality gate: keep each language's top 80% by heuristic
+    #     score (percentile, not absolute threshold — low-resource languages
+    #     keep their share)
+    from kafka_connect_hdfs_spark.operators.text import quality_percentile_filter
+
+    kept = kept.join(
+        quality_percentile_filter(kept, min_percentile=0.2).select("doc_id"),
+        "doc_id",
+    )
+
     # 2. exact dedup, then near-dup candidate audit (report only here;
     #    production would drop one side of each confirmed pair)
     deduped = dedup_keep_first(kept)
     near = minhash_lsh_candidates(deduped)
     print(f"near-dup candidate pairs: {near.count()}")
+
+    # 2b. repeated-paragraph removal: chunk-level exact dedup with document
+    #     reassembly (C4-style; chunk granularity per corpus)
+    from kafka_connect_hdfs_spark.operators.dedup import chunk_dedup
+
+    rebuilt = chunk_dedup(deduped, chunk_tokens=16).filter(F.col("n_kept") > 0)
+    deduped = deduped.join(rebuilt.select("doc_id", "clean_text"), "doc_id").drop(
+        "text"
+    ).withColumnRenamed("clean_text", "text")
 
     # 3. PII scrub + decontamination against a benchmark slice
     #    (decontaminate_against returns CONTAMINATED docs → anti-join them out)
