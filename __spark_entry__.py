@@ -1382,6 +1382,12 @@ def _q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_customer_value_deciles(spark, sf_dir)
 
 
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_value_histogram
+
+    return q_value_histogram(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -1469,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_merge_upsert": _q_ops_merge_upsert,
         "q_rolling_7d_revenue": _q_rolling_7d_revenue,
         "q_customer_deciles": _q_customer_deciles,
+        "q_value_histogram": _q_value_histogram,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2749,6 +2756,9 @@ ORDER BY id_a, id_b
 
     sql["q_rolling_7d_revenue"] = Q_ROLLING_7D_SQL
     sql["q_customer_deciles"] = Q_DECILES_SQL
+    from kafka_connect_hdfs_spark.plans.analytics4 import Q_VALUE_HISTOGRAM_SQL
+
+    sql["q_value_histogram"] = Q_VALUE_HISTOGRAM_SQL
     sql["text_quality_filter"] = f"""
 WITH feats AS (
   SELECT doc_id, lang,

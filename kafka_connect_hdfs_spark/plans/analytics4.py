@@ -61,6 +61,42 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event value per event type (width_bucket
+    over [0, 500) in 10 bins, plus under/overflow bins) — the profiling
+    query behind dashboards and data-quality monitors.
+
+    Scale: one map-side bucket expression + one two-key groupBy with
+    map-side combine; output is bins × types rows. No sort, no join.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.expr("width_bucket(value, 0.0, 500.0, 10)")
+    return (
+        ev.groupBy(F.col("event_type"), bucket.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+#: DuckDB has no width_bucket — the CASE replicates Spark's semantics
+#: (0 = underflow, n+1 = overflow, else floor((v-lo)/width)+1)
+Q_VALUE_HISTOGRAM_SQL = """
+SELECT event_type,
+       (CASE WHEN value < 0.0 THEN 0
+             WHEN value >= 500.0 THEN 11
+             ELSE CAST(floor(value / 50.0) AS BIGINT) + 1 END) AS bin,
+       count(*) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer lifetime spend bucketed into global deciles (ntile) with
     per-decile totals — the spend-distribution report behind quota/quality

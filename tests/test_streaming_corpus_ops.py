@@ -86,3 +86,49 @@ def test_streaming_quality_gate_filters_inline(spark, tmp_path):
         .collect()
     }
     assert got == want and 0 < len(want) < docs.count()
+
+
+def test_streaming_windowed_approx_distinct(spark, tmp_path):
+    """Tumbling-window approximate distinct users under streaming append
+    mode: every finalized window's HLL estimate must equal the batch
+    estimate for the same window (same sketch, same data → identical)."""
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = f"{tmp_path}/src"
+    ev.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def windowed(df):
+        return (
+            df.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "6 hours"), F.col("event_type"))
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+            .select(
+                F.col("window.start").alias("w_start"),
+                "event_type",
+                "approx_users",
+            )
+        )
+
+    q = (
+        windowed(stream)
+        .writeStream.format("memory")
+        .queryName("hll_win_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = {
+        (r["w_start"], r["event_type"]): r["approx_users"]
+        for r in windowed(ev).collect()
+    }
+    emitted = spark.sql("SELECT * FROM hll_win_out").collect()
+    assert emitted, "watermark should finalize at least one window"
+    for r in emitted:
+        assert batch[(r["w_start"], r["event_type"])] == r["approx_users"]
