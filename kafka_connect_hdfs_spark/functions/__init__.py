@@ -79,3 +79,38 @@ def md5_int48(col: Column) -> Column:
     leaves int64 headroom for universal-hash multiplies.
     """
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big side salts its key deterministically
+    (md5-derived, stable across retries), the small side replicates
+    ``salt_buckets``× so every (key, salt) pair finds its match — a hot key
+    splits across ``salt_buckets`` reducers instead of melting one task.
+
+    Use when AQE's skew-join splitting isn't available (pre-shuffle
+    bucketed layouts) or the small side is just over the broadcast
+    threshold. For genuinely broadcast-small dims prefer
+    ``broadcast(small)`` — zero shuffle beats a salted one.
+
+    Supported: inner and left joins (right/full would need null-salt rows
+    on the replicated side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    # salt varies per ROW (full-row hash), never per key — a per-key salt
+    # would land every row of the hot key in one bucket again; full-row
+    # hashing is deterministic on retry, unlike rand()/monotonic ids
+    salt = (
+        F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt_buckets
+    ).cast("int")
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")

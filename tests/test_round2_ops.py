@@ -273,3 +273,38 @@ def test_ivfpq_candidates_respect_cells(spark):
     }
     for r in out:
         assert cells[r["neighbor_id"]] in probes[r["query_id"]], r
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from kafka_connect_hdfs_spark.functions import salted_join
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        ev.select("user_id").distinct().withColumn(
+            "tier", (F.col("user_id") % 3).cast("int")
+        )
+    )
+    plain = ev.join(dim, "user_id").select("event_id", "tier")
+    salted = salted_join(ev, dim, "user_id", salt_buckets=8).select(
+        "event_id", "tier"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched big-side rows exactly once
+    dim_half = dim.filter(F.col("user_id") % 2 == 0)
+    left = salted_join(ev, dim_half, "user_id", salt_buckets=8, how="left")
+    assert left.count() == ev.count()
+    assert left.filter(F.col("tier").isNull()).count() == ev.join(
+        dim_half, "user_id", "left_anti"
+    ).count()
+    # rows of one key spread across several salt buckets (the point)
+    import pyspark.sql.functions as SF
+    salt = (SF.abs(SF.xxhash64(*[SF.col(c) for c in ev.columns])) % 8).cast("int")
+    n_buckets = (
+        ev.withColumn("_s", salt)
+        .groupBy("user_id")
+        .agg(SF.countDistinct("_s").alias("nb"))
+        .agg(SF.max("nb"))
+        .first()[0]
+    )
+    assert n_buckets > 1
