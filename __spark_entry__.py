@@ -1388,6 +1388,12 @@ def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_value_histogram(spark, sf_dir)
 
 
+def _q_text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.operators.text import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), n=2, top_k=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -1476,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_7d_revenue": _q_rolling_7d_revenue,
         "q_customer_deciles": _q_customer_deciles,
         "q_value_histogram": _q_value_histogram,
+        "text_bigram_counts": _q_text_bigram_counts,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2759,6 +2766,19 @@ ORDER BY id_a, id_b
     from kafka_connect_hdfs_spark.plans.analytics4 import Q_VALUE_HISTOGRAM_SQL
 
     sql["q_value_histogram"] = Q_VALUE_HISTOGRAM_SQL
+    sql["text_bigram_counts"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> array_to_string(t[i:i+1], ' '))) AS gram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT gram, count(*) AS n_occurrences
+FROM grams GROUP BY 1
+ORDER BY n_occurrences DESC, gram ASC LIMIT 100
+"""
     sql["text_quality_filter"] = f"""
 WITH feats AS (
   SELECT doc_id, lang,

@@ -527,3 +527,38 @@ def unk_replace(
         F.size(F.filter(replaced, lambda x: x == F.lit("<unk>"))).alias("n_unk"),
         F.array_join(replaced, " ").alias("pruned_text"),
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus n-gram count table (top-``top_k`` by frequency, ties by
+    gram) — the artifact behind statistical LM tables, collocation mining,
+    and the n-gram novelty filters of corpus QA.
+
+    Scale: grams are built map-side by zipping the token array with its
+    shifted self (no per-token explode until the gram level), the count
+    aggregates with map-side combine (shuffle bounded by distinct grams,
+    not corpus tokens), and top-k is TakeOrdered — no global sort.
+    """
+    df = fan_out(df)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            # guard matters: Spark's sequence(1, stop) runs DESCENDING when
+            # stop < 1, which would fabricate grams on short documents
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(top_k)
+    )

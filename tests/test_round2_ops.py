@@ -308,3 +308,16 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         .first()[0]
     )
     assert n_buckets > 1
+
+
+def test_ngram_counts_hand_checked(spark):
+    from kafka_connect_hdfs_spark.operators.text import ngram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["gram"]: r["n_occurrences"] for r in ngram_counts(docs, n=2).collect()}
+    # "a b" in doc1 (x2) + doc2; "b a" once; single-token doc contributes none
+    assert out == {"a b": 3, "b a": 1}
+    tri = {r["gram"]: r["n_occurrences"] for r in ngram_counts(docs, n=3).collect()}
+    assert tri == {"a b a": 1, "b a b": 1}
