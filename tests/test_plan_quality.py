@@ -244,3 +244,42 @@ def test_pq_encode_shuffle_free(spark):
     plan = _plan(pq_encode(emb, book))
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_unk_replace_never_shuffles_corpus(spark, sf):
+    """Vocabulary pruning must be a map-side transform over the corpus: the
+    only aggregation is the (collected) vocab count pre-pass; the rewrite
+    plan itself has no Exchange and no Join."""
+    from kafka_connect_hdfs_spark.operators.text import unk_replace
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(unk_replace(docs, min_count=2))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_chunk_dedup_shuffles_triples_not_text(spark, sf):
+    """Chunk dedup's keep-first window must partition on the chunk key and
+    the exploded rows must carry only (id, idx, chunk) — the original text
+    column must not survive into the shuffle."""
+    from kafka_connect_hdfs_spark.operators.dedup import chunk_dedup
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(chunk_dedup(docs, chunk_tokens=4))
+    assert "hashpartitioning(chunk" in plan, plan
+    # lang/source prove column pruning reached the scan
+    assert "lang" not in plan and "source" not in plan, plan
+
+
+def test_ngram_counts_takeordered_topk(spark, sf):
+    """Top-k grams must be TakeOrdered (no global sort materialization) and
+    the count agg must combine map-side (two HashAggregate phases)."""
+    from kafka_connect_hdfs_spark.operators.text import ngram_counts
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(ngram_counts(docs, n=2, top_k=50))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
