@@ -85,3 +85,57 @@ def test_merge_rerun_is_idempotent(spark, sf_dir, tmp_path):
         (r["event_id"], r["value"]) for r in spark.read.parquet(path).collect()
     )
     assert first == second
+
+
+def test_streaming_foreachbatch_merge_upsert(spark, sf_dir, tmp_path):
+    """Continuous CDC ingestion: a change stream applied micro-batch by
+    micro-batch via merge_upsert in foreachBatch. Last-writer-wins per key
+    must hold across batches — the final table equals applying the batches
+    in order (later file = later batch because maxFilesPerTrigger=1 replays
+    them in file order)."""
+    from pyspark.sql import functions as SF
+
+    ev, path = _land(spark, sf_dir, tmp_path)
+    t0 = sorted(r[0] for r in ev.select("event_type").distinct().collect())[0]
+
+    # two change batches touching the same keys with different values
+    base = ev.filter(SF.col("event_type") == t0)
+    b1 = base.filter(SF.col("event_id") % 4 == 0).withColumn("value", SF.lit(1.0))
+    b2 = base.filter(SF.col("event_id") % 8 == 0).withColumn("value", SF.lit(2.0))
+    src = f"{tmp_path}/changes"
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    files = sorted(__import__("glob").glob(f"{src}/*.parquet"))
+    assert len(files) == 2
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        merge_upsert(
+            batch_df.sparkSession, path, batch_df,
+            key_col="event_id", partition_col="event_type",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{tmp_path}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    back = spark.read.parquet(path).filter(SF.col("event_type") == t0)
+    got = {r["event_id"]: r["value"] for r in back.collect()}
+    for r in base.collect():
+        eid = r["event_id"]
+        want = 2.0 if eid % 8 == 0 else (1.0 if eid % 4 == 0 else r["value"])
+        assert got[eid] == want, eid
+    # no rows gained or lost
+    assert back.count() == base.count()

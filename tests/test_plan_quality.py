@@ -283,3 +283,15 @@ def test_ngram_counts_takeordered_topk(spark, sf):
     plan = _plan(ngram_counts(docs, n=2, top_k=50))
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf):
+    """Grouped top-k must compile to WindowGroupLimit Partial→Final (Spark's
+    rank-limit pushdown): each map task pre-filters to its local top-k
+    before the exchange, so the shuffle carries ≤ k rows per group per
+    partition — the property that makes window top-k viable at 100 TB."""
+    from kafka_connect_hdfs_spark.plans.analytics import q_top_events_per_user
+
+    plan = _plan(q_top_events_per_user(spark, sf))
+    # two nodes: the Partial (pre-shuffle) and Final (post-shuffle) limits
+    assert plan.count("WindowGroupLimit (") >= 2, plan
