@@ -1394,6 +1394,37 @@ def _q_text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(_docs(spark, sf_dir), n=2, top_k=100)
 
 
+def _q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_peak_concurrency
+
+    return q_peak_concurrency(spark, sf_dir)
+
+
+def _q_dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-corpus fuzzy dedup: batch = ids % 10 == 0 with a one-token
+    suffix edit (near- but not exact-dup of its original), snapshot = the
+    rest; count candidate hits per batch doc."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        incremental_near_dup_candidates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    snapshot = docs.filter(F.col("doc_id") % 10 != 0)
+    pairs = incremental_near_dup_candidates(
+        batch, snapshot, num_hashes=8, bands=4, n=3, max_bucket_size=100
+    )
+    return (
+        pairs.groupBy("batch_id")
+        .agg(F.count("*").alias("n_candidates"), F.min("snapshot_id").alias("min_snap"))
+        .orderBy("batch_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -1483,6 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customer_deciles": _q_customer_deciles,
         "q_value_histogram": _q_value_histogram,
         "text_bigram_counts": _q_text_bigram_counts,
+        "q_peak_concurrency": _q_peak_concurrency,
+        "dedup_incremental_neardup": _q_dedup_incremental_neardup,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2763,9 +2796,58 @@ ORDER BY id_a, id_b
 
     sql["q_rolling_7d_revenue"] = Q_ROLLING_7D_SQL
     sql["q_customer_deciles"] = Q_DECILES_SQL
-    from kafka_connect_hdfs_spark.plans.analytics4 import Q_VALUE_HISTOGRAM_SQL
+    from kafka_connect_hdfs_spark.plans.analytics4 import (
+        Q_PEAK_CONCURRENCY_SQL, Q_VALUE_HISTOGRAM_SQL,
+    )
 
     sql["q_value_histogram"] = Q_VALUE_HISTOGRAM_SQL
+    sql["q_peak_concurrency"] = Q_PEAK_CONCURRENCY_SQL
+    _inc_mins = ", ".join(
+        f"min(({_H48} * {2 * i + 1} + {7919 * (i + 1)}) % {(1 << 61) - 1}) AS mh_{i}"
+        for i in range(8)
+    )
+    _inc_bands = " UNION ALL ".join(
+        f"SELECT doc_id, is_batch, {b} AS band, "
+        f"md5(concat_ws('_', {', '.join(f'mh_{b * 2 + r}' for r in range(2))})) AS band_sig "
+        "FROM sigs"
+        for b in range(4)
+    )
+    sql["dedup_incremental_neardup"] = f"""
+WITH all_docs AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text, 1 AS is_batch
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, text, 0 AS is_batch FROM documents WHERE doc_id % 10 != 0
+),
+shingles AS (
+  SELECT doc_id, is_batch, unnest(
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct([array_to_string(t[j+1:j+3], ' ')
+                             FOR j IN range(len(t) - 2)])
+    END) AS shingle
+  FROM (SELECT doc_id, is_batch, {_TOKS} AS t FROM all_docs)
+),
+sigs AS (
+  SELECT doc_id, any_value(is_batch) AS is_batch, {_inc_mins}
+  FROM shingles GROUP BY doc_id
+),
+buckets AS ({_inc_bands}),
+snapb AS (SELECT * FROM buckets WHERE is_batch = 0),
+batchb AS (SELECT * FROM buckets WHERE is_batch = 1),
+small AS (
+  SELECT band, band_sig FROM snapb GROUP BY 1, 2 HAVING count(*) <= 100
+),
+capped AS (
+  SELECT s.* FROM snapb s JOIN small m
+  ON s.band = m.band AND s.band_sig = m.band_sig
+),
+pairs AS (
+  SELECT DISTINCT b.doc_id AS batch_id, s.doc_id AS snapshot_id
+  FROM batchb b JOIN capped s ON b.band = s.band AND b.band_sig = s.band_sig
+)
+SELECT batch_id, count(*) AS n_candidates, min(snapshot_id) AS min_snap
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
     sql["text_bigram_counts"] = """
 WITH toks AS (
   SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents

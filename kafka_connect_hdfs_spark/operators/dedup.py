@@ -566,3 +566,72 @@ def fuzzy_prefix_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def _lsh_buckets(
+    df: DataFrame,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, band, band_sig) bucket rows for a corpus — the shared banding
+    step behind self-join (``minhash_lsh_candidates``) and two-corpus
+    (``incremental_near_dup_candidates``) candidate generation."""
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for bnd in range(bands):
+        cols = [F.col(f"mh_{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(bnd).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("sig"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("band_sig"))
+
+
+def incremental_near_dup_candidates(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Two-corpus MinHash LSH: which NEW documents are near-duplicates of
+    something already landed — the fuzzy counterpart of
+    ``incremental_dedup`` (which only catches exact re-crawls). Returns
+    (batch_id, snapshot_id) candidate pairs; the caller drops or audits the
+    batch side.
+
+    Scale: both sides reduce to (id, band, band_sig) triples map-side (the
+    signatures never shuffle text), and candidates come from a band-keyed
+    equi-join between the SMALL batch side and the snapshot — never a
+    snapshot self-join. The snapshot's band table is exactly the artifact
+    to persist between runs (append each accepted batch's buckets) so daily
+    ingestion re-hashes only the new batch, not 100 TB of history. The
+    bucket cap applies to the snapshot side (hot buckets there are exact-
+    dup clusters the snapshot pipeline should have collapsed already).
+    """
+    bb = _lsh_buckets(batch, num_hashes, bands, n, id_col, text_col).select(
+        F.col(id_col).alias("batch_id"), "band", "band_sig"
+    )
+    sb = _lsh_buckets(snapshot, num_hashes, bands, n, id_col, text_col).select(
+        F.col(id_col).alias("snapshot_id"), "band", "band_sig"
+    )
+    sizes = (
+        sb.groupBy("band", "band_sig")
+        .agg(F.count("*").alias("_bs"))
+        .filter(F.col("_bs") <= max_bucket_size)
+        .drop("_bs")
+    )
+    sb = sb.join(sizes, ["band", "band_sig"])
+    return (
+        bb.join(sb, ["band", "band_sig"])
+        .select("batch_id", "snapshot_id")
+        .distinct()
+    )

@@ -97,6 +97,67 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval overlap: treating each event as active for 5
+    minutes, the peak number of simultaneously-active events per type per
+    day — the classic concurrency/occupancy query (max concurrent sessions,
+    peak connections) that a naive range self-join makes O(n²).
+
+    Sweep-line shape: every interval contributes (+1 at start, −1 at end)
+    points; a running sum over the time-ordered points is the concurrency
+    curve, and the per-day max is one more aggregate. Ties order ends
+    before starts (a session ending exactly when another starts never
+    counts as overlap) — deterministic in both engines.
+
+    Scale: ONE shuffle on event_type for the running-sum window, then a
+    map-side day rollup. A hot type concentrates its sort in one task —
+    at 100 TB partition the sweep by (type, day) and carry the previous
+    day's closing concurrency forward as an offset (documented; the
+    single-window form is the oracle-checkable reference).
+    """
+    ev = _t(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    points = starts.unionByName(ends)
+    running = F.expr(
+        "sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta "
+        "ROWS UNBOUNDED PRECEDING)"
+    )
+    curve = points.select(
+        "event_type",
+        F.date_format("t", "yyyy-MM-dd").alias("day"),
+        running.cast("bigint").alias("concurrency"),
+    )
+    return (
+        curve.groupBy("event_type", "day")
+        .agg(F.max("concurrency").alias("peak_concurrency"))
+        .orderBy("event_type", "day")
+    )
+
+
+Q_PEAK_CONCURRENCY_SQL = """
+WITH points AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS delta FROM events
+),
+curve AS (
+  SELECT event_type, strftime(t, '%Y-%m-%d') AS day,
+         (sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS concurrency
+  FROM points
+)
+SELECT event_type, day, max(concurrency) AS peak_concurrency
+FROM curve GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer lifetime spend bucketed into global deciles (ntile) with
     per-decile totals — the spend-distribution report behind quota/quality

@@ -321,3 +321,27 @@ def test_ngram_counts_hand_checked(spark):
     assert out == {"a b": 3, "b a": 1}
     tri = {r["gram"]: r["n_occurrences"] for r in ngram_counts(docs, n=3).collect()}
     assert tri == {"a b a": 1, "b a b": 1}
+
+
+def test_incremental_neardup_catches_edited_recrawls(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        incremental_dedup, incremental_near_dup_candidates,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    snapshot = spark.createDataFrame(
+        [(1, base), (2, "completely different content here entirely now")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, base + " extra"), (101, "nothing in common with anything x y z")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["batch_id"], r["snapshot_id"])
+        for r in incremental_near_dup_candidates(batch, snapshot).collect()
+    }
+    assert (100, 1) in pairs          # edited re-crawl caught
+    assert all(b != 101 for b, _ in pairs)  # novel doc untouched
+    # exact incremental dedup misses the edited re-crawl — the gap this op closes
+    assert incremental_dedup(batch, snapshot).count() == 2
