@@ -125,11 +125,25 @@ def with_lsh_bucket(
     literal arrays) — codegen, no UDF, no shuffle.
     """
     v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0).cast("bigint")
-    for p in range(planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
-        sign_bit = (_dot(v, plane) > 0).cast("bigint")
-        bucket = bucket + sign_bit * F.lit(1 << p).cast("bigint")
+    # planes enter as ONE parsed 2-D literal walked by a transform loop
+    # (see memory: per-element F.lit construction costs py4j round-trips)
+    planes_lit = F.expr(
+        "array(%s)"
+        % ", ".join(
+            "array(%s)" % ", ".join(f"CAST({c!r} AS DOUBLE)" for c in _hyperplane(dim, p))
+            for p in range(planes)
+        )
+    )
+    bits = F.transform(planes_lit, lambda plane: (_dot(v, plane) > 0).cast("bigint"))
+    bucket = F.aggregate(
+        F.zip_with(
+            bits,
+            F.expr(f"array({', '.join(str(1 << p) + 'L' for p in range(planes))})"),
+            lambda b, w: b * w,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
     return df.withColumn(out_col, bucket)
 
 
