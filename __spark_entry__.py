@@ -1394,6 +1394,33 @@ def _q_text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(_docs(spark, sf_dir), n=2, top_k=100)
 
 
+def _q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter parsing through the gate: corrupt every props payload
+    with id % 7 == 3 (trailing garbage), split good/bad, and aggregate each
+    side — lost or misrouted records break the counts."""
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.sources import parse_with_quarantine
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 3, F.concat(F.lit("x"), F.col("props"))
+        ).otherwise(F.col("props")).alias("value"),
+    )
+    good, bad = parse_with_quarantine(ev, "k bigint", json_col="value")
+    g = good.agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.lit("good").alias("side"),
+    )
+    b = bad.agg(
+        F.count("*").alias("n"),
+        F.lit(None).cast("bigint").alias("sum_k"),
+        F.lit("bad").alias("side"),
+    )
+    return g.unionByName(b).select("side", "n", "sum_k").orderBy("side")
+
+
 def _q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.plans.analytics4 import q_peak_concurrency
 
@@ -1516,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_counts": _q_text_bigram_counts,
         "q_peak_concurrency": _q_peak_concurrency,
         "dedup_incremental_neardup": _q_dedup_incremental_neardup,
+        "json_quarantine": _q_json_quarantine,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2812,6 +2840,21 @@ ORDER BY id_a, id_b
         "FROM sigs"
         for b in range(4)
     )
+    sql["json_quarantine"] = """
+WITH payloads AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 3 THEN 'x' || props ELSE props END AS v
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'bad' AS side, count(*) AS n, NULL::BIGINT AS sum_k
+  FROM payloads WHERE NOT json_valid(v)
+  UNION ALL
+  SELECT 'good' AS side, count(*) AS n,
+         sum(json_extract(v, '$.k')::BIGINT)::BIGINT AS sum_k
+  FROM payloads WHERE json_valid(v)
+) ORDER BY side
+"""
     sql["dedup_incremental_neardup"] = f"""
 WITH all_docs AS (
   SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text, 1 AS is_batch

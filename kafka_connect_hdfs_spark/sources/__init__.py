@@ -62,3 +62,41 @@ def events_as_kafka_records(df, topic: str = "events", num_partitions: int = 4):
         "value",
         "props",
     )
+
+
+def parse_with_quarantine(
+    df,
+    schema_ddl: str,
+    json_col: str = "value",
+):
+    """Dead-letter parsing: split a raw JSON payload column into
+    ``(good, bad)`` frames — the Connect ``errors.tolerance=all`` +
+    dead-letter-queue pattern (the reference relies on the framework for
+    this; here it is explicit and testable). ``good`` carries the parsed
+    columns; ``bad`` keeps the raw payload for quarantine landing and
+    replay-after-fix.
+
+    Scale: one ``from_json`` projection (codegen, no UDF) evaluated once —
+    Catalyst shares the parse across both branch filters; each branch lands
+    with its own sink. No shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    full_schema = schema_ddl + ", _corrupt_record string"
+    parsed = df.withColumn(
+        "_p",
+        F.from_json(
+            F.col(json_col),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    good = (
+        parsed.filter(F.col("_p").isNotNull() & F.col("_p._corrupt_record").isNull())
+        .select("*", "_p.*")
+        .drop("_p", "_corrupt_record", json_col)
+    )
+    bad = parsed.filter(
+        F.col("_p").isNull() | F.col("_p._corrupt_record").isNotNull()
+    ).select(df.columns)
+    return good, bad

@@ -345,3 +345,24 @@ def test_incremental_neardup_catches_edited_recrawls(spark):
     assert all(b != 101 for b, _ in pairs)  # novel doc untouched
     # exact incremental dedup misses the edited re-crawl — the gap this op closes
     assert incremental_dedup(batch, snapshot).count() == 2
+
+
+def test_parse_with_quarantine_splits_and_preserves_raw(spark):
+    from kafka_connect_hdfs_spark.sources import parse_with_quarantine
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 10, "s": "ok"}'),
+            (2, "not json at all"),
+            (3, '{"k": 20}'),
+            (4, None),
+        ],
+        "id long, value string",
+    )
+    good, bad = parse_with_quarantine(df, "k bigint, s string")
+    g = {r["id"]: (r["k"], r["s"]) for r in good.collect()}
+    assert g == {1: (10, "ok"), 3: (20, None)}
+    # bad keeps the ORIGINAL columns for quarantine landing + replay
+    b = {r["id"]: r["value"] for r in bad.collect()}
+    assert set(b) == {2, 4} and b[2] == "not json at all"
+    assert bad.columns == df.columns
