@@ -68,15 +68,22 @@ def merge_upsert(
     merged.write.format(fmt).mode("overwrite").partitionBy(partition_col).save(staging)
     n_after = spark.read.format(fmt).load(staging).count()
 
-    for p in parts:
-        leaf = f"{partition_col}={p}"
+    # swap the ACTUAL staged leaf dirs (Spark escapes special characters in
+    # partition values — listing the staging output inherits its escaping
+    # instead of re-deriving names from raw values)
+    prefix = f"{partition_col}="
+    staged_leaves = [
+        st.getPath().getName()
+        for st in fs.listStatus(Path(staging))
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+    for leaf in staged_leaves:
         live = f"{table_path}/{leaf}"
         old = f"{table_path}/.{leaf}__merge_old"
-        staged = f"{staging}/{leaf}"
         fs.delete(Path(old), True)
         if fs.exists(Path(live)):
             fs.rename(Path(live), Path(old))
-        fs.rename(Path(staged), Path(live))
+        fs.rename(Path(f"{staging}/{leaf}"), Path(live))
         fs.delete(Path(old), True)
     fs.delete(Path(staging), True)
 

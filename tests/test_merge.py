@@ -139,3 +139,25 @@ def test_streaming_foreachbatch_merge_upsert(spark, sf_dir, tmp_path):
         assert got[eid] == want, eid
     # no rows gained or lost
     assert back.count() == base.count()
+
+
+def test_merge_handles_escaped_partition_values(spark, tmp_path):
+    """Partition values with path-hostile characters: Spark escapes them in
+    directory names; the swap must follow the ESCAPED names."""
+    from pyspark.sql import functions as SF
+
+    tbl = spark.createDataFrame(
+        [(1, "a b:c", 1.0), (2, "plain", 1.0), (3, "a b:c", 1.0)],
+        "id long, part string, value double",
+    )
+    path = f"{tmp_path}/esc"
+    tbl.write.partitionBy("part").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "a b:c", 9.0), (4, "a b:c", 9.0)], "id long, part string, value double"
+    )
+    stats = merge_upsert(spark, path, updates, key_col="id", partition_col="part")
+    assert stats["n_partitions_touched"] == 1
+    back = {r["id"]: (r["part"], r["value"]) for r in spark.read.parquet(path).collect()}
+    assert back == {
+        1: ("a b:c", 9.0), 2: ("plain", 1.0), 3: ("a b:c", 1.0), 4: ("a b:c", 9.0),
+    }
