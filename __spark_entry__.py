@@ -1394,6 +1394,39 @@ def _q_text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(_docs(spark, sf_dir), n=2, top_k=100)
 
 
+def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the events table (exact-distinct mode so DuckDB
+    can replay it; production uses the HLL mode)."""
+    from kafka_connect_hdfs_spark.operators.quality import profile_table
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(
+        ev, columns=["event_id", "event_type", "user_id", "value"],
+        exact_distinct=True,
+    )
+
+
+def _q_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity audit over the star schema: lineitem→orders,
+    orders→customer, supplier→nation."""
+    from kafka_connect_hdfs_spark.operators.quality import (
+        integrity_report, referential_integrity,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return integrity_report([
+        referential_integrity(li, orders, "l_orderkey", "o_orderkey", "lineitem_orders"),
+        referential_integrity(orders, cust, "o_custkey", "c_custkey", "orders_customer"),
+        referential_integrity(supp, nation, "s_nationkey", "n_nationkey", "supplier_nation"),
+    ])
+
+
 def _q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter parsing through the gate: corrupt every props payload
     with id % 7 == 3 (trailing garbage), split good/bad, and aggregate each
@@ -1544,6 +1577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_peak_concurrency": _q_peak_concurrency,
         "dedup_incremental_neardup": _q_dedup_incremental_neardup,
         "json_quarantine": _q_json_quarantine,
+        "q_profile_events": _q_profile_events,
+        "q_integrity_check": _q_integrity_check,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2840,6 +2875,37 @@ ORDER BY id_a, id_b
         "FROM sigs"
         for b in range(4)
     )
+    _prof_cols = ["event_id", "event_type", "user_id", "value"]
+    _prof_union = " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+         sum(({c} IS NULL)::INT)::BIGINT AS n_null,
+         round(sum(({c} IS NULL)::INT) / count(*), 6) AS null_ratio,
+         count(DISTINCT {c}) AS n_distinct,
+         CAST(min({c}) AS VARCHAR) AS min_value,
+         CAST(max({c}) AS VARCHAR) AS max_value
+  FROM events"""
+        for c in _prof_cols
+    )
+    sql["q_profile_events"] = f'SELECT * FROM ({_prof_union}) ORDER BY "column"'
+    _rels = [
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    _rel_union = " UNION ALL ".join(
+        f"""SELECT '{name}' AS relation,
+  (SELECT count(*) FROM {ct} c
+   WHERE c.{ck} IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck}))::BIGINT
+    AS n_orphan_rows,
+  (SELECT count(DISTINCT c.{ck}) FROM {ct} c
+   WHERE c.{ck} IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck}))::BIGINT
+    AS n_orphan_keys,
+  (SELECT count(*) FROM {ct} WHERE {ck} IS NULL)::BIGINT AS n_null_keys"""
+        for name, ct, ck, pt, pk in _rels
+    )
+    sql["q_integrity_check"] = f"SELECT * FROM ({_rel_union}) ORDER BY relation"
     sql["json_quarantine"] = """
 WITH payloads AS (
   SELECT event_id,

@@ -1,0 +1,99 @@
+"""Data-quality operators over landed tables: column profiling and
+referential-integrity checks — the audit queries every warehouse team runs
+against a fresh landing before opening it to consumers (the reference has
+no equivalent; its users run these by hand in Hive).
+
+Both are single-pass, shuffle-light shapes: the profiler is ONE aggregate
+over the table (every per-column statistic partial-aggregates map-side);
+the integrity checker is one anti-join per foreign key with the parent
+side reduced to distinct keys first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Per-column profile: rows, null count/ratio, distinct count, min/max
+    (rendered as strings so one result schema fits every column type).
+
+    ``exact_distinct=False`` (default) uses HLL ``approx_count_distinct`` —
+    the 100 TB setting (fixed-size sketch per column, partial-aggregable);
+    exact mode exists for oracle verification and small tables.
+
+    Scale: ONE aggregate job for all columns together — a per-column loop
+    of separate jobs would scan the table len(columns) times. The unpivot
+    to one-row-per-column happens on the single aggregated row.
+    """
+    cols = columns or df.columns
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+        aggs.append(
+            (
+                F.countDistinct(F.col(c))
+                if exact_distinct
+                else F.approx_count_distinct(F.col(c))
+            ).alias(f"_dist_{c}")
+        )
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.round(F.col(f"_null_{c}") / F.col("_n"), 6).alias("null_ratio"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*").orderBy("column")
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    relation: str = "fk",
+) -> DataFrame:
+    """Orphan check for one foreign-key relation: how many child rows (and
+    distinct keys) reference a parent key that does not exist. NULL child
+    keys are counted separately (unset, not broken).
+
+    Scale: the parent reduces to DISTINCT keys before the join (~8 B/row
+    into the shuffle); the child side joins on the uniform key with a
+    left_anti. Run one call per relation and union the one-row results.
+    """
+    parents = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    nulls = child.filter(F.col(child_key).isNull())
+    orphans = child.filter(F.col(child_key).isNotNull()).join(
+        parents, child_key, "left_anti"
+    )
+    return orphans.agg(
+        F.lit(relation).alias("relation"),
+        F.count("*").alias("n_orphan_rows"),
+        F.countDistinct(F.col(child_key)).alias("n_orphan_keys"),
+    ).crossJoin(nulls.agg(F.count("*").alias("n_null_keys")))
+
+
+def integrity_report(checks: list[DataFrame]) -> DataFrame:
+    """Union the one-row results of several ``referential_integrity`` calls
+    into the audit table."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("relation")

@@ -366,3 +366,28 @@ def test_parse_with_quarantine_splits_and_preserves_raw(spark):
     b = {r["id"]: r["value"] for r in bad.collect()}
     assert set(b) == {2, 4} and b[2] == "not json at all"
     assert bad.columns == df.columns
+
+
+def test_profile_table_counts_and_nulls(spark):
+    from kafka_connect_hdfs_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "k long, s string"
+    )
+    prof = {r["column"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert prof["k"]["n_rows"] == 4 and prof["k"]["n_null"] == 1
+    assert prof["k"]["n_distinct"] == 3 and prof["k"]["min_value"] == "1"
+    assert prof["s"]["n_distinct"] == 2 and prof["s"]["null_ratio"] == 0.25
+
+
+def test_referential_integrity_finds_orphans(spark):
+    from kafka_connect_hdfs_spark.operators.quality import referential_integrity
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    row = referential_integrity(child, parent, "fk", "pk", "c_p").first()
+    assert row["relation"] == "c_p"
+    assert row["n_orphan_rows"] == 1 and row["n_orphan_keys"] == 1
+    assert row["n_null_keys"] == 1
