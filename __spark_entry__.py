@@ -1394,6 +1394,18 @@ def _q_text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(_docs(spark, sf_dir), n=2, top_k=100)
 
 
+def _q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_value_outliers
+
+    return q_value_outliers(spark, sf_dir)
+
+
+def _q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_event_type_cooccurrence
+
+    return q_event_type_cooccurrence(spark, sf_dir)
+
+
 def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of the events table (exact-distinct mode so DuckDB
     can replay it; production uses the HLL mode)."""
@@ -1579,6 +1591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_quarantine": _q_json_quarantine,
         "q_profile_events": _q_profile_events,
         "q_integrity_check": _q_integrity_check,
+        "q_value_outliers": _q_value_outliers,
+        "q_event_cooccurrence": _q_event_cooccurrence,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2865,6 +2879,12 @@ ORDER BY id_a, id_b
 
     sql["q_value_histogram"] = Q_VALUE_HISTOGRAM_SQL
     sql["q_peak_concurrency"] = Q_PEAK_CONCURRENCY_SQL
+    from kafka_connect_hdfs_spark.plans.analytics4 import (
+        Q_COOCCURRENCE_SQL, Q_VALUE_OUTLIERS_SQL,
+    )
+
+    sql["q_value_outliers"] = Q_VALUE_OUTLIERS_SQL
+    sql["q_event_cooccurrence"] = Q_COOCCURRENCE_SQL
     _inc_mins = ", ".join(
         f"min(({_H48} * {2 * i + 1} + {7919 * (i + 1)}) % {(1 << 61) - 1}) AS mh_{i}"
         for i in range(8)

@@ -97,6 +97,98 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier summary per event type: events whose value sits more
+    than 2 sample standard deviations from the type mean — the monitoring
+    query behind metric-anomaly alerts.
+
+    Scale: pass 1 computes per-type (mean, stddev) — 5 rows — and pass 2
+    re-scans with the tiny stats table BROADCAST back on; no window over
+    the fact table, both aggregations combine map-side.
+    """
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 6))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.abs(F.col("z")) > 2).cast("long")).alias("n_outliers"),
+            F.round(F.max(F.abs(F.col("z"))), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_VALUE_OUTLIERS_SQL = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT e.event_type, round((e.value - s.mu) / s.sigma, 6) AS z
+  FROM events e JOIN stats s USING (event_type)
+)
+SELECT event_type, count(*) AS n_events,
+       sum((abs(z) > 2)::INT)::BIGINT AS n_outliers,
+       round(max(abs(z)), 6) AS max_abs_z
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, how many users performed both — the support table behind
+    cross-feature analysis and recommendation baselines.
+
+    Scale: ONE shuffle on user_id builds each user's distinct-type basket;
+    pair expansion happens inside the row over the (≤ #types) array — the
+    classic trick that avoids the O(events²) self-join on user_id. The
+    final pair count aggregates over at most C(#types, 2) keys.
+    """
+    ev = _t(spark, sf_dir, "events")
+    baskets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("types"),
+                lambda a: F.transform(
+                    F.col("types"), lambda b: F.struct(a.alias("t1"), b.alias("t2"))
+                ),
+            )
+        ),
+        lambda p: p["t1"] < p["t2"],
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.t1").alias("type_a"), F.col("p.t2").alias("type_b"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+Q_COOCCURRENCE_SQL = """
+WITH baskets AS (
+  SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b
+  FROM (SELECT user_id, unnest(types) AS t FROM baskets) a
+  JOIN (SELECT user_id, unnest(types) AS t FROM baskets) b
+    ON a.user_id = b.user_id AND a.t < b.t
+)
+SELECT type_a, type_b, count(*) AS n_users
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line interval overlap: treating each event as active for 5
     minutes, the peak number of simultaneously-active events per type per
