@@ -155,3 +155,19 @@ def partition_profile(df: DataFrame) -> DataFrame:
             ).alias("share_of_max"),
         )
     )
+
+
+def rebalance_for_write(df: DataFrame, *cols: str) -> DataFrame:
+    """AQE rebalance before landing: inserts the REBALANCE hint so the
+    final write produces evenly-sized files — splitting skewed partitions
+    AND coalescing tiny ones at runtime (a fixed ``repartition(n)`` can't
+    split a skewed hash bucket; ``coalesce`` can never split anything).
+    Pass columns to co-locate rows while rebalancing (e.g. the partitionBy
+    columns, so each output file stays single-partition-value).
+
+    Target file size tunes via ``spark.sql.adaptive.advisoryPartitionSizeInBytes``.
+    This is the write-side cure for the small-files problem at the source,
+    complementing :mod:`..compaction` which repairs it after the fact.
+    Requires AQE (on by default in this engine's session).
+    """
+    return df.hint("rebalance", *[F.col(c) for c in cols])

@@ -119,3 +119,25 @@ def start_ingest(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def progress_metrics(query) -> dict:
+    """Operability snapshot of a running StreamingQuery: rows/sec, batch
+    duration, and state size from ``lastProgress`` — the numbers an
+    operator watches for backpressure tuning (maxOffsetsPerTrigger /
+    maxFilesPerTrigger) and state growth (watermark tightness).
+
+    Returns zeros when no batch has completed yet.
+    """
+    p = query.lastProgress
+    if not p:
+        return {"input_rows_per_sec": 0.0, "process_rows_per_sec": 0.0,
+                "batch_duration_ms": 0, "state_rows": 0, "batch_id": -1}
+    ops = p.get("stateOperators") or []
+    return {
+        "input_rows_per_sec": float(p.get("inputRowsPerSecond") or 0.0),
+        "process_rows_per_sec": float(p.get("processedRowsPerSecond") or 0.0),
+        "batch_duration_ms": int((p.get("durationMs") or {}).get("triggerExecution", 0)),
+        "state_rows": sum(int(o.get("numRowsTotal", 0)) for o in ops),
+        "batch_id": int(p.get("batchId", -1)),
+    }

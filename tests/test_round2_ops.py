@@ -391,3 +391,38 @@ def test_referential_integrity_finds_orphans(spark):
     assert row["relation"] == "c_p"
     assert row["n_orphan_rows"] == 1 and row["n_orphan_keys"] == 1
     assert row["n_null_keys"] == 1
+
+
+def test_rebalance_for_write_plans_rebalance_exchange(spark):
+    from kafka_connect_hdfs_spark.operators.layout import rebalance_for_write
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    df = rebalance_for_write(ev, "event_type")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in plan or "rebalance" in plan.lower(), plan
+    # semantics unchanged
+    assert df.count() == ev.count()
+
+
+def test_streaming_progress_metrics(spark, sf_dir, tmp_path):
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.streaming.pipeline import progress_metrics
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    src = f"{tmp_path}/src"
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        stream.groupBy("event_type").count()
+        .writeStream.format("memory").queryName("pm_out")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp_path}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    m = progress_metrics(q)
+    assert m["batch_id"] >= 0
+    assert m["batch_duration_ms"] > 0
+    assert m["state_rows"] >= 0
