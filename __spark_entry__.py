@@ -1394,6 +1394,33 @@ def _q_text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(_docs(spark, sf_dir), n=2, top_k=100)
 
 
+def _q_rate_cap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_rate_cap_flags
+
+    return q_rate_cap_flags(spark, sf_dir)
+
+
+def _q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize embeddings and verify via per-vector norm stats."""
+    from kafka_connect_hdfs_spark.operators.similarity import normalize_embeddings
+
+    unit = normalize_embeddings(_emb(spark, sf_dir))
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("unit_vec"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+        3,
+    )
+    return (
+        unit.select("vec_id", norm.alias("unit_norm"))
+        .groupBy("unit_norm")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("unit_norm")
+    )
+
+
 def _q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.plans.analytics4 import q_value_outliers
 
@@ -1593,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_integrity_check": _q_integrity_check,
         "q_value_outliers": _q_value_outliers,
         "q_event_cooccurrence": _q_event_cooccurrence,
+        "q_rate_cap_flags": _q_rate_cap_flags,
+        "embedding_normalize": _q_embedding_normalize,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2885,6 +2914,25 @@ ORDER BY id_a, id_b
 
     sql["q_value_outliers"] = Q_VALUE_OUTLIERS_SQL
     sql["q_event_cooccurrence"] = Q_COOCCURRENCE_SQL
+    from kafka_connect_hdfs_spark.plans.analytics4 import Q_RATE_CAP_SQL
+
+    sql["q_rate_cap_flags"] = Q_RATE_CAP_SQL
+    sql["embedding_normalize"] = """
+WITH unit AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+uv AS (
+  SELECT vec_id,
+         CASE WHEN nrm = 0 THEN v
+              ELSE list_transform(v, x -> round(x / nrm, 6)) END AS u
+  FROM unit
+)
+SELECT round(sqrt(list_dot_product(u, u)), 3) AS unit_norm, count(*) AS n_vecs
+FROM uv GROUP BY 1 ORDER BY 1
+"""
     _inc_mins = ", ".join(
         f"min(({_H48} * {2 * i + 1} + {7919 * (i + 1)}) % {(1 << 61) - 1}) AS mh_{i}"
         for i in range(8)

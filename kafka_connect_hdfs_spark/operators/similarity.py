@@ -942,3 +942,25 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def normalize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "unit_vec",
+) -> DataFrame:
+    """L2-normalize vectors map-side (zero-vector safe: stays zero). The
+    standard pre-index step: over unit vectors, cosine == dot product, so
+    every downstream scorer drops its per-row norm divisions, and quantized
+    dot products (``quantized_topk``) become cosine-faithful.
+
+    Scale: one projection — no shuffle, no UDF; store the unit vector
+    once, save the norm math on every subsequent query.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.when(norm == 0, v).otherwise(
+        F.transform(v, lambda x: F.round(x / norm, 6))
+    )
+    return df.select(F.col(id_col), unit.alias(out_col))

@@ -97,6 +97,49 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_rate_cap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window frequency capping: per user, the count of events in
+    the hour up to and including each event; summarize flagged events
+    (count > cap) per user — the abuse/rate-limit detector shape.
+
+    Scale: one exchange on user_id + one per-partition sort; the RANGE
+    interval frame is the O(n log n) formulation of the naive
+    O(n·w) self-join "count my neighbors in the last hour".
+    """
+    ev = _t(spark, sf_dir, "events")
+    frame = (
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+    )
+    cap = 1
+    flagged = ev.select(
+        "user_id",
+        F.expr(f"count(*) OVER ({frame})").alias("n_last_hour"),
+    ).filter(F.col("n_last_hour") > cap)
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_flagged"),
+            F.max("n_last_hour").alias("peak_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_RATE_CAP_SQL = """
+WITH windowed AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS n_last_hour
+  FROM events
+)
+SELECT user_id, count(*) AS n_flagged, max(n_last_hour)::BIGINT AS peak_rate
+FROM windowed WHERE n_last_hour > 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score outlier summary per event type: events whose value sits more
     than 2 sample standard deviations from the type mean — the monitoring
