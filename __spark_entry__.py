@@ -1532,6 +1532,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries without a green CORRECTNESS row yet come first:
     # the driver checks the first 50 entries per round, and rounds compose —
     # r01 checked (and passed) 45 of the entries now in the tail.
+    #
+    # ROUND-3 ROTATION TODO: after the r02 gate runs, move the 34 entries
+    # currently marked "beyond the budget" (cdc_latest_state ...
+    # embedding_normalize — everything between corpus_snapshot_diff's
+    # section comment and the "green in r01" marker) into the FIRST 50
+    # slots, and demote this round's checked 50 to the tail. 34 never-
+    # checked + 16 re-check slots. Verify locally first:
+    #   python scripts/oracle_check.py /root/testdata/sf0.01
     return {
         # never-checked in r01: TPC-H tranche 4 + tranche-3 stragglers
         "q2_min_balance_supplier": A3.q2_min_balance_supplier,
