@@ -1394,6 +1394,36 @@ def _q_text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(_docs(spark, sf_dir), n=2, top_k=100)
 
 
+def _q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals from the event changelog; summarized per
+    user bucket (user_id % 50) so the gate output stays bounded."""
+    from kafka_connect_hdfs_spark.operators.cdc import scd2_intervals
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_intervals(ev, key_col="user_id", ts_col="ts")
+    return (
+        dim.groupBy((F.col("user_id") % 50).alias("user_bucket"))
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.sum(F.col("is_current").cast("long")).alias("n_current"),
+            F.max("valid_to").alias("last_rollover"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent checksum of the orders table — shuffling the rows
+    must not change it (the Spark side reads a repartitioned copy; the
+    oracle reads the file directly)."""
+    from kafka_connect_hdfs_spark.operators.quality import table_checksum
+    from kafka_connect_hdfs_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders").repartition(13)
+    return table_checksum(orders, columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+
+
 def _q_rate_cap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.plans.analytics4 import q_rate_cap_flags
 
@@ -1630,6 +1660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_cooccurrence": _q_event_cooccurrence,
         "q_rate_cap_flags": _q_rate_cap_flags,
         "embedding_normalize": _q_embedding_normalize,
+        "q_scd2_dimension": _q_scd2_dimension,
+        "q_table_checksum": _q_table_checksum,
         # green in r01 — re-checked as budget allows
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -2925,6 +2957,28 @@ ORDER BY id_a, id_b
     from kafka_connect_hdfs_spark.plans.analytics4 import Q_RATE_CAP_SQL
 
     sql["q_rate_cap_flags"] = Q_RATE_CAP_SQL
+    sql["q_scd2_dimension"] = """
+WITH dim AS (
+  SELECT user_id, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events
+)
+SELECT (user_id % 50)::BIGINT AS user_bucket,
+       count(*) AS n_versions,
+       sum((valid_to IS NULL)::INT)::BIGINT AS n_current,
+       max(valid_to) AS last_rollover
+FROM dim GROUP BY 1 ORDER BY 1
+"""
+    sql["q_table_checksum"] = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(concat_ws(chr(31),
+           coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+           coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+           coalesce(o_orderstatus, chr(0)))), 1, 12))::BIGINT AS hh
+  FROM orders
+)
+SELECT count(*) AS n_rows, bit_xor(hh)::BIGINT AS checksum FROM h
+"""
     sql["embedding_normalize"] = """
 WITH unit AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -73,3 +73,35 @@ def compact_changelog(
         df, key_col=key_col, ts_col=ts_col, tie_cols=tie_cols, value_cols=value_cols
     )
     return state.filter(~F.col(f"last_{type_col}").isin(list(tombstone_types)))
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: Sequence[str] = ("event_type", "value"),
+    tie_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a changelog into validity
+    intervals — each change record becomes a row with
+    ``[valid_from, valid_to)`` where ``valid_to`` is the next change's
+    timestamp for that key (NULL for the current version, with
+    ``is_current`` flagged) — the dimension shape behind every as-of
+    reporting join.
+
+    Scale: one exchange on the key, one per-partition sort shared by the
+    lead() window — the same single-window cost as any per-key ordering;
+    the result is dimension-sized, not log-sized, only if the caller
+    pre-compacts equal-value runs (not done here: every change row is
+    kept, which is SCD2's contract).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, *tie_cols)
+    return df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("valid_from"),
+        *[F.col(c) for c in tie_cols],
+        *[F.col(c) for c in value_cols],
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

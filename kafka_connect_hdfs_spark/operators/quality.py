@@ -97,3 +97,28 @@ def integrity_report(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("relation")
+
+
+def table_checksum(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Order-independent content checksum: xor-fold of a per-row md5-derived
+    48-bit hash over the selected columns (rendered canonically as strings)
+    plus the row count — compare two landings (replication, migration,
+    backup restore) without sorting or moving either table.
+
+    Scale: one map-side hash projection + a single xor/count aggregate
+    (both partial-aggregable) — bytes shuffled: one (long, long) per
+    partition. xor is commutative/associative, so the result is identical
+    for ANY row order or partitioning; a single changed, missing, or
+    duplicated-odd-times row flips the checksum.
+    """
+    from kafka_connect_hdfs_spark.functions import md5_int48
+
+    cols = columns or df.columns
+    row_repr = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = md5_int48(row_repr)
+    return df.select(h.alias("_h")).agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("checksum"),
+    )

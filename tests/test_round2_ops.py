@@ -426,3 +426,33 @@ def test_streaming_progress_metrics(spark, sf_dir, tmp_path):
     assert m["batch_id"] >= 0
     assert m["batch_duration_ms"] > 0
     assert m["state_rows"] >= 0
+
+
+def test_scd2_intervals_chain_without_gaps(spark):
+    from kafka_connect_hdfs_spark.operators.cdc import scd2_intervals
+
+    import datetime as dt
+    rows = [
+        (7, dt.datetime(2020, 1, i + 1), i, "t", float(i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    out = sorted(scd2_intervals(df).collect(), key=lambda r: r["valid_from"])
+    # each version ends exactly where the next begins; only the last is open
+    for a, b in zip(out, out[1:]):
+        assert a["valid_to"] == b["valid_from"] and not a["is_current"]
+    assert out[-1]["valid_to"] is None and out[-1]["is_current"]
+
+
+def test_table_checksum_order_independent_and_sensitive(spark):
+    from kafka_connect_hdfs_spark.operators.quality import table_checksum
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)], "k long, s string")
+    base = table_checksum(df).first()
+    shuffled = table_checksum(df.repartition(7).sortWithinPartitions("s")).first()
+    assert (base["n_rows"], base["checksum"]) == (shuffled["n_rows"], shuffled["checksum"])
+    changed = table_checksum(
+        df.withColumn("s", F.when(F.col("k") == 2, "B").otherwise(F.col("s")))
+    ).first()
+    assert changed["checksum"] != base["checksum"]
