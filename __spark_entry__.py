@@ -1114,9 +1114,9 @@ def _q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_corpus_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (applyInPandas; documents never split).
-    Greedy FFD is not SQL-expressible — no oracle entry; the driver records
-    the rows-only check, and tests/test_packing.py proves budget/assignment
-    invariants."""
+    Oracle: a DuckDB recursive CTE replays the greedy FFD exactly (bin-load
+    list carried through the recursion, first-fit via list_position over a
+    fits-mask); tests/test_packing.py proves budget/assignment invariants."""
     from kafka_connect_hdfs_spark.operators.packing import pack_sequences_bestfit
 
     docs = _docs(spark, sf_dir)
@@ -1559,73 +1559,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
     from kafka_connect_hdfs_spark.plans import analytics3 as A3
 
-    # Ordered so queries without a green CORRECTNESS row yet come first:
-    # the driver checks the first 50 entries per round, and rounds compose —
-    # r01 checked (and passed) 45 of the entries now in the tail.
+    # ROUND-3 ROTATION (executes the r02 TODO): the driver checks the FIRST
+    # 50 entries per round and rounds compose — r01+r02 produced green rows
+    # for the 93 entries now in the tail.
+    #   slots 1-36:  the 36 queries never driver-checked (locally oracle-
+    #                verified at sf0.01 in r2 and re-verified this round)
+    #   slot 37:     q12_priority_shipping — r02 hash-fail, oracle ::BIGINT
+    #                cast fixed this round
+    #   slot 38:     corpus_pack_bestfit — r02 `no_oracle`; now has a
+    #                recursive-CTE FFD replay oracle
+    #   slots 39-50: oldest r01 greens, re-checked for regression
     #
-    # ROUND-3 ROTATION TODO: after the r02 gate runs, move the 34 entries
-    # currently marked "beyond the budget" (cdc_latest_state ...
-    # embedding_normalize — everything between corpus_snapshot_diff's
-    # section comment and the "green in r01" marker) into the FIRST 50
-    # slots, and demote this round's checked 50 to the tail. 34 never-
-    # checked + 16 re-check slots. Verify locally first:
+    # ROUND-4 ROTATION TODO: promote any r03 fails plus the r01 greens not
+    # re-checked here (f2_time_rotation ... media_frame_sample) into the
+    # first 50; verify locally first:
     #   python scripts/oracle_check.py /root/testdata/sf0.01
     return {
-        # never-checked in r01: TPC-H tranche 4 + tranche-3 stragglers
-        "q2_min_balance_supplier": A3.q2_min_balance_supplier,
-        "q4_order_priority": A2.q4_order_priority,
-        "q7_volume_shipping": A3.q7_volume_shipping,
-        "q8_market_share": A3.q8_market_share,
-        "q9_product_profit": A3.q9_product_profit,
-        "q10_returned_items": A3.q10_returned_items,
-        "q11_revenue_concentration": A3.q11_revenue_concentration,
-        "q12_priority_shipping": A2.q12_priority_shipping,
-        "q13_order_count_distribution": A3.q13_order_count_distribution,
-        "q14_promo_revenue": A3.q14_promo_revenue,
-        "q15_top_supplier": A3.q15_top_supplier,
-        "q16_supplier_variety": A3.q16_supplier_variety,
-        "q18_large_orders": A3.q18_large_orders,
-        "q19_disjunctive_revenue": A3.q19_disjunctive_revenue,
-        "q20_dominant_suppliers": A3.q20_dominant_suppliers,
-        "q21_late_suppliers": A3.q21_late_suppliers,
-        "q22_dormant_customers": A3.q22_dormant_customers,
-        "q_window_suite": A3.q_window_suite,
-        "q_cube_events": A3.q_cube_events,
-        "q_grouping_sets_events": A3.q_grouping_sets_events,
-        "q_value_percentiles": A2.q_value_percentiles,
-        # hash-failed in r01 (HUGEINT oracle casts fixed this round)
-        "f4_schema_rotation": A2.q_f4_schema_rotation,
-        "json_schemaless": A2.q_json_schemaless,
-        "o1_avro_roundtrip": _q_o1_avro_roundtrip,
-        "ops_compaction_roundtrip": _q_ops_compaction_roundtrip,
-        "media_summary": _q_media_summary,
-        # new this round
-        "o1_avro_decimal_roundtrip": _q_o1_avro_decimal_roundtrip,
-        "o1_avro_primitive_values": _q_o1_avro_primitive_values,
-        "dedup_clusters": _q_dedup_clusters,
-        "text_winnow": _q_text_winnow,
-        "ann_ivf_multiprobe": _q_ann_ivf_multiprobe,
-        "q_hopping_windows": _q_hopping_windows,
-        "q_range_join_shipments": _q_range_join_shipments,
-        "o3_json_roundtrip": _q_o3_json_roundtrip,
-        "o_orc_roundtrip": _q_o_orc_roundtrip,
-        "o4_text_roundtrip": _q_o4_text_roundtrip,
-        "corpus_pack_sequences": _q_corpus_pack_sequences,
-        "text_pii_scrub": _q_text_pii_scrub,
-        "corpus_split": _q_corpus_split,
-        "ann_lloyd_refine": _q_ann_lloyd_refine,
-        "text_tfidf": _q_text_tfidf,
-        "q_session_windows": _q_session_windows,
-        "o_csv_roundtrip": _q_o_csv_roundtrip,
-        "corpus_shuffle_order": _q_corpus_shuffle_order,
-        "corpus_e2e_pipeline": _q_corpus_e2e_pipeline,
-        "ann_ivf_recall": _q_ann_ivf_recall,
-        "corpus_pack_bestfit": _q_corpus_pack_bestfit,  # rows-only: greedy FFD
-        "text_normalize": _q_text_normalize,
-        "corpus_weighted_sample": _q_corpus_weighted_sample,
-        "dedup_incremental": _q_dedup_incremental,
-        # registered beyond the driver's 50-query check budget this round —
-        # locally oracle-verified now, first in line for the r3 rotation
+        # --- never-checked before r03: CDC / sketches / layout / analytics
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
         "embedding_dim_stats": _q_embedding_dim_stats,
@@ -1662,7 +1612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_normalize": _q_embedding_normalize,
         "q_scd2_dimension": _q_scd2_dimension,
         "q_table_checksum": _q_table_checksum,
-        # green in r01 — re-checked as budget allows
+        # --- r02 hash-fail, oracle cast fixed this round
+        "q12_priority_shipping": A2.q12_priority_shipping,
+        # --- r02 no_oracle, FFD replay oracle added this round
+        "corpus_pack_bestfit": _q_corpus_pack_bestfit,
+        # --- oldest r01 greens, re-checked for regression
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -1675,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_daily_partition": _q_p4_daily_partition,
         "p5_timebased_tz": _q_p5_timebased_tz,
         "f1_rotation_manifest": _q_f1_rotation_manifest,
+        # ================= below the 50-slot budget window =================
+        # green in r01, not yet re-checked — first in line for r4 re-checks
         "f2_time_rotation": _q_f2_time_rotation,
         "e2_schema_projection": _q_e2_schema_projection,
         "embedding_centroids": _q_embedding_centroids,
@@ -1708,6 +1664,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mix": _q_corpus_sample_mix,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
+        # green in r02
+        "q2_min_balance_supplier": A3.q2_min_balance_supplier,
+        "q4_order_priority": A2.q4_order_priority,
+        "q7_volume_shipping": A3.q7_volume_shipping,
+        "q8_market_share": A3.q8_market_share,
+        "q9_product_profit": A3.q9_product_profit,
+        "q10_returned_items": A3.q10_returned_items,
+        "q11_revenue_concentration": A3.q11_revenue_concentration,
+        "q13_order_count_distribution": A3.q13_order_count_distribution,
+        "q14_promo_revenue": A3.q14_promo_revenue,
+        "q15_top_supplier": A3.q15_top_supplier,
+        "q16_supplier_variety": A3.q16_supplier_variety,
+        "q18_large_orders": A3.q18_large_orders,
+        "q19_disjunctive_revenue": A3.q19_disjunctive_revenue,
+        "q20_dominant_suppliers": A3.q20_dominant_suppliers,
+        "q21_late_suppliers": A3.q21_late_suppliers,
+        "q22_dormant_customers": A3.q22_dormant_customers,
+        "q_window_suite": A3.q_window_suite,
+        "q_cube_events": A3.q_cube_events,
+        "q_grouping_sets_events": A3.q_grouping_sets_events,
+        "q_value_percentiles": A2.q_value_percentiles,
+        "f4_schema_rotation": A2.q_f4_schema_rotation,
+        "json_schemaless": A2.q_json_schemaless,
+        "o1_avro_roundtrip": _q_o1_avro_roundtrip,
+        "ops_compaction_roundtrip": _q_ops_compaction_roundtrip,
+        "media_summary": _q_media_summary,
+        "o1_avro_decimal_roundtrip": _q_o1_avro_decimal_roundtrip,
+        "o1_avro_primitive_values": _q_o1_avro_primitive_values,
+        "dedup_clusters": _q_dedup_clusters,
+        "text_winnow": _q_text_winnow,
+        "ann_ivf_multiprobe": _q_ann_ivf_multiprobe,
+        "q_hopping_windows": _q_hopping_windows,
+        "q_range_join_shipments": _q_range_join_shipments,
+        "o3_json_roundtrip": _q_o3_json_roundtrip,
+        "o_orc_roundtrip": _q_o_orc_roundtrip,
+        "o4_text_roundtrip": _q_o4_text_roundtrip,
+        "corpus_pack_sequences": _q_corpus_pack_sequences,
+        "text_pii_scrub": _q_text_pii_scrub,
+        "corpus_split": _q_corpus_split,
+        "ann_lloyd_refine": _q_ann_lloyd_refine,
+        "text_tfidf": _q_text_tfidf,
+        "q_session_windows": _q_session_windows,
+        "o_csv_roundtrip": _q_o_csv_roundtrip,
+        "corpus_shuffle_order": _q_corpus_shuffle_order,
+        "corpus_e2e_pipeline": _q_corpus_e2e_pipeline,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "text_normalize": _q_text_normalize,
+        "corpus_weighted_sample": _q_corpus_weighted_sample,
+        "dedup_incremental": _q_dedup_incremental,
     }
 
 
@@ -2330,6 +2335,44 @@ SELECT doc_id, n_tokens, shard,
        floor(start_tok::DOUBLE / 512)::BIGINT AS seq,
        start_tok % 512 AS offset_in_seq
 FROM c ORDER BY doc_id
+"""
+    # Greedy FFD replayed exactly: per shard, docs ordered (tokens desc, id),
+    # a recursive CTE carries the bin-load list; list_position over a
+    # fits-mask finds the first bin (0 = none on this DuckDB ⇒ new bin).
+    sql["corpus_pack_bestfit"] = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 8 AS shard
+  FROM documents
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard
+                               ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM t
+),
+pack AS (
+  SELECT shard, rn, doc_id, n_tokens, 0::BIGINT AS seq, [n_tokens] AS loads
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT shard, rn, doc_id, n_tokens,
+         CASE WHEN fit = 0 THEN len(loads)::BIGINT ELSE (fit - 1)::BIGINT END
+           AS seq,
+         CASE WHEN fit = 0 THEN list_append(loads, n_tokens)
+              ELSE list_transform(loads,
+                     (x, i) -> CASE WHEN i = fit THEN x + n_tokens ELSE x END)
+         END AS loads
+  FROM (
+    SELECT o.shard, o.rn, o.doc_id, o.n_tokens, p.loads,
+           coalesce(list_position(
+               list_transform(p.loads, x -> x + o.n_tokens <= 512), true), 0)
+             AS fit
+    FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+  )
+)
+SELECT doc_id, n_tokens, shard, seq FROM pack ORDER BY doc_id
 """
     sql["text_pii_scrub"] = r"""
 SELECT doc_id,

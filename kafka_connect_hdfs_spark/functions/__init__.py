@@ -105,9 +105,11 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     # salt varies per ROW (full-row hash), never per key — a per-key salt
     # would land every row of the hot key in one bucket again; full-row
-    # hashing is deterministic on retry, unlike rand()/monotonic ids
-    salt = (
-        F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt_buckets
+    # hashing is deterministic on retry, unlike rand()/monotonic ids.
+    # pmod, not abs+%: abs(Long.MIN_VALUE) stays negative in Spark, and a
+    # negative salt has no replicated match — the row would silently drop.
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)
     ).cast("int")
     b = big.withColumn("_salt", salt)
     s = small.withColumn(

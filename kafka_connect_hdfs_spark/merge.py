@@ -17,7 +17,9 @@ Execution shape (Spark-first, 100 TB-ready):
      with the same hidden-sibling double-rename discipline as
      :mod:`.compaction` and :mod:`.erasure` — metadata-only renames,
      readers see old or new, a crash leaves originals recoverable and
-     re-running converges.
+     re-running converges: step 1 of the next run restores any
+     ``.<leaf>__merge_old`` backup whose live dir is missing (a crash
+     inside the two-rename window) before reading the table.
 
 Untouched partitions are never read, written, or renamed (byte-identical
 files, same inode — asserted in tests). The update-key anti-join is
@@ -51,6 +53,24 @@ def merge_upsert(
     conf = spark._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(table_path).getFileSystem(conf)
+
+    # Crash recovery from a prior interrupted merge: a leftover
+    # .<leaf>__merge_old backup means the previous run died mid-swap.
+    # If its live sibling is missing, the crash hit between rename(live→old)
+    # and rename(staged→live) — restore the backup BEFORE computing the
+    # merged state (merging against a table missing that partition and then
+    # deleting the backup would permanently lose its non-updated rows:
+    # unlike wap.py, the staged content here derives from the live table).
+    # If the live dir exists, the backup is stale post-swap residue — drop.
+    suffix = "__merge_old"
+    for st in fs.listStatus(Path(table_path)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(".") and name.endswith(suffix):
+            live_p = Path(f"{table_path}/{name[1:-len(suffix)]}")
+            if not fs.exists(live_p):
+                fs.rename(st.getPath(), live_p)
+            else:
+                fs.delete(st.getPath(), True)
 
     parts = sorted(r[0] for r in updates.select(partition_col).distinct().collect())
     n_update_rows = updates.count()

@@ -463,6 +463,8 @@ def quality_percentile_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_percentile: float = 0.2,
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Per-language quality-percentile gate: rank every document by its
     heuristic ``quality_score`` WITHIN its language and keep documents at or
@@ -470,15 +472,32 @@ def quality_percentile_filter(
     cut real corpus pipelines apply so low-resource languages aren't wiped
     out by an absolute bar tuned on English.
 
-    Scale: one exchange on the language key. Languages are few and skewed
-    (English dominates) — percent_rank needs a per-language sort, so a hot
-    language concentrates in one task; at 100 TB swap the exact
-    percent_rank for a two-pass approx-quantile threshold per language
-    (percentile_approx on quality, then a map-side filter) — same
-    semantics to within sketch error, no per-language sort. The exact
-    window form is the oracle-checkable reference.
+    Scale: the default ``exact=True`` form is one exchange on the language
+    key, but percent_rank needs a per-language sort, so a hot language
+    (English dominates real corpora) concentrates in one task. At 100 TB
+    pass ``exact=False``: pass 1 computes a per-language
+    ``percentile_approx`` threshold (one tiny agg — map-side sketch merge,
+    languages-sized result), pass 2 broadcasts the thresholds back and
+    filters map-side — no per-language sort anywhere, same kept-set to
+    within sketch error (``accuracy``). The exact window form remains the
+    oracle-checkable reference; equivalence is pytest-gated
+    (tests/test_round2_ops.py::test_quality_percentile_approx_matches_exact).
+
+    Output: exact → ``(id, lang, quality_score, q_pct)``;
+    approx → ``(id, lang, quality_score, q_threshold)``.
     """
     scored = with_quality_score(df, text_col=text_col)
+    if not exact:
+        thresholds = scored.groupBy(lang_col).agg(
+            F.percentile_approx(
+                "quality_score", F.lit(min_percentile), F.lit(accuracy)
+            ).alias("q_threshold")
+        )
+        return (
+            scored.join(F.broadcast(thresholds), lang_col)
+            .filter(F.col("quality_score") >= F.col("q_threshold"))
+            .select(id_col, lang_col, "quality_score", "q_threshold")
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(lang_col).orderBy("quality_score")
@@ -494,6 +513,7 @@ def unk_replace(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab_literal_max: int = 65536,
 ) -> DataFrame:
     """Vocabulary pruning: replace every token whose CORPUS frequency is
     below ``min_count`` with ``<unk>`` and rebuild the document — the
@@ -502,13 +522,21 @@ def unk_replace(
 
     Returns ``(id, n_tokens, n_unk, pruned_text)``.
 
-    Scale: pass 1 is the vocabulary count (map-side combined, shuffle is
-    vocab-sized); the kept-vocabulary is then BROADCAST as a set and pass 2
-    is a map-side array transform — the corpus never shuffles at all, and
-    the document rebuild is position-preserving by construction (no
-    explode/reassemble round trip). Works because a kept-vocab of even
-    millions of short tokens is megabytes; for larger vocabs switch to the
-    explode+join+reassemble form (chunk_dedup's machinery).
+    Scale — two strategies, auto-selected on kept-vocab size:
+
+    * ``|vocab| <= vocab_literal_max``: the kept vocabulary is compiled
+      into the plan as ONE parsed ``array(...)`` literal (a single
+      ``F.expr`` — thousands of per-term ``F.lit`` py4j calls would
+      dominate plan construction) and pass 2 is a map-side array
+      transform — the corpus never shuffles at all and the rebuild is
+      position-preserving by construction.
+    * larger vocabs: a literal would blow up the plan and probe O(|vocab|)
+      per token, so switch to posexplode → broadcast-join against the
+      kept-vocab DataFrame → position-preserving reassembly
+      (chunk-reassembly machinery): the only shuffle carries pruned
+      ``(id, pos, token)`` triples — document text never shuffles — and
+      the vocab side stays a broadcast hash join
+      (tests/test_plan_quality.py guards both shapes).
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     counts = (
@@ -516,16 +544,47 @@ def unk_replace(
         .groupBy("term")
         .agg(F.count("*").alias("c"))
     )
-    kept = [r["term"] for r in counts.filter(F.col("c") >= min_count).collect()]
-    kept_arr = F.array([F.lit(t) for t in sorted(kept)])
-    replaced = F.transform(
-        toks, lambda x: F.when(F.array_contains(kept_arr, x), x).otherwise(F.lit("<unk>"))
-    )
-    return df.select(
+    kept_df = counts.filter(F.col("c") >= min_count).select("term")
+    n_kept = kept_df.count()
+    unk = F.lit("<unk>")
+
+    if n_kept <= vocab_literal_max:
+        kept = sorted(r["term"] for r in kept_df.collect())
+        if not kept:  # array() of zero elements has void type — guard
+            replaced = F.transform(toks, lambda x: unk)
+        else:
+            quoted = ",".join(
+                "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+                for t in kept
+            )
+            kept_arr = F.expr(f"array({quoted})")
+            replaced = F.transform(
+                toks, lambda x: F.when(F.array_contains(kept_arr, x), x).otherwise(unk)
+            )
+        return df.select(
+            F.col(id_col),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.filter(replaced, lambda x: x == unk)).alias("n_unk"),
+            F.array_join(replaced, " ").alias("pruned_text"),
+        )
+
+    # join path: explode to (id, pos, token), mark membership via broadcast
+    # left join, reassemble in token order — text payload never shuffles
+    pos = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    marked = pos.join(
+        F.broadcast(kept_df), pos["tok"] == kept_df["term"], "left"
+    ).select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(replaced, lambda x: x == F.lit("<unk>"))).alias("n_unk"),
-        F.array_join(replaced, " ").alias("pruned_text"),
+        "pos",
+        F.when(F.col("term").isNotNull(), F.col("tok")).otherwise(unk).alias("tok"),
+    )
+    rebuilt = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+    )
+    return marked.groupBy(id_col).agg(
+        F.size(rebuilt).alias("n_tokens"),
+        F.size(F.filter(rebuilt, lambda x: x == unk)).alias("n_unk"),
+        F.array_join(rebuilt, " ").alias("pruned_text"),
     )
 
 

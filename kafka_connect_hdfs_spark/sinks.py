@@ -148,8 +148,31 @@ class PurePythonAvroSink(FormatSink):
             for fp in _glob.glob(os.path.join(local, "**", "*.avro"), recursive=True):
                 os.remove(fp)
         codec = self.options.get("compression", "null")
-        if codec not in ("deflate", "bzip2"):
-            codec = "null"  # snappy needs the native lib; reference default is null
+        if codec == "uncompressed":  # spark-avro's alias for the null codec
+            codec = "null"
+        if codec not in ("null", "deflate", "bzip2"):
+            # The reference supports snappy through a native lib
+            # (avro/AvroRecordWriterProvider.java:69); the pure-Python
+            # fallback writer has no snappy codec. Never downgrade silently:
+            # fail by default, warn-and-downgrade only on explicit opt-in.
+            if self.options.get("allowCodecFallback", False):
+                import warnings
+
+                warnings.warn(
+                    f"avro codec {codec!r} unavailable in the pure-Python "
+                    "writer; falling back to 'null' (allowCodecFallback "
+                    "set). Use the JVM spark-avro datasource for "
+                    f"{codec!r} on a real cluster.",
+                    stacklevel=2,
+                )
+                codec = "null"
+            else:
+                raise ValueError(
+                    f"avro codec {codec!r} is not supported by the "
+                    "pure-Python fallback writer (only null/deflate/bzip2). "
+                    "Install spark-avro for native codecs, or pass "
+                    "allowCodecFallback=True to downgrade to 'null'."
+                )
         payload_fields = [f for f in df.schema.fields if f.name not in partition_by]
         # NonRecordContainer unwrap (avro/AvroRecordWriterProvider.java:79-85):
         # a bare-primitive value stream lands with a primitive container

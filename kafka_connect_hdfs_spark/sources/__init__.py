@@ -79,9 +79,23 @@ def parse_with_quarantine(
     Scale: one ``from_json`` projection (codegen, no UDF) evaluated once —
     Catalyst shares the parse across both branch filters; each branch lands
     with its own sink. No shuffle.
+
+    Parsed fields are selected explicitly by name (never ``_p.*`` + drop),
+    so a parsed field may legally share the payload column's name; a parsed
+    field colliding with any OTHER input column is rejected up front rather
+    than silently shadowed.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
+    parsed_fields = [f.name for f in StructType.fromDDL(schema_ddl).fields]
+    raw_cols = [c for c in df.columns if c != json_col]
+    clash = sorted(set(parsed_fields) & set(raw_cols))
+    if clash:
+        raise ValueError(
+            f"parse_with_quarantine: schema fields {clash} collide with "
+            "input columns; rename one side"
+        )
     full_schema = schema_ddl + ", _corrupt_record string"
     parsed = df.withColumn(
         "_p",
@@ -91,10 +105,11 @@ def parse_with_quarantine(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
         ),
     )
-    good = (
-        parsed.filter(F.col("_p").isNotNull() & F.col("_p._corrupt_record").isNull())
-        .select("*", "_p.*")
-        .drop("_p", "_corrupt_record", json_col)
+    good = parsed.filter(
+        F.col("_p").isNotNull() & F.col("_p._corrupt_record").isNull()
+    ).select(
+        *[F.col(c) for c in raw_cols],
+        *[F.col("_p").getField(f).alias(f) for f in parsed_fields],
     )
     bad = parsed.filter(
         F.col("_p").isNull() | F.col("_p._corrupt_record").isNotNull()

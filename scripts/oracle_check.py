@@ -83,9 +83,11 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -103,7 +105,7 @@ def main():
             continue
         if not compare(name, sdf, ddf):
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; failures: {failures}")
+    print(f"\n{n_run - len(failures)}/{n_run} ok; failures: {failures}")
     spark.stop()
     return 1 if failures else 0
 

@@ -231,6 +231,30 @@ def test_overwrite_mode_and_invalid_mode(spark, tmp_path):
         sink.write(spark.createDataFrame([Row(v=1)]), out, [], mode="errorifexists")
 
 
+def test_unsupported_codec_fails_loudly_not_silently(spark, tmp_path):
+    """The reference supports snappy via a native lib
+    (avro/AvroRecordWriterProvider.java:69); the pure-Python fallback does
+    not. It must refuse — never silently write null-codec — unless the
+    caller opts into the downgrade, which then warns."""
+    import warnings
+
+    out = f"{tmp_path}/codec"
+    df = spark.createDataFrame([Row(v=1)])
+
+    sink = PurePythonAvroSink("avro", ".avro", {"compression": "snappy"})
+    with pytest.raises(ValueError, match="snappy"):
+        sink.write(df, out, [])
+
+    lenient = PurePythonAvroSink(
+        "avro", ".avro", {"compression": "snappy", "allowCodecFallback": True}
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lenient.write(df, out, [])
+    assert any("snappy" in str(w.message) for w in caught)
+    assert lenient.read(spark, out).count() == 1
+
+
 def test_schema_of_prefers_max_committed_offset(spark, tmp_path):
     """Reference bootstraps from the file with the MAX END OFFSET
     (FileUtils.fileStatusWithMaxOffset), not the newest mtime: a replayed

@@ -87,6 +87,56 @@ def test_merge_rerun_is_idempotent(spark, sf_dir, tmp_path):
     assert first == second
 
 
+def test_merge_recovers_crash_between_swap_renames(spark, sf_dir, tmp_path):
+    """Crash window: rename(live→old) succeeded, rename(staged→live) did
+    not. The partition's live dir is gone and only .<leaf>__merge_old holds
+    its rows. A re-run must restore the backup BEFORE computing the merged
+    state — otherwise the partition's non-updated rows are lost forever."""
+    ev, path = _land(spark, sf_dir, tmp_path)
+    t0 = sorted(r[0] for r in ev.select("event_type").distinct().collect())[0]
+    expected_partition = ev.filter(F.col("event_type") == t0).count()
+
+    # simulate the mid-swap crash state
+    leaf = f"event_type={t0}"
+    os.rename(f"{path}/{leaf}", f"{path}/.{leaf}__merge_old")
+    assert not os.path.exists(f"{path}/{leaf}")
+
+    batch = (
+        ev.filter((F.col("event_type") == t0) & (F.col("event_id") % 7 == 0))
+        .withColumn("value", F.lit(-1.0))
+    )
+    merge_upsert(spark, path, batch, "event_id", "event_type")
+
+    back = spark.read.parquet(path).filter(F.col("event_type") == t0)
+    assert back.count() == expected_partition  # non-updated rows survived
+    assert back.filter(F.col("event_id") % 7 == 0).filter(
+        F.col("value") != -1.0
+    ).count() == 0
+    assert glob.glob(f"{path}/.*__merge_old") == []  # backup consumed
+
+
+def test_merge_drops_stale_backup_when_live_exists(spark, sf_dir, tmp_path):
+    """Crash AFTER the swap completed but before backup cleanup: live dir is
+    current, .<leaf>__merge_old is residue — the next run must drop it and
+    merge normally."""
+    import shutil
+
+    ev, path = _land(spark, sf_dir, tmp_path)
+    t0 = sorted(r[0] for r in ev.select("event_type").distinct().collect())[0]
+    leaf = f"event_type={t0}"
+    shutil.copytree(f"{path}/{leaf}", f"{path}/.{leaf}__merge_old")
+
+    batch = (
+        ev.filter((F.col("event_type") == t0) & (F.col("event_id") % 5 == 0))
+        .withColumn("value", F.lit(-2.0))
+    )
+    merge_upsert(spark, path, batch, "event_id", "event_type")
+
+    assert glob.glob(f"{path}/.*__merge_old") == []
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+
+
 def test_streaming_foreachbatch_merge_upsert(spark, sf_dir, tmp_path):
     """Continuous CDC ingestion: a change stream applied micro-batch by
     micro-batch via merge_upsert in foreachBatch. Last-writer-wins per key

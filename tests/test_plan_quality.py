@@ -259,6 +259,22 @@ def test_unk_replace_never_shuffles_corpus(spark, sf):
     assert "Join" not in plan, plan
 
 
+def test_unk_replace_join_path_broadcasts_vocab(spark, sf):
+    """The large-vocab strategy must join the kept vocabulary as a
+    broadcast (never a sort-merge join) and shuffle only the pruned
+    (id, pos, token) triples for reassembly — document text stays out of
+    every exchange."""
+    from kafka_connect_hdfs_spark.operators.text import unk_replace
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(unk_replace(docs, min_count=2, vocab_literal_max=0))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # lang/source prove column pruning reached the scan
+    assert "lang" not in plan and "source" not in plan, plan
+
+
 def test_chunk_dedup_shuffles_triples_not_text(spark, sf):
     """Chunk dedup's keep-first window must partition on the chunk key and
     the exploded rows must carry only (id, idx, chunk) — the original text

@@ -171,6 +171,64 @@ def test_unk_replace_positions_and_counts(spark):
     assert out[2]["n_tokens"] == 2
 
 
+def test_quality_percentile_approx_matches_exact(spark):
+    """The scale path (per-language percentile_approx threshold, no
+    per-language sort) must keep the same documents as the exact
+    percent_rank window form to within sketch error."""
+    from kafka_connect_hdfs_spark.operators.text import quality_percentile_filter
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        r["doc_id"]
+        for r in quality_percentile_filter(docs, min_percentile=0.3).collect()
+    }
+    approx = {
+        r["doc_id"]
+        for r in quality_percentile_filter(
+            docs, min_percentile=0.3, exact=False
+        ).collect()
+    }
+    assert exact and approx
+    sym = exact ^ approx
+    assert len(sym) <= max(2, 0.05 * len(exact)), (
+        f"approx/exact kept-sets diverge: {len(sym)} of {len(exact)}"
+    )
+
+
+def test_unk_replace_join_path_matches_literal_path(spark):
+    """Above the vocab-literal threshold unk_replace switches to
+    posexplode → broadcast-join → position-preserving reassembly; both
+    strategies must produce identical output."""
+    from kafka_connect_hdfs_spark.operators.text import unk_replace
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lit_rows = sorted(
+        tuple(r) for r in unk_replace(docs, min_count=3).collect()
+    )
+    join_rows = sorted(
+        tuple(r)
+        for r in unk_replace(docs, min_count=3, vocab_literal_max=0).collect()
+    )
+    assert lit_rows == join_rows
+
+
+def test_unk_replace_empty_vocab_is_all_unk(spark):
+    """A min_count nothing reaches must not break plan resolution (the old
+    zero-element F.array literal had void element type): every token
+    becomes <unk> on both strategies."""
+    from kafka_connect_hdfs_spark.operators.text import unk_replace
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    for kw in ({}, {"vocab_literal_max": 0}):
+        out = {r["doc_id"]: r for r in unk_replace(docs, min_count=99, **kw).collect()}
+        assert out[1]["pruned_text"] == "<unk> <unk>" and out[1]["n_unk"] == 2
+        assert out[2]["pruned_text"] == "<unk>" and out[2]["n_unk"] == 1
+
+
 def test_bloom_filter_write_lands_blooms(spark, tmp_path):
     import glob
     import os
@@ -366,6 +424,25 @@ def test_parse_with_quarantine_splits_and_preserves_raw(spark):
     b = {r["id"]: r["value"] for r in bad.collect()}
     assert set(b) == {2, 4} and b[2] == "not json at all"
     assert bad.columns == df.columns
+
+
+def test_parse_with_quarantine_field_named_like_payload_survives(spark):
+    """A parsed field sharing the payload column's name must not be dropped
+    (the old '_p.*' + drop-by-name form silently removed it); a parsed field
+    colliding with any OTHER raw column is rejected up front."""
+    import pytest
+
+    from kafka_connect_hdfs_spark.sources import parse_with_quarantine
+
+    df = spark.createDataFrame(
+        [(1, '{"value": 7, "k": 10}')], "id long, value string"
+    )
+    good, _ = parse_with_quarantine(df, "value bigint, k bigint")
+    row = good.collect()[0]
+    assert row["value"] == 7 and row["k"] == 10 and row["id"] == 1
+
+    with pytest.raises(ValueError, match="collide"):
+        parse_with_quarantine(df, "id bigint, k bigint")
 
 
 def test_profile_table_counts_and_nulls(spark):
