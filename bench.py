@@ -61,6 +61,13 @@ def main() -> None:
         "dedup_chunks",
         "q_rolling_7d_revenue",
         "ann_pq_topk",
+        # r3 additions: the heaviest previously-unbenched operators, so
+        # round-over-round comparisons cover the full surface
+        "ann_ivfpq_topk",
+        "dedup_incremental_neardup",
+        "q_peak_concurrency",
+        "dedup_fuzzy_prefix",
+        "q_scd2_dimension",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings
