@@ -368,6 +368,65 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_docs(spark, sf_dir), bits=16).orderBy("doc_id")
 
 
+def _q_dedup_lsh_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimate scoring of LSH candidates (Broder 1997): candidate
+    pairs are thresholded on the fraction of agreeing signature components —
+    no shingle-set re-intersection, document text never re-read."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        dedup_keep_first, lsh_jaccard_estimates,
+    )
+
+    kept = dedup_keep_first(_docs(spark, sf_dir))
+    return lsh_jaccard_estimates(
+        kept, num_hashes=8, bands=4, n=3, max_bucket_size=100, min_estimate=0.25
+    ).orderBy("id_a", "id_b")
+
+
+def _q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection per duplicate cluster: connected components
+    over n-gram Jaccard pairs, then ONE max(struct(quality, -id)) agg picks
+    the highest-quality member (ties → lowest id); singletons represent
+    themselves."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        cluster_representatives, ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_shingle_freq=200)
+    return cluster_representatives(docs, pairs).orderBy("cluster_id")
+
+
+def _q_text_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span removal (Lee et al. ACL 2022, n-gram flavor): trigrams
+    occurring ≥ 5× corpus-wide are boilerplate; every covered token is cut
+    map-side via a capped hot-gram literal — corpus never shuffles."""
+    from kafka_connect_hdfs_spark.operators.text import remove_hot_ngrams
+
+    return remove_hot_ngrams(
+        _docs(spark, sf_dir), n=3, hot_threshold=5, top_k_hot=256
+    ).orderBy("doc_id")
+
+
+def _q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget allocation: md5-shuffled docs kept while
+    the (lang, shard) running token total fits budget/shards — the mixing
+    step that takes exactly-budgeted fair samples per language."""
+    from kafka_connect_hdfs_spark.operators.packing import token_budget_sample
+
+    docs = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    with_tokens = docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .alias("n_tokens"),
+    )
+    return token_budget_sample(
+        with_tokens, budget=2000, shards=2
+    ).orderBy("lang", "shard", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # queries — similarity search
 
@@ -1568,7 +1627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                cast fixed this round
     #   slot 38:     corpus_pack_bestfit — r02 `no_oracle`; now has a
     #                recursive-CTE FFD replay oracle
-    #   slots 39-50: oldest r01 greens, re-checked for regression
+    #   slots 39-42: NEW operators this round (LSH Jaccard estimates,
+    #                cluster representatives, hot-n-gram span removal,
+    #                per-language token budgets) — driver-checked on arrival
+    #   slots 43-50: oldest r01 greens, re-checked for regression
     #
     # ROUND-4 ROTATION TODO: promote any r03 fails plus the r01 greens not
     # re-checked here (f2_time_rotation ... media_frame_sample) into the
@@ -1616,6 +1678,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_shipping": A2.q12_priority_shipping,
         # --- r02 no_oracle, FFD replay oracle added this round
         "corpus_pack_bestfit": _q_corpus_pack_bestfit,
+        # --- NEW in r03
+        "dedup_lsh_jaccard_est": _q_dedup_lsh_jaccard_est,
+        "dedup_cluster_reps": _q_dedup_cluster_reps,
+        "text_hot_ngrams": _q_text_hot_ngrams,
+        "corpus_token_budget": _q_corpus_token_budget,
         # --- oldest r01 greens, re-checked for regression
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
@@ -1625,12 +1692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_signup": A2.q_asof_last_signup,
         "p1_default_partition": _q_p1_default_partition,
         "p2_field_partition": _q_p2_field_partition,
+        # ================= below the 50-slot budget window =================
+        # green in r01, not yet re-checked — first in line for r4 re-checks
         "p3_hourly_partition": _q_p3_hourly_partition,
         "p4_daily_partition": _q_p4_daily_partition,
         "p5_timebased_tz": _q_p5_timebased_tz,
         "f1_rotation_manifest": _q_f1_rotation_manifest,
-        # ================= below the 50-slot budget window =================
-        # green in r01, not yet re-checked — first in line for r4 re-checks
         "f2_time_rotation": _q_f2_time_rotation,
         "e2_schema_projection": _q_e2_schema_projection,
         "embedding_centroids": _q_embedding_centroids,
@@ -1789,6 +1856,66 @@ capped AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM capped a JOIN capped b ON a.band = b.band AND a.band_sig = b.band_sig
 WHERE a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def _minhash_lsh_est_oracle(
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 100,
+    min_est: float = 0.25,
+) -> str:
+    """LSH candidates + signature-agreement Jaccard estimate: the capped
+    banded pairs of `_minhash_lsh_oracle`, then each pair joins the
+    signature table twice and counts agreeing components."""
+    rows = num_hashes // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_exprs.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS band_sig FROM sigs"
+        )
+    union = " UNION ALL ".join(band_exprs)
+    mins = ", ".join(
+        f"min(({_H48} * {2 * i + 1} + {7919 * (i + 1)}) % {(1 << 61) - 1}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    shingles_kept = _SHINGLES_CTE.replace("FROM documents", "FROM kept_docs")
+    return f"""
+WITH fp AS (
+  SELECT doc_id, text, md5({_NORM}) AS f FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+kept_docs AS (
+  SELECT fp.doc_id, text FROM fp JOIN keep ON fp.doc_id = keep.doc_id
+),
+{shingles_kept},
+sigs AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
+buckets AS ({union}),
+small AS (
+  SELECT band, band_sig FROM buckets GROUP BY band, band_sig
+  HAVING count(*) <= {max_bucket_size}
+),
+capped AS (
+  SELECT b.* FROM buckets b JOIN small s
+  ON b.band = s.band AND b.band_sig = s.band_sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       round(({agree}) / {float(num_hashes)}, 6) AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON p.id_a = sa.doc_id
+JOIN sigs sb ON p.id_b = sb.doc_id
+WHERE round(({agree}) / {float(num_hashes)}, 6) >= {min_est}
 ORDER BY id_a, id_b
 """
 
@@ -2155,6 +2282,128 @@ SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
     sql["dedup_minhash_signatures"] = _minhash_oracle(8)
     sql["dedup_minhash_lsh"] = _minhash_lsh_oracle(8, 4)
     sql["dedup_simhash"] = _simhash_oracle(16)
+    sql["dedup_lsh_jaccard_est"] = _minhash_lsh_est_oracle(8, 4, 100, 0.25)
+    sql["dedup_cluster_reps"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip()},
+freq AS (SELECT shingle, count(*) AS df_ FROM shingles GROUP BY shingle),
+filtered AS (
+  SELECT s.doc_id, s.shingle FROM shingles s JOIN freq f ON s.shingle = f.shingle
+  WHERE f.df_ <= 200
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM filtered GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM filtered a JOIN filtered b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE round(n_common / (sa.set_size + sb.set_size - n_common)::DOUBLE, 6) >= 0.05
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+),
+labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+feats AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS total,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE AS punct,
+         len({_TOKS})::DOUBLE AS n_tok,
+         len(list_filter({_TOKS}, x -> list_contains({_en}, x)))::DOUBLE AS n_stop,
+         len(list_distinct({_TOKS}))::DOUBLE AS n_uniq
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+         round(((CASE WHEN total > 0 THEN alpha / total ELSE 0.0 END)
+              + (1 - (CASE WHEN total > 0 THEN punct / total ELSE 0.0 END))
+              + least(1.0, 4 * (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END))
+              + (CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END)) / 4, 6)
+           AS quality_score
+  FROM feats
+),
+labeled AS (
+  SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id, q.quality_score
+  FROM quality q LEFT JOIN labels l ON q.doc_id = l.node
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality_score DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM labeled
+)
+SELECT cluster_id, doc_id AS rep_doc_id, quality_score AS rep_quality, n_members
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+    sql["text_hot_ngrams"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) >= 3
+              THEN [array_to_string(tk[j+1:j+3], ' ') FOR j IN range(len(tk)-2)]
+              ELSE [] END AS grams
+  FROM t
+),
+counts AS (
+  SELECT gram, count(*) AS c
+  FROM (SELECT unnest(grams) AS gram FROM g)
+  GROUP BY gram HAVING count(*) >= 5
+),
+hotl AS (
+  SELECT coalesce(list(gram), []) AS hot
+  FROM (SELECT gram FROM counts ORDER BY c DESC, gram ASC LIMIT 256)
+),
+cleaned AS (
+  SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+         CASE WHEN len(tk) >= 3 THEN
+           [tk[pos+1] FOR pos IN range(len(tk))
+            IF len(list_filter(range(len(tk)-2),
+                   j -> list_contains(h.hot, grams[j+1])
+                        AND j >= pos-2 AND j <= pos)) = 0]
+         ELSE tk END AS kept
+  FROM g CROSS JOIN hotl h
+)
+SELECT doc_id, n_tokens, (n_tokens - len(kept))::BIGINT AS n_removed,
+       md5(array_to_string(kept, ' ')) AS cleaned_fp
+FROM cleaned ORDER BY doc_id
+"""
+    sql["corpus_token_budget"] = r"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5('budget0' || doc_id::VARCHAR), 1, 12))::BIGINT
+           / 281474976710656.0 AS u,
+         ('0x' || substr(md5('budget0#s' || doc_id::VARCHAR), 1, 12))::BIGINT % 2
+           AS shard
+  FROM documents
+),
+c AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY u, doc_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+  FROM t
+)
+SELECT lang, shard, doc_id, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 1000 ORDER BY lang, shard, doc_id
+"""
 
     # --- similarity
     sql["ann_topk_bruteforce"] = f"""

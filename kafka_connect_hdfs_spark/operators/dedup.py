@@ -252,6 +252,132 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_jaccard_estimates(
+    df: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+    min_estimate: float = 0.0,
+) -> DataFrame:
+    """LSH candidate pairs scored with the MinHash Jaccard ESTIMATE — the
+    standard second stage after banding (Broder, "On the resemblance and
+    containment of documents", 1997): for a candidate pair the fraction of
+    agreeing signature components is an unbiased estimator of the Jaccard
+    similarity, so pairs can be thresholded WITHOUT ever re-reading either
+    document's text.
+
+    Returns ``(id_a, id_b, est_jaccard)`` for candidates with
+    ``est_jaccard >= min_estimate``.
+
+    Scale: signatures are computed once, map-side (no shuffle — the same
+    plan-guarded fold as :func:`minhash_signatures`); banding explodes
+    ``bands`` small rows per doc; candidate pairs form only inside capped
+    buckets; the estimate joins the (id, k-ints) signature table twice —
+    document text never moves, and the estimate costs k integer compares
+    per pair instead of a shingle-set intersection.
+    """
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    sig_arr = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_sig"),
+    )
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for bnd in range(bands):
+        cols = [F.col(f"mh_{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(bnd).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("sig")
+            )
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("band_sig"))
+    if max_bucket_size is not None:
+        sizes = (
+            buckets.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("_bs"))
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+        )
+        buckets = buckets.join(sizes, ["band", "band_sig"])
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    pairs = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig_arr.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa"))
+    sb = sig_arr.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb"))
+    agree = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda eq: eq)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_estimate)
+    )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical-document selection: resolve duplicate PAIRS into clusters
+    (:func:`duplicate_clusters`) and keep ONE representative per cluster —
+    the highest heuristic quality score, ties to the lowest doc id. The
+    keep/drop decision real corpus pipelines apply after near-dup detection
+    ("of these 20 mirrors, train on the cleanest one"). Singleton documents
+    (no candidate pair) represent themselves.
+
+    Returns ``(cluster_id, rep_doc_id, rep_quality, n_members)``.
+
+    Scale: the argmax is ONE ``max(struct(quality, -id))`` aggregation on
+    the cluster key — no window, no per-cluster sort; the cluster labels
+    join is on ids only (text never shuffles — quality is computed map-side
+    before the exchange).
+    """
+    from kafka_connect_hdfs_spark.operators.text import with_quality_score
+
+    clusters = duplicate_clusters(pairs)
+    scored = with_quality_score(docs, text_col=text_col).select(
+        F.col(id_col), F.col("quality_score")
+    )
+    labeled = scored.join(
+        clusters, scored[id_col] == clusters["node"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        "quality_score",
+    )
+    best = labeled.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("quality_score").alias("q"), (-F.col(id_col)).alias("neg_id")
+            )
+        ).alias("b"),
+        F.count("*").alias("n_members"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("b.neg_id")).alias("rep_doc_id"),
+        F.col("b.q").alias("rep_quality"),
+        "n_members",
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -231,6 +231,62 @@ def pack_sequences_bestfit(
     return pruned.groupBy("shard").applyInPandas(pack, schema=out_schema)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    shards: int = 1,
+    seed: str = "budget0",
+) -> DataFrame:
+    """Per-language token-budget curation: deterministically shuffle each
+    language's documents (md5-uniform order) and keep documents while the
+    language's running token total stays within ``budget`` — the "take 100 B
+    tokens of German, 2 T of English" allocation step of training-data
+    mixing (a fair random sample of exactly-budgeted size, not a quality
+    cut — compose with quality_percentile_filter upstream for that).
+
+    Returns ``(lang, shard, doc_id, n_tokens, cum_tokens)`` for kept docs.
+
+    Scale: the running total is a window per ``(lang, shard)``; with
+    ``shards=1`` the cut is exact but a dominant language sorts in one
+    task — at 100 TB set ``shards`` so each shard's slice fits an executor
+    and give each shard ``budget/shards``: the md5 shard assignment is
+    uniform, so per-shard budgets converge to the same sample (the exact
+    form is the oracle-checkable reference; the sharded form is what runs
+    at scale and is oracle-checkable too — same SQL, more partitions).
+    Only the pruned ``(lang, id, n_tokens)`` projection shuffles.
+    """
+    u = _hash_uniform(F.col(id_col), seed)
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "#s"), F.col(id_col).cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(shards),
+    )
+    per_shard_budget = budget // shards
+    w = (
+        Window.partitionBy(lang_col, "shard")
+        .orderBy("u", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(lang_col),
+            shard.alias("shard"),
+            F.col(id_col),
+            F.col(token_col).cast("bigint").alias(token_col),
+            u.alias("u"),
+        )
+        .withColumn("cum_tokens", F.sum(token_col).over(w))
+        .filter(F.col("cum_tokens") <= per_shard_budget)
+        .drop("u")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

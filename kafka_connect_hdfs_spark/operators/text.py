@@ -588,6 +588,82 @@ def unk_replace(
     )
 
 
+def remove_hot_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    hot_threshold: int = 50,
+    top_k_hot: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repeated-span removal (the n-gram flavor of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022):
+    token spans of length ``n`` occurring ≥ ``hot_threshold`` times
+    corpus-wide — boilerplate, navigation chrome, license headers — are cut
+    from every document; a token is dropped iff some hot n-gram occurrence
+    covers its position.
+
+    Returns ``(id, n_tokens, n_removed, cleaned_fp)`` where ``cleaned_fp``
+    is the md5 of the cleaned text (the full rebuild is ``array_join`` of
+    the kept tokens — fingerprinted here so the oracle compares cheaply).
+
+    Scale: the count pass shuffles distinct grams only (map-side combined);
+    the hot set is capped at ``top_k_hot`` grams (count desc, gram — the
+    same deterministic stop-shingle discipline as ngram_jaccard) and
+    compiled into the plan as ONE parsed literal, so the removal pass is a
+    pure map-side transform — the corpus never shuffles. Per-token cost is
+    O(n · |hot|); raise the threshold / lower the cap rather than letting
+    |hot| grow unbounded.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hot_rows = (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= hot_threshold)
+        .orderBy(F.desc("c"), F.asc("gram"))
+        .limit(top_k_hot)
+        .collect()
+    )
+    hot = sorted(r["gram"] for r in hot_rows)
+
+    L = F.size(toks)
+    if not hot:
+        kept = toks
+    else:
+        quoted = ",".join(
+            "'" + g.replace("\\", "\\\\").replace("'", "\\'") + "'" for g in hot
+        )
+        hot_arr = F.expr(f"array({quoted})")
+        # hot_start[j+1] = gram starting at 0-based token j is hot
+        hot_start = F.transform(grams, lambda g: F.array_contains(hot_arr, g))
+        # pos is covered iff a hot gram starts in [pos-n+1, pos] ∩ [0, L-n]
+        covered = lambda pos: F.exists(  # noqa: E731
+            F.sequence(
+                F.greatest(F.lit(0), pos - F.lit(n - 1)),
+                F.least(pos, L - F.lit(n)),
+            ),
+            lambda j: F.element_at(hot_start, j + 1),
+        )
+        kept = F.when(
+            L >= n,
+            F.filter(toks, lambda x, pos: ~covered(pos)),
+        ).otherwise(toks)
+    return df.select(
+        F.col(id_col),
+        L.alias("n_tokens"),
+        (L - F.size(kept)).alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_fp"),
+    )
+
+
 def ngram_counts(
     df: DataFrame,
     n: int = 2,

@@ -259,6 +259,35 @@ def test_unk_replace_never_shuffles_corpus(spark, sf):
     assert "Join" not in plan, plan
 
 
+def test_remove_hot_ngrams_is_map_side(spark, sf):
+    """Hot-n-gram span removal must be a pure map-side transform over the
+    corpus: the hot set rides the plan as a literal, so the removal plan has
+    no Exchange and no Join (the count pass is a separate, collected job)."""
+    from kafka_connect_hdfs_spark.operators.text import remove_hot_ngrams
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(remove_hot_ngrams(docs, n=3, hot_threshold=5))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_cluster_representatives_no_window_sort(spark, sf):
+    """The per-cluster argmax must be one max(struct) aggregation — no
+    window function, no per-cluster sort in the plan."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.dedup import cluster_representatives
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).limit(10)
+    plan = _plan(cluster_representatives(docs, pairs))
+    assert "Window" not in plan, plan
+
+
 def test_unk_replace_join_path_broadcasts_vocab(spark, sf):
     """The large-vocab strategy must join the kept vocabulary as a
     broadcast (never a sort-merge join) and shuffle only the pruned
