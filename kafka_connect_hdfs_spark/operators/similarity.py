@@ -320,11 +320,14 @@ def _ivf_choice_array(
 
     if seed_rows is None:
         seed_rows = _collect_seed_rows(seeds, id_col, vec_col)
-    v = F.col(vec_col).cast("array<double>")
-    norm_v = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    v = _vec_sql(vec_col)
     # ONE parsed literal array of seed structs + a transform loop — not
     # per-seed unrolled expressions built from thousands of py4j F.lit
-    # calls (same plan-construction fix as the PQ codebook literal)
+    # calls (same plan-construction fix as the PQ codebook literal). The
+    # whole kernel is SQL text: ONE gateway parse instead of dozens of
+    # lambda-DSL round-trips per build. The row norm binds once through a
+    # single-element outer transform (`nv`) so it is not recomputed per
+    # seed inside the inner lambda.
     entries = ", ".join(
         "named_struct('nsid', {nsid}L, 'snorm', CAST({snorm!r} AS DOUBLE), "
         "'sv', array({sv}))".format(
@@ -334,21 +337,13 @@ def _ivf_choice_array(
         )
         for r in seed_rows
     )
-    seeds_lit = F.expr(f"array({entries})")
-    return F.transform(
-        seeds_lit,
-        lambda s: F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(v, s["sv"], lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (norm_v * s["snorm"]),
-                6,
-            ).alias("sim"),
-            s["nsid"].alias("nsid"),
-        ),
+    return F.expr(
+        f"element_at(transform("
+        f"array(sqrt(aggregate({v}, 0.0D, (acc, x) -> acc + x * x))), "
+        f"nv -> transform(array({entries}), s -> named_struct("
+        f"'sim', round(aggregate(zip_with({v}, s.sv, (a, b) -> a * b), "
+        f"0.0D, (acc, x) -> acc + x) / (nv * s.snorm), 6), "
+        f"'nsid', s.nsid))), 1)"
     )
 
 
@@ -749,35 +744,48 @@ def pq_codebook(
     ]
 
 
-def _pq_subspace_dists(vec: F.Column, book_j: list[list[float]], j: int) -> F.Column:
-    """Array of rounded squared-L2 distances from the current row's
-    subvector ``j`` to every centroid of subspace ``j``.
+def _pq_subspace_dists_sql(vec_sql: str, book_j: list[list[float]], j: int) -> str:
+    """SQL text for the array of rounded squared-L2 distances from the
+    current row's subvector ``j`` to every centroid of subspace ``j``.
 
     The codebook enters as ONE literal 2-D array and the per-centroid fold
     runs inside a single ``transform`` — a loop in the generated code
     rather than ``n_codes`` unrolled expression copies (the unrolled form
-    worked but cost seconds of codegen per plan compile)."""
+    worked but cost seconds of codegen per plan compile).
+
+    Returned as SQL TEXT composed into one ``F.expr`` parse by the
+    callers, not a Column: building the same tree through the lambda DSL
+    cost ~2,400 py4j round-trips (>1 s of driver time, profiled) per
+    ``ivfpq_topk`` plan; as text it is ONE gateway call."""
     dsub = len(book_j[0])
-    sub = F.slice(vec, j * dsub + 1, dsub)
-    # ONE parsed SQL literal instead of ~n_codes×dsub Column objects — the
-    # py4j round-trips to build them dominated plan-construction time
-    book_arr = F.expr(
-        "array(%s)"
-        % ", ".join(
-            "array(%s)" % ", ".join(f"{x!r}D" for x in cent) for cent in book_j
-        )
+    book_arr = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(f"{x!r}D" for x in cent) for cent in book_j
     )
-    return F.transform(
-        book_arr,
-        lambda cent: F.round(
-            F.aggregate(
-                F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ),
+    sub = f"slice({vec_sql}, {j * dsub + 1}, {dsub})"
+    return (
+        f"transform({book_arr}, cent -> round(aggregate("
+        f"zip_with({sub}, cent, (a, b) -> (a - b) * (a - b)), "
+        f"0.0D, (acc, x) -> acc + x), 6))"
     )
+
+
+def _pq_tables_sql(vec_sql: str, book: list[list[list[float]]]) -> str:
+    """SQL text for the per-query ADC lookup tables (one distance array per
+    subspace)."""
+    return "array(%s)" % ", ".join(
+        _pq_subspace_dists_sql(vec_sql, book_j, j) for j, book_j in enumerate(book)
+    )
+
+
+#: ADC fold over joined (tabs, codes) columns: approx dist = Σ_j tabs[j][code_j]
+_ADC_SQL = (
+    "round(aggregate(zip_with(tabs, codes, (tab, code) -> "
+    "element_at(tab, code + 1)), 0.0D, (acc, x) -> acc + x), 6)"
+)
+
+
+def _vec_sql(vec_col: str) -> str:
+    return f"cast(`{vec_col}` as array<double>)"
 
 
 def pq_encode(
@@ -798,20 +806,20 @@ def pq_encode(
     """
     return embeddings.select(
         F.col(id_col),
-        _pq_codes_col(F.col(vec_col).cast("array<double>"), book).alias("codes"),
+        F.expr(_pq_codes_sql(_vec_sql(vec_col), book)).alias("codes"),
     )
 
 
-def _pq_codes_col(v: F.Column, book: list[list[list[float]]]) -> F.Column:
-    """The m-code array for the current row's vector (shared by
+def _pq_codes_sql(vec_sql: str, book: list[list[list[float]]]) -> str:
+    """SQL text for the m-code array of the current row's vector (shared by
     ``pq_encode`` and ``ivfpq_topk``)."""
-    code_cols = []
+    parts = []
     for j, book_j in enumerate(book):
-        dists = _pq_subspace_dists(v, book_j, j)
+        d = _pq_subspace_dists_sql(vec_sql, book_j, j)
         # array_position finds the FIRST occurrence of the min → ties
         # resolve to the lowest code id, matching the oracle's (d, c) order
-        code_cols.append(F.array_position(dists, F.array_min(dists)) - 1)
-    return F.array(*code_cols).cast("array<int>")
+        parts.append(f"(array_position({d}, array_min({d})) - 1)")
+    return "cast(array(%s) as array<int>)" % ", ".join(parts)
 
 
 def pq_topk(
@@ -841,26 +849,13 @@ def pq_topk(
     codes = fan_out(pq_encode(embeddings, book, id_col=id_col, vec_col=vec_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col("codes")
     )
-    qv = F.col(vec_col).cast("array<double>")
-    tables = F.array(
-        *[_pq_subspace_dists(qv, book_j, j) for j, book_j in enumerate(book)]
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), tables.alias("tabs"))
-    adc = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("tabs"),
-                F.col("codes"),
-                lambda tab, code: F.element_at(tab, code + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(_pq_tables_sql(_vec_sql(vec_col), book)).alias("tabs"),
     )
     sims = (
         codes.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adc_dist", adc)
+        .withColumn("adc_dist", F.expr(_ADC_SQL))
         .select("query_id", "neighbor_id", "adc_dist")
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
@@ -899,41 +894,26 @@ def ivfpq_topk(
     seeds = embeddings.filter(F.col(id_col) < n_seeds)
     book = pq_codebook(embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
     seed_rows = _collect_seed_rows(seeds, id_col, vec_col)
-    v = F.col(vec_col).cast("array<double>")
+    vec_sql = _vec_sql(vec_col)
     best = F.array_max(_ivf_choice_array(seeds, id_col, vec_col, seed_rows))
     enc = fan_out(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
             (-best["nsid"]).alias("cell"),
-            _pq_codes_col(v, book).alias("codes"),
+            F.expr(_pq_codes_sql(vec_sql, book)).alias("codes"),
         )
     )
     ranked = F.reverse(F.array_sort(_ivf_choice_array(seeds, id_col, vec_col, seed_rows)))
     probe_cells = F.transform(F.slice(ranked, 1, n_probe), lambda s: -s["nsid"])
-    tables = F.array(
-        *[_pq_subspace_dists(v, book_j, j) for j, book_j in enumerate(book)]
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(probe_cells).alias("cell"),
-        tables.alias("tabs"),
-    )
-    adc = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("tabs"),
-                F.col("codes"),
-                lambda tab, code: F.element_at(tab, code + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+        F.expr(_pq_tables_sql(vec_sql, book)).alias("tabs"),
     )
     sims = (
         enc.join(broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adc_dist", adc)
+        .withColumn("adc_dist", F.expr(_ADC_SQL))
         .select("query_id", "neighbor_id", "adc_dist")
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
