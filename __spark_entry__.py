@@ -427,6 +427,71 @@ def _q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "shard", "doc_id")
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse embedding clusters via the
+    shuffle-free literal-seed kernel, within-cluster cosine >= threshold
+    to a lower id marks the semantic duplicate."""
+    from kafka_connect_hdfs_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir), n_seeds=8, threshold=0.6
+    ).orderBy("vec_id")
+
+
+def _q_corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking with overlap (RAG / long-context
+    layout): 16-token windows every 8 tokens, final partial kept; chunk
+    text fingerprinted so the row stays narrow."""
+    from kafka_connect_hdfs_spark.operators.packing import chunk_with_overlap
+
+    chunks = chunk_with_overlap(
+        _docs(spark, sf_dir), window=16, stride=8
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_token",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _q_text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal over a synthesized HTML wrapping of each document
+    (tags + entities + a script element), verifying the cleaned text
+    round-trips to the original prose."""
+    from kafka_connect_hdfs_spark.operators.text import strip_markup
+
+    docs = _docs(spark, sf_dir)
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="doc"><h1>T &amp; D</h1>\n<p>'),
+            F.col("text"),
+            F.lit("</p><script>var x = 1 &lt; 2;</script>\n"),
+            F.lit("<!-- trailer --><br/>&quot;end&quot;</div>"),
+        ).alias("text"),
+    )
+    cleaned = strip_markup(html)
+    return cleaned.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_fp"),
+        F.length("clean_text").cast("bigint").alias("n_chars_clean"),
+    ).orderBy("doc_id")
+
+
+def _q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: per-query exact cosine top-5
+    restricted to candidates sharing the query's label (pre-filter, so
+    selective filters still return k true matches)."""
+    from kafka_connect_hdfs_spark.operators.similarity import filtered_topk
+
+    emb = _emb(spark, sf_dir)
+    return filtered_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, filter_col="label"
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # queries — similarity search
 
@@ -1627,14 +1692,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                cast fixed this round
     #   slot 38:     corpus_pack_bestfit — r02 `no_oracle`; now has a
     #                recursive-CTE FFD replay oracle
-    #   slots 39-42: NEW operators this round (LSH Jaccard estimates,
+    #   slots 39-46: NEW operators this round (LSH Jaccard estimates,
     #                cluster representatives, hot-n-gram span removal,
-    #                per-language token budgets) — driver-checked on arrival
-    #   slots 43-50: oldest r01 greens, re-checked for regression
+    #                per-language token budgets, SemDeDup, overlap chunker,
+    #                markup strip, filtered ANN) — driver-checked on arrival
+    #   slots 47-50: oldest r01 greens, re-checked for regression
     #
     # ROUND-4 ROTATION TODO: promote any r03 fails plus the r01 greens not
-    # re-checked here (f2_time_rotation ... media_frame_sample) into the
-    # first 50; verify locally first:
+    # re-checked here (q_sessionize, asof_last_signup, p1/p2_partition,
+    # p3_hourly_partition ... media_frame_sample) into the first 50; verify
+    # locally first:
     #   python scripts/oracle_check.py /root/testdata/sf0.01
     return {
         # --- never-checked before r03: CDC / sketches / layout / analytics
@@ -1683,17 +1750,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_reps": _q_dedup_cluster_reps,
         "text_hot_ngrams": _q_text_hot_ngrams,
         "corpus_token_budget": _q_corpus_token_budget,
+        "semantic_dedup_flags": _q_semantic_dedup,
+        "corpus_chunk_overlap": _q_corpus_chunk_overlap,
+        "text_strip_markup": _q_text_strip_markup,
+        "ann_filtered_topk": _q_ann_filtered_topk,
         # --- oldest r01 greens, re-checked for regression
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
         "q_set_ops_users": A2.q_set_ops_users,
+        # ================= below the 50-slot budget window =================
+        # green in r01, not yet re-checked — first in line for r4 re-checks
         "q_sessionize": A2.q_sessionize,
         "asof_last_signup": A2.q_asof_last_signup,
         "p1_default_partition": _q_p1_default_partition,
         "p2_field_partition": _q_p2_field_partition,
-        # ================= below the 50-slot budget window =================
-        # green in r01, not yet re-checked — first in line for r4 re-checks
         "p3_hourly_partition": _q_p3_hourly_partition,
         "p4_daily_partition": _q_p4_daily_partition,
         "p5_timebased_tz": _q_p5_timebased_tz,
@@ -2404,6 +2475,59 @@ c AS (
 SELECT lang, shard, doc_id, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= 1000 ORDER BY lang, shard, doc_id
 """
+    sql["corpus_chunk_overlap"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+starts AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, greatest(0, ((n - 16 + 8 - 1) // 8) * 8) + 1, 8))
+           AS start_token
+  FROM n
+)
+SELECT doc_id, (start_token // 8)::BIGINT AS chunk_idx,
+       start_token::BIGINT AS start_token,
+       least(16, n - start_token)::BIGINT AS n_chunk_tokens,
+       md5(array_to_string(toks[start_token + 1 : start_token + 16], ' '))
+         AS chunk_fp
+FROM starts ORDER BY doc_id, chunk_idx
+"""
+    sql["text_strip_markup"] = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<div class="doc"><h1>T &amp; D</h1>' || chr(10) || '<p>' || text ||
+         '</p><script>var x = 1 &lt; 2;</script>' || chr(10) ||
+         '<!-- trailer --><br/>&quot;end&quot;</div>' AS html
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html, '<script\b[^>]*>.*?</script\s*>', ' ', 'gs'),
+               '<style\b[^>]*>.*?</style\s*>', ' ', 'gs'),
+             '<!--.*?-->', ' ', 'gs'),
+           '<[^>]*>', ' ', 'gs') AS t1
+  FROM h
+),
+d AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(t1,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+           '&amp;', '&') AS t2
+  FROM s
+),
+c AS (
+  SELECT doc_id, trim(regexp_replace(t2, '\s+', ' ', 'g')) AS clean_text
+  FROM d
+)
+SELECT doc_id, md5(clean_text) AS clean_fp,
+       length(clean_text)::BIGINT AS n_chars_clean
+FROM c ORDER BY doc_id
+"""
 
     # --- similarity
     sql["ann_topk_bruteforce"] = f"""
@@ -2505,6 +2629,57 @@ SELECT query_id, neighbor_id, cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
     sql["ann_topk_arrow"] = sql["ann_topk_bruteforce"]
+    sql["semantic_dedup_flags"] = """
+WITH seeds AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, v, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim
+  FROM vecs, seeds
+),
+cells AS (
+  SELECT vec_id, v, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, seed_id ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+matches AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 6) >= 0.6
+),
+dup AS (SELECT id_b, min(id_a) AS dup_of FROM matches GROUP BY id_b)
+SELECT c.vec_id, c.cell, d.dup_of, d.dup_of IS NULL AS keep
+FROM cells c LEFT JOIN dup d ON c.vec_id = d.id_b
+ORDER BY c.vec_id
+"""
+    sql["ann_filtered_topk"] = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS neighbor_id,
+         CAST(q.embedding AS DOUBLE[]) AS qv, CAST(c.embedding AS DOUBLE[]) AS cv
+  FROM embeddings q JOIN embeddings c
+    ON q.label = c.label AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+),
+sims AS (
+  SELECT query_id, label, neighbor_id, {_COSINE} AS cosine FROM pairs
+),
+ranked AS (
+  SELECT query_id, label, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, label, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
     _Q8 = (
         "list_transform(CAST(embedding AS DOUBLE[]), "
         "x -> floor(greatest(-1.0, least(1.0, x)) * 127))"

@@ -68,6 +68,11 @@ def main() -> None:
         "q_peak_concurrency",
         "dedup_fuzzy_prefix",
         "q_scd2_dimension",
+        # r3 batch B: new operators benched on arrival
+        "semantic_dedup_flags",
+        "corpus_chunk_overlap",
+        "text_strip_markup",
+        "ann_filtered_topk",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

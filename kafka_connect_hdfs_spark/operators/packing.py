@@ -328,3 +328,66 @@ def weighted_sample(
         .limit(k)
         .drop("sample_key")
     )
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the RAG / long-context
+    pretraining layout: document tokens are cut into windows of ``window``
+    whitespace tokens starting every ``stride`` tokens (``window - stride``
+    tokens of overlap between consecutive chunks), so no span longer than
+    ``stride`` is ever lost at a boundary. The final partial window is kept
+    (a document shorter than ``window`` yields exactly one chunk). Returns
+    ``(id, chunk_idx, start_token, n_chunk_tokens, chunk_text)``.
+
+    Scale: pure map-side — tokenization is one split, window starts are a
+    per-row ``sequence`` + ``posexplode``, and each chunk is a ``slice`` of
+    the token array; no shuffle, no UDF, whole-stage codegen end to end.
+    Row growth is len/stride ≈ the same constant factor the trained model
+    sees; filters on the output (e.g. chunk-level dedup via
+    :func:`operators.dedup.chunk_dedup`) still push down to the scan.
+    """
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride ({stride}) <= window ({window})")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    # window start offsets 0, stride, 2*stride, ... — one window when the
+    # doc fits, else enough that the last window reaches the final token
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0),
+            F.floor((n - F.lit(window) + F.lit(stride) - 1) / F.lit(stride)).cast(
+                "int"
+            )
+            * F.lit(stride),
+        ),
+        F.lit(stride),
+    )
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.posexplode(starts).alias("chunk_idx", "start_token"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("start_token").cast("bigint").alias("start_token"),
+            F.least(
+                F.lit(window), F.col("_n") - F.col("start_token")
+            ).cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("start_token") + 1, window), " "
+            ).alias("chunk_text"),
+        )
+    )

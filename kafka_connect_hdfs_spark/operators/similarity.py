@@ -944,3 +944,128 @@ def normalize_embeddings(
         F.transform(v, lambda x: F.round(x / norm, 6))
     )
     return df.select(F.col(id_col), unit.alias(out_col))
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_seeds: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then inside
+    each cluster flag every vector whose cosine to ANY lower-id cluster
+    member reaches ``threshold`` — the lower id survives, the higher id is
+    the semantic duplicate. Returns one row per vector:
+    ``(vec_id, cell, dup_of, keep)`` where ``dup_of`` is the smallest
+    lower-id match (NULL for survivors).
+
+    Unlike the paper's keep-one-per-connected-component, the flag here is
+    "similar to any lower id", which is deterministic, single-pass, and
+    joins-only (no iterative label propagation); for transitive-closure
+    semantics compose with :func:`operators.dedup.duplicate_clusters`.
+
+    Scale: cell assignment is the shuffle-free literal-seed kernel of
+    :func:`assign_ivf_cells` (plan-guarded); candidate pairs exist only
+    WITHIN a cell, so the self-join is an equi-join on ``cell`` whose cost
+    is Σ|cell|² — bounded by the codebook granularity (train more seeds
+    via :func:`lloyd_refine` to cap cell size at scale), never the n² cross
+    join. The final flag is a pair-side groupBy + left join back; the
+    corpus-side vectors shuffle once (by cell).
+    """
+    seeds = embeddings.filter(F.col(id_col) < n_seeds)
+    cells = assign_ivf_cells(embeddings, seeds, id_col, vec_col)
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    matches = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_similarity(
+                    F.col("va").cast("array<double>"),
+                    F.col("vb").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    dup = matches.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        cells.join(dup, cells[id_col] == dup["id_b"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )
+
+
+def filtered_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    filter_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-filtered vector search: exact cosine top-k where candidates
+    must share the query's ``filter_col`` value (tenant / language / shard
+    scoping — the "filtered ANN" shape every production vector store
+    exposes). Pre-filtering, not post-filtering: the predicate binds BEFORE
+    ranking, so every query gets k true matches even when the filter is
+    selective (post-filtering a global top-k can return < k).
+
+    Scale: the query side (with its filter keys) broadcasts, so the
+    corpus-side scan never shuffles — the metadata equi-join is map-side,
+    the predicate prunes candidates at join time, and only surviving
+    (query, candidate) scores enter the per-query top-k window. With the
+    corpus stored partitioned by ``filter_col``, Catalyst additionally
+    prunes whole partitions when the query keys are few.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(filter_col).alias("_fkey"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(filter_col).alias("_fkey"),
+    )
+    sims = (
+        c.join(broadcast(q), "_fkey")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_similarity(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_fkey").alias(filter_col),
+            "neighbor_id",
+            "cosine",
+            "rank",
+        )
+    )

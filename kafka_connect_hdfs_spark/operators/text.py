@@ -697,3 +697,37 @@ def ngram_counts(
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(top_k)
     )
+
+
+def strip_markup(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Markup removal — the web-corpus boilerplate pass (C4/RefinedWeb-style
+    extraction stage): drop HTML/XML tags, decode the five predefined XML
+    character entities, squeeze the resulting whitespace, trim. Script and
+    style ELEMENT CONTENT is removed too (tags plus what's between them) —
+    it is code, not prose.
+
+    Every step is a JVM-side ``regexp_replace``/``replace`` chain (pattern
+    subset valid in both Java regex and RE2, like ``PII_PATTERNS``): pure
+    map-side whole-stage codegen, no UDF, no shuffle — at 100 TB this runs
+    at scan speed as the first projection after the raw read.
+    """
+    t = F.col(text_col)
+    # script/style elements: tag pair AND contents ((?s) so '.' spans
+    # lines). Two patterns, no backreference — RE2 (the DuckDB oracle
+    # engine) has none, and cross-nested script/style is invalid HTML.
+    t = F.regexp_replace(t, r"(?s)<script\b[^>]*>.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<style\b[^>]*>.*?</style\s*>", " ")
+    # comments, then any remaining tag
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.withColumn(out_col, t)

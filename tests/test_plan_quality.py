@@ -340,3 +340,58 @@ def test_grouped_topk_uses_window_group_limit(spark, sf):
     plan = _plan(q_top_events_per_user(spark, sf))
     # two nodes: the Partial (pre-shuffle) and Final (post-shuffle) limits
     assert plan.count("WindowGroupLimit (") >= 2, plan
+
+
+def test_chunk_with_overlap_is_map_side(spark, sf):
+    """Sliding-window chunking must be pure map-side: tokenize + sequence +
+    posexplode + slice in one projection chain — no Exchange, no Join, no
+    aggregate. At 100 TB the chunker runs at scan speed."""
+    from kafka_connect_hdfs_spark.operators.packing import chunk_with_overlap
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(chunk_with_overlap(docs, window=16, stride=8))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_strip_markup_is_map_side_codegen(spark, sf):
+    """Markup stripping is a regexp_replace chain: no Exchange, no Python
+    worker, stays inside WholeStageCodegen."""
+    from kafka_connect_hdfs_spark.operators.text import strip_markup
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(strip_markup(docs))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "codegen id" in plan, plan
+
+
+def test_semantic_dedup_assignment_shuffle_free_and_join_on_cell(spark, sf):
+    """SemDeDup's candidate join must be an equi-join on cell (never a
+    cartesian), and the corpus-side cell assignment itself adds no
+    exchange before the join keys exist."""
+    from kafka_connect_hdfs_spark.operators.similarity import semantic_dedup
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    plan = _plan(semantic_dedup(emb, n_seeds=8, threshold=0.9))
+    assert "Cartesian" not in plan, plan
+    assert "cell" in plan
+
+
+def test_filtered_topk_broadcasts_queries_no_corpus_shuffle_before_join(spark, sf):
+    """Filtered ANN: the query side (with filter keys) broadcasts — the
+    metadata equi-join is map-side over the corpus scan, so the only
+    exchange in the plan is the per-query top-k window shuffle of scored
+    rows, never a shuffle of the corpus for the join itself."""
+    from kafka_connect_hdfs_spark.operators.similarity import filtered_topk
+    from kafka_connect_hdfs_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf, "embeddings")
+    plan = _plan(filtered_topk(emb, emb.filter(F.col("vec_id") < 10), k=5))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

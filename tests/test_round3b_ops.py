@@ -1,0 +1,171 @@
+"""Round-3 batch B operators: SemDeDup semantic dedup, sliding-window
+chunking with overlap, markup stripping, metadata-filtered ANN."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup
+
+
+def test_semantic_dedup_flags_identical_vectors(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import semantic_dedup
+
+    # 0 and 3 identical; 1 orthogonal-ish; 2 identical to 0 as well
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, n_seeds=2, threshold=0.95).collect()}
+    assert out[0]["keep"] and out[0]["dup_of"] is None  # lowest id survives
+    assert out[1]["keep"]                               # dissimilar survives
+    assert not out[2]["keep"] and out[2]["dup_of"] == 0
+    assert not out[3]["keep"] and out[3]["dup_of"] == 0  # min lower-id match
+
+
+def test_semantic_dedup_cross_cell_pairs_never_compared(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import semantic_dedup
+
+    # seeds = vecs 0,1 (orthogonal): 2 lands in 0's cell, 3 in 1's cell.
+    # 2 and 3 are identical to their cell seeds but in different cells —
+    # each is a dup of its seed, not of each other.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, n_seeds=2, threshold=0.9).collect()}
+    assert out[2]["dup_of"] == 0 and out[2]["cell"] == 0
+    assert out[3]["dup_of"] == 1 and out[3]["cell"] == 1
+
+
+# ---------------------------------------------------------------------------
+# chunk_with_overlap
+
+
+def _chunks(spark, text, window, stride):
+    from kafka_connect_hdfs_spark.operators.packing import chunk_with_overlap
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return sorted(
+        chunk_with_overlap(df, window=window, stride=stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    rows = _chunks(spark, "a b c", window=8, stride=4)
+    assert len(rows) == 1
+    assert rows[0]["start_token"] == 0 and rows[0]["n_chunk_tokens"] == 3
+    assert rows[0]["chunk_text"] == "a b c"
+
+
+def test_chunk_exact_window_no_extra_chunk(spark):
+    rows = _chunks(spark, "a b c d", window=4, stride=2)
+    assert [r["start_token"] for r in rows] == [0]
+
+
+def test_chunk_overlap_covers_every_boundary(spark):
+    toks = " ".join(f"t{i}" for i in range(10))
+    rows = _chunks(spark, toks, window=4, stride=2)
+    # starts 0,2,4,6: last window reaches token 9 (6+4)
+    assert [r["start_token"] for r in rows] == [0, 2, 4, 6]
+    assert rows[-1]["n_chunk_tokens"] == 4
+    # consecutive chunks share window-stride tokens
+    assert rows[0]["chunk_text"].split()[2:] == rows[1]["chunk_text"].split()[:2]
+
+
+def test_chunk_trailing_partial_kept(spark):
+    toks = " ".join(f"t{i}" for i in range(9))
+    rows = _chunks(spark, toks, window=4, stride=4)
+    assert [r["start_token"] for r in rows] == [0, 4, 8]
+    assert rows[-1]["n_chunk_tokens"] == 1 and rows[-1]["chunk_text"] == "t8"
+
+
+def test_chunk_empty_doc_dropped_and_bad_stride_raises(spark):
+    from kafka_connect_hdfs_spark.operators.packing import chunk_with_overlap
+
+    df = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    assert chunk_with_overlap(df, window=4, stride=2).count() == 0
+    with pytest.raises(ValueError):
+        chunk_with_overlap(df, window=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_with_overlap(df, window=4, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# strip_markup
+
+
+def _strip_one(spark, html):
+    from kafka_connect_hdfs_spark.operators.text import strip_markup
+
+    df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    return strip_markup(df).collect()[0]["clean_text"]
+
+
+def test_strip_markup_tags_and_entities(spark):
+    got = _strip_one(spark, '<p class="x">Tom &amp; Jerry &lt;3</p>')
+    assert got == "Tom & Jerry <3"
+
+
+def test_strip_markup_removes_script_and_style_content(spark):
+    got = _strip_one(
+        spark,
+        "<style>p { color: red }</style>before"
+        '<script type="text/javascript">var a = "<b>not text</b>";</script>after',
+    )
+    assert got == "before after"
+
+
+def test_strip_markup_comments_and_whitespace_squeeze(spark):
+    got = _strip_one(spark, "a <!-- hidden\nlines --> b\n\n  <br/>   c")
+    assert got == "a b c"
+
+
+def test_strip_markup_double_escaped_entity_single_decode(spark):
+    # "&amp;lt;" is the ESCAPED text "&lt;" — one decode pass, not two
+    assert _strip_one(spark, "x &amp;lt; y") == "x &lt; y"
+
+
+# ---------------------------------------------------------------------------
+# filtered_topk
+
+
+def test_filtered_topk_respects_metadata_filter(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import filtered_topk
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = filtered_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    rows = out.collect()
+    assert rows and all(r["rank"] <= 3 for r in rows)
+    # every neighbor shares the query's label (pre-filter semantics)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert labels[r["neighbor_id"]] == r["label"] == labels[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+
+
+def test_filtered_topk_prefilter_returns_k_within_group(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import filtered_topk
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),
+        (2, [0.8, 0.2], "a"),
+        (3, [0.0, 1.0], "b"),
+        (4, [0.1, 0.9], "b"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = filtered_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    got = sorted((r["neighbor_id"] for r in out.collect()))
+    assert got == [1, 2]  # never the cosine-lower but other-label 3/4
