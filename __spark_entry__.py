@@ -480,6 +480,35 @@ def _q_text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language mixing (XLM-R rule, alpha=0.5):
+    languages keep docs with probability prop. to sqrt(share), scaled to an
+    expected 3000-token budget; md5-uniform draw makes it reproducible."""
+    from kafka_connect_hdfs_spark.operators.packing import temperature_sample
+
+    docs = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    with_tokens = docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return temperature_sample(
+        with_tokens, budget_tokens=3000, alpha=0.5
+    ).orderBy("doc_id")
+
+
+def _q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source triage report: doc counts, exact-dup pressure, language
+    spread, token/char volume — integer-exact, one aggregate."""
+    from kafka_connect_hdfs_spark.operators.quality import source_report
+
+    return source_report(_docs(spark, sf_dir)).orderBy("source")
+
+
 def _q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered vector search: per-query exact cosine top-5
     restricted to candidates sharing the query's label (pre-filter, so
@@ -1692,11 +1721,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                cast fixed this round
     #   slot 38:     corpus_pack_bestfit — r02 `no_oracle`; now has a
     #                recursive-CTE FFD replay oracle
-    #   slots 39-46: NEW operators this round (LSH Jaccard estimates,
+    #   slots 39-48: NEW operators this round (LSH Jaccard estimates,
     #                cluster representatives, hot-n-gram span removal,
     #                per-language token budgets, SemDeDup, overlap chunker,
-    #                markup strip, filtered ANN) — driver-checked on arrival
-    #   slots 47-50: oldest r01 greens, re-checked for regression
+    #                markup strip, filtered ANN, temperature mixing,
+    #                source triage report) — driver-checked on arrival
+    #   slots 49-50: oldest r01 greens, re-checked for regression
     #
     # ROUND-4 ROTATION TODO: promote any r03 fails plus the r01 greens not
     # re-checked here (q_sessionize, asof_last_signup, p1/p2_partition,
@@ -1754,12 +1784,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunk_overlap": _q_corpus_chunk_overlap,
         "text_strip_markup": _q_text_strip_markup,
         "ann_filtered_topk": _q_ann_filtered_topk,
+        "corpus_temperature_mix": _q_corpus_temperature_mix,
+        "q_source_report": _q_source_report,
         # --- oldest r01 greens, re-checked for regression
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
+        # ================= below the 50-slot budget window =================
         "q_semi_anti_customers": A2.q_semi_anti_customers,
         "q_set_ops_users": A2.q_set_ops_users,
-        # ================= below the 50-slot budget window =================
         # green in r01, not yet re-checked — first in line for r4 re-checks
         "q_sessionize": A2.q_sessionize,
         "asof_last_signup": A2.q_asof_last_signup,
@@ -2493,6 +2525,51 @@ SELECT doc_id, (start_token // 8)::BIGINT AS chunk_idx,
        md5(array_to_string(toks[start_token + 1 : start_token + 16], ' '))
          AS chunk_fp
 FROM starts ORDER BY doc_id, chunk_idx
+"""
+    sql["corpus_temperature_mix"] = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5('temp0' || doc_id::VARCHAR), 1, 12))::BIGINT
+           / 281474976710656.0 AS u
+  FROM documents
+),
+tot AS (SELECT lang, sum(n_tokens)::BIGINT AS tl FROM t GROUP BY lang),
+z AS (SELECT sum(sqrt(tl)) AS z FROM tot),
+rates AS (
+  SELECT lang, round(least(1.0, (sqrt(tl) / z.z) * 3000 / tl), 6) AS keep_rate
+  FROM tot, z
+)
+SELECT t.doc_id, t.lang, t.n_tokens, r.keep_rate
+FROM t JOIN rates r USING (lang)
+WHERE t.u < r.keep_rate
+ORDER BY t.doc_id
+"""
+    sql["q_source_report"] = r"""
+WITH per_doc AS (
+  SELECT source, lang, md5(text) AS fp,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens,
+         length(text)::BIGINT AS n_chars
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         count(DISTINCT fp)::BIGINT AS n_distinct_texts,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         sum(n_tokens)::BIGINT AS total_tokens,
+         sum(n_chars)::BIGINT AS total_chars
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_distinct_texts,
+       (n_docs - n_distinct_texts)::BIGINT AS n_dup_docs,
+       round((n_docs - n_distinct_texts) / n_docs::DOUBLE, 6) AS dup_ratio,
+       n_langs, total_tokens, total_chars,
+       round(total_tokens / n_docs::DOUBLE, 4) AS mean_tokens_per_doc
+FROM agg ORDER BY source
 """
     sql["text_strip_markup"] = r"""
 WITH h AS (

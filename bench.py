@@ -73,6 +73,8 @@ def main() -> None:
         "corpus_chunk_overlap",
         "text_strip_markup",
         "ann_filtered_topk",
+        "corpus_temperature_mix",
+        "q_source_report",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

@@ -391,3 +391,64 @@ def chunk_with_overlap(
             ).alias("chunk_text"),
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    lang_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "temp0",
+) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual-pretraining
+    mixing rule of XLM-R, arXiv:1911.02116): language ``l`` with ``T_l``
+    corpus tokens gets target share ``q_l ∝ T_l^alpha`` — ``alpha < 1``
+    flattens the distribution toward low-resource languages. Each document
+    is kept independently with probability
+    ``rate_l = min(1, q_l · budget_tokens / T_l)`` via the deterministic
+    md5-uniform draw, so the EXPECTED kept-token total is ``budget_tokens``
+    (up to head-room lost where rate_l clips at 1) and the run is exactly
+    reproducible. Adds ``keep_rate`` to surviving rows.
+
+    Compared to :func:`token_budget_sample` (hard per-language running-total
+    cut): this is the probabilistic mixing form — no window, no ordering,
+    embarrassingly parallel, and the mix ratio rather than the cap is the
+    contract.
+
+    Scale: ONE tiny aggregate (rows = #languages, partial-aggregated
+    map-side) collected to the driver; rates enter the plan as a literal
+    map and the keep decision is a map-side hash comparison — the corpus
+    itself never shuffles (plan-guarded).
+
+    alpha=0.5 intentionally computes via sqrt (correctly rounded in IEEE
+    754, so any SQL replayer agrees bitwise); other alphas go through pow,
+    whose last-ulp may differ across libms — rates are rounded to 6 dp to
+    absorb that.
+    """
+    import math
+
+    totals = {
+        r[0]: int(r[1])
+        for r in df.groupBy(lang_col).agg(F.sum(token_col)).collect()
+    }
+    if not totals:
+        return df.withColumn("keep_rate", F.lit(0.0)).filter(F.lit(False))
+    w = {
+        l: (math.sqrt(t) if alpha == 0.5 else t ** alpha)
+        for l, t in totals.items()
+    }
+    z = sum(w[l] for l in sorted(w))
+    rates = {
+        l: round(min(1.0, (w[l] / z) * budget_tokens / totals[l]), 6)
+        for l in totals
+    }
+    mapping = F.create_map(
+        *[x for l in sorted(rates) for x in (F.lit(l), F.lit(rates[l]))]
+    )
+    u = _hash_uniform(F.col(id_col), salt)
+    return (
+        df.withColumn("keep_rate", mapping[F.col(lang_col)])
+        .filter(u < F.col("keep_rate"))
+    )

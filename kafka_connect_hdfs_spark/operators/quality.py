@@ -122,3 +122,63 @@ def table_checksum(df: DataFrame, columns: list[str] | None = None) -> DataFrame
         F.count("*").alias("n_rows"),
         F.expr("bit_xor(_h)").alias("checksum"),
     )
+
+
+def source_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-source corpus triage report (the RefinedWeb-style per-domain
+    table that decides which sources to keep, cap, or drop): document
+    count, exact-duplicate pressure (docs minus distinct text
+    fingerprints), language spread, token and char volume, mean document
+    length. All counts are integers and the means derive from them, so
+    the report is bit-reproducible across engines.
+
+    ``exact_distinct=False`` swaps the two COUNT(DISTINCT)s for HLL
+    ``approx_count_distinct`` — the 100 TB setting (no expand, fixed-size
+    sketches); exact mode is the oracle/small-table path.
+
+    Scale: ONE aggregate over a pruned 4-column projection; text reduces
+    to its md5 BEFORE the shuffle so full documents never move. Exact
+    mode's two distincts expand rows ×2 (Spark's Expand) but still
+    partial-aggregate map-side; shuffle is bounded by
+    #sources × distinct fingerprints.
+    """
+    t = F.trim(F.col(text_col))
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.md5(F.col(text_col)).alias("fp"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+    )
+    cd = F.count_distinct if exact_distinct else F.approx_count_distinct
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        cd(F.col("fp")).alias("n_distinct_texts"),
+        cd(F.col("lang")).alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_distinct_texts",
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_dup_docs"),
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct_texts")) / F.col("n_docs"), 6
+        ).alias("dup_ratio"),
+        "n_langs",
+        "total_tokens",
+        "total_chars",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 4).alias(
+            "mean_tokens_per_doc"
+        ),
+    )

@@ -395,3 +395,41 @@ def test_filtered_topk_broadcasts_queries_no_corpus_shuffle_before_join(spark, s
     plan = _plan(filtered_topk(emb, emb.filter(F.col("vec_id") < 10), k=5))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_temperature_sample_corpus_never_shuffles(spark, sf):
+    """Temperature mixing: the per-language totals are a separate collected
+    pre-pass; the sampling plan itself is a literal-map lookup + hash
+    filter — no Exchange, no Join over the corpus."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.packing import temperature_sample
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    t = F.trim(F.col("text"))
+    with_tokens = docs.select(
+        "doc_id", "lang",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+"))).cast("bigint").alias("n_tokens"),
+    )
+    plan = _plan(temperature_sample(with_tokens, budget_tokens=3000))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_source_report_shuffles_fingerprints_not_text(spark, sf):
+    """The per-source report reduces text to md5 BEFORE the shuffle: the
+    exchange carries (source, lang, fp, counts) — the text column must not
+    appear in any post-scan node."""
+    from kafka_connect_hdfs_spark.operators.quality import source_report
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(source_report(docs))
+    assert "Exchange" in plan  # it IS an aggregation
+    post_scan = plan.split("Scan parquet")[0]
+    assert "md5" not in post_scan or "text#" not in post_scan.split("Exchange")[-1]
+    # projection pruned: doc_id/n_chars never read
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "doc_id" not in read_schema and "n_chars" not in read_schema

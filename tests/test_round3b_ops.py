@@ -169,3 +169,86 @@ def test_filtered_topk_prefilter_returns_k_within_group(spark):
     out = filtered_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
     got = sorted((r["neighbor_id"] for r in out.collect()))
     assert got == [1, 2]  # never the cosine-lower but other-label 3/4
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample
+
+
+def test_temperature_sample_rates_flatten_toward_low_resource(spark):
+    from kafka_connect_hdfs_spark.operators.packing import temperature_sample
+
+    # 'big' has 16x the tokens of 'small' → alpha=.5 gives it only 4x the
+    # weight; rate_small / rate_big = sqrt(16) = 4
+    rows = [(i, "big", 100) for i in range(160)] + [
+        (1000 + i, "small", 100) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = temperature_sample(df, budget_tokens=4000, alpha=0.5)
+    rates = {
+        r["lang"]: r["keep_rate"]
+        for r in out.select("lang", "keep_rate").distinct().collect()
+    }
+    assert abs(rates["small"] / rates["big"] - 4.0) < 1e-3
+    # deterministic: same inputs → same kept set
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(df, 4000, 0.5).collect())
+    assert a == b and 0 < len(a) < len(rows)
+
+
+def test_temperature_sample_rate_clips_at_one(spark):
+    from kafka_connect_hdfs_spark.operators.packing import temperature_sample
+
+    # budget far above the corpus: every rate clips to 1.0, everything kept
+    rows = [(1, "a", 10), (2, "a", 10), (3, "b", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = temperature_sample(df, budget_tokens=10_000, alpha=0.5).collect()
+    assert len(out) == 3 and all(r["keep_rate"] == 1.0 for r in out)
+
+
+def test_temperature_sample_empty_input(spark):
+    from kafka_connect_hdfs_spark.operators.packing import temperature_sample
+
+    df = spark.createDataFrame([], "doc_id long, lang string, n_tokens long")
+    assert temperature_sample(df, budget_tokens=100).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# source_report
+
+
+def test_source_report_counts_exact_dups(spark):
+    from kafka_connect_hdfs_spark.operators.quality import source_report
+
+    rows = [
+        (1, "s1", "en", "same text here"),
+        (2, "s1", "en", "same text here"),
+        (3, "s1", "de", "other text"),
+        (4, "s2", "en", "unique a"),
+        (5, "s2", "en", "unique b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    out = {r["source"]: r for r in source_report(df).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3 and s1["n_distinct_texts"] == 2
+    assert s1["n_dup_docs"] == 1 and s1["n_langs"] == 2
+    assert s1["total_tokens"] == 3 + 3 + 2
+    s2 = out["s2"]
+    assert s2["n_dup_docs"] == 0 and s2["dup_ratio"] == 0.0
+    assert s2["mean_tokens_per_doc"] == 2.0
+
+
+def test_source_report_approx_mode_runs_without_expand(spark):
+    from kafka_connect_hdfs_spark.operators.quality import source_report
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {r["source"]: r for r in source_report(docs).collect()}
+    approx = {r["source"]: r for r in source_report(docs, exact_distinct=False).collect()}
+    assert set(exact) == set(approx)
+    for s in exact:  # HLL within its error bound on these cardinalities
+        assert abs(approx[s]["n_distinct_texts"] - exact[s]["n_distinct_texts"]) <= max(
+            2, 0.05 * exact[s]["n_distinct_texts"]
+        )
+        # integer-exact columns agree regardless of distinct mode
+        assert approx[s]["total_tokens"] == exact[s]["total_tokens"]
