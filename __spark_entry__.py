@@ -480,6 +480,25 @@ def _q_text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the persisted IVF index: build (cell-partitioned parquet
+    + self-describing seeds), then serve queries 0-9 with n_probe=1 —
+    probed cells bind as planning-time partition filters, and the result
+    must match the in-memory ivf_topk bit-for-bit (same oracle)."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        build_ivf_index, query_ivf_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kchs_ivf_idx_") + "/idx"
+    build_ivf_index(emb, path, n_seeds=8)
+    return query_ivf_index(
+        spark, path, list(range(10)), k=5, n_probe=1
+    ).orderBy("query_id", "rank")
+
+
 def _q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-rebalanced language mixing (XLM-R rule, alpha=0.5):
     languages keep docs with probability prop. to sqrt(share), scaled to an
@@ -1725,8 +1744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                cluster representatives, hot-n-gram span removal,
     #                per-language token budgets, SemDeDup, overlap chunker,
     #                markup strip, filtered ANN, temperature mixing,
-    #                source triage report) — driver-checked on arrival
-    #   slots 49-50: oldest r01 greens, re-checked for regression
+    #                source triage report, persisted-IVF serving) —
+    #                driver-checked on arrival
+    #   slot 50:     oldest r01 green, re-checked for regression
     #
     # ROUND-4 ROTATION TODO: promote any r03 fails plus the r01 greens not
     # re-checked here (q_sessionize, asof_last_signup, p1/p2_partition,
@@ -1786,10 +1806,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_topk": _q_ann_filtered_topk,
         "corpus_temperature_mix": _q_corpus_temperature_mix,
         "q_source_report": _q_source_report,
-        # --- oldest r01 greens, re-checked for regression
+        "ann_index_serve": _q_ann_index_serve,
+        # --- oldest r01 green, re-checked for regression
         "w6_offset_recovery": A2.q_offset_recovery,
-        "q6_forecast_revenue": A2.q6_forecast_revenue,
         # ================= below the 50-slot budget window =================
+        "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
         "q_set_ops_users": A2.q_set_ops_users,
         # green in r01, not yet re-checked — first in line for r4 re-checks
@@ -2706,6 +2727,8 @@ SELECT query_id, neighbor_id, cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
     sql["ann_topk_arrow"] = sql["ann_topk_bruteforce"]
+    # persisted-index serving must reproduce the in-memory IVF result
+    sql["ann_index_serve"] = sql["ann_ivf_topk"]
     sql["semantic_dedup_flags"] = """
 WITH seeds AS (
   SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv

@@ -75,6 +75,7 @@ def main() -> None:
         "ann_filtered_topk",
         "corpus_temperature_mix",
         "q_source_report",
+        "ann_index_serve",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

@@ -1069,3 +1069,103 @@ def filtered_topk(
             "rank",
         )
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_seeds: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index as a partitioned table: vectors land under
+    ``path/cell=<c>/`` (one directory per coarse cell, assigned by the
+    shuffle-free literal-seed kernel) and the seed vectors under
+    ``path/_seeds`` so the index is self-describing — a query session
+    needs nothing but the path.
+
+    This is the serving layout that makes IVF pay at 100 TB: a probe of
+    ``p`` cells out of ``n_seeds`` scans only ``p/n_seeds`` of the data,
+    enforced by PARTITION PRUNING at planning time (the unscanned cell
+    directories are never even listed — see
+    :func:`query_ivf_index` and its plan guard), not by a filter over a
+    full scan.
+    """
+    seeds = embeddings.filter(F.col(id_col) < n_seeds)
+    # seeds first: tiny, and a crashed build leaves no queryable index
+    # (readers require both _seeds and at least one cell dir)
+    seeds.select(id_col, vec_col).write.mode("overwrite").parquet(
+        path + "/_seeds"
+    )
+    # cluster by cell before the partitioned write: every task then writes
+    # to exactly one cell directory (with AQE coalescing small cells)
+    # instead of every task opening a file in every cell — at scale the
+    # difference between n_cells and n_tasks × n_cells output files
+    assign_ivf_cells(embeddings, seeds, id_col, vec_col).repartition(
+        F.col("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(path + "/cells")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve ANN queries from a :func:`build_ivf_index` layout: route each
+    query (looked up in the index by id) to its ``n_probe`` nearest cells,
+    then scan ONLY those cell directories — ``cell IN (...)`` binds as a
+    partition filter, so pruning happens before any file is opened.
+
+    Scale: the probed-cell row count is the only data touched; queries and
+    seeds are driver-small by contract. Result matches :func:`ivf_topk`
+    over the same corpus/seeds bit-for-bit (same kernel, same rounding).
+    """
+    from pyspark.sql import Window
+
+    seeds = spark.read.parquet(path + "/_seeds")
+    index = spark.read.parquet(path + "/cells").withColumn(
+        "cell", F.col("cell").cast("long")
+    )
+    q_vecs = index.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+    probe = assign_ivf_probe_cells(q_vecs, seeds, n_probe, id_col, vec_col)
+    routed = probe.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode("cells").alias("cell"),
+    )
+    # ONE collect of the (small) routed query set: the probe-cell list must
+    # reach the driver to become a planning-time partition filter
+    q_rows = routed.collect()
+    probe_cells = sorted({int(r["cell"]) for r in q_rows})
+    q = spark.createDataFrame(q_rows, routed.schema)
+    pruned = index.filter(F.col("cell").isin(probe_cells))
+    sims = (
+        pruned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            "cell",
+        )
+        .join(broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_similarity(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -433,3 +433,24 @@ def test_source_report_shuffles_fingerprints_not_text(spark, sf):
     # projection pruned: doc_id/n_chars never read
     read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "doc_id" not in read_schema and "n_chars" not in read_schema
+
+
+def test_ivf_index_serve_prunes_partitions(spark, sf, tmp_path_factory):
+    """Persisted-IVF serving must prune unprobed cells at PLANNING time:
+    the scan's PartitionFilters carries the cell IN-list and the partition
+    count read is the probed subset, never the full directory listing."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        build_ivf_index, query_ivf_index,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivfidx")) + "/idx"
+    build_ivf_index(emb, path, n_seeds=8)
+    plan = _plan(query_ivf_index(spark, path, [0, 1], k=3, n_probe=1))
+    pf = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cell" in ln
+    ]
+    assert pf, plan
+    assert "IN" in pf[0] or "in(cell" in pf[0], pf[0]

@@ -252,3 +252,46 @@ def test_source_report_approx_mode_runs_without_expand(spark):
         )
         # integer-exact columns agree regardless of distinct mode
         assert approx[s]["total_tokens"] == exact[s]["total_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index
+
+
+def test_ivf_index_roundtrip_matches_in_memory(spark, tmp_path):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        build_ivf_index, ivf_topk, query_ivf_index,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = f"{tmp_path}/idx"
+    build_ivf_index(emb, path, n_seeds=8)
+    served = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in query_ivf_index(spark, path, list(range(10)), k=5).collect()
+    )
+    mem = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_seeds=8
+        ).collect()
+    )
+    assert served == mem
+
+
+def test_ivf_index_multiprobe_superset_recall(spark, tmp_path):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        build_ivf_index, query_ivf_index,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = f"{tmp_path}/idx"
+    build_ivf_index(emb, path, n_seeds=8)
+    one = query_ivf_index(spark, path, [0, 1, 2], k=3, n_probe=1)
+    two = query_ivf_index(spark, path, [0, 1, 2], k=3, n_probe=2)
+    # more probes → per-query best cosine can only improve or tie
+    best1 = {r["query_id"]: r["cosine"] for r in one.filter(F.col("rank") == 1).collect()}
+    best2 = {r["query_id"]: r["cosine"] for r in two.filter(F.col("rank") == 1).collect()}
+    assert all(best2[q] >= best1[q] for q in best1)
