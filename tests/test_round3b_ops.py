@@ -295,3 +295,15 @@ def test_ivf_index_multiprobe_superset_recall(spark, tmp_path):
     best1 = {r["query_id"]: r["cosine"] for r in one.filter(F.col("rank") == 1).collect()}
     best2 = {r["query_id"]: r["cosine"] for r in two.filter(F.col("rank") == 1).collect()}
     assert all(best2[q] >= best1[q] for q in best1)
+
+
+def test_semantic_dedup_cell_cap_skips_oversize_cells(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0, 0.0]) for i in range(4)] + [(10, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = semantic_dedup(emb, n_seeds=2, threshold=0.9, max_cell_size=3).collect()
+    # the 4-member cell exceeds the cap: no pairs generated, all kept
+    assert all(r["keep"] for r in capped)
+    uncapped = semantic_dedup(emb, n_seeds=2, threshold=0.9).collect()
+    assert sum(not r["keep"] for r in uncapped) == 3

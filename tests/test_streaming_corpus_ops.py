@@ -171,3 +171,43 @@ def test_streaming_quarantine_lands_good_and_bad(spark, tmp_path):
     # good side parsed correctly; bad side preserved raw for replay
     assert {r["k"] for r in good_back.collect()} == {i for i in range(60) if i % 3}
     assert all(r["value"].startswith("garbage") for r in bad_back.collect())
+
+
+def test_strip_markup_and_chunker_compose_with_streaming(spark, tmp_path):
+    """The r3 map-side operators (markup strip, overlap chunker) are
+    stateless column transforms, so streaming them file-by-file must
+    produce exactly the batch result — including the chunker's row
+    fan-out (posexplode under a streaming plan)."""
+    from kafka_connect_hdfs_spark.operators.packing import chunk_with_overlap
+    from kafka_connect_hdfs_spark.operators.text import strip_markup
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    wrapped = docs.select(
+        "doc_id", F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("text")
+    )
+
+    def pipeline(df):
+        cleaned = strip_markup(df).select("doc_id", F.col("clean_text").alias("text"))
+        return chunk_with_overlap(cleaned, window=16, stride=8).select(
+            "doc_id", "chunk_idx", "n_chunk_tokens", F.md5("chunk_text").alias("fp")
+        )
+
+    stream = _doc_stream(spark, tmp_path, wrapped)
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("r3_stateless_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp_path}/chk3")
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["fp"])
+        for r in pipeline(wrapped).collect()
+    }
+    streamed = spark.sql("SELECT * FROM r3_stateless_out").collect()
+    assert len(streamed) == len(batch) > 0
+    for r in streamed:
+        assert batch[(r["doc_id"], r["chunk_idx"])] == (r["n_chunk_tokens"], r["fp"])
