@@ -1444,11 +1444,17 @@ def _q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Levenshtein near-dup candidates with exact-prefix blocking."""
-    from kafka_connect_hdfs_spark.operators.dedup import fuzzy_prefix_pairs
+    """Levenshtein near-dup candidates with exact-prefix blocking, over the
+    exact-dedup survivors — the same keep-first-then-fuzzy composition as
+    dedup_minhash_lsh (measured at 10x: raw is 19.6 s / 241k pairs vs
+    1.6 s / 241 pairs composed — duplicate copies make blocks quadratic)."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        dedup_keep_first, fuzzy_prefix_pairs,
+    )
 
+    kept = dedup_keep_first(_docs(spark, sf_dir))
     return fuzzy_prefix_pairs(
-        _docs(spark, sf_dir), block_chars=8, prefix_chars=48, max_dist=12
+        kept, block_chars=8, prefix_chars=48, max_dist=12
     ).orderBy("id_a", "id_b")
 
 
@@ -3463,10 +3469,17 @@ SELECT c.doc_id, c.n_chunks,
 FROM chunked c LEFT JOIN reassembled r ON c.doc_id = r.doc_id
 ORDER BY c.doc_id
 """
-    sql["dedup_fuzzy_prefix"] = """
-WITH pref AS (
+    sql["dedup_fuzzy_prefix"] = f"""
+WITH fp AS (
+  SELECT doc_id, text, md5({_NORM}) AS f FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+kept_docs AS (
+  SELECT fp.doc_id, fp.text FROM fp JOIN keep USING (doc_id)
+),
+pref AS (
   SELECT doc_id, substr(text, 1, 8) AS block, substr(text, 1, 48) AS prefix
-  FROM documents
+  FROM kept_docs
 ),
 sizes AS (SELECT block, count(*) AS bn FROM pref GROUP BY 1),
 small AS (SELECT p.* FROM pref p JOIN sizes s ON p.block = s.block AND s.bn <= 1000)
