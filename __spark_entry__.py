@@ -499,6 +499,36 @@ def _q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query the 5 most-similar OTHER-label
+    vectors (contrastive-training negatives)."""
+    from kafka_connect_hdfs_spark.operators.similarity import hard_negative_topk
+
+    emb = _emb(spark, sf_dir)
+    return hard_negative_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).orderBy("query_id", "rank")
+
+
+def _q_ann_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health: per-cell population + corpus fraction."""
+    from kafka_connect_hdfs_spark.operators.similarity import ivf_cell_stats
+
+    return ivf_cell_stats(_emb(spark, sf_dir), n_seeds=8).orderBy("cell")
+
+
+def _q_ann_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval: reciprocal rank of the first same-label neighbor in
+    the exact top-5 — the ANN knob-tuning metric."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        brute_force_topk, label_mrr,
+    )
+
+    emb = _emb(spark, sf_dir)
+    topk = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return label_mrr(topk, emb).orderBy("query_id")
+
+
 def _q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-rebalanced language mixing (XLM-R rule, alpha=0.5):
     languages keep docs with probability prop. to sqrt(share), scaled to an
@@ -1750,9 +1780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                cluster representatives, hot-n-gram span removal,
     #                per-language token budgets, SemDeDup, overlap chunker,
     #                markup strip, filtered ANN, temperature mixing,
-    #                source triage report, persisted-IVF serving) —
-    #                driver-checked on arrival
-    #   slot 50:     oldest r01 green, re-checked for regression
+    #                source triage report, persisted-IVF serving,
+    #                hard negatives, cell stats, label MRR) —
+    #                all driver-checked on arrival (slots 39-50)
     #
     # ROUND-4 ROTATION TODO: promote any r03 fails plus the r01 greens not
     # re-checked here (q_sessionize, asof_last_signup, p1/p2_partition,
@@ -1813,9 +1843,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_mix": _q_corpus_temperature_mix,
         "q_source_report": _q_source_report,
         "ann_index_serve": _q_ann_index_serve,
-        # --- oldest r01 green, re-checked for regression
-        "w6_offset_recovery": A2.q_offset_recovery,
+        "ann_hard_negatives": _q_ann_hard_negatives,
+        "ann_cell_stats": _q_ann_cell_stats,
+        "ann_label_mrr": _q_ann_label_mrr,
         # ================= below the 50-slot budget window =================
+        "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
         "q_set_ops_users": A2.q_set_ops_users,
@@ -2735,6 +2767,78 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     sql["ann_topk_arrow"] = sql["ann_topk_bruteforce"]
     # persisted-index serving must reproduce the in-memory IVF result
     sql["ann_index_serve"] = sql["ann_ivf_topk"]
+    sql["ann_hard_negatives"] = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+         CAST(q.embedding AS DOUBLE[]) AS qv, CAST(c.embedding AS DOUBLE[]) AS cv
+  FROM embeddings q JOIN embeddings c ON q.label != c.label
+  WHERE q.vec_id < 10
+),
+sims AS (
+  SELECT query_id, neighbor_id, neg_label, {_COSINE} AS cosine FROM pairs
+),
+ranked AS (
+  SELECT query_id, neighbor_id, neg_label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, neg_label, cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+    sql["ann_cell_stats"] = """
+WITH seeds AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim
+  FROM vecs, seeds
+),
+cells AS (
+  SELECT vec_id, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, seed_id ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+per_cell AS (SELECT cell, count(*)::BIGINT AS n_vectors FROM cells GROUP BY cell),
+tot AS (SELECT sum(n_vectors)::BIGINT AS t FROM per_cell)
+SELECT cell, n_vectors, round(n_vectors / t::DOUBLE, 6) AS frac
+FROM per_cell, tot ORDER BY cell
+"""
+    sql["ann_label_mrr"] = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(q.embedding AS DOUBLE[]) AS qv, CAST(c.embedding AS DOUBLE[]) AS cv
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+),
+sims AS (
+  SELECT query_id, neighbor_id, {_COSINE} AS cosine FROM pairs
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+),
+topk AS (SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5),
+j AS (
+  SELECT t.query_id, t.rank, ql.label AS q_label, nl.label AS n_label
+  FROM topk t
+  JOIN embeddings nl ON t.neighbor_id = nl.vec_id
+  JOIN embeddings ql ON t.query_id = ql.vec_id
+)
+SELECT query_id,
+       min(CASE WHEN q_label = n_label THEN rank END)::INT AS first_hit_rank,
+       round(coalesce(1.0 / min(CASE WHEN q_label = n_label THEN rank END),
+                      0.0), 6) AS reciprocal_rank
+FROM j GROUP BY query_id ORDER BY query_id
+"""
     sql["semantic_dedup_flags"] = """
 WITH seeds AS (
   SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv

@@ -76,6 +76,9 @@ def main() -> None:
         "corpus_temperature_mix",
         "q_source_report",
         "ann_index_serve",
+        "ann_hard_negatives",
+        "ann_cell_stats",
+        "ann_label_mrr",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

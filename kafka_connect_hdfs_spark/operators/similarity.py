@@ -1184,3 +1184,128 @@ def query_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: per query,
+    the k most-similar candidates whose ``label_col`` DIFFERS from the
+    query's — the near-miss examples that teach a model its decision
+    boundary (the standard dense-retrieval negative-sampling shape).
+
+    Scale: negatives can live anywhere, so this is inherently a full scan
+    per query — the brute-force shape with the label-mismatch predicate
+    folded into the broadcast join condition (filters candidates before
+    scoring reaches the window). For web-scale corpora run it over an ANN
+    shortlist (e.g. :func:`ivf_topk` with large k) instead of the raw
+    corpus; the composition is a drop-in because the schemas match.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = fan_out(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col(label_col).alias("neg_label"),
+        )
+    )
+    sims = (
+        c.join(broadcast(q), F.col("q_label") != F.col("neg_label"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_similarity(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neg_label", "cosine", "rank")
+    )
+
+
+def ivf_cell_stats(
+    embeddings: DataFrame,
+    n_seeds: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index-health report: per-cell population and corpus fraction —
+    the balance table that decides when to retrain the coarse quantizer
+    (skewed cells are exactly what made the measured semantic-dedup /
+    raw-LSH quadratics; a cell holding 30% of the corpus serves 30% of
+    every probe).
+
+    Scale: the shuffle-free cell assignment followed by ONE bounded
+    aggregate (rows = n_cells); the corpus fraction comes from a one-row
+    broadcast total, not a window over the corpus.
+    """
+    seeds = embeddings.filter(F.col(id_col) < n_seeds)
+    cells = assign_ivf_cells(embeddings, seeds, id_col, vec_col)
+    per_cell = cells.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    total = F.broadcast(per_cell.agg(F.sum("n_vectors").alias("_total")))
+    return (
+        per_cell.crossJoin(total)
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("_total"), 6).alias("frac"),
+        )
+    )
+
+
+def label_mrr(
+    topk: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality scoring of a top-k table: per query, the rank of
+    the first neighbor sharing the query's label and its reciprocal rank
+    (0.0 when no retrieved neighbor matches) — MRR's per-query rows; the
+    corpus MRR is one ``avg`` over the result. Works on ANY of the top-k
+    outputs here (brute-force, IVF, PQ, persisted index) since they share
+    the (query_id, neighbor_id, rank) schema — the knob-tuning metric for
+    every ANN variant in this module.
+
+    Scale: joins touch only the top-k table (queries × k rows) against the
+    label projection of the corpus; the label side of the first join is
+    the tiny query set, the second is a pruned (id, label) column join.
+    """
+    q_labels = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label")
+    )
+    n_labels = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
+    scored = (
+        topk.join(n_labels, "neighbor_id")
+        .join(broadcast(q_labels), "query_id")
+        .withColumn(
+            "_hit_rank",
+            F.when(F.col("q_label") == F.col("n_label"), F.col("rank")),
+        )
+    )
+    return scored.groupBy("query_id").agg(
+        F.min("_hit_rank").cast("int").alias("first_hit_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.min("_hit_rank"), F.lit(0.0)), 6
+        ).alias("reciprocal_rank"),
+    )

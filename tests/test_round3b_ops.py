@@ -307,3 +307,49 @@ def test_semantic_dedup_cell_cap_skips_oversize_cells(spark):
     assert all(r["keep"] for r in capped)
     uncapped = semantic_dedup(emb, n_seeds=2, threshold=0.9).collect()
     assert sum(not r["keep"] for r in uncapped) == 3
+
+
+# ---------------------------------------------------------------------------
+# hard negatives / cell stats / label MRR
+
+
+def test_hard_negatives_never_same_label(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import hard_negative_topk
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = hard_negative_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert rows and all(r["rank"] <= 3 for r in rows)
+    for r in rows:
+        assert r["neg_label"] != labels[r["query_id"]]
+        assert labels[r["neighbor_id"]] == r["neg_label"]
+
+
+def test_ivf_cell_stats_fracs_sum_to_one(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import ivf_cell_stats
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = ivf_cell_stats(emb, n_seeds=8).collect()
+    assert sum(r["n_vectors"] for r in rows) == emb.count()
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-4
+    assert all(0 <= r["cell"] < 8 for r in rows)
+
+
+def test_label_mrr_rewards_matching_first_hit(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import label_mrr
+
+    topk = spark.createDataFrame(
+        [(0, 100, 1), (0, 101, 2), (1, 102, 1), (1, 103, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    labels = spark.createDataFrame(
+        # query 0 label a: first hit at rank 2; query 1 label b: no hit
+        [(0, "a"), (1, "b"), (100, "x"), (101, "a"), (102, "c"), (103, "d")],
+        "vec_id long, label string",
+    )
+    out = {r["query_id"]: r for r in label_mrr(topk, labels).collect()}
+    assert out[0]["first_hit_rank"] == 2 and out[0]["reciprocal_rank"] == 0.5
+    assert out[1]["first_hit_rank"] is None and out[1]["reciprocal_rank"] == 0.0
