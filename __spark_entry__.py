@@ -499,6 +499,26 @@ def _q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding quality harness: recall/precision of the capped 8x4
+    banded candidates against exact n-gram Jaccard >= 0.2 ground truth,
+    both over the exact-dedup survivors — the tuning loop for band/cap
+    knobs."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        dedup_keep_first, minhash_lsh_candidates, ngram_jaccard_pairs,
+        pair_candidate_eval,
+    )
+
+    kept = dedup_keep_first(_docs(spark, sf_dir))
+    cand = minhash_lsh_candidates(
+        kept, num_hashes=8, bands=4, max_bucket_size=100
+    )
+    truth = ngram_jaccard_pairs(
+        kept, n=3, threshold=0.2, max_shingle_freq=200
+    )
+    return pair_candidate_eval(cand, truth)
+
+
 def _q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per query the 5 most-similar OTHER-label
     vectors (contrastive-training negatives)."""
@@ -1847,6 +1867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cell_stats": _q_ann_cell_stats,
         "ann_label_mrr": _q_ann_label_mrr,
         # ================= below the 50-slot budget window =================
+        # NEW in r03 but window-overflow — first in line for the r4 window
+        "dedup_lsh_eval": _q_dedup_lsh_eval,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -2079,6 +2101,88 @@ JOIN sigs sa ON p.id_a = sa.doc_id
 JOIN sigs sb ON p.id_b = sb.doc_id
 WHERE round(({agree}) / {float(num_hashes)}, 6) >= {min_est}
 ORDER BY id_a, id_b
+"""
+
+
+def _lsh_eval_oracle(
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 100,
+    threshold: float = 0.2,
+    max_shingle_freq: int = 200,
+) -> str:
+    """Recall/precision of the capped LSH banding vs exact n-gram Jaccard
+    truth, both over exact-dedup survivors — one WITH composing the
+    `_minhash_lsh_oracle` candidate pipeline and the `dedup_ngram_jaccard`
+    truth pipeline from the SAME kept/shingle CTEs."""
+    rows = num_hashes // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_exprs.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS band_sig FROM sigs"
+        )
+    union = " UNION ALL ".join(band_exprs)
+    mins = ", ".join(
+        f"min(({_H48} * {2 * i + 1} + {7919 * (i + 1)}) % {(1 << 61) - 1}) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    shingles_kept = _SHINGLES_CTE.replace("FROM documents", "FROM kept_docs")
+    return f"""
+WITH fp AS (
+  SELECT doc_id, text, md5({_NORM}) AS f FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+kept_docs AS (
+  SELECT fp.doc_id, text FROM fp JOIN keep ON fp.doc_id = keep.doc_id
+),
+{shingles_kept},
+sigs AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
+buckets AS ({union}),
+small AS (
+  SELECT band, band_sig FROM buckets GROUP BY band, band_sig
+  HAVING count(*) <= {max_bucket_size}
+),
+capped AS (
+  SELECT b.* FROM buckets b JOIN small s
+  ON b.band = s.band AND b.band_sig = s.band_sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+),
+freq AS (SELECT shingle, count(*) AS df_ FROM shingles GROUP BY shingle),
+filtered AS (
+  SELECT s.doc_id, s.shingle FROM shingles s JOIN freq f ON s.shingle = f.shingle
+  WHERE f.df_ <= {max_shingle_freq}
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM filtered GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM filtered a JOIN filtered b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE round(n_common / (sa.set_size + sb.set_size - n_common)::DOUBLE, 6)
+        >= {threshold}
+),
+counts AS (
+  SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+         (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+         (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b))::BIGINT
+           AS n_hits
+)
+SELECT n_truth, n_candidates, n_hits,
+       CASE WHEN n_truth > 0
+            THEN round(n_hits / n_truth::DOUBLE, 6) END AS recall,
+       CASE WHEN n_candidates > 0
+            THEN round(n_hits / n_candidates::DOUBLE, 6) END AS precision
+FROM counts
 """
 
 
@@ -2445,6 +2549,7 @@ SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
     sql["dedup_minhash_lsh"] = _minhash_lsh_oracle(8, 4)
     sql["dedup_simhash"] = _simhash_oracle(16)
     sql["dedup_lsh_jaccard_est"] = _minhash_lsh_est_oracle(8, 4, 100, 0.25)
+    sql["dedup_lsh_eval"] = _lsh_eval_oracle(8, 4, 100, 0.2, 200)
     sql["dedup_cluster_reps"] = f"""
 WITH RECURSIVE {_SHINGLES_CTE.strip()},
 freq AS (SELECT shingle, count(*) AS df_ FROM shingles GROUP BY shingle),

@@ -761,3 +761,37 @@ def incremental_near_dup_candidates(
         .select("batch_id", "snapshot_id")
         .distinct()
     )
+
+
+def pair_candidate_eval(candidates: DataFrame, truth: DataFrame) -> DataFrame:
+    """Candidate-generation quality: recall/precision of a candidate pair
+    table (e.g. LSH banding output) against an exact ground-truth pair
+    table (e.g. n-gram Jaccard above a threshold) — the tuning harness for
+    every banding/cap knob in this module, mirroring what
+    :func:`operators.similarity.ann_recall` does for ANN. One summary row:
+    ``(n_truth, n_candidates, n_hits, recall, precision)``.
+
+    Scale: both inputs are PAIR tables (already sub-corpus-sized); the
+    inner join on (id_a, id_b) and three single-row aggregates are the
+    whole plan — no corpus access at all.
+    """
+    c = candidates.select("id_a", "id_b").distinct()
+    t = truth.select("id_a", "id_b").distinct()
+    n_c = c.agg(F.count("*").alias("n_candidates"))
+    n_t = t.agg(F.count("*").alias("n_truth"))
+    n_h = c.join(t, ["id_a", "id_b"]).agg(F.count("*").alias("n_hits"))
+    return (
+        n_t.crossJoin(n_c)
+        .crossJoin(n_h)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.when(F.col("n_truth") > 0,
+                   F.round(F.col("n_hits") / F.col("n_truth"), 6))
+            .otherwise(F.lit(None).cast("double")).alias("recall"),
+            F.when(F.col("n_candidates") > 0,
+                   F.round(F.col("n_hits") / F.col("n_candidates"), 6))
+            .otherwise(F.lit(None).cast("double")).alias("precision"),
+        )
+    )

@@ -353,3 +353,24 @@ def test_label_mrr_rewards_matching_first_hit(spark):
     out = {r["query_id"]: r for r in label_mrr(topk, labels).collect()}
     assert out[0]["first_hit_rank"] == 2 and out[0]["reciprocal_rank"] == 0.5
     assert out[1]["first_hit_rank"] is None and out[1]["reciprocal_rank"] == 0.0
+
+
+def test_pair_candidate_eval_counts(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import pair_candidate_eval
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame([(1, 2), (4, 5), (6, 7)], "id_a long, id_b long")
+    r = pair_candidate_eval(cand, truth).collect()[0]
+    assert (r["n_truth"], r["n_candidates"], r["n_hits"]) == (3, 4, 2)
+    assert r["recall"] == round(2 / 3, 6) and r["precision"] == 0.5
+
+
+def test_pair_candidate_eval_empty_truth_null_recall(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import pair_candidate_eval
+
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    truth = spark.createDataFrame([], "id_a long, id_b long")
+    r = pair_candidate_eval(cand, truth).collect()[0]
+    assert r["n_hits"] == 0 and r["recall"] is None and r["precision"] == 0.0
