@@ -499,6 +499,17 @@ def _q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-log → sequence dataset: per (user, 30-min session) the ordered
+    action sequence fingerprint + count/duration features — the assembly
+    step for behavioral/agentic sequence training."""
+    from kafka_connect_hdfs_spark.operators.funnel import assemble_sessions
+
+    return assemble_sessions(_events(spark, sf_dir), gap_minutes=30).orderBy(
+        "user_id", "session_id"
+    )
+
+
 def _q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding quality harness: recall/precision of the capped 8x4
     banded candidates against exact n-gram Jaccard >= 0.2 ground truth,
@@ -1869,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= below the 50-slot budget window =================
         # NEW in r03 but window-overflow — first in line for the r4 window
         "dedup_lsh_eval": _q_dedup_lsh_eval,
+        "q_session_sequences": _q_session_sequences,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -2550,6 +2562,29 @@ SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
     sql["dedup_simhash"] = _simhash_oracle(16)
     sql["dedup_lsh_jaccard_est"] = _minhash_lsh_est_oracle(8, 4, 100, 0.25)
     sql["dedup_lsh_eval"] = _lsh_eval_oracle(8, 4, 100, 0.2, 200)
+    sql["q_session_sequences"] = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                 THEN 1 ELSE 0 END AS ns
+  FROM lagged
+),
+sess AS (
+  SELECT *, (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_sec,
+       md5(string_agg(event_type, ' ' ORDER BY ts, event_id)) AS sequence_fp
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
     sql["dedup_cluster_reps"] = f"""
 WITH RECURSIVE {_SHINGLES_CTE.strip()},
 freq AS (SELECT shingle, count(*) AS df_ FROM shingles GROUP BY shingle),

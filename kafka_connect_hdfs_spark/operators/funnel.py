@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -144,4 +144,67 @@ def cohort_retention(
         )
         .groupBy("cohort_week", "week_n")
         .agg(F.countDistinct(user_col).alias("n_active"))
+    )
+
+
+def assemble_sessions(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Conversation/trajectory assembly — the event-log → sequence-dataset
+    step of a behavioral / agentic training pipeline: per user, events are
+    cut into sessions at ``gap_minutes`` inactivity gaps, and each session
+    becomes ONE row carrying its ordered action sequence (fingerprinted,
+    so the row stays narrow) plus count/duration features. The output is
+    what sequence-model training consumes (one example per session).
+
+    Ordering inside a session is total and deterministic: (ts, event id)
+    — so the fingerprint is reproducible across partitionings and engines
+    (DuckDB replays it with ``string_agg(... ORDER BY ts, id)``).
+
+    Scale: ONE shuffle key (user) end to end — the session-gap window, the
+    session groupBy, and the sequence assembly all partition by user (the
+    groupBy adds the session id, a subdivision of the same key; Spark
+    reuses the exchange under AQE). collect_list holds one session's
+    events, bounded by the gap cut, never a user's full history.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+            > gap_minutes * 60
+        )
+    ).cast("long")
+    with_sess = df.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(type_col),
+    ).withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col), F.col(id_col), F.col(type_col))
+        )
+    )
+    seq = F.array_join(F.transform(ordered, lambda s: s[type_col]), " ")
+    return (
+        with_sess.groupBy(user_col, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+            ).cast("bigint").alias("duration_sec"),
+            F.md5(seq).alias("sequence_fp"),
+        )
     )

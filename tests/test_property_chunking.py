@@ -61,3 +61,51 @@ def test_file_boundaries_invariants(versions, flush, compat):
     assert all(0 <= b <= len(versions) for b in bounds)
     for a, b in zip(bounds, bounds[1:]):
         assert b - a <= flush
+
+
+def _python_reference_windows(n_toks: int, window: int, stride: int):
+    """Plain-Python model of chunk_with_overlap's start offsets."""
+    if n_toks <= 0:
+        return []
+    if n_toks <= window:
+        return [0]
+    import math
+
+    last = math.ceil((n_toks - window) / stride) * stride
+    return list(range(0, last + 1, stride))
+
+
+@given(
+    n_toks=st.integers(0, 120),
+    window=st.integers(1, 16),
+    stride_frac=st.integers(1, 16),
+)
+@settings(max_examples=30, deadline=None)
+def test_chunk_with_overlap_matches_python_model(
+    spark_global, n_toks, window, stride_frac
+):
+    """For arbitrary (doc length, window, stride<=window): chunk starts
+    match the Python model, every token index is covered by >=1 chunk,
+    and at stride == window the chunks concatenate back to the doc."""
+    from kafka_connect_hdfs_spark.operators.packing import chunk_with_overlap
+
+    stride = min(stride_frac, window)
+    spark = spark_global
+    text = " ".join(f"w{i}" for i in range(n_toks))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_with_overlap(df, window=window, stride=stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    starts = [r["start_token"] for r in rows]
+    assert starts == _python_reference_windows(n_toks, window, stride)
+    covered = set()
+    for r in rows:
+        assert 1 <= r["n_chunk_tokens"] <= window
+        assert r["n_chunk_tokens"] == len(r["chunk_text"].split())
+        covered.update(
+            range(r["start_token"], r["start_token"] + r["n_chunk_tokens"])
+        )
+    assert covered == set(range(n_toks))
+    if stride == window and n_toks > 0:
+        assert " ".join(r["chunk_text"] for r in rows) == text

@@ -374,3 +374,36 @@ def test_pair_candidate_eval_empty_truth_null_recall(spark):
     truth = spark.createDataFrame([], "id_a long, id_b long")
     r = pair_candidate_eval(cand, truth).collect()[0]
     assert r["n_hits"] == 0 and r["recall"] is None and r["precision"] == 0.0
+
+
+def test_assemble_sessions_gap_cut_and_ordering(spark):
+    from datetime import datetime
+
+    from kafka_connect_hdfs_spark.operators.funnel import assemble_sessions
+
+    T = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)
+    rows = [
+        # user 1, session 1: three events inside 30-min gaps
+        (1, T(0), 100, "open"),
+        (1, T(10), 101, "click"),
+        (1, T(20), 102, "buy"),
+        # gap of 40 min → session 2
+        (1, T(0).replace(hour=11), 103, "open"),
+        # user 2: same-timestamp tie broken by event_id
+        (2, T(0), 201, "b_event"),
+        (2, T(0), 200, "a_event"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        (r["user_id"], r["session_id"]): r
+        for r in assemble_sessions(df, gap_minutes=30).collect()
+    }
+    assert out[(1, 1)]["n_events"] == 3 and out[(1, 1)]["duration_sec"] == 1200
+    assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["duration_sec"] == 0
+    import hashlib
+
+    assert out[(1, 1)]["sequence_fp"] == hashlib.md5(b"open click buy").hexdigest()
+    # tie at identical ts orders by event_id: 200 before 201
+    assert out[(2, 1)]["sequence_fp"] == hashlib.md5(b"a_event b_event").hexdigest()
