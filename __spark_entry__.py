@@ -499,6 +499,26 @@ def _q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_corpus_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence boundary manifest: per (shard, seq) the member docs'
+    ordered span fingerprint + counts — the attention-mask metadata for
+    the corpus_pack_sequences layout (same 8-shard / 512-budget params)."""
+    from kafka_connect_hdfs_spark.operators.packing import (
+        pack_manifest, with_sequence_packing,
+    )
+
+    docs = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    with_tokens = docs.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .alias("n_tokens"),
+    )
+    assignment = with_sequence_packing(with_tokens, budget=512, shards=8)
+    return pack_manifest(assignment).orderBy("shard", "seq")
+
+
 def _q_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-log → sequence dataset: per (user, 30-min session) the ordered
     action sequence fingerprint + count/duration features — the assembly
@@ -1881,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r03 but window-overflow — first in line for the r4 window
         "dedup_lsh_eval": _q_dedup_lsh_eval,
         "q_session_sequences": _q_session_sequences,
+        "corpus_pack_manifest": _q_corpus_pack_manifest,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -3109,6 +3130,36 @@ SELECT doc_id, n_tokens, shard,
        floor(start_tok::DOUBLE / 512)::BIGINT AS seq,
        start_tok % 512 AS offset_in_seq
 FROM c ORDER BY doc_id
+"""
+    sql["corpus_pack_manifest"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 8 AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT - n_tokens
+           AS start_tok
+  FROM t
+),
+a AS (
+  SELECT doc_id, n_tokens, shard,
+         floor(start_tok::DOUBLE / 512)::BIGINT AS seq,
+         start_tok % 512 AS offset_in_seq
+  FROM c
+)
+SELECT shard, seq, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS tokens_started,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       md5(string_agg(doc_id::VARCHAR || ':' || offset_in_seq::VARCHAR || ':'
+                      || n_tokens::VARCHAR, ' ' ORDER BY offset_in_seq))
+         AS spans_fp
+FROM a GROUP BY shard, seq ORDER BY shard, seq
 """
     # Greedy FFD replayed exactly: per shard, docs ordered (tokens desc, id),
     # a recursive CTE carries the bin-load list; list_position over a

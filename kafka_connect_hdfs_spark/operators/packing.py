@@ -452,3 +452,47 @@ def temperature_sample(
         df.withColumn("keep_rate", mapping[F.col(lang_col)])
         .filter(u < F.col("keep_rate"))
     )
+
+
+def pack_manifest(
+    assignment: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sequence document-boundary manifest over a
+    :func:`with_sequence_packing` assignment — the span metadata an
+    attention-mask builder needs to stop cross-document attention inside a
+    packed training sequence (and the shard-writer's table of contents).
+    One row per (shard, seq): member count, tokens STARTING in the
+    sequence (a tail document whose offset+len exceeds the budget
+    continues into the next sequence — visible in the spans), first/last
+    member ids, and the ordered span fingerprint ``md5("id:offset:len
+    ...")``.
+
+    Spans are ordered by ``offset_in_seq`` — unique within a sequence by
+    construction (documents are laid end-to-end), so the fingerprint is
+    partition-order-free and SQL-replayable.
+
+    Scale: input is already the pruned (id, tokens, shard, seq, offset)
+    table (~24 B/doc); the groupBy key (shard, seq) subdivides the
+    existing shard partitioning and combines map-side. No text, no
+    corpus re-read.
+    """
+    span = F.concat_ws(
+        ":",
+        F.col(id_col).cast("string"),
+        F.col("offset_in_seq").cast("string"),
+        F.col(token_col).cast("string"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("offset_in_seq"), span.alias("_s")))
+    )
+    return assignment.groupBy("shard", "seq").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_col).alias("tokens_started"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+        F.md5(
+            F.array_join(F.transform(ordered, lambda s: s["_s"]), " ")
+        ).alias("spans_fp"),
+    )

@@ -407,3 +407,29 @@ def test_assemble_sessions_gap_cut_and_ordering(spark):
     assert out[(1, 1)]["sequence_fp"] == hashlib.md5(b"open click buy").hexdigest()
     # tie at identical ts orders by event_id: 200 before 201
     assert out[(2, 1)]["sequence_fp"] == hashlib.md5(b"a_event b_event").hexdigest()
+
+
+def test_pack_manifest_spans_ordered_and_complete(spark):
+    from kafka_connect_hdfs_spark.operators.packing import (
+        pack_manifest, with_sequence_packing,
+    )
+
+    rows = [(i, 100) for i in range(1, 11)]  # 10 docs x 100 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    assignment = with_sequence_packing(df, budget=250, shards=1)
+    out = pack_manifest(assignment).collect()
+    assert sum(r["n_docs"] for r in out) == 10
+    assert sum(r["tokens_started"] for r in out) == 1000
+    import hashlib
+
+    a_rows = sorted(
+        assignment.collect(), key=lambda r: (r["shard"], r["seq"], r["offset_in_seq"])
+    )
+    by_seq = {}
+    for r in a_rows:
+        by_seq.setdefault((r["shard"], r["seq"]), []).append(
+            f"{r['doc_id']}:{r['offset_in_seq']}:{r['n_tokens']}"
+        )
+    for m in out:
+        want = hashlib.md5(" ".join(by_seq[(m["shard"], m["seq"])]).encode()).hexdigest()
+        assert m["spans_fp"] == want
