@@ -499,6 +499,19 @@ def _q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard pairs at t=0.2 — must
+    equal the plain inverted-index operator's rows at the same threshold
+    (the oracle is that equality)."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    return prefix_filtered_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.2, max_shingle_freq=200
+    ).orderBy("id_a", "id_b")
+
+
 def _q_corpus_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed-sequence boundary manifest: per (shard, seq) the member docs'
     ordered span fingerprint + counts — the attention-mask metadata for
@@ -1902,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_eval": _q_dedup_lsh_eval,
         "q_session_sequences": _q_session_sequences,
         "corpus_pack_manifest": _q_corpus_pack_manifest,
+        "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -2583,6 +2597,30 @@ SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
     sql["dedup_simhash"] = _simhash_oracle(16)
     sql["dedup_lsh_jaccard_est"] = _minhash_lsh_est_oracle(8, 4, 100, 0.25)
     sql["dedup_lsh_eval"] = _lsh_eval_oracle(8, 4, 100, 0.2, 200)
+    # prefix filtering must reproduce the plain inverted-index result at
+    # the same threshold — the oracle IS the plain pipeline at t=0.2
+    sql["dedup_prefix_jaccard"] = f"""
+WITH {_SHINGLES_CTE},
+freq AS (SELECT shingle, count(*) AS df_ FROM shingles GROUP BY shingle),
+filtered AS (
+  SELECT s.doc_id, s.shingle FROM shingles s JOIN freq f ON s.shingle = f.shingle
+  WHERE f.df_ <= 200
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM filtered GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM filtered a JOIN filtered b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       round(n_common / (sa.set_size + sb.set_size - n_common)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE round(n_common / (sa.set_size + sb.set_size - n_common)::DOUBLE, 6) >= 0.2
+ORDER BY id_a, id_b
+"""
     sql["q_session_sequences"] = """
 WITH lagged AS (
   SELECT user_id, ts, event_id, event_type,

@@ -795,3 +795,90 @@ def pair_candidate_eval(candidates: DataFrame, truth: DataFrame) -> DataFrame:
             .otherwise(F.lit(None).cast("double")).alias("precision"),
         )
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Exact-threshold Jaccard pairs via PREFIX FILTERING (the set-
+    similarity-join technique of PPJoin / AllPairs, Bayardo et al. WWW'07):
+    sort each document's shingles in a fixed global order (ascending
+    document frequency — rarest first) and index only the first
+    ``floor((1 - t) * |s|) + 1`` of them. Two sets with Jaccard >= t MUST
+    share a prefix element under any common total order, so candidates
+    from the prefix index have no false negatives; exact Jaccard then
+    verifies each candidate. Returns exactly
+    :func:`ngram_jaccard_pairs`' rows (same filtered-universe semantics,
+    same threshold) — the oracle IS that operator's.
+
+    Scale: the quadratic factor shrinks from (per-shingle df)² over ALL
+    shingles to (per-shingle df)² over PREFIX occurrences only — at
+    t=0.8 a 50-shingle doc indexes 11 shingles instead of 50, and those
+    are its RAREST (smallest df) ones, so hot-shingle buckets vanish from
+    candidate generation entirely; the verify join touches candidate
+    pairs only. Same ``max_shingle_freq`` stop-cap universe as the plain
+    operator so both compute the identical filtered Jaccard.
+    """
+    sh = with_shingles(df, n, id_col, text_col)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    sh_f = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
+    sizes = sh_f.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    # global order: (df asc, shingle asc) — total and engine-independent
+    ordered = (
+        sh_f.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df_"), F.col("shingle")))
+            ).alias("_ord")
+        )
+        .join(sizes, id_col)
+    )
+    prefix_len = (
+        F.floor(F.lit(1.0 - threshold) * F.col("set_size")).cast("int") + 1
+    )
+    prefix = ordered.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice(F.col("_ord"), 1, prefix_len), lambda s: s["shingle"]
+            )
+        ).alias("shingle"),
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification on candidates only
+    a = sh_f.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_f.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(cand, ["id_a", "id_b"], "leftsemi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

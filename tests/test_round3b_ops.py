@@ -433,3 +433,63 @@ def test_pack_manifest_spans_ordered_and_complete(spark):
     for m in out:
         want = hashlib.md5(" ".join(by_seq[(m["shard"], m["seq"])]).encode()).hexdigest()
         assert m["spans_fp"] == want
+
+
+def test_prefix_filtered_jaccard_equals_plain_operator(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        ngram_jaccard_pairs, prefix_filtered_jaccard_pairs,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for t in (0.1, 0.3, 0.6):
+        plain = sorted(
+            (r["id_a"], r["id_b"], r["n_common"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=t, max_shingle_freq=200
+            ).collect()
+        )
+        pref = sorted(
+            (r["id_a"], r["id_b"], r["n_common"], r["jaccard"])
+            for r in prefix_filtered_jaccard_pairs(
+                docs, n=3, threshold=t, max_shingle_freq=200
+            ).collect()
+        )
+        assert pref == plain, f"threshold {t}"
+        if t == 0.1:
+            assert plain  # the loosest threshold must be a non-trivial check
+
+
+def test_prefix_filtering_prunes_candidate_space(spark):
+    """The point of the technique: the prefix index generates strictly
+    fewer candidate pairs than the full inverted index on a corpus with
+    shared boilerplate, while (above) missing nothing."""
+    import pyspark.sql.functions as F
+
+    from kafka_connect_hdfs_spark.operators.dedup import with_shingles
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = with_shingles(docs, 3)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    sh_f = sh.join(freq.filter(F.col("df_") <= 200), "shingle")
+    full_cand = (
+        sh_f.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh_f.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b")).select("a", "b").distinct().count()
+    )
+    sizes = sh_f.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    ordered = sh_f.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("df_", "shingle"))).alias("o")
+    ).join(sizes, "doc_id")
+    plen = F.floor(F.lit(1.0 - 0.6) * F.col("set_size")).cast("int") + 1
+    prefix = ordered.select(
+        "doc_id",
+        F.explode(F.transform(F.slice("o", 1, plen), lambda s: s["shingle"])).alias("shingle"),
+    )
+    pref_cand = (
+        prefix.select(F.col("doc_id").alias("a"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b")).select("a", "b").distinct().count()
+    )
+    assert pref_cand < full_cand
