@@ -1309,3 +1309,28 @@ def label_mrr(
             F.coalesce(F.lit(1.0) / F.min("_hit_rank"), F.lit(0.0)), 6
         ).alias("reciprocal_rank"),
     )
+
+
+def append_to_ivf_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of a :func:`build_ivf_index` layout: assign
+    a NEW batch of vectors to cells using the index's PERSISTED seeds (the
+    self-describing ``_seeds`` table — the coarse quantizer must not drift
+    between batches or old and new vectors become incomparable) and append
+    them under the same cell directories. Daily ingest then costs one
+    map-side assignment + append of the batch — the 100 TB history is
+    never re-read or re-written, exactly like the landing pipeline's
+    partition append.
+
+    Serving (:func:`query_ivf_index`) is unchanged: partition pruning
+    lists the cell directory and sees old + appended files together.
+    """
+    seeds = spark.read.parquet(path + "/_seeds")
+    assign_ivf_cells(new_vectors, seeds, id_col, vec_col).repartition(
+        F.col("cell")
+    ).write.mode("append").partitionBy("cell").parquet(path + "/cells")

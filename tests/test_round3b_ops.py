@@ -493,3 +493,31 @@ def test_prefix_filtering_prunes_candidate_space(spark):
         .filter(F.col("a") < F.col("b")).select("a", "b").distinct().count()
     )
     assert pref_cand < full_cand
+
+
+def test_ivf_index_append_matches_full_build(spark, tmp_path):
+    """Build on half the corpus, append the other half: serving must equal
+    the index built on everything at once (same persisted seeds == same
+    quantizer, so assignments are identical)."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        append_to_ivf_index, build_ivf_index, query_ivf_index,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full_path = f"{tmp_path}/full"
+    build_ivf_index(emb, full_path, n_seeds=8)
+
+    inc_path = f"{tmp_path}/inc"
+    # the initial build must contain the seed ids (vec_id < 8) so both
+    # indexes train the SAME coarse quantizer
+    build_ivf_index(emb.filter(F.col("vec_id") < 250), inc_path, n_seeds=8)
+    append_to_ivf_index(spark, emb.filter(F.col("vec_id") >= 250), inc_path)
+
+    key = lambda df: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in df.collect()
+    )
+    got = key(query_ivf_index(spark, inc_path, list(range(10)), k=5))
+    want = key(query_ivf_index(spark, full_path, list(range(10)), k=5))
+    assert got == want
