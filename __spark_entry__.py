@@ -499,6 +499,20 @@ def _q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text SemDeDup: deterministic hash-projection embedding
+    (dim=8) straight off the text column, then cell-bucketed cosine
+    dedup at 0.99 — the full raw-text → semantic-dup-flags path with no
+    precomputed embedding table."""
+    from kafka_connect_hdfs_spark.operators.similarity import semantic_dedup
+    from kafka_connect_hdfs_spark.operators.text import embed_text
+
+    emb = embed_text(_docs(spark, sf_dir), dim=8)
+    return semantic_dedup(
+        emb, n_seeds=8, threshold=0.99, id_col="doc_id"
+    ).orderBy("doc_id")
+
+
 def _q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin-style prefix-filtered exact Jaccard pairs at t=0.2 — must
     equal the plain inverted-index operator's rows at the same threshold
@@ -1916,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_sequences": _q_session_sequences,
         "corpus_pack_manifest": _q_corpus_pack_manifest,
         "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
+        "dedup_semantic_text": _q_dedup_semantic_text,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -2597,6 +2612,43 @@ SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
     sql["dedup_simhash"] = _simhash_oracle(16)
     sql["dedup_lsh_jaccard_est"] = _minhash_lsh_est_oracle(8, 4, 100, 0.25)
     sql["dedup_lsh_eval"] = _lsh_eval_oracle(8, 4, 100, 0.2, 200)
+    _EMBED8 = "[%s]" % ", ".join(
+        f"round((list_sum(list_transform(tk, t -> ('0x' || substr(md5(t), "
+        f"{1 + 3 * j}, 3))::BIGINT))::DOUBLE / len(tk)) / 2048.0 - 1.0, 6)"
+        for j in range(8)
+    )
+    sql["dedup_semantic_text"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+  FROM documents WHERE length(trim(text)) > 0
+),
+e AS (SELECT doc_id, {_EMBED8} AS v FROM toks),
+seeds AS (SELECT doc_id AS seed_id, v AS sv FROM e WHERE doc_id < 8),
+scored AS (
+  SELECT e.doc_id, e.v, seed_id,
+         round(list_dot_product(e.v, sv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim
+  FROM e, seeds
+),
+cells AS (
+  SELECT doc_id, v, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY sim DESC, seed_id ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+matches AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.doc_id < b.doc_id
+  WHERE round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 6) >= 0.99
+),
+dup AS (SELECT id_b, min(id_a) AS dup_of FROM matches GROUP BY id_b)
+SELECT c.doc_id, c.cell, d.dup_of, d.dup_of IS NULL AS keep
+FROM cells c LEFT JOIN dup d ON c.doc_id = d.id_b
+ORDER BY c.doc_id
+"""
     # prefix filtering must reproduce the plain inverted-index result at
     # the same threshold — the oracle IS the plain pipeline at t=0.2
     sql["dedup_prefix_jaccard"] = f"""

@@ -731,3 +731,52 @@ def strip_markup(
         t = F.replace(t, F.lit(ent), F.lit(ch))
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return df.withColumn(out_col, t)
+
+
+def embed_text(
+    df: DataFrame,
+    dim: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic hash-projection text embedding — the random-projection
+    / feature-hashing baseline (public technique; also the honest stand-in
+    for a neural encoder in this container, like the multimodal stub
+    codecs): token t hashes once to a 48-bit integer, component j mixes it
+    with universal-hash constants (the minhash construction), and the
+    document vector is the token mean per component. Similar token bags →
+    nearby vectors, so the output drives every embedding operator here
+    (semantic dedup, ANN, clustering) end-to-end from raw text.
+
+    Determinism for verification: component ``j`` reads the token's md5
+    hex chars ``[3j, 3j+3)`` as a 12-bit INTEGER; the per-document sums
+    are exact integer folds (order-free, no float accumulation), then one
+    division + round — bit-identical in any replaying engine
+    (``('0x' || substr(md5(t), 1+3j, 3))::BIGINT`` in DuckDB). dim ≤ 10
+    (a 128-bit digest holds ten 12-bit slices). Scale: pure map-side
+    (one md5 per token), no shuffle, no UDF.
+    """
+    if not 1 <= dim <= 10:
+        raise ValueError(f"dim must be in [1, 10], got {dim}")
+    t = F.col(text_col)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    digests = F.transform(toks, F.md5)
+    n = F.size(digests)
+
+    def _fold(j: int):
+        # closure factory: pyspark reads the lambda's arity, so the slice
+        # offset must bind via closure, not a default arg
+        return lambda acc, d: acc + F.conv(
+            F.substring(d, 1 + 3 * j, 3), 16, 10
+        ).cast("bigint")
+
+    comps = []
+    for j in range(dim):
+        csum = F.aggregate(digests, F.lit(0).cast("bigint"), _fold(j))
+        comps.append(
+            F.round((csum.cast("double") / n) / F.lit(2048.0) - 1.0, 6)
+        )
+    return df.filter(F.length(F.trim(t)) > 0).select(
+        F.col(id_col), F.array(*comps).alias(out_col)
+    )

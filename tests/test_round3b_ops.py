@@ -521,3 +521,25 @@ def test_ivf_index_append_matches_full_build(spark, tmp_path):
     got = key(query_ivf_index(spark, inc_path, list(range(10)), k=5))
     want = key(query_ivf_index(spark, full_path, list(range(10)), k=5))
     assert got == want
+
+
+def test_embed_text_deterministic_and_dup_sensitive(spark):
+    from kafka_connect_hdfs_spark.operators.text import embed_text
+    from kafka_connect_hdfs_spark.operators.similarity import cosine_similarity
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumps"),       # exact dup
+        (3, "THE  quick   brown fox JUMPS "),   # case/space variant
+        (4, "entirely different words appear here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["embedding"] for r in embed_text(df, dim=8).collect()}
+    assert out[1] == out[2] == out[3]  # normalization + determinism
+    assert out[1] != out[4]
+    assert all(-1.0 <= x < 1.0 for x in out[4])
+    with pytest.raises(ValueError):
+        embed_text(df, dim=11)
+    # empty docs are dropped
+    empty = spark.createDataFrame([(9, "  ")], "doc_id long, text string")
+    assert embed_text(empty).count() == 0

@@ -211,3 +211,45 @@ def test_strip_markup_and_chunker_compose_with_streaming(spark, tmp_path):
     assert len(streamed) == len(batch) > 0
     for r in streamed:
         assert batch[(r["doc_id"], r["chunk_idx"])] == (r["n_chunk_tokens"], r["fp"])
+
+
+def test_streaming_vector_ingest_into_ivf_index(spark, tmp_path):
+    """Continuous embedding ingest: an initial index plus micro-batch
+    appends via foreachBatch must serve exactly what a one-shot batch
+    build serves — the vector-pipeline analog of the landing append."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        append_to_ivf_index, build_ivf_index, query_ivf_index,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full_path = f"{tmp_path}/full"
+    build_ivf_index(emb, full_path, n_seeds=8)
+
+    stream_path = f"{tmp_path}/stream_idx"
+    base = emb.filter(F.col("vec_id") < 100)
+    build_ivf_index(base, stream_path, n_seeds=8)
+    src = f"{tmp_path}/src"
+    emb.filter(F.col("vec_id") >= 100).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, _id: append_to_ivf_index(spark, batch_df, stream_path)
+        )
+        .option("checkpointLocation", f"{tmp_path}/chk_idx")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    key = lambda df: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in df.collect()
+    )
+    assert key(query_ivf_index(spark, stream_path, list(range(10)), k=5)) == key(
+        query_ivf_index(spark, full_path, list(range(10)), k=5)
+    )
