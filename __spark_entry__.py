@@ -499,6 +499,17 @@ def _q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_BM25_TERMS = ["spark", "table", "merge", "window"]
+
+
+def _q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-10 docs for a 4-term query — the
+    keyword half of a hybrid retrieval stack."""
+    from kafka_connect_hdfs_spark.operators.text import bm25_search
+
+    return bm25_search(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
 def _q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end text SemDeDup: deterministic hash-projection embedding
     (dim=8) straight off the text column, then cell-bucketed cosine
@@ -1931,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_manifest": _q_corpus_pack_manifest,
         "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
         "dedup_semantic_text": _q_dedup_semantic_text,
+        "text_bm25": _q_text_bm25,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -2612,6 +2624,36 @@ SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
     sql["dedup_simhash"] = _simhash_oracle(16)
     sql["dedup_lsh_jaccard_est"] = _minhash_lsh_est_oracle(8, 4, 100, 0.25)
     sql["dedup_lsh_eval"] = _lsh_eval_oracle(8, 4, 100, 0.2, 200)
+    _terms_sql = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
+    sql["text_bm25"] = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+         len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS dl
+  FROM documents WHERE length(trim(text)) > 0
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (
+    SELECT doc_id, dl,
+           unnest(list_filter(toks, x -> list_contains([{_terms_sql}], x)))
+             AS term
+    FROM base
+  )
+  GROUP BY doc_id, dl, term
+),
+docfreq AS (SELECT term, count(*)::BIGINT AS df_ FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - d.df_ + 0.5) / (d.df_ + 0.5))
+         * (tf.tf * (1.2 + 1)) /
+           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN docfreq d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), 6) AS bm25, count(*)::BIGINT AS n_matched_terms
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
     _EMBED8 = "[%s]" % ", ".join(
         f"round((list_sum(list_transform(tk, t -> ('0x' || substr(md5(t), "
         f"{1 + 3 * j}, 3))::BIGINT))::DOUBLE / len(tk)) / 2048.0 - 1.0, 6)"

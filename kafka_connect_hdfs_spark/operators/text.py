@@ -780,3 +780,73 @@ def embed_text(
     return df.filter(F.length(F.trim(t)) > 0).select(
         F.col(id_col), F.array(*comps).alias(out_col)
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Spärck Jones probabilistic
+    ranking, the universal lexical baseline): top-k documents for a bag of
+    query terms, scored ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+    with the standard smoothed idf ``ln(1 + (N-df+0.5)/(df+0.5))``.
+    Deterministic ties by doc id. The lexical half of a hybrid
+    (BM25 + ANN) retrieval stack — the embedding half lives in
+    :mod:`.similarity`.
+
+    Scale: term frequencies only for the QUERY terms (the filter binds
+    before the tf aggregation, so the exploded token stream prunes to
+    query-term hits immediately); df/N/avgdl are a handful of broadcast
+    scalars; final top-k is a TakeOrdered, never a global sort. Query
+    terms are a literal array — per-query planning cost only.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    t = F.col(text_col)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    base = df.filter(F.length(F.trim(t)) > 0).select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl")
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    term_arr = F.array(*[F.lit(x) for x in terms])
+    tf = base.select(
+        F.col(id_col),
+        "dl",
+        F.explode(
+            F.filter(F.col("_toks"), lambda x: F.array_contains(term_arr, x))
+        ).alias("term"),
+    ).groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df_"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_") + F.lit(0.5)) / (F.col("df_") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (1 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.sum("_s"), 6).alias("bm25"),
+            F.count("*").alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

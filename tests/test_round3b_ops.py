@@ -543,3 +543,33 @@ def test_embed_text_deterministic_and_dup_sensitive(spark):
     # empty docs are dropped
     empty = spark.createDataFrame([(9, "  ")], "doc_id long, text string")
     assert embed_text(empty).count() == 0
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from kafka_connect_hdfs_spark.operators.text import bm25_search
+
+    rows = [
+        (1, "spark spark spark query engine"),
+        (2, "spark appears once in this considerably longer document text here"),
+        (3, "no relevant words at all"),
+        (4, "spark query"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(df, ["spark", "query"], k=10).collect()
+    got = [r["doc_id"] for r in out]
+    assert 3 not in got                       # no match → absent
+    assert set(got) == {1, 2, 4}
+    matched = {r["doc_id"]: r["n_matched_terms"] for r in out}
+    assert matched[1] == 2 and matched[2] == 1 and matched[4] == 2
+    # both-term short doc beats one-term long doc
+    assert got.index(4) < got.index(2)
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    from kafka_connect_hdfs_spark.operators.text import bm25_search
+
+    # 'rare' in 1 doc, 'common' in all 5 docs of equal length
+    rows = [(i, ("rare pad" if i == 0 else "common pad") + " filler words x") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["bm25"] for r in bm25_search(df, ["rare", "common"], k=5).collect()}
+    assert out[0] > max(v for k, v in out.items() if k != 0)
