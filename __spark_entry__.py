@@ -510,6 +510,16 @@ def _q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), _BM25_TERMS, k=10)
 
 
+def _q_text_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 + hash-embedding cosine fused by RRF over
+    the same 4-term query; top-10 with both arms' ranks exposed."""
+    from kafka_connect_hdfs_spark.operators.text import hybrid_search
+
+    return hybrid_search(
+        _docs(spark, sf_dir), " ".join(_BM25_TERMS), k=10, pool=50
+    )
+
+
 def _q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end text SemDeDup: deterministic hash-projection embedding
     (dim=8) straight off the text column, then cell-bucketed cosine
@@ -1943,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
         "dedup_semantic_text": _q_dedup_semantic_text,
         "text_bm25": _q_text_bm25,
+        "text_hybrid_search": _q_text_hybrid_search,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -2690,6 +2701,69 @@ dup AS (SELECT id_b, min(id_a) AS dup_of FROM matches GROUP BY id_b)
 SELECT c.doc_id, c.cell, d.dup_of, d.dup_of IS NULL AS keep
 FROM cells c LEFT JOIN dup d ON c.doc_id = d.id_b
 ORDER BY c.doc_id
+"""
+    sql["text_hybrid_search"] = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+         len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS dl
+  FROM documents WHERE length(trim(text)) > 0
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (
+    SELECT doc_id, dl,
+           unnest(list_filter(toks, x -> list_contains([{_terms_sql}], x)))
+             AS term
+    FROM base
+  )
+  GROUP BY doc_id, dl, term
+),
+docfreq AS (SELECT term, count(*)::BIGINT AS df_ FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - d.df_ + 0.5) / (d.df_ + 0.5))
+         * (tf.tf * (1.2 + 1)) /
+           (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN docfreq d USING (term) CROSS JOIN stats s
+),
+bm AS (
+  SELECT doc_id, round(sum(sc), 6) AS bm25 FROM scored GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+    FROM bm
+  ) WHERE rank_lex <= 50
+),
+dtk AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+  FROM documents WHERE length(trim(text)) > 0
+),
+e AS (SELECT doc_id, {_EMBED8} AS v FROM dtk),
+qe AS (
+  SELECT {_EMBED8} AS qv
+  FROM (SELECT regexp_split_to_array(lower(trim('spark table merge window')),
+               '\s+') AS tk)
+),
+sem AS (
+  SELECT doc_id, rank_sem FROM (
+    SELECT e.doc_id,
+           row_number() OVER (
+             ORDER BY round(list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+             e.doc_id ASC) AS rank_sem
+    FROM e CROSS JOIN qe q
+  ) WHERE rank_sem <= 50
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       rank_lex::INT AS rank_lex, rank_sem::INT AS rank_sem,
+       round(COALESCE(1.0 / (60 + rank_lex), 0.0)
+             + COALESCE(1.0 / (60 + rank_sem), 0.0), 6) AS rrf_score
+FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
 """
     # prefix filtering must reproduce the plain inverted-index result at
     # the same threshold — the oracle IS the plain pipeline at t=0.2

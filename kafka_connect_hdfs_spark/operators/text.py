@@ -850,3 +850,72 @@ def bm25_search(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def hybrid_search(
+    df: DataFrame,
+    query_text: str,
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    dim: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 over the query's terms AND embedding-cosine
+    over its hash-projection vector, fused with Reciprocal Rank Fusion
+    (``Σ 1/(rrf_k + rank)``, Cormack et al. SIGIR'09) — the standard
+    two-tower + lexical production stack, here fully deterministic and
+    SQL-replayable. Each retriever contributes its top-``pool``; a doc
+    absent from one list simply lacks that term. Ties by doc id.
+
+    Determinism: both ranks are integers, the fused score is a sum of two
+    exact rationals in double (order-free at two terms), rounded 6 dp
+    before the final TakeOrdered — any replaying engine orders
+    identically. Scale: BM25 as in :func:`bm25_search`; the semantic arm
+    scores map-side against ONE literal query vector (no join) and
+    TakeOrdereds its pool; fusion joins two pool-sized rank tables.
+    """
+    from pyspark.sql import Window
+
+    from kafka_connect_hdfs_spark.operators.similarity import cosine_similarity
+
+    lex = bm25_search(
+        df, query_text.split(), k=pool, text_col=text_col, id_col=id_col
+    )
+    w_any = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    lex_rank = lex.select(
+        F.col(id_col), F.row_number().over(w_any).alias("rank_lex")
+    )
+
+    spark = df.sparkSession
+    q_row = embed_text(
+        spark.createDataFrame([(0, query_text)], f"{id_col} long, {text_col} string"),
+        dim=dim, text_col=text_col, id_col=id_col,
+    ).collect()[0]
+    qv = F.array(*[F.lit(float(x)) for x in q_row["embedding"]])
+    emb = embed_text(df, dim=dim, text_col=text_col, id_col=id_col)
+    sem = (
+        emb.withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("embedding"), qv), 6),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(pool)
+    )
+    w_sem = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    sem_rank = sem.select(
+        F.col(id_col), F.row_number().over(w_sem).alias("rank_sem")
+    )
+
+    fused = lex_rank.join(sem_rank, id_col, "full").select(
+        F.col(id_col),
+        "rank_lex",
+        "rank_sem",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_sem")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)

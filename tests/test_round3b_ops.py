@@ -573,3 +573,30 @@ def test_bm25_rare_term_outweighs_common(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["bm25"] for r in bm25_search(df, ["rare", "common"], k=5).collect()}
     assert out[0] > max(v for k, v in out.items() if k != 0)
+
+
+def test_hybrid_search_fuses_both_arms(spark):
+    from kafka_connect_hdfs_spark.operators.text import hybrid_search
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = hybrid_search(docs, "spark table merge window", k=10, pool=20).collect()
+    assert len(out) == 10
+    # fused score equals the RRF of the exposed ranks
+    for r in out:
+        want = 0.0
+        if r["rank_lex"] is not None:
+            want += 1.0 / (60 + r["rank_lex"])
+        if r["rank_sem"] is not None:
+            want += 1.0 / (60 + r["rank_sem"])
+        assert abs(r["rrf_score"] - round(want, 6)) < 1e-9
+    # a doc ranked by BOTH arms must outscore one ranked by a single arm
+    # at similar rank depth (1/(60+r) + 1/(60+r') > 1/(60+r))
+    both = [r for r in out if r["rank_lex"] and r["rank_sem"]]
+    if both:
+        single = [r for r in out if (r["rank_lex"] is None) != (r["rank_sem"] is None)]
+        for s in single:
+            arm = s["rank_lex"] or s["rank_sem"]
+            for m in both:
+                if (m["rank_lex"] or 99) <= arm and (m["rank_sem"] or 99) <= arm:
+                    assert m["rrf_score"] > s["rrf_score"]
