@@ -535,7 +535,7 @@ def _q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PPJoin-style prefix-filtered exact Jaccard pairs at t=0.2 — must
+    """PPJoin-style prefix-filtered exact Jaccard pairs at t=0.6 — must
     equal the plain inverted-index operator's rows at the same threshold
     (the oracle is that equality)."""
     from kafka_connect_hdfs_spark.operators.dedup import (
@@ -543,7 +543,7 @@ def _q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return prefix_filtered_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.2, max_shingle_freq=200
+        _docs(spark, sf_dir), n=3, threshold=0.6, max_shingle_freq=200
     ).orderBy("id_a", "id_b")
 
 
@@ -592,6 +592,9 @@ def _q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_candidates(
         kept, num_hashes=8, bands=4, max_bucket_size=100
     )
+    # truth via the plain inverted index — measured FASTER than the
+    # prefix-filtered variant on this tiny-vocab synthetic corpus (every
+    # shingle is common, so the prefix prunes little; see README probes)
     truth = ngram_jaccard_pairs(
         kept, n=3, threshold=0.2, max_shingle_freq=200
     )
@@ -2786,7 +2789,7 @@ SELECT id_a, id_b, n_common,
 FROM inter
 JOIN sizes sa ON inter.id_a = sa.doc_id
 JOIN sizes sb ON inter.id_b = sb.doc_id
-WHERE round(n_common / (sa.set_size + sb.set_size - n_common)::DOUBLE, 6) >= 0.2
+WHERE round(n_common / (sa.set_size + sb.set_size - n_common)::DOUBLE, 6) >= 0.6
 ORDER BY id_a, id_b
 """
     sql["q_session_sequences"] = """

@@ -79,6 +79,13 @@ def main() -> None:
         "ann_hard_negatives",
         "ann_cell_stats",
         "ann_label_mrr",
+        "dedup_lsh_eval",
+        "q_session_sequences",
+        "corpus_pack_manifest",
+        "dedup_prefix_jaccard",
+        "dedup_semantic_text",
+        "text_bm25",
+        "text_hybrid_search",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

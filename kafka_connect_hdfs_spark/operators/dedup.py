@@ -856,13 +856,16 @@ def prefix_filtered_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification on candidates only
-    a = sh_f.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh_f.select(F.col(id_col).alias("id_b"), "shingle")
+    # exact verification on candidates only: expand each candidate pair by
+    # id_a's shingles, then match id_b's — |cand|·|shingles/doc| rows, NOT
+    # the full co-occurrence join (a leftsemi AFTER an a×b shingle join
+    # would materialize every co-occurring pair first, defeating the prune)
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(cand, ["id_a", "id_b"], "leftsemi")
+        cand.join(sh_f.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh_f.select(F.col(id_col).alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
