@@ -1488,6 +1488,57 @@ def _q_corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_e2e_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 end-to-end composition through ONE gate: markup strip (over
+    a synthesized HTML wrapping) → exact dedup keep-first on the CLEANED
+    text → temperature-rebalanced language mix → overlap chunking →
+    per-language rollup. Proves the new operators' column contracts
+    compose, not just work alone."""
+    from kafka_connect_hdfs_spark.operators.dedup import dedup_keep_first
+    from kafka_connect_hdfs_spark.operators.packing import (
+        chunk_with_overlap, temperature_sample,
+    )
+    from kafka_connect_hdfs_spark.operators.text import strip_markup
+
+    docs = _docs(spark, sf_dir)
+    html = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit('<div class="doc"><h1>T &amp; D</h1>\n<p>'),
+            F.col("text"),
+            F.lit("</p><script>var x = 1 &lt; 2;</script>\n"),
+            F.lit("<!-- trailer --><br/>&quot;end&quot;</div>"),
+        ).alias("text"),
+    )
+    cleaned = strip_markup(html).select(
+        "doc_id", "lang", F.col("clean_text").alias("text")
+    )
+    kept = dedup_keep_first(cleaned)
+    t = F.trim(F.col("text"))
+    with_tokens = kept.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    mixed = temperature_sample(with_tokens, budget_tokens=3000, alpha=0.5)
+    chunks = chunk_with_overlap(mixed, window=16, stride=8)
+    return (
+        chunks.join(mixed.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("sum_chunk_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 TF-IDF terms (smoothed idf, deterministic
     tie-break) — corpus keyword extraction through the gate."""
@@ -1957,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_text": _q_dedup_semantic_text,
         "text_bm25": _q_text_bm25,
         "text_hybrid_search": _q_text_hybrid_search,
+        "corpus_e2e_pipeline_v2": _q_corpus_e2e_pipeline_v2,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -2667,6 +2719,71 @@ scored AS (
 SELECT doc_id, round(sum(sc), 6) AS bm25, count(*)::BIGINT AS n_matched_terms
 FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+    sql["corpus_e2e_pipeline_v2"] = r"""
+WITH h AS (
+  SELECT doc_id, lang,
+         '<div class="doc"><h1>T &amp; D</h1>' || chr(10) || '<p>' || text ||
+         '</p><script>var x = 1 &lt; 2;</script>' || chr(10) ||
+         '<!-- trailer --><br/>&quot;end&quot;</div>' AS html
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '<script\b[^>]*>.*?</script\s*>', ' ', 'gs'),
+                   '<style\b[^>]*>.*?</style\s*>', ' ', 'gs'),
+                 '<!--.*?-->', ' ', 'gs'),
+               '<[^>]*>', ' ', 'gs'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+             '&amp;', '&'),
+           '\s+', ' ', 'g')) AS text
+  FROM h
+),
+fp AS (
+  SELECT doc_id, lang, text,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+  FROM cleaned
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+kept AS (
+  SELECT fp.doc_id, fp.lang, fp.text,
+         CASE WHEN length(trim(fp.text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(fp.text), '\s+')) END::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5('temp0' || fp.doc_id::VARCHAR), 1, 12))::BIGINT
+           / 281474976710656.0 AS u
+  FROM fp JOIN keep USING (doc_id)
+),
+tot AS (SELECT lang, sum(n_tokens)::BIGINT AS tl FROM kept GROUP BY lang),
+z AS (SELECT sum(sqrt(tl)) AS z FROM tot),
+rates AS (
+  SELECT lang, round(least(1.0, (sqrt(tl) / z.z) * 3000 / tl), 6) AS keep_rate
+  FROM tot, z
+),
+mixed AS (
+  SELECT k.doc_id, k.lang, k.text FROM kept k JOIN rates r USING (lang)
+  WHERE k.u < r.keep_rate
+),
+tk AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n
+  FROM mixed WHERE length(trim(text)) > 0
+),
+chunks AS (
+  SELECT doc_id, lang, n,
+         unnest(range(0, greatest(0, ((n - 16 + 8 - 1) // 8) * 8) + 1, 8))
+           AS start_token
+  FROM tk
+)
+SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_chunks,
+       sum(least(16, n - start_token))::BIGINT AS sum_chunk_tokens
+FROM chunks GROUP BY lang ORDER BY lang
 """
     _EMBED8 = "[%s]" % ", ".join(
         f"round((list_sum(list_transform(tk, t -> ('0x' || substr(md5(t), "
