@@ -502,6 +502,20 @@ def _q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["spark", "table", "merge", "window"]
 
 
+def _q_text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-shift monitor: token-distribution KL contributions between
+    the even-id and odd-id halves of the corpus (a deterministic stand-in
+    for old-snapshot vs new-crawl), top-20 drivers."""
+    from kafka_connect_hdfs_spark.operators.text import vocab_drift
+
+    docs = _docs(spark, sf_dir)
+    return vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_k=20,
+    )
+
+
 def _q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval: top-10 docs for a 4-term query — the
     keyword half of a hybrid retrieval stack."""
@@ -2009,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": _q_text_bm25,
         "text_hybrid_search": _q_text_hybrid_search,
         "corpus_e2e_pipeline_v2": _q_corpus_e2e_pipeline_v2,
+        "text_vocab_drift": _q_text_vocab_drift,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -2719,6 +2734,38 @@ scored AS (
 SELECT doc_id, round(sum(sc), 6) AS bm25, count(*)::BIGINT AS n_matched_terms
 FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+    sql["text_vocab_drift"] = r"""
+WITH ta AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0
+),
+tb AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents WHERE doc_id % 2 = 1 AND length(trim(text)) > 0
+),
+ca AS (SELECT term, count(*)::BIGINT AS n_a FROM ta GROUP BY term),
+cb AS (SELECT term, count(*)::BIGINT AS n_b FROM tb GROUP BY term),
+j AS (
+  SELECT COALESCE(ca.term, cb.term) AS term,
+         COALESCE(n_a, 0)::BIGINT AS n_a, COALESCE(n_b, 0)::BIGINT AS n_b
+  FROM ca FULL JOIN cb ON ca.term = cb.term
+),
+tot AS (
+  SELECT sum(n_a)::BIGINT AS tot_a, sum(n_b)::BIGINT AS tot_b,
+         count(*)::BIGINT AS v
+  FROM j
+),
+scored AS (
+  SELECT term, n_a, n_b,
+         (n_a + 1.0) / (tot_a + 1.0 * v) AS p,
+         (n_b + 1.0) / (tot_b + 1.0 * v) AS q
+  FROM j CROSS JOIN tot
+)
+SELECT term, n_a, n_b, round(p, 6) AS p_a, round(q, 6) AS p_b,
+       round(p * ln(p / q), 6) AS kl_contrib
+FROM scored
+ORDER BY abs(round(p * ln(p / q), 6)) DESC, term ASC LIMIT 20
 """
     sql["corpus_e2e_pipeline_v2"] = r"""
 WITH h AS (

@@ -919,3 +919,64 @@ def hybrid_search(
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    top_k: int = 20,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots — the
+    dataset-shift monitor a continuously-ingesting pipeline runs before a
+    new crawl joins the training mix. Per term over the UNION vocabulary
+    (add-``smoothing`` Laplace counts so a term absent from one side stays
+    finite): both probabilities and the term's signed KL contribution
+    ``p·ln(p/q)``; returns the ``top_k`` largest |contribution| terms
+    (ties by term asc) — the "what changed" list, whose sum approximates
+    KL(A‖B).
+
+    Scale: two token-count aggregations (shuffle bounded by vocab size)
+    full-outer-joined on term; totals are one-row broadcast scalars; the
+    top-k is a TakeOrdered. Contributions are doubles rounded 6 dp —
+    counts are exact integers, so any replaying engine agrees.
+    """
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        return (
+            d.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.explode(toks).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias(name))
+        )
+
+    ca, cb = counts(df_a, "n_a"), counts(df_b, "n_b")
+    joined = ca.join(cb, "term", "full").select(
+        "term",
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+    )
+    vocab_totals = F.broadcast(
+        joined.agg(
+            F.sum("n_a").alias("tot_a"),
+            F.sum("n_b").alias("tot_b"),
+            F.count("*").alias("v"),
+        )
+    )
+    s = F.lit(float(smoothing))
+    p = (F.col("n_a") + s) / (F.col("tot_a") + s * F.col("v"))
+    q = (F.col("n_b") + s) / (F.col("tot_b") + s * F.col("v"))
+    return (
+        joined.crossJoin(vocab_totals)
+        .select(
+            "term",
+            "n_a",
+            "n_b",
+            F.round(p, 6).alias("p_a"),
+            F.round(q, 6).alias("p_b"),
+            F.round(p * F.log(p / q), 6).alias("kl_contrib"),
+        )
+        .orderBy(F.desc(F.abs(F.col("kl_contrib"))), F.asc("term"))
+        .limit(top_k)
+    )

@@ -600,3 +600,23 @@ def test_hybrid_search_fuses_both_arms(spark):
             for m in both:
                 if (m["rank_lex"] or 99) <= arm and (m["rank_sem"] or 99) <= arm:
                     assert m["rrf_score"] > s["rrf_score"]
+
+
+def test_vocab_drift_flags_shifted_terms(spark):
+    from kafka_connect_hdfs_spark.operators.text import vocab_drift
+
+    a = spark.createDataFrame(
+        [(i, "common words here plus newterm") for i in range(10)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, "common words here") for i in range(10)], "doc_id long, text string"
+    )
+    rows = vocab_drift(a, b, top_k=10).collect()
+    by_term = {r["term"]: r for r in rows}
+    # the A-only term is the top |contribution| driver, positive (over-represented in A)
+    assert rows[0]["term"] == "newterm" and rows[0]["kl_contrib"] > 0
+    assert by_term["newterm"]["n_b"] == 0
+    # shared terms have near-zero but defined contributions
+    assert all(abs(by_term[t]["kl_contrib"]) < rows[0]["kl_contrib"]
+               for t in ("common", "words", "here"))
