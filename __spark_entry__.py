@@ -502,6 +502,17 @@ def _q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["spark", "table", "merge", "window"]
 
 
+def _q_ann_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining: per anchor (vec_id < 10) the nearest
+    same-label positive × 3 nearest other-label hard negatives."""
+    from kafka_connect_hdfs_spark.operators.similarity import contrastive_triplets
+
+    emb = _emb(spark, sf_dir)
+    return contrastive_triplets(
+        emb, emb.filter(F.col("vec_id") < 10), n_pos=1, n_neg=3
+    ).orderBy("query_id", "positive_id", "negative_id")
+
+
 def _q_text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-shift monitor: token-distribution KL contributions between
     the even-id and odd-id halves of the corpus (a deterministic stand-in
@@ -2024,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hybrid_search": _q_text_hybrid_search,
         "corpus_e2e_pipeline_v2": _q_corpus_e2e_pipeline_v2,
         "text_vocab_drift": _q_text_vocab_drift,
+        "ann_triplets": _q_ann_triplets,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -2734,6 +2746,45 @@ scored AS (
 SELECT doc_id, round(sum(sc), 6) AS bm25, count(*)::BIGINT AS n_matched_terms
 FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+    sql["ann_triplets"] = f"""
+WITH pos_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(q.embedding AS DOUBLE[]) AS qv, CAST(c.embedding AS DOUBLE[]) AS cv
+  FROM embeddings q JOIN embeddings c
+    ON q.label = c.label AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+),
+pos_ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM (SELECT query_id, neighbor_id, {_COSINE} AS cosine FROM pos_pairs)
+),
+pos AS (
+  SELECT query_id, neighbor_id AS positive_id, cosine AS pos_cosine
+  FROM pos_ranked WHERE rank <= 1
+),
+neg_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(q.embedding AS DOUBLE[]) AS qv, CAST(c.embedding AS DOUBLE[]) AS cv
+  FROM embeddings q JOIN embeddings c ON q.label != c.label
+  WHERE q.vec_id < 10
+),
+neg_ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM (SELECT query_id, neighbor_id, {_COSINE} AS cosine FROM neg_pairs)
+),
+neg AS (
+  SELECT query_id, neighbor_id AS negative_id, cosine AS neg_cosine
+  FROM neg_ranked WHERE rank <= 3
+)
+SELECT pos.query_id AS query_id, positive_id, negative_id,
+       pos_cosine, neg_cosine
+FROM pos JOIN neg ON pos.query_id = neg.query_id
+ORDER BY pos.query_id, positive_id, negative_id
 """
     sql["text_vocab_drift"] = r"""
 WITH ta AS (

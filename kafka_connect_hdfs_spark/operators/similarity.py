@@ -1334,3 +1334,42 @@ def append_to_ivf_index(
     assign_ivf_cells(new_vectors, seeds, id_col, vec_col).repartition(
         F.col("cell")
     ).write.mode("append").partitionBy("cell").parquet(path + "/cells")
+
+
+def contrastive_triplets(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_pos: int = 1,
+    n_neg: int = 3,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive training-pair generation: per anchor (query), the
+    ``n_pos`` nearest SAME-label vectors crossed with the ``n_neg``
+    nearest OTHER-label vectors — (anchor, positive, hard-negative)
+    triplets with both cosines, the input format of triplet/InfoNCE
+    training for retrieval models. Composes :func:`filtered_topk`
+    (pre-filter positives) and :func:`hard_negative_topk` verbatim, so
+    each arm keeps its own scale shape; the final join fans each anchor
+    out to n_pos × n_neg rows only.
+    """
+    pos = filtered_topk(
+        embeddings, queries, k=n_pos, filter_col=label_col,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
+    neg = hard_negative_topk(
+        embeddings, queries, k=n_neg, label_col=label_col,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("negative_id"),
+        F.col("cosine").alias("neg_cosine"),
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id", "positive_id", "negative_id", "pos_cosine", "neg_cosine"
+    )

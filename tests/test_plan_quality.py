@@ -454,3 +454,30 @@ def test_ivf_index_serve_prunes_partitions(spark, sf, tmp_path_factory):
     ]
     assert pf, plan
     assert "IN" in pf[0] or "in(cell" in pf[0], pf[0]
+
+
+def test_assemble_sessions_single_user_exchange(spark, sf):
+    """Session assembly claims ONE shuffle key end to end: the lag window
+    partitions by user and the (user, session) groupBy must reuse that
+    partitioning (hash(user) satisfies the clustered distribution), so the
+    plan carries exactly one Exchange."""
+    from kafka_connect_hdfs_spark.operators.funnel import assemble_sessions
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf, "events")
+    plan = _plan(assemble_sessions(ev))
+    # formatted explain prints each node twice (tree + detail)
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_bm25_takeordered_and_no_corpus_wide_sort(spark, sf):
+    """BM25's top-k must be a TakeOrdered over the scored tf table, never a
+    global Sort of the corpus; the df table comes back via broadcast."""
+    from kafka_connect_hdfs_spark.operators.text import bm25_search
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(bm25_search(docs, ["spark", "table"], k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

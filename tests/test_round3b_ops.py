@@ -620,3 +620,19 @@ def test_vocab_drift_flags_shifted_terms(spark):
     # shared terms have near-zero but defined contributions
     assert all(abs(by_term[t]["kl_contrib"]) < rows[0]["kl_contrib"]
                for t in ("common", "words", "here"))
+
+
+def test_contrastive_triplets_labels_and_fanout(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import contrastive_triplets
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = contrastive_triplets(emb, emb.filter(F.col("vec_id") < 5), n_pos=1, n_neg=3)
+    rows = out.collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert labels[r["positive_id"]] == labels[r["query_id"]]
+        assert labels[r["negative_id"]] != labels[r["query_id"]]
+    assert all(len(v) == 3 for v in per_q.values())  # 1 pos x 3 neg
