@@ -86,6 +86,9 @@ def main() -> None:
         "dedup_semantic_text",
         "text_bm25",
         "text_hybrid_search",
+        "corpus_e2e_pipeline_v2",
+        "text_vocab_drift",
+        "ann_triplets",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

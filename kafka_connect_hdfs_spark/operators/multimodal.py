@@ -206,3 +206,33 @@ def phash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= hamming_max)
     )
+
+
+def media_exact_dedup(df: DataFrame) -> DataFrame:
+    """Exact binary dedup over the payload column — the first pass of any
+    image/audio/video corpus pipeline (identical bytes are identical
+    media, regardless of filename or sidecar metadata). One row per
+    distinct payload digest with the kept (min-id) item, copy count, and
+    per-type byte savings.
+
+    Scale: the payload reduces to its md5 IN the scan projection, so the
+    shuffle carries (digest, id, type, n_bytes) — the bytes themselves
+    never move (the same never-shuffle-the-payload rule as the decode
+    operators, and the binary analog of text exact_duplicates).
+    """
+    with_fp = df.select(
+        F.col("media_id"),
+        F.col("media_type"),
+        F.col("n_bytes"),
+        F.md5(F.col("payload")).alias("digest"),
+    )
+    return (
+        with_fp.groupBy("digest")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.min("media_type").alias("media_type"),
+            F.max("n_bytes").alias("n_bytes"),
+            ((F.count("*") - 1) * F.max("n_bytes")).alias("bytes_saved"),
+        )
+    )
