@@ -502,6 +502,34 @@ def _q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["spark", "table", "merge", "window"]
 
 
+def _q_feature_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature assembly (the feature-store training-set
+    join): for every purchase event, attach the user's latest click value
+    AND latest error value as of the purchase time — two chained as-of
+    joins, no future leakage. Oracle: DuckDB native ASOF JOIN twice."""
+    from kafka_connect_hdfs_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("error_value")
+    )
+    step1 = asof_join(
+        labels, clicks, on="user_id", right_value_cols=["click_value"]
+    ).select("event_id", "user_id", "ts", "click_value_asof")
+    step2 = asof_join(
+        step1, errors, on="user_id", right_value_cols=["error_value"]
+    )
+    return step2.select(
+        "event_id", "user_id", "click_value_asof", "error_value_asof"
+    ).orderBy("event_id")
+
+
 def _q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload exact dedup over the synthesized media table plus an
     injected re-crawl (every 10th item re-appears under a new id): one row
@@ -2054,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_drift": _q_text_vocab_drift,
         "ann_triplets": _q_ann_triplets,
         "media_exact_dedup": _q_media_exact_dedup,
+        "q_feature_asof_join": _q_feature_asof_join,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -2764,6 +2793,29 @@ scored AS (
 SELECT doc_id, round(sum(sc), 6) AS bm25, count(*)::BIGINT AS n_matched_terms
 FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+    sql["q_feature_asof_join"] = """
+WITH labels AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, value AS click_value FROM events
+  WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id, ts, value AS error_value FROM events
+  WHERE event_type = 'error'
+),
+s1 AS (
+  SELECT l.event_id, l.user_id, l.ts, c.click_value AS click_value_asof
+  FROM labels l ASOF LEFT JOIN clicks c
+    ON l.user_id = c.user_id AND l.ts >= c.ts
+)
+SELECT s1.event_id, s1.user_id, s1.click_value_asof,
+       e.error_value AS error_value_asof
+FROM s1 ASOF LEFT JOIN errors e
+  ON s1.user_id = e.user_id AND s1.ts >= e.ts
+ORDER BY s1.event_id
 """
     sql["media_exact_dedup"] = """
 WITH m0 AS (
