@@ -1984,6 +1984,36 @@ def _q_dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-sharing source graph + weighted PageRank: sources become
+    nodes, edges weigh the DISTINCT 3-gram shingles two sources share
+    (stop-shingle cap 5 drops ubiquitous n-grams), then 3 power-iteration
+    rounds rank sources by how centrally they sit in the mirrored-content
+    graph — the spam/mirror-domain signal of a crawl pipeline."""
+    from kafka_connect_hdfs_spark.operators.graph import (
+        pagerank, shingle_share_edges,
+    )
+
+    edges = shingle_share_edges(
+        _docs(spark, sf_dir), n=3, max_groups_per_shingle=5
+    )
+    return pagerank(edges, damping=0.85, iterations=3).orderBy("node")
+
+
+def _q_graph_covisit_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User co-visitation graph from events (same event_type, same hour
+    bucket) + PageRank over the top of it; returns the 25 most central
+    users — the recommendation/fraud-ring centrality signal."""
+    from kafka_connect_hdfs_spark.operators.graph import covisit_edges, pagerank
+
+    ev = _events(spark, sf_dir)
+    edges = covisit_edges(ev, max_users_per_bucket=200)
+    pr = pagerank(
+        edges, src="user_a", dst="user_b", weight="n_covisits", iterations=2
+    )
+    return pr.orderBy(F.col("rank").desc(), "node").limit(25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -2083,6 +2113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_triplets": _q_ann_triplets,
         "media_exact_dedup": _q_media_exact_dedup,
         "q_feature_asof_join": _q_feature_asof_join,
+        "graph_source_pagerank": _q_graph_source_pagerank,
+        "graph_covisit_pagerank": _q_graph_covisit_pagerank,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -4629,4 +4661,72 @@ SELECT doc_id, len(t)::INT AS n_tokens,
          AS pruned_text
 FROM toks CROSS JOIN keptl ORDER BY doc_id
 """
+
+    def _pagerank_cte(n_iter: int, damping: float = 0.85) -> str:
+        # unrolled power iteration over CTEs `sym(s, d, w)`; replays
+        # operators/graph.py:pagerank exactly (same double math, same
+        # (1-d)/n literal, round(6) at the end only)
+        parts = [
+            "ow AS (SELECT s, sum(w) AS ow FROM sym GROUP BY s)",
+            "nrm AS (SELECT sym.s, sym.d, sym.w/ow.ow AS share"
+            " FROM sym JOIN ow ON sym.s = ow.s)",
+            "nodes AS (SELECT DISTINCT s AS node FROM sym)",
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+            "r0 AS (SELECT node, 1.0/nn.n AS rank FROM nodes, nn)",
+        ]
+        for i in range(1, n_iter + 1):
+            parts.append(
+                f"c{i} AS (SELECT d, sum(share*rank) AS c FROM nrm"
+                f" JOIN r{i-1} ON nrm.s = r{i-1}.node GROUP BY d)"
+            )
+            parts.append(
+                f"r{i} AS (SELECT node, (1.0 - {damping})/nn.n"
+                f" + {damping}*COALESCE(c, 0.0) AS rank"
+                f" FROM nodes LEFT JOIN c{i} ON node = c{i}.d, nn)"
+            )
+        return ",\n".join(parts) + f"\nSELECT node, round(rank, 6) AS rank FROM r{n_iter}"
+
+    sql["graph_source_pagerank"] = r"""
+WITH toksrc AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source, unnest(
+      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE list_distinct(list_transform(generate_series(1, len(toks)-2),
+                i -> array_to_string(toks[i:i+2], ' '))) END) AS shingle
+    FROM toksrc)
+),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+shf AS (SELECT sh.source, sh.shingle FROM sh JOIN keep USING (shingle)),
+edges AS (
+  SELECT a.source AS s, b.source AS d, count(*)::DOUBLE AS w
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+),
+sym AS (SELECT s, d, w FROM edges UNION ALL SELECT d AS s, s AS d, w FROM edges),
+""" + _pagerank_cte(3) + "\nORDER BY node"
+
+    sql["graph_covisit_pagerank"] = """
+WITH cell AS (
+  SELECT DISTINCT user_id AS u, event_type AS it,
+         date_trunc('hour', ts) AS bkt
+  FROM events
+),
+csize AS (SELECT it, bkt, count(*) AS n_users FROM cell GROUP BY 1, 2),
+cf AS (
+  SELECT cell.u, cell.it, cell.bkt FROM cell
+  JOIN csize USING (it, bkt) WHERE csize.n_users <= 200
+),
+edges AS (
+  SELECT a.u AS s, b.u AS d, count(*)::DOUBLE AS w
+  FROM cf a JOIN cf b ON a.it = b.it AND a.bkt = b.bkt AND a.u < b.u
+  GROUP BY 1, 2
+),
+sym AS (SELECT s, d, w FROM edges UNION ALL SELECT d AS s, s AS d, w FROM edges),
+""" + _pagerank_cte(2) + "\nORDER BY rank DESC, node LIMIT 25"
     return sql

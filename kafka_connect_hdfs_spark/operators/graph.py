@@ -1,0 +1,170 @@
+"""Graph operators for corpus-level structure analysis.
+
+Not in the reference (kafka-connect-hdfs has no relational layer, SURVEY.md
+§2.9) — these extend the training-data pipeline surface: a web-scale corpus
+is also a graph (domains linked by shared/duplicated content, users linked by
+co-activity), and graph centrality is a standard spam/mirror-domain signal
+used when weighting crawl sources.
+
+Design for scale (shapes hold at 1000 executors / 100 TB):
+  - Edge construction is the dedup machinery re-aimed at the *group* level:
+    distinct (group, shingle) pairs → inverted index on the shingle → pairs
+    only form inside a shingle's posting list, with the same stop-shingle
+    cap that bounds skew in ngram_jaccard_pairs (dedup.py:91). Text never
+    shuffles — only (group, shingle) pairs do, and the universe is bounded
+    by |groups| × |shingle universe|, not corpus size.
+  - PageRank is a power iteration expressed as |iterations| join+agg rounds.
+    The rank table is |nodes|-sized (domains/sources — orders of magnitude
+    smaller than the corpus); the edge table is the only big side and it is
+    partitioned ONCE on src and reused every iteration. Per-iteration
+    shuffle volume is bounded by |nodes| after map-side partial aggregation.
+    Edge normalization (w / out-degree) is computed once, outside the loop.
+
+Determinism: hashes derive from md5 (identical in DuckDB) and iteration
+count is fixed, so the correctness oracle replays the exact computation as
+unrolled SQL CTEs; final ranks round to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_hdfs_spark.operators.dedup import with_shingles
+
+
+def shingle_share_edges(
+    df: DataFrame,
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_groups_per_shingle: int = 50,
+) -> DataFrame:
+    """Undirected edges between groups (sources/domains) that share word
+    n-gram shingles: (src_a, src_b, n_shared) with src_a < src_b, where
+    n_shared counts the DISTINCT shingles both groups contain.
+
+    The duplicate-sharing graph between crawl sources: heavy edges mean
+    mirrored/boilerplate content. Scale: the posting list per shingle is
+    capped at ``max_groups_per_shingle`` groups (stop-shingle guard —
+    ubiquitous shingles connect everything and carry no signal), so the
+    pair blowup per shingle is bounded by the cap squared; candidate pairs
+    never exceed Σ cap² over shingles.
+    """
+    sh = with_shingles(df, n, id_col=group_col, text_col=text_col).distinct()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("n_groups"))
+    sh_f = sh.join(
+        freq.filter(F.col("n_groups") <= max_groups_per_shingle), "shingle"
+    )
+    a = sh_f.select(F.col(group_col).alias("src_a"), "shingle")
+    b = sh_f.select(F.col(group_col).alias("src_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src_a",
+    dst: str = "src_b",
+    weight: str = "n_shared",
+    damping: float = 0.85,
+    iterations: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """Weighted PageRank by fixed-iteration power iteration → (node, rank).
+
+    rank_0(v) = 1/N;  rank_{t+1}(v) = (1-d)/N + d · Σ_{u→v} rank_t(u) ·
+    w(u,v)/out_w(u).  Undirected input is symmetrized, so every node has
+    out-edges and there is no dangling-mass term. Nodes are the edge
+    endpoints (isolated nodes carry no structural information here).
+
+    Scale: the normalized edge list (share = w/out_w) is computed ONCE and
+    reused across iterations; each iteration is one join (edge × rank, rank
+    is |nodes|-sized so AQE broadcasts it under threshold) plus one groupBy
+    with map-side partial sums — per-iteration shuffle is |nodes|-bounded.
+    Iteration count is a fixed small constant (plan depth ~ iterations), the
+    standard batch formulation; convergence-tested loops belong in a driver
+    loop with checkpointing every ~5 rounds to cut lineage.
+
+    Determinism: all math in double, rank rounded to 6 decimals at the END
+    only, so a SQL replayer (unrolled CTEs) agrees.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        F.col(weight).cast("double").alias("_w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("_d").alias("_s"), F.col("_s").alias("_d"), "_w"
+            )
+        )
+    out_w = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    # normalized once, outside the loop: share(u→v) = w/out_w(u)
+    norm = e.join(out_w, "_s").select(
+        "_s", "_d", (F.col("_w") / F.col("_ow")).alias("_share")
+    )
+    nodes = e.select(F.col("_s").alias("node")).distinct()
+    n_df = F.broadcast(nodes.agg(F.count("*").alias("_n")))
+    ranks = nodes.crossJoin(n_df).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            norm.join(ranks, norm["_s"] == ranks["node"])
+            .groupBy("_d")
+            .agg(F.sum(F.col("_share") * F.col("rank")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["_d"], "left")
+            .crossJoin(n_df)
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("_c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def covisit_edges(
+    events: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    max_users_per_bucket: int = 200,
+) -> DataFrame:
+    """Bipartite projection: edges between users co-active in the same
+    (item, time-bucket) → (user_a, user_b, n_covisits). The co-visitation
+    graph used for recommendation and fraud-ring detection.
+
+    Scale: pairs only form inside a (item, bucket) cell; cells larger than
+    ``max_users_per_bucket`` distinct users are dropped (a cell that hot is
+    a global event, not a co-visitation signal — and its pair count grows
+    quadratically). The events table shuffles once on the cell key.
+    """
+    cell = events.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("it"),
+        F.window(F.col(ts_col), bucket)["start"].alias("bkt"),
+    ).distinct()
+    size = cell.groupBy("it", "bkt").agg(F.count("*").alias("n_users"))
+    cell_f = cell.join(
+        size.filter(F.col("n_users") <= max_users_per_bucket), ["it", "bkt"]
+    )
+    a = cell_f.select(F.col("u").alias("user_a"), "it", "bkt")
+    b = cell_f.select(F.col("u").alias("user_b"), "it", "bkt")
+    return (
+        a.join(b, ["it", "bkt"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_covisits"))
+    )

@@ -481,3 +481,36 @@ def test_bm25_takeordered_and_no_corpus_wide_sort(spark, sf):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_shingle_edges_text_reduced_before_shuffle(spark, sf):
+    """Source-graph edge construction must reduce text to shingles map-side:
+    no Exchange may carry the text column, and the scan reads only
+    (source, text)."""
+    from kafka_connect_hdfs_spark.operators.graph import shingle_share_edges
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(shingle_share_edges(docs))
+    for chunk in plan.split("Exchange")[1:]:
+        first_line = chunk.split("\n")[0]
+        assert "text#" not in first_line, first_line
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "doc_id" not in read_schema and "n_chars" not in read_schema
+
+
+def test_pagerank_no_cartesian_and_partial_aggs(spark):
+    """The power iteration must keep every per-iteration contribution sum
+    two-phase (map-side partials) and produce no CartesianProduct — the
+    only nested-loop join allowed is the broadcast of the one-row node
+    count."""
+    from kafka_connect_hdfs_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1)],
+        "src_a string, src_b string, n_shared long",
+    )
+    plan = _plan(pagerank(e, iterations=3))
+    assert "CartesianProduct" not in plan, plan
+    # 3 contribution rounds, each a two-phase sum → >= 6 HashAggregates
+    assert plan.count("HashAggregate") >= 6, plan
