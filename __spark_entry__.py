@@ -2014,6 +2014,59 @@ def _q_graph_covisit_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.col("rank").desc(), "node").limit(25)
 
 
+def _q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training kernel: top-50 adjacent character pairs
+    inside whitespace words, frequency-weighted — iteration one of the
+    merge-table build."""
+    from kafka_connect_hdfs_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
+
+
+def _q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucketed curriculum ordering (exact ntile form): 4 quality
+    tiers, deterministic md5 shuffle within each — the row order is the
+    training order."""
+    from kafka_connect_hdfs_spark.operators.packing import curriculum_order
+
+    return curriculum_order(_docs(spark, sf_dir), buckets=4)
+
+
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    with row-normalized probabilities."""
+    from kafka_connect_hdfs_spark.operators.funnel import event_transitions
+
+    return event_transitions(_events(spark, sf_dir)).orderBy(
+        "prev_type", "next_type"
+    )
+
+
+def _q_bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining between the label<5 and label>=5 halves
+    of the embedding table (stand-ins for two languages): mutual best
+    matches by ratio margin at threshold 1.0."""
+    from kafka_connect_hdfs_spark.operators.similarity import bitext_mine
+
+    emb = _emb(spark, sf_dir)
+    return bitext_mine(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        knn=4,
+        margin_threshold=1.0,
+    ).orderBy("a_id")
+
+
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the embedding dimensions — the
+    distributed moment pass behind PCA/whitening/isotropy checks."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -2115,6 +2168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feature_asof_join": _q_feature_asof_join,
         "graph_source_pagerank": _q_graph_source_pagerank,
         "graph_covisit_pagerank": _q_graph_covisit_pagerank,
+        "text_bpe_pairs": _q_text_bpe_pairs,
+        "corpus_curriculum": _q_corpus_curriculum,
+        "q_event_transitions": _q_event_transitions,
+        "bitext_mine_margin": _q_bitext_mine_margin,
+        "embedding_covariance": _q_embedding_covariance,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -4729,4 +4787,122 @@ edges AS (
 ),
 sym AS (SELECT s, d, w FROM edges UNION ALL SELECT d AS s, s AS d, w FROM edges),
 """ + _pagerank_cte(2) + "\nORDER BY rank DESC, node LIMIT 25"
+
+    sql["text_bpe_pairs"] = r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+ww AS (SELECT w FROM words WHERE length(w) >= 2),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w)-1),
+                i -> substr(w, i, 2))) AS pair
+  FROM ww
+)
+SELECT pair, count(*)::BIGINT AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT 50
+"""
+
+    sql["corpus_curriculum"] = f"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS total,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE AS punct,
+         len({_TOKS})::DOUBLE AS n_tok,
+         len(list_filter({_TOKS}, x -> list_contains({_en}, x)))::DOUBLE AS n_stop,
+         len(list_distinct({_TOKS}))::DOUBLE AS n_uniq
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id,
+         CASE WHEN total > 0 THEN alpha / total ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN total > 0 THEN punct / total ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END AS uniq_ratio
+  FROM feats
+),
+scored AS (
+  SELECT doc_id,
+         round((alpha_ratio + (1 - punct_ratio) +
+                least(1.0, 4 * stopword_ratio) + uniq_ratio) / 4, 6)
+           AS quality_score
+  FROM ratios
+)
+SELECT doc_id, quality_score,
+       ntile(4) OVER (ORDER BY quality_score DESC, doc_id) AS bucket,
+       md5('cur0' || doc_id::VARCHAR) AS shuffle_key
+FROM scored
+ORDER BY bucket, shuffle_key, doc_id
+"""
+
+    sql["q_event_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+cnt AS (
+  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       round(n_transitions::DOUBLE /
+             (sum(n_transitions) OVER (PARTITION BY prev_type)), 6) AS p
+FROM cnt ORDER BY prev_type, next_type
+"""
+
+    sql["bitext_mine_margin"] = """
+WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS va
+           FROM embeddings WHERE label < 5),
+b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS vb
+      FROM embeddings WHERE label >= 5),
+scored AS (
+  SELECT a_id, b_id,
+         round(list_dot_product(va, vb) /
+               (sqrt(list_dot_product(va, va)) *
+                sqrt(list_dot_product(vb, vb))), 6) AS cosine
+  FROM a CROSS JOIN b
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rna,
+         row_number() OVER (PARTITION BY b_id ORDER BY cosine DESC, a_id) AS rnb
+  FROM scored
+),
+ma AS (SELECT a_id, avg(cosine) AS m_a FROM ranked WHERE rna <= 4 GROUP BY a_id),
+mb AS (SELECT b_id, avg(cosine) AS m_b FROM ranked WHERE rnb <= 4 GROUP BY b_id),
+marg AS (
+  SELECT r.a_id, r.b_id, r.cosine,
+         round(r.cosine / ((ma.m_a + mb.m_b) / 2), 6) AS margin
+  FROM ranked r JOIN ma USING (a_id) JOIN mb USING (b_id)
+),
+best AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS ba,
+         row_number() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS bb
+  FROM marg
+)
+SELECT a_id, b_id, cosine, margin FROM best
+WHERE ba = 1 AND bb = 1 AND margin >= 1.0 ORDER BY a_id
+"""
+
+    sql["embedding_covariance"] = """
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dd AS (SELECT max(len(e)) AS d FROM v),
+idx AS (SELECT unnest(generate_series(1, d)) AS i FROM dd),
+prs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+exy AS (
+  SELECT p.i, p.j, avg(e[p.i] * e[p.j]) AS exy
+  FROM v CROSS JOIN prs p GROUP BY 1, 2
+),
+ex AS (SELECT idx.i, avg(e[idx.i]) AS ex FROM v CROSS JOIN idx GROUP BY 1)
+SELECT (exy.i - 1)::INT AS i, (exy.j - 1)::INT AS j,
+       round(mi.ex, 6) AS mean_i, round(mj.ex, 6) AS mean_j,
+       round(exy.exy - mi.ex * mj.ex, 6) AS cov
+FROM exy JOIN ex mi ON exy.i = mi.i JOIN ex mj ON exy.j = mj.i
+ORDER BY i, j
+"""
     return sql

@@ -208,3 +208,39 @@ def assemble_sessions(
             F.md5(seq).alias("sequence_fp"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    ``(prev_type, next_type, n_transitions, p)`` where ``p`` is the
+    row-normalized transition probability. The sequence-model prior of
+    behavioral analytics (and the label table for next-event prediction).
+
+    Scale: ONE shuffle on the user key for the lag window (the pruned
+    (user, ts, tiebreak, type) projection is all that moves), then a
+    transition-pair aggregation whose shuffle is bounded by
+    |event types|² — constant-sized regardless of corpus scale. The
+    per-prev normalizer comes from a window over that constant-sized
+    count table, not a second pass over the data.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(user_col, ts_col, tiebreak_col, type_col)
+        .withColumn("prev_type", F.lag(type_col).over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col(type_col).alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "p",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
+        ),
+    )

@@ -454,6 +454,60 @@ def temperature_sample(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    buckets: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "cur0",
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """Quality-bucketed curriculum ordering: score every document with the
+    heuristic quality composite, band into ``buckets`` quality tiers
+    (bucket 1 = cleanest, trained first — the standard easy-to-hard
+    curriculum), and shuffle deterministically WITHIN each tier so ordering
+    inside a difficulty band stays i.i.d. Returns
+    ``(doc_id, quality_score, bucket, shuffle_key)`` sorted by
+    ``(bucket, shuffle_key, doc_id)`` — the row order IS the curriculum.
+
+    Two banding strategies (same contract as quality_percentile_filter):
+
+    * ``thresholds=None`` (exact): ``ntile(buckets)`` over score desc — a
+      global sort, fine up to ~10⁹ rows and the oracle-checkable reference
+      form.
+    * ``thresholds=[t1 > t2 > ...]`` (scale): descending score cuts taken
+      from a prior ``percentile_approx`` pass; banding becomes a map-side
+      comparison chain and NOTHING global remains — the output sort is by
+      (bucket, md5-key), which the training-data writer consumes as a
+      partitioned write (`partitionBy(bucket)` + sortWithinPartitions),
+      never a single-task sort.
+    """
+    from kafka_connect_hdfs_spark.operators.text import with_quality_score
+
+    scored = with_quality_score(df, text_col).select(
+        F.col(id_col), F.col("quality_score")
+    )
+    if thresholds is None:
+        w = Window.orderBy(F.desc("quality_score"), F.asc(id_col))
+        bucket = F.ntile(buckets).over(w)
+    else:
+        bucket = F.lit(1)
+        for t in thresholds:
+            bucket = bucket + F.when(
+                F.col("quality_score") < t, F.lit(1)
+            ).otherwise(F.lit(0))
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return (
+        scored.select(
+            F.col(id_col),
+            "quality_score",
+            bucket.alias("bucket"),
+            key.alias("shuffle_key"),
+        )
+        .orderBy("bucket", "shuffle_key", id_col)
+    )
+
+
 def pack_manifest(
     assignment: DataFrame,
     token_col: str = "n_tokens",

@@ -1373,3 +1373,192 @@ def contrastive_triplets(
     return pos.join(neg, "query_id").select(
         "query_id", "positive_id", "negative_id", "pos_cosine", "neg_cosine"
     )
+
+
+def bitext_mine(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    knn: int = 4,
+    margin_threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    LASER/CCMatrix parallel-corpus mining rule): candidate translation
+    pairs are scored by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgK(x→B) + avgK(y→A)) / 2)
+
+    where avgK is the mean cosine of the vector's ``knn`` nearest
+    neighbors on the other side — normalizing by neighborhood density
+    kills the hub vectors that plain cosine thresholds mis-mine. A pair
+    is kept iff it is the MUTUAL best match by margin on both sides and
+    clears ``margin_threshold``. Returns (a_id, b_id, cosine, margin).
+
+    Scale: the exact form materializes |A|×|B| scored pairs — right for
+    eval sets and probe mining. For corpus-scale mining pass
+    ``candidates`` (a_id, b_id pairs from hyperplane_lsh_candidates or an
+    IVF cell join): scoring, kNN means, and the mutual-argmax windows then
+    run over the candidate set only — the standard production shape, where
+    margins are computed over retrieved neighborhoods rather than the full
+    cross product. Both windows partition by one id; rows per partition
+    are bounded by the other side's size (or the candidate fan-out).
+    """
+    a = emb_a.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = emb_b.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    if candidates is not None:
+        pairs = candidates.select("a_id", "b_id").join(a, "a_id").join(b, "b_id")
+    else:
+        pairs = a.crossJoin(b)
+    scored = pairs.select(
+        "a_id",
+        "b_id",
+        F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w_a = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    w_b = Window.partitionBy("b_id").orderBy(F.desc("cosine"), F.asc("a_id"))
+    ranked = scored.withColumn("_rna", F.row_number().over(w_a)).withColumn(
+        "_rnb", F.row_number().over(w_b)
+    )
+    mean_a = (
+        ranked.filter(F.col("_rna") <= knn)
+        .groupBy("a_id")
+        .agg(F.avg("cosine").alias("_ma"))
+    )
+    mean_b = (
+        ranked.filter(F.col("_rnb") <= knn)
+        .groupBy("b_id")
+        .agg(F.avg("cosine").alias("_mb"))
+    )
+    margins = (
+        ranked.join(mean_a, "a_id")
+        .join(mean_b, "b_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine") / ((F.col("_ma") + F.col("_mb")) / 2), 6
+            ),
+        )
+    )
+    m_a = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))
+    m_b = Window.partitionBy("b_id").orderBy(F.desc("margin"), F.asc("a_id"))
+    return (
+        margins.withColumn("_ba", F.row_number().over(m_a))
+        .withColumn("_bb", F.row_number().over(m_b))
+        .filter(
+            (F.col("_ba") == 1)
+            & (F.col("_bb") == 1)
+            & (F.col("margin") >= margin_threshold)
+        )
+        .select("a_id", "b_id", "cosine", "margin")
+    )
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions:
+    ``(i, j, mean_i, mean_j, cov)`` for i <= j (0-based dims, population
+    covariance E[xi·xj] − E[xi]E[xj]) — the input of PCA, whitening, and
+    the isotropy diagnostics run before indexing an embedding corpus.
+
+    Scale: each row emits its dim·(dim+1)/2 upper-triangle products
+    map-side (one flatten/transform expression, no UDF); the aggregation
+    partial-combines per partition, so the shuffle carries dim² rows PER
+    PARTITION, independent of corpus size. Means come from a second
+    dim-bounded aggregate joined back by broadcast. At dim ≳ 512 prefer
+    the Arrow/BLAS kernel shape (arrow_topk's dgemm pattern) — this
+    expression form is the no-dependency, plan-transparent path.
+    """
+    v = F.col(vec_col)
+    d = F.size(v)
+    prods = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), d - 1),
+            lambda i: F.transform(
+                F.sequence(i, d - 1),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(v, i + 1).cast("double")
+                        * F.element_at(v, j + 1).cast("double")
+                    ).alias("xy"),
+                ),
+            ),
+        )
+    )
+    e_xy = (
+        embeddings.select(F.explode(prods).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(F.avg("xy").alias("_exy"))
+    )
+    dims = (
+        embeddings.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("_ex"))
+    )
+    mi = broadcast(dims.select(F.col("i"), F.col("_ex").alias("_ei")))
+    mj = broadcast(
+        dims.select(F.col("i").alias("j"), F.col("_ex").alias("_ej"))
+    )
+    return (
+        e_xy.join(mi, "i")
+        .join(mj, "j")
+        .select(
+            "i",
+            "j",
+            F.round("_ei", 6).alias("mean_i"),
+            F.round("_ej", 6).alias("mean_j"),
+            F.round(
+                F.col("_exy") - F.col("_ei") * F.col("_ej"), 6
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    iterations: int = 20,
+    vec_col: str = "embedding",
+) -> "tuple[list[float], float]":
+    """Top principal component + its eigenvalue via power iteration on the
+    dim×dim covariance matrix. The matrix is dim²-sized — small by
+    contract (the corpus-sized work is the one distributed pass inside
+    :func:`embedding_covariance`) — so the iteration itself runs on the
+    driver in numpy, the same split FAISS/PCA trainers use: distributed
+    moment accumulation, local eigensolve. Deterministic: fixed start
+    vector (all-ones), fixed iteration count. Sign convention: first
+    nonzero coordinate positive.
+    """
+    import numpy as np
+
+    rows = embedding_covariance(embeddings, vec_col=vec_col).collect()
+    d = max(r["j"] for r in rows) + 1
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    x = np.ones(d) / np.sqrt(d)
+    for _ in range(iterations):
+        x = C @ x
+        n = np.linalg.norm(x)
+        if n == 0.0:
+            return [0.0] * d, 0.0
+        x = x / n
+    eig = float(x @ C @ x)
+    nz = np.nonzero(np.abs(x) > 1e-12)[0]
+    if len(nz) and x[nz[0]] < 0:
+        x = -x
+    return [round(float(c), 6) for c in x], round(eig, 6)

@@ -699,6 +699,47 @@ def ngram_counts(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent symbol-pair counts inside whitespace words — the counting
+    kernel of BPE tokenizer training (Sennrich et al. 2016): iteration one
+    starts from characters, and the highest-count pair becomes the first
+    merge. Counting every word occurrence is exactly the frequency-weighted
+    word-type count the algorithm calls for. Returns the top-``top_k``
+    (pair, n_occurrences) by count desc, pair asc.
+
+    Later iterations re-run this kernel over the re-segmented corpus (a
+    driver loop, one merge applied per round via the same expressions); the
+    per-round cost is this single pass.
+
+    Scale: pairs are built map-side (transform over an index range → one
+    explode), the count aggregates with map-side combine — shuffle is
+    bounded by the distinct-pair universe (≤ |alphabet|², tiny), not corpus
+    tokens — and top-k is TakeOrdered, no global sort.
+    """
+    df = fan_out(df)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    w = F.explode(toks).alias("w")
+    words = df.select(w).filter(F.length("w") >= 2)
+    # sequence guard not needed post-filter: length>=2 → stop >= 1
+    pairs = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        )
+    ).alias("pair")
+    return (
+        words.select(pairs)
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
 def strip_markup(
     df: DataFrame,
     text_col: str = "text",

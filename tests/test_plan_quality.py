@@ -514,3 +514,61 @@ def test_pagerank_no_cartesian_and_partial_aggs(spark):
     assert "CartesianProduct" not in plan, plan
     # 3 contribution rounds, each a two-phase sum → >= 6 HashAggregates
     assert plan.count("HashAggregate") >= 6, plan
+
+
+def test_bpe_pair_counts_takeordered_two_phase(spark, sf):
+    """BPE pair counting: map-side pair build, two-phase count, TakeOrdered
+    top-k — never a global sort of the pair table."""
+    from kafka_connect_hdfs_spark.operators.text import bpe_pair_counts
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(bpe_pair_counts(docs))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_event_transitions_prunes_heavy_columns(spark, sf):
+    """The transition matrix reads only (user, ts, event_id, type): the
+    props map and value column must never reach the lag-window shuffle."""
+    from kafka_connect_hdfs_spark.operators.funnel import event_transitions
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf, "events")
+    plan = _plan(event_transitions(ev))
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "props" not in read_schema and "value" not in read_schema
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_covariance_partial_agg_no_window(spark, sf):
+    """Covariance is pure aggregation: two-phase sums, no window over the
+    corpus, means joined back by broadcast."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        embedding_covariance,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    plan = _plan(embedding_covariance(emb))
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bitext_mine_candidates_path_no_cross_product(spark, sf):
+    """With an LSH candidate table supplied, bitext mining must score only
+    the candidate pairs — no cartesian/broadcast-nested-loop join may
+    appear anywhere in the plan."""
+    from kafka_connect_hdfs_spark.operators.similarity import bitext_mine
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter("label < 5")
+    b = emb.filter("label >= 5")
+    cand = spark.createDataFrame(
+        [(0, 250), (1, 251), (2, 252)], "a_id long, b_id long"
+    )
+    plan = _plan(bitext_mine(a, b, candidates=cand))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

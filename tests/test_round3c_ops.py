@@ -129,3 +129,212 @@ def test_covisit_edges_same_bucket_only_and_cap(spark):
     assert edges == {(1, 2): 1}
     # cap=1: every cell with 2+ users dropped → no edges at all
     assert covisit_edges(ev, max_users_per_bucket=1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_counts
+
+
+def test_bpe_pair_counts_known_counts(spark):
+    from kafka_connect_hdfs_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(0, "aaab ab"), (1, "AB x")],  # 'x' is length-1 → no pairs; case-folded
+        "doc_id long, text string",
+    )
+    got = {
+        r["pair"]: r["n_occurrences"]
+        for r in bpe_pair_counts(docs, top_k=10).collect()
+    }
+    # "aaab" → aa, aa, ab; "ab" → ab; "AB"→"ab" → ab
+    assert got == {"aa": 2, "ab": 3}
+
+
+def test_bpe_pair_counts_topk_orders_by_count_then_pair(spark):
+    from kafka_connect_hdfs_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(0, "zz aa zz")], "doc_id long, text string"
+    )
+    rows = bpe_pair_counts(docs, top_k=1).collect()
+    assert [(r["pair"], r["n_occurrences"]) for r in rows] == [("zz", 2)]
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order
+
+
+def test_curriculum_buckets_are_quality_ordered(spark):
+    from kafka_connect_hdfs_spark.operators.packing import curriculum_order
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is fine"),   # clean English
+            (1, "!!! ??? ;;; ::: ,,,"),                      # punctuation soup
+            (2, "the dog ran to the park and it is good"),
+            (3, "@@@@ #### %%%% &&&&"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = curriculum_order(docs, buckets=2).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # clean docs land in bucket 1 (trained first), junk in bucket 2
+    assert by_id[0]["bucket"] == 1 and by_id[2]["bucket"] == 1
+    assert by_id[1]["bucket"] == 2 and by_id[3]["bucket"] == 2
+    # output is sorted by (bucket, shuffle_key, id)
+    keys = [(r["bucket"], r["shuffle_key"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_curriculum_threshold_banding_matches_exact_cuts(spark):
+    from kafka_connect_hdfs_spark.operators.packing import curriculum_order
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is fine"),
+            (1, "!!! ??? ;;; ::: ,,,"),
+            (2, "the dog ran to the park and it is good"),
+            (3, "@@@@ #### %%%% &&&&"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]: r["bucket"] for r in curriculum_order(docs, buckets=2).collect()
+    }
+    # a threshold between the two score clusters reproduces the exact tiers
+    banded = {
+        r["doc_id"]: r["bucket"]
+        for r in curriculum_order(docs, thresholds=[0.6]).collect()
+    }
+    assert banded == exact
+
+
+# ---------------------------------------------------------------------------
+# event_transitions
+
+
+def test_event_transitions_probabilities(spark):
+    from kafka_connect_hdfs_spark.operators.funnel import event_transitions
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00", "a"),
+            (2, 1, "2024-01-01 10:01:00", "b"),
+            (3, 1, "2024-01-01 10:02:00", "a"),
+            (4, 1, "2024-01-01 10:03:00", "c"),
+            (5, 2, "2024-01-01 10:00:00", "a"),
+            (6, 2, "2024-01-01 10:01:00", "b"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p"])
+        for r in event_transitions(ev).collect()
+    }
+    # a→b twice, b→a once, a→c once: P(b|a)=2/3? no — a appears as prev 3x:
+    # user1: a→b, b→a, a→c; user2: a→b. prev=a: {b:2, c:1}; prev=b: {a:1}
+    assert got[("a", "b")] == (2, pytest.approx(2 / 3, abs=1e-6))
+    assert got[("a", "c")] == (1, pytest.approx(1 / 3, abs=1e-6))
+    assert got[("b", "a")] == (1, 1.0)
+    # no cross-user transition (user2's 'b' ends the sequence)
+    assert ("b", "b") not in got and len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# bitext_mine
+
+
+def test_bitext_mine_finds_translation_pairs(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import bitext_mine
+
+    # two clean "translation" pairs + one distractor per side
+    a = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.1, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.1]),
+            (2, [0.5, 0.5, 0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, [1.0, 0.05, 0.1, 0.0]),
+            (11, [0.05, 1.0, 0.0, 0.1]),
+            (12, [-0.5, -0.5, 0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r["margin"]
+        for r in bitext_mine(a, b, knn=2, margin_threshold=1.0).collect()
+    }
+    assert (0, 10) in pairs and (1, 11) in pairs
+    assert all(m >= 1.0 for m in pairs.values())
+    # mutual-best: at most one pair per side
+    a_ids = [k[0] for k in pairs]
+    b_ids = [k[1] for k in pairs]
+    assert len(a_ids) == len(set(a_ids)) and len(b_ids) == len(set(b_ids))
+
+
+def test_bitext_mine_candidates_restricts_pair_space(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import bitext_mine
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, [0.1, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cand = spark.createDataFrame(
+        [(0, 10)], "a_id long, b_id long"
+    )
+    got = bitext_mine(a, b, knn=1, candidates=cand).collect()
+    assert [(r["a_id"], r["b_id"]) for r in got] == [(0, 10)]
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance / PCA
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 3).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["i"], r["j"]): r["cov"] for r in embedding_covariance(emb).collect()
+    }
+    C = np.cov(X.astype("float64").T, bias=True)
+    for i in range(3):
+        for j in range(i, 3):
+            assert got[(i, j)] == pytest.approx(C[i, j], abs=1e-5)
+
+
+def test_pca_top_component_matches_numpy_eig(spark):
+    import numpy as np
+
+    from kafka_connect_hdfs_spark.operators.similarity import pca_top_component
+
+    rng = np.random.RandomState(11)
+    # strongly anisotropic: dim 0 dominates
+    X = rng.randn(60, 3) * np.array([5.0, 1.0, 0.2])
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    comp, eig = pca_top_component(emb, iterations=30)
+    C = np.cov(X.T, bias=True)
+    w, v = np.linalg.eigh(C)
+    top = v[:, -1] if v[0, -1] >= 0 else -v[:, -1]
+    assert eig == pytest.approx(float(w[-1]), rel=1e-3)
+    assert np.allclose(comp, top, atol=1e-2)
