@@ -2067,6 +2067,19 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+def _q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking: per query (vec_id < 5) the greedy
+    3-of-10 diversity selection at lambda=0.7 — the post-retrieval
+    diversity pass of a RAG stack. Oracle: the greedy steps unrolled as
+    plain SQL (argmax per step over the shrinking candidate set)."""
+    from kafka_connect_hdfs_spark.operators.similarity import mmr_rerank
+
+    emb = _emb(spark, sf_dir)
+    return mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, pool=10, lam=0.7
+    ).orderBy("query_id", "mmr_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -2173,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_transitions": _q_event_transitions,
         "bitext_mine_margin": _q_bitext_mine_margin,
         "embedding_covariance": _q_embedding_covariance,
+        "ann_mmr_rerank": _q_ann_mmr_rerank,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -4904,5 +4918,77 @@ SELECT (exy.i - 1)::INT AS i, (exy.j - 1)::INT AS j,
        round(exy.exy - mi.ex * mj.ex, 6) AS cov
 FROM exy JOIN ex mi ON exy.i = mi.i JOIN ex mj ON exy.j = mj.i
 ORDER BY i, j
+"""
+
+    sql["ann_mmr_rerank"] = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, cid,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) *
+                sqrt(list_dot_product(cv, cv))), 6) AS rel
+  FROM q JOIN c ON cid != query_id
+),
+pool AS (
+  SELECT query_id, cid, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+sims AS (
+  SELECT p1.query_id, p1.cid AS id_a, p2.cid AS id_b,
+         list_dot_product(c1.cv, c2.cv) /
+         (sqrt(list_dot_product(c1.cv, c1.cv)) *
+          sqrt(list_dot_product(c2.cv, c2.cv))) AS s
+  FROM pool p1 JOIN pool p2 ON p1.query_id = p2.query_id
+  JOIN c c1 ON c1.cid = p1.cid JOIN c c2 ON c2.cid = p2.cid
+),
+s1 AS (
+  SELECT query_id, cid AS s1_id, rel AS s1_rel, round(0.7*rel, 6) AS s1_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(0.7*rel, 6) DESC, cid) AS rn
+        FROM pool) WHERE rn = 1
+),
+st2 AS (
+  SELECT p.query_id, p.cid, p.rel,
+         round(0.7*p.rel - 0.3*sims.s, 6) AS mmr
+  FROM pool p JOIN s1 ON p.query_id = s1.query_id
+  JOIN sims ON sims.query_id = p.query_id AND sims.id_a = p.cid
+           AND sims.id_b = s1.s1_id
+  WHERE p.cid != s1.s1_id
+),
+s2 AS (
+  SELECT query_id, cid AS s2_id, rel AS s2_rel, mmr AS s2_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cid) AS rn
+    FROM st2) WHERE rn = 1
+),
+st3 AS (
+  SELECT p.query_id, p.cid, p.rel,
+         round(0.7*p.rel - 0.3*greatest(sa.s, sb.s), 6) AS mmr
+  FROM pool p JOIN s1 ON p.query_id = s1.query_id
+  JOIN s2 ON p.query_id = s2.query_id
+  JOIN sims sa ON sa.query_id = p.query_id AND sa.id_a = p.cid
+              AND sa.id_b = s1.s1_id
+  JOIN sims sb ON sb.query_id = p.query_id AND sb.id_a = p.cid
+              AND sb.id_b = s2.s2_id
+  WHERE p.cid != s1.s1_id AND p.cid != s2.s2_id
+),
+s3 AS (
+  SELECT query_id, cid AS s3_id, rel AS s3_rel, mmr AS s3_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cid) AS rn
+    FROM st3) WHERE rn = 1
+)
+SELECT query_id, s1_id AS neighbor_id, s1_rel AS relevance,
+       s1_score AS mmr_score, 1 AS mmr_rank FROM s1
+UNION ALL
+SELECT query_id, s2_id, s2_rel, s2_score, 2 FROM s2
+UNION ALL
+SELECT query_id, s3_id, s3_rel, s3_score, 3 FROM s3
+ORDER BY query_id, mmr_rank
 """
     return sql

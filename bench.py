@@ -89,6 +89,16 @@ def main() -> None:
         "corpus_e2e_pipeline_v2",
         "text_vocab_drift",
         "ann_triplets",
+        # r3 batch C: graph, tokenizer-training, mining, curriculum ops
+        # benched on arrival
+        "graph_source_pagerank",
+        "graph_covisit_pagerank",
+        "text_bpe_pairs",
+        "corpus_curriculum",
+        "q_event_transitions",
+        "bitext_mine_margin",
+        "embedding_covariance",
+        "ann_mmr_rerank",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

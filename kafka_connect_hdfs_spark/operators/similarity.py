@@ -1562,3 +1562,129 @@ def pca_top_component(
     if len(nz) and x[nz[0]] < 0:
         x = -x
     return [round(float(c), 6) for c in x], round(eig, 6)
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    Goldstein, SIGIR'98): from each query's top-``pool`` relevance
+    candidates, greedily select ``k`` maximizing
+
+        lam · cos(query, cand) − (1−lam) · max_{s∈selected} cos(cand, s)
+
+    — the standard diversity pass between retrieval and context assembly
+    in RAG / dedup-aware sampling. ``lam=1`` degenerates to plain
+    relevance order (tested); lower lam penalizes near-duplicate picks.
+
+    Scale: candidate generation is the distributed part
+    (:func:`brute_force_topk` here; any ANN front-end composes). The
+    greedy selection is inherently sequential per query over ``pool``
+    rows, so it runs as ONE Arrow batch per query via applyInPandas —
+    the documented justified-UDF shape (pool×dim floats per group, never
+    corpus-sized). Ties break on neighbor id; scores round to 6 dp.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = brute_force_topk(embeddings, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    cand_vec = cand.join(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_nv"),
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "cosine", "_nv")
+
+    schema = (
+        "query_id long, neighbor_id long, relevance double, "
+        "mmr_score double, mmr_rank int"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.stack(pdf["_nv"].to_numpy())
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        sims = U @ U.T
+        rel = pdf["cosine"].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if not chosen:
+                mmr = np.where(avail, lam * rel, -np.inf)
+            else:
+                div = sims[:, chosen].max(axis=1)
+                mmr = np.where(avail, lam * rel - (1.0 - lam) * div, -np.inf)
+            # round BEFORE the argmax: the per-step score is the selection
+            # key, and rounding to 6 dp (the repo-wide float contract)
+            # absorbs last-ulp engine differences so a SQL replayer picks
+            # the same candidate; ties at rounded equality break on id
+            mmr = np.round(mmr, 6)
+            best_score = mmr.max()
+            ties = np.flatnonzero(mmr == best_score)
+            pick = ties[np.argmin(pdf["neighbor_id"].to_numpy()[ties])]
+            chosen.append(int(pick))
+            scores.append(float(best_score))
+            avail[pick] = False
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[chosen].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].iloc[chosen].to_numpy(),
+                "relevance": np.round(rel[chosen], 6),
+                "mmr_score": np.round(scores, 6),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+            }
+        )
+
+    return cand_vec.groupBy("query_id").applyInPandas(_mmr, schema)
+
+
+def pca_project(
+    df: DataFrame,
+    components: "list[list[float]]",
+    means: "list[float] | None" = None,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project vectors onto ``components`` (k × dim, e.g. from
+    :func:`pca_top_component` or an offline eigensolve), optionally
+    centering by ``means`` first — the dimensionality-reduction /
+    whitening-application step run before PQ or OPQ-style indexing.
+
+    Scale: the component matrix is tiny by contract (k·dim floats) and
+    enters the plan as ONE parsed SQL literal (single sqlParser round
+    trip — per-element ``F.lit`` construction costs one py4j call each,
+    the antipattern the PQ kernels removed); the projection itself is a
+    map-side aggregate fold per component — no shuffle, no UDF, no join.
+    """
+    k = len(components)
+    dim = len(components[0]) if k else 0
+    comp_lit = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(f"{c!r}D" for c in row) for row in components
+    )
+    if means is not None:
+        mean_lit = "array(%s)" % ", ".join(f"{m!r}D" for m in means)
+        vec_expr = (
+            f"zip_with(cast({vec_col} as array<double>), {mean_lit}, "
+            "(x, m) -> x - m)"
+        )
+    else:
+        vec_expr = f"cast({vec_col} as array<double>)"
+    proj = (
+        f"transform({comp_lit}, comp -> round(aggregate("
+        f"zip_with({vec_expr}, comp, (x, c) -> x * c), 0.0D, "
+        "(acc, x) -> acc + x), 6))"
+    )
+    return df.withColumn(out_col, F.expr(proj))

@@ -1021,3 +1021,79 @@ def vocab_drift(
         .orderBy(F.desc(F.abs(F.col("kl_contrib"))), F.asc("term"))
         .limit(top_k)
     )
+
+
+def bpe_learn(
+    df: DataFrame,
+    n_merges: int = 20,
+    max_word_types: int = 100_000,
+    text_col: str = "text",
+) -> "list[tuple[str, str, int]]":
+    """Full BPE merge-table training (Sennrich et al. 2016), split the way
+    production tokenizer trainers split it: the CORPUS-sized pass is one
+    distributed word-type count (shuffle bounded by vocabulary, top
+    ``max_word_types`` types by frequency kept — the same cap HuggingFace
+    trainers apply); the merge loop then runs locally over that
+    vocab-sized table, because each merge touches word TYPES, not corpus
+    tokens. Returns the merge table ``[(left, right, pair_count), ...]``
+    in merge order.
+
+    Pair statistics count every adjacent symbol position weighted by word
+    frequency (identical semantics to :func:`bpe_pair_counts` on round
+    one); merges apply left-to-right non-overlapping. Ties break on
+    (count desc, pair asc) so the table is deterministic.
+
+    Scale: the collect is ``max_word_types`` rows — bounded by contract,
+    like codebooks and quantile sketches; the 100 TB of text is touched
+    exactly once.
+    """
+    rows = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(max_word_types)
+        .collect()
+    )
+    words: dict[tuple[str, ...], int] = {
+        tuple(r["w"]): int(r["n"]) for r in rows
+    }
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + c
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        if cnt < 2:
+            break
+        merges.append((left, right, cnt))
+        merged = left + right
+        new_words: dict[tuple[str, ...], int] = {}
+        for syms, c in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + c
+        words = new_words
+    return merges

@@ -338,3 +338,141 @@ def test_pca_top_component_matches_numpy_eig(spark):
     top = v[:, -1] if v[0, -1] >= 0 else -v[:, -1]
     assert eig == pytest.approx(float(w[-1]), rel=1e-3)
     assert np.allclose(comp, top, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# bpe_learn
+
+
+def test_bpe_learn_toy_corpus_merge_order(spark):
+    from kafka_connect_hdfs_spark.operators.text import bpe_learn
+
+    # classic toy: {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    docs = spark.createDataFrame(
+        [(0, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn(docs, n_merges=4)
+    # first merges: ("e","s") 9, then ("es","t") 9, then ("est" joins) —
+    # ("l","o") has 7; exact Sennrich example ordering
+    assert merges[0] == ("e", "s", 9)
+    assert merges[1] == ("es", "t", 9)
+    assert merges[2][2] >= merges[3][2] or merges[2][:2] < merges[3][:2]
+
+
+def test_bpe_learn_first_merge_matches_pair_counts(spark):
+    from kafka_connect_hdfs_spark.operators.text import (
+        bpe_learn, bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "banana bandana"), (1, "cabana banana")],
+        "doc_id long, text string",
+    )
+    top = bpe_pair_counts(docs, top_k=1).collect()[0]
+    first = bpe_learn(docs, n_merges=1)[0]
+    assert (first[0] + first[1], first[2]) == (top["pair"], top["n_occurrences"])
+
+
+def test_bpe_learn_merges_apply_nonoverlapping(spark):
+    from kafka_connect_hdfs_spark.operators.text import bpe_learn
+
+    # "aaaa" x3: round 1 pair ("a","a") count = 9 (3 positions x 3);
+    # after merge words become (aa, aa): round 2 ("aa","aa") count 3
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    merges = bpe_learn(docs, n_merges=2)
+    assert merges[0] == ("a", "a", 9)
+    assert merges[1] == ("aa", "aa", 3)
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank
+
+
+def test_mmr_lambda_one_equals_relevance_order(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        brute_force_topk, mmr_rerank,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float((3 * i) % 5 + 1), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter("vec_id = 0")
+    plain = brute_force_topk(emb, q, k=4).orderBy("rank").collect()
+    mmr = mmr_rerank(emb, q, k=4, pool=10, lam=1.0).orderBy("mmr_rank").collect()
+    assert [r["neighbor_id"] for r in mmr] == [r["neighbor_id"] for r in plain]
+    for r in mmr:
+        assert r["mmr_score"] == pytest.approx(r["relevance"], abs=1e-6)
+
+
+def test_mmr_demotes_near_duplicate(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import mmr_rerank
+
+    # q = e1; a and b near-identical high-relevance, c orthogonal-ish lower
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),          # the query itself
+            (1, [0.99, 0.14, 0.0]),        # a: top relevance
+            (2, [0.99, 0.141, 0.0]),       # b: near-dup of a
+            (3, [0.7, 0.0, 0.71]),         # c: diverse, lower relevance
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter("vec_id = 0")
+    picks = [
+        r["neighbor_id"]
+        for r in mmr_rerank(emb, q, k=3, pool=3, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    # relevance order would be [1, 2, 3]; MMR must pick the diverse c second
+    assert picks[0] == 1 and picks[1] == 3 and picks[2] == 2
+
+
+# ---------------------------------------------------------------------------
+# pca_project
+
+
+def test_pca_project_matches_manual_dot(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import pca_project
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [0.0, -1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    comps = [[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]]
+    got = {
+        r["vec_id"]: r["projected"]
+        for r in pca_project(emb, comps).collect()
+    }
+    assert got[0] == pytest.approx([1.0, 5.0])
+    assert got[1] == pytest.approx([0.0, 0.0])
+    # centering subtracts the mean before projecting
+    cent = {
+        r["vec_id"]: r["projected"]
+        for r in pca_project(emb, comps, means=[0.5, 0.5, 2.0]).collect()
+    }
+    assert cent[0] == pytest.approx([0.5, 2.5])
+
+
+def test_pca_project_variance_matches_eigenvalue(spark):
+    import numpy as np
+
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        pca_project, pca_top_component,
+    )
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(80, 4) * np.array([4.0, 1.0, 0.5, 0.1])
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    comp, eig = pca_top_component(emb, iterations=40)
+    mean = [round(float(m), 6) for m in X.mean(axis=0)]
+    proj = pca_project(emb, [comp], means=mean)
+    vals = np.array([r["projected"][0] for r in proj.collect()])
+    assert vals.var() == pytest.approx(eig, rel=5e-2)
