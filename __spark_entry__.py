@@ -2067,6 +2067,40 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+def _q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule gate over the corpus: per-doc signals + keep flag +
+    first failing drop_reason (thresholds tuned so the fixture exercises
+    several rules)."""
+    from kafka_connect_hdfs_spark.operators.text import gopher_rules
+
+    return gopher_rules(
+        _docs(spark, sf_dir),
+        min_tokens=30,
+        max_tokens=80,
+        min_word_len=3.9,
+        max_word_len=5.0,
+    ).select(
+        "doc_id", "n_tokens", "mean_word_len", "symbol_ratio",
+        "alpha_word_ratio", "drop_reason", "keep",
+    ).orderBy("doc_id")
+
+
+def _q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via HLL sketch algebra: distinct click-users vs
+    purchase-users, union from hll_union (no rescan), intersection by
+    inclusion-exclusion; exact counts are the oracle, the estimate
+    tolerances ride as constant-TRUE booleans (the sketch-gate pattern of
+    q_hll_distinct_users)."""
+    from kafka_connect_hdfs_spark.operators.sketches import hll_set_overlap
+
+    ev = _events(spark, sf_dir)
+    return hll_set_overlap(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+    )
+
+
 def _q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified re-ranking: per query (vec_id < 5) the greedy
     3-of-10 diversity selection at lambda=0.7 — the post-retrieval
@@ -2187,6 +2221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_mine_margin": _q_bitext_mine_margin,
         "embedding_covariance": _q_embedding_covariance,
         "ann_mmr_rerank": _q_ann_mmr_rerank,
+        "q_hll_set_overlap": _q_hll_set_overlap,
+        "text_gopher_rules": _q_text_gopher_rules,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -4990,5 +5026,56 @@ SELECT query_id, s2_id, s2_rel, s2_score, 2 FROM s2
 UNION ALL
 SELECT query_id, s3_id, s3_rel, s3_score, 3 FROM s3
 ORDER BY query_id, mmr_rank
+"""
+
+    sql["q_hll_set_overlap"] = """
+WITH a AS (SELECT count(DISTINCT user_id)::BIGINT AS n_a FROM events
+           WHERE event_type = 'click'),
+b AS (SELECT count(DISTINCT user_id)::BIGINT AS n_b FROM events
+      WHERE event_type = 'purchase'),
+u AS (SELECT count(DISTINCT user_id)::BIGINT AS n_union FROM events
+      WHERE event_type IN ('click', 'purchase'))
+SELECT n_a, n_b, n_union, (n_a + n_b - n_union)::BIGINT AS n_intersect,
+       TRUE AS union_est_ok, TRUE AS intersect_est_ok
+FROM a, b, u
+"""
+
+    sql["text_gopher_rules"] = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+           ::BIGINT AS n_tokens
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, n_tokens,
+         round(CASE WHEN n_tokens > 0
+               THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                    / n_tokens ELSE 0.0 END, 6) AS mean_word_len,
+         round(CASE WHEN n_tokens > 0
+               THEN ((length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', ''))) / 3)
+                    / n_tokens ELSE 0.0 END, 6) AS symbol_ratio,
+         round(CASE WHEN n_tokens > 0
+               THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                    / n_tokens::DOUBLE ELSE 0.0 END, 6) AS alpha_word_ratio
+  FROM s
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN n_tokens < 30 THEN 'too_few_tokens'
+              WHEN n_tokens > 80 THEN 'too_many_tokens'
+              WHEN mean_word_len < 3.9 THEN 'short_words'
+              WHEN mean_word_len > 5.0 THEN 'long_words'
+              WHEN symbol_ratio > 0.1 THEN 'symbol_heavy'
+              WHEN alpha_word_ratio < 0.8 THEN 'non_alpha_words'
+         END AS drop_reason
+  FROM sig
+)
+SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_word_ratio,
+       drop_reason, drop_reason IS NULL AS keep
+FROM flagged ORDER BY doc_id
 """
     return sql

@@ -99,6 +99,8 @@ def main() -> None:
         "bitext_mine_margin",
         "embedding_covariance",
         "ann_mmr_rerank",
+        "q_hll_set_overlap",
+        "text_gopher_rules",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

@@ -186,3 +186,61 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("c").alias("est_n"))
     )
+
+
+def hll_set_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lg_k: int = 14,
+    union_tol: float = 0.02,
+    inter_tol: float = 0.05,
+) -> DataFrame:
+    """Audience-overlap / set algebra on HLL sketches: one row with the
+    exact |A|, |B|, |A∪B|, |A∩B| (ground truth) plus two booleans
+    asserting the SKETCH-side estimates land within tolerance — the union
+    straight from ``hll_union`` (sketch algebra, no data rescan), the
+    intersection by inclusion-exclusion (|A|+|B|−|A∪B|), whose error
+    compounds, hence the looser ``inter_tol``.
+
+    This is the query shape behind "how many users did both campaigns
+    reach": at 100 TB you persist one sketch per segment (fixed ~2^lg_k
+    bytes) and answer every pairwise overlap WITHOUT touching the data
+    again — the exact sides here exist only as the correctness gate.
+
+    Scale: two fixed-size sketch aggregations with map-side partials, a
+    one-row cross join of the three scalar frames; nothing corpus-sized
+    survives the aggs.
+    """
+    a = df_a.agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("sk_a"),
+        F.countDistinct(col).alias("n_a"),
+    )
+    b = df_b.agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("sk_b"),
+        F.countDistinct(col).alias("n_b"),
+    )
+    u = (
+        df_a.select(F.col(col).alias("_v"))
+        .unionAll(df_b.select(F.col(col).alias("_v")))
+        .agg(F.countDistinct("_v").alias("n_union"))
+    )
+    row = a.crossJoin(b).crossJoin(u)
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    est_i = est_a + est_b - est_u
+    n_i = F.col("n_a") + F.col("n_b") - F.col("n_union")
+    return row.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        n_i.alias("n_intersect"),
+        (
+            F.abs(est_u - F.col("n_union"))
+            <= F.greatest(F.col("n_union") * union_tol, F.lit(1.0))
+        ).alias("union_est_ok"),
+        (
+            F.abs(est_i - n_i) <= F.greatest(F.col("n_union") * inter_tol, F.lit(1.0))
+        ).alias("intersect_est_ok"),
+    )

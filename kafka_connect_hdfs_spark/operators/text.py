@@ -1097,3 +1097,74 @@ def bpe_learn(
             new_words[key] = new_words.get(key, 0) + c
         words = new_words
     return merges
+
+
+def gopher_rules(
+    df: DataFrame,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, table A1
+    subset): token-count bounds, mean-word-length window, symbol-to-word
+    ratio (``#`` and ``...``), and fraction-of-words-with-an-alphabetic-
+    character — the standard rule gate a pretraining corpus passes before
+    model-based filters. Emits every signal plus ``keep`` and the FIRST
+    failing ``drop_reason`` (rule order fixed), so corpus triage can
+    histogram drop causes.
+
+    The repetition rules of the same paper live in
+    :func:`with_repetition_signals` (they need per-(doc, gram) counts —
+    two doc-keyed shuffles); this gate is deliberately the single-pass
+    subset: pure column expressions, zero shuffle, zero UDF — it runs at
+    scan speed in the first projection (plan-guarded).
+    """
+    df = fan_out(df)
+    t = F.col(text_col)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    n_tok = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks))
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = F.when(n_tok > 0, sum_len / n_tok).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        n_tok > 0, (n_hash + n_ellipsis) / n_tok
+    ).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(
+        F.filter(toks, lambda x: x.rlike("[a-z]"))
+    )
+    alpha_word_ratio = F.when(
+        n_tok > 0, n_alpha_words / n_tok
+    ).otherwise(F.lit(0.0))
+
+    out = df.select(
+        "*",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_word_ratio, 6).alias("alpha_word_ratio"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_few_tokens"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_many_tokens"))
+        .when(F.col("mean_word_len") < min_word_len, F.lit("short_words"))
+        .when(F.col("mean_word_len") > max_word_len, F.lit("long_words"))
+        .when(
+            F.col("symbol_ratio") > max_symbol_ratio, F.lit("symbol_heavy")
+        )
+        .when(
+            F.col("alpha_word_ratio") < min_alpha_word_ratio,
+            F.lit("non_alpha_words"),
+        )
+    )
+    return out.select(
+        "*", reason.alias("drop_reason"), reason.isNull().alias("keep")
+    )

@@ -572,3 +572,18 @@ def test_bitext_mine_candidates_path_no_cross_product(spark, sf):
     plan = _plan(bitext_mine(a, b, candidates=cand))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gopher_rules_is_map_side_codegen(spark, sf):
+    """The Gopher gate is a single-pass projection: no Exchange, no
+    Python, all rules folded into one whole-stage-codegen span."""
+    from kafka_connect_hdfs_spark.operators.text import gopher_rules
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(gopher_rules(docs).drop("text"))
+    # only the fan_out round-robin may appear — never a hash shuffle/join
+    assert "hashpartitioning" not in plan and "Join" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # pure projection pipeline: no aggregate, no window
+    assert "HashAggregate" not in plan and "Window" not in plan, plan

@@ -476,3 +476,76 @@ def test_pca_project_variance_matches_eigenvalue(spark):
     proj = pca_project(emb, [comp], means=mean)
     vals = np.array([r["projected"][0] for r in proj.collect()])
     assert vals.var() == pytest.approx(eig, rel=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# hll_set_overlap
+
+
+def test_hll_set_overlap_exact_counts_and_gates(spark):
+    from kafka_connect_hdfs_spark.operators.sketches import hll_set_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "uid long")
+    b = spark.createDataFrame([(i,) for i in range(60, 160)], "uid long")
+    row = hll_set_overlap(a, b, "uid").collect()[0]
+    assert (row["n_a"], row["n_b"], row["n_union"], row["n_intersect"]) == (
+        100, 100, 160, 40,
+    )
+    assert row["union_est_ok"] and row["intersect_est_ok"]
+
+
+def test_hll_set_overlap_disjoint(spark):
+    from kafka_connect_hdfs_spark.operators.sketches import hll_set_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(50)], "uid long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 1050)], "uid long")
+    row = hll_set_overlap(a, b, "uid").collect()[0]
+    assert row["n_intersect"] == 0 and row["n_union"] == 100
+    assert row["union_est_ok"] and row["intersect_est_ok"]
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules
+
+
+def test_gopher_rules_reasons_fire_in_order(spark):
+    from kafka_connect_hdfs_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),  # keep
+            (1, "hi"),                                   # too_few_tokens
+            (2, "a b c d e f g h i j"),                  # short_words (len 1)
+            (3, "extraordinarily incomprehensible bureaucratically "
+                "internationalization antidisestablishmentarian "
+                "overcapitalization discombobulated hippopotomonstrous "
+                "floccinaucinihilipilification pseudopseudohypopara"),  # long_words
+            (4, "one ### two ### three ### four ### five ### six ### "
+                "seven ### eight ### nine ### ten ###"),  # symbol_heavy
+            (5, "111 222 333 444 555 666 777 888 999 000"),  # non_alpha_words
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            docs, min_tokens=5, min_word_len=2.0, max_word_len=12.0
+        ).collect()
+    }
+    assert out[0]["keep"] and out[0]["drop_reason"] is None
+    assert out[1]["drop_reason"] == "too_few_tokens"
+    assert out[2]["drop_reason"] == "short_words"
+    assert out[3]["drop_reason"] == "long_words"
+    assert out[4]["drop_reason"] == "symbol_heavy"
+    assert out[5]["drop_reason"] == "non_alpha_words"
+    # first-failing-rule order: doc 4 also fails non_alpha partially but
+    # symbol_heavy is checked first
+    assert not out[4]["keep"]
+
+
+def test_gopher_rules_empty_text(spark):
+    from kafka_connect_hdfs_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    row = gopher_rules(docs).collect()[0]
+    assert row["n_tokens"] == 0 and row["drop_reason"] == "too_few_tokens"
