@@ -2135,10 +2135,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                source triage report, persisted-IVF serving, hard
     #                negatives) — driver-checked on arrival (slots 39-50)
     #
-    # ROUND-4 ROTATION TODO: promote any r03 fails plus the r01 greens not
-    # re-checked here (q_sessionize, asof_last_signup, p1/p2_partition,
-    # p3_hourly_partition ... media_frame_sample) into the first 50; verify
-    # locally first:
+    # ROUND-4 ROTATION TODO: the first 50 slots should become, in order:
+    #   (1) any r03 red rows (fix first),
+    #   (2) the r03 window-overflow entries — everything from ann_cell_stats
+    #       through text_gopher_rules below (~30 queries, all locally
+    #       oracle-verified at sf0.01 this round),
+    #   (3) r01 greens never re-checked (q_sessionize, asof_last_signup,
+    #       p1..p5 partitioners, f1/f2 rotation, ... media_frame_sample).
+    # Verify locally first:
     #   python scripts/oracle_check.py /root/testdata/sf0.01
     return {
         # --- never-checked before r03: CDC / sketches / layout / analytics

@@ -48,8 +48,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, sf_dir, "documents")
 
+    # 0. rule gate first (Gopher subset): single-pass projection, runs at
+    #    scan speed — cheapest filter goes earliest
+    from kafka_connect_hdfs_spark.operators.text import gopher_rules
+
+    gated = gopher_rules(docs, min_tokens=5, min_word_len=2.0).filter(
+        "keep"
+    ).select("doc_id", "text", "lang", "source")
+
+    # 0b. source triage: duplicate-sharing graph centrality flags mirror /
+    #     boilerplate-heavy sources (report here; production would damp
+    #     their sampling weight)
+    from kafka_connect_hdfs_spark.operators.graph import (
+        pagerank, shingle_share_edges,
+    )
+
+    central = pagerank(shingle_share_edges(gated, max_groups_per_shingle=10))
+    print("most central (mirror-suspect) sources:")
+    for r in central.orderBy(F.desc("rank")).limit(3).collect():
+        print(f"  {r['node']}: {r['rank']}")
+
     # 1. stats + quality filter (keep docs with some substance)
-    scored = with_quality_score(with_token_stats(docs))
+    scored = with_quality_score(with_token_stats(gated))
     kept = scored.filter((F.col("ws_tokens") >= 5))
 
     # 1b. relative quality gate: keep each language's top 80% by heuristic
@@ -95,6 +115,12 @@ def main() -> None:
     )
     ordered = shuffle_order(final, shards=16, seed="epoch0")
 
+    # 4b. curriculum alternative to the flat epoch order: quality tiers
+    #     first, deterministic shuffle within each tier
+    from kafka_connect_hdfs_spark.operators.packing import curriculum_order
+
+    curriculum = curriculum_order(final, buckets=4)
+
     # 5. land: documents partitioned by split; packing + order as sidecars
     final.select("doc_id", "text", "lang", "source", "split").write.mode(
         "overwrite"
@@ -103,6 +129,7 @@ def main() -> None:
     ordered.select("doc_id", "shard", "position").write.mode(
         "overwrite"
     ).parquet(f"{out}/epoch0_order")
+    curriculum.write.mode("overwrite").parquet(f"{out}/curriculum_order")
 
     n = spark.read.parquet(f"{out}/documents").count()
     print(f"landed {n} documents to {out}")

@@ -253,3 +253,38 @@ def test_streaming_vector_ingest_into_ivf_index(spark, tmp_path):
     assert key(query_ivf_index(spark, stream_path, list(range(10)), k=5)) == key(
         query_ivf_index(spark, full_path, list(range(10)), k=5)
     )
+
+
+def test_gopher_gate_composes_with_streaming(spark, tmp_path):
+    """The Gopher rule gate is a single-pass projection, so the streaming
+    run must produce exactly the batch keep/drop decisions — the property
+    that lets continuous ingestion apply the same corpus QA inline."""
+    from kafka_connect_hdfs_spark.operators.text import gopher_rules
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def pipeline(df):
+        return gopher_rules(df, min_tokens=30, max_tokens=80).select(
+            "doc_id", "n_tokens", "drop_reason", "keep"
+        )
+
+    stream = _doc_stream(spark, tmp_path, docs)
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("gopher_stream_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp_path}/chk_gopher")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["drop_reason"], r["keep"])
+        for r in pipeline(docs).collect()
+    }
+    streamed = spark.sql("SELECT * FROM gopher_stream_out").collect()
+    assert len(streamed) == len(batch)
+    for r in streamed:
+        assert batch[r["doc_id"]] == (r["n_tokens"], r["drop_reason"], r["keep"])
