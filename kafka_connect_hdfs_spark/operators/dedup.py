@@ -469,8 +469,10 @@ def duplicate_clusters(
     pathological chains. Each round is one join + one groupBy, both keyed on
     node id; ``localCheckpoint`` truncates the lineage so plans stay flat.
     At larger diameters swap in the large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") — same
-    primitive ops, O(log²) rounds.
+    (graph.py:connected_components_star — Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same primitive ops, O(log²)
+    rounds regardless of diameter; pytest-gated equivalent to this
+    operator on random graphs.
 
     Returns (node, cluster_id) for every node appearing in ``pairs``.
     Singleton docs (no candidate pair) are absent by construction — assign

@@ -549,3 +549,73 @@ def test_gopher_rules_empty_text(spark):
     docs = spark.createDataFrame([(0, "")], "doc_id long, text string")
     row = gopher_rules(docs).collect()[0]
     assert row["n_tokens"] == 0 and row["drop_reason"] == "too_few_tokens"
+
+
+# ---------------------------------------------------------------------------
+# connected_components_star (large-star/small-star)
+
+
+def _cc_pairs(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_star_cc_matches_label_propagation_random(spark):
+    import random
+
+    from kafka_connect_hdfs_spark.operators.dedup import duplicate_clusters
+    from kafka_connect_hdfs_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    pairs = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+            )
+            if a != b
+        }
+    )
+    df = _cc_pairs(spark, pairs)
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(df).collect()
+    }
+    prop = {
+        r["node"]: r["cluster_id"] for r in duplicate_clusters(df).collect()
+    }
+    assert star == prop
+
+
+def test_star_cc_long_chain_converges_in_log_rounds(spark):
+    from kafka_connect_hdfs_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # a 64-node chain: label propagation needs ~64 rounds; star contraction
+    # must finish inside max_rounds=8 (O(log n))
+    chain = [(i, i + 1) for i in range(63)]
+    labels = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(
+            _cc_pairs(spark, chain), max_rounds=8
+        ).collect()
+    }
+    assert set(labels) == set(range(64))
+    assert set(labels.values()) == {0}
+
+
+def test_star_cc_multiple_components_and_singleton_pair(spark):
+    from kafka_connect_hdfs_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = [(10, 11), (11, 12), (30, 31), (50, 51), (51, 52), (52, 50)]
+    labels = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(_cc_pairs(spark, pairs)).collect()
+    }
+    assert labels == {
+        10: 10, 11: 10, 12: 10, 30: 30, 31: 30, 50: 50, 51: 50, 52: 50,
+    }
