@@ -2067,6 +2067,27 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+def _q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-visitation graph (degree-oriented wedge
+    join — each triangle counted once, hub skew bounded)."""
+    from kafka_connect_hdfs_spark.operators.graph import (
+        covisit_edges, triangle_count,
+    )
+
+    edges = covisit_edges(_events(spark, sf_dir), max_users_per_bucket=200)
+    return triangle_count(edges, id_a="user_a", id_b="user_b")
+
+
+def _q_graph_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level Jaccard between sources over the capped shingle
+    universe — the mirror-site detector normalized for source size."""
+    from kafka_connect_hdfs_spark.operators.graph import group_jaccard_edges
+
+    return group_jaccard_edges(
+        _docs(spark, sf_dir), n=3, max_groups_per_shingle=5
+    ).orderBy("src_a", "src_b")
+
+
 def _q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule gate over the corpus: per-doc signals + keep flag +
     first failing drop_reason (thresholds tuned so the fixture exercises
@@ -2227,6 +2248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mmr_rerank": _q_ann_mmr_rerank,
         "q_hll_set_overlap": _q_hll_set_overlap,
         "text_gopher_rules": _q_text_gopher_rules,
+        "graph_triangle_count": _q_graph_triangle_count,
+        "graph_source_jaccard": _q_graph_source_jaccard,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -5081,5 +5104,69 @@ flagged AS (
 SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_word_ratio,
        drop_reason, drop_reason IS NULL AS keep
 FROM flagged ORDER BY doc_id
+"""
+
+    sql["graph_triangle_count"] = """
+WITH cell AS (
+  SELECT DISTINCT user_id AS u, event_type AS it,
+         date_trunc('hour', ts) AS bkt
+  FROM events
+),
+csize AS (SELECT it, bkt, count(*) AS n_users FROM cell GROUP BY 1, 2),
+cf AS (
+  SELECT cell.u, cell.it, cell.bkt FROM cell
+  JOIN csize USING (it, bkt) WHERE csize.n_users <= 200
+),
+e AS (
+  SELECT DISTINCT a.u AS u, b.u AS v
+  FROM cf a JOIN cf b ON a.it = b.it AND a.bkt = b.bkt AND a.u < b.u
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+wd AS (
+  SELECT sym.u, sym.v, du.d AS du, dv.d AS dv
+  FROM sym JOIN deg du ON sym.u = du.u JOIN deg dv ON sym.v = dv.u
+),
+oriented AS (
+  SELECT u, v FROM wd WHERE du < dv OR (du = dv AND u < v)
+),
+wedge AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM oriented e1 JOIN oriented e2 ON e1.v = e2.u
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM wedge JOIN oriented o ON wedge.a = o.u AND wedge.c = o.v
+"""
+
+    sql["graph_source_jaccard"] = r"""
+WITH toksrc AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source, unnest(
+      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE list_distinct(list_transform(generate_series(1, len(toks)-2),
+                i -> array_to_string(toks[i:i+2], ' '))) END) AS shingle
+    FROM toksrc)
+),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+shf AS (SELECT sh.source, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT source, count(*) AS set_size FROM shf GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared,
+       round(n_shared / (za.set_size + zb.set_size - n_shared)::DOUBLE, 6)
+         AS jaccard
+FROM inter
+JOIN sizes za ON inter.src_a = za.source
+JOIN sizes zb ON inter.src_b = zb.source
+ORDER BY src_a, src_b
 """
     return sql

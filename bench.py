@@ -101,6 +101,8 @@ def main() -> None:
         "ann_mmr_rerank",
         "q_hll_set_overlap",
         "text_gopher_rules",
+        "graph_triangle_count",
+        "graph_source_jaccard",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

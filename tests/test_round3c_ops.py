@@ -619,3 +619,42 @@ def test_star_cc_multiple_components_and_singleton_pair(spark):
     assert labels == {
         10: 10, 11: 10, 12: 10, 30: 30, 31: 30, 50: 50, 51: 50, 52: 50,
     }
+
+
+# ---------------------------------------------------------------------------
+# triangle_count / group_jaccard_edges
+
+
+def test_triangle_count_known_graphs(spark):
+    from kafka_connect_hdfs_spark.operators.graph import triangle_count
+
+    def count(pairs):
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    # K4: C(4,3) = 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert count(k4) == 4
+    # star graph: no triangles
+    assert count([(0, i) for i in range(1, 6)]) == 0
+    # one triangle + pendant edge; duplicate/reversed edges must not double
+    assert count([(1, 2), (2, 3), (3, 1), (1, 3), (3, 4)]) == 1
+
+
+def test_group_jaccard_edges_values(spark):
+    from kafka_connect_hdfs_spark.operators.graph import group_jaccard_edges
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "s1"),   # shingles: {abg, bgd}
+            (1, "alpha beta gamma other", "s2"),   # shingles: {abg, bgo}
+            (2, "unrelated text entirely here", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    edges = {
+        (r["src_a"], r["src_b"]): (r["n_shared"], r["jaccard"])
+        for r in group_jaccard_edges(docs, n=3).collect()
+    }
+    # s1∩s2 = {"alpha beta gamma"}; union = 3 shingles → jaccard 1/3
+    assert edges == {("s1", "s2"): (1, pytest.approx(1 / 3, abs=1e-6))}
