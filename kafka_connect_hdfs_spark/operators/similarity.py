@@ -1572,6 +1572,7 @@ def mmr_rerank(
     lam: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
     Goldstein, SIGIR'98): from each query's top-``pool`` relevance
@@ -1583,17 +1584,26 @@ def mmr_rerank(
     in RAG / dedup-aware sampling. ``lam=1`` degenerates to plain
     relevance order (tested); lower lam penalizes near-duplicate picks.
 
-    Scale: candidate generation is the distributed part
-    (:func:`brute_force_topk` here; any ANN front-end composes). The
-    greedy selection is inherently sequential per query over ``pool``
-    rows, so it runs as ONE Arrow batch per query via applyInPandas —
-    the documented justified-UDF shape (pool×dim floats per group, never
+    Scale: candidate generation is the distributed part —
+    :func:`brute_force_topk` by default, or pass ``candidates`` (any
+    ``(query_id, neighbor_id, cosine)`` shortlist: IVF, PQ/ADC, the
+    persisted index) to skip the exact scan entirely; every top-k variant
+    here shares that schema, so they compose verbatim. The greedy
+    selection is inherently sequential per query over ``pool`` rows, so
+    it runs as ONE Arrow batch per query via applyInPandas — the
+    documented justified-UDF shape (pool×dim floats per group, never
     corpus-sized). Ties break on neighbor id; scores round to 6 dp.
     """
     import numpy as np
     import pandas as pd
 
-    cand = brute_force_topk(embeddings, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    cand = (
+        candidates.select("query_id", "neighbor_id", "cosine")
+        if candidates is not None
+        else brute_force_topk(
+            embeddings, queries, k=pool, id_col=id_col, vec_col=vec_col
+        )
+    )
     cand_vec = cand.join(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),

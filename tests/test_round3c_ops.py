@@ -658,3 +658,25 @@ def test_group_jaccard_edges_values(spark):
     }
     # s1∩s2 = {"alpha beta gamma"}; union = 3 shingles → jaccard 1/3
     assert edges == {("s1", "s2"): (1, pytest.approx(1 / 3, abs=1e-6))}
+
+
+def test_mmr_accepts_ann_shortlist(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        brute_force_topk, mmr_rerank,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5 + 1), float((2 * i) % 7 + 1)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter("vec_id = 0")
+    shortlist = brute_force_topk(emb, q, k=8)
+    via_candidates = mmr_rerank(
+        emb, q, k=3, lam=0.6, candidates=shortlist
+    ).orderBy("mmr_rank").collect()
+    direct = mmr_rerank(emb, q, k=3, pool=8, lam=0.6).orderBy(
+        "mmr_rank"
+    ).collect()
+    assert [r["neighbor_id"] for r in via_candidates] == [
+        r["neighbor_id"] for r in direct
+    ]
