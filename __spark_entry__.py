@@ -2067,6 +2067,48 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+def _q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk / boilerplate signal: per-doc fraction of 3-gram
+    shingles unique to that doc corpus-wide."""
+    from kafka_connect_hdfs_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3).orderBy("doc_id")
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: the 20 vectors farthest (by centroid-distance
+    z-score) from the corpus centroid — corrupt-encode detection."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        embedding_outlier_scores,
+    )
+
+    return (
+        embedding_outlier_scores(_emb(spark, sf_dir))
+        .orderBy(F.desc("z"), "vec_id")
+        .limit(20)
+    )
+
+
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document inclusion detection: every 25th doc re-appears
+    embedded inside a larger wrapper (aggregator-page simulation);
+    containment at 0.9 must recover the wrappers Jaccard would miss."""
+    from kafka_connect_hdfs_spark.operators.dedup import containment_pairs
+
+    docs = _docs(spark, sf_dir)
+    wrappers = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("aggregator header boilerplate text block "),
+            F.col("text"),
+            F.lit(" trailing navigation footer links copyright notice"),
+        ).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(wrappers)
+    pairs = containment_pairs(both, n=3, threshold=0.9)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def _q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-visitation graph (degree-oriented wedge
     join — each triangle counted once, hub skew bounded)."""
@@ -2250,6 +2292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": _q_text_gopher_rules,
         "graph_triangle_count": _q_graph_triangle_count,
         "graph_source_jaccard": _q_graph_source_jaccard,
+        "text_ngram_novelty": _q_text_ngram_novelty,
+        "embedding_outliers": _q_embedding_outliers,
+        "dedup_containment": _q_dedup_containment,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -5168,5 +5213,86 @@ FROM inter
 JOIN sizes za ON inter.src_a = za.source
 JOIN sizes zb ON inter.src_b = zb.source
 ORDER BY src_a, src_b
+"""
+
+    sql["text_ngram_novelty"] = f"""
+WITH {_SHINGLES_CTE.strip()},
+gdf AS (SELECT shingle, count(*) AS df_ FROM shingles GROUP BY shingle)
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN df_ = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN df_ = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS novelty
+FROM shingles JOIN gdf USING (shingle)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+    sql["embedding_outliers"] = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dd AS (SELECT max(len(e)) AS d FROM v),
+idx AS (SELECT unnest(generate_series(1, d)) AS i FROM dd),
+cent AS (
+  SELECT idx.i, round(avg(e[idx.i]), 6) AS m
+  FROM v CROSS JOIN idx GROUP BY idx.i
+),
+ca AS (SELECT list(m ORDER BY i) AS c FROM cent),
+dist AS (
+  SELECT vec_id,
+         round(sqrt(list_sum(list_transform(generate_series(1, len(e)),
+               i -> (e[i] - c[i]) * (e[i] - c[i])))), 6) AS dist
+  FROM v CROSS JOIN ca
+),
+st AS (SELECT avg(dist) AS mu, stddev_pop(dist) AS sd FROM dist)
+SELECT vec_id, dist,
+       round(CASE WHEN sd > 0 THEN (dist - mu) / sd ELSE 0.0 END, 6) AS z
+FROM dist CROSS JOIN st
+ORDER BY z DESC, vec_id LIMIT 20
+"""
+
+    sql["dedup_containment"] = r"""
+WITH both_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         'aggregator header boilerplate text block ' || text ||
+         ' trailing navigation footer links copyright notice'
+  FROM documents WHERE doc_id % 25 = 0
+),
+tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS t
+  FROM both_docs
+),
+shingles AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct([array_to_string(t[j+1:j+3], ' ')
+                             FOR j IN range(len(t) - 2)])
+    END) AS shingle
+  FROM tok
+),
+freq AS (SELECT shingle, count(*) AS df_ FROM shingles GROUP BY shingle),
+shf AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN freq f ON s.shingle = f.shingle WHERE f.df_ <= 100
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, n_common,
+         round(n_common / sa.set_size::DOUBLE, 6) AS containment_a,
+         round(n_common / sb.set_size::DOUBLE, 6) AS containment_b
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+)
+SELECT id_a, id_b, n_common, containment_a, containment_b
+FROM scored
+WHERE containment_a >= 0.9 OR containment_b >= 0.9
+ORDER BY id_a, id_b
 """
     return sql

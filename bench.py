@@ -103,6 +103,9 @@ def main() -> None:
         "text_gopher_rules",
         "graph_triangle_count",
         "graph_source_jaccard",
+        "text_ngram_novelty",
+        "embedding_outliers",
+        "dedup_containment",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

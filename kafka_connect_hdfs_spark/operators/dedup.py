@@ -890,3 +890,56 @@ def prefix_filtered_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """ASYMMETRIC set containment (Broder's containment coefficient):
+    pairs where ``|A∩B| / |A| >= threshold`` in either direction →
+    ``(id_a, id_b, n_common, containment_a, containment_b)``. Jaccard
+    misses sub-document inclusion — a paragraph quoted inside a 100×
+    larger aggregator page has tiny Jaccard but containment ≈ 1 — so
+    this is the quote/aggregator/wrapper detector that complements the
+    symmetric near-dup passes.
+
+    Scale: identical machinery to :func:`ngram_jaccard_pairs` — same
+    stop-shingle-capped inverted index, same candidate generation; only
+    the final ratio differs (each side's own size as denominator). The
+    threshold keeps EITHER direction, so wrappers are caught from the
+    contained side regardless of the big side's dilution.
+    """
+    sh = with_shingles(df, n, id_col, text_col)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    sh_f = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
+    sizes = sh_f.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = sh_f.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh_f.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment_a", F.round(F.col("n_common") / F.col("size_a"), 6)
+        )
+        .withColumn(
+            "containment_b", F.round(F.col("n_common") / F.col("size_b"), 6)
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("id_a", "id_b", "n_common", "containment_a", "containment_b")
+    )

@@ -1698,3 +1698,54 @@ def pca_project(
         "(acc, x) -> acc + x), 6))"
     )
     return df.withColumn(out_col, F.expr(proj))
+
+
+def embedding_outlier_scores(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-corpus QA: per-vector distance to the corpus centroid and
+    its z-score → ``(vec_id, dist, z)``. Far-outlier vectors are the
+    corrupt/garbage embeddings (failed encodes, zero rows, wrong-model
+    mixes) that silently poison ANN indexes and dedup thresholds.
+
+    Scale: three passes, each trivially parallel — (1) one dim-bounded
+    aggregate for the centroid (collected: dim floats, the codebook
+    pattern; rounded to 6 dp so any replayer agrees), (2) map-side
+    distances against the centroid literal, (3) a one-row broadcast
+    mean/stddev joined back. The corpus never shuffles.
+    """
+    dims = (
+        embeddings.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .orderBy("i")
+        .collect()
+    )
+    cent = "array(%s)" % ", ".join(f"{r['m']!r}D" for r in dims)
+    dist = F.round(
+        F.sqrt(
+            F.expr(
+                f"aggregate(zip_with(cast({vec_col} as array<double>), {cent}, "
+                "(x, m) -> (x - m) * (x - m)), 0.0D, (acc, x) -> acc + x)"
+            )
+        ),
+        6,
+    )
+    with_dist = embeddings.select(F.col(id_col), dist.alias("dist"))
+    stats = F.broadcast(
+        with_dist.agg(
+            F.avg("dist").alias("_mu"), F.stddev_pop("dist").alias("_sd")
+        )
+    )
+    return with_dist.crossJoin(stats).select(
+        id_col,
+        "dist",
+        F.round(
+            F.when(
+                F.col("_sd") > 0, (F.col("dist") - F.col("_mu")) / F.col("_sd")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("z"),
+    )

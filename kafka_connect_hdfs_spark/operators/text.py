@@ -1168,3 +1168,42 @@ def gopher_rules(
     return out.select(
         "*", reason.alias("drop_reason"), reason.isNull().alias("keep")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    word n-grams that appear nowhere else in the corpus →
+    ``(doc_id, n_grams, n_novel, novelty)``. Low novelty marks template /
+    boilerplate / heavily-mirrored documents; high novelty is the
+    memorization-risk signal (a document whose content the corpus sees
+    only once is the one a model can only have memorized verbatim).
+
+    Scale: one gram-keyed aggregation for the document-frequency table
+    (shuffle bounded by the gram universe) joined back onto the exploded
+    (doc, gram) pairs — the same inverted-index shape as TF-IDF. The join
+    is gram-keyed (not broadcast: the gram universe outgrows memory at
+    100 TB); at extreme scale swap the df side for a counting-Bloom /
+    count-min approximation and accept one-sided error.
+    """
+    from kafka_connect_hdfs_spark.operators.dedup import with_shingles
+
+    grams = with_shingles(df, n, id_col=id_col, text_col=text_col)
+    gram_df = grams.groupBy("shingle").agg(F.count("*").alias("_df"))
+    return (
+        grams.join(gram_df, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6)
+        )
+    )

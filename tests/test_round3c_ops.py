@@ -680,3 +680,61 @@ def test_mmr_accepts_ann_shortlist(spark):
     assert [r["neighbor_id"] for r in via_candidates] == [
         r["neighbor_id"] for r in direct
     ]
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty / embedding_outlier_scores / containment_pairs
+
+
+def test_ngram_novelty_unique_vs_shared(spark):
+    from kafka_connect_hdfs_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),   # shares "alpha beta gamma" w/ 1
+            (1, "alpha beta gamma other"),
+            (2, "wholly unique trigram content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    # doc 2: all 3 shingles unique → novelty 1.0
+    assert out[2]["novelty"] == 1.0
+    # docs 0/1: one shared shingle of two each → novelty 0.5
+    assert out[0]["novelty"] == 0.5 and out[1]["novelty"] == 0.5
+
+
+def test_embedding_outlier_scores_flags_far_vector(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        embedding_outlier_scores,
+    )
+
+    rows = [(i, [1.0 + 0.01 * i, 1.0]) for i in range(20)]
+    rows.append((99, [50.0, -40.0]))  # the corrupt embedding
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sorted(
+        embedding_outlier_scores(emb).collect(),
+        key=lambda r: -r["z"],
+    )
+    assert out[0]["vec_id"] == 99 and out[0]["z"] > 3.0
+    assert all(abs(r["z"]) < 1.5 for r in out[1:])
+
+
+def test_containment_catches_wrapper_jaccard_misses(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+
+    small = "the quick brown fox jumps over the lazy dog again"
+    filler = " ".join(f"filler{i} pad{i} extra{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, small), (1, f"header {small} {filler}")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(docs, n=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    # the small doc is (almost) fully contained; the wrapper is diluted
+    assert row["containment_a"] >= 0.9 and row["containment_b"] < 0.5
+    # symmetric Jaccard at the same bar finds nothing — the point
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.9).count() == 0
