@@ -2049,8 +2049,11 @@ def _q_bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.operators.similarity import bitext_mine
 
     emb = _emb(spark, sf_dir)
+    # probe side bounded by id (< 400 keeps the exact |A|×|B| pair table
+    # ~0.5M rows at sf0.1; corpus-scale mining routes LSH candidates instead
+    # — see bitext_mine's `candidates` parameter + its 20× probe)
     return bitext_mine(
-        emb.filter(F.col("label") < 5),
+        emb.filter((F.col("label") < 5) & (F.col("vec_id") < 400)),
         emb.filter(F.col("label") >= 5),
         knn=4,
         margin_threshold=1.0,
@@ -2111,12 +2114,18 @@ def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-visitation graph (degree-oriented wedge
-    join — each triangle counted once, hub skew bounded)."""
+    join — each triangle counted once, hub skew bounded). Edges need >= 3
+    co-visits: single-hour coincidences make the raw graph ~70% dense at
+    sf0.1 and wedge counting on a near-clique is Θ(n³) no matter the
+    orientation — the weight threshold is the graph-side analogue of the
+    stop-shingle cap (keep signal edges, drop coincidence edges)."""
     from kafka_connect_hdfs_spark.operators.graph import (
         covisit_edges, triangle_count,
     )
 
-    edges = covisit_edges(_events(spark, sf_dir), max_users_per_bucket=200)
+    edges = covisit_edges(
+        _events(spark, sf_dir), max_users_per_bucket=200
+    ).filter(F.col("n_covisits") >= 3)
     return triangle_count(edges, id_a="user_a", id_b="user_b")
 
 
@@ -3882,7 +3891,8 @@ SELECT shard, seq, count(*)::BIGINT AS n_docs,
        sum(n_tokens)::BIGINT AS tokens_started,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
        md5(string_agg(doc_id::VARCHAR || ':' || offset_in_seq::VARCHAR || ':'
-                      || n_tokens::VARCHAR, ' ' ORDER BY offset_in_seq))
+                      || n_tokens::VARCHAR, ' '
+                      ORDER BY offset_in_seq, doc_id))
          AS spans_fp
 FROM a GROUP BY shard, seq ORDER BY shard, seq
 """
@@ -4978,7 +4988,7 @@ FROM cnt ORDER BY prev_type, next_type
 
     sql["bitext_mine_margin"] = """
 WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS va
-           FROM embeddings WHERE label < 5),
+           FROM embeddings WHERE label < 5 AND vec_id < 400),
 b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS vb
       FROM embeddings WHERE label >= 5),
 scored AS (
@@ -5163,8 +5173,9 @@ cf AS (
   JOIN csize USING (it, bkt) WHERE csize.n_users <= 200
 ),
 e AS (
-  SELECT DISTINCT a.u AS u, b.u AS v
+  SELECT a.u AS u, b.u AS v
   FROM cf a JOIN cf b ON a.it = b.it AND a.bkt = b.bkt AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= 3
 ),
 sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
 deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),

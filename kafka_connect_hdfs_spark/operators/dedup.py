@@ -203,27 +203,19 @@ def minhash_signatures(
     return out.select(F.col(id_col), *sig_cols)
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    num_hashes: int = 16,
-    bands: int = 4,
-    n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_bucket_size: int | None = None,
+def _banded_candidate_pairs(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str,
+    max_bucket_size: int | None,
 ) -> DataFrame:
-    """LSH banding: split the k-hash signature into ``bands`` bands of
-    k/bands rows; docs agreeing on any full band are candidate pairs.
-
-    Scale: candidates form inside (band, band-signature) buckets — a single
-    groupBy-like self-join on the bucket key; bucket sizes are the only
-    quadratic factor. ``max_bucket_size`` drops over-full buckets (measured
-    empirically: a corpus with 20-copy duplicate clusters blows candidate
-    pairs up ~500x) — oversized buckets are exact-duplicate clusters, which
-    the cheap exact_duplicates pass should collapse FIRST; run this on
-    dedup_keep_first output.
+    """Shared banding kernel over a :func:`minhash_signatures` table:
+    band signatures → capped (band, sig) buckets → distinct candidate
+    pairs (id_a < id_b). The ONE place the band-signature hash and the
+    bucket cap live — minhash_lsh_candidates and lsh_jaccard_estimates
+    must not diverge on candidate generation.
     """
-    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
     rows_per_band = num_hashes // bands
     band_cols = []
     for bnd in range(bands):
@@ -250,6 +242,30 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH banding: split the k-hash signature into ``bands`` bands of
+    k/bands rows; docs agreeing on any full band are candidate pairs.
+
+    Scale: candidates form inside (band, band-signature) buckets — a single
+    groupBy-like self-join on the bucket key; bucket sizes are the only
+    quadratic factor. ``max_bucket_size`` drops over-full buckets (measured
+    empirically: a corpus with 20-copy duplicate clusters blows candidate
+    pairs up ~500x) — oversized buckets are exact-duplicate clusters, which
+    the cheap exact_duplicates pass should collapse FIRST; run this on
+    dedup_keep_first output.
+    """
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    return _banded_candidate_pairs(sig, num_hashes, bands, id_col, max_bucket_size)
 
 
 def lsh_jaccard_estimates(
@@ -284,34 +300,7 @@ def lsh_jaccard_estimates(
         F.col(id_col),
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_sig"),
     )
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for bnd in range(bands):
-        cols = [F.col(f"mh_{bnd * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(bnd).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("sig")
-            )
-        )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("band_sig"))
-    if max_bucket_size is not None:
-        sizes = (
-            buckets.groupBy("band", "band_sig")
-            .agg(F.count("*").alias("_bs"))
-            .filter(F.col("_bs") <= max_bucket_size)
-            .drop("_bs")
-        )
-        buckets = buckets.join(sizes, ["band", "band_sig"])
-    a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_sig")
-    b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_sig")
-    pairs = (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = _banded_candidate_pairs(sig, num_hashes, bands, id_col, max_bucket_size)
     sa = sig_arr.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa"))
     sb = sig_arr.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb"))
     agree = F.size(

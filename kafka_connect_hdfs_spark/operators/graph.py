@@ -33,6 +33,40 @@ from pyspark.sql import functions as F
 from kafka_connect_hdfs_spark.operators.dedup import with_shingles
 
 
+def _capped_group_shingles(
+    df: DataFrame,
+    n: int,
+    group_col: str,
+    text_col: str,
+    max_groups_per_shingle: int,
+) -> DataFrame:
+    """Shared kernel: distinct (group, shingle) pairs with the
+    stop-shingle cap applied — the posting list per shingle is bounded at
+    ``max_groups_per_shingle`` groups (ubiquitous shingles connect
+    everything and carry no signal; their pair blowup is cap²-bounded).
+    The ONE place the group-level shingle universe is defined, shared by
+    :func:`shingle_share_edges` and :func:`group_jaccard_edges`.
+    """
+    sh = with_shingles(df, n, id_col=group_col, text_col=text_col).distinct()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("n_groups"))
+    return sh.join(
+        freq.filter(F.col("n_groups") <= max_groups_per_shingle), "shingle"
+    ).select(group_col, "shingle")
+
+
+def _group_intersections(sh_f: DataFrame, group_col: str) -> DataFrame:
+    """Pairwise shared-shingle counts over a capped (group, shingle) frame:
+    (src_a, src_b, n_shared) with src_a < src_b."""
+    a = sh_f.select(F.col(group_col).alias("src_a"), "shingle")
+    b = sh_f.select(F.col(group_col).alias("src_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def shingle_share_edges(
     df: DataFrame,
     n: int = 3,
@@ -45,25 +79,14 @@ def shingle_share_edges(
     n_shared counts the DISTINCT shingles both groups contain.
 
     The duplicate-sharing graph between crawl sources: heavy edges mean
-    mirrored/boilerplate content. Scale: the posting list per shingle is
-    capped at ``max_groups_per_shingle`` groups (stop-shingle guard —
-    ubiquitous shingles connect everything and carry no signal), so the
-    pair blowup per shingle is bounded by the cap squared; candidate pairs
-    never exceed Σ cap² over shingles.
+    mirrored/boilerplate content. Scale: see
+    :func:`_capped_group_shingles` — candidate pairs never exceed
+    Σ cap² over shingles.
     """
-    sh = with_shingles(df, n, id_col=group_col, text_col=text_col).distinct()
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("n_groups"))
-    sh_f = sh.join(
-        freq.filter(F.col("n_groups") <= max_groups_per_shingle), "shingle"
+    sh_f = _capped_group_shingles(
+        df, n, group_col, text_col, max_groups_per_shingle
     )
-    a = sh_f.select(F.col(group_col).alias("src_a"), "shingle")
-    b = sh_f.select(F.col(group_col).alias("src_b"), "shingle")
-    return (
-        a.join(b, "shingle")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
+    return _group_intersections(sh_f, group_col)
 
 
 def pagerank(
@@ -90,6 +113,12 @@ def pagerank(
     standard batch formulation; convergence-tested loops belong in a driver
     loop with checkpointing every ~5 rounds to cut lineage.
 
+    Directed graphs: nodes are BOTH endpoint sets (a sink that only
+    receives links still gets a rank row), and the dangling mass sitting
+    on sinks each iteration is redistributed uniformly (the standard
+    teleport treatment) — one extra |sinks|-bounded aggregate per round,
+    skipped entirely on the undirected path where sinks cannot exist.
+
     Determinism: all math in double, rank rounded to 6 decimals at the END
     only, so a SQL replayer (unrolled CTEs) agrees.
     """
@@ -109,10 +138,17 @@ def pagerank(
     norm = e.join(out_w, "_s").select(
         "_s", "_d", (F.col("_w") / F.col("_ow")).alias("_share")
     )
-    nodes = e.select(F.col("_s").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
     n_df = F.broadcast(nodes.agg(F.count("*").alias("_n")))
     ranks = nodes.crossJoin(n_df).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    sinks = nodes.join(
+        out_w.select(F.col("_s").alias("node")), "node", "anti"
     )
     for _ in range(iterations):
         contrib = (
@@ -120,17 +156,40 @@ def pagerank(
             .groupBy("_d")
             .agg(F.sum(F.col("_share") * F.col("rank")).alias("_c"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["_d"], "left")
-            .crossJoin(n_df)
-            .select(
-                "node",
-                (
-                    (1.0 - damping) / F.col("_n")
-                    + damping * F.coalesce(F.col("_c"), F.lit(0.0))
-                ).alias("rank"),
+        if directed:
+            sink_mass = F.broadcast(
+                ranks.join(sinks, "node").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_sm")
+                )
             )
-        )
+            ranks = (
+                nodes.join(contrib, nodes["node"] == contrib["_d"], "left")
+                .crossJoin(n_df)
+                .crossJoin(sink_mass)
+                .select(
+                    "node",
+                    (
+                        (1.0 - damping) / F.col("_n")
+                        + damping
+                        * (
+                            F.coalesce(F.col("_c"), F.lit(0.0))
+                            + F.col("_sm") / F.col("_n")
+                        )
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = (
+                nodes.join(contrib, nodes["node"] == contrib["_d"], "left")
+                .crossJoin(n_df)
+                .select(
+                    "node",
+                    (
+                        (1.0 - damping) / F.col("_n")
+                        + damping * F.coalesce(F.col("_c"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -337,20 +396,11 @@ def group_jaccard_edges(
     capped shingle set, so the ratio is exact for that universe); the size
     table is |groups|-sized and joins back by key.
     """
-    sh = with_shingles(df, n, id_col=group_col, text_col=text_col).distinct()
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("n_groups"))
-    sh_f = sh.join(
-        freq.filter(F.col("n_groups") <= max_groups_per_shingle), "shingle"
+    sh_f = _capped_group_shingles(
+        df, n, group_col, text_col, max_groups_per_shingle
     )
     sizes = sh_f.groupBy(group_col).agg(F.count("*").alias("set_size"))
-    a = sh_f.select(F.col(group_col).alias("src_a"), "shingle")
-    b = sh_f.select(F.col(group_col).alias("src_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
+    inter = _group_intersections(sh_f, group_col)
     sa = sizes.select(
         F.col(group_col).alias("src_a"), F.col("set_size").alias("_za")
     )

@@ -336,6 +336,7 @@ def chunk_with_overlap(
     stride: int = 48,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lowercase: bool = True,
 ) -> DataFrame:
     """Sliding-window token chunking with overlap — the RAG / long-context
     pretraining layout: document tokens are cut into windows of ``window``
@@ -344,6 +345,13 @@ def chunk_with_overlap(
     ``stride`` is ever lost at a boundary. The final partial window is kept
     (a document shorter than ``window`` yields exactly one chunk). Returns
     ``(id, chunk_idx, start_token, n_chunk_tokens, chunk_text)``.
+
+    NOTE ``chunk_text`` is rebuilt from the token stream, which casefolds
+    (default) and collapses whitespace runs — the dedup-normalized form.
+    Pass ``lowercase=False`` to keep original casing when the chunks ARE
+    the payload (RAG contexts, training text); whitespace runs still
+    collapse to single spaces either way (token-joining is inherent to
+    the window/slice layout).
 
     Scale: pure map-side — tokenization is one split, window starts are a
     per-row ``sequence`` + ``posexplode``, and each chunk is a ``slice`` of
@@ -354,7 +362,10 @@ def chunk_with_overlap(
     """
     if not 0 < stride <= window:
         raise ValueError(f"need 0 < stride ({stride}) <= window ({window})")
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = F.trim(F.col(text_col))
+    if lowercase:
+        base = F.lower(base)
+    toks = F.split(base, r"\s+")
     n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
         F.size(toks)
     )
@@ -430,9 +441,13 @@ def temperature_sample(
     import math
 
     totals = {
-        r[0]: int(r[1])
+        r[0]: int(r[1] or 0)
         for r in df.groupBy(lang_col).agg(F.sum(token_col)).collect()
     }
+    # a language whose docs are all empty contributes no tokens: rate 0,
+    # never a division by zero (and if EVERY language is empty, z would be
+    # 0 — nothing can be kept either way)
+    totals = {l: t for l, t in totals.items() if t > 0}
     if not totals:
         return df.withColumn("keep_rate", F.lit(0.0)).filter(F.lit(False))
     w = {
@@ -523,9 +538,11 @@ def pack_manifest(
     member ids, and the ordered span fingerprint ``md5("id:offset:len
     ...")``.
 
-    Spans are ordered by ``offset_in_seq`` — unique within a sequence by
-    construction (documents are laid end-to-end), so the fingerprint is
-    partition-order-free and SQL-replayable.
+    Spans are ordered by ``(offset_in_seq, id)`` — offsets are unique
+    within a sequence for non-empty documents (laid end-to-end), but a
+    ZERO-token document shares its successor's offset, so the id
+    tie-break is what keeps the fingerprint partition-order-free and
+    SQL-replayable in that case too.
 
     Scale: input is already the pruned (id, tokens, shard, seq, offset)
     table (~24 B/doc); the groupBy key (shard, seq) subdivides the
@@ -539,7 +556,9 @@ def pack_manifest(
         F.col(token_col).cast("string"),
     )
     ordered = F.array_sort(
-        F.collect_list(F.struct(F.col("offset_in_seq"), span.alias("_s")))
+        F.collect_list(
+            F.struct(F.col("offset_in_seq"), F.col(id_col), span.alias("_s"))
+        )
     )
     return assignment.groupBy("shard", "seq").agg(
         F.count("*").alias("n_docs"),

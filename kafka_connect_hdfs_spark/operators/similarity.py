@@ -1129,15 +1129,23 @@ def query_ivf_index(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Serve ANN queries from a :func:`build_ivf_index` layout: route each
-    query (looked up in the index by id) to its ``n_probe`` nearest cells,
-    then scan ONLY those cell directories — ``cell IN (...)`` binds as a
-    partition filter, so pruning happens before any file is opened.
+    query to its ``n_probe`` nearest cells, then scan ONLY those cell
+    directories — ``cell IN (...)`` binds as a partition filter, so
+    pruning happens before any file is opened.
 
-    Scale: the probed-cell row count is the only data touched; queries and
-    seeds are driver-small by contract. Result matches :func:`ivf_topk`
-    over the same corpus/seeds bit-for-bit (same kernel, same rounding).
+    Pass ``queries`` (an ``(id, vector)`` frame — the production shape:
+    query vectors arrive WITH the request) to keep serving strictly
+    probed-cell-bounded. Without it, ``query_ids`` are looked up in the
+    index itself, which reads every cell once for the lookup — fine for
+    evaluation against the indexed corpus, not the serving hot path.
+
+    Scale: with ``queries`` supplied the probed-cell row count is the only
+    data touched; queries and seeds are driver-small by contract. Result
+    matches :func:`ivf_topk` over the same corpus/seeds bit-for-bit (same
+    kernel, same rounding).
     """
     from pyspark.sql import Window
 
@@ -1145,7 +1153,12 @@ def query_ivf_index(
     index = spark.read.parquet(path + "/cells").withColumn(
         "cell", F.col("cell").cast("long")
     )
-    q_vecs = index.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+    if queries is not None:
+        q_vecs = queries.select(F.col(id_col), F.col(vec_col))
+    else:
+        q_vecs = index.filter(
+            F.col(id_col).isin([int(i) for i in query_ids])
+        )
     probe = assign_ivf_probe_cells(q_vecs, seeds, n_probe, id_col, vec_col)
     routed = probe.select(
         F.col(id_col).alias("query_id"),
@@ -1545,6 +1558,8 @@ def pca_top_component(
     import numpy as np
 
     rows = embedding_covariance(embeddings, vec_col=vec_col).collect()
+    if not rows:
+        return [], 0.0
     d = max(r["j"] for r in rows) + 1
     C = np.zeros((d, d))
     for r in rows:
@@ -1723,6 +1738,12 @@ def embedding_outlier_scores(
         .orderBy("i")
         .collect()
     )
+    if not dims:
+        # empty corpus: empty result with the contract schema (an empty
+        # array literal would be void-typed and fail analysis)
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, dist double, z double"
+        )
     cent = "array(%s)" % ", ".join(f"{r['m']!r}D" for r in dims)
     dist = F.round(
         F.sqrt(

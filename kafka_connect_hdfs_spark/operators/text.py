@@ -930,10 +930,18 @@ def hybrid_search(
     )
 
     spark = df.sparkSession
-    q_row = embed_text(
+    q_rows = embed_text(
         spark.createDataFrame([(0, query_text)], f"{id_col} long, {text_col} string"),
         dim=dim, text_col=text_col, id_col=id_col,
-    ).collect()[0]
+    ).collect()
+    if not q_rows:
+        # embed_text drops whitespace-only text; an empty query retrieves
+        # nothing rather than crashing (bm25_search already behaves so)
+        return spark.createDataFrame(
+            [],
+            f"{id_col} long, rank_lex int, rank_sem int, rrf_score double",
+        )
+    q_row = q_rows[0]
     qv = F.array(*[F.lit(float(x)) for x in q_row["embedding"]])
     emb = embed_text(df, dim=dim, text_col=text_col, id_col=id_col)
     sem = (

@@ -738,3 +738,70 @@ def test_containment_catches_wrapper_jaccard_misses(spark):
     assert row["containment_a"] >= 0.9 and row["containment_b"] < 0.5
     # symmetric Jaccard at the same bar finds nothing — the point
     assert ngram_jaccard_pairs(docs, n=3, threshold=0.9).count() == 0
+
+
+def test_pagerank_directed_sink_gets_rank_and_mass_conserved(spark):
+    from kafka_connect_hdfs_spark.operators.graph import pagerank
+
+    # a→b: b is a pure sink — it must appear in the output, receive more
+    # rank than a, and total mass must stay 1 (dangling redistribution)
+    e = _edges(spark, [("a", "b", 1)])
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iterations=6, directed=True).collect()
+    }
+    assert set(ranks) == {"a", "b"}
+    assert ranks["b"] > ranks["a"]
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_temperature_sample_all_empty_language_survives(spark):
+    from kafka_connect_hdfs_spark.operators.packing import temperature_sample
+
+    docs = spark.createDataFrame(
+        [(0, "en", 10), (1, "xx", 0), (2, "en", 5)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    kept = temperature_sample(docs, budget_tokens=100).collect()
+    # zero-token language contributes nothing and crashes nothing
+    assert all(r["lang"] == "en" for r in kept)
+    # all languages empty → empty result, no division by zero
+    empty = docs.withColumn("n_tokens", docs.n_tokens * 0)
+    assert temperature_sample(empty, budget_tokens=100).count() == 0
+
+
+def test_chunk_with_overlap_preserve_case(spark):
+    from kafka_connect_hdfs_spark.operators.packing import chunk_with_overlap
+
+    docs = spark.createDataFrame(
+        [(0, "The CEO of IBM said Hello")], "doc_id long, text string"
+    )
+    lower = chunk_with_overlap(docs, window=3, stride=3).collect()
+    keep = chunk_with_overlap(
+        docs, window=3, stride=3, lowercase=False
+    ).collect()
+    assert lower[0]["chunk_text"] == "the ceo of"
+    assert keep[0]["chunk_text"] == "The CEO of"
+    assert [r["n_chunk_tokens"] for r in lower] == [
+        r["n_chunk_tokens"] for r in keep
+    ]
+
+
+def test_hybrid_search_empty_query_returns_empty(spark):
+    from kafka_connect_hdfs_spark.operators.text import hybrid_search
+
+    docs = spark.createDataFrame(
+        [(0, "some document text")], "doc_id long, text string"
+    )
+    assert hybrid_search(docs, "   ").count() == 0
+
+
+def test_empty_embedding_inputs_do_not_crash(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        embedding_outlier_scores, pca_top_component,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_outlier_scores(emb).count() == 0
+    comp, eig = pca_top_component(emb)
+    assert comp == [] and eig == 0.0
