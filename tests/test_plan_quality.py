@@ -587,3 +587,22 @@ def test_gopher_rules_is_map_side_codegen(spark, sf):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # pure projection pipeline: no aggregate, no window
     assert "HashAggregate" not in plan and "Window" not in plan, plan
+
+
+def test_covisit_and_triangle_prune_and_no_cartesian(spark, sf):
+    """The co-visitation cell build must read only (user, type, ts) —
+    props/value never reach the cell shuffle — and the wedge join must be
+    equi-keyed end to end (no cartesian anywhere in triangle counting)."""
+    from kafka_connect_hdfs_spark.operators.graph import (
+        covisit_edges, triangle_count,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf, "events")
+    edges = covisit_edges(ev)
+    plan = _plan(edges)
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "props" not in read_schema and "value" not in read_schema
+    tri_plan = _plan(triangle_count(edges, id_a="user_a", id_b="user_b"))
+    assert "CartesianProduct" not in tri_plan
+    assert "BroadcastNestedLoopJoin" not in tri_plan
