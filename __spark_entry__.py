@@ -2070,6 +2070,14 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+def _q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-table corpus datacard: sizes, diversity, duplicate pressure,
+    quality mass — 8 (metric, value) rows."""
+    from kafka_connect_hdfs_spark.operators.quality import corpus_datacard
+
+    return corpus_datacard(_docs(spark, sf_dir))
+
+
 def _q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memorization-risk / boilerplate signal: per-doc fraction of 3-gram
     shingles unique to that doc corpus-wide."""
@@ -2304,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": _q_text_ngram_novelty,
         "embedding_outliers": _q_embedding_outliers,
         "dedup_containment": _q_dedup_containment,
+        "corpus_datacard": _q_corpus_datacard,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -5305,5 +5314,94 @@ SELECT id_a, id_b, n_common, containment_a, containment_b
 FROM scored
 WHERE containment_a >= 0.9 OR containment_b >= 0.9
 ORDER BY id_a, id_b
+"""
+
+    sql["corpus_datacard"] = f"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS total,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE AS punct,
+         len({_TOKS})::DOUBLE AS n_tok,
+         len(list_filter({_TOKS}, x -> list_contains({_en}, x)))::DOUBLE AS n_stop,
+         len(list_distinct({_TOKS}))::DOUBLE AS n_uniq
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round((CASE WHEN total > 0 THEN alpha / total ELSE 0.0 END
+                + (1 - CASE WHEN total > 0 THEN punct / total ELSE 0.0 END)
+                + least(1.0, 4 * CASE WHEN n_tok > 0 THEN n_stop / n_tok
+                                      ELSE 0.0 END)
+                + CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END)
+               / 4, 6) AS quality_score
+  FROM feats
+),
+gsig AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END
+           ::BIGINT AS n_tokens,
+         round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+               ELSE list_sum(list_transform(
+                      regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      x -> length(x)))::DOUBLE
+                    / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               END, 6) AS mean_word_len,
+         round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+               ELSE ((length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', ''))) / 3)
+                    / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               END, 6) AS symbol_ratio,
+         round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+               ELSE len(list_filter(
+                      regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      x -> regexp_matches(x, '[a-z]')))
+                    / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                      ::DOUBLE
+               END, 6) AS alpha_word_ratio
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < 50 THEN 0
+              WHEN n_tokens > 100000 THEN 0
+              WHEN mean_word_len < 3.0 THEN 0
+              WHEN mean_word_len > 10.0 THEN 0
+              WHEN symbol_ratio > 0.1 THEN 0
+              WHEN alpha_word_ratio < 0.8 THEN 0
+              ELSE 1 END AS keep
+  FROM gsig
+),
+base AS (
+  SELECT d.doc_id, d.lang, d.source,
+         md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
+         CASE WHEN length(trim(d.text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END
+           ::BIGINT AS tok,
+         q.quality_score, g.keep
+  FROM documents d JOIN q USING (doc_id) JOIN g USING (doc_id)
+),
+a AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         count(DISTINCT source)::DOUBLE AS n_sources,
+         count(DISTINCT lang)::DOUBLE AS n_langs,
+         sum(tok)::DOUBLE AS total_ws_tokens,
+         avg(tok) AS avg_doc_tokens,
+         1 - count(DISTINCT fp)::DOUBLE / count(*) AS exact_dup_rate,
+         avg(quality_score) AS avg_quality,
+         avg(keep::DOUBLE) AS gopher_keep_rate
+  FROM base
+)
+SELECT metric, round(value, 6) AS value FROM (
+  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+  UNION ALL SELECT 'n_sources', n_sources FROM a
+  UNION ALL SELECT 'n_langs', n_langs FROM a
+  UNION ALL SELECT 'total_ws_tokens', total_ws_tokens FROM a
+  UNION ALL SELECT 'avg_doc_tokens', avg_doc_tokens FROM a
+  UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM a
+  UNION ALL SELECT 'avg_quality', avg_quality FROM a
+  UNION ALL SELECT 'gopher_keep_rate', gopher_keep_rate FROM a
+) ORDER BY metric
 """
     return sql

@@ -106,6 +106,7 @@ def main() -> None:
         "text_ngram_novelty",
         "embedding_outliers",
         "dedup_containment",
+        "corpus_datacard",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

@@ -182,3 +182,77 @@ def source_report(
             "mean_tokens_per_doc"
         ),
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-table corpus datacard: the tall ``(metric, value)`` summary a
+    dataset card / release review starts from — sizes, diversity,
+    duplicate pressure, quality mass — composed from the same signals the
+    individual triage operators expose, so the numbers here always agree
+    with the detailed reports.
+
+    Metrics: n_docs, n_sources, n_langs, total_ws_tokens, avg_doc_tokens,
+    exact_dup_rate (1 − distinct fingerprints / docs), avg_quality,
+    gopher_keep_rate (default thresholds).
+
+    Scale: ONE wide aggregate over map-side-computed per-doc signals
+    (fingerprint md5, token count, quality score, keep flag — text never
+    shuffles), plus two countDistinct. Output is 8 rows regardless of
+    corpus size.
+    """
+    from kafka_connect_hdfs_spark.operators.text import (
+        gopher_rules, with_quality_score,
+    )
+
+    scored = with_quality_score(df, text_col)
+    gated = gopher_rules(scored, text_col=text_col)
+    t = F.trim(F.col(text_col))
+    base = gated.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(source_col),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        ).alias("_fp"),
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("bigint")
+        .alias("_tok"),
+        F.col("quality_score"),
+        F.col("keep").cast("int").alias("_keep"),
+    )
+    agg = base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(source_col).alias("n_sources"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.sum("_tok").alias("total_ws_tokens"),
+        F.avg("_tok").alias("avg_doc_tokens"),
+        (1 - F.countDistinct("_fp") / F.count("*")).alias("exact_dup_rate"),
+        F.avg("quality_score").alias("avg_quality"),
+        F.avg("_keep").alias("gopher_keep_rate"),
+    )
+    metrics = [
+        "n_docs", "n_sources", "n_langs", "total_ws_tokens",
+        "avg_doc_tokens", "exact_dup_rate", "avg_quality",
+        "gopher_keep_rate",
+    ]
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"),
+                        F.round(F.col(m).cast("double"), 6).alias("value"),
+                    )
+                    for m in metrics
+                ]
+            )
+        ).alias("kv")
+    )
+    return stacked.select("kv.metric", "kv.value").orderBy("metric")

@@ -805,3 +805,24 @@ def test_empty_embedding_inputs_do_not_crash(spark):
     assert embedding_outlier_scores(emb).count() == 0
     comp, eig = pca_top_component(emb)
     assert comp == [] and eig == 0.0
+
+
+def test_corpus_datacard_metrics_consistent(spark):
+    from kafka_connect_hdfs_spark.operators.quality import corpus_datacard
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is fine today really", "en", "s1"),
+            (1, "the cat sat on the mat and it is fine today really", "en", "s2"),
+            (2, "short", "de", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    card = {r["metric"]: r["value"] for r in corpus_datacard(docs).collect()}
+    assert card["n_docs"] == 3.0
+    assert card["n_sources"] == 2.0 and card["n_langs"] == 2.0
+    # docs 0/1 are exact duplicates → 2 distinct fingerprints of 3 docs
+    assert card["exact_dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert card["total_ws_tokens"] == 25.0  # 12 + 12 + 1
+    assert 0.0 <= card["gopher_keep_rate"] <= 1.0
+    assert 0.0 < card["avg_quality"] <= 1.0
