@@ -444,6 +444,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    method: str = "propagation",
 ) -> DataFrame:
     """Resolve candidate duplicate PAIRS into duplicate CLUSTERS: connected
     components where each doc's cluster_id is the min doc id in its
@@ -466,7 +467,20 @@ def duplicate_clusters(
     Returns (node, cluster_id) for every node appearing in ``pairs``.
     Singleton docs (no candidate pair) are absent by construction — assign
     them cluster_id = own id with a left join at the call site.
+
+    ``method="star"`` routes to the O(log²)-round variant directly (same
+    contract, same output — pytest-gated equal); use it when components
+    may be deep (chained near-dup paths), keep the default for the
+    shallow near-clique clusters dedup normally produces.
     """
+    if method == "star":
+        from kafka_connect_hdfs_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        return connected_components_star(
+            pairs, id_a=id_a, id_b=id_b, max_rounds=max_iter
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

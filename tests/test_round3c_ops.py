@@ -826,3 +826,19 @@ def test_corpus_datacard_metrics_consistent(spark):
     assert card["total_ws_tokens"] == 25.0  # 12 + 12 + 1
     assert 0.0 <= card["gopher_keep_rate"] <= 1.0
     assert 0.0 < card["avg_quality"] <= 1.0
+
+
+def test_duplicate_clusters_star_method_same_contract(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    prop = {
+        r["node"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
+    }
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, method="star").collect()
+    }
+    assert prop == star == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
