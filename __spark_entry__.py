@@ -2070,6 +2070,18 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+def _q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_customer_rfm
+
+    return q_customer_rfm(spark, sf_dir)
+
+
+def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_basket_lift
+
+    return q_basket_lift(spark, sf_dir)
+
+
 def _q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-table corpus datacard: sizes, diversity, duplicate pressure,
     quality mass — 8 (metric, value) rows."""
@@ -2313,6 +2325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,
         "dedup_containment": _q_dedup_containment,
         "corpus_datacard": _q_corpus_datacard,
+        "q_customer_rfm": _q_customer_rfm,
+        "q_basket_lift": _q_basket_lift,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -5404,4 +5418,10 @@ SELECT metric, round(value, 6) AS value FROM (
   UNION ALL SELECT 'gopher_keep_rate', gopher_keep_rate FROM a
 ) ORDER BY metric
 """
+    from kafka_connect_hdfs_spark.plans.analytics4 import (
+        Q_BASKET_SQL, Q_RFM_SQL,
+    )
+
+    sql["q_customer_rfm"] = Q_RFM_SQL
+    sql["q_basket_lift"] = Q_BASKET_SQL
     return sql

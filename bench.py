@@ -107,6 +107,8 @@ def main() -> None:
         "embedding_outliers",
         "dedup_containment",
         "corpus_datacard",
+        "q_customer_rfm",
+        "q_basket_lift",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

@@ -338,3 +338,164 @@ SELECT decile::INT AS decile, count(*) AS n_customers,
        CAST(sum(spend_d) AS DOUBLE) AS decile_spend
 FROM tiled GROUP BY 1 ORDER BY 1
 """
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary, each
+    ntile(5), 5 = best) with the composite segment code — the classic
+    marketing-analytics tiering, and structurally the multi-signal
+    quantile bucketing a corpus pipeline applies to sources.
+
+    Scale: one o_custkey aggregation over orders (uniform key), then three
+    ntile windows over the CUSTOMER-sized table (not the fact table) —
+    same justification as q_customer_value_deciles. Monetary runs in
+    DECIMAL so Spark and any SQL replayer bucket identically (double sums
+    differ in the last ulp, which flips ntile boundaries).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    maxd = F.broadcast(
+        orders.agg(F.max(F.to_date("o_orderdate")).alias("_maxd"))
+    )
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("_last"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_mon"),
+        )
+        .crossJoin(maxd)
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_maxd"), F.col("_last")).alias("recency_days"),
+            "frequency",
+            F.col("_mon").cast("double").alias("monetary"),
+            F.col("_mon").alias("_mon_d"),
+        )
+    )
+    r_score = F.expr("ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)")
+    f_score = F.expr("ntile(5) OVER (ORDER BY frequency ASC, o_custkey)")
+    m_score = F.expr("ntile(5) OVER (ORDER BY _mon_d ASC, o_custkey)")
+    return (
+        cust.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            r_score.alias("r_score"),
+            f_score.alias("f_score"),
+            m_score.alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).cast("int"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+Q_RFM_SQL = """
+WITH maxd AS (SELECT max(o_orderdate::DATE) AS md FROM orders),
+cust AS (
+  SELECT o_custkey,
+         max(o_orderdate::DATE) AS last_d,
+         count(*)::BIGINT AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_d
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey,
+         date_diff('day', last_d, maxd.md)::INT AS recency_days,
+         frequency,
+         CAST(mon_d AS DOUBLE) AS monetary,
+         ntile(5) OVER (ORDER BY date_diff('day', last_d, maxd.md) DESC,
+                        o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY mon_d ASC, o_custkey) AS m_score
+  FROM cust CROSS JOIN maxd
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_score::INT AS r_score, f_score::INT AS f_score,
+       m_score::INT AS m_score,
+       (r_score * 100 + f_score * 10 + m_score)::INT AS segment
+FROM scored ORDER BY o_custkey
+"""
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order lines: for part pairs
+    co-occurring in >= 3 orders, support, confidence(a→b) and lift —
+    association-rule analytics (and structurally the same capped pair
+    machinery as shingle co-occurrence). Top-20 by lift.
+
+    Scale: pairs form only WITHIN an order (per-order line counts are
+    bounded — ~7 avg, 13 max here; cap via min-support keeps the output
+    association-grade); the per-part order counts join back by part key.
+    One fact shuffle on l_orderkey, pair agg on (a, b).
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = F.broadcast(
+        li.agg(F.countDistinct("l_orderkey").alias("_n"))
+    )
+    part_n = li.groupBy("l_partkey").agg(F.count("*").alias("_np"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    na = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("_np").alias("_na")
+    )
+    nb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("_np").alias("_nb")
+    )
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(n_orders)
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("_n"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("_na"), 6).alias("confidence_a_b"),
+            F.round(
+                F.col("n_both") * F.col("_n") / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+Q_BASKET_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM li),
+pn AS (SELECT l_partkey, count(*)::BIGINT AS np FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS n_both
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT part_a, part_b, n_both,
+       round(n_both::DOUBLE / n.n_orders, 6) AS support,
+       round(n_both::DOUBLE / na.np, 6) AS confidence_a_b,
+       round(n_both::DOUBLE * n.n_orders / (na.np * nb.np), 6) AS lift
+FROM pairs
+JOIN pn na ON pairs.part_a = na.l_partkey
+JOIN pn nb ON pairs.part_b = nb.l_partkey
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b LIMIT 20
+"""

@@ -92,3 +92,30 @@ def test_window_suite_one_window_partition(spark, sf):
     assert plan.count("Window") <= 4
     rows = df.limit(5).collect()
     assert {"event_type", "day", "revenue", "prev_revenue", "ma7", "cum_revenue", "day_seq"} <= set(df.columns)
+
+
+def test_customer_rfm_scores_well_formed(spark, sf_dir):
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_customer_rfm
+
+    rows = q_customer_rfm(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["segment"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+        assert r["recency_days"] >= 0
+    # the most recent buyers carry the highest r_score
+    by_r = sorted(rows, key=lambda r: r["recency_days"])
+    assert by_r[0]["r_score"] == 5 and by_r[-1]["r_score"] == 1
+
+
+def test_basket_lift_bounds(spark, sf_dir):
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_basket_lift
+
+    rows = q_basket_lift(spark, sf_dir).collect()
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence_a_b"] <= 1
+        assert r["lift"] > 0
