@@ -2070,6 +2070,35 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+_BATCH_QUERIES = [
+    (1, "data spark table"),
+    (2, "model training corpus"),
+    (3, "join window filter"),
+]
+
+
+def _q_text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25: three queries served from ONE corpus pass; per-query
+    top-10 with ranks."""
+    from kafka_connect_hdfs_spark.operators.text import bm25_batch
+
+    qs = spark.createDataFrame(
+        _BATCH_QUERIES, "query_id long, query_text string"
+    )
+    return bm25_batch(_docs(spark, sf_dir), qs, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _q_text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for 'data' with a ±2 token window."""
+    from kafka_connect_hdfs_spark.operators.text import kwic_snippets
+
+    return kwic_snippets(_docs(spark, sf_dir), "data", window=2).orderBy(
+        "doc_id", "position"
+    )
+
+
 def _q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.plans.analytics4 import q_customer_rfm
 
@@ -2327,6 +2356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": _q_corpus_datacard,
         "q_customer_rfm": _q_customer_rfm,
         "q_basket_lift": _q_basket_lift,
+        "text_bm25_batch": _q_text_bm25_batch,
+        "text_kwic": _q_text_kwic,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -5424,4 +5455,63 @@ SELECT metric, round(value, 6) AS value FROM (
 
     sql["q_customer_rfm"] = Q_RFM_SQL
     sql["q_basket_lift"] = Q_BASKET_SQL
+
+    _bq_values = ", ".join(f"({i}, '{t}')" for i, t in _BATCH_QUERIES)
+    sql["text_bm25_batch"] = rf"""
+WITH queries(query_id, query_text) AS (VALUES {_bq_values}),
+qterms AS (
+  SELECT query_id,
+         unnest(list_distinct(
+           regexp_split_to_array(lower(trim(query_text)), '\s+'))) AS term
+  FROM queries
+),
+union_terms AS (SELECT DISTINCT term FROM qterms WHERE length(term) > 0),
+base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+         len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS dl
+  FROM documents WHERE length(trim(text)) > 0
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM base),
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM tok SEMI JOIN union_terms USING (term)
+  GROUP BY doc_id, dl, term
+),
+docfreq AS (SELECT term, count(*)::BIGINT AS df_ FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(ln(1.0 + (s.n_docs - d.df_ + 0.5) / (d.df_ + 0.5))
+               * (tf.tf * (1.2 + 1)) /
+                 (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 6)
+           AS bm25,
+         count(*)::BIGINT AS n_matched_terms
+  FROM tf JOIN docfreq d USING (term) CROSS JOIN stats s
+  JOIN qterms q USING (term)
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, bm25, n_matched_terms, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+    sql["text_kwic"] = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+hits AS (
+  SELECT doc_id, toks,
+         unnest(list_filter(generate_series(1, len(toks)),
+                i -> toks[i] = 'data')) AS position
+  FROM base
+)
+SELECT doc_id, position::BIGINT AS position,
+       array_to_string(
+         toks[greatest(1, position - 2):least(len(toks), position + 2)], ' ')
+         AS snippet
+FROM hits ORDER BY doc_id, position
+"""
     return sql

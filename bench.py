@@ -109,6 +109,8 @@ def main() -> None:
         "corpus_datacard",
         "q_customer_rfm",
         "q_basket_lift",
+        "text_bm25_batch",
+        "text_kwic",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

@@ -1215,3 +1215,128 @@ def ngram_novelty(
             "novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6)
         )
     )
+
+
+def bm25_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Batch BM25: ONE corpus pass serves EVERY query — the production
+    retrieval shape (eval sets, mined-query sweeps, RAG batch jobs) where
+    per-query replanning of :func:`bm25_search` would rescan the corpus
+    |queries| times. Same scoring formula, same smoothed idf, same
+    tie-break; returns (query_id, doc, bm25, n_matched_terms, rank).
+
+    Scale: the corpus token stream explodes once and immediately
+    broadcast-semi-joins against the UNION of all query terms (queries are
+    a DataFrame, so the term set can't be a plan literal like the
+    single-query path — the broadcast hash filter is the batch
+    equivalent); tf/df/avgdl are computed once and shared by every query;
+    per-query scores come from one broadcast join with the (query, term)
+    table; top-k is a per-query window over scored docs only.
+    """
+    qt = F.col(query_text_col)
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(qt)), r"\s+"))
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    union_terms = qterms.select("term").distinct()
+
+    t = F.col(text_col)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    base = df.filter(F.length(F.trim(t)) > 0).select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl")
+    )
+    stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        base.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(union_terms), "term", "semi")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df_"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_") + F.lit(0.5)) / (F.col("df_") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (1 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .join(F.broadcast(qterms), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(F.sum("_s"), 6).alias("bm25"),
+            F.count("*").alias("n_matched_terms"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "bm25", "n_matched_terms", "rank")
+    )
+
+
+def kwic_snippets(
+    df: DataFrame,
+    term: str,
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context concordance: for every occurrence of ``term``
+    (case-folded whitespace token) the surrounding ±``window`` tokens →
+    ``(id, position, snippet)`` — retrieval highlighting, qualitative
+    corpus audits ("show me how this token is used"), and the span
+    extractor behind context-window labeling.
+
+    Scale: pure map-side — occurrence positions come from one
+    filter-over-index-sequence per row, snippets are slices of the token
+    array; rows grow only by occurrences of the term. No shuffle, no UDF.
+    """
+    t = F.col(text_col)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    n = F.size(toks)
+    positions = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.element_at(toks, i) == F.lit(term.lower()),
+    )
+    lo = F.greatest(F.lit(1), F.col("position") - window)
+    hi = F.least(F.col("_n"), F.col("position") + window)
+    return (
+        df.filter(F.length(F.trim(t)) > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.explode(positions).alias("position"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("position").cast("bigint").alias("position"),
+            F.array_join(
+                F.slice(F.col("_toks"), lo, hi - lo + 1), " "
+            ).alias("snippet"),
+        )
+    )

@@ -842,3 +842,46 @@ def test_duplicate_clusters_star_method_same_contract(spark):
         for r in duplicate_clusters(pairs, method="star").collect()
     }
     assert prop == star == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+# ---------------------------------------------------------------------------
+# bm25_batch / kwic_snippets
+
+
+def test_bm25_batch_matches_single_query(spark):
+    from kafka_connect_hdfs_spark.operators.text import bm25_batch, bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark writes parquet tables to storage"),
+            (1, "the quick brown fox"),
+            (2, "spark reads avro and parquet"),
+            (3, "storage costs and table compaction"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(7, "spark parquet"), (8, "storage table")],
+        "query_id long, query_text string",
+    )
+    batch = bm25_batch(docs, qs, k=3).collect()
+    for qid, qtext in ((7, "spark parquet"), (8, "storage table")):
+        single = bm25_search(docs, qtext.split(), k=3).collect()
+        got = sorted(
+            ((r["doc_id"], r["bm25"]) for r in batch if r["query_id"] == qid),
+        )
+        want = sorted((r["doc_id"], r["bm25"]) for r in single)
+        assert got == want, qid
+
+
+def test_kwic_snippets_window_and_positions(spark):
+    from kafka_connect_hdfs_spark.operators.text import kwic_snippets
+
+    docs = spark.createDataFrame(
+        [(0, "alpha data beta gamma data")], "doc_id long, text string"
+    )
+    rows = kwic_snippets(docs, "DATA", window=1).orderBy("position").collect()
+    assert [(r["position"], r["snippet"]) for r in rows] == [
+        (2, "alpha data beta"),
+        (5, "gamma data"),   # window clipped at the document end
+    ]
