@@ -2070,6 +2070,34 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+def _q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_hourly_anomalies
+
+    return q_hourly_anomalies(spark, sf_dir)
+
+
+def _q_ann_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of brute-force retrieval against label relevance — the
+    graded-ranking eval next to MRR and recall."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        brute_force_topk, label_ndcg,
+    )
+
+    emb = _emb(spark, sf_dir)
+    topk = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+    return label_ndcg(topk, emb, k=10).orderBy("query_id")
+
+
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-before-split audit: duplicate fingerprints crossing split
+    boundaries on the raw corpus vs zero after keep-first."""
+    from kafka_connect_hdfs_spark.operators.packing import (
+        split_leakage_report,
+    )
+
+    return split_leakage_report(_docs(spark, sf_dir))
+
+
 _BATCH_QUERIES = [
     (1, "data spark table"),
     (2, "model training corpus"),
@@ -2358,6 +2386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_basket_lift": _q_basket_lift,
         "text_bm25_batch": _q_text_bm25_batch,
         "text_kwic": _q_text_kwic,
+        "q_hourly_anomalies": _q_hourly_anomalies,
+        "ann_label_ndcg": _q_ann_label_ndcg,
+        "q_split_leakage": _q_split_leakage,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -5513,5 +5544,98 @@ SELECT doc_id, position::BIGINT AS position,
          toks[greatest(1, position - 2):least(len(toks), position + 2)], ' ')
          AS snippet
 FROM hits ORDER BY doc_id, position
+"""
+    from kafka_connect_hdfs_spark.plans.analytics4 import Q_HOURLY_ANOMALY_SQL
+
+    sql["q_hourly_anomalies"] = Q_HOURLY_ANOMALY_SQL
+
+    sql["ann_label_ndcg"] = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(q.embedding AS DOUBLE[]) AS qv, CAST(c.embedding AS DOUBLE[]) AS cv
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+),
+sims AS (SELECT query_id, neighbor_id, {_COSINE} AS cosine FROM pairs),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+),
+topk AS (SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10),
+labeled AS (
+  SELECT t.query_id, t.rank,
+         CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS hit
+  FROM topk t
+  JOIN embeddings ql ON ql.vec_id = t.query_id
+  JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+),
+per_q AS (
+  SELECT query_id,
+         sum(CASE WHEN hit = 1 THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg,
+         sum(hit)::INT AS n_hits
+  FROM labeled GROUP BY query_id
+),
+withi AS (
+  SELECT query_id, n_hits, dcg,
+         CASE WHEN n_hits > 0 THEN
+           list_sum(list_transform(generate_series(1, n_hits),
+                    i -> 1.0 / log2(i + 1)))
+         ELSE 0.0 END AS idcg
+  FROM per_q
+)
+SELECT query_id, n_hits, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+       round(CASE WHEN n_hits > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+FROM withi ORDER BY query_id
+"""
+
+    sql["q_split_leakage"] = r"""
+WITH splits AS (
+  SELECT doc_id, text,
+         CASE WHEN u < 0.05 THEN 'test'
+              WHEN u < 0.95 THEN 'train'
+              ELSE 'val' END AS split
+  FROM (
+    SELECT *,
+           ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 12))::BIGINT
+             / 281474976710656.0 AS u
+    FROM documents)
+),
+raw_fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         count(DISTINCT split) AS n_splits, count(*) AS n_docs
+  FROM splits GROUP BY 1
+),
+raw_row AS (
+  SELECT 'raw' AS stage,
+         sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_leaked_fingerprints,
+         sum(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END)::BIGINT
+           AS n_docs_affected
+  FROM raw_fp
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents)
+  GROUP BY fp
+),
+dd_fp AS (
+  SELECT md5(trim(regexp_replace(lower(s.text), '\s+', ' ', 'g'))) AS fp,
+         count(DISTINCT s.split) AS n_splits, count(*) AS n_docs
+  FROM splits s JOIN keep k ON s.doc_id = k.doc_id
+  GROUP BY 1
+),
+dd_row AS (
+  SELECT 'deduped' AS stage,
+         sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_leaked_fingerprints,
+         sum(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END)::BIGINT
+           AS n_docs_affected
+  FROM dd_fp
+)
+SELECT * FROM dd_row UNION ALL SELECT * FROM raw_row ORDER BY stage
 """
     return sql

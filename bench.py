@@ -111,6 +111,9 @@ def main() -> None:
         "q_basket_lift",
         "text_bm25_batch",
         "text_kwic",
+        "q_hourly_anomalies",
+        "ann_label_ndcg",
+        "q_split_leakage",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

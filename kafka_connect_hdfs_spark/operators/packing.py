@@ -569,3 +569,53 @@ def pack_manifest(
             F.array_join(F.transform(ordered, lambda s: s["_s"]), " ")
         ).alias("spans_fp"),
     )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/test contamination audit for hash-by-id splitting: counts
+    normalized-text fingerprints whose COPIES land in more than one split
+    — the leakage that makes held-out metrics lie when splitting happens
+    before dedup. Two rows: the ``raw`` corpus (leaks whenever duplicates
+    exist) and the ``deduped`` corpus (keep-first first — zero by
+    construction, the audit's own proof that dedup-then-split is the
+    correct order). Columns: (stage, n_leaked_fingerprints,
+    n_docs_affected).
+
+    Scale: fingerprint + split are map-side; one groupBy per stage on the
+    fingerprint (uniform key), one two-row summary each. Text never
+    shuffles.
+    """
+    from kafka_connect_hdfs_spark.operators.dedup import dedup_keep_first
+
+    def leak(stage_df: DataFrame, stage: str) -> DataFrame:
+        fp = F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        )
+        per_fp = (
+            split_corpus(stage_df, id_col=id_col, salt=salt)
+            .select(fp.alias("_fp"), "split")
+            .groupBy("_fp")
+            .agg(
+                F.countDistinct("split").alias("_n_splits"),
+                F.count("*").alias("_n_docs"),
+            )
+        )
+        return per_fp.agg(
+            F.lit(stage).alias("stage"),
+            F.sum((F.col("_n_splits") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_leaked_fingerprints"),
+            F.sum(
+                F.when(F.col("_n_splits") > 1, F.col("_n_docs")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
+    raw = leak(df, "raw")
+    deduped = leak(dedup_keep_first(df, id_col=id_col, text_col=text_col), "deduped")
+    return raw.unionByName(deduped).orderBy("stage")

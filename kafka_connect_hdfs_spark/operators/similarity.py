@@ -1770,3 +1770,72 @@ def embedding_outlier_scores(
             6,
         ).alias("z"),
     )
+
+
+def label_ndcg(
+    topk: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """nDCG@k of a top-k table against label relevance (rel = 1 when the
+    neighbor shares the query's label): per query DCG, ideal DCG, and
+    their ratio — the graded-ranking third of the eval triad next to
+    :func:`label_mrr` and the recall harness; like them it works on ANY
+    top-k variant here (shared (query_id, neighbor_id, rank) schema).
+
+    DCG = Σ_hits 1/log2(rank+1); IDCG places all R relevant retrieved
+    docs at the top ranks (R = this query's hit count within k — the
+    retrieved-set normalization, standard for label-proxy relevance).
+    Queries with zero hits score 0.
+
+    Scale: identical join shape to label_mrr — only the top-k table and
+    the pruned (id, label) projection move.
+    """
+    q_labels = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label")
+    )
+    n_labels = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
+    scored = (
+        topk.filter(F.col("rank") <= k)
+        .join(n_labels, "neighbor_id")
+        .join(broadcast(q_labels), "query_id")
+        .withColumn(
+            "_gain",
+            F.when(
+                F.col("q_label") == F.col("n_label"),
+                F.lit(1.0) / F.log2(F.col("rank") + 1),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_hit", (F.col("q_label") == F.col("n_label")).cast("int")
+        )
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.sum("_gain").alias("_dcg"), F.sum("_hit").alias("n_hits")
+    )
+    # IDCG for R hits = Σ_{i=1..R} 1/log2(i+1), expressed in-plan so the
+    # oracle replays it: aggregate over sequence(1, R)
+    idcg = F.when(
+        F.col("n_hits") > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("n_hits").cast("int")),
+            F.lit(0.0).cast("double"),
+            lambda acc, i: acc + F.lit(1.0) / F.log2(i + 1),
+        ),
+    ).otherwise(F.lit(0.0))
+    return per_q.select(
+        "query_id",
+        F.col("n_hits").cast("int").alias("n_hits"),
+        F.round("_dcg", 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.round(
+            F.when(F.col("n_hits") > 0, F.col("_dcg") / idcg).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("ndcg"),
+    )

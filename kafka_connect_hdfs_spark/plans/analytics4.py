@@ -499,3 +499,60 @@ JOIN pn nb ON pairs.part_b = nb.l_partkey
 CROSS JOIN n
 ORDER BY lift DESC, part_a, part_b LIMIT 20
 """
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-volume anomaly detection: per (event_type, hour)
+    counts z-scored against that type's own hourly distribution; returns
+    the hours with |z| >= 2 — the volume-spike/outage monitor of an
+    ingest pipeline.
+
+    Scale: one (type, hour) aggregation (map-side combine), then a
+    type-keyed mean/std over the HOURLY table (hours × types rows, not
+    events) joined back by type. Deterministic: counts are integers,
+    mean/std in double rounded at the end.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n_events").alias("_mu"),
+        F.stddev_pop("n_events").alias("_sd"),
+    )
+    return (
+        hourly.join(stats, "event_type")
+        .withColumn(
+            "z",
+            F.round(
+                F.when(
+                    F.col("_sd") > 0,
+                    (F.col("n_events") - F.col("_mu")) / F.col("_sd"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select("event_type", "hour", "n_events", "z")
+        .orderBy("event_type", "hour")
+    )
+
+
+Q_HOURLY_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, avg(n_events) AS mu, stddev_pop(n_events) AS sd
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hour, h.n_events,
+       round(CASE WHEN st.sd > 0 THEN (h.n_events - st.mu) / st.sd
+             ELSE 0.0 END, 6) AS z
+FROM hourly h JOIN st USING (event_type)
+WHERE abs(round(CASE WHEN st.sd > 0 THEN (h.n_events - st.mu) / st.sd
+                ELSE 0.0 END, 6)) >= 2.0
+ORDER BY event_type, hour
+"""

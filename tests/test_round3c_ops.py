@@ -885,3 +885,55 @@ def test_kwic_snippets_window_and_positions(spark):
         (2, "alpha data beta"),
         (5, "gamma data"),   # window clipped at the document end
     ]
+
+
+# ---------------------------------------------------------------------------
+# label_ndcg / split_leakage / hourly anomalies
+
+
+def test_label_ndcg_perfect_and_zero(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import label_ndcg
+
+    labels = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "a"), (3, "b"), (4, "b")],
+        "vec_id long, label string",
+    )
+    # query 0: both hits at the top → ndcg 1; query 3: no hit → 0
+    topk = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 4, 3), (3, 1, 1), (3, 2, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {r["query_id"]: r for r in label_ndcg(topk, labels, k=3).collect()}
+    assert out[0]["n_hits"] == 2 and out[0]["ndcg"] == 1.0
+    assert out[3]["n_hits"] == 0 and out[3]["ndcg"] == 0.0
+    # hit at rank 2 instead of rank 1 → dcg = 1/log2(3) < idcg = 1
+    topk2 = spark.createDataFrame(
+        [(0, 3, 1), (0, 1, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    row = label_ndcg(topk2, labels, k=2).collect()[0]
+    assert row["ndcg"] == pytest.approx(1 / math.log2(3), abs=1e-6)
+
+
+def test_split_leakage_raw_leaks_dedup_does_not(spark):
+    from kafka_connect_hdfs_spark.operators.packing import split_leakage_report
+
+    # 40 copies of the same text under different ids: hash-by-id split
+    # scatters copies across train/val/test — the raw stage must flag it
+    docs = spark.createDataFrame(
+        [(i, "identical duplicated document text") for i in range(40)]
+        + [(100 + i, f"unique text number {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    rows = {r["stage"]: r for r in split_leakage_report(docs).collect()}
+    assert rows["raw"]["n_leaked_fingerprints"] >= 1
+    assert rows["raw"]["n_docs_affected"] >= 40
+    assert rows["deduped"]["n_leaked_fingerprints"] == 0
+    assert rows["deduped"]["n_docs_affected"] == 0
+
+
+def test_hourly_anomalies_flags_spike(spark, sf_dir):
+    from kafka_connect_hdfs_spark.plans.analytics4 import q_hourly_anomalies
+
+    rows = q_hourly_anomalies(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r["z"]) >= 2.0
