@@ -2070,6 +2070,53 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+def _q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase attributed to the user's
+    latest preceding click, bucketed by click-to-purchase delay (<=1h,
+    <=24h, older, none) with counts and DECIMAL-exact value sums —
+    marketing attribution as one as-of join + map-side bucketing."""
+    from kafka_connect_hdfs_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    j = asof_join(purchases, clicks, on="user_id", right_value_cols=[])
+    delta = F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")
+    bucket = (
+        F.when(F.col("ts_asof").isNull(), F.lit("none"))
+        .when(delta <= 3600, F.lit("within_1h"))
+        .when(delta <= 86400, F.lit("within_24h"))
+        .otherwise(F.lit("older"))
+    )
+    return (
+        j.groupBy(bucket.alias("attribution"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("attribution")
+    )
+
+
+def _q_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dedup-threshold tuning table over the cell-bucketed
+    semantic pairs: pair / touched-doc counts at 0.2/0.3/0.4/0.45 (the fixture's
+    random-embedding cosine range)."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        semantic_threshold_sweep,
+    )
+
+    return semantic_threshold_sweep(
+        _emb(spark, sf_dir), thresholds=[0.2, 0.3, 0.4, 0.45], n_seeds=8
+    )
+
+
 def _q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.plans.analytics4 import q_hourly_anomalies
 
@@ -2389,6 +2436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hourly_anomalies": _q_hourly_anomalies,
         "ann_label_ndcg": _q_ann_label_ndcg,
         "q_split_leakage": _q_split_leakage,
+        "q_conversion_attribution": _q_conversion_attribution,
+        "semantic_threshold_sweep": _q_semantic_threshold_sweep,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -5637,5 +5686,68 @@ dd_row AS (
   FROM dd_fp
 )
 SELECT * FROM dd_row UNION ALL SELECT * FROM raw_row ORDER BY stage
+"""
+
+    sql["q_conversion_attribution"] = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS ts_asof
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+bucketed AS (
+  SELECT *,
+         CASE WHEN ts_asof IS NULL THEN 'none'
+              WHEN epoch(ts) - epoch(ts_asof) <= 3600 THEN 'within_1h'
+              WHEN epoch(ts) - epoch(ts_asof) <= 86400 THEN 'within_24h'
+              ELSE 'older' END AS attribution
+  FROM j
+)
+SELECT attribution, count(*)::BIGINT AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM bucketed GROUP BY attribution ORDER BY attribution
+"""
+
+    sql["semantic_threshold_sweep"] = """
+WITH seeds AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, v, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim
+  FROM vecs, seeds
+),
+cells AS (
+  SELECT vec_id, v, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, seed_id ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+sweep AS (
+  SELECT id_a, id_b, unnest([t FOR t IN [0.2, 0.3, 0.4, 0.45] IF cos >= t])
+           AS threshold
+  FROM pairs WHERE cos >= 0.2
+),
+np AS (SELECT threshold, count(*)::BIGINT AS n_pairs FROM sweep GROUP BY 1),
+nd AS (
+  SELECT threshold, count(DISTINCT i)::BIGINT AS n_docs_involved
+  FROM (SELECT threshold, unnest([id_a, id_b]) AS i FROM sweep)
+  GROUP BY 1
+)
+SELECT np.threshold, n_pairs, n_docs_involved
+FROM np JOIN nd USING (threshold) ORDER BY threshold
 """
     return sql

@@ -114,6 +114,8 @@ def main() -> None:
         "q_hourly_anomalies",
         "ann_label_ndcg",
         "q_split_leakage",
+        "q_conversion_attribution",
+        "semantic_threshold_sweep",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

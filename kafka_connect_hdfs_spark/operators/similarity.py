@@ -1839,3 +1839,76 @@ def label_ndcg(
             6,
         ).alias("ndcg"),
     )
+
+
+def semantic_threshold_sweep(
+    embeddings: DataFrame,
+    thresholds: "list[float]" = (0.8, 0.9, 0.95, 0.99),
+    n_seeds: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Threshold-tuning sweep for :func:`semantic_dedup`: ONE pass over
+    the cell-bucketed candidate pairs scores every pair once, then counts
+    pairs and distinct touched vectors AT EVERY candidate threshold —
+    the "how much would each knob delete" table an operator reads before
+    committing a dedup threshold, without re-running the pipeline per
+    value. Returns (threshold, n_pairs, n_docs_involved).
+
+    Scale: identical candidate shape to semantic_dedup (within-cell
+    equi-join, Σ|cell|² bounded, same skew cap); the sweep explodes each
+    qualifying pair by the thresholds it clears (≤ |thresholds| rows per
+    pair, a constant), then two bounded aggregations.
+    """
+    seeds = embeddings.filter(F.col(id_col) < n_seeds)
+    cells = assign_ivf_cells(embeddings, seeds, id_col, vec_col)
+    pairable = cells
+    if max_cell_size is not None:
+        sizes = cells.groupBy("cell").agg(F.count("*").alias("_csize"))
+        pairable = cells.join(
+            broadcast(sizes.filter(F.col("_csize") <= max_cell_size)), "cell"
+        ).drop("_csize")
+    a = pairable.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+        "cell",
+    )
+    b = pairable.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+        "cell",
+    )
+    ths = sorted(thresholds)
+    th_arr = F.array(*[F.lit(float(t)) for t in ths])
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias(
+                "_cos"
+            ),
+        )
+        .filter(F.col("_cos") >= float(ths[0]))
+        .select(
+            "id_a",
+            "id_b",
+            F.explode(
+                F.filter(th_arr, lambda t: F.col("_cos") >= t)
+            ).alias("threshold"),
+        )
+    )
+    ids = pairs.select(
+        "threshold", F.explode(F.array("id_a", "id_b")).alias("_id")
+    )
+    n_pairs = pairs.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
+    n_docs = ids.groupBy("threshold").agg(
+        F.countDistinct("_id").alias("n_docs_involved")
+    )
+    return (
+        n_pairs.join(n_docs, "threshold")
+        .select("threshold", "n_pairs", "n_docs_involved")
+        .orderBy("threshold")
+    )

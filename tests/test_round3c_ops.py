@@ -937,3 +937,43 @@ def test_hourly_anomalies_flags_spike(spark, sf_dir):
     rows = q_hourly_anomalies(spark, sf_dir).collect()
     for r in rows:
         assert abs(r["z"]) >= 2.0
+
+
+def test_semantic_threshold_sweep_monotone(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        semantic_threshold_sweep,
+    )
+
+    # 0/1 orthogonal seeds; 2 duplicates 0 exactly; 3 is a 0.9-ish match
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.0]),
+            (3, [1.0, 0.45]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = semantic_threshold_sweep(
+        emb, thresholds=[0.5, 0.95], n_seeds=2
+    ).collect()
+    by_t = {float(r["threshold"]): r for r in rows}
+    assert by_t[0.5]["n_pairs"] >= by_t[0.95]["n_pairs"]
+    assert by_t[0.95]["n_pairs"] == 1          # only the exact duplicate
+    assert by_t[0.95]["n_docs_involved"] == 2
+
+
+def test_conversion_attribution_buckets(spark, sf_dir):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_test", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    rows = m.queries()["q_conversion_attribution"](spark, sf_dir).collect()
+    assert rows
+    assert {r["attribution"] for r in rows} <= {
+        "none", "within_1h", "within_24h", "older"
+    }
+    assert all(r["n_purchases"] > 0 for r in rows)
