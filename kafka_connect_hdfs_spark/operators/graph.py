@@ -138,6 +138,10 @@ def pagerank(
     norm = e.join(out_w, "_s").select(
         "_s", "_d", (F.col("_w") / F.col("_ow")).alias("_share")
     )
+    # NOT checkpointed: the iteration joins reuse the edge-build shuffle
+    # via ReusedExchange (one physical DAG), so materializing norm only
+    # adds serialization overhead — measured slower at sf0.1, the same
+    # lesson as dedup.prefix_filtered_jaccard_pairs' docsets.
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
