@@ -2070,6 +2070,13 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+def _q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram corpus-LM scoring (lambda=0.7) per document."""
+    from kafka_connect_hdfs_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: every purchase attributed to the user's
     latest preceding click, bucketed by click-to-purchase delay (<=1h,
@@ -2438,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_leakage": _q_split_leakage,
         "q_conversion_attribution": _q_conversion_attribution,
         "semantic_threshold_sweep": _q_semantic_threshold_sweep,
+        "text_bigram_logprob": _q_text_bigram_logprob,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -5749,5 +5757,43 @@ nd AS (
 )
 SELECT np.threshold, n_pairs, n_docs_involved
 FROM np JOIN nd USING (threshold) ORDER BY threshold
+"""
+
+    sql["text_bigram_logprob"] = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+pairs AS (
+  SELECT doc_id, bg['prev'] AS prev, bg['cur'] AS cur FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2 THEN
+             [struct_pack(prev := t[i], cur := t[i+1])
+              FOR i IN generate_series(1, len(t) - 1)]
+           ELSE [] END) AS bg
+    FROM base)
+),
+alltok AS (
+  SELECT unnest(t) AS term FROM base
+),
+uni AS (SELECT term, count(*)::BIGINT AS c_uni FROM alltok
+        WHERE length(term) > 0 GROUP BY term),
+tot AS (SELECT sum(c_uni)::BIGINT AS t FROM uni),
+ctx AS (SELECT prev, count(*)::BIGINT AS c_ctx FROM pairs GROUP BY prev),
+big AS (SELECT prev, cur, count(*)::BIGINT AS c_big
+        FROM pairs GROUP BY prev, cur),
+scored AS (
+  SELECT p.doc_id,
+         ln(0.7 * (b.c_big::DOUBLE / cx.c_ctx)
+            + (1.0 - 0.7) * (u.c_uni::DOUBLE / tot.t)) AS lp
+  FROM pairs p
+  JOIN big b ON p.prev = b.prev AND p.cur = b.cur
+  JOIN ctx cx ON p.prev = cx.prev
+  JOIN uni u ON p.cur = u.term
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """
     return sql

@@ -116,6 +116,7 @@ def main() -> None:
         "q_split_leakage",
         "q_conversion_attribution",
         "semantic_threshold_sweep",
+        "text_bigram_logprob",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

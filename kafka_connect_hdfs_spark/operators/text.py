@@ -1340,3 +1340,76 @@ def kwic_snippets(
             ).alias("snippet"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated-bigram language-model scoring (the CCNet-style
+    corpus-LM quality filter, one order up from :func:`unigram_logprob`):
+    each document's mean ``ln(lam·P(wᵢ|wᵢ₋₁) + (1−lam)·P(wᵢ))`` under the
+    corpus's own counts — bigram context catches word-salad that unigram
+    frequencies score as normal, and the unigram interpolation keeps
+    unseen bigrams finite. Returns (id, n_bigrams, avg_logprob); docs
+    with < 2 tokens are absent (no bigram positions).
+
+    Scale: token/bigram count tables are vocabulary-/bigram-vocabulary-
+    bounded aggregations with map-side combine; scoring re-joins counts
+    onto the per-position pairs — unigram and context-count tables come
+    back by broadcast, the bigram table by a gram-keyed join (bigram
+    vocabulary outgrows broadcast at 100 TB; it shuffles the pruned
+    (id, gram) pairs once). Probabilities are ratios of exact integer
+    counts — engine-reproducible; the mean rounds to 6.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    pairs = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.struct(
+                            F.element_at(toks, i).alias("prev"),
+                            F.element_at(toks, i + 1).alias("cur"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+            ).alias("bg"),
+        )
+        .select(F.col(id_col), F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    all_toks = df.select(F.explode(toks).alias("term")).filter(
+        F.length("term") > 0
+    )
+    uni = all_toks.groupBy("term").agg(F.count("*").alias("c_uni"))
+    total = uni.agg(F.sum("c_uni").alias("_t"))
+    # context counts C(prev •): occurrences of prev followed by anything —
+    # exactly the bigram-position count per prev token
+    ctx = pairs.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+    big = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c_big"))
+    scored = (
+        pairs.join(big, ["prev", "cur"])
+        .join(F.broadcast(ctx), "prev")
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("cur"), "c_uni")),
+            "cur",
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_lp",
+            F.log(
+                F.lit(lam) * (F.col("c_big") / F.col("c_ctx"))
+                + F.lit(1.0 - lam) * (F.col("c_uni") / F.col("_t"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )

@@ -977,3 +977,27 @@ def test_conversion_attribution_buckets(spark, sf_dir):
         "none", "within_1h", "within_24h", "older"
     }
     assert all(r["n_purchases"] > 0 for r in rows)
+
+
+def test_bigram_logprob_prefers_coherent_text(spark):
+    import math as _math
+
+    from kafka_connect_hdfs_spark.operators.text import bigram_logprob
+
+    # "a b" repeated gives high P(b|a); scrambled rare pairs score lower
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b a b"),
+            (1, "a b a b a b a b"),
+            (2, "b b a a b a a b"),   # same unigrams, jumbled bigrams
+            (3, "x"),                  # single token → no bigram rows
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert 3 not in out
+    assert out[0]["n_bigrams"] == 7
+    assert out[0]["avg_logprob"] == out[1]["avg_logprob"]
+    assert out[0]["avg_logprob"] > out[2]["avg_logprob"]
+    assert all(r["avg_logprob"] < 0 or _math.isclose(r["avg_logprob"], 0)
+               for r in out.values())
