@@ -76,16 +76,25 @@ def with_shingles(
     Built-ins only: split → transform over index range → concat_ws. The
     explode multiplies rows by ~tokens/doc; downstream operators aggregate
     immediately, so nothing holds the full exploded set in memory at once.
+
+    The token array is BOUND to a column before the per-position lambda:
+    expressions referenced inside transform/slice lambdas are not
+    common-subexpression-eliminated, so an unbound split would re-run the
+    regex per position per row — measured 3.4 s → 0.5 s at sf0.1 (the
+    same trap documented in text.bigram_logprob).
     """
     df = fan_out(df)
-    tokens = F.split(_norm_text(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
-    shingles = F.when(F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))).otherwise(
+    base = df.select(
+        F.col(id_col), F.split(_norm_text(text_col), " ").alias("_t")
+    )
+    t = F.col("_t")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    shingles = F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(
         F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
         )
     )
-    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return base.select(F.col(id_col), F.explode(shingles).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -172,6 +181,11 @@ def minhash_signatures(
     nothing until the caller's own aggregation.
     """
     df = fan_out(df)
+    # single-projection on purpose: A/B at sf0.1 measured the bound-column
+    # variant slower (0.68 s vs 0.44 s) — the whole signature pipeline
+    # lives in ONE projection where codegen CSE already shares the split,
+    # and binding forces the shingle array through a projection boundary.
+    # Contrast with_shingles/bigram_logprob/winnow, where binding wins.
     tokens = F.split(_norm_text(text_col), " ")
     shingle_arr = F.when(
         F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))
@@ -612,13 +626,19 @@ def chunk_dedup(
     are built, and the exploded rows carry only (id, idx, chunk) — never
     the full document).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-    chunks = F.expr(
-        f"transform(sequence(0, int(ceil(size(split(trim({text_col}), '\\\\s+')) / {chunk_tokens}.0)) - 1, 1), "
-        f"i -> struct(i AS idx, array_join(slice(split(trim({text_col}), '\\\\s+'), i * {chunk_tokens} + 1, {chunk_tokens}), ' ') AS chunk))"
+    # token array bound before the per-chunk lambda: a split inside the
+    # lambda body re-runs per chunk index (see with_shingles)
+    tokenized = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_tk")
     )
-    base = df.select(F.col(id_col), n_chunks.alias("n_chunks"), chunks.alias("_chunks"))
+    n_chunks = F.ceil(F.size(F.col("_tk")) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.expr(
+        f"transform(sequence(0, int(ceil(size(_tk) / {chunk_tokens}.0)) - 1, 1), "
+        f"i -> struct(i AS idx, array_join(slice(_tk, i * {chunk_tokens} + 1, {chunk_tokens}), ' ') AS chunk))"
+    )
+    base = tokenized.select(
+        F.col(id_col), n_chunks.alias("n_chunks"), chunks.alias("_chunks")
+    )
     ex = base.select(id_col, F.explode("_chunks").alias("c")).select(
         id_col, F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk")
     )

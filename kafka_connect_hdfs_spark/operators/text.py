@@ -298,19 +298,27 @@ def winnow_fingerprints(
     replays the pipeline exactly.
     """
     df = fan_out(df)
-    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    gram_idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+    # two binding stages: the normalized string is re-used per character
+    # position and the hash array per window position — left unbound,
+    # each lambda body would re-run the regexp/normalization (resp. the
+    # full hash build) per index (see bigram_logprob / with_shingles)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(F.col(id_col), norm.alias("_s"))
+    s = F.col("_s")
+    gram_idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1)))
     hashes = F.transform(
         gram_idx,
         lambda i: F.conv(
-            F.substring(F.md5(F.substring(t, i, k)), 1, 12), 16, 10
+            F.substring(F.md5(F.substring(s, i, k)), 1, 12), 16, 10
         ).cast("bigint"),
     )
-    win_idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(1)))
+    hashed = base.select(F.col(id_col), hashes.alias("_h"))
+    h = F.col("_h")
+    win_idx = F.sequence(F.lit(1), F.greatest(F.size(h) - (w - 1), F.lit(1)))
     fps = F.array_distinct(
-        F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
+        F.transform(win_idx, lambda j: F.array_min(F.slice(h, j, w)))
     )
-    return df.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+    return hashed.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
 
 
 def tfidf_top_terms(
@@ -615,6 +623,14 @@ def remove_hot_ngrams(
     O(n · |hot|); raise the threshold / lower the cap rather than letting
     |hot| grow unbounded.
     """
+    # NOTE deliberately single-projection/unbound here: A/B at sf0.1
+    # measured the bound-column variant (materializing the gram and
+    # hot-start arrays through projection boundaries) at 2× the cost —
+    # within ONE projection codegen subexpression elimination already
+    # evaluates hot_start once, and the wide gram array never needs to be
+    # carried between operators. The binding fix applies when a lambda
+    # body references an expensive UNSHARED expression (with_shingles,
+    # bigram_logprob, winnow) — not here.
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.when(
         F.size(toks) >= n,
@@ -680,7 +696,12 @@ def ngram_counts(
     not corpus tokens), and top-k is TakeOrdered — no global sort.
     """
     df = fan_out(df)
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # bound token array: an unbound split inside the slice lambda re-runs
+    # the regex per position (see bigram_logprob / with_shingles)
+    base = df.select(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_t")
+    )
+    toks = F.col("_t")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -691,7 +712,7 @@ def ngram_counts(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(grams).alias("gram"))
+        base.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
@@ -1316,7 +1337,13 @@ def kwic_snippets(
     array; rows grow only by occurrences of the term. No shuffle, no UDF.
     """
     t = F.col(text_col)
-    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    # bound token array: the position-filter lambda would re-split per
+    # index otherwise (see bigram_logprob / with_shingles)
+    base = df.filter(F.length(F.trim(t)) > 0).select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(t)), r"\s+").alias("_toks"),
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     positions = F.filter(
         F.sequence(F.lit(1), n),
@@ -1325,10 +1352,9 @@ def kwic_snippets(
     lo = F.greatest(F.lit(1), F.col("position") - window)
     hi = F.least(F.col("_n"), F.col("position") + window)
     return (
-        df.filter(F.length(F.trim(t)) > 0)
-        .select(
+        base.select(
             F.col(id_col),
-            toks.alias("_toks"),
+            toks,
             n.alias("_n"),
             F.explode(positions).alias("position"),
         )
@@ -1365,26 +1391,28 @@ def bigram_logprob(
     counts — engine-reproducible; the mean rounds to 6.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    pairs = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.when(
-                    F.size(toks) >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - 1),
-                        lambda i: F.struct(
-                            F.element_at(toks, i).alias("prev"),
-                            F.element_at(toks, i + 1).alias("cur"),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-            ).alias("bg"),
-        )
-        .select(F.col(id_col), F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    # bind the token array to a column BEFORE the per-position lambda:
+    # expressions inside transform/element_at lambdas are NOT common-
+    # subexpression-eliminated, so an unbound `toks` would re-run the
+    # regex split per position per row (measured 6.6 s → 0.9 s at sf0.1)
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), toks.alias("_t")
     )
-    all_toks = df.select(F.explode(toks).alias("term")).filter(
+    t = F.col("_t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = base.select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    ).select(
+        F.col(id_col), F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    all_toks = base.select(F.explode(t).alias("term")).filter(
         F.length("term") > 0
     )
     uni = all_toks.groupBy("term").agg(F.count("*").alias("c_uni"))
