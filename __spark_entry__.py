@@ -2070,6 +2070,22 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+def _q_dedup_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-star/small-star connected-components variant over the
+    SAME candidate pairs as dedup_clusters — min-reachability labels are
+    algorithm-independent, so the identical recursive-CTE oracle gates
+    the O(log²)-round scale path directly (not just its pytest
+    equivalence)."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        duplicate_clusters, ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.05, max_shingle_freq=200
+    )
+    return duplicate_clusters(pairs, method="star").orderBy("node")
+
+
 def _q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram corpus-LM scoring (lambda=0.7) per document."""
     from kafka_connect_hdfs_spark.operators.text import bigram_logprob
@@ -2446,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conversion_attribution": _q_conversion_attribution,
         "semantic_threshold_sweep": _q_semantic_threshold_sweep,
         "text_bigram_logprob": _q_text_bigram_logprob,
+        "dedup_star_clusters": _q_dedup_star_clusters,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -3122,6 +3139,7 @@ reach(node, r) AS (
 )
 SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
 """
+    sql["dedup_star_clusters"] = sql["dedup_clusters"]
     sql["dedup_minhash_signatures"] = _minhash_oracle(8)
     sql["dedup_minhash_lsh"] = _minhash_lsh_oracle(8, 4)
     sql["dedup_simhash"] = _simhash_oracle(16)

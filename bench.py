@@ -117,6 +117,7 @@ def main() -> None:
         "q_conversion_attribution",
         "semantic_threshold_sweep",
         "text_bigram_logprob",
+        "dedup_star_clusters",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings
