@@ -2070,6 +2070,82 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+def _q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution (complement of the last-touch as-of form):
+    each purchase attributed to the user's EARLIEST click — the per-user
+    first-click table is one tiny aggregate broadcast back, so the
+    purchase stream never shuffles."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click_ts"))
+    )
+    j = purchases.join(F.broadcast(first_click), "user_id", "left")
+    attributed = F.col("first_click_ts").isNotNull() & (
+        F.col("first_click_ts") <= F.col("ts")
+    )
+    return (
+        j.groupBy(attributed.alias("attributed"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("attributed")
+    )
+
+
+def _q_dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged corpus-reduction funnel: raw docs → exact-dedup survivors →
+    Gopher-rule keeps — the (stage, n_docs, n_tokens) table a pipeline
+    review reads to see where volume goes."""
+    from kafka_connect_hdfs_spark.operators.dedup import dedup_keep_first
+    from kafka_connect_hdfs_spark.operators.text import gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    n_tok = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("bigint")
+    )
+
+    def stage(d: DataFrame, name: str) -> DataFrame:
+        return d.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok).alias("n_tokens"),
+        )
+
+    deduped = dedup_keep_first(docs)
+    gated = gopher_rules(deduped, min_tokens=30, max_tokens=80).filter("keep")
+    return (
+        stage(docs, "1_raw")
+        .unionByName(stage(deduped, "2_exact_dedup"))
+        .unionByName(stage(gated, "3_gopher_keep"))
+        .orderBy("stage")
+    )
+
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID confusion matrix against the labeled lang
+    column — (lang, lang_pred, n): the eval that shows where the
+    stopword-overlap classifier breaks."""
+    from kafka_connect_hdfs_spark.operators.text import with_lang_scores
+
+    return (
+        with_lang_scores(_docs(spark, sf_dir))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
 def _q_dedup_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The large-star/small-star connected-components variant over the
     SAME candidate pairs as dedup_clusters — min-reachability labels are
@@ -2463,6 +2539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_threshold_sweep": _q_semantic_threshold_sweep,
         "text_bigram_logprob": _q_text_bigram_logprob,
         "dedup_star_clusters": _q_dedup_star_clusters,
+        "q_first_touch_attribution": _q_first_touch_attribution,
+        "corpus_reduction_report": _q_dedup_reduction_report,
+        "text_lang_confusion": _q_lang_confusion,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -3140,6 +3219,83 @@ reach(node, r) AS (
 SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
 """
     sql["dedup_star_clusters"] = sql["dedup_clusters"]
+
+    sql["q_first_touch_attribution"] = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+fc AS (SELECT user_id, min(ts) AS fct FROM events
+       WHERE event_type = 'click' GROUP BY 1)
+SELECT (fct IS NOT NULL AND fct <= ts) AS attributed,
+       count(*)::BIGINT AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM p LEFT JOIN fc USING (user_id)
+GROUP BY 1 ORDER BY attributed
+"""
+
+    sql["corpus_reduction_report"] = r"""
+WITH tok AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS nt
+  FROM documents
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents)
+  GROUP BY fp
+),
+dd AS (SELECT t.doc_id, t.text, t.nt FROM tok t JOIN keep USING (doc_id)),
+gsig AS (
+  SELECT doc_id, nt,
+         CASE WHEN length(trim(text)) = 0 THEN 0.0
+         ELSE list_sum(list_transform(
+                regexp_split_to_array(lower(trim(text)), '\s+'),
+                x -> length(x)))::DOUBLE
+              / len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+           AS mwl,
+         CASE WHEN length(trim(text)) = 0 THEN 0.0
+         ELSE ((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3)
+              / len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+           AS sr,
+         CASE WHEN length(trim(text)) = 0 THEN 0.0
+         ELSE len(list_filter(
+                regexp_split_to_array(lower(trim(text)), '\s+'),
+                x -> regexp_matches(x, '[a-z]')))
+              / len(regexp_split_to_array(lower(trim(text)), '\s+'))::DOUBLE
+         END AS awr
+  FROM dd
+),
+g AS (
+  SELECT doc_id, nt FROM gsig
+  WHERE NOT (nt < 30 OR nt > 80 OR round(mwl, 6) < 3.0 OR round(mwl, 6) > 10.0
+             OR round(sr, 6) > 0.1 OR round(awr, 6) < 0.8)
+)
+SELECT stage, n_docs, n_tokens FROM (
+  SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs,
+         sum(nt)::BIGINT AS n_tokens FROM tok
+  UNION ALL
+  SELECT '2_exact_dedup', count(*)::BIGINT, sum(nt)::BIGINT FROM dd
+  UNION ALL
+  SELECT '3_gopher_keep', count(*)::BIGINT, sum(nt)::BIGINT FROM g
+) ORDER BY stage
+"""
+
+    sql["text_lang_confusion"] = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {score_cols}
+  FROM documents
+),
+best AS (
+  SELECT doc_id, lang, list_min([{pair_list}]) AS b FROM scored
+)
+SELECT lang, CASE WHEN b[1] = 0 THEN 'und' ELSE b[2] END AS lang_pred,
+       count(*)::BIGINT AS n
+FROM best GROUP BY 1, 2 ORDER BY lang, lang_pred
+"""
     sql["dedup_minhash_signatures"] = _minhash_oracle(8)
     sql["dedup_minhash_lsh"] = _minhash_lsh_oracle(8, 4)
     sql["dedup_simhash"] = _simhash_oracle(16)

@@ -118,6 +118,9 @@ def main() -> None:
         "semantic_threshold_sweep",
         "text_bigram_logprob",
         "dedup_star_clusters",
+        "q_first_touch_attribution",
+        "corpus_reduction_report",
+        "text_lang_confusion",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings
