@@ -2433,8 +2433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROUND-4 ROTATION TODO: the first 50 slots should become, in order:
     #   (1) any r03 red rows (fix first),
     #   (2) the r03 window-overflow entries — everything from ann_cell_stats
-    #       through text_gopher_rules below (~30 queries, all locally
-    #       oracle-verified at sf0.01 this round),
+    #       through text_lang_confusion below (~49 queries, all locally
+    #       oracle-verified at sf0.01 multiple times this round; that is
+    #       nearly a full window — any remainder queues for r5),
     #   (3) r01 greens never re-checked (q_sessionize, asof_last_signup,
     #       p1..p5 partitioners, f1/f2 rotation, ... media_frame_sample).
     # Verify locally first:
