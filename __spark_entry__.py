@@ -2070,6 +2070,53 @@ def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir)).orderBy("i", "j")
 
 
+def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (cluster_size, n_clusters) over
+    the same pair set as dedup_clusters — the dup-pressure distribution a
+    corpus review reads ('how big do mirror groups get')."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        duplicate_clusters, ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.05, max_shingle_freq=200
+    )
+    clusters = duplicate_clusters(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit: per train/val/test split the doc count, token
+    volume, and mean quality — the check that hash splitting didn't skew
+    the held-out sets."""
+    from kafka_connect_hdfs_spark.operators.packing import split_corpus
+    from kafka_connect_hdfs_spark.operators.text import with_quality_score
+
+    scored = with_quality_score(_docs(spark, sf_dir))
+    t = F.trim(F.col("text"))
+    n_tok = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("bigint")
+    )
+    return (
+        split_corpus(scored)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok).alias("n_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+        .orderBy("split")
+    )
+
+
 def _q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch attribution (complement of the last-touch as-of form):
     each purchase attributed to the user's EARLIEST click — the per-user
@@ -2543,6 +2590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_first_touch_attribution": _q_first_touch_attribution,
         "corpus_reduction_report": _q_dedup_reduction_report,
         "text_lang_confusion": _q_lang_confusion,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "corpus_split_balance": _q_split_balance,
         "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
@@ -3220,6 +3269,47 @@ reach(node, r) AS (
 SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
 """
     sql["dedup_star_clusters"] = sql["dedup_clusters"]
+
+    sql["dedup_cluster_sizes"] = f"""
+SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM ({sql["dedup_clusters"]}) labs GROUP BY cluster_id
+) GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+    sql["corpus_split_balance"] = f"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS total,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE AS punct,
+         len({_TOKS})::DOUBLE AS n_tok,
+         len(list_filter({_TOKS}, x -> list_contains({_en}, x)))::DOUBLE AS n_stop,
+         len(list_distinct({_TOKS}))::DOUBLE AS n_uniq,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT
+           AS nt,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 12))::BIGINT
+           / 281474976710656.0 AS u
+  FROM documents
+),
+q AS (
+  SELECT doc_id, nt, u,
+         round((CASE WHEN total > 0 THEN alpha / total ELSE 0.0 END
+                + (1 - CASE WHEN total > 0 THEN punct / total ELSE 0.0 END)
+                + least(1.0, 4 * CASE WHEN n_tok > 0 THEN n_stop / n_tok
+                                      ELSE 0.0 END)
+                + CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END)
+               / 4, 6) AS quality_score
+  FROM feats
+)
+SELECT CASE WHEN u < 0.05 THEN 'test'
+            WHEN u < 0.95 THEN 'train'
+            ELSE 'val' END AS split,
+       count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+       round(avg(quality_score), 6) AS avg_quality
+FROM q GROUP BY 1 ORDER BY split
+"""
 
     sql["q_first_touch_attribution"] = """
 WITH p AS (SELECT event_id, user_id, ts, value FROM events

@@ -121,6 +121,8 @@ def main() -> None:
         "q_first_touch_attribution",
         "corpus_reduction_report",
         "text_lang_confusion",
+        "dedup_cluster_sizes",
+        "corpus_split_balance",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

@@ -1074,3 +1074,23 @@ def test_lang_confusion_matrix_semantics(spark, sf_dir):
     assert sum(r["n"] for r in rows) == load_table(
         spark, sf_dir, "documents"
     ).count()
+
+
+def test_cluster_sizes_and_split_balance(spark, sf_dir):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_cs", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    qs = m.queries()
+    sizes = qs["dedup_cluster_sizes"](spark, sf_dir).collect()
+    assert all(r["cluster_size"] >= 2 for r in sizes)  # singletons absent
+    bal = qs["corpus_split_balance"](spark, sf_dir).collect()
+    assert {r["split"] for r in bal} == {"train", "val", "test"}
+    total = sum(r["n_docs"] for r in bal)
+    train = next(r for r in bal if r["split"] == "train")
+    assert train["n_docs"] / total > 0.8  # ~90% weight
+    for r in bal:
+        assert 0 < r["avg_quality"] <= 1
