@@ -2023,6 +2023,36 @@ def _q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
 
 
+#: fixed BPE merge table for the text_bpe_encode gate — the serving path
+#: applies a table trained ONCE offline (bpe_learn), so the gate pins one;
+#: chosen to exercise multi-level chaining (whole-word merges) on the
+#: corpus vocabulary. Order is part of the contract.
+_BPE_GATE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("v", "a"), ("va", "l"), ("u", "e"), ("val", "ue"),
+    ("s", "t"), ("f", "a"), ("fa", "st"),
+    ("r", "o"), ("ro", "w"), ("k", "e"), ("ke", "y"),
+    ("t", "h"), ("th", "e"),
+]
+
+
+def _q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE encode: apply the pinned merge table to every
+    document (Sennrich apply semantics, expression-chain path — zero
+    shuffle / zero UDF) and emit the BPE token count plus the first-8-token
+    preview; these counts are what packing / token budgeting should use."""
+    from kafka_connect_hdfs_spark.operators.text import bpe_encode
+
+    enc = bpe_encode(
+        _docs(spark, sf_dir).select("doc_id", "text"), _BPE_GATE_MERGES
+    )
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("bpe_head"),
+    ).orderBy("doc_id")
+
+
 def _q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-bucketed curriculum ordering (exact ntile form): 4 quality
     tiers, deterministic md5 shuffle within each — the row order is the
@@ -2081,7 +2111,10 @@ def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         _docs(spark, sf_dir), n=3, threshold=0.05, max_shingle_freq=200
     )
-    clusters = duplicate_clusters(pairs)
+    # threshold 0.05 yields deep/chained components — the star-contraction
+    # route converges in O(log²) rounds vs diameter-many for propagation
+    # (labels are algorithm-independent, so the oracle is unchanged)
+    clusters = duplicate_clusters(pairs, method="star")
     return (
         clusters.groupBy("cluster_id")
         .agg(F.count("*").alias("cluster_size"))
@@ -2477,75 +2510,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                source triage report, persisted-IVF serving, hard
     #                negatives) — driver-checked on arrival (slots 39-50)
     #
-    # ROUND-4 ROTATION TODO: the first 50 slots should become, in order:
-    #   (1) any r03 red rows (fix first),
-    #   (2) the r03 window-overflow entries — everything from ann_cell_stats
-    #       through text_lang_confusion below (~49 queries, all locally
-    #       oracle-verified at sf0.01 multiple times this round; that is
-    #       nearly a full window — any remainder queues for r5),
-    #   (3) r01 greens never re-checked (q_sessionize, asof_last_signup,
-    #       p1..p5 partitioners, f1/f2 rotation, ... media_frame_sample).
-    # Verify locally first:
+    # ROUND-4 WINDOW (slots 1-50): the 46 r03 window-overflow entries —
+    # never driver-checked, locally oracle-verified at sf0.01 — plus the
+    # 4 oldest r01 greens as re-checks (q_sessionize, asof_last_signup,
+    # p1/p2 partitioners). Verified locally before rotation with:
     #   python scripts/oracle_check.py /root/testdata/sf0.01
+    # RE-CHECK CADENCE (r05+): once every registered query has a driver
+    # row, reserve ~10 tail-end window slots each round for the OLDEST
+    # driver-green entries (stalest evidence first); new queries take
+    # the remaining slots and this round's greens go to the back.
     return {
-        # --- never-checked before r03: CDC / sketches / layout / analytics
-        "cdc_latest_state": _q_cdc_latest_state,
-        "cdc_changelog_compact": _q_cdc_changelog_compact,
-        "embedding_dim_stats": _q_embedding_dim_stats,
-        "q_hll_distinct_users": _q_hll_distinct_users,
-        "q_approx_quantiles": _q_approx_quantiles,
-        "q_cms_heavy_hitters": _q_cms_heavy_hitters,
-        "q_zorder_values": _q_zorder_values,
-        "q_file_skipping": _q_file_skipping,
-        "q_funnel_stages": _q_funnel_stages,
-        "q_cohort_retention": _q_cohort_retention,
-        "q_user_erasure": _q_user_erasure,
-        "corpus_snapshot_diff": _q_corpus_snapshot_diff,
-        "dedup_chunks": _q_dedup_chunks,
-        "dedup_fuzzy_prefix": _q_dedup_fuzzy_prefix,
-        "text_unigram_logprob": _q_text_unigram_logprob,
-        "text_quality_filter": _q_text_quality_filter,
-        "text_unk_replace": _q_text_unk_replace,
-        "media_phash_neardup": _q_media_phash_neardup,
-        "ann_pq_topk": _q_ann_pq_topk,
-        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
-        "ops_merge_upsert": _q_ops_merge_upsert,
-        "q_rolling_7d_revenue": _q_rolling_7d_revenue,
-        "q_customer_deciles": _q_customer_deciles,
-        "q_value_histogram": _q_value_histogram,
-        "text_bigram_counts": _q_text_bigram_counts,
-        "q_peak_concurrency": _q_peak_concurrency,
-        "dedup_incremental_neardup": _q_dedup_incremental_neardup,
-        "json_quarantine": _q_json_quarantine,
-        "q_profile_events": _q_profile_events,
-        "q_integrity_check": _q_integrity_check,
-        "q_value_outliers": _q_value_outliers,
-        "q_event_cooccurrence": _q_event_cooccurrence,
-        "q_rate_cap_flags": _q_rate_cap_flags,
-        "embedding_normalize": _q_embedding_normalize,
-        "q_scd2_dimension": _q_scd2_dimension,
-        "q_table_checksum": _q_table_checksum,
-        # --- r02 hash-fail, oracle cast fixed this round
-        "q12_priority_shipping": A2.q12_priority_shipping,
-        # --- r02 no_oracle, FFD replay oracle added this round
-        "corpus_pack_bestfit": _q_corpus_pack_bestfit,
-        # --- NEW in r03
-        "dedup_lsh_jaccard_est": _q_dedup_lsh_jaccard_est,
-        "dedup_cluster_reps": _q_dedup_cluster_reps,
-        "text_hot_ngrams": _q_text_hot_ngrams,
-        "corpus_token_budget": _q_corpus_token_budget,
-        "semantic_dedup_flags": _q_semantic_dedup,
-        "corpus_chunk_overlap": _q_corpus_chunk_overlap,
-        "text_strip_markup": _q_text_strip_markup,
-        "ann_filtered_topk": _q_ann_filtered_topk,
-        "corpus_temperature_mix": _q_corpus_temperature_mix,
-        "q_source_report": _q_source_report,
-        "ann_index_serve": _q_ann_index_serve,
-        "ann_hard_negatives": _q_ann_hard_negatives,
-        # ================= below the 50-slot budget window =================
-        # NEW in r03 but window-overflow (12 queries, ann_cell_stats ...
-        # ann_triplets) — locally oracle-verified at sf0.01; FIRST in line
-        # for the r4 window, ahead of the r01-green re-checks
+        # --- r03 window-overflow: ANN / graph / text / corpus batch
         "ann_cell_stats": _q_ann_cell_stats,
         "ann_label_mrr": _q_ann_label_mrr,
         "dedup_lsh_eval": _q_dedup_lsh_eval,
@@ -2592,15 +2567,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_confusion": _q_lang_confusion,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "corpus_split_balance": _q_split_balance,
-        "w6_offset_recovery": A2.q_offset_recovery,
-        "q6_forecast_revenue": A2.q6_forecast_revenue,
-        "q_semi_anti_customers": A2.q_semi_anti_customers,
-        "q_set_ops_users": A2.q_set_ops_users,
-        # green in r01, not yet re-checked — first in line for r4 re-checks
+        # --- oldest r01 greens, re-checked this round (slots 47-50)
         "q_sessionize": A2.q_sessionize,
         "asof_last_signup": A2.q_asof_last_signup,
         "p1_default_partition": _q_p1_default_partition,
         "p2_field_partition": _q_p2_field_partition,
+        # ============== below the 50-slot budget window ==============
+        # --- NEW in r04 (locally oracle-verified; FRONT of the r05 window)
+        "text_bpe_encode": _q_text_bpe_encode,
+        # driver-green in r03 (freshest evidence, back of the queue):
+        "cdc_latest_state": _q_cdc_latest_state,
+        "cdc_changelog_compact": _q_cdc_changelog_compact,
+        "embedding_dim_stats": _q_embedding_dim_stats,
+        "q_hll_distinct_users": _q_hll_distinct_users,
+        "q_approx_quantiles": _q_approx_quantiles,
+        "q_cms_heavy_hitters": _q_cms_heavy_hitters,
+        "q_zorder_values": _q_zorder_values,
+        "q_file_skipping": _q_file_skipping,
+        "q_funnel_stages": _q_funnel_stages,
+        "q_cohort_retention": _q_cohort_retention,
+        "q_user_erasure": _q_user_erasure,
+        "corpus_snapshot_diff": _q_corpus_snapshot_diff,
+        "dedup_chunks": _q_dedup_chunks,
+        "dedup_fuzzy_prefix": _q_dedup_fuzzy_prefix,
+        "text_unigram_logprob": _q_text_unigram_logprob,
+        "text_quality_filter": _q_text_quality_filter,
+        "text_unk_replace": _q_text_unk_replace,
+        "media_phash_neardup": _q_media_phash_neardup,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
+        "ops_merge_upsert": _q_ops_merge_upsert,
+        "q_rolling_7d_revenue": _q_rolling_7d_revenue,
+        "q_customer_deciles": _q_customer_deciles,
+        "q_value_histogram": _q_value_histogram,
+        "text_bigram_counts": _q_text_bigram_counts,
+        "q_peak_concurrency": _q_peak_concurrency,
+        "dedup_incremental_neardup": _q_dedup_incremental_neardup,
+        "json_quarantine": _q_json_quarantine,
+        "q_profile_events": _q_profile_events,
+        "q_integrity_check": _q_integrity_check,
+        "q_value_outliers": _q_value_outliers,
+        "q_event_cooccurrence": _q_event_cooccurrence,
+        "q_rate_cap_flags": _q_rate_cap_flags,
+        "embedding_normalize": _q_embedding_normalize,
+        "q_scd2_dimension": _q_scd2_dimension,
+        "q_table_checksum": _q_table_checksum,
+        "q12_priority_shipping": A2.q12_priority_shipping,
+        "corpus_pack_bestfit": _q_corpus_pack_bestfit,
+        "dedup_lsh_jaccard_est": _q_dedup_lsh_jaccard_est,
+        "dedup_cluster_reps": _q_dedup_cluster_reps,
+        "text_hot_ngrams": _q_text_hot_ngrams,
+        "corpus_token_budget": _q_corpus_token_budget,
+        "semantic_dedup_flags": _q_semantic_dedup,
+        "corpus_chunk_overlap": _q_corpus_chunk_overlap,
+        "text_strip_markup": _q_text_strip_markup,
+        "ann_filtered_topk": _q_ann_filtered_topk,
+        "corpus_temperature_mix": _q_corpus_temperature_mix,
+        "q_source_report": _q_source_report,
+        "ann_index_serve": _q_ann_index_serve,
+        "ann_hard_negatives": _q_ann_hard_negatives,
+        # driver-green in r01/r02:
+        "w6_offset_recovery": A2.q_offset_recovery,
+        "q6_forecast_revenue": A2.q6_forecast_revenue,
+        "q_semi_anti_customers": A2.q_semi_anti_customers,
+        "q_set_ops_users": A2.q_set_ops_users,
         "p3_hourly_partition": _q_p3_hourly_partition,
         "p4_daily_partition": _q_p4_daily_partition,
         "p5_timebased_tz": _q_p5_timebased_tz,
@@ -2638,7 +2668,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mix": _q_corpus_sample_mix,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
-        # green in r02
         "q2_min_balance_supplier": A3.q2_min_balance_supplier,
         "q4_order_priority": A2.q4_order_priority,
         "q7_volume_shipping": A3.q7_volume_shipping,
@@ -5326,6 +5355,29 @@ edges AS (
 ),
 sym AS (SELECT s, d, w FROM edges UNION ALL SELECT d AS s, s AS d, w FROM edges),
 """ + _pagerank_cte(2) + "\nORDER BY rank DESC, node LIMIT 25"
+
+    # unrolled merge replay: identical wrap → replace-chain → split as the
+    # Spark expression path (literal replace is left-to-right
+    # non-overlapping in both engines — that IS the BPE apply step)
+    _bpe_s = f"regexp_replace(replace({_NORM}, chr(1), ''), '([^ ])', chr(1) || '\\1' || chr(1), 'g')"
+    for _l, _r in _BPE_GATE_MERGES:
+        _bpe_s = (
+            f"replace({_bpe_s}, chr(1)||'{_l}'||chr(1)||chr(1)||'{_r}'||chr(1), "
+            f"chr(1)||'{_l}{_r}'||chr(1))"
+        )
+    _bpe_s = f"replace({_bpe_s}, chr(1)||' '||chr(1), chr(1)||chr(1))"
+    sql["text_bpe_encode"] = f"""
+WITH enc AS (
+  SELECT doc_id,
+         list_filter(string_split(trim({_bpe_s}, chr(1)), chr(1)||chr(1)),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_bpe_tokens,
+       array_to_string(toks[1:8], ' ') AS bpe_head
+FROM enc ORDER BY doc_id
+"""
 
     sql["text_bpe_pairs"] = r"""
 WITH words AS (

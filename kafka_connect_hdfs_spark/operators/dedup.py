@@ -506,6 +506,32 @@ def duplicate_clusters(
     )
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+
+    # Convergence by ONE aggregate on the label table per round instead of
+    # an old⋈new join + count (a |nodes| shuffle per iteration). Labels only
+    # DECREASE under min-propagation, so for numeric ids an exact monotone
+    # witness exists: sum(cluster_id) is strictly decreasing until the fixed
+    # point — equality ⇒ converged, no collision risk. Non-numeric ids fall
+    # back to the (count, bit_xor(xxhash64)) signature from
+    # graph.py:connected_components_star.
+    from pyspark.sql.types import NumericType
+
+    _numeric = isinstance(labels.schema["cluster_id"].dataType, NumericType)
+
+    def _label_sig(lab: DataFrame) -> tuple:
+        if _numeric:
+            row = lab.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s"),
+            ).collect()[0]
+            return (row["n"], row["s"])
+        row = lab.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("node", "cluster_id")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    sig = _label_sig(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -521,15 +547,11 @@ def duplicate_clusters(
                 ).alias("cluster_id"),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sig = _label_sig(labels)
+        if new_sig == sig:
             break
+        sig = new_sig
     return labels.select("node", "cluster_id")
 
 

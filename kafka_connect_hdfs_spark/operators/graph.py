@@ -263,9 +263,15 @@ def connected_components_star(
     Equivalence with duplicate_clusters is pytest-gated on random graphs
     and on the chain topology where propagation is at its worst.
     """
+    # materialize the raw pair projection ONCE — the contraction loop, the
+    # convergence signature, and the self-pair restore below all derive
+    # from it, and `pairs` is typically an expensive generated frame
+    # (LSH / Jaccard candidate pipelines) that must not be recomputed
+    uv = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint(eager=True)
     e = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        uv.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -314,19 +320,44 @@ def connected_components_star(
         )
 
     sig = _sig(e)
+    stable = 0
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         new_sig = _sig(e)
         if new_sig == sig:
-            break
+            # require TWO consecutive equal signatures: star rounds are
+            # idempotent at the fixed point, so the confirm round is cheap,
+            # and a hash collision between successive DISTINCT edge sets
+            # can no longer terminate the loop silently
+            stable += 1
+            if stable >= 2:
+                break
+        else:
+            stable = 0
         sig = new_sig
     # converged graph is a union of stars centered at component minima:
     # every node's label is its minimum incident endpoint (or itself)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    return (
+    labels = (
         sym.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("cluster_id"))
         .select(F.col("u").alias("node"), "cluster_id")
+    )
+    # nodes appearing ONLY in self-pairs were dropped by the u != v edge
+    # filter; the propagation path returns them with cluster_id = own id,
+    # so union them back for contract parity (dedup.py:duplicate_clusters).
+    # Candidate generators never emit self-pairs, so the common case is a
+    # cheap limit-1 probe on the checkpointed projection and zero joins.
+    self_nodes = (
+        uv.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
+        .distinct()
+    )
+    if self_nodes.isEmpty():
+        return labels
+    missing = self_nodes.join(labels, "node", "left_anti")
+    return labels.unionByName(
+        missing.select("node", F.col("node").alias("cluster_id"))
     )
 
 

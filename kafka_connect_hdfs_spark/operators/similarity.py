@@ -1627,10 +1627,25 @@ def mmr_rerank(
         "neighbor_id",
     ).select("query_id", "neighbor_id", "cosine", "_nv")
 
+    # derive the id field types from the actual input — every other top-k
+    # operator here is id-type-agnostic via id_col, so don't hard-code long
+    _qid_t = cand_vec.schema["query_id"].dataType.simpleString()
+    _nid_t = cand_vec.schema["neighbor_id"].dataType.simpleString()
     schema = (
-        "query_id long, neighbor_id long, relevance double, "
+        f"query_id {_qid_t}, neighbor_id {_nid_t}, relevance double, "
         "mmr_score double, mmr_rank int"
     )
+
+    def _round6(a):
+        # HALF_UP at 6 dp, matching F.round / DuckDB round() — np.round is
+        # round-half-even on binary doubles and diverges from the oracle on
+        # boundary values (and the rounded score is the argmax selection key)
+        a = np.asarray(a, dtype="float64")
+        return np.where(
+            np.isfinite(a),
+            np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6,
+            a,
+        )
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -1656,7 +1671,7 @@ def mmr_rerank(
             # key, and rounding to 6 dp (the repo-wide float contract)
             # absorbs last-ulp engine differences so a SQL replayer picks
             # the same candidate; ties at rounded equality break on id
-            mmr = np.round(mmr, 6)
+            mmr = _round6(mmr)
             best_score = mmr.max()
             ties = np.flatnonzero(mmr == best_score)
             pick = ties[np.argmin(pdf["neighbor_id"].to_numpy()[ties])]
@@ -1667,8 +1682,8 @@ def mmr_rerank(
             {
                 "query_id": pdf["query_id"].iloc[chosen].to_numpy(),
                 "neighbor_id": pdf["neighbor_id"].iloc[chosen].to_numpy(),
-                "relevance": np.round(rel[chosen], 6),
-                "mmr_score": np.round(scores, 6),
+                "relevance": _round6(rel[chosen]),
+                "mmr_score": _round6(scores),
                 "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int32"),
             }
         )

@@ -1128,6 +1128,127 @@ def bpe_learn(
     return merges
 
 
+#: symbol-boundary sentinel for the expression-chain BPE encoder — U+0001
+#: never occurs in normal text and is regex-safe as a literal
+_BPE_SEP = "\x01"
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "list[tuple]",
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    max_expr_merges: int = 500,
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus — the SERVING half of
+    the tokenizer path (:func:`bpe_learn` trains the table once, offline;
+    this operator tokenizes the 100 TB). Sennrich et al. 2016 semantics:
+    merges apply in table order, each one greedily left-to-right
+    non-overlapping within whitespace words, never across words. Adds
+    ``out_col`` (array<string> of BPE symbols in document order) and
+    ``n_bpe_tokens`` — the count real packing / token-budget planning
+    should use instead of whitespace token counts.
+
+    Scale: the whole encode is a scalar string-expression chain — wrap
+    every non-space char of the normalized text as ``␁c␁`` with ONE
+    ``regexp_replace``, then each merge ``(l, r)`` is ONE literal
+    ``replace('␁l␁␁r␁' → '␁lr␁')`` (Java's literal replace scans
+    left-to-right non-overlapping, which IS the BPE apply step; the
+    double-sentinel boundary makes a match possible only on whole
+    adjacent symbols, and the un-wrapped space makes cross-word merges
+    unmatchable). Zero shuffle, zero UDF, whole-stage codegen — runs at
+    scan speed in the first projection, and DuckDB replays the identical
+    replace chain for the oracle. Above ``max_expr_merges`` (codegen
+    expression-depth guard) the same semantics run as an Arrow-batched
+    ``mapInPandas`` with rank-dict lookup — production-size (32k-merge)
+    tables take that path.
+
+    Reference parity: the reference formats records byte-for-byte via
+    format writers (AvroRecordWriterProvider etc.,
+    src/main/java/io/confluent/connect/hdfs/avro/AvroRecordWriterProvider.java:1);
+    tokenization-for-packing is the LLM-pipeline analogue of that
+    serialization stage.
+    """
+    pairs = [(m[0], m[1]) for m in merges]
+    S = _BPE_SEP
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    # the sentinel must not pre-exist in the data
+    norm = F.replace(norm, F.lit(S), F.lit(""))
+
+    if len(pairs) <= max_expr_merges:
+        s = F.regexp_replace(norm, "([^ ])", S + "$1" + S)
+        for left, right in pairs:
+            s = F.replace(
+                s,
+                F.lit(S + left + S + S + right + S),
+                F.lit(S + left + right + S),
+            )
+        # word boundary (␁ ␁) becomes a plain symbol boundary (␁␁) only
+        # AFTER all merges — no merge can have crossed it
+        s = F.replace(s, F.lit(S + " " + S), F.lit(S + S))
+        toks = F.split(F.btrim(s, F.lit(S)), S + S)
+        toks = F.filter(toks, lambda c: c != "")
+        out = df.withColumn(out_col, toks)
+    else:
+        merged_sym = {p: p[0] + p[1] for p in pairs}
+
+        def _encode_word(word: str, cache: dict) -> "list[str]":
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            for p, m in zip(pairs, (merged_sym[p] for p in pairs)):
+                if len(syms) < 2:
+                    break
+                out_s: list[str] = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and syms[i] == p[0]
+                        and syms[i + 1] == p[1]
+                    ):
+                        out_s.append(m)
+                        i += 2
+                    else:
+                        out_s.append(syms[i])
+                        i += 1
+                syms = out_s
+            cache[word] = syms
+            return syms
+
+        import re as _re
+
+        def _batches(it):
+            cache: dict = {}
+            for pdf in it:
+                texts = pdf[text_col].fillna("")
+                toks_col = []
+                for t in texts:
+                    t = _re.sub(r"\s+", " ", str(t).lower()).strip()
+                    t = t.replace(S, "")
+                    toks: list[str] = []
+                    for w in t.split(" "):
+                        if w:
+                            toks.extend(_encode_word(w, cache))
+                    toks_col.append(toks)
+                pdf = pdf.copy()
+                pdf[out_col] = toks_col
+                yield pdf
+
+        fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        out = df.mapInPandas(
+            _batches, schema=f"{fields}, {out_col} array<string>"
+        )
+    return out.withColumn(
+        "n_bpe_tokens", F.size(F.col(out_col)).cast("bigint")
+    )
+
 def gopher_rules(
     df: DataFrame,
     min_tokens: int = 50,

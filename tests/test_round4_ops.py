@@ -1,0 +1,219 @@
+"""Round-4 operators and fixes: distributed BPE encode (expression-chain
+and Arrow paths), star-contraction self-pair contract parity, single-agg
+convergence in duplicate_clusters, HALF_UP rounding in MMR rerank."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode
+
+
+def _bpe_reference(text: str, merges) -> list[str]:
+    """Pure-Python Sennrich apply: merges in table order, each greedy
+    left-to-right non-overlapping within whitespace words."""
+    import re
+
+    toks: list[str] = []
+    for w in re.sub(r"\s+", " ", text.lower()).strip().split(" "):
+        if not w:
+            continue
+        syms = list(w)
+        for left, right in merges:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("a", "a"), ("l", "o"), ("lo", "w"),
+]
+
+DOCS = [
+    (1, "table tables stable"),
+    (2, "aaaa aaa aa a"),          # overlap: left-to-right non-overlapping
+    (3, "low slow lower tab"),
+    (4, ""),                        # empty doc -> zero tokens
+    (5, "  spaced   out  "),        # whitespace squeeze
+    (6, "taab"),                    # (t,a) fires once, 'ab' stays split
+]
+
+
+def _make_docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bpe_encode_matches_reference_expression_path(spark):
+    from kafka_connect_hdfs_spark.operators.text import bpe_encode
+
+    rows = bpe_encode(_make_docs(spark), MERGES).orderBy("doc_id").collect()
+    for r in rows:
+        want = _bpe_reference(dict(DOCS)[r["doc_id"]], MERGES)
+        assert list(r["bpe_tokens"]) == want, r["doc_id"]
+        assert r["n_bpe_tokens"] == len(want)
+
+
+def test_bpe_encode_pandas_path_equals_expression_path(spark):
+    from kafka_connect_hdfs_spark.operators.text import bpe_encode
+
+    docs = _make_docs(spark)
+    expr = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(docs, MERGES).collect()
+    }
+    arrow = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(docs, MERGES, max_expr_merges=0).collect()
+    }
+    assert expr == arrow
+
+
+def test_bpe_encode_overlap_is_left_to_right(spark):
+    from kafka_connect_hdfs_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame([(1, "aaaa aaa")], "doc_id long, text string")
+    r = bpe_encode(docs, [("a", "a")]).collect()[0]
+    # aaaa -> [aa, aa]; aaa -> [aa, a]
+    assert list(r["bpe_tokens"]) == ["aa", "aa", "aa", "a"]
+
+
+def test_bpe_encode_applies_learned_table(spark):
+    """End-to-end: bpe_learn trains the table, bpe_encode applies it —
+    encoded corpus must match the pure-Python replay of the same table."""
+    from kafka_connect_hdfs_spark.operators.text import bpe_encode, bpe_learn
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the cat sat on the mat", "the hat of the cat", "rats sat flat"]
+        )],
+        "doc_id long, text string",
+    )
+    merges = [(m[0], m[1]) for m in bpe_learn(docs, n_merges=8)]
+    assert merges, "learner produced no merges"
+    rows = bpe_encode(docs, merges).orderBy("doc_id").collect()
+    texts = {r["doc_id"]: r for r in rows}
+    for i, t in enumerate(
+        ["the cat sat on the mat", "the hat of the cat", "rats sat flat"]
+    ):
+        assert list(texts[i]["bpe_tokens"]) == _bpe_reference(t, merges)
+
+
+def test_bpe_encode_is_shuffle_free(spark):
+    from kafka_connect_hdfs_spark.operators.text import bpe_encode
+
+    plan = bpe_encode(_make_docs(spark), MERGES)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# star-contraction contract parity (ADVICE r03)
+
+
+def test_star_keeps_self_pair_only_nodes(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 3), (4, 4), (2, 1)], "id_a long, id_b long"
+    )
+    for method in ("propagation", "star"):
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs, method=method).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 3, 4: 4}, method
+
+
+def test_star_equals_propagation_on_chain_with_self_pairs(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import duplicate_clusters
+
+    # chain length stays under duplicate_clusters' default max_iter=25 —
+    # min-label propagation needs diameter-many rounds (star does not)
+    chain = [(i, i + 1) for i in range(20)] + [(99, 99), (50, 60)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    a = sorted(
+        (r["node"], r["cluster_id"])
+        for r in duplicate_clusters(pairs, method="propagation").collect()
+    )
+    b = sorted(
+        (r["node"], r["cluster_id"])
+        for r in duplicate_clusters(pairs, method="star").collect()
+    )
+    assert a == b
+    assert (99, 99) in a
+
+
+def test_propagation_converges_with_string_ids(spark):
+    """Non-numeric ids exercise the hash-signature convergence fallback."""
+    from kafka_connect_hdfs_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+# ---------------------------------------------------------------------------
+# MMR HALF_UP rounding (ADVICE r03 high)
+
+
+def test_mmr_rounding_is_half_up(spark):
+    """0.2386405 must round to 0.238641 (HALF_UP, like F.round/DuckDB),
+    not 0.23864 (numpy round-half-even)."""
+    import numpy as np
+
+    from kafka_connect_hdfs_spark.operators import similarity as sim
+
+    # the module-level helper is defined inside mmr_rerank; test through
+    # the operator with a crafted geometry instead: one query, candidates
+    # whose lam*rel lands exactly on a .5 boundary at 6 dp
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.4772810, 0.8788348]),  # cos with q approx 0.4772810
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = sim.mmr_rerank(emb, queries, k=2, pool=5, lam=0.5).collect()
+    for r in out:
+        # every reported score must equal its own HALF_UP 6-dp rounding
+        for field in ("relevance", "mmr_score"):
+            v = r[field]
+            assert v == pytest.approx(
+                np.sign(v) * np.floor(abs(v) * 1e6 + 0.5) / 1e6, abs=1e-12
+            )
+
+
+def test_mmr_rerank_non_long_ids(spark):
+    """ADVICE r03: output schema must follow the id column types."""
+    from kafka_connect_hdfs_spark.operators.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [0.7, 0.7])],
+        "vec_id string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    rows = mmr_rerank(emb, queries, k=2, pool=3, id_col="vec_id").collect()
+    assert {r["query_id"] for r in rows} == {"q1"}
+    assert all(isinstance(r["neighbor_id"], str) for r in rows)
