@@ -1800,6 +1800,29 @@ def _q_text_unk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unk_replace(_docs(spark, sf_dir), min_count=2).orderBy("doc_id")
 
 
+def _q_text_quality_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the per-language quality gate: sketch threshold
+    per language + broadcast map-side filter — no per-language sort (the
+    exact window form is the oracle reference; this gate proves the scale
+    path itself against DuckDB quantile_disc)."""
+    from kafka_connect_hdfs_spark.operators.text import quality_percentile_filter
+
+    return quality_percentile_filter(
+        _docs(spark, sf_dir), min_percentile=0.2, exact=False
+    ).orderBy("doc_id")
+
+
+def _q_text_unk_replace_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >64k-vocab form of closed-vocabulary pruning: posexplode →
+    broadcast-join against the kept vocab → position-preserving reassembly
+    (vocab_literal_max=0 forces the join path the 100 TB corpus takes)."""
+    from kafka_connect_hdfs_spark.operators.text import unk_replace
+
+    return unk_replace(
+        _docs(spark, sf_dir), min_count=2, vocab_literal_max=0
+    ).orderBy("doc_id")
+
+
 def _q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.plans.analytics4 import q_rolling_7d_revenue
 
@@ -2050,6 +2073,25 @@ def _q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bpe_tokens",
         F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("bpe_head"),
+    ).orderBy("doc_id")
+
+
+def _q_corpus_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on BPE token counts — the budget the training run
+    actually packs against comes from the tokenizer (bpe_encode), not
+    whitespace splitting; same concat-and-chunk assignment contract as
+    corpus_pack_sequences."""
+    from kafka_connect_hdfs_spark.operators.packing import with_sequence_packing
+    from kafka_connect_hdfs_spark.operators.text import bpe_encode
+
+    enc = bpe_encode(
+        _docs(spark, sf_dir).select("doc_id", "text"), _BPE_GATE_MERGES
+    )
+    with_tokens = enc.select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return with_sequence_packing(
+        with_tokens, budget=512, token_col="n_tokens", id_col="doc_id", shards=8
     ).orderBy("doc_id")
 
 
@@ -2432,6 +2474,23 @@ def _q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, id_a="user_a", id_b="user_b")
 
 
+def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-visitation graph: iterative peeling until every
+    surviving user has >= 3 surviving co-visit partners — the dense-ring
+    (spam/bot cohort) extractor; returns each survivor with its in-core
+    degree."""
+    from kafka_connect_hdfs_spark.operators.graph import (
+        covisit_edges, kcore_decompose,
+    )
+
+    edges = covisit_edges(
+        _events(spark, sf_dir), max_users_per_bucket=200
+    ).filter(F.col("n_covisits") >= 3)
+    return kcore_decompose(edges, k=3, id_a="user_a", id_b="user_b").orderBy(
+        "node"
+    )
+
+
 def _q_graph_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-level Jaccard between sources over the capped shingle
     universe — the mirror-site detector normalized for source size."""
@@ -2575,6 +2634,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ============== below the 50-slot budget window ==============
         # --- NEW in r04 (locally oracle-verified; FRONT of the r05 window)
         "text_bpe_encode": _q_text_bpe_encode,
+        "text_quality_filter_approx": _q_text_quality_filter_approx,
+        "text_unk_replace_join": _q_text_unk_replace_join,
+        "corpus_pack_bpe": _q_corpus_pack_bpe,
+        "graph_kcore": _q_graph_kcore,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -5174,6 +5237,40 @@ ranked AS (
 SELECT doc_id, lang, quality_score, q_pct
 FROM ranked WHERE q_pct >= 0.2 ORDER BY doc_id
 """
+    # the 100 TB path: per-language sketch threshold + broadcast filter —
+    # no per-language sort. At driver scale the accuracy-10000 sketch holds
+    # every value, and Spark's exact-mode percentile_approx picks the same
+    # order statistic as DuckDB quantile_disc (ceil(p·n)−1 ≡ floor(p·(n−1))
+    # for p=0.2 — empirically cross-checked over a range of n)
+    sql["text_quality_filter_approx"] = f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         length(text)::DOUBLE AS total,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE AS punct,
+         len({_TOKS})::DOUBLE AS n_tok,
+         len(list_filter({_TOKS}, x -> list_contains({_en}, x)))::DOUBLE AS n_stop,
+         len(list_distinct({_TOKS}))::DOUBLE AS n_uniq
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         round((CASE WHEN total > 0 THEN alpha / total ELSE 0.0 END
+                + (1 - CASE WHEN total > 0 THEN punct / total ELSE 0.0 END)
+                + least(1.0, 4 * CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END)
+                + CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END) / 4, 6)
+           AS quality_score
+  FROM feats
+),
+thresholds AS (
+  SELECT lang, quantile_disc(quality_score, 0.2) AS q_threshold
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.quality_score, t.q_threshold
+FROM scored s JOIN thresholds t USING (lang)
+WHERE s.quality_score >= t.q_threshold
+ORDER BY s.doc_id
+"""
     sql["ann_ivfpq_topk"] = """
 WITH seeds AS (
   SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
@@ -5287,6 +5384,9 @@ SELECT doc_id, len(t)::INT AS n_tokens,
          AS pruned_text
 FROM toks CROSS JOIN keptl ORDER BY doc_id
 """
+    # the >64k-vocab join path (vocab_literal_max=0 forces it) produces the
+    # SAME output as the literal path by contract — one oracle serves both
+    sql["text_unk_replace_join"] = sql["text_unk_replace"]
 
     def _pagerank_cte(n_iter: int, damping: float = 0.85) -> str:
         # unrolled power iteration over CTEs `sym(s, d, w)`; replays
@@ -5377,6 +5477,30 @@ SELECT doc_id,
        len(toks)::BIGINT AS n_bpe_tokens,
        array_to_string(toks[1:8], ' ') AS bpe_head
 FROM enc ORDER BY doc_id
+"""
+
+    # sequence packing driven by the BPE token counts (the tokenizer the
+    # training run actually uses), not whitespace counts — same greedy
+    # concat-and-chunk replay as corpus_pack_sequences
+    sql["corpus_pack_bpe"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim({_bpe_s}, chr(1)), chr(1)||chr(1)),
+                         x -> x <> ''))::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 8 AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT - n_tokens
+           AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, shard,
+       floor(start_tok::DOUBLE / 512)::BIGINT AS seq,
+       start_tok % 512 AS offset_in_seq
+FROM c ORDER BY doc_id
 """
 
     sql["text_bpe_pairs"] = r"""
@@ -5652,6 +5776,54 @@ wedge AS (
 SELECT count(*)::BIGINT AS n_triangles
 FROM wedge JOIN oriented o ON wedge.a = o.u AND wedge.c = o.v
 """
+
+    # unrolled k-core peel: same covisit edge build as triangle_count,
+    # then R rounds of (degree -> keep d>=k -> filter edges); converges
+    # well inside the unroll depth at driver scales (Spark side iterates
+    # to the exact fixed point, so extra rounds are no-ops on both sides)
+    # MATERIALIZED: each round references the previous one three times —
+    # inlined CTEs would re-evaluate the chain 3^R times (and re-open the
+    # parquet file until the fd limit), materialization keeps it linear
+    _kcore_parts = [
+        "sym0 AS MATERIALIZED "
+        "(SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)"
+    ]
+    for _i in range(1, 11):
+        _kcore_parts.append(
+            f"deg{_i} AS MATERIALIZED "
+            f"(SELECT u, count(*) AS d FROM sym{_i-1} GROUP BY u)"
+        )
+        _kcore_parts.append(
+            f"keep{_i} AS (SELECT u FROM deg{_i} WHERE d >= 3)"
+        )
+        _kcore_parts.append(
+            f"sym{_i} AS MATERIALIZED (SELECT s.u, s.v FROM sym{_i-1} s"
+            f" JOIN keep{_i} a ON s.u = a.u JOIN keep{_i} b ON s.v = b.u)"
+        )
+    sql["graph_kcore"] = (
+        """
+WITH cell AS (
+  SELECT DISTINCT user_id AS u, event_type AS it,
+         date_trunc('hour', ts) AS bkt
+  FROM events
+),
+csize AS (SELECT it, bkt, count(*) AS n_users FROM cell GROUP BY 1, 2),
+cf AS (
+  SELECT cell.u, cell.it, cell.bkt FROM cell
+  JOIN csize USING (it, bkt) WHERE csize.n_users <= 200
+),
+e AS (
+  SELECT a.u AS u, b.u AS v
+  FROM cf a JOIN cf b ON a.it = b.it AND a.bkt = b.bkt AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+"""
+        + ",\n".join(_kcore_parts)
+        + """
+SELECT u AS node, count(*)::BIGINT AS core_degree
+FROM sym10 GROUP BY u HAVING count(*) >= 3 ORDER BY node
+"""
+    )
 
     sql["graph_source_jaccard"] = r"""
 WITH toksrc AS (

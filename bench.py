@@ -124,6 +124,11 @@ def main() -> None:
         "text_lang_confusion",
         "dedup_cluster_sizes",
         "corpus_split_balance",
+        # r4 additions: benched on arrival
+        "text_bpe_encode",
+        "text_quality_filter_approx",
+        "text_unk_replace_join",
+        "corpus_pack_bpe",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

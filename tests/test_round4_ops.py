@@ -217,3 +217,43 @@ def test_mmr_rerank_non_long_ids(spark):
     rows = mmr_rerank(emb, queries, k=2, pool=3, id_col="vec_id").collect()
     assert {r["query_id"] for r in rows} == {"q1"}
     assert all(isinstance(r["neighbor_id"], str) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    from kafka_connect_hdfs_spark.operators.graph import kcore_decompose
+
+    # K4 clique (1..4) with a pendant path 4-5-6: the 3-core is exactly K4
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore_decompose(pairs, k=3).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_empty_when_no_core(spark):
+    from kafka_connect_hdfs_spark.operators.graph import kcore_decompose
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    assert kcore_decompose(pairs, k=3).count() == 0
+
+
+def test_kcore_2core_drops_tree_branches(spark):
+    from kafka_connect_hdfs_spark.operators.graph import kcore_decompose
+
+    # cycle 1-2-3-1 with tree hanging off node 3 (3-4, 4-5): 2-core = cycle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore_decompose(pairs, k=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
