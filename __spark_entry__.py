@@ -1800,6 +1800,20 @@ def _q_text_unk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unk_replace(_docs(spark, sf_dir), min_count=2).orderBy("doc_id")
 
 
+def _q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage (Lee et al. 2022 substring
+    dedup, W-gram rolling-hash form): per doc, the number of 8-token spans
+    shared with >= 2 docs and the fraction of token positions covered by
+    their union — the trim/drop signal for boilerplate-assembled docs."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        duplicated_span_coverage,
+    )
+
+    return duplicated_span_coverage(
+        _docs(spark, sf_dir), window=8, min_docs=2
+    ).orderBy("doc_id")
+
+
 def _q_text_quality_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of the per-language quality gate: sketch threshold
     per language + broadcast map-side filter — no per-language sort (the
@@ -2638,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unk_replace_join": _q_text_unk_replace_join,
         "corpus_pack_bpe": _q_corpus_pack_bpe,
         "graph_kcore": _q_graph_kcore,
+        "dedup_span_coverage": _q_dedup_span_coverage,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -5387,6 +5402,47 @@ FROM toks CROSS JOIN keptl ORDER BY doc_id
     # the >64k-vocab join path (vocab_literal_max=0 forces it) produces the
     # SAME output as the literal path by contract — one oracle serves both
     sql["text_unk_replace_join"] = sql["text_unk_replace"]
+
+    sql["dedup_span_coverage"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS t,
+         CASE WHEN length(array_to_string({_TOKS}, '')) = 0 THEN 0
+              ELSE len({_TOKS}) END::BIGINT AS n_tokens
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(0, len(t) - 8)) AS pos, t
+  FROM tok WHERE len(t) >= 8
+),
+sp2 AS MATERIALIZED (
+  SELECT doc_id, n_tokens, pos,
+         md5(array_to_string(t[pos+1:pos+8], ' ')) AS h
+  FROM sp
+),
+sd AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM sp2)
+  GROUP BY h HAVING count(*) >= 2
+),
+dup AS (SELECT s.doc_id, s.pos FROM sp2 s JOIN sd USING (h)),
+cov AS (
+  SELECT doc_id, pos,
+         least(8, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                           - pos, 8)) AS c
+  FROM dup
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_spans, sum(c) AS covered
+  FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       round(CASE WHEN t.n_tokens > 0
+                  THEN coalesce(p.covered, 0) / t.n_tokens::DOUBLE
+                  ELSE 0.0 END, 6) AS dup_token_coverage
+FROM tok t LEFT JOIN per p USING (doc_id)
+ORDER BY t.doc_id
+"""
 
     def _pagerank_cte(n_iter: int, damping: float = 0.85) -> str:
         # unrolled power iteration over CTEs `sym(s, d, w)`; replays

@@ -129,6 +129,8 @@ def main() -> None:
         "text_quality_filter_approx",
         "text_unk_replace_join",
         "corpus_pack_bpe",
+        "graph_kcore",
+        "dedup_span_coverage",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

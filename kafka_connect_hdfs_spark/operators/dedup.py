@@ -988,3 +988,92 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "n_common", "containment_a", "containment_b")
     )
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    window: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN coverage — the W-gram rolling-hash
+    approximation of substring-level train-set dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which uses
+    suffix arrays single-node; positional W-gram fingerprints are the
+    standard distributed approximation). A span is ``window`` consecutive
+    tokens; a span is DUPLICATED if its fingerprint occurs in at least
+    ``min_docs`` distinct documents. Returns per document::
+
+        (id, n_tokens, n_dup_spans, dup_token_coverage)
+
+    where ``dup_token_coverage`` is the fraction of the document's token
+    positions covered by the UNION of its duplicated spans — the signal
+    used to drop or trim boilerplate-heavy documents (coverage ≈ 1 means
+    the document is assembled from repeated material).
+
+    Scale: positional spans are built map-side (bound token array →
+    transform over an index range → posexplode); the only corpus-sized
+    shuffles carry ``(id, pos, span_md5)`` triples (text never moves).
+    Span-frequency is one groupBy on the md5 (map-side partial), flagged
+    spans join back BY HASH, and the per-doc interval union is one window
+    pass over (id, pos): union length = Σ min(window, next_start − start)
+    with the final span contributing ``window`` — no per-doc Python, no
+    quadratic pair step anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    df = fan_out(df)
+    base = df.select(
+        F.col(id_col), F.split(_norm_text(text_col), " ").alias("_t")
+    )
+    t = F.col("_t")
+    n_tok = F.when(
+        F.length(F.concat_ws("", t)) == 0, F.lit(0)
+    ).otherwise(F.size(t))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - window, F.lit(0)))
+    spans = F.when(F.size(t) < window, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(t, i + 1, window))))
+    )
+    pos_spans = base.select(
+        F.col(id_col), n_tok.alias("n_tokens"), F.posexplode(spans).alias("pos", "h")
+    )
+    span_docs = (
+        pos_spans.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    dup = pos_spans.join(span_docs, "h").select(id_col, "n_tokens", "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    covered = dup.withColumn(
+        "_cov",
+        F.least(
+            F.lit(window),
+            F.coalesce(
+                F.lead("pos").over(w) - F.col("pos"), F.lit(window)
+            ),
+        ),
+    )
+    per_doc = covered.groupBy(id_col, "n_tokens").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("_cov").alias("_covered"),
+    )
+    all_docs = base.select(F.col(id_col), n_tok.alias("n_tokens"))
+    return (
+        all_docs.join(per_doc.drop("n_tokens"), id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("_covered", F.lit(0)) / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_token_coverage"),
+        )
+    )

@@ -606,3 +606,41 @@ def test_covisit_and_triangle_prune_and_no_cartesian(spark, sf):
     tri_plan = _plan(triangle_count(edges, id_a="user_a", id_b="user_b"))
     assert "CartesianProduct" not in tri_plan
     assert "BroadcastNestedLoopJoin" not in tri_plan
+
+
+def test_span_coverage_never_shuffles_text(spark, sf):
+    """duplicated_span_coverage's corpus-sized shuffles must carry only
+    (id, pos, hash) triples — the token array / text column must be
+    projected away before every exchange."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        duplicated_span_coverage,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(duplicated_span_coverage(docs, window=8, min_docs=2))
+    # no exchange's output may include the bound token array or raw text
+    for chunk in plan.split("Exchange")[1:]:
+        header = chunk.split("\n")[0]
+        assert "_t" not in header and "text" not in header, header
+    # heavy unrelated columns never read at all
+    assert "lang" not in plan and "n_chars" not in plan, plan
+
+
+def test_bpe_encode_composes_with_packing_one_shuffle(spark, sf):
+    """corpus_pack_bpe: the BPE count projection is map-side, so packing on
+    BPE tokens keeps the single pruned shard shuffle of pack_sequences."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.packing import with_sequence_packing
+    from kafka_connect_hdfs_spark.operators.text import bpe_encode
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    enc = bpe_encode(docs, [("t", "a"), ("ta", "b")])
+    pruned = enc.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens"))
+    plan = _plan(with_sequence_packing(pruned, budget=512, shards=8))
+    assert plan.count("Exchange") <= 2, plan
+    for chunk in plan.split("Exchange")[1:]:
+        header = chunk.split("\n")[0]
+        assert "text" not in header and "bpe_tokens" not in header, header

@@ -257,3 +257,62 @@ def test_kcore_2core_drops_tree_branches(spark):
         for r in kcore_decompose(pairs, k=2).collect()
     }
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span coverage
+
+
+def test_span_coverage_flags_shared_span_and_unions_overlap(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        duplicated_span_coverage,
+    )
+
+    shared = "one two three four five six seven eight nine"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta"),
+            (2, shared + " gamma delta epsilon"),
+            (3, "totally different words with no overlap at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in duplicated_span_coverage(docs, window=8, min_docs=2).collect()
+    }
+    # docs 1 and 2 share spans at pos 0 and 1 (9 shared tokens, window 8):
+    # union covers tokens 0..8 -> 9 covered positions
+    assert got[1]["n_dup_spans"] == 2
+    assert got[1]["dup_token_coverage"] == pytest.approx(9 / 11, abs=1e-6)
+    assert got[2]["n_dup_spans"] == 2
+    assert got[2]["dup_token_coverage"] == pytest.approx(9 / 12, abs=1e-6)
+    assert got[3]["n_dup_spans"] == 0
+    assert got[3]["dup_token_coverage"] == 0.0
+
+
+def test_span_coverage_short_and_empty_docs(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        duplicated_span_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short doc"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in duplicated_span_coverage(docs).collect()}
+    assert got[1]["n_tokens"] == 2 and got[1]["n_dup_spans"] == 0
+    assert got[2]["n_tokens"] == 0 and got[2]["dup_token_coverage"] == 0.0
+
+
+def test_span_coverage_full_duplicate_is_fully_covered(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        duplicated_span_coverage,
+    )
+
+    text = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    for r in duplicated_span_coverage(docs, window=8).collect():
+        assert r["dup_token_coverage"] == pytest.approx(1.0, abs=1e-6)
+        assert r["n_dup_spans"] == 13  # 20 - 8 + 1
