@@ -1800,6 +1800,18 @@ def _q_text_unk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unk_replace(_docs(spark, sf_dir), min_count=2).orderBy("doc_id")
 
 
+def _q_corpus_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained budget allocation: 100k training tokens split
+    uniformly across sources, each capped at 4 epochs of its available
+    tokens, 3 integer waterfill rounds — the Muennighoff-style mix planner
+    (all-integer shares, so the oracle replays bit-exactly)."""
+    from kafka_connect_hdfs_spark.operators.packing import source_token_budget
+
+    return source_token_budget(
+        _docs(spark, sf_dir), total_budget=100_000, max_epochs=4, rounds=3
+    ).orderBy("source")
+
+
 def _q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span coverage (Lee et al. 2022 substring
     dedup, W-gram rolling-hash form): per doc, the number of 8-token spans
@@ -2653,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_bpe": _q_corpus_pack_bpe,
         "graph_kcore": _q_graph_kcore,
         "dedup_span_coverage": _q_dedup_span_coverage,
+        "corpus_source_budget": _q_corpus_source_budget,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -5402,6 +5415,44 @@ FROM toks CROSS JOIN keptl ORDER BY doc_id
     # the >64k-vocab join path (vocab_literal_max=0 forces it) produces the
     # SAME output as the literal path by contract — one oracle serves both
     sql["text_unk_replace_join"] = sql["text_unk_replace"]
+
+    # integer waterfill replay: shares are floor(rem·w/total_w) on BIGINTs
+    # (uniform w=1), so each unrolled round reproduces the driver loop
+    # bit-exactly — no float-summation-order hazard
+    _sb_parts = [
+        "a0 AS (SELECT source, sum(n)::BIGINT AS avail,"
+        " 4*(sum(n)::BIGINT) AS cap, 0::BIGINT AS alloc"
+        " FROM tok GROUP BY source)"
+    ]
+    for _i in range(1, 4):
+        _sb_parts.append(
+            f"t{_i} AS (SELECT (count(*) FILTER (WHERE alloc < cap))::BIGINT AS tw,"
+            f" 100000::BIGINT - coalesce(sum(alloc), 0)::BIGINT AS rem FROM a{_i-1})"
+        )
+        _sb_parts.append(
+            f"a{_i} AS (SELECT source, avail, cap,"
+            f" CASE WHEN alloc < cap AND t{_i}.tw > 0 AND t{_i}.rem > 0"
+            f" THEN least(alloc + t{_i}.rem // t{_i}.tw, cap)"
+            f" ELSE alloc END AS alloc FROM a{_i-1}, t{_i})"
+        )
+    sql["corpus_source_budget"] = (
+        r"""
+WITH tok AS (
+  SELECT source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n
+  FROM documents
+),
+"""
+        + ",\n".join(_sb_parts)
+        + """
+SELECT source, avail AS avail_tokens, alloc AS alloc_tokens,
+       round(CASE WHEN avail > 0 THEN alloc::DOUBLE / avail
+                  ELSE 0.0 END, 6) AS epochs
+FROM a3 ORDER BY source
+"""
+    )
 
     sql["dedup_span_coverage"] = f"""
 WITH tok AS (

@@ -131,6 +131,7 @@ def main() -> None:
         "corpus_pack_bpe",
         "graph_kcore",
         "dedup_span_coverage",
+        "corpus_source_budget",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

@@ -619,3 +619,83 @@ def split_leakage_report(
     raw = leak(df, "raw")
     deduped = leak(dedup_keep_first(df, id_col=id_col, text_col=text_col), "deduped")
     return raw.unionByName(deduped).orderBy("stage")
+
+
+def source_token_budget(
+    df: DataFrame,
+    total_budget: int,
+    weights: "dict[str, int] | None" = None,
+    max_epochs: int = 4,
+    rounds: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained training-budget allocation across sources
+    (Muennighoff et al. 2023, "Scaling Data-Constrained Language Models"):
+    split ``total_budget`` tokens across sources proportionally to integer
+    mix ``weights`` (uniform when omitted — availability-proportional
+    weighting makes the cap bind all-or-none, so a target MIX is the real
+    input), cap every source at ``max_epochs`` repetitions of its
+    available tokens — beyond ~4 epochs repeated data stops helping — and
+    waterfill the budget freed by capped sources back onto uncapped ones
+    for ``rounds`` fixed redistribution rounds.
+
+    Returns ``(source, avail_tokens, alloc_tokens, epochs)``; epochs =
+    alloc/avail HALF_UP-rounded to 6 dp.
+
+    Determinism across engines: ALL allocation arithmetic is integer —
+    shares are ``floor(remaining·w/total_w)`` — so the SQL oracle replays
+    bit-exactly with no float-summation-order hazard; a sub-|sources|
+    integer remainder may stay unallocated after the fixed rounds
+    (deterministic). Keep budget × max weight inside int64 (switch both
+    sides to DECIMAL beyond that).
+
+    Scale: the corpus-sized work is ONE token-count aggregation (map-side
+    partial, |sources| result); the waterfill itself runs on the collected
+    |sources|-row table — bounded by contract, like codebooks and merge
+    tables.
+    """
+    import math
+
+    t = F.trim(F.col(text_col))
+    n_tok = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("bigint")
+    )
+    rows = (
+        df.select(F.col(source_col).alias("source"), n_tok.alias("_n"))
+        .groupBy("source")
+        .agg(F.sum("_n").alias("avail"))
+        .collect()
+    )
+    avail = {r["source"]: int(r["avail"]) for r in rows}
+    w = {s: int((weights or {}).get(s, 1)) for s in avail}
+    cap = {s: max_epochs * a for s, a in avail.items()}
+    alloc = {s: 0 for s in avail}
+    remaining = int(total_budget)
+    for _ in range(rounds):
+        uncapped = [s for s in sorted(avail) if alloc[s] < cap[s]]
+        total_w = sum(w[s] for s in uncapped)
+        if remaining <= 0 or total_w == 0:
+            break
+        spent = 0
+        for s in uncapped:
+            add = (remaining * w[s]) // total_w
+            new = min(alloc[s] + add, cap[s])
+            spent += new - alloc[s]
+            alloc[s] = new
+        remaining -= spent
+    out_rows = [
+        (
+            s,
+            avail[s],
+            alloc[s],
+            math.floor(alloc[s] / avail[s] * 1e6 + 0.5) / 1e6 if avail[s] else 0.0,
+        )
+        for s in sorted(avail)
+    ]
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        "source string, avail_tokens bigint, alloc_tokens bigint, epochs double",
+    )

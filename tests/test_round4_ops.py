@@ -316,3 +316,63 @@ def test_span_coverage_full_duplicate_is_fully_covered(spark):
     for r in duplicated_span_coverage(docs, window=8).collect():
         assert r["dup_token_coverage"] == pytest.approx(1.0, abs=1e-6)
         assert r["n_dup_spans"] == 13  # 20 - 8 + 1
+
+
+# ---------------------------------------------------------------------------
+# source_token_budget (data-constrained mixing)
+
+
+def test_source_budget_caps_and_waterfills(spark):
+    from kafka_connect_hdfs_spark.operators.packing import source_token_budget
+
+    # srcA has 4 tokens (cap 16), srcB has 100 (cap 400); uniform weights
+    # and budget 200: round 1 gives 100 each, A caps at 16, round 2
+    # waterfills the remaining 84 onto B
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "srcA"),
+            (2, " ".join(f"w{i}" for i in range(100)), "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r
+        for r in source_token_budget(docs, total_budget=200).collect()
+    }
+    assert got["srcA"]["alloc_tokens"] == 16
+    assert got["srcA"]["epochs"] == pytest.approx(4.0)
+    assert got["srcB"]["alloc_tokens"] == 184
+    assert got["srcB"]["epochs"] == pytest.approx(1.84)
+
+
+def test_source_budget_respects_weights_and_budget_bound(spark):
+    from kafka_connect_hdfs_spark.operators.packing import source_token_budget
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(50)), "web"),
+            (2, " ".join(f"b{i}" for i in range(50)), "code"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r["alloc_tokens"]
+        for r in source_token_budget(
+            docs, total_budget=90, weights={"web": 2, "code": 1}
+        ).collect()
+    }
+    assert got["web"] == 60 and got["code"] == 30
+
+
+def test_source_budget_all_capped_leaves_remainder(spark):
+    from kafka_connect_hdfs_spark.operators.packing import source_token_budget
+
+    docs = spark.createDataFrame(
+        [(1, "x y", "s1"), (2, "p q r", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = source_token_budget(docs, total_budget=10_000).collect()
+    total = sum(r["alloc_tokens"] for r in rows)
+    assert total == 4 * (2 + 3)  # everything caps at 4 epochs
+    for r in rows:
+        assert r["epochs"] == pytest.approx(4.0)
