@@ -1800,6 +1800,60 @@ def _q_text_unk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unk_replace(_docs(spark, sf_dir), min_count=2).orderBy("doc_id")
 
 
+#: pinned linear classifier for the model-based-filter gate: trained
+#: offline by assumption (fastText-style), applied at corpus scale here
+_CLF_WEIGHTS = {
+    "table": 0.9, "query": 0.7, "data": 0.6, "spark": 0.8,
+    "fast": 0.4, "key": 0.3, "slow": -0.8, "row": -0.2, "a": -0.5,
+}
+
+
+def _q_text_clf_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (fastText-serving shape): sigmoid of a
+    length-normalized bag-of-words dot product with a pinned weight map —
+    one map-side aggregate fold, no shuffle/UDF."""
+    from kafka_connect_hdfs_spark.operators.text import linear_text_classifier
+
+    return linear_text_classifier(
+        _docs(spark, sf_dir), _CLF_WEIGHTS, bias=-0.1, threshold=0.55
+    ).orderBy("doc_id")
+
+
+def _q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per language: BPE tokens per whitespace
+    word and characters per BPE token under the pinned merge table — the
+    standard eval for whether a tokenizer under-serves a language
+    (high fertility = more splits = fewer effective context tokens)."""
+    from kafka_connect_hdfs_spark.operators.text import bpe_encode
+
+    enc = bpe_encode(
+        _docs(spark, sf_dir).select("doc_id", "lang", "text"),
+        _BPE_GATE_MERGES,
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    ws = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
+    chars = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    per_doc = enc.select(
+        "lang",
+        ws.cast("bigint").alias("_ws"),
+        chars.cast("bigint").alias("_chars"),
+        F.col("n_bpe_tokens").alias("_bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_ws").alias("ws_tokens"),
+            F.sum("_bpe").alias("bpe_tokens"),
+            F.round(F.sum("_bpe") / F.sum("_ws"), 6).alias("fertility"),
+            F.round(F.sum("_chars") / F.sum("_bpe"), 6).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_corpus_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-constrained budget allocation: 100k training tokens split
     uniformly across sources, each capped at 4 epochs of its available
@@ -2666,6 +2720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _q_graph_kcore,
         "dedup_span_coverage": _q_dedup_span_coverage,
         "corpus_source_budget": _q_corpus_source_budget,
+        "text_bpe_fertility": _q_text_bpe_fertility,
+        "text_clf_filter": _q_text_clf_filter,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -5584,6 +5640,54 @@ SELECT doc_id,
        len(toks)::BIGINT AS n_bpe_tokens,
        array_to_string(toks[1:8], ' ') AS bpe_head
 FROM enc ORDER BY doc_id
+"""
+
+    _clf_case = (
+        "CASE x "
+        + " ".join(
+            f"WHEN '{t}' THEN {w!r}"
+            for t, w in sorted(_CLF_WEIGHTS.items())
+        )
+        + " ELSE 0.0 END"
+    )
+    sql["text_clf_filter"] = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN length({_NORM}) = 0 THEN 0.0
+              ELSE list_sum(list_transform({_TOKS}, x -> {_clf_case}))
+                   / len({_TOKS}) END AS dot
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-(-0.1 + dot))), 6) AS clf_score
+  FROM scored
+)
+SELECT doc_id, clf_score, clf_score >= 0.55 AS clf_keep
+FROM sig ORDER BY doc_id
+"""
+
+    sql["text_bpe_fertility"] = f"""
+WITH enc AS (
+  SELECT lang,
+         {_NORM} AS nt,
+         list_filter(string_split(trim({_bpe_s}, chr(1)), chr(1)||chr(1)),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+per AS (
+  SELECT lang,
+         CASE WHEN length(nt) = 0 THEN 0
+              ELSE len(string_split(nt, ' ')) END::BIGINT AS ws,
+         length(replace(nt, ' ', ''))::BIGINT AS chars,
+         len(toks)::BIGINT AS bpe
+  FROM enc
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(ws)::BIGINT AS ws_tokens,
+       sum(bpe)::BIGINT AS bpe_tokens,
+       round(sum(bpe)::DOUBLE / sum(ws), 6) AS fertility,
+       round(sum(chars)::DOUBLE / sum(bpe), 6) AS chars_per_token
+FROM per GROUP BY lang ORDER BY lang
 """
 
     # sequence packing driven by the BPE token counts (the tokenizer the

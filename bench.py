@@ -132,6 +132,8 @@ def main() -> None:
         "graph_kcore",
         "dedup_span_coverage",
         "corpus_source_budget",
+        "text_bpe_fertility",
+        "text_clf_filter",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

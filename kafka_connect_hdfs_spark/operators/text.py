@@ -1562,3 +1562,73 @@ def bigram_logprob(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_lp"), 6).alias("avg_logprob"),
     )
+
+
+def linear_text_classifier(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Apply a linear bag-of-words text classifier — the serving shape of
+    fastText-style model-based quality filters (Joulin et al. 2016; the
+    filter stage of GPT-3/LLaMA-style pipelines where a trained linear
+    model scores every document): ``score = sigmoid(bias + Σ w[tok]·tf)``
+    with term frequencies optionally length-normalized (tf/n_tokens, the
+    fastText mean-of-embeddings convention). Adds ``clf_score`` (6 dp) and
+    ``clf_keep`` per document.
+
+    The model is TRAINED offline (tiny, |vocab| weights); this operator is
+    the corpus-scale apply. Weights enter the plan as ONE parsed map
+    literal (single sqlParser round trip — the codebook pattern), and the
+    whole score is a map-side aggregate fold over the token array: no
+    explode, no join, no shuffle, no UDF — scan-speed scoring at 100 TB.
+    For vocabularies too big for a plan literal (>~64k terms), explode +
+    broadcast-join the weight table instead (the unk_replace join-path
+    shape); this operator implements the literal path and raises above
+    ``64_000`` terms to keep the plan bounded.
+    """
+    import math
+
+    if len(weights) > 64_000:
+        raise ValueError(
+            "linear_text_classifier literal path caps at 64k terms; "
+            "use an explode + broadcast-join variant beyond that"
+        )
+    df = fan_out(df)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if weights:
+        def _q(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        entries = ", ".join(
+            f"{_q(term)}, {float(w)!r}D" for term, w in sorted(weights.items())
+        )
+        wmap = F.expr(f"map({entries})")
+        raw = F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(wmap[x], F.lit(0.0)),
+        )
+    else:
+        raw = F.lit(0.0)
+    n_tok = F.size(toks).cast("double")
+    dot = (
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0.0))
+        .otherwise(raw / F.when(n_tok > 0, n_tok).otherwise(F.lit(1.0)))
+        if normalize
+        else F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.lit(0.0)
+        ).otherwise(raw)
+    )
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + dot))), 6
+    )
+    return df.select(
+        F.col(id_col),
+        score.alias("clf_score"),
+        (score >= F.lit(threshold)).alias("clf_keep"),
+    )

@@ -376,3 +376,52 @@ def test_source_budget_all_capped_leaves_remainder(spark):
     assert total == 4 * (2 + 3)  # everything caps at 4 epochs
     for r in rows:
         assert r["epochs"] == pytest.approx(4.0)
+
+
+# ---------------------------------------------------------------------------
+# linear text classifier (model-based filter serving)
+
+
+def test_clf_scores_match_reference_math(spark):
+    import math
+
+    from kafka_connect_hdfs_spark.operators.text import linear_text_classifier
+
+    w = {"good": 1.0, "bad": -1.0}
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "bad bad"), (3, ""), (4, "neutral words")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clf_score"], r["clf_keep"])
+        for r in linear_text_classifier(docs, w, bias=0.0).collect()
+    }
+
+    def sig(z):
+        v = 1.0 / (1.0 + math.exp(-z))
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    assert got[1] == (sig((1 + 1 - 1) / 3), True)
+    assert got[2] == (sig(-1.0), False)
+    assert got[3] == (sig(0.0), True)   # empty doc -> bias only
+    assert got[4] == (sig(0.0), True)   # OOV tokens contribute 0
+
+
+def test_clf_is_shuffle_free_single_projection(spark):
+    from kafka_connect_hdfs_spark.operators.text import linear_text_classifier
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        linear_text_classifier(docs, {"x": 1.0})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_clf_rejects_oversized_vocab(spark):
+    from kafka_connect_hdfs_spark.operators.text import linear_text_classifier
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    big = {f"t{i}": 0.1 for i in range(64_001)}
+    with pytest.raises(ValueError):
+        linear_text_classifier(docs, big)

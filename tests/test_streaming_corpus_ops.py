@@ -288,3 +288,36 @@ def test_gopher_gate_composes_with_streaming(spark, tmp_path):
     assert len(streamed) == len(batch)
     for r in streamed:
         assert batch[r["doc_id"]] == (r["n_tokens"], r["drop_reason"], r["keep"])
+
+
+def test_bpe_encode_composes_with_streaming(spark, tmp_path):
+    """bpe_encode's expression-chain path is a stateless projection, so it
+    must produce identical tokenizations under readStream — the property
+    that lets the serving tokenizer run on the continuous ingest path."""
+    from kafka_connect_hdfs_spark.operators.text import bpe_encode
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    merges = [("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"), ("k", "e")]
+
+    def pipeline(df):
+        return bpe_encode(df, merges).select("doc_id", "n_bpe_tokens")
+
+    stream = _doc_stream(spark, tmp_path, docs)
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("bpe_stream_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp_path}/chk_bpe")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {r["doc_id"]: r["n_bpe_tokens"] for r in pipeline(docs).collect()}
+    streamed = spark.sql("SELECT * FROM bpe_stream_out").collect()
+    assert len(streamed) == len(batch)
+    for r in streamed:
+        assert batch[r["doc_id"]] == r["n_bpe_tokens"], r["doc_id"]
