@@ -1800,6 +1800,35 @@ def _q_text_unk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unk_replace(_docs(spark, sf_dir), min_count=2).orderBy("doc_id")
 
 
+def _q_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual kNN graph (k=3) via IVF bucketing — the ANN→graph bridge:
+    within-cell exact cosine top-k per vector, then keep only edges both
+    endpoints agree on (mutual-kNN denoising for semantic clustering)."""
+    from kafka_connect_hdfs_spark.operators.similarity import knn_graph
+
+    return knn_graph(
+        _emb(spark, sf_dir), k=3, n_seeds=8, mutual=True
+    ).orderBy("src", "rank")
+
+
+def _q_semantic_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic clustering: mutual kNN graph → star-contraction
+    connected components → cluster-size table — the ANN→graph pipeline a
+    semantic-dedup / topic-grouping pass runs at corpus scale."""
+    from kafka_connect_hdfs_spark.operators.dedup import duplicate_clusters
+    from kafka_connect_hdfs_spark.operators.similarity import knn_graph
+
+    edges = knn_graph(_emb(spark, sf_dir), k=3, n_seeds=8, mutual=True)
+    clusters = duplicate_clusters(
+        edges.select("src", "dst"), id_a="src", id_b="dst", method="star"
+    )
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy("cluster_id")
+    )
+
+
 #: pinned linear classifier for the model-based-filter gate: trained
 #: offline by assumption (fastText-style), applied at corpus scale here
 _CLF_WEIGHTS = {
@@ -2722,6 +2751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_budget": _q_corpus_source_budget,
         "text_bpe_fertility": _q_text_bpe_fertility,
         "text_clf_filter": _q_text_clf_filter,
+        "ann_knn_graph": _q_ann_knn_graph,
+        "semantic_knn_clusters": _q_semantic_knn_clusters,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -5640,6 +5671,86 @@ SELECT doc_id,
        len(toks)::BIGINT AS n_bpe_tokens,
        array_to_string(toks[1:8], ' ') AS bpe_head
 FROM enc ORDER BY doc_id
+"""
+
+    sql["ann_knn_graph"] = """
+WITH seeds AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, seed_id ASC) AS r
+  FROM vecs, seeds
+),
+cells AS (SELECT vec_id, seed_id AS cell FROM scored WHERE r = 1),
+cv AS (SELECT c.vec_id, c.cell, v.v FROM cells c JOIN vecs v USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           AS cosine
+  FROM cv a JOIN cv b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, dst, cosine,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst ASC) AS rank
+  FROM pairs
+),
+edges AS MATERIALIZED (SELECT * FROM ranked WHERE rank <= 3)
+SELECT e.src, e.dst, e.cosine, e.rank
+FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
+ORDER BY e.src, e.rank
+"""
+
+    sql["semantic_knn_clusters"] = """
+WITH RECURSIVE seeds AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, seed_id ASC) AS r
+  FROM vecs, seeds
+),
+cells AS (SELECT vec_id, seed_id AS cell FROM scored WHERE r = 1),
+cv AS (SELECT c.vec_id, c.cell, v.v FROM cells c JOIN vecs v USING (vec_id)),
+kpairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           AS cosine
+  FROM cv a JOIN cv b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst ASC) AS rank
+  FROM kpairs
+),
+kedges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rank <= 3),
+medges AS MATERIALIZED (
+  SELECT e.src, e.dst FROM kedges e
+  JOIN kedges r ON e.src = r.dst AND e.dst = r.src
+),
+sym AS (SELECT src, dst FROM medges UNION SELECT dst, src FROM medges),
+reach(node, rr) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN sym e ON re.rr = e.src
+)
+SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM (
+  SELECT node, min(rr) AS cluster_id FROM reach GROUP BY node
+) GROUP BY cluster_id ORDER BY cluster_id
 """
 
     _clf_case = (

@@ -134,6 +134,8 @@ def main() -> None:
         "corpus_source_budget",
         "text_bpe_fertility",
         "text_clf_filter",
+        "ann_knn_graph",
+        "semantic_knn_clusters",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

@@ -1927,3 +1927,78 @@ def semantic_threshold_sweep(
         .select("threshold", "n_pairs", "n_docs_involved")
         .orderBy("threshold")
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_seeds: int = 8,
+    mutual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN GRAPH over the whole corpus — the primitive between
+    ANN retrieval and graph analytics (semantic clustering = kNN graph →
+    connected components / community detection; also the entry point for
+    NN-descent-style refinement). Exact all-pairs kNN is O(n²); the scale
+    path is IVF bucketing: each vector joins only its coarse cell, and
+    edges are the exact cosine top-``k`` WITHIN the cell (FAISS-style
+    cell-probe locality; recall tunes via ``n_seeds``, and callers needing
+    cross-cell recall can union multiple seed sets).
+
+    Returns ``(src, dst, cosine, rank)``; with ``mutual=True`` keeps only
+    edges where BOTH endpoints rank each other in their top-k (the
+    standard mutual-kNN denoising for clustering, Brito et al. 1997).
+
+    Scale: cell assignment is the shared map-side literal-codebook argmax
+    (zero shuffle, plan-guarded elsewhere); the self-join is an equi-join
+    ON CELL so candidate pairs are Σ|cell|² — bounded by codebook
+    granularity exactly like SemDeDup cells — and the per-src top-k is a
+    cell-local window. The mutual filter is one semi-join of the k-bounded
+    edge list against its own reverse (|edges| ≤ k·n rows, id pairs only).
+    """
+    from pyspark.sql import Window
+
+    seeds = embeddings.orderBy(id_col).limit(n_seeds)
+    assigned = assign_ivf_cells(embeddings, seeds, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+        "cell",
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(dot / (norm("_va") * norm("_vb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("cosine"), F.asc("dst")
+    )
+    edges = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
+    )
+    if mutual:
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        edges = edges.join(rev, ["src", "dst"], "semi")
+    return edges

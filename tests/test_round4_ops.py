@@ -425,3 +425,69 @@ def test_clf_rejects_oversized_vocab(spark):
     big = {f"t{i}": 0.1 for i in range(64_001)}
     with pytest.raises(ValueError):
         linear_text_classifier(docs, big)
+
+
+# ---------------------------------------------------------------------------
+# kNN graph
+
+
+def _emb_df(spark):
+    # two tight groups far apart, ordered so the FIRST TWO ids (the IVF
+    # seeds at n_seeds=2) are one representative of each group: cells then
+    # split exactly along the groups. {0,2,3} near x-axis, {1,4,5} near y.
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.99, 0.14]),
+        (3, [0.97, 0.24]), (4, [0.14, 0.99]), (5, [0.24, 0.97]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_knn_graph_ranks_within_cell(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import knn_graph
+
+    edges = knn_graph(_emb_df(spark), k=2, n_seeds=2).collect()
+    assert edges, "cells must be non-singleton"
+    by_src = {}
+    for r in edges:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, es in by_src.items():
+        ranks = sorted(e["rank"] for e in es)
+        assert ranks == list(range(1, len(es) + 1))
+        # ordered by cosine desc
+        es = sorted(es, key=lambda e: e["rank"])
+        assert all(
+            es[i]["cosine"] >= es[i + 1]["cosine"] for i in range(len(es) - 1)
+        )
+
+
+def test_knn_graph_mutual_is_symmetric_subset(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import knn_graph
+
+    emb = _emb_df(spark)
+    all_edges = {
+        (r["src"], r["dst"]) for r in knn_graph(emb, k=2, n_seeds=2).collect()
+    }
+    mutual = {
+        (r["src"], r["dst"])
+        for r in knn_graph(emb, k=2, n_seeds=2, mutual=True).collect()
+    }
+    assert mutual <= all_edges
+    for s, d in mutual:
+        assert (d, s) in mutual  # symmetric by construction
+
+
+def test_knn_graph_feeds_clustering(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import duplicate_clusters
+    from kafka_connect_hdfs_spark.operators.similarity import knn_graph
+
+    edges = knn_graph(_emb_df(spark), k=2, n_seeds=2, mutual=True)
+    labels = {
+        r["node"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            edges.select("src", "dst"), id_a="src", id_b="dst", method="star"
+        ).collect()
+    }
+    # the two geometric groups must land in two separate clusters
+    assert labels[0] == labels[2] == labels[3]
+    assert labels[1] == labels[4] == labels[5]
+    assert labels[0] != labels[1]
