@@ -1811,6 +1811,29 @@ def _q_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src", "rank")
 
 
+def _q_ann_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-index kNN build: union the kNN graphs of two INDEPENDENT IVF
+    codebooks (seeds 0-7 and 8-15 — OR-amplification, so the base graph
+    crosses each codebook's cell boundaries), then one NN-descent round
+    (neighbors-of-neighbors, exact-cosine rerank) for the final top-3. A
+    single-codebook base would make refinement a no-op: two-hop expansion
+    can never leave a cell the base graph never leaves."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        knn_graph, knn_graph_refine,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = (
+        knn_graph(emb, k=3, n_seeds=8)
+        .select("src", "dst")
+        .unionByName(
+            knn_graph(emb, k=3, n_seeds=8, seed_offset=8).select("src", "dst")
+        )
+        .distinct()
+    )
+    return knn_graph_refine(emb, base, k=3).orderBy("src", "rank")
+
+
 def _q_semantic_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end semantic clustering: mutual kNN graph → star-contraction
     connected components → cluster-size table — the ANN→graph pipeline a
@@ -2753,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clf_filter": _q_text_clf_filter,
         "ann_knn_graph": _q_ann_knn_graph,
         "semantic_knn_clusters": _q_semantic_knn_clusters,
+        "ann_knn_refine": _q_ann_knn_refine,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -5706,6 +5730,63 @@ edges AS MATERIALIZED (SELECT * FROM ranked WHERE rank <= 3)
 SELECT e.src, e.dst, e.cosine, e.rank
 FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
 ORDER BY e.src, e.rank
+"""
+
+    sql["ann_knn_refine"] = """
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT vec_id AS seed_id, v AS sv,
+         CASE WHEN vec_id < 8 THEN 0 ELSE 1 END AS book
+  FROM vecs WHERE vec_id < 16
+),
+scored AS (
+  SELECT vec_id, seed_id, book,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim,
+         row_number() OVER (PARTITION BY vec_id, book
+                            ORDER BY sim DESC, seed_id ASC) AS r
+  FROM vecs, seeds
+),
+cells AS (SELECT vec_id, book, seed_id AS cell FROM scored WHERE r = 1),
+cv AS (SELECT c.vec_id, c.book, c.cell, v.v
+       FROM cells c JOIN vecs v USING (vec_id)),
+kpairs AS (
+  SELECT a.book, a.vec_id AS src, b.vec_id AS dst,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           AS cosine
+  FROM cv a JOIN cv b
+  ON a.book = b.book AND a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT book, src, dst,
+         row_number() OVER (PARTITION BY book, src
+                            ORDER BY cosine DESC, dst ASC) AS rank
+  FROM kpairs
+),
+kedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ranked WHERE rank <= 3),
+cand AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM kedges
+    UNION ALL
+    SELECT e1.src, e2.dst FROM kedges e1
+    JOIN kedges e2 ON e1.dst = e2.src WHERE e1.src <> e2.dst
+  )
+),
+rescored AS (
+  SELECT c.src, c.dst,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           AS cosine
+  FROM cand c JOIN vecs a ON c.src = a.vec_id JOIN vecs b ON c.dst = b.vec_id
+),
+rer AS (
+  SELECT src, dst, cosine,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst ASC) AS rank
+  FROM rescored
+)
+SELECT src, dst, cosine, rank FROM rer WHERE rank <= 3 ORDER BY src, rank
 """
 
     sql["semantic_knn_clusters"] = """

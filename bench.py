@@ -136,6 +136,7 @@ def main() -> None:
         "text_clf_filter",
         "ann_knn_graph",
         "semantic_knn_clusters",
+        "ann_knn_refine",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

@@ -1934,6 +1934,7 @@ def knn_graph(
     k: int = 5,
     n_seeds: int = 8,
     mutual: bool = False,
+    seed_offset: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1949,6 +1950,10 @@ def knn_graph(
     Returns ``(src, dst, cosine, rank)``; with ``mutual=True`` keeps only
     edges where BOTH endpoints rank each other in their top-k (the
     standard mutual-kNN denoising for clustering, Brito et al. 1997).
+    ``seed_offset`` selects a different codebook (seeds start at that id)
+    — union graphs from independent codebooks for OR-amplified recall and
+    feed them to :func:`knn_graph_refine`, which cannot cross a cell
+    boundary the base graph never crosses.
 
     Scale: cell assignment is the shared map-side literal-codebook argmax
     (zero shuffle, plan-guarded elsewhere); the self-join is an equi-join
@@ -1959,7 +1964,11 @@ def knn_graph(
     """
     from pyspark.sql import Window
 
-    seeds = embeddings.orderBy(id_col).limit(n_seeds)
+    seeds = (
+        embeddings.orderBy(id_col).offset(seed_offset).limit(n_seeds)
+        if seed_offset
+        else embeddings.orderBy(id_col).limit(n_seeds)
+    )
     assigned = assign_ivf_cells(embeddings, seeds, id_col, vec_col)
     a = assigned.select(
         F.col(id_col).alias("src"),
@@ -2002,3 +2011,63 @@ def knn_graph(
         )
         edges = edges.join(rev, ["src", "dst"], "semi")
     return edges
+
+
+def knn_graph_refine(
+    embeddings: DataFrame,
+    edges: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One NN-descent refinement round over an approximate kNN graph (Dong
+    et al., WWW'11): a vector's true neighbors are usually neighbors of its
+    current neighbors, so candidates = current edges ∪ two-hop expansions,
+    re-ranked by exact cosine, keep top-``k``. Applied after
+    :func:`knn_graph`, each round recovers recall the IVF cell boundary
+    cut off — the standard build loop for graph-based ANN indexes.
+
+    Scale: the expansion is ONE self-join of the k-bounded edge list
+    (≤ k²·n candidate id pairs, vectors NOT carried); candidate pairs
+    dedup BEFORE the vectors join back (two hash joins on id), and the
+    re-rank is a cell-free per-src window over ≤ k+k² rows per vector.
+    Rounds compose — call again for round two.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst")
+    # two-hop: src -> mid -> dst (skip self), plus the original edges
+    two_hop = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cand = e.unionByName(two_hop).distinct()
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    with_vecs = (
+        cand.join(vecs.withColumnRenamed("_id", "src").withColumnRenamed("_v", "_va"), "src")
+        .join(vecs.withColumnRenamed("_id", "dst").withColumnRenamed("_v", "_vb"), "dst")
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = with_vecs.select(
+        "src",
+        "dst",
+        F.round(dot / (norm("_va") * norm("_vb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
+    )

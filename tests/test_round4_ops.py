@@ -491,3 +491,75 @@ def test_knn_graph_feeds_clustering(spark):
     assert labels[0] == labels[2] == labels[3]
     assert labels[1] == labels[4] == labels[5]
     assert labels[0] != labels[1]
+
+
+def test_knn_refine_recovers_two_hop_neighbor(spark):
+    """NN-descent contract: a better neighbor reachable through an existing
+    edge path replaces a worse direct edge after one refinement round."""
+    from kafka_connect_hdfs_spark.operators.similarity import knn_graph_refine
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.44]),
+        (2, [0.95, 0.31]),   # closer to 0 than 1 is, but no direct edge
+        (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 1), (3, 1)], "src long, dst long"
+    )
+    refined = {
+        (r["src"], r["dst"]): r["rank"]
+        for r in knn_graph_refine(emb, base, k=1).collect()
+    }
+    # 0's only base edge is 1, but 0->1->2 exposes 2, and cos(0,2) > cos(0,1);
+    # 2 only reaches 1 (2->1->2 is self), 3 keeps its lone edge
+    assert refined == {(0, 2): 1, (1, 2): 1, (2, 1): 1, (3, 1): 1}
+
+
+def test_knn_refine_union_of_codebooks_not_worse(spark):
+    """The gate's shape: refining the union of two independent codebooks'
+    graphs must never lower any vector's best-neighbor cosine vs a single
+    codebook, and must strictly improve at least one (cross-cell recall)."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        knn_graph, knn_graph_refine,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    single = knn_graph(emb, k=3, n_seeds=8)
+    union = (
+        single.select("src", "dst")
+        .unionByName(
+            knn_graph(emb, k=3, n_seeds=8, seed_offset=8).select("src", "dst")
+        )
+        .distinct()
+    )
+    refined = knn_graph_refine(emb, union, k=3)
+    best_single = {
+        r["src"]: r["cosine"] for r in single.collect() if r["rank"] == 1
+    }
+    best_refined = {
+        r["src"]: r["cosine"] for r in refined.collect() if r["rank"] == 1
+    }
+    improved = 0
+    for s, c in best_single.items():
+        assert best_refined[s] >= c - 1e-9, s
+        if best_refined[s] > c + 1e-9:
+            improved += 1
+    assert improved > 0
+
+
+def test_knn_refine_keeps_rank_contract(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        knn_graph, knn_graph_refine,
+    )
+
+    emb = _emb_df(spark)
+    refined = knn_graph_refine(emb, knn_graph(emb, k=2, n_seeds=2), k=2)
+    by_src = {}
+    for r in refined.collect():
+        by_src.setdefault(r["src"], []).append(r)
+    for es in by_src.values():
+        assert sorted(e["rank"] for e in es) == list(range(1, len(es) + 1))
+        assert len(es) <= 2
