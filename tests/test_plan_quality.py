@@ -644,3 +644,33 @@ def test_bpe_encode_composes_with_packing_one_shuffle(spark, sf):
     for chunk in plan.split("Exchange")[1:]:
         header = chunk.split("\n")[0]
         assert "text" not in header and "bpe_tokens" not in header, header
+
+
+def test_knn_graph_no_cartesian_and_cell_equijoin(spark, sf):
+    """The kNN-graph self-join must be an equi-join ON CELL (candidate
+    pairs bounded by cell sizes) — never a cartesian/BNL join of the
+    corpus against itself; cell assignment stays map-side (no join)."""
+    from kafka_connect_hdfs_spark.operators.similarity import knn_graph
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    plan = _plan(knn_graph(emb, k=3, n_seeds=8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kcore_rounds_no_cartesian(spark, sf):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.graph import (
+        covisit_edges, kcore_decompose,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    events = load_table(spark, sf, "events")
+    edges = covisit_edges(events, max_users_per_bucket=200).filter(
+        F.col("n_covisits") >= 3
+    )
+    plan = _plan(kcore_decompose(edges, k=3, id_a="user_a", id_b="user_b"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
