@@ -1800,6 +1800,49 @@ def _q_text_unk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unk_replace(_docs(spark, sf_dir), min_count=2).orderBy("doc_id")
 
 
+def _q_ops_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through the gate: a failing audit must leave the
+    live table untouched (nothing published), then a passing audit swaps
+    the staging dir in atomically; aggregate the published table — the
+    oracle aggregates the source rows directly, so a lost/duplicated row
+    or a premature publish breaks the hash."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.wap import write_audit_publish
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2500)
+    path = tempfile.mkdtemp(prefix="kchs_wap_rt_") + "/t"
+    bad = write_audit_publish(
+        spark,
+        ev.filter(F.lit(False)),
+        path,
+        [("non_empty", lambda d: d.count() > 0)],
+    )
+    assert not bad["published"], "empty write must fail its audit"
+    good = write_audit_publish(
+        spark,
+        ev,
+        path,
+        [
+            ("non_empty", lambda d: d.count() > 0),
+            ("no_null_ids", lambda d: d.filter("event_id IS NULL").count() == 0),
+        ],
+        partition_by=["event_type"],
+    )
+    assert good["published"], "clean write must publish"
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual kNN graph (k=3) via IVF bucketing — the ANN→graph bridge:
     within-cell exact cosine top-k per vector, then keep only edges both
@@ -2777,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_graph": _q_ann_knn_graph,
         "semantic_knn_clusters": _q_semantic_knn_clusters,
         "ann_knn_refine": _q_ann_knn_refine,
+        "ops_wap_publish": _q_ops_wap_publish,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -5695,6 +5739,13 @@ SELECT doc_id,
        len(toks)::BIGINT AS n_bpe_tokens,
        array_to_string(toks[1:8], ' ') AS bpe_head
 FROM enc ORDER BY doc_id
+"""
+
+    sql["ops_wap_publish"] = """
+SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
+       count(DISTINCT user_id) AS n_users
+FROM events WHERE event_id < 2500
+GROUP BY event_type ORDER BY event_type
 """
 
     sql["ann_knn_graph"] = """

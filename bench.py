@@ -137,6 +137,7 @@ def main() -> None:
         "ann_knn_graph",
         "semantic_knn_clusters",
         "ann_knn_refine",
+        "ops_wap_publish",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings
