@@ -1800,6 +1800,17 @@ def _q_text_unk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unk_replace(_docs(spark, sf_dir), min_count=2).orderBy("doc_id")
 
 
+def _q_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM cut: per-language 20th-percentile threshold on
+    interpolated-bigram avg logprob; keeps the non-tail per language via a
+    broadcast sketch threshold (no per-language sort)."""
+    from kafka_connect_hdfs_spark.operators.text import perplexity_filter
+
+    return perplexity_filter(_docs(spark, sf_dir), min_percentile=0.2).orderBy(
+        "doc_id"
+    )
+
+
 def _q_ops_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish through the gate: a failing audit must leave the
     live table untouched (nothing published), then a passing audit swaps
@@ -2821,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_knn_clusters": _q_semantic_knn_clusters,
         "ann_knn_refine": _q_ann_knn_refine,
         "ops_wap_publish": _q_ops_wap_publish,
+        "text_perplexity_filter": _q_text_perplexity_filter,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -6738,5 +6750,58 @@ scored AS (
 SELECT doc_id, count(*)::BIGINT AS n_bigrams,
        round(avg(lp), 6) AS avg_logprob
 FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # same scoring pipeline, then a per-language quantile_disc threshold —
+    # the order statistic Spark's exact-mode percentile_approx picks at p=0.2
+    sql["text_perplexity_filter"] = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+pairs AS (
+  SELECT doc_id, bg['prev'] AS prev, bg['cur'] AS cur FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2 THEN
+             [struct_pack(prev := t[i], cur := t[i+1])
+              FOR i IN generate_series(1, len(t) - 1)]
+           ELSE [] END) AS bg
+    FROM base)
+),
+alltok AS (
+  SELECT unnest(t) AS term FROM base
+),
+uni AS (SELECT term, count(*)::BIGINT AS c_uni FROM alltok
+        WHERE length(term) > 0 GROUP BY term),
+tot AS (SELECT sum(c_uni)::BIGINT AS t FROM uni),
+ctx AS (SELECT prev, count(*)::BIGINT AS c_ctx FROM pairs GROUP BY prev),
+big AS (SELECT prev, cur, count(*)::BIGINT AS c_big
+        FROM pairs GROUP BY prev, cur),
+lp_raw AS (
+  SELECT p.doc_id,
+         ln(0.7 * (b.c_big::DOUBLE / cx.c_ctx)
+            + (1.0 - 0.7) * (u.c_uni::DOUBLE / tot.t)) AS lp
+  FROM pairs p
+  JOIN big b ON p.prev = b.prev AND p.cur = b.cur
+  JOIN ctx cx ON p.prev = cx.prev
+  JOIN uni u ON p.cur = u.term
+  CROSS JOIN tot
+),
+docscore AS (
+  SELECT doc_id, round(avg(lp), 6) AS avg_logprob
+  FROM lp_raw GROUP BY doc_id
+),
+withlang AS (
+  SELECT s.doc_id, d.lang, s.avg_logprob
+  FROM docscore s JOIN documents d USING (doc_id)
+),
+thresholds AS (
+  SELECT lang, quantile_disc(avg_logprob, 0.2) AS lp_threshold
+  FROM withlang GROUP BY lang
+)
+SELECT w.doc_id, w.lang, w.avg_logprob, t.lp_threshold
+FROM withlang w JOIN thresholds t USING (lang)
+WHERE w.avg_logprob >= t.lp_threshold
+ORDER BY w.doc_id
 """
     return sql

@@ -138,6 +138,7 @@ def main() -> None:
         "semantic_knn_clusters",
         "ann_knn_refine",
         "ops_wap_publish",
+        "text_perplexity_filter",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings

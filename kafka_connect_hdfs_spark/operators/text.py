@@ -1632,3 +1632,41 @@ def linear_text_classifier(
         score.alias("clf_score"),
         (score >= F.lit(threshold)).alias("clf_keep"),
     )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    min_percentile: float = 0.2,
+    lam: float = 0.7,
+    accuracy: int = 10000,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CCNet corpus-LM quality cut (Wenzek et al. 2020): score every
+    document with the interpolated-bigram LM (:func:`bigram_logprob`) and
+    keep, WITHIN each language, documents at or above the
+    ``min_percentile`` log-prob threshold — dropping the worst-perplexity
+    tail per language instead of with one absolute bar (which would wipe
+    out whatever the LM models worst).
+
+    Returns ``(id, lang, avg_logprob, lp_threshold)`` for kept documents.
+
+    Scale: scoring is the bigram_logprob pipeline (vocab-bounded count
+    tables, one pruned gram-keyed shuffle); the per-language threshold is
+    a ``percentile_approx`` sketch (tiny agg, |languages| rows) broadcast
+    back for a map-side filter — the same no-per-language-sort shape as
+    :func:`quality_percentile_filter`'s approx path.
+    """
+    scored = bigram_logprob(df, lam=lam, id_col=id_col, text_col=text_col)
+    with_lang = scored.join(df.select(id_col, lang_col), id_col)
+    thresholds = with_lang.groupBy(lang_col).agg(
+        F.percentile_approx(
+            "avg_logprob", F.lit(min_percentile), F.lit(accuracy)
+        ).alias("lp_threshold")
+    )
+    return (
+        with_lang.join(F.broadcast(thresholds), lang_col)
+        .filter(F.col("avg_logprob") >= F.col("lp_threshold"))
+        .select(id_col, lang_col, "avg_logprob", "lp_threshold")
+    )
