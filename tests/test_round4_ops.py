@@ -563,3 +563,33 @@ def test_knn_refine_keeps_rank_contract(spark):
     for es in by_src.values():
         assert sorted(e["rank"] for e in es) == list(range(1, len(es) + 1))
         assert len(es) <= 2
+
+
+# ---------------------------------------------------------------------------
+# perplexity filter
+
+
+def test_perplexity_filter_drops_word_salad_within_language(spark):
+    from kafka_connect_hdfs_spark.operators.text import perplexity_filter
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    # the junk doc must use FREQUENT words in an unseen transition ("the
+    # the"): a high-count context with a rare continuation scores low.
+    # (All-unique gibberish would score HIGH on a tiny corpus — every
+    # unique bigram has P(cur|prev)=1; the CCNet cut presumes a large LM.)
+    docs = spark.createDataFrame(
+        [(i, fluent, "en") for i in range(8)]
+        + [(8, "the the the the the", "en")]
+        + [(9, "uno dos tres uno dos", "es"), (10, "uno dos uno dos", "es")],
+        "doc_id long, text string, lang string",
+    )
+    kept = {
+        r["doc_id"]: r
+        for r in perplexity_filter(docs, min_percentile=0.2).collect()
+    }
+    assert 8 not in kept                     # the salad doc is the en tail
+    assert all(i in kept for i in range(8))  # fluent docs survive
+    # the es docs are judged against the es threshold, not the en one
+    assert 9 in kept or 10 in kept
+    for r in kept.values():
+        assert r["avg_logprob"] >= r["lp_threshold"]
