@@ -1847,6 +1847,59 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start", "event_type")
 
 
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL streaming operator through the gate:
+    applyInPandasWithState sessionization (30-min gap) over a file stream,
+    availableNow. Only gap-closed sessions are emitted (each user's open
+    tail session stays in state, and the 30-min processing-time timeout
+    cannot fire inside the run), so the oracle is the batch sessionizer
+    minus each user's final session — one shared definition of "session"
+    across batch backfill and live streaming, hash-checked."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select("user_id", "ts", "value")
+    )
+    base = tempfile.mkdtemp(prefix="kchs_sess_rt_")
+    src = f"{base}/src"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    import uuid
+
+    name = "stream_sessionize_gate_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/chk")
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            # the kernel accumulates python floats; events.value is 2-dp
+            # money, so rounding recovers the exact DECIMAL sum
+            F.round("total_value", 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def _q_ops_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish through the gate: a failing audit must leave the
     live table untouched (nothing published), then a passing audit swaps
@@ -2870,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_wap_publish": _q_ops_wap_publish,
         "text_perplexity_filter": _q_text_perplexity_filter,
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_sessionize": _q_stream_sessionize,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -5788,6 +5842,36 @@ SELECT doc_id,
        len(toks)::BIGINT AS n_bpe_tokens,
        array_to_string(toks[1:8], ' ') AS bpe_head
 FROM enc ORDER BY doc_id
+"""
+
+    # batch sessionize minus each user's LAST session (open in the stream)
+    sql["stream_sessionize"] = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE event_id < 5000
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+  FROM gaps
+),
+sessions AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         min(ts) AS session_start, max(ts) AS session_end,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+  FROM numbered GROUP BY user_id, session_id
+),
+last_open AS (
+  SELECT user_id, max(session_id) AS last_id FROM sessions GROUP BY user_id
+)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events, s.session_value
+FROM sessions s JOIN last_open l
+ON s.user_id = l.user_id AND s.session_id <> l.last_id
+ORDER BY s.user_id, s.session_start
 """
 
     sql["stream_windowed_counts"] = """

@@ -139,6 +139,8 @@ def main() -> None:
         "ann_knn_refine",
         "ops_wap_publish",
         "text_perplexity_filter",
+        "stream_windowed_counts",
+        "stream_sessionize",
     ]
     qs = entrymod.queries()
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings
