@@ -82,11 +82,30 @@ def main() -> None:
         "doc_id",
     )
 
+    # 1c. model-based cut: per-language perplexity tail drop (CCNet shape —
+    #     corpus-LM scoring + sketch threshold, no per-language sort)
+    from kafka_connect_hdfs_spark.operators.text import perplexity_filter
+
+    kept = kept.join(
+        perplexity_filter(kept, min_percentile=0.1).select("doc_id"), "doc_id"
+    )
+
     # 2. exact dedup, then near-dup candidate audit (report only here;
     #    production would drop one side of each confirmed pair)
     deduped = dedup_keep_first(kept)
     near = minhash_lsh_candidates(deduped)
     print(f"near-dup candidate pairs: {near.count()}")
+
+    # 2a. substring-level signal: fraction of each doc covered by spans
+    #     shared with other docs (Lee et al. substring dedup — trim/drop
+    #     boilerplate-assembled docs; report the worst offenders here)
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        duplicated_span_coverage,
+    )
+
+    spans = duplicated_span_coverage(deduped, window=8)
+    heavy = spans.filter(F.col("dup_token_coverage") > 0.5)
+    print(f"boilerplate-heavy docs (>50% duplicated spans): {heavy.count()}")
 
     # 2b. repeated-paragraph removal: chunk-level exact dedup with document
     #     reassembly (C4-style; chunk granularity per corpus)
@@ -107,13 +126,28 @@ def main() -> None:
         contaminated.select("doc_id"), "doc_id", "anti"
     )
 
-    # 4. split + packing assignment + epoch order
+    # 4. split + packing assignment + epoch order. Packing budgets come
+    #    from the REAL tokenizer: train the BPE table once (vocab-bounded
+    #    collect), apply it corpus-wide as a codegen replace chain
+    from kafka_connect_hdfs_spark.operators.text import bpe_encode, bpe_learn
+
     final = split_corpus(clean)
+    merges = [(m[0], m[1]) for m in bpe_learn(final, n_merges=64)]
+    tokenized = bpe_encode(final, merges)
     pack = with_sequence_packing(
-        final.select("doc_id", F.col("ws_tokens").alias("n_tokens")),
+        tokenized.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
         budget=2048, shards=16,
     )
     ordered = shuffle_order(final, shards=16, seed="epoch0")
+
+    # 4a. mixing plan: epoch-capped token budget per source (data-
+    #     constrained scaling — integer waterfill, bit-exact replayable)
+    from kafka_connect_hdfs_spark.operators.packing import source_token_budget
+
+    plan = source_token_budget(final, total_budget=100_000, max_epochs=4)
+    print("source budget plan (first 3):")
+    for r in plan.limit(3).collect():
+        print(f"  {r['source']}: {r['alloc_tokens']} tokens ({r['epochs']} epochs)")
 
     # 4b. curriculum alternative to the flat epoch order: quality tiers
     #     first, deterministic shuffle within each tier
