@@ -48,6 +48,61 @@ def cosine_similarity(a: F.Column, b: F.Column) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _round6_half_up(a):
+    """HALF_UP at 6 dp on a numpy array — matches F.round / SQL round();
+    np.round is round-half-even on binary doubles and diverges from the
+    oracle on boundary values (the r03 ADVICE lesson)."""
+    import numpy as np
+
+    a = np.asarray(a, dtype="float64")
+    return np.where(
+        np.isfinite(a), np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6, a
+    )
+
+
+def _cell_pair_cosines(
+    cellframe: DataFrame,
+    min_cos: "float | None" = None,
+    id_col: str = "_id",
+) -> DataFrame:
+    """Within-cell pairwise cosines via ONE dgemm per cell →
+    ``(id_a, id_b, cosine)`` with id_a < id_b, HALF_UP 6 dp. Input is a
+    ``(id, _v double-array, cell)`` frame (assign_ivf_cells output shape).
+
+    The shared scoring kernel for every Σ|cell|²-bounded pair pipeline
+    (kNN graph, SemDeDup sweeps): per-pair ``zip_with`` folds allocate an
+    array per element pair and never reach codegen — measured ~50× slower
+    at 500k pairs. ``min_cos`` filters INSIDE the kernel so sub-threshold
+    pairs never leave the Python worker.
+    """
+    import numpy as np
+    import pandas as pd
+
+    _id_t = cellframe.schema[id_col].dataType.simpleString()
+    schema = f"id_a {_id_t}, id_b {_id_t}, cosine double"
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = pdf[id_col].to_numpy()
+        V = np.array(list(pdf["_v"]), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        S = _round6_half_up((V / norms[:, None]) @ (V / norms[:, None]).T)
+        iu, ju = np.triu_indices(n, k=1)
+        ia, ib, vals = ids[iu], ids[ju], S[iu, ju]
+        # contract is id_a < id_b by VALUE, not by position
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        if min_cos is not None:
+            keep = vals >= min_cos
+            lo, hi, vals = lo[keep], hi[keep], vals[keep]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": vals})
+
+    return cellframe.groupBy("cell").applyInPandas(_pairs, schema)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1428,13 +1483,48 @@ def bitext_mine(
     )
     if candidates is not None:
         pairs = candidates.select("a_id", "b_id").join(a, "a_id").join(b, "b_id")
+        scored = pairs.select(
+            "a_id",
+            "b_id",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
     else:
-        pairs = a.crossJoin(b)
-    scored = pairs.select(
-        "a_id",
-        "b_id",
-        F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
-    )
+        # exact form: B is an eval/probe set by contract (see above), so
+        # collect it once and score each A-partition against the whole B
+        # matrix with one dgemm — the |A|×|B| zip_with cross join was the
+        # same interpreted-fold bottleneck as the kNN kernel (~50×)
+        import numpy as np
+        import pandas as pd
+
+        b_rows = sorted(b.collect(), key=lambda r: r["b_id"])
+        b_ids = np.array([r["b_id"] for r in b_rows])
+        B = np.array([r["_vb"] for r in b_rows], dtype=np.float64)
+        bn = np.linalg.norm(B, axis=1)
+        bn[bn == 0.0] = 1.0
+        Bn = B / bn[:, None]
+        _a_t = a.schema["a_id"].dataType.simpleString()
+        _b_t = b.schema["b_id"].dataType.simpleString()
+
+        def _score(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                A = np.array(list(pdf["_va"]), dtype=np.float64)
+                an = np.linalg.norm(A, axis=1)
+                an[an == 0.0] = 1.0
+                S = _round6_half_up((A / an[:, None]) @ Bn.T)
+                n, m = S.shape
+                yield pd.DataFrame(
+                    {
+                        "a_id": np.repeat(pdf["a_id"].to_numpy(), m),
+                        "b_id": np.tile(b_ids, n),
+                        "cosine": S.ravel(),
+                    }
+                )
+
+        scored = fan_out(a).mapInPandas(
+            _score, schema=f"a_id {_a_t}, b_id {_b_t}, cosine double"
+        )
     from pyspark.sql import Window
 
     w_a = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
@@ -1884,36 +1974,24 @@ def semantic_threshold_sweep(
         pairable = cells.join(
             broadcast(sizes.filter(F.col("_csize") <= max_cell_size)), "cell"
         ).drop("_csize")
-    a = pairable.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("_va"),
-        "cell",
-    )
-    b = pairable.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("_vb"),
-        "cell",
-    )
     ths = sorted(thresholds)
     th_arr = F.array(*[F.lit(float(t)) for t in ths])
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias(
-                "_cos"
-            ),
-        )
-        .filter(F.col("_cos") >= float(ths[0]))
-        .select(
-            "id_a",
-            "id_b",
-            F.explode(
-                F.filter(th_arr, lambda t: F.col("_cos") >= t)
-            ).alias("threshold"),
-        )
+    # shared per-cell dgemm kernel; the >= ths[0] cut happens inside the
+    # Python worker so sub-threshold pairs never cross the Arrow boundary
+    scored = _cell_pair_cosines(
+        pairable.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            "cell",
+        ),
+        min_cos=float(ths[0]),
+    )
+    pairs = scored.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.filter(th_arr, lambda t: F.col("cosine") >= t)
+        ).alias("threshold"),
     )
     ids = pairs.select(
         "threshold", F.explode(F.array("id_a", "id_b")).alias("_id")
