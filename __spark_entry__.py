@@ -2823,6 +2823,72 @@ def _q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "mmr_rank")
 
 
+def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power iteration:
+    the distributed work is ONE covariance pass (dim²-bounded shuffle),
+    the 20 matvec rounds run on the collected dim×dim matrix (the
+    FAISS-style trainer split). Returns per-dimension component + the
+    eigenvalue and variance share. Oracle: the covariance SQL feeding 20
+    unrolled MATERIALIZED matvec/normalize CTE rounds."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        pca_power_summary,
+    )
+
+    return pca_power_summary(_emb(spark, sf_dir), iterations=20).orderBy("i")
+
+
+def _q_ann_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation quality: recall@5 of brute-force search
+    on the FIRST 16 of 64 dimensions against the full-dim exact top-5 —
+    the dimension-budget curve point every embedding-truncation rollout
+    measures (Kusupati et al. 2022). Same query set as
+    ann_topk_bruteforce."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        ann_recall, brute_force_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    trunc = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    approx = brute_force_topk(trunc, trunc.filter(F.col("vec_id") < 10), k=5)
+    exact = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return ann_recall(approx, exact).orderBy("query_id")
+
+
+def _q_text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: hashed unigram+bigram bucket models for
+    target (src0) vs raw (the rest), per-doc summed log-likelihood
+    ratios, deterministic top-60 most-target-like raw documents."""
+    from kafka_connect_hdfs_spark.operators.text import (
+        dsir_importance_select,
+    )
+
+    return dsir_importance_select(
+        _docs(spark, sf_dir),
+        target_source="src0",
+        n_select=60,
+        buckets=4096,
+    ).orderBy("rank")
+
+
+def _q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities on the
+    thresholded co-visitation graph (4 sweeps, smallest-label
+    tie-break) — the intra-component community structure that connected
+    components can't see."""
+    from kafka_connect_hdfs_spark.operators.graph import (
+        covisit_edges, label_propagation_communities,
+    )
+
+    edges = covisit_edges(
+        _events(spark, sf_dir), max_users_per_bucket=200
+    ).filter(F.col("n_covisits") >= 3)
+    return label_propagation_communities(
+        edges, iterations=4, id_a="user_a", id_b="user_b"
+    ).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -2924,6 +2990,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity_filter": _q_text_perplexity_filter,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_sessionize": _q_stream_sessionize,
+        # --- NEW in r04b (locally oracle-verified; queue for the r05
+        # window right behind the r04 batch above)
+        "embedding_pca": _q_embedding_pca,
+        "ann_trunc_recall": _q_ann_trunc_recall,
+        "text_dsir_select": _q_text_dsir_select,
+        "graph_lpa_communities": _q_graph_lpa_communities,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -6934,5 +7006,203 @@ SELECT w.doc_id, w.lang, w.avg_logprob, t.lp_threshold
 FROM withlang w JOIN thresholds t USING (lang)
 WHERE w.avg_logprob >= t.lp_threshold
 ORDER BY w.doc_id
+"""
+    # power iteration unrolled: 20 matvec/normalize rounds on the 6-dp
+    # covariance (the exact matrix the Spark driver iterates), every round
+    # MATERIALIZED (DuckDB would otherwise inline the chain exponentially)
+    pca_rounds = []
+    prev = "x0"
+    for it in range(1, 21):
+        pca_rounds.append(
+            f"""y{it} AS MATERIALIZED (
+  SELECT c.i, sum(c.cov * x.v) AS v
+  FROM fullcov c JOIN {prev} x ON c.j = x.i GROUP BY 1
+),
+n{it} AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS n FROM y{it}),
+x{it} AS MATERIALIZED (
+  SELECT y.i, CASE WHEN n.n = 0 THEN 0.0 ELSE y.v / n.n END AS v
+  FROM y{it} y CROSS JOIN n{it} n
+),
+"""
+        )
+        prev = f"x{it}"
+    sql["embedding_pca"] = f"""
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ddm AS (SELECT max(len(e)) AS d FROM v),
+idx AS (SELECT unnest(generate_series(1, d)) AS i FROM ddm),
+prs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+exy AS (
+  SELECT p.i, p.j, avg(e[p.i] * e[p.j]) AS exy
+  FROM v CROSS JOIN prs p GROUP BY 1, 2
+),
+ex AS (SELECT idx.i, avg(e[idx.i]) AS ex FROM v CROSS JOIN idx GROUP BY 1),
+covu AS MATERIALIZED (
+  SELECT (exy.i - 1)::INT AS i, (exy.j - 1)::INT AS j,
+         round(exy.exy - mi.ex * mj.ex, 6) AS cov
+  FROM exy JOIN ex mi ON exy.i = mi.i JOIN ex mj ON exy.j = mj.i
+),
+fullcov AS MATERIALIZED (
+  SELECT i, j, cov FROM covu
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
+),
+dd AS (SELECT (max(i) + 1)::INT AS d FROM covu),
+x0 AS MATERIALIZED (
+  SELECT unnest(generate_series(0, (SELECT d FROM dd) - 1))::INT AS i,
+         1.0 / sqrt((SELECT d FROM dd)) AS v
+),
+{''.join(pca_rounds)}eig AS (
+  SELECT sum(a.v * c.cov * b.v) AS e
+  FROM fullcov c JOIN x20 a ON c.i = a.i JOIN x20 b ON c.j = b.i
+),
+sgn AS (
+  SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+  FROM x20 WHERE abs(v) > 1e-12 ORDER BY i LIMIT 1
+),
+tr AS (SELECT sum(cov) AS t FROM covu WHERE i = j)
+SELECT x.i AS i, round(s.s * x.v, 6) AS component,
+       round(e.e, 6) AS eigenvalue,
+       round(e.e / t.t, 6) AS var_share
+FROM x20 x CROSS JOIN sgn s CROSS JOIN eig e CROSS JOIN tr t
+ORDER BY i
+"""
+    # truncated-dimension recall: exact side composes the existing
+    # bruteforce oracle; approx side is the same search on embedding[1:16]
+    sql["ann_trunc_recall"] = f"""
+WITH tp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(q.embedding[1:16] AS DOUBLE[]) AS qv,
+         CAST(c.embedding[1:16] AS DOUBLE[]) AS cv
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+),
+tsims AS (
+  SELECT query_id, neighbor_id, {_COSINE} AS cosine FROM tp
+),
+tranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM tsims
+),
+approx AS (SELECT query_id, neighbor_id FROM tranked WHERE rank <= 5),
+exact AS (
+  SELECT query_id, neighbor_id FROM ({sql["ann_topk_bruteforce"]})
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+SELECT t.query_id, coalesce(h.n_hits, 0) AS n_hits, t.n_exact,
+       round(coalesce(h.n_hits, 0) / t.n_exact, 6) AS recall
+FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+ORDER BY t.query_id
+"""
+    sql["text_dsir_select"] = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE str_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_concat(
+           t,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i + 1])
+                ELSE []::VARCHAR[] END)) AS g
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g), 1, 12))::BIGINT % 4096 AS bucket
+  FROM grams
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS tc,
+         sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)::BIGINT AS rc
+  FROM feats GROUP BY 1
+),
+tot AS (SELECT sum(tc)::DOUBLE AS tt, sum(rc)::DOUBLE AS rr FROM counts),
+lr AS (
+  SELECT bucket,
+         ln((tc + 1.0) / (tt + 4096.0)) - ln((rc + 1.0) / (rr + 4096.0))
+           AS logw
+  FROM counts CROSS JOIN tot
+),
+scored AS (
+  SELECT f.doc_id, f.source, count(*)::BIGINT AS n_feats,
+         round(sum(lr.logw), 6) AS dsir_score
+  FROM feats f JOIN lr USING (bucket)
+  WHERE f.source <> 'src0'
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, source, n_feats, dsir_score,
+         row_number() OVER (ORDER BY dsir_score DESC, doc_id ASC)::INT
+           AS rank
+  FROM scored
+)
+SELECT doc_id, source, n_feats, dsir_score, rank
+FROM ranked WHERE rank <= 60 ORDER BY rank
+"""
+    # 4 synchronous LPA sweeps, deterministic (count DESC, label ASC)
+    # adoption, unrolled with MATERIALIZED per-round CTEs
+    lpa_rounds = []
+    for it in range(1, 5):
+        p = f"l{it - 1}"
+        lpa_rounds.append(
+            f"""cnt{it} AS MATERIALIZED (
+  SELECT sym.s AS u, l.lbl, count(*) AS c
+  FROM sym JOIN {p} l ON sym.d = l.u
+  GROUP BY 1, 2
+),
+best{it} AS MATERIALIZED (
+  SELECT u, lbl FROM (
+    SELECT u, lbl,
+           row_number() OVER (PARTITION BY u
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM cnt{it}
+  ) WHERE rn = 1
+),
+l{it} AS MATERIALIZED (
+  SELECT n.u, coalesce(b.lbl, p.lbl) AS lbl
+  FROM nodes n LEFT JOIN best{it} b USING (u) JOIN {p} p USING (u)
+),
+"""
+        )
+    sql["graph_lpa_communities"] = f"""
+WITH cell AS (
+  SELECT DISTINCT user_id AS u, event_type AS it,
+         date_trunc('hour', ts) AS bkt
+  FROM events
+),
+csize AS (SELECT it, bkt, count(*) AS n_users FROM cell GROUP BY 1, 2),
+cf AS (
+  SELECT cell.u, cell.it, cell.bkt FROM cell
+  JOIN csize USING (it, bkt) WHERE csize.n_users <= 200
+),
+edges AS MATERIALIZED (
+  SELECT a.u AS s, b.u AS d
+  FROM cf a JOIN cf b ON a.it = b.it AND a.bkt = b.bkt AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+sym AS MATERIALIZED (
+  SELECT s, d FROM edges UNION ALL SELECT d AS s, s AS d FROM edges
+),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS u FROM sym),
+l0 AS MATERIALIZED (SELECT u, u AS lbl FROM nodes),
+{''.join(lpa_rounds)}sizes AS (
+  SELECT lbl, count(*)::BIGINT AS n_members FROM l4 GROUP BY 1
+)
+SELECT l.u AS node, l.lbl AS community, s.n_members
+FROM l4 l JOIN sizes s USING (lbl)
+ORDER BY node
 """
     return sql

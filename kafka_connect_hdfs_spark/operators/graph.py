@@ -510,3 +510,71 @@ def kcore_decompose(
     return deg.filter(F.col("d") >= k).select(
         F.col("u").alias("node"), F.col("d").alias("core_degree")
     )
+
+
+def label_propagation_communities(
+    pairs: DataFrame,
+    iterations: int = 4,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, Phys. Rev. E 76): every node starts as its own community; each
+    round, every node adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label — fully deterministic (no random
+    visit order, no async races), so a fixed-``iterations`` run replays
+    bit-identically in any engine. Isolated nodes keep their own label.
+    Returns ``(node, community, n_members)``.
+
+    This complements the clustering family: duplicate_clusters /
+    connected_components_star find *connected components* (transitive
+    closure), LPA finds *densely-linked groups inside* a component — the
+    community structure of the co-visitation graph, not its reachability.
+
+    Scale: per round one |edges|-shuffle groupBy (node, label) with
+    map-side partial counts, then one |nodes|-bounded max-of-struct agg —
+    no window functions, no edge×edge joins. The label frame is
+    ``localCheckpoint``-ed per round to truncate lineage (the
+    duplicate_clusters precedent). Fixed round count (LPA in practice
+    stabilizes in < 5 sweeps; Raghavan §4) keeps the cost bounded and the
+    semantics oracle-able.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = sym.select("u").distinct().localCheckpoint(eager=True)
+    labels = nodes.select("u", F.col("u").alias("lbl"))
+    for _ in range(iterations):
+        nbr = sym.join(
+            labels.select(F.col("u").alias("v"), "lbl"), "v"
+        ).select("u", "lbl")
+        counts = nbr.groupBy("u", "lbl").agg(F.count("*").alias("c"))
+        # argmax by (count DESC, label ASC) as one max-of-struct agg:
+        # (c, -lbl) orders ties toward the smaller label without a window
+        best = counts.groupBy("u").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias(
+                "m"
+            )
+        ).select("u", (-F.col("m.nl")).alias("lbl"))
+        # isolated nodes (no neighbors) keep their current label
+        labels = (
+            nodes.join(best, "u", "left")
+            .join(
+                labels.select("u", F.col("lbl").alias("_old")), "u"
+            )
+            .select(
+                "u", F.coalesce(F.col("lbl"), F.col("_old")).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("n_members"))
+    return labels.join(sizes, "lbl").select(
+        F.col("u").alias("node"),
+        F.col("lbl").alias("community"),
+        "n_members",
+    )

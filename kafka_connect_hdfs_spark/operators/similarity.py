@@ -1669,6 +1669,60 @@ def pca_top_component(
     return [round(float(c), 6) for c in x], round(eig, 6)
 
 
+def pca_power_summary(
+    embeddings: DataFrame,
+    iterations: int = 20,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame form of the power-iteration PCA: one row per dimension
+    ``(i, component, eigenvalue, var_share)`` where ``component`` is the
+    top principal axis (sign: first non-negligible coordinate positive),
+    ``eigenvalue`` its Rayleigh quotient, and ``var_share`` the fraction
+    of total variance (eig / trace of the covariance) it explains — the
+    isotropy number embedding pipelines check before whitening.
+
+    Scale split is the same as :func:`pca_top_component`: the ONLY
+    corpus-sized work is the distributed moment pass inside
+    :func:`embedding_covariance`; the collected matrix and the iteration
+    are dim²-bounded driver work (dim=64 → 2,080 rows), the split
+    FAISS-style PCA trainers use. All floats are 6-dp HALF_UP so a
+    replayed oracle (unrolled matvec rounds) lands on identical values.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    schema = "i int, component double, eigenvalue double, var_share double"
+    rows = embedding_covariance(embeddings, vec_col=vec_col).collect()
+    if not rows:
+        return spark.createDataFrame([], schema)
+    d = max(r["j"] for r in rows) + 1
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    x = np.ones(d) / np.sqrt(d)
+    for _ in range(iterations):
+        y = C @ x
+        n = np.linalg.norm(y)
+        if n == 0.0:
+            x = np.zeros(d)
+            break
+        x = y / n
+    eig = float(x @ C @ x)
+    nz = np.nonzero(np.abs(x) > 1e-12)[0]
+    if len(nz) and x[nz[0]] < 0:
+        x = -x
+    trace = float(np.trace(C))
+    share = eig / trace if trace else 0.0
+    comp = _round6_half_up(x)
+    eig6 = float(_round6_half_up(np.array([eig]))[0])
+    share6 = float(_round6_half_up(np.array([share]))[0])
+    out = [
+        (int(i), float(comp[i]), eig6, share6) for i in range(d)
+    ]
+    return spark.createDataFrame(out, schema)
+
+
 def mmr_rerank(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1670,3 +1670,107 @@ def perplexity_filter(
         .filter(F.col("avg_logprob") >= F.col("lp_threshold"))
         .select(id_col, lang_col, "avg_logprob", "lp_threshold")
     )
+
+
+def dsir_importance_select(
+    df: DataFrame,
+    target_source: str = "src0",
+    n_select: int = 100,
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every *raw* document (``source !=
+    target_source``) by how target-like its hashed n-gram feature
+    distribution is, and keep the ``n_select`` highest scorers. Features
+    are unigrams + bigrams hashed into ``buckets`` md5 buckets; the score
+    is the summed log-likelihood ratio ``Σ log(p_target(b)/p_raw(b))``
+    over the document's features under add-``smoothing`` bucket unigram
+    models. Deterministic: selection orders by (rounded score DESC, id
+    ASC) — no sampling noise, reproducible across engines (the paper's
+    Gumbel top-k reduces to this under a fixed seed; we take the MAP
+    variant). Reference analogue: the reference has no learned selection
+    (kafka-connect-hdfs moves bytes); this is §2.11 pipeline surface.
+
+    Returns ``(id, source, n_feats, dsir_score, rank)`` for the selected
+    documents.
+
+    Scale: feature extraction is one map-side projection (split + hash —
+    no UDF); bucket counts shuffle ≤ ``buckets`` rows per partition
+    (partial-combined), the two bucket models join back as ONE broadcast
+    (buckets-bounded); per-doc scoring shuffles (doc, bucket-hit) pairs
+    pruned to two small columns. Global top-k is orderBy+limit —
+    TakeOrdered, no single-partition window over the corpus.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    base = df.select(F.col(id_col), F.col(source_col), toks.alias("_tk"))
+    n = F.size("_tk")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("_tk", 1, n - 1),
+            F.slice("_tk", 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = base.select(
+        id_col,
+        source_col,
+        F.explode(F.concat("_tk", bigrams)).alias("_g"),
+    ).select(
+        id_col,
+        source_col,
+        F.pmod(
+            F.conv(F.substring(F.md5("_g"), 1, 12), 16, 10).cast("bigint"),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+    is_target = F.col(source_col) == target_source
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(is_target, 0).otherwise(1)).alias("rc"),
+    )
+    totals = counts.agg(
+        F.sum("tc").alias("T"), F.sum("rc").alias("R")
+    )
+    # log p_target(b) - log p_raw(b) under add-k smoothing; buckets-bounded
+    logratio = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("tc") + F.lit(smoothing))
+                    / (F.col("T") + F.lit(smoothing * buckets))
+                )
+                - F.log(
+                    (F.col("rc") + F.lit(smoothing))
+                    / (F.col("R") + F.lit(smoothing * buckets))
+                )
+            ).alias("logw"),
+        )
+    )
+    scored = (
+        feats.filter(~is_target)
+        .join(F.broadcast(logratio), "bucket")
+        .groupBy(id_col, source_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("logw"), 6).alias("dsir_score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(
+        F.col("dsir_score").desc(), F.col(id_col).asc()
+    ).limit(n_select)
+    # the window runs on the n_select-row result of the TakeOrdered limit,
+    # not the corpus — single-partition is fine at that size
+    w = Window.orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))

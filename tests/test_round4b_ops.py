@@ -1,0 +1,158 @@
+"""Round-4b operators: deterministic synchronous LPA communities, DSIR
+importance selection, power-iteration PCA summary, truncated-dim recall."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_communities
+
+
+def test_lpa_two_triangles_with_bridge(spark):
+    from kafka_connect_hdfs_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: (r["community"], r["n_members"])
+        for r in label_propagation_communities(edges, iterations=4).collect()
+    }
+    # hand-replayed 4 sync sweeps (count DESC, label ASC tie-break):
+    # triangle {1,2,3} settles on label 1, triangle {4,5,6} on label 3
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (3, 3), 5: (3, 3), 6: (3, 3),
+    }
+
+
+def test_lpa_drops_self_pairs_and_dedups_edges(spark):
+    from kafka_connect_hdfs_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 2)], "id_a long, id_b long"
+    )
+    rows = label_propagation_communities(edges, iterations=2).collect()
+    got = {r["node"]: r["community"] for r in rows}
+    # self-pair contributes no edge; duplicate (1,2) counts once. Two sync
+    # sweeps on a single edge return each node to its own label.
+    assert got == {1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_select
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    from kafka_connect_hdfs_spark.operators.text import (
+        dsir_importance_select,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "src0"),
+            (2, "alpha beta gamma", "src0"),
+            (10, "alpha beta alpha", "src1"),
+            (11, "zeta eta theta", "src1"),
+            (12, "alpha zeta", "src2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = dsir_importance_select(
+        docs, target_source="src0", n_select=3, buckets=256
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # target docs never appear in the selection
+    assert set(by_id) == {10, 11, 12}
+    # the doc sharing the target's vocabulary outranks the disjoint one
+    assert by_id[10]["rank"] < by_id[11]["rank"]
+    assert by_id[10]["dsir_score"] > by_id[11]["dsir_score"]
+    # ranks are dense from 1 in score order
+    assert sorted(r["rank"] for r in out) == [1, 2, 3]
+
+
+def test_dsir_respects_n_select_and_empty_text(spark):
+    from kafka_connect_hdfs_spark.operators.text import (
+        dsir_importance_select,
+    )
+
+    rows = [(0, "alpha beta", "src0")] + [
+        (i, "alpha" if i % 2 else "zeta", "src1") for i in range(1, 8)
+    ] + [(99, "", "src1")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dsir_importance_select(
+        docs, target_source="src0", n_select=4, buckets=64
+    ).collect()
+    assert len(out) == 4
+    # empty doc has zero features and cannot be selected over scored docs
+    assert 99 not in {r["doc_id"] for r in out}
+
+
+# ---------------------------------------------------------------------------
+# pca_power_summary
+
+
+def test_pca_power_summary_finds_dominant_axis(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        pca_power_summary,
+    )
+
+    # dim 0 carries ~100x the variance of the rest: PC1 ~= e0
+    rows = [
+        (i, [float((-1) ** i * 10), float(i % 3) * 0.1, 0.05 * (i % 2), 0.0])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_power_summary(emb, iterations=20).orderBy("i").collect()
+    assert [r["i"] for r in out] == [0, 1, 2, 3]
+    comp = [r["component"] for r in out]
+    assert abs(comp[0]) > 0.99
+    # sign convention: first non-negligible coordinate positive
+    assert comp[0] > 0
+    assert abs(math.fsum(c * c for c in comp) - 1.0) < 1e-3
+    assert out[0]["eigenvalue"] > 0
+    assert 0.9 < out[0]["var_share"] <= 1.0
+    # eigenvalue / var_share constant across rows
+    assert len({r["eigenvalue"] for r in out}) == 1
+    assert len({r["var_share"] for r in out}) == 1
+
+
+def test_pca_power_summary_empty_input(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        pca_power_summary,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert pca_power_summary(emb).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# truncated-dim recall (matryoshka curve point)
+
+
+def test_trunc_recall_is_one_at_full_dim(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        ann_recall, brute_force_topk,
+    )
+
+    rows = [
+        (i, [math.cos(0.7 * i + j) for j in range(8)]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 4)
+    qf = full.filter(F.col("vec_id") < 4)
+    approx = brute_force_topk(full, qf, k=3)
+    exact = brute_force_topk(emb, q, k=3)
+    rec = ann_recall(approx, exact).collect()
+    assert len(rec) == 4
+    assert all(r["recall"] == 1.0 for r in rec)
