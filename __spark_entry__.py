@@ -2889,6 +2889,29 @@ def _q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def _q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe cost/recall curve from one candidate scan: recall@5 at
+    n_probe 1/2/4 where each level is a filter over the SAME scored
+    candidate set (the threshold-sweep amortization), sharing one exact
+    brute-force pass."""
+    from kafka_connect_hdfs_spark.operators.similarity import ivf_probe_sweep
+
+    emb = _emb(spark, sf_dir)
+    return ivf_probe_sweep(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_seeds=8,
+        probes=(1, 2, 4),
+    ).orderBy("query_id", "n_probe")
+
+
+def _q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit per source: OLS slope/intercept/r² of ln(freq) vs
+    ln(rank) over each source's top-30 tokens — the corpus-health
+    diagnostic for templated or boilerplate-dominated sources."""
+    from kafka_connect_hdfs_spark.operators.text import zipf_slope
+
+    return zipf_slope(_docs(spark, sf_dir), top_n=30).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -2996,6 +3019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_trunc_recall": _q_ann_trunc_recall,
         "text_dsir_select": _q_text_dsir_select,
         "graph_lpa_communities": _q_graph_lpa_communities,
+        "ann_probe_sweep": _q_ann_probe_sweep,
+        "text_zipf_slope": _q_text_zipf_slope,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -7204,5 +7229,99 @@ l0 AS MATERIALIZED (SELECT u, u AS lbl FROM nodes),
 SELECT l.u AS node, l.lbl AS community, s.n_members
 FROM l4 l JOIN sizes s USING (lbl)
 ORDER BY node
+"""
+    # nprobe sweep: one scored candidate set (max probe level), each level
+    # a filter on the candidate cell's probe rank; shared exact pass
+    sql["ann_probe_sweep"] = f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, v, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, seed_id ASC) AS r
+  FROM vecs, seeds
+),
+cells AS (SELECT vec_id, v, seed_id AS cell FROM scored WHERE r = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, v AS qv, seed_id AS cell, (r - 1) AS cell_rank
+  FROM scored WHERE vec_id < 10 AND r <= 4
+),
+cand AS MATERIALIZED (
+  SELECT q.query_id, c.vec_id AS neighbor_id, q.cell_rank,
+         round(list_dot_product(q.qv, c.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6)
+           AS cosine
+  FROM cells c JOIN qprobe q ON c.cell = q.cell
+  WHERE c.vec_id != q.query_id
+),
+exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({sql["ann_topk_bruteforce"]})
+),
+totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+lvl AS (
+  SELECT p.n_probe, c.query_id, c.neighbor_id,
+         row_number() OVER (PARTITION BY p.n_probe, c.query_id
+                            ORDER BY c.cosine DESC, c.neighbor_id ASC) AS rank
+  FROM (VALUES (1), (2), (4)) p(n_probe)
+  JOIN cand c ON c.cell_rank < p.n_probe
+),
+hits AS (
+  SELECT l.n_probe, l.query_id, count(*) AS n_hits
+  FROM lvl l JOIN exact e
+    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+  WHERE l.rank <= 5
+  GROUP BY 1, 2
+)
+SELECT t.query_id, p.n_probe::INT AS n_probe,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       t.n_exact::BIGINT AS n_exact,
+       round(coalesce(h.n_hits, 0) / t.n_exact, 6) AS recall
+FROM totals t CROSS JOIN (VALUES (1), (2), (4)) p(n_probe)
+LEFT JOIN hits h ON h.query_id = t.query_id AND h.n_probe = p.n_probe
+ORDER BY t.query_id, n_probe
+"""
+    sql["text_zipf_slope"] = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                     ELSE str_split_regex(trim(lower(text)), '\s+') END) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok, count(*)::BIGINT AS freq FROM toks GROUP BY 1, 2
+),
+rk AS (
+  SELECT source, freq,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY freq DESC, tok ASC) AS rank
+  FROM counts
+),
+xy AS (
+  SELECT source, ln(rank::DOUBLE) AS x, ln(freq::DOUBLE) AS y
+  FROM rk WHERE rank <= 30
+),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_terms, count(*)::DOUBLE AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy GROUP BY source
+)
+SELECT source, n_terms,
+       round(CASE WHEN (n * sxx - sx * sx) != 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+         AS slope,
+       round(CASE WHEN (n * sxx - sx * sx) != 0
+                  THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                       / n END, 6) AS intercept,
+       round(CASE WHEN (n * sxx - sx * sx) != 0 AND (n * syy - sy * sy) != 0
+                  THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+                       ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+         AS r2
+FROM agg ORDER BY source
 """
     return sql

@@ -491,6 +491,97 @@ def ivf_topk(
     )
 
 
+def ivf_probe_sweep(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_seeds: int = 8,
+    probes: "tuple[int, ...]" = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k at several ``nprobe`` settings from ONE candidate scan —
+    the cost/recall curve every IVF deployment tunes (the FAISS nprobe
+    sweep), computed the way :func:`semantic_threshold_sweep` amortizes
+    thresholds: candidates for the LARGEST probe count are scored once,
+    each smaller level is a filter on the probe rank of the candidate's
+    cell, and the exact side is one shared brute-force pass. Returns
+    ``(query_id, n_probe, n_hits, n_exact, recall)``.
+
+    Scale: corpus vectors carry one map-side cell id (no shuffle — the
+    literal-seed kernel); only the query side fans out ×max(probes). The
+    scored candidate frame and the exact top-k are ``localCheckpoint``-ed
+    because every probe level re-reads them — without it each union
+    branch would re-run the candidate join and the exact scan.
+    """
+    from pyspark.sql import Window
+
+    max_p = max(probes)
+    seeds = embeddings.filter(F.col(id_col) < n_seeds)
+    cells = assign_ivf_cells(embeddings, seeds, id_col, vec_col)
+    probe = assign_ivf_probe_cells(embeddings, seeds, max_p, id_col, vec_col)
+    q = probe.join(
+        queries.select(F.col(id_col).alias("query_id")),
+        probe[id_col] == F.col("query_id"),
+    ).select(
+        "query_id",
+        F.col(vec_col).alias("q_vec"),
+        F.posexplode("cells").alias("cell_rank", "cell"),
+    )
+    c = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cell",
+    )
+    scored = (
+        c.join(broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell_rank",
+            F.round(
+                cosine_similarity(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    exact = (
+        brute_force_topk(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    totals = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    out = None
+    for p in sorted(probes):
+        topk_p = (
+            scored.filter(F.col("cell_rank") < p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        hits = topk_p.join(exact, ["query_id", "neighbor_id"]).groupBy(
+            "query_id"
+        ).agg(F.count("*").alias("n_hits"))
+        lvl = totals.join(hits, "query_id", "left").select(
+            "query_id",
+            F.lit(p).alias("n_probe"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            "n_exact",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     dim: int,

@@ -1672,6 +1672,72 @@ def perplexity_filter(
     )
 
 
+def zipf_slope(
+    df: DataFrame,
+    top_n: int = 200,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group Zipf fit: OLS regression of ln(frequency) on ln(rank)
+    over each group's ``top_n`` most frequent tokens. Natural-language
+    corpora fit slope ≈ −1 (Zipf 1949); a much flatter slope flags
+    templated/machine-generated text, a much steeper one flags boilerplate
+    domination — a standard corpus-health diagnostic next to vocab_drift.
+    Returns ``(group, n_terms, slope, intercept, r2)``.
+
+    Scale: token counting is the vocab-bounded groupBy every text op here
+    uses (corpus shuffles once on (group, token), partial-combined); the
+    rank window runs over the per-group VOCAB table, not the corpus, and
+    the regression is one closed-form aggregate over ≤ top_n rows per
+    group — no iteration, no driver math.
+    """
+    from pyspark.sql import Window
+
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("tok"))
+        .groupBy("grp", "tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "grp",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, syy, sxy = (
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("y") * F.col("y")),
+        F.sum(F.col("x") * F.col("y")),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    # degenerate groups (single term, or all equal frequencies) have zero
+    # variance on one axis: slope/r² are NULL there, not a 0/0 crash
+    slope = F.when(var_x != 0, cov_n / var_x)
+    return ranked.groupBy("grp").agg(
+        F.count("*").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.when(
+                (var_x != 0) & (var_y != 0), (cov_n * cov_n) / (var_x * var_y)
+            ),
+            6,
+        ).alias("r2"),
+    ).withColumnRenamed("grp", group_col)
+
+
 def dsir_importance_select(
     df: DataFrame,
     target_source: str = "src0",

@@ -139,6 +139,50 @@ def test_pca_power_summary_empty_input(spark):
 # truncated-dim recall (matryoshka curve point)
 
 
+def test_probe_sweep_monotonic_and_exhaustive_at_all_cells(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import ivf_probe_sweep
+
+    rows = [
+        (i, [math.sin(0.9 * i + j) for j in range(6)]) for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_probe_sweep(
+        emb, emb.filter(F.col("vec_id") < 3), k=4, n_seeds=4, probes=(1, 2, 4)
+    ).collect()
+    rec = {(r["query_id"], r["n_probe"]): r["recall"] for r in out}
+    assert len(out) == 9  # 3 queries x 3 probe levels
+    for q in range(3):
+        # recall climbs (weakly) with probe count
+        assert rec[(q, 1)] <= rec[(q, 2)] <= rec[(q, 4)]
+        # probing every cell IS the exhaustive search
+        assert rec[(q, 4)] == 1.0
+
+
+def test_zipf_slope_matches_closed_form(spark):
+    from kafka_connect_hdfs_spark.operators.text import zipf_slope
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c", "s1"), (2, "x y", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in zipf_slope(docs, top_n=10).collect()}
+    # s1: freqs 4,2,1 at ranks 1,2,3
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(f) for f in (4, 2, 1)]
+    n = 3.0
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert out["s1"]["n_terms"] == 3
+    assert abs(out["s1"]["slope"] - slope) < 1e-6
+    assert slope < -1.0  # steeper than Zipf's -1 for this skewed toy
+    assert 0.9 < out["s1"]["r2"] <= 1.0
+    # s2: two tokens with equal freq 1 -> flat fit, slope 0, r2 undefined
+    assert out["s2"]["slope"] == 0.0
+    assert out["s2"]["r2"] is None
+
+
 def test_trunc_recall_is_one_at_full_dim(spark):
     from kafka_connect_hdfs_spark.operators.similarity import (
         ann_recall, brute_force_topk,
