@@ -674,3 +674,72 @@ def test_kcore_rounds_no_cartesian(spark, sf):
     plan = _plan(kcore_decompose(edges, k=3, id_a="user_a", id_b="user_b"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dsir_broadcasts_bucket_model_no_corpus_window(spark, sf):
+    """DSIR's bucket log-ratio model must come back as a BROADCAST join
+    (buckets-bounded), and the corpus-sized scoring path must not run a
+    global single-partition window (selection is TakeOrdered + a window
+    over the already-limited top rows only)."""
+    from kafka_connect_hdfs_spark.operators.text import dsir_importance_select
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(dsir_importance_select(docs, n_select=50))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lpa_rounds_no_cartesian_partial_aggs(spark, sf):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.graph import (
+        covisit_edges, label_propagation_communities,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    events = load_table(spark, sf, "events")
+    edges = covisit_edges(events, max_users_per_bucket=200).filter(
+        F.col("n_covisits") >= 3
+    )
+    plan = _plan(
+        label_propagation_communities(edges, iterations=2, id_a="user_a", id_b="user_b")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # neighbor-label counting partial-combines map-side before the shuffle
+    assert "partial_count" in plan, plan
+
+
+def test_probe_sweep_broadcasts_queries_single_cell_equijoin(spark, sf):
+    """The sweep's candidate join must be cell-keyed with the QUERY side
+    broadcast — the corpus never shuffles for candidate generation, and no
+    probe level may degrade to a cartesian rescan."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.similarity import ivf_probe_sweep
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    plan = _plan(
+        ivf_probe_sweep(emb, emb.filter(F.col("vec_id") < 10), probes=(1, 2))
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zipf_window_runs_on_vocab_not_corpus(spark, sf):
+    """zipf_slope's rank window must consume the (group, token) COUNT
+    table — i.e. the window sits above a HashAggregate, never directly
+    over the exploded corpus — and the count partial-combines map-side."""
+    from kafka_connect_hdfs_spark.operators.text import zipf_slope
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(zipf_slope(docs, top_n=30))
+    assert "partial_count" in plan, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+    # the explode (Generate) must feed an aggregate, not the window sort
+    gen_tail = plan.split("Generate", 1)[1] if "Generate" in plan else ""
+    assert "HashAggregate" in gen_tail, plan
