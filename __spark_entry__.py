@@ -2942,6 +2942,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row, reserve ~10 tail-end window slots each round for the OLDEST
     # driver-green entries (stalest evidence first); new queries take
     # the remaining slots and this round's greens go to the back.
+    # ROUND-5 ROTATION TODO: promote the 18 "NEW in r04/r04b" entries
+    # (text_bpe_encode … stream_sessionize, embedding_pca,
+    # ann_trunc_recall, text_dsir_select, graph_lpa_communities,
+    # ann_probe_sweep, text_zipf_slope, + any later additions) into slots
+    # 1-18, then fill the tail with the ~10 stalest r01 greens per the
+    # cadence above.
     return {
         # --- r03 window-overflow: ANN / graph / text / corpus batch
         "ann_cell_stats": _q_ann_cell_stats,
