@@ -2903,6 +2903,20 @@ def _q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "n_probe")
 
 
+def _q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training (hard-EM, 2
+    rounds): integer-scaled Viterbi segmentation of the distinct-word
+    table under the current piece log-probs, frequency-weighted count
+    re-estimation, add-one smoothing. Oracle: the full EM replayed in
+    SQL — unrolled integer DP rounds per position plus backtrack rounds
+    (the FFD/MMR greedy-replay precedent, taken to a 2-phase DP)."""
+    from kafka_connect_hdfs_spark.operators.text import unigram_lm_learn
+
+    return unigram_lm_learn(
+        _docs(spark, sf_dir), vocab_size=24, max_piece_len=4, iterations=2
+    ).orderBy(F.desc("viterbi_count"), F.asc("piece"))
+
+
 def _q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf fit per source: OLS slope/intercept/r² of ln(freq) vs
     ln(rank) over each source's top-30 tokens — the corpus-health
@@ -3027,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa_communities": _q_graph_lpa_communities,
         "ann_probe_sweep": _q_ann_probe_sweep,
         "text_zipf_slope": _q_text_zipf_slope,
+        "text_unigram_lm": _q_text_unigram_lm,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -7330,4 +7345,143 @@ SELECT source, n_terms,
          AS r2
 FROM agg ORDER BY source
 """
+    # --- unigram-LM tokenizer EM, fully replayed in SQL -----------------
+    # Integer-scaled log-probs make the Viterbi DP deterministic, so each
+    # EM round unrolls as: W=12 forward DP rounds (best score per word
+    # prefix; 12 covers the corpus max word length 8 with headroom) + 12
+    # backtrack rounds (longest piece among score-exact predecessors),
+    # then a count/smooth/re-log M-step. Everything MATERIALIZED.
+    _HUP = (
+        "CASE WHEN {x} >= 0 THEN floor({x} + 0.5) "
+        "ELSE -floor(-({x}) + 0.5) END::BIGINT"
+    )
+
+    def _ulm_forward(it: int, w: int = 12, ml: int = 4) -> str:
+        blocks = [
+            f"a{it}_0 AS MATERIALIZED (\n"
+            f"  SELECT word, 0 AS pos, 0::BIGINT AS best FROM uwords\n),\n"
+        ]
+        for i in range(1, w + 1):
+            blocks.append(
+                f"""a{it}_{i} AS MATERIALIZED (
+  SELECT word, pos, best FROM a{it}_{i - 1}
+  UNION ALL
+  SELECT t.word, {i} AS pos, max(t.s) AS best FROM (
+    SELECT a.word, a.best + l.lp AS s
+    FROM a{it}_{i - 1} a
+    JOIN uwords w ON w.word = a.word AND len(w.word) >= {i}
+    JOIN lp{it} l ON l.piece = substr(a.word, a.pos + 1, {i} - a.pos)
+    WHERE a.pos >= {i} - {ml} AND a.pos < {i}
+  ) t GROUP BY 1
+),
+"""
+            )
+        return "".join(blocks)
+
+    def _ulm_backtrack(it: int, w: int = 12, ml: int = 4) -> str:
+        blocks = [
+            f"s{it}_0 AS MATERIALIZED (\n"
+            f"  SELECT word, len(word) AS pos FROM uwords\n),\n"
+        ]
+        for r in range(1, w + 1):
+            blocks.append(
+                f"""step{it}_{r} AS MATERIALIZED (
+  SELECT word, piece, newpos FROM (
+    SELECT s.word, l.piece, a2.pos AS newpos,
+           row_number() OVER (PARTITION BY s.word
+                              ORDER BY a2.pos ASC) AS rn
+    FROM s{it}_{r - 1} s
+    JOIN a{it}_12 a1 ON a1.word = s.word AND a1.pos = s.pos
+    JOIN a{it}_12 a2 ON a2.word = s.word
+                    AND a2.pos >= s.pos - {ml} AND a2.pos < s.pos
+    JOIN lp{it} l ON l.piece = substr(s.word, a2.pos + 1, s.pos - a2.pos)
+    WHERE s.pos > 0 AND a2.best + l.lp = a1.best
+  ) WHERE rn = 1
+),
+s{it}_{r} AS MATERIALIZED (
+  SELECT word, newpos AS pos FROM step{it}_{r} WHERE newpos > 0
+),
+"""
+            )
+        blocks.append(
+            f"em{it} AS MATERIALIZED (\n  "
+            + "\n  UNION ALL ".join(
+                f"SELECT word, piece FROM step{it}_{r}" for r in range(1, w + 1)
+            )
+            + "\n),\n"
+        )
+        return "".join(blocks)
+
+    def _ulm_mstep(it: int) -> str:
+        x = f"ln(sm{it}.cs / tot{it}.t) * 1000000.0"
+        return f"""cnt{it} AS MATERIALIZED (
+  SELECT e.piece, sum(w.freq)::BIGINT AS c
+  FROM em{it} e JOIN uwords w USING (word) GROUP BY 1
+),
+sm{it} AS MATERIALIZED (
+  SELECT v.piece, (coalesce(c.c, 0) + 1)::BIGINT AS cs
+  FROM vocab0 v LEFT JOIN cnt{it} c USING (piece)
+),
+tot{it} AS (SELECT sum(cs)::DOUBLE AS t FROM sm{it}),
+lp{it + 1} AS MATERIALIZED (
+  SELECT sm{it}.piece, {_HUP.format(x=x)} AS lp
+  FROM sm{it} CROSS JOIN tot{it}
+),
+"""
+
+    _x0 = "ln(v.cnt / tot0.t) * 1000000.0"
+    sql["text_unigram_lm"] = (
+        r"""
+WITH utoks AS (
+  SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                     ELSE str_split_regex(trim(lower(text)), '\s+') END)
+           AS word
+  FROM documents
+),
+uwords AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS freq FROM utoks GROUP BY 1
+),
+upos AS (SELECT unnest(generate_series(1, 12)) AS s),
+ulen AS (SELECT unnest(generate_series(1, 4)) AS l),
+cand AS MATERIALIZED (
+  SELECT substr(word, s, l) AS piece, sum(freq)::BIGINT AS cnt
+  FROM uwords CROSS JOIN upos CROSS JOIN ulen
+  WHERE s + l - 1 <= len(word)
+  GROUP BY 1
+),
+vocab0 AS MATERIALIZED (
+  SELECT piece, cnt FROM cand WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM cand WHERE len(piece) > 1
+  ) WHERE rn <= 24
+),
+tot0 AS (SELECT sum(cnt)::DOUBLE AS t FROM vocab0),
+lp1 AS MATERIALIZED (
+  SELECT v.piece, """
+        + _HUP.format(x=_x0)
+        + """ AS lp
+  FROM vocab0 v CROSS JOIN tot0
+),
+"""
+        + _ulm_forward(1)
+        + _ulm_backtrack(1)
+        + _ulm_mstep(1)
+        + _ulm_forward(2)
+        + _ulm_backtrack(2)
+        + _ulm_mstep(2)
+        + """final AS (
+  SELECT v.piece, len(v.piece)::INT AS piece_len,
+         coalesce(c.c, 0)::BIGINT AS viterbi_count,
+         round(s.cs / t.t, 6) AS prob
+  FROM vocab0 v
+  LEFT JOIN cnt2 c USING (piece)
+  JOIN sm2 s USING (piece) CROSS JOIN tot2 t
+)
+SELECT piece, piece_len, viterbi_count, prob
+FROM final ORDER BY viterbi_count DESC, piece ASC
+"""
+    )
     return sql

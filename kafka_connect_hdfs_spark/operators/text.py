@@ -1672,6 +1672,151 @@ def perplexity_filter(
     )
 
 
+def _half_up_scaled(x: float, scale: float = 1e6) -> int:
+    """Integer HALF_UP scaling (sign-adjusted) — the repo's rounding
+    contract applied to scaled log-probs so engines replay bit-exactly."""
+    import math as _m
+
+    s = x * scale
+    return int(_m.floor(s + 0.5)) if s >= 0 else -int(_m.floor(-s + 0.5))
+
+
+def _viterbi_pieces(word: str, lp: "dict[str, int]", max_l: int) -> "list[str]":
+    """Best segmentation of ``word`` under integer-scaled piece log-probs:
+    max total score, ties broken toward the LONGEST piece at each position
+    (largest l in the forward argmax; backtrack follows the same choice).
+    Integer scores make the DP — and therefore the tie-set — identical in
+    any engine, so a SQL replay reproduces the exact path."""
+    neg = -(10**15)
+    L = len(word)
+    best = [0] + [neg] * L
+    back = [0] * (L + 1)
+    for i in range(1, L + 1):
+        b, chosen = neg, 0
+        for l in range(1, min(max_l, i) + 1):
+            p = word[i - l : i]
+            s = lp.get(p)
+            if s is None:
+                continue
+            t = best[i - l] + s
+            if t > b or (t == b and l > chosen):
+                b, chosen = t, l
+        best[i], back[i] = b, chosen
+    pieces = []
+    i = L
+    while i > 0 and back[i]:
+        pieces.append(word[i - back[i] : i])
+        i -= back[i]
+    return pieces
+
+
+def unigram_lm_learn(
+    df: DataFrame,
+    vocab_size: int = 24,
+    max_piece_len: int = 4,
+    iterations: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018,
+    arXiv:1804.10959), hard-EM variant: candidate pieces are every word
+    substring up to ``max_piece_len`` chars, the seed vocabulary is all
+    single characters plus the ``vocab_size`` most frequent multi-char
+    candidates, and each EM round (a) Viterbi-segments every distinct
+    word under the current piece log-probs and (b) re-estimates piece
+    probabilities from the frequency-weighted path counts (add-one
+    smoothed so the vocabulary stays total). Deterministic end to end:
+    log-probs are INTEGER-scaled (1e-6 resolution, HALF_UP), so the DP
+    scores, tie-sets, and longest-piece tie-break replay identically in
+    any engine — the property that makes a full SQL oracle possible.
+    Complements :func:`bpe_learn`/:func:`bpe_encode` as the second major
+    tokenizer family.
+
+    Returns ``(piece, piece_len, viterbi_count, prob)``: the final
+    E-step's raw frequency-weighted path count and the final smoothed
+    probability, ordered by (count DESC, piece ASC).
+
+    Scale: the corpus is touched ONCE (word-frequency groupBy, the
+    standard vocab-bounded text shuffle); everything after runs on the
+    DISTINCT-WORD table — substring candidates are a map-side flatten,
+    the Viterbi E-step is an Arrow-batched ``mapInPandas`` over distinct
+    words (justified UDF: per-word DP has no built-in), and per-round
+    piece counts collect vocab-bounded rows only. No corpus-sized collect
+    anywhere; word tables at web scale stay distributed.
+    """
+    import math as _m
+
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    words = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    subs = F.expr(
+        "flatten(transform(sequence(1, length(word)), s -> "
+        f"transform(sequence(1, least({max_piece_len}, length(word) - s + 1)), "
+        "l -> substring(word, s, l))))"
+    )
+    cand = (
+        words.select("freq", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    singles = cand.filter(F.length("piece") == 1)
+    multis = (
+        cand.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(vocab_size)
+    )
+    vocab_rows = singles.unionByName(multis).collect()
+    vocab = {r["piece"]: int(r["cnt"]) for r in vocab_rows}
+    spark = df.sparkSession
+    schema_out = "piece string, piece_len int, viterbi_count long, prob double"
+    if not vocab:
+        return spark.createDataFrame([], schema_out)
+    tot0 = float(sum(vocab.values()))
+    lp = {p: _half_up_scaled(_m.log(c / tot0)) for p, c in vocab.items()}
+    counts: "dict[str, int]" = {}
+    smoothed: "dict[str, int]" = {}
+    tot = 1.0
+    for _ in range(iterations):
+        lp_now, ml = dict(lp), max_piece_len
+
+        def _estep(batches, _lp=lp_now, _ml=ml):
+            for pdf in batches:
+                out_p, out_w = [], []
+                for word, freq in zip(pdf["word"], pdf["freq"]):
+                    for piece in _viterbi_pieces(word, _lp, _ml):
+                        out_p.append(piece)
+                        out_w.append(int(freq))
+                yield pd.DataFrame({"piece": out_p, "w": out_w})
+
+        counted = (
+            words.mapInPandas(_estep, schema="piece string, w long")
+            .groupBy("piece")
+            .agg(F.sum("w").alias("c"))
+            .collect()
+        )
+        counts = {r["piece"]: int(r["c"]) for r in counted}
+        smoothed = {p: counts.get(p, 0) + 1 for p in vocab}
+        tot = float(sum(smoothed.values()))
+        lp = {p: _half_up_scaled(_m.log(c / tot)) for p, c in smoothed.items()}
+    out = [
+        (
+            p,
+            len(p),
+            counts.get(p, 0),
+            _half_up_scaled(smoothed[p] / tot) / 1e6,
+        )
+        for p in vocab
+    ]
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return spark.createDataFrame(out, schema_out)
+
+
 def zipf_slope(
     df: DataFrame,
     top_n: int = 200,

@@ -183,6 +183,84 @@ def test_zipf_slope_matches_closed_form(spark):
     assert out["s2"]["r2"] is None
 
 
+# ---------------------------------------------------------------------------
+# unigram_lm_learn
+
+
+def test_viterbi_prefers_longer_piece_on_tie_and_score():
+    from kafka_connect_hdfs_spark.operators.text import _viterbi_pieces
+
+    lp = {"a": -100, "b": -100, "ab": -150, "ba": -190}
+    # 'ab' (-150) beats 'a'+'b' (-200)
+    assert _viterbi_pieces("ab", lp, 4) == ["ab"]
+    # exact tie: 'ab'+'a' == 'a'+'ba' == -250 -> longest piece at the END
+    # wins the backtrack choice
+    lp2 = {"a": -100, "b": -100, "ab": -150, "ba": -150}
+    assert _viterbi_pieces("aba", lp2, 4) == ["ba", "a"]
+    # unreachable tail under missing pieces -> empty path guard
+    assert _viterbi_pieces("zz", {"a": -1}, 4) == []
+
+
+def test_unigram_lm_learn_small_corpus(spark):
+    from kafka_connect_hdfs_spark.operators.text import (
+        _half_up_scaled, _viterbi_pieces, unigram_lm_learn,
+    )
+    import collections
+    import math
+
+    texts = ["abab abc", "abab abab cc", "abc cc"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = unigram_lm_learn(
+        docs, vocab_size=4, max_piece_len=3, iterations=2
+    ).collect()
+    # replay the spec in pure python
+    freq = collections.Counter()
+    for t in texts:
+        for w in t.split():
+            freq[w] += 1
+    cand = collections.Counter()
+    for w, f in freq.items():
+        for s in range(len(w)):
+            for l in range(1, min(3, len(w) - s) + 1):
+                cand[w[s : s + l]] += f
+    vocab = {p: c for p, c in cand.items() if len(p) == 1}
+    vocab.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in cand.items() if len(p) > 1),
+                key=lambda x: (-x[1], x[0]),
+            )[:4]
+        )
+    )
+    tot = float(sum(vocab.values()))
+    lp = {p: _half_up_scaled(math.log(c / tot)) for p, c in vocab.items()}
+    counts: dict = {}
+    for _ in range(2):
+        counts = collections.Counter()
+        for w, f in freq.items():
+            for piece in _viterbi_pieces(w, lp, 3):
+                counts[piece] += f
+        sm = {p: counts.get(p, 0) + 1 for p in vocab}
+        tt = float(sum(sm.values()))
+        lp = {p: _half_up_scaled(math.log(c / tt)) for p, c in sm.items()}
+    expected = sorted(
+        [
+            (p, len(p), counts.get(p, 0), _half_up_scaled(sm[p] / tt) / 1e6)
+            for p in vocab
+        ],
+        key=lambda r: (-r[2], r[0]),
+    )
+    got = [
+        (r["piece"], r["piece_len"], r["viterbi_count"], r["prob"])
+        for r in out
+    ]
+    assert got == expected
+    # probabilities form a (smoothed) distribution
+    assert abs(sum(r[3] for r in got) - 1.0) < 1e-3
+
+
 def test_trunc_recall_is_one_at_full_dim(spark):
     from kafka_connect_hdfs_spark.operators.similarity import (
         ann_recall, brute_force_topk,
