@@ -146,8 +146,16 @@ def main() -> None:
     # full-registry coverage: every gated query is benched — the explicit
     # list above keeps round-over-round comparability for the long-lived
     # entries, everything else appends in registry order so the per-query
-    # budget guard (tests/test_bench_budget.py) covers the whole surface
-    headline += [name for name in qs if name not in set(headline)]
+    # budget guard (tests/test_bench_budget.py) covers the whole surface.
+    # stream_* entries are EXCLUDED: they measure micro-batch trigger
+    # latency (wall-clock waits), not batch throughput — correctness gates
+    # still run them; benching them triples a fixed ~60 s of waiting.
+    headline += [
+        name
+        for name in qs
+        if name not in set(headline) and not name.startswith("stream_")
+    ]
+    headline = [n for n in headline if not n.startswith("stream_")]
     # JVM/codegen + file-listing + Python-worker-pool warmup so timings
     # measure the queries, not one-time process startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -157,16 +165,32 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
     # median of 3 runs per query: the shared-host VM shows 2-4x single-run
-    # noise, medians make round-over-round regressions attributable
+    # noise, medians make round-over-round regressions attributable.
+    # Queries whose FIRST run exceeds 5 s are timed once — their noise is
+    # proportionally small and repeating them dominates suite wall time.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    def _clear_persisted() -> None:
+        # localCheckpoint()-ed RDDs accumulate across a 200-query session
+        # (operators checkpoint per round and never unpersist); left alone
+        # they grow executor memory and GC pressure until late-suite
+        # queries measure 3-8x slower than standalone. Dropping them
+        # between queries keeps every measurement a fresh-session number.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
         runs = []
-        for _ in range(repeats):
+        for i in range(repeats):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+            _clear_persisted()
+            if runs[0] > 5.0:
+                break
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)

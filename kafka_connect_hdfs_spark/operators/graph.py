@@ -544,34 +544,30 @@ def label_propagation_communities(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # one materialization: sym feeds every sweep (and the node set); the
+    # label frame itself is consumed once per round, so the whole fixed-
+    # iteration loop stays ONE query — no per-round checkpoint jobs
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
-    nodes = sym.select("u").distinct().localCheckpoint(eager=True)
-    labels = nodes.select("u", F.col("u").alias("lbl"))
+    labels = sym.select("u").distinct().select("u", F.col("u").alias("lbl"))
     for _ in range(iterations):
         nbr = sym.join(
             labels.select(F.col("u").alias("v"), "lbl"), "v"
         ).select("u", "lbl")
         counts = nbr.groupBy("u", "lbl").agg(F.count("*").alias("c"))
         # argmax by (count DESC, label ASC) as one max-of-struct agg:
-        # (c, -lbl) orders ties toward the smaller label without a window
-        best = counts.groupBy("u").agg(
+        # (c, -lbl) orders ties toward the smaller label without a window.
+        # Every node in sym has >= 1 neighbor (symmetrized, self-pairs
+        # dropped), so this covers the full node set — no isolated-node
+        # restore join is needed.
+        labels = counts.groupBy("u").agg(
             F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias(
                 "m"
             )
         ).select("u", (-F.col("m.nl")).alias("lbl"))
-        # isolated nodes (no neighbors) keep their current label
-        labels = (
-            nodes.join(best, "u", "left")
-            .join(
-                labels.select("u", F.col("lbl").alias("_old")), "u"
-            )
-            .select(
-                "u", F.coalesce(F.col("lbl"), F.col("_old")).alias("lbl")
-            )
-            .localCheckpoint(eager=True)
-        )
+    # final labels feed two consumers (sizes + join) — materialize once
+    labels = labels.localCheckpoint(eager=True)
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("n_members"))
     return labels.join(sizes, "lbl").select(
         F.col("u").alias("node"),
