@@ -2917,6 +2917,18 @@ def _q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("viterbi_count"), F.asc("piece"))
 
 
+def _q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer SERVING: per-document token budgets under the
+    trained piece model (Viterbi memoized per distinct word, joined back
+    to the corpus) with fertility vs whitespace tokens — the
+    tokenizer-cost number packing and budget allocation consume."""
+    from kafka_connect_hdfs_spark.operators.text import unigram_encode
+
+    return unigram_encode(
+        _docs(spark, sf_dir), vocab_size=24, max_piece_len=4, iterations=2
+    ).orderBy("doc_id")
+
+
 def _q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf fit per source: OLS slope/intercept/r² of ln(freq) vs
     ln(rank) over each source's top-30 tokens — the corpus-health
@@ -3042,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_probe_sweep": _q_ann_probe_sweep,
         "text_zipf_slope": _q_text_zipf_slope,
         "text_unigram_lm": _q_text_unigram_lm,
+        "text_unigram_encode": _q_text_unigram_encode,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -7430,7 +7443,7 @@ lp{it + 1} AS MATERIALIZED (
 """
 
     _x0 = "ln(v.cnt / tot0.t) * 1000000.0"
-    sql["text_unigram_lm"] = (
+    _ulm_prefix = (
         r"""
 WITH utoks AS (
   SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
@@ -7472,6 +7485,9 @@ lp1 AS MATERIALIZED (
         + _ulm_forward(2)
         + _ulm_backtrack(2)
         + _ulm_mstep(2)
+    )
+    sql["text_unigram_lm"] = (
+        _ulm_prefix
         + """final AS (
   SELECT v.piece, len(v.piece)::INT AS piece_len,
          coalesce(c.c, 0)::BIGINT AS viterbi_count,
@@ -7482,6 +7498,39 @@ lp1 AS MATERIALIZED (
 )
 SELECT piece, piece_len, viterbi_count, prob
 FROM final ORDER BY viterbi_count DESC, piece ASC
+"""
+    )
+    # encode = one more Viterbi pass (forward + backtrack rounds 3) under
+    # the FINAL piece log-probs (lp3), memoized per distinct word, then
+    # joined back to the exploded corpus for per-doc token budgets
+    sql["text_unigram_encode"] = (
+        _ulm_prefix
+        + _ulm_forward(3)
+        + _ulm_backtrack(3)
+        + r"""wcount AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS n_pieces FROM em3 GROUP BY 1
+),
+dtoks AS (
+  SELECT doc_id,
+         unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                     ELSE str_split_regex(trim(lower(text)), '\s+') END)
+           AS word
+  FROM documents
+),
+perdoc AS (
+  SELECT d.doc_id, count(*)::BIGINT AS n_ws_tokens,
+         sum(wc.n_pieces)::BIGINT AS n_unigram_tokens
+  FROM dtoks d JOIN wcount wc USING (word) GROUP BY 1
+)
+SELECT docs.doc_id,
+       coalesce(p.n_ws_tokens, 0)::BIGINT AS n_ws_tokens,
+       coalesce(p.n_unigram_tokens, 0)::BIGINT AS n_unigram_tokens,
+       round(CASE WHEN p.n_ws_tokens > 0
+                  THEN p.n_unigram_tokens / p.n_ws_tokens END, 6)
+         AS fertility
+FROM (SELECT doc_id FROM documents) docs
+LEFT JOIN perdoc p USING (doc_id)
+ORDER BY docs.doc_id
 """
     )
     return sql

@@ -1817,6 +1817,134 @@ def unigram_lm_learn(
     return spark.createDataFrame(out, schema_out)
 
 
+def unigram_encode(
+    df: DataFrame,
+    vocab_size: int = 24,
+    max_piece_len: int = 4,
+    iterations: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Serving half of the unigram-LM tokenizer (the
+    :func:`bpe_encode` counterpart for :func:`unigram_lm_learn`): train
+    the piece model, then segment every document and report its token
+    budget — ``(id, n_ws_tokens, n_unigram_tokens, fertility)`` where
+    fertility = unigram tokens per whitespace token, the number packing
+    and cost estimation actually need.
+
+    Scale: training is :func:`unigram_lm_learn`'s pipeline (corpus
+    touched once). Encoding never re-runs the DP per document: the
+    Viterbi piece COUNT per distinct word is computed once on the
+    distinct-word table (same Arrow-batched DP) and joined back to the
+    exploded corpus by word — the same word-level memoization a
+    SentencePiece deployment uses. The word→count table is vocab-bounded
+    relative to the corpus; the join shuffles (doc, word) pairs pruned to
+    two columns.
+    """
+    import math as _m
+
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    words = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    # train (same spec as unigram_lm_learn; shares the corpus word table)
+    subs = F.expr(
+        "flatten(transform(sequence(1, length(word)), s -> "
+        f"transform(sequence(1, least({max_piece_len}, length(word) - s + 1)), "
+        "l -> substring(word, s, l))))"
+    )
+    cand = (
+        words.select("freq", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    vocab_rows = (
+        cand.filter(F.length("piece") == 1)
+        .unionByName(
+            cand.filter(F.length("piece") > 1)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(vocab_size)
+        )
+        .collect()
+    )
+    vocab = {r["piece"]: int(r["cnt"]) for r in vocab_rows}
+    spark = df.sparkSession
+    out_schema = (
+        f"{id_col} long, n_ws_tokens long, n_unigram_tokens long, "
+        "fertility double"
+    )
+    if not vocab:
+        return spark.createDataFrame([], out_schema)
+    tot0 = float(sum(vocab.values()))
+    lp = {p: _half_up_scaled(_m.log(c / tot0)) for p, c in vocab.items()}
+    for _ in range(iterations):
+        lp_now, ml = dict(lp), max_piece_len
+
+        def _estep(batches, _lp=lp_now, _ml=ml):
+            for pdf in batches:
+                out_p, out_w = [], []
+                for word, freq in zip(pdf["word"], pdf["freq"]):
+                    for piece in _viterbi_pieces(word, _lp, _ml):
+                        out_p.append(piece)
+                        out_w.append(int(freq))
+                yield pd.DataFrame({"piece": out_p, "w": out_w})
+
+        counted = (
+            words.mapInPandas(_estep, schema="piece string, w long")
+            .groupBy("piece")
+            .agg(F.sum("w").alias("c"))
+            .collect()
+        )
+        counts = {r["piece"]: int(r["c"]) for r in counted}
+        smoothed = {p: counts.get(p, 0) + 1 for p in vocab}
+        tot = float(sum(smoothed.values()))
+        lp = {p: _half_up_scaled(_m.log(c / tot)) for p, c in smoothed.items()}
+    lp_fin, ml = dict(lp), max_piece_len
+
+    def _wc(batches, _lp=lp_fin, _ml=ml):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_pieces": [
+                        len(_viterbi_pieces(w, _lp, _ml)) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    word_counts = words.select("word").mapInPandas(
+        _wc, schema="word string, n_pieces long"
+    )
+    per_doc = (
+        df.select(F.col(id_col), F.explode(toks).alias("word"))
+        .join(word_counts, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum("n_pieces").alias("n_unigram_tokens"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_ws_tokens", F.lit(0)).alias("n_ws_tokens"),
+        F.coalesce("n_unigram_tokens", F.lit(0)).alias("n_unigram_tokens"),
+        F.round(
+            F.when(
+                F.col("n_ws_tokens") > 0,
+                F.col("n_unigram_tokens") / F.col("n_ws_tokens"),
+            ),
+            6,
+        ).alias("fertility"),
+    )
+
+
 def zipf_slope(
     df: DataFrame,
     top_n: int = 200,

@@ -135,6 +135,29 @@ def test_pca_power_summary_empty_input(spark):
     assert pca_power_summary(emb).count() == 0
 
 
+def test_unigram_encode_budgets_and_empty_doc(spark):
+    from kafka_connect_hdfs_spark.operators.text import unigram_encode
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cc"), (2, ""), (3, "abc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_encode(
+        docs, vocab_size=4, max_piece_len=3, iterations=2
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    # empty doc: zero tokens, undefined fertility
+    assert (out[2]["n_ws_tokens"], out[2]["n_unigram_tokens"]) == (0, 0)
+    assert out[2]["fertility"] is None
+    for d in (1, 3):
+        r = out[d]
+        assert r["n_ws_tokens"] >= 1
+        # pieces per word bounded by [1, len(word)]
+        assert r["n_unigram_tokens"] >= r["n_ws_tokens"]
+        assert r["fertility"] is not None and r["fertility"] >= 1.0
+    assert out[1]["n_ws_tokens"] == 3
+
+
 # ---------------------------------------------------------------------------
 # truncated-dim recall (matryoshka curve point)
 
