@@ -2917,6 +2917,53 @@ def _q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("viterbi_count"), F.asc("piece"))
 
 
+def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-log time travel: commit v1 = English docs, append v2 =
+    German docs, then read BOTH versions back — v1 must still see only
+    the English rows after v2 lands. One output row per (version, lang)
+    with counts and char sums; the oracle recomputes them from the source
+    table, so any leakage across versions breaks the hash."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, read_snapshot,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kchs_snap_") + "/t"
+    v1 = commit_snapshot(spark, docs.filter(F.col("lang") == "en"), path)
+    v2 = commit_snapshot(
+        spark, docs.filter(F.col("lang") == "de"), path, mode="append"
+    )
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.lit(version).alias("version"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    return (
+        _agg(read_snapshot(spark, path, v1), v1)
+        .unionByName(_agg(read_snapshot(spark, path, v2), v2))
+        .select("version", "lang", "n_docs", "sum_chars")
+        .orderBy("version", "lang")
+    )
+
+
+def _q_media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup end-to-end: pHash hamming pairs (blocked on the
+    high bits) resolved into duplicate clusters by star contraction —
+    the media analogue of the text near-dup → cluster pipeline."""
+    from kafka_connect_hdfs_spark.operators.dedup import duplicate_clusters
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        documents_as_media, phash_near_dup_pairs,
+    )
+
+    pairs = phash_near_dup_pairs(documents_as_media(_docs(spark, sf_dir)))
+    return duplicate_clusters(pairs, method="star").orderBy("node")
+
+
 def _q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer SERVING: per-document token budgets under the
     trained piece model (Viterbi memoized per distinct word, joined back
@@ -3055,6 +3102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_slope": _q_text_zipf_slope,
         "text_unigram_lm": _q_text_unigram_lm,
         "text_unigram_encode": _q_text_unigram_encode,
+        "media_phash_clusters": _q_media_phash_clusters,
+        "ops_time_travel": _q_ops_time_travel,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -7263,6 +7312,55 @@ l0 AS MATERIALIZED (SELECT u, u AS lbl FROM nodes),
 SELECT l.u AS node, l.lbl AS community, s.n_members
 FROM l4 l JOIN sizes s USING (lbl)
 ORDER BY node
+"""
+    # time travel: v1 = en only, v2 = en + de (append); the versioned
+    # read must reproduce exactly these slices of the source table
+    sql["ops_time_travel"] = """
+WITH v1 AS (
+  SELECT 1 AS version, lang, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS sum_chars
+  FROM documents WHERE lang = 'en' GROUP BY lang
+),
+v2 AS (
+  SELECT 2 AS version, lang, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS sum_chars
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+)
+SELECT version, lang, n_docs, sum_chars FROM v1
+UNION ALL
+SELECT version, lang, n_docs, sum_chars FROM v2
+ORDER BY version, lang
+"""
+    # phash hamming pairs -> duplicate clusters: same blocked-pair CTE as
+    # media_phash_neardup, min-label via undirected reachability closure
+    sql["media_phash_clusters"] = """
+WITH RECURSIVE h AS (
+  SELECT doc_id AS media_id,
+         ('0x' || substr(md5(text), 1, 12))::BIGINT AS phash
+  FROM documents
+),
+blocked AS (SELECT media_id, phash, phash >> 40 AS block FROM h),
+sizes AS (SELECT block, count(*) AS bn FROM blocked GROUP BY 1),
+small AS (
+  SELECT b.* FROM blocked b
+  JOIN sizes s ON b.block = s.block AND s.bn <= 10000
+),
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM small a JOIN small b ON a.block = b.block AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 20
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+)
+SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
 """
     # nprobe sweep: one scored candidate set (max probe level), each level
     # a filter on the candidate cell's probe rank; shared exact pass

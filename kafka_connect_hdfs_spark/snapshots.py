@@ -1,0 +1,158 @@
+"""Versioned snapshot log over a table directory — Iceberg-lite time
+travel. Every commit writes its data files under ``data/v<N>/`` and an
+atomically-renamed manifest ``_snapshots/v<N>.json`` listing the data
+directories that constitute version N, so any historical version stays
+readable until explicitly expired. Readers resolve a version's manifest
+and load ONLY its file list — concurrent commits never disturb them.
+
+Reference parity: kafka-connect-hdfs has no table versioning — a commit
+is visible the moment the WAL rename lands (TopicPartitionWriter's
+commit path; SURVEY §2.5) and history is unrecoverable. This module is
+the lakehouse-side extension of that commit protocol, in the same family
+as :mod:`kafka_connect_hdfs_spark.wap` (stage→audit→swap) and the
+compaction/manifest machinery in :mod:`operators.layout`.
+
+Scale: a manifest holds directory paths, not row data — commits are
+O(files) driver metadata plus one distributed write; reads prune to the
+manifest's directories at PLANNING time (the same mechanism as the
+partition-pruned IVF index serving), so time travel costs nothing over a
+direct read of those files.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, Path
+
+
+def _manifest_dir(path: str) -> str:
+    return path.rstrip("/") + "/_snapshots"
+
+
+def list_snapshots(spark: SparkSession, path: str) -> "list[int]":
+    """Committed versions in ascending order (empty if no table yet)."""
+    fs, Path = _fs(spark, path)
+    mdir = Path(_manifest_dir(path))
+    if not fs.exists(mdir):
+        return []
+    versions = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            versions.append(int(name[1:-5]))
+    return sorted(versions)
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    fs, Path = _fs(spark, path)
+    p = Path(f"{_manifest_dir(path)}/v{version}.json")
+    stream = fs.open(p)
+    try:
+        jvm = spark._jvm
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
+        data = bytes(out.toByteArray())
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> int:
+    """Commit ``df`` as the next table version and return its number.
+
+    ``mode="overwrite"``: the new version consists of this commit's files
+    only. ``mode="append"``: the new version is the previous version's
+    file list plus this commit's files (the data of earlier commits is
+    NOT rewritten — append is a metadata union).
+
+    The manifest is written to a hidden temp name and renamed into place,
+    so a version either exists completely or not at all (the same
+    rename-is-the-commit protocol as the reference's WAL and wap.py).
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown snapshot mode: {mode!r}")
+    fs, Path = _fs(spark, path)
+    versions = list_snapshots(spark, path)
+    version = (versions[-1] + 1) if versions else 1
+    data_dir = f"{path.rstrip('/')}/data/v{version}"
+    df.write.format(fmt).mode("error").save(data_dir)
+
+    files = [data_dir]
+    if mode == "append" and versions:
+        prev = _read_manifest(spark, path, versions[-1])
+        files = prev["files"] + files
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "format": fmt,
+        "files": files,
+    }
+    mdir = _manifest_dir(path)
+    fs.mkdirs(Path(mdir))
+    tmp = Path(f"{mdir}/.v{version}.json.tmp")
+    final = Path(f"{mdir}/v{version}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"snapshot commit rename failed for v{version}")
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Load a table version (latest when ``version`` is None). Only the
+    manifest's directories are read — files from later or failed commits
+    are invisible."""
+    versions = list_snapshots(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
+    man = _read_manifest(spark, path, v)
+    # load() takes ONE path-or-list argument; *args would bind the second
+    # directory to the format parameter
+    return spark.read.format(man["format"]).load(man["files"])
+
+
+def expire_snapshots(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> "list[int]":
+    """Drop all but the newest ``keep_last`` versions and delete data
+    directories no surviving manifest references. Returns the expired
+    version numbers."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, Path = _fs(spark, path)
+    versions = list_snapshots(spark, path)
+    expired = versions[:-keep_last]
+    if not expired:
+        return []
+    keep_files: set = set()
+    for v in versions[-keep_last:]:
+        keep_files.update(_read_manifest(spark, path, v)["files"])
+    for v in expired:
+        man = _read_manifest(spark, path, v)
+        for f in man["files"]:
+            if f not in keep_files:
+                fs.delete(Path(f), True)
+        fs.delete(Path(f"{_manifest_dir(path)}/v{v}.json"), False)
+    return expired

@@ -1,0 +1,83 @@
+"""Snapshot-log time travel: versioned commits, append as metadata
+union, historical reads, expiry, and invisibility of unmanifested data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_hdfs_spark.snapshots import (
+    commit_snapshot,
+    expire_snapshots,
+    list_snapshots,
+    read_snapshot,
+)
+
+
+@pytest.fixture()
+def table_path(tmp_path):
+    return str(tmp_path / "t")
+
+
+def test_commit_read_and_append_union(spark, table_path):
+    a = spark.range(0, 5).withColumn("tag", F.lit("a"))
+    b = spark.range(5, 8).withColumn("tag", F.lit("b"))
+    v1 = commit_snapshot(spark, a, table_path)
+    v2 = commit_snapshot(spark, b, table_path, mode="append")
+    assert (v1, v2) == (1, 2)
+    assert list_snapshots(spark, table_path) == [1, 2]
+    assert read_snapshot(spark, table_path, 1).count() == 5
+    got = read_snapshot(spark, table_path, 2)
+    assert got.count() == 8
+    assert read_snapshot(spark, table_path).count() == 8  # latest
+    assert {r["tag"] for r in got.select("tag").distinct().collect()} == {
+        "a",
+        "b",
+    }
+
+
+def test_overwrite_version_hides_old_rows_but_keeps_history(spark, table_path):
+    commit_snapshot(spark, spark.range(10), table_path)
+    commit_snapshot(spark, spark.range(3), table_path, mode="overwrite")
+    assert read_snapshot(spark, table_path).count() == 3
+    assert read_snapshot(spark, table_path, 1).count() == 10
+
+
+def test_unmanifested_data_is_invisible(spark, table_path):
+    commit_snapshot(spark, spark.range(4), table_path)
+    # simulate a crashed commit: data landed, manifest never renamed in
+    spark.range(100).write.parquet(table_path + "/data/v99")
+    assert list_snapshots(spark, table_path) == [1]
+    assert read_snapshot(spark, table_path).count() == 4
+
+
+def test_expire_keeps_shared_append_files(spark, table_path):
+    commit_snapshot(spark, spark.range(0, 5), table_path)
+    commit_snapshot(spark, spark.range(5, 8), table_path, mode="append")
+    expired = expire_snapshots(spark, table_path, keep_last=1)
+    assert expired == [1]
+    assert list_snapshots(spark, table_path) == [2]
+    # v2 references v1's data dir — expiry must NOT delete shared files
+    assert read_snapshot(spark, table_path, 2).count() == 8
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table_path, 1)
+
+
+def test_expire_deletes_orphaned_overwrite_data(spark, table_path):
+    commit_snapshot(spark, spark.range(10), table_path)
+    commit_snapshot(spark, spark.range(3), table_path, mode="overwrite")
+    expire_snapshots(spark, table_path, keep_last=1)
+    assert not os.path.exists(table_path + "/data/v1")
+    assert read_snapshot(spark, table_path).count() == 3
+
+
+def test_bad_mode_and_missing_version(spark, table_path):
+    with pytest.raises(ValueError):
+        commit_snapshot(spark, spark.range(1), table_path, mode="merge")
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table_path)
+    commit_snapshot(spark, spark.range(1), table_path)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table_path, 7)
