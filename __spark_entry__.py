@@ -2951,6 +2951,49 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert through the gate: the events changelog lands
+    as 4 files, replays as a file stream ONE FILE PER MICRO-BATCH, and
+    each batch merges into the parquet state table with an atomic
+    directory swap. The final state must equal the batch latest-per-key
+    (ts DESC, event_id DESC) no matter how rows split across batches —
+    the oracle computes exactly that, so a lost batch, a stale swap, or
+    an order-dependent merge breaks the hash."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.streaming.cdc import start_cdc_upsert
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    base = tempfile.mkdtemp(prefix="kchs_cdc_stream_")
+    src = f"{base}/src"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_cdc_upsert(
+        stream,
+        f"{base}/state",
+        ["user_id"],
+        ["ts", "event_id"],
+        f"{base}/chk",
+    )
+    q.awaitTermination(180)
+    return (
+        spark.read.parquet(f"{base}/state")
+        .select(
+            "user_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            "ts",
+        )
+        .orderBy("user_id")
+    )
+
+
 def _q_media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal dedup end-to-end: pHash hamming pairs (blocked on the
     high bits) resolved into duplicate clusters by star contraction —
@@ -3104,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_encode": _q_text_unigram_encode,
         "media_phash_clusters": _q_media_phash_clusters,
         "ops_time_travel": _q_ops_time_travel,
+        "stream_cdc_upsert": _q_stream_cdc_upsert,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -7312,6 +7356,17 @@ l0 AS MATERIALIZED (SELECT u, u AS lbl FROM nodes),
 SELECT l.u AS node, l.lbl AS community, s.n_members
 FROM l4 l JOIN sizes s USING (lbl)
 ORDER BY node
+"""
+    # streaming CDC upsert: final state == batch latest-per-key
+    sql["stream_cdc_upsert"] = """
+WITH latest AS (
+  SELECT user_id, event_type, round(value, 6) AS value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id < 5000
+)
+SELECT user_id, event_type, value, ts
+FROM latest WHERE rn = 1 ORDER BY user_id
 """
     # time travel: v1 = en only, v2 = en + de (append); the versioned
     # read must reproduce exactly these slices of the source table
