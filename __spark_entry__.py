@@ -2951,6 +2951,54 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late interaction: 4-vector multi-vector docs,
+    per-query-token max cosine summed over query tokens, top-5 per query
+    doc — the exact-scoring kernel a late-interaction reranker runs after
+    candidate generation."""
+    from kafka_connect_hdfs_spark.operators.similarity import maxsim_topk
+
+    return maxsim_topk(
+        _emb(spark, sf_dir), k=5, vecs_per_doc=4, n_query_docs=2
+    ).orderBy("query_doc", "rank")
+
+
+def _q_ops_snapshot_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across snapshot versions: v1 commits (doc_id,
+    lang), the append v2 adds n_chars; reading v2 with mergeSchema sees
+    the union schema with NULL n_chars for v1 rows. Per-lang counts +
+    char sums over the merged read; the oracle fills the same NULLs."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, read_snapshot,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kchs_snapsm_") + "/t"
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "en").select("doc_id", "lang"), path
+    )
+    v2 = commit_snapshot(
+        spark,
+        docs.filter(F.col("lang") == "de").select("doc_id", "lang", "n_chars"),
+        path,
+        mode="append",
+    )
+    merged = read_snapshot(
+        spark, path, v2, options={"mergeSchema": "true"}
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("n_chars").alias("n_with_chars"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC upsert through the gate: the events changelog lands
     as 4 files, replays as a file stream ONE FILE PER MICRO-BATCH, and
@@ -3148,6 +3196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_clusters": _q_media_phash_clusters,
         "ops_time_travel": _q_ops_time_travel,
         "stream_cdc_upsert": _q_stream_cdc_upsert,
+        "ops_snapshot_schema_merge": _q_ops_snapshot_schema_merge,
+        "ann_maxsim_topk": _q_ann_maxsim_topk,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -7356,6 +7406,48 @@ l0 AS MATERIALIZED (SELECT u, u AS lbl FROM nodes),
 SELECT l.u AS node, l.lbl AS community, s.n_members
 FROM l4 l JOIN sizes s USING (lbl)
 ORDER BY node
+"""
+    # MaxSim late interaction over 4-vector docs
+    sql["ann_maxsim_topk"] = """
+WITH toks AS (
+  SELECT (vec_id // 4)::BIGINT AS doc, vec_id AS tok_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT doc AS query_doc, tok_id AS q_tok, v AS qv
+  FROM toks WHERE doc < 2
+),
+per_qtok AS (
+  SELECT q.query_doc, t.doc, q.q_tok,
+         max(round(list_dot_product(q.qv, t.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(t.v, t.v))), 6)) AS best
+  FROM toks t CROSS JOIN q
+  WHERE t.doc != q.query_doc
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT query_doc, doc, round(sum(best), 6) AS maxsim
+  FROM per_qtok GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_doc, doc, maxsim,
+         row_number() OVER (PARTITION BY query_doc
+                            ORDER BY maxsim DESC, doc ASC) AS rank
+  FROM scores
+)
+SELECT query_doc, doc, maxsim, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_doc, rank
+"""
+    # schema-merged snapshot read: en rows predate the n_chars column
+    sql["ops_snapshot_schema_merge"] = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       count(CASE WHEN lang = 'de' THEN n_chars END)::BIGINT AS n_with_chars,
+       coalesce(sum(CASE WHEN lang = 'de' THEN n_chars END), 0)::BIGINT
+         AS sum_chars
+FROM documents WHERE lang IN ('en', 'de')
+GROUP BY lang ORDER BY lang
 """
     # streaming CDC upsert: final state == batch latest-per-key
     sql["stream_cdc_upsert"] = """

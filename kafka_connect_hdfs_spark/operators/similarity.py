@@ -582,6 +582,70 @@ def ivf_probe_sweep(
     return out
 
 
+def maxsim_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    vecs_per_doc: int = 4,
+    n_query_docs: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR'20): documents are BAGS of token vectors (here: consecutive
+    ``vecs_per_doc`` embedding rows form one multi-vector doc), and the
+    query-document score is MaxSim — for each query token take the max
+    cosine over the candidate's tokens, then sum over query tokens.
+    Returns the top-``k`` candidates per query doc:
+    ``(query_doc, doc, maxsim, rank)``.
+
+    Scale: the query side (``n_query_docs × vecs_per_doc`` vectors) is
+    broadcast against the token table — the corpus never shuffles for
+    scoring (the brute_force_topk shape, one extra max-per-query-token
+    aggregation); per-(query,doc) state is one partial-aggregated float.
+    Production ANN would pre-filter candidates per query token (IVF/LSH
+    over token vectors) and rerank this way — compose with ivf_topk for
+    that; this is the exact-scoring kernel.
+    """
+    from pyspark.sql import Window
+
+    toks = embeddings.select(
+        (F.col(id_col) / vecs_per_doc).cast("long").alias("doc"),
+        F.col(id_col).alias("tok_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = toks.filter(F.col("doc") < n_query_docs).select(
+        F.col("doc").alias("query_doc"),
+        F.col("tok_id").alias("q_tok"),
+        F.col("v").alias("qv"),
+    )
+    pairs = toks.crossJoin(broadcast(q)).filter(
+        F.col("doc") != F.col("query_doc")
+    )
+    per_qtok = (
+        pairs.select(
+            "query_doc",
+            "doc",
+            "q_tok",
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias(
+                "cos"
+            ),
+        )
+        .groupBy("query_doc", "doc", "q_tok")
+        .agg(F.max("cos").alias("best"))
+    )
+    scores = per_qtok.groupBy("query_doc", "doc").agg(
+        F.round(F.sum("best"), 6).alias("maxsim")
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.desc("maxsim"), F.asc("doc")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_doc", "doc", "maxsim", "rank")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     dim: int,

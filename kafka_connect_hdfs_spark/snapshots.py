@@ -116,11 +116,16 @@ def commit_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    options: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Load a table version (latest when ``version`` is None). Only the
     manifest's directories are read — files from later or failed commits
-    are invisible."""
+    are invisible. ``options`` pass through to the reader (e.g.
+    ``{"mergeSchema": "true"}`` when appended commits evolved the
+    schema — columns absent in older data dirs read as NULL)."""
     versions = list_snapshots(spark, path)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -128,9 +133,12 @@ def read_snapshot(
     if v not in versions:
         raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
     man = _read_manifest(spark, path, v)
+    reader = spark.read.format(man["format"])
+    for k, val in (options or {}).items():
+        reader = reader.option(k, val)
     # load() takes ONE path-or-list argument; *args would bind the second
     # directory to the format parameter
-    return spark.read.format(man["format"]).load(man["files"])
+    return reader.load(man["files"])
 
 
 def expire_snapshots(

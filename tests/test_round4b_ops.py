@@ -284,6 +284,24 @@ def test_unigram_lm_learn_small_corpus(spark):
     assert abs(sum(r[3] for r in got) - 1.0) < 1e-3
 
 
+def test_maxsim_scores_hand_checked(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import maxsim_topk
+
+    # 2 tokens per doc; doc0 = query. doc1 shares token [1,0]; doc2 is
+    # orthogonal on one token, opposite on the other.
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),       # doc 0 (query)
+        (2, [1.0, 0.0]), (3, [0.0, 1.0]),       # doc 1: perfect match
+        (4, [0.0, -1.0]), (5, [-1.0, 0.0]),     # doc 2: worst case
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = maxsim_topk(emb, k=2, vecs_per_doc=2, n_query_docs=1).collect()
+    got = {(r["query_doc"], r["doc"]): (r["maxsim"], r["rank"]) for r in out}
+    # doc1: each query token finds cosine 1 -> maxsim 2; doc2: best per
+    # query token is 0 (orthogonal beats the -1 match) -> maxsim 0
+    assert got == {(0, 1): (2.0, 1), (0, 2): (0.0, 2)}
+
+
 def test_trunc_recall_is_one_at_full_dim(spark):
     from kafka_connect_hdfs_spark.operators.similarity import (
         ann_recall, brute_force_topk,

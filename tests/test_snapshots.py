@@ -73,6 +73,22 @@ def test_expire_deletes_orphaned_overwrite_data(spark, table_path):
     assert read_snapshot(spark, table_path).count() == 3
 
 
+def test_schema_merge_across_versions(spark, table_path):
+    commit_snapshot(spark, spark.range(3).select("id"), table_path)
+    commit_snapshot(
+        spark,
+        spark.range(3, 5).select("id", (F.col("id") * 10).alias("extra")),
+        table_path,
+        mode="append",
+    )
+    merged = read_snapshot(
+        spark, table_path, options={"mergeSchema": "true"}
+    )
+    assert set(merged.columns) == {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40}
+
+
 def test_bad_mode_and_missing_version(spark, table_path):
     with pytest.raises(ValueError):
         commit_snapshot(spark, spark.range(1), table_path, mode="merge")
