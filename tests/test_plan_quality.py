@@ -743,3 +743,41 @@ def test_zipf_window_runs_on_vocab_not_corpus(spark, sf):
     # the explode (Generate) must feed an aggregate, not the window sort
     gen_tail = plan.split("Generate", 1)[1] if "Generate" in plan else ""
     assert "HashAggregate" in gen_tail, plan
+
+
+def test_maxsim_broadcasts_query_tokens_partial_aggs(spark, sf):
+    """MaxSim's all-pairs scoring must broadcast the (tiny) query token
+    side — a BroadcastNestedLoopJoin by design, never a shuffled join of
+    the token table — and both aggregation levels partial-combine."""
+    from kafka_connect_hdfs_spark.operators.similarity import maxsim_topk
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    plan = _plan(maxsim_topk(emb, k=5, vecs_per_doc=4, n_query_docs=2))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_max" in plan, plan
+
+
+def test_unigram_word_table_aggregates_map_side(spark, sf):
+    """The unigram trainer's ONLY corpus pass (word counting) must
+    partial-combine before its shuffle; candidate substring counting runs
+    on the distinct-word table, also partial-combined."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    t = F.trim(F.lower(F.col("text")))
+    words = (
+        docs.select(
+            F.explode(
+                F.when(F.length(t) == 0, F.array().cast("array<string>"))
+                .otherwise(F.split(t, r"\s+"))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    plan = _plan(words)
+    assert "partial_count" in plan, plan
