@@ -1843,7 +1843,10 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", f"{base}/chk")
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(300):
+        # timed-out query would otherwise keep running and die noisily
+        # at spark.stop(); stopping yields a visibly-partial result
+        q.stop()
     return spark.table(name).orderBy("window_start", "event_type")
 
 
@@ -1884,7 +1887,10 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", f"{base}/chk")
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(300):
+        # timed-out query would otherwise keep running and die noisily
+        # at spark.stop(); stopping yields a visibly-partial result
+        q.stop()
     return (
         spark.table(name)
         .select(
@@ -3029,7 +3035,10 @@ def _q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["ts", "event_id"],
         f"{base}/chk",
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(300):
+        # timed-out query would otherwise keep running and die noisily
+        # at spark.stop(); stopping yields a visibly-partial result
+        q.stop()
     return (
         spark.read.parquet(f"{base}/state")
         .select(
