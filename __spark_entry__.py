@@ -3115,12 +3115,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row, reserve ~10 tail-end window slots each round for the OLDEST
     # driver-green entries (stalest evidence first); new queries take
     # the remaining slots and this round's greens go to the back.
-    # ROUND-5 ROTATION TODO: promote the 18 "NEW in r04/r04b" entries
-    # (text_bpe_encode … stream_sessionize, embedding_pca,
+    # ROUND-5 ROTATION TODO: promote the 25 "NEW in r04/r04b" entries
+    # into slots 1-25 — text_bpe_encode, text_quality_filter_approx,
+    # text_unk_replace_join, corpus_pack_bpe, graph_kcore,
+    # dedup_span_coverage, corpus_source_budget, text_bpe_fertility,
+    # text_clf_filter, ann_knn_graph, semantic_knn_clusters,
+    # ann_knn_refine, ops_wap_publish, text_perplexity_filter,
+    # stream_windowed_counts, stream_sessionize, embedding_pca,
     # ann_trunc_recall, text_dsir_select, graph_lpa_communities,
-    # ann_probe_sweep, text_zipf_slope, + any later additions) into slots
-    # 1-18, then fill the tail with the ~10 stalest r01 greens per the
-    # cadence above.
+    # ann_probe_sweep, text_zipf_slope, text_unigram_lm,
+    # text_unigram_encode, media_phash_clusters, ops_time_travel,
+    # stream_cdc_upsert, ops_snapshot_schema_merge, ann_maxsim_topk
+    # (29 with the late r04b additions — they fill slots 1-29); use the
+    # remaining ~21 slots for the stalest r01 driver-greens per the
+    # cadence above. Full 212-query sweep at sf0.01 was green on
+    # 2026-08-14 (this file's r04b state).
     return {
         # --- r03 window-overflow: ANN / graph / text / corpus batch
         "ann_cell_stats": _q_ann_cell_stats,
