@@ -2957,6 +2957,50 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity-interval enrichment: each purchase event joins the
+    dimension version (built from the user's non-purchase changelog)
+    valid at the purchase timestamp — the [valid_from, valid_to) as-of
+    semantics every SCD2 mart serves. Left join: purchases before any
+    dimension version keep NULLs. Intervals partition time per key, so
+    at most one version matches (empty [t, t) intervals from ts ties
+    match nothing)."""
+    from kafka_connect_hdfs_spark.operators.cdc import scd2_intervals
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("purchase_value"),
+    )
+    dim = scd2_intervals(
+        ev.filter(F.col("event_type") != "purchase")
+    ).select(
+        F.col("user_id").alias("d_user"),
+        "valid_from",
+        "valid_to",
+        F.col("event_type").alias("dim_event_type"),
+        F.round("value", 6).alias("dim_value"),
+        F.col("is_current").alias("dim_is_current"),
+    )
+    return (
+        facts.join(
+            dim,
+            (facts.user_id == dim.d_user)
+            & (dim.valid_from <= facts.ts)
+            & (dim.valid_to.isNull() | (facts.ts < dim.valid_to)),
+            "left",
+        )
+        .select(
+            "event_id", "user_id", "ts", "purchase_value",
+            "dim_event_type", "dim_value", "dim_is_current",
+        )
+        .orderBy("event_id")
+    )
+
+
 def _q_ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT-style MaxSim late interaction: 4-vector multi-vector docs,
     per-query-token max cosine summed over query tokens, top-5 per query
@@ -3216,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cdc_upsert": _q_stream_cdc_upsert,
         "ops_snapshot_schema_merge": _q_ops_snapshot_schema_merge,
         "ann_maxsim_topk": _q_ann_maxsim_topk,
+        "q_scd2_asof_enrich": _q_scd2_asof_enrich,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -7424,6 +7469,29 @@ l0 AS MATERIALIZED (SELECT u, u AS lbl FROM nodes),
 SELECT l.u AS node, l.lbl AS community, s.n_members
 FROM l4 l JOIN sizes s USING (lbl)
 ORDER BY node
+"""
+    # SCD2 as-of enrichment: interval join against the changelog dimension
+    sql["q_scd2_asof_enrich"] = """
+WITH dim AS (
+  SELECT user_id AS d_user, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to,
+         event_type AS dim_event_type, round(value, 6) AS dim_value,
+         (lead(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) IS NULL) AS dim_is_current
+  FROM events WHERE event_type <> 'purchase'
+),
+facts AS (
+  SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, f.purchase_value,
+       d.dim_event_type, d.dim_value, d.dim_is_current
+FROM facts f
+LEFT JOIN dim d
+  ON f.user_id = d.d_user AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+ORDER BY f.event_id
 """
     # MaxSim late interaction over 4-vector docs
     sql["ann_maxsim_topk"] = """

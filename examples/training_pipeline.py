@@ -68,6 +68,19 @@ def main() -> None:
     for r in central.orderBy(F.desc("rank")).limit(3).collect():
         print(f"  {r['node']}: {r['rank']}")
 
+    # 0c. corpus-health diagnostics: Zipf fit per source (flat slope =
+    #     templated/machine text) and DSIR target-likeness (which raw
+    #     docs look most like the curated target source — production
+    #     upweights them in the mix)
+    from kafka_connect_hdfs_spark.operators.text import (
+        dsir_importance_select, zipf_slope,
+    )
+
+    for r in zipf_slope(gated, top_n=30).orderBy("source").limit(3).collect():
+        print(f"  zipf {r['source']}: slope={r['slope']} r2={r['r2']}")
+    dsir = dsir_importance_select(gated, target_source="src0", n_select=50)
+    print(f"DSIR: top target-like raw docs selected: {dsir.count()}")
+
     # 1. stats + quality filter (keep docs with some substance)
     scored = with_quality_score(with_token_stats(gated))
     kept = scored.filter((F.col("ws_tokens") >= 5))
@@ -140,6 +153,15 @@ def main() -> None:
     )
     ordered = shuffle_order(final, shards=16, seed="epoch0")
 
+    # 4x. tokenizer bake-off: the unigram-LM (SentencePiece-style) encode
+    #     gives a second fertility estimate — production picks the
+    #     tokenizer whose budget curve packs tighter
+    from kafka_connect_hdfs_spark.operators.text import unigram_encode
+
+    uni = unigram_encode(final, vocab_size=32)
+    avg_fert = uni.agg(F.round(F.avg("fertility"), 3).alias("f")).collect()
+    print(f"unigram-LM mean fertility vs whitespace: {avg_fert[0]['f']}")
+
     # 4a. mixing plan: epoch-capped token budget per source (data-
     #     constrained scaling — integer waterfill, bit-exact replayable)
     from kafka_connect_hdfs_spark.operators.packing import source_token_budget
@@ -155,18 +177,25 @@ def main() -> None:
 
     curriculum = curriculum_order(final, buckets=4)
 
-    # 5. land: documents partitioned by split; packing + order as sidecars
-    final.select("doc_id", "text", "lang", "source", "split").write.mode(
-        "overwrite"
-    ).partitionBy("split").parquet(f"{out}/documents")
+    # 5. land: documents as a VERSIONED snapshot (yesterday's corpus stays
+    #    readable for reproducibility / rollback); packing + order sidecars
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, read_snapshot,
+    )
+
+    version = commit_snapshot(
+        spark,
+        final.select("doc_id", "text", "lang", "source", "split"),
+        f"{out}/documents",
+    )
     pack.write.mode("overwrite").parquet(f"{out}/packing")
     ordered.select("doc_id", "shard", "position").write.mode(
         "overwrite"
     ).parquet(f"{out}/epoch0_order")
     curriculum.write.mode("overwrite").parquet(f"{out}/curriculum_order")
 
-    n = spark.read.parquet(f"{out}/documents").count()
-    print(f"landed {n} documents to {out}")
+    n = read_snapshot(spark, f"{out}/documents", version).count()
+    print(f"landed {n} documents to {out} as snapshot v{version}")
     spark.stop()
 
 
