@@ -2957,6 +2957,27 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_pack_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on unigram-LM token budgets — the second
+    tokenizer family feeding the same concat-and-chunk assignment
+    contract as corpus_pack_sequences / corpus_pack_bpe."""
+    from kafka_connect_hdfs_spark.operators.packing import (
+        with_sequence_packing,
+    )
+    from kafka_connect_hdfs_spark.operators.text import unigram_encode
+
+    enc = unigram_encode(
+        _docs(spark, sf_dir), vocab_size=24, max_piece_len=4, iterations=2
+    )
+    with_tokens = enc.select(
+        "doc_id", F.col("n_unigram_tokens").alias("n_tokens")
+    )
+    return with_sequence_packing(
+        with_tokens, budget=512, token_col="n_tokens", id_col="doc_id",
+        shards=8,
+    ).orderBy("doc_id")
+
+
 def _q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity-interval enrichment: each purchase event joins the
     dimension version (built from the user's non-purchase changelog)
@@ -3261,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_snapshot_schema_merge": _q_ops_snapshot_schema_merge,
         "ann_maxsim_topk": _q_ann_maxsim_topk,
         "q_scd2_asof_enrich": _q_scd2_asof_enrich,
+        "corpus_pack_unigram": _q_corpus_pack_unigram,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -7834,9 +7856,8 @@ FROM final ORDER BY viterbi_count DESC, piece ASC
     # encode = one more Viterbi pass (forward + backtrack rounds 3) under
     # the FINAL piece log-probs (lp3), memoized per distinct word, then
     # joined back to the exploded corpus for per-doc token budgets
-    sql["text_unigram_encode"] = (
-        _ulm_prefix
-        + _ulm_forward(3)
+    _ulm_encode_core = (
+        _ulm_forward(3)
         + _ulm_backtrack(3)
         + r"""wcount AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS n_pieces FROM em3 GROUP BY 1
@@ -7852,16 +7873,50 @@ perdoc AS (
   SELECT d.doc_id, count(*)::BIGINT AS n_ws_tokens,
          sum(wc.n_pieces)::BIGINT AS n_unigram_tokens
   FROM dtoks d JOIN wcount wc USING (word) GROUP BY 1
+),
+"""
+    )
+    sql["text_unigram_encode"] = (
+        _ulm_prefix
+        + _ulm_encode_core
+        + """encfinal AS (
+  SELECT docs.doc_id,
+         coalesce(p.n_ws_tokens, 0)::BIGINT AS n_ws_tokens,
+         coalesce(p.n_unigram_tokens, 0)::BIGINT AS n_unigram_tokens,
+         round(CASE WHEN p.n_ws_tokens > 0
+                    THEN p.n_unigram_tokens / p.n_ws_tokens END, 6)
+           AS fertility
+  FROM (SELECT doc_id FROM documents) docs
+  LEFT JOIN perdoc p USING (doc_id)
 )
-SELECT docs.doc_id,
-       coalesce(p.n_ws_tokens, 0)::BIGINT AS n_ws_tokens,
-       coalesce(p.n_unigram_tokens, 0)::BIGINT AS n_unigram_tokens,
-       round(CASE WHEN p.n_ws_tokens > 0
-                  THEN p.n_unigram_tokens / p.n_ws_tokens END, 6)
-         AS fertility
-FROM (SELECT doc_id FROM documents) docs
-LEFT JOIN perdoc p USING (doc_id)
-ORDER BY docs.doc_id
+SELECT doc_id, n_ws_tokens, n_unigram_tokens, fertility
+FROM encfinal ORDER BY doc_id
+"""
+    )
+    # packing on the unigram tokenizer's budgets (the corpus_pack_bpe
+    # shape with the DP-replayed token counts)
+    sql["corpus_pack_unigram"] = (
+        _ulm_prefix
+        + _ulm_encode_core
+        + """pt AS (
+  SELECT d.doc_id,
+         coalesce(p.n_unigram_tokens, 0)::BIGINT AS n_tokens,
+         ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 12))::BIGINT % 8
+           AS shard
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN perdoc p USING (doc_id)
+),
+pc AS (
+  SELECT doc_id, n_tokens, shard,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT - n_tokens
+           AS start_tok
+  FROM pt
+)
+SELECT doc_id, n_tokens, shard,
+       floor(start_tok::DOUBLE / 512)::BIGINT AS seq,
+       start_tok % 512 AS offset_in_seq
+FROM pc ORDER BY doc_id
 """
     )
     return sql
