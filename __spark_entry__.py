@@ -2957,6 +2957,33 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots (even /
+    odd vec_id halves stand in for old / new): L2 shift + centroid
+    cosine — the distribution-shift monitor run before reusing an ANN
+    index across refreshes."""
+    from kafka_connect_hdfs_spark.operators.similarity import centroid_drift
+
+    emb = _emb(spark, sf_dir)
+    return centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    ).orderBy("label")
+
+
+def _q_corpus_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration health check: Gini coefficient + top-group
+    share of document counts across languages and sources — the
+    diversity numbers that justify temperature remixing."""
+    from kafka_connect_hdfs_spark.operators.quality import (
+        concentration_report,
+    )
+
+    return concentration_report(
+        _docs(spark, sf_dir), group_cols=("lang", "source")
+    ).orderBy("dimension")
+
+
 def _q_corpus_pack_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing on unigram-LM token budgets — the second
     tokenizer family feeding the same concat-and-chunk assignment
@@ -3283,6 +3310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_maxsim_topk": _q_ann_maxsim_topk,
         "q_scd2_asof_enrich": _q_scd2_asof_enrich,
         "corpus_pack_unigram": _q_corpus_pack_unigram,
+        "embedding_centroid_drift": _q_embedding_centroid_drift,
+        "corpus_concentration": _q_corpus_concentration,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -7492,6 +7521,57 @@ SELECT l.u AS node, l.lbl AS community, s.n_members
 FROM l4 l JOIN sizes s USING (lbl)
 ORDER BY node
 """
+    # per-label centroid drift between even/odd snapshot halves
+    sql["embedding_centroid_drift"] = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+dd AS (SELECT max(len(e)) AS d FROM v),
+idx AS (SELECT unnest(generate_series(1, d)) AS i FROM dd),
+o AS (
+  SELECT label AS lbl, idx.i - 1 AS dim, avg(e[idx.i]) AS c_old,
+         count(*)::BIGINT AS n_old
+  FROM v CROSS JOIN idx WHERE vec_id % 2 = 0 GROUP BY 1, 2
+),
+nn AS (
+  SELECT label AS lbl, idx.i - 1 AS dim, avg(e[idx.i]) AS c_new,
+         count(*)::BIGINT AS n_new
+  FROM v CROSS JOIN idx WHERE vec_id % 2 = 1 GROUP BY 1, 2
+),
+j AS (SELECT * FROM o JOIN nn USING (lbl, dim))
+SELECT lbl AS label, max(n_old)::BIGINT AS n_old, max(n_new)::BIGINT AS n_new,
+       round(sqrt(sum((c_new - c_old) * (c_new - c_old))), 6) AS drift_l2,
+       round(sum(c_old * c_new) /
+             (sqrt(sum(c_old * c_old)) * sqrt(sum(c_new * c_new))), 6)
+         AS centroid_cos
+FROM j GROUP BY lbl ORDER BY label
+"""
+    # Gini concentration per grouping dimension (integer sums, one division)
+    _gini_dim = """
+{n}c AS (SELECT {col} AS g, count(*)::BIGINT AS x FROM documents GROUP BY 1),
+{n}r AS (
+  SELECT g, x, row_number() OVER (ORDER BY x ASC, g ASC) AS i FROM {n}c
+),
+{n}d AS (
+  SELECT '{col}' AS dimension, count(*)::BIGINT AS n_groups,
+         round(max(x)::DOUBLE / sum(x)::DOUBLE, 6) AS top_share,
+         round((2.0 * sum(i * x)::DOUBLE) /
+               (count(*)::DOUBLE * sum(x)::DOUBLE)
+               - (count(*) + 1)::DOUBLE / count(*)::DOUBLE, 6) AS gini
+  FROM {n}r
+)"""
+    sql["corpus_concentration"] = (
+        "WITH "
+        + _gini_dim.format(n="l", col="lang")
+        + ","
+        + _gini_dim.format(n="s", col="source")
+        + """
+SELECT dimension, n_groups, top_share, gini FROM ld
+UNION ALL
+SELECT dimension, n_groups, top_share, gini FROM sd
+ORDER BY dimension
+"""
+    )
     # SCD2 as-of enrichment: interval join against the changelog dimension
     sql["q_scd2_asof_enrich"] = """
 WITH dim AS (

@@ -256,3 +256,45 @@ def corpus_datacard(
         ).alias("kv")
     )
     return stacked.select("kv.metric", "kv.value").orderBy("metric")
+
+
+def concentration_report(
+    df: DataFrame, group_cols: "tuple[str, ...]" = ("lang", "source")
+) -> DataFrame:
+    """Corpus concentration per grouping dimension: for each column in
+    ``group_cols``, the Gini coefficient of document counts across its
+    groups plus the top group's share — the diversity health check run
+    before mixing decisions (a Gini near 1 means one language/source
+    dominates; temperature sampling exists to pull it down). Returns
+    ``(dimension, n_groups, top_share, gini)``.
+
+    Gini over ascending group counts x_1..x_n:
+    ``(2·Σ i·x_i) / (n·Σx) − (n+1)/n`` — integer sums until the final
+    division, so the oracle replays exactly.
+
+    Scale: one partial-combining count per dimension (group-bounded
+    shuffle); ranking and the closed-form fold run on the tiny per-group
+    count tables.
+    """
+    from pyspark.sql import Window
+
+    out = None
+    for col in group_cols:
+        counts = df.groupBy(F.col(col).alias("g")).agg(
+            F.count("*").alias("x")
+        )
+        w = Window.orderBy(F.asc("x"), F.asc("g"))
+        ranked = counts.withColumn("i", F.row_number().over(w))
+        dim = ranked.agg(
+            F.lit(col).alias("dimension"),
+            F.count("*").alias("n_groups"),
+            F.round(F.max("x") / F.sum("x"), 6).alias("top_share"),
+            F.round(
+                (2 * F.sum(F.col("i") * F.col("x")))
+                / (F.count("*") * F.sum("x"))
+                - (F.count("*") + 1) / F.count("*"),
+                6,
+            ).alias("gini"),
+        )
+        out = dim if out is None else out.unionByName(dim)
+    return out

@@ -1878,6 +1878,70 @@ def pca_power_summary(
     return spark.createDataFrame(out, schema)
 
 
+def centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding centroid drift between two corpus snapshots —
+    the embedding-space shift monitor run before reusing an ANN index or
+    a classifier trained on the old distribution: ``(label, n_old,
+    n_new, drift_l2, centroid_cos)`` for labels present in BOTH
+    snapshots (a label absent on one side has no drift to measure).
+
+    Scale: each side reduces to a (labels × dim)-bounded centroid table
+    via posexplode + partial-combining avg — the corpus shuffles only
+    (label, dim, component) triples; the join and the norm fold run on
+    the tiny centroid tables.
+    """
+    def _cent(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(label_col).alias("lbl"),
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "dim", "x"
+                ),
+            )
+            .groupBy("lbl", "dim")
+            .agg(
+                F.avg("x").alias(f"c_{tag}"),
+                # per-(label, dim) row count == vectors per label; the
+                # caller maxes it back out, avoiding a second corpus agg
+                F.count("*").alias(f"n_{tag}"),
+            )
+        )
+
+    o = _cent(old, "old")
+    n = _cent(new, "new")
+    j = o.join(n, ["lbl", "dim"])
+    return (
+        j.groupBy("lbl")
+        .agg(
+            F.max("n_old").alias("n_old"),
+            F.max("n_new").alias("n_new"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("c_new") - F.col("c_old"))
+                        * (F.col("c_new") - F.col("c_old"))
+                    )
+                ),
+                6,
+            ).alias("drift_l2"),
+            F.round(
+                F.sum(F.col("c_old") * F.col("c_new"))
+                / (
+                    F.sqrt(F.sum(F.col("c_old") * F.col("c_old")))
+                    * F.sqrt(F.sum(F.col("c_new") * F.col("c_new")))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+        .withColumnRenamed("lbl", label_col)
+    )
+
+
 def mmr_rerank(
     embeddings: DataFrame,
     queries: DataFrame,

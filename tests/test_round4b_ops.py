@@ -158,6 +158,61 @@ def test_unigram_encode_budgets_and_empty_doc(spark):
     assert out[1]["n_ws_tokens"] == 3
 
 
+def test_centroid_drift_zero_for_identical_halves(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import centroid_drift
+
+    rows = [(i, [1.0, 2.0], 1) for i in range(4)] + [
+        (i, [0.0, 3.0], 2) for i in range(4, 8)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["label"]: r
+        for r in centroid_drift(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+        ).collect()
+    }
+    # old == new == the same constant vectors per label
+    for lbl in (1, 2):
+        assert out[lbl]["drift_l2"] == 0.0
+        assert out[lbl]["centroid_cos"] == 1.0
+        assert out[lbl]["n_old"] == 2 and out[lbl]["n_new"] == 2
+
+
+def test_centroid_drift_measures_shift(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import centroid_drift
+
+    old = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1)], "vec_id long, embedding array<float>, label int"
+    )
+    new = spark.createDataFrame(
+        [(2, [0.0, 1.0], 1)], "vec_id long, embedding array<float>, label int"
+    )
+    r = centroid_drift(old, new).collect()[0]
+    assert abs(r["drift_l2"] - math.sqrt(2)) < 1e-6
+    assert r["centroid_cos"] == 0.0
+
+
+def test_concentration_report_gini(spark):
+    from kafka_connect_hdfs_spark.operators.quality import (
+        concentration_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 8 else "de", "s%d" % (i % 2)) for i in range(10)],
+        "doc_id long, lang string, source string",
+    )
+    out = {r["dimension"]: r for r in concentration_report(docs).collect()}
+    # lang counts [2, 8] ascending: gini = (2*(1*2+2*8))/(2*10) - 3/2 = 0.3
+    assert out["lang"]["n_groups"] == 2
+    assert abs(out["lang"]["gini"] - 0.3) < 1e-6
+    assert out["lang"]["top_share"] == 0.8
+    # source counts [5, 5]: perfectly even -> gini 0
+    assert abs(out["source"]["gini"]) < 1e-6
+
+
 # ---------------------------------------------------------------------------
 # truncated-dim recall (matryoshka curve point)
 
