@@ -3217,11 +3217,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_trunc_recall, text_dsir_select, graph_lpa_communities,
     # ann_probe_sweep, text_zipf_slope, text_unigram_lm,
     # text_unigram_encode, media_phash_clusters, ops_time_travel,
-    # stream_cdc_upsert, ops_snapshot_schema_merge, ann_maxsim_topk
-    # (29 with the late r04b additions — they fill slots 1-29); use the
-    # remaining ~21 slots for the stalest r01 driver-greens per the
+    # stream_cdc_upsert, ops_snapshot_schema_merge, ann_maxsim_topk,
+    # q_scd2_asof_enrich, corpus_pack_unigram, embedding_centroid_drift,
+    # corpus_concentration (33 total — they fill slots 1-33); use the
+    # remaining ~17 slots for the stalest r01 driver-greens per the
     # cadence above. Full 212-query sweep at sf0.01 was green on
-    # 2026-08-14 (this file's r04b state).
+    # 2026-08-14; the 10 later additions each verified green at sf0.001
+    # AND sf0.01 the same day (this file's r04b state).
     return {
         # --- r03 window-overflow: ANN / graph / text / corpus batch
         "ann_cell_stats": _q_ann_cell_stats,
