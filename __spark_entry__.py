@@ -2957,6 +2957,25 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity audit of the LPA partition on the thresholded
+    co-visitation graph: per-community e_c/m − (d_c/2m)² — the number
+    that says whether the detected communities are structure or noise."""
+    from kafka_connect_hdfs_spark.operators.graph import (
+        covisit_edges, label_propagation_communities, modularity_report,
+    )
+
+    edges = covisit_edges(
+        _events(spark, sf_dir), max_users_per_bucket=200
+    ).filter(F.col("n_covisits") >= 3)
+    labels = label_propagation_communities(
+        edges, iterations=4, id_a="user_a", id_b="user_b"
+    )
+    return modularity_report(
+        edges, labels, id_a="user_a", id_b="user_b"
+    ).orderBy("community")
+
+
 def _q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid drift between two embedding snapshots (even /
     odd vec_id halves stand in for old / new): L2 shift + centroid
@@ -3314,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_unigram": _q_corpus_pack_unigram,
         "embedding_centroid_drift": _q_embedding_centroid_drift,
         "corpus_concentration": _q_corpus_concentration,
+        "graph_modularity": _q_graph_modularity,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -7495,7 +7515,7 @@ l{it} AS MATERIALIZED (
 ),
 """
         )
-    sql["graph_lpa_communities"] = f"""
+    _lpa_prefix = f"""
 WITH cell AS (
   SELECT DISTINCT user_id AS u, event_type AS it,
          date_trunc('hour', ts) AS bkt
@@ -7516,13 +7536,46 @@ sym AS MATERIALIZED (
 ),
 nodes AS MATERIALIZED (SELECT DISTINCT s AS u FROM sym),
 l0 AS MATERIALIZED (SELECT u, u AS lbl FROM nodes),
-{''.join(lpa_rounds)}sizes AS (
+{''.join(lpa_rounds)}"""
+    sql["graph_lpa_communities"] = (
+        _lpa_prefix
+        + """sizes AS (
   SELECT lbl, count(*)::BIGINT AS n_members FROM l4 GROUP BY 1
 )
 SELECT l.u AS node, l.lbl AS community, s.n_members
 FROM l4 l JOIN sizes s USING (lbl)
 ORDER BY node
 """
+    )
+    # modularity of the LPA partition over the same thresholded graph:
+    # Q_c = e_c/m - (d_c/2m)^2 per community, summable to total Q
+    sql["graph_modularity"] = (
+        _lpa_prefix
+        + """m AS (SELECT count(*)::DOUBLE AS m FROM edges),
+intra AS (
+  SELECT la.lbl AS community, count(*)::BIGINT AS intra_edges
+  FROM edges e
+  JOIN l4 la ON e.s = la.u
+  JOIN l4 lb ON e.d = lb.u
+  WHERE la.lbl = lb.lbl
+  GROUP BY 1
+),
+deg AS (SELECT s AS u, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+comm AS (
+  SELECT l.lbl AS community, count(*)::BIGINT AS n_members,
+         sum(deg.d)::BIGINT AS degree_sum
+  FROM l4 l JOIN deg USING (u) GROUP BY 1
+)
+SELECT c.community, c.n_members,
+       coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
+       c.degree_sum,
+       round(coalesce(i.intra_edges, 0) / m.m
+             - (c.degree_sum / (2.0 * m.m)) * (c.degree_sum / (2.0 * m.m)),
+             6) AS q_contrib
+FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN m
+ORDER BY c.community
+"""
+    )
     # per-label centroid drift between even/odd snapshot halves
     sql["embedding_centroid_drift"] = """
 WITH v AS (

@@ -574,3 +574,75 @@ def label_propagation_communities(
         F.col("lbl").alias("community"),
         "n_members",
     )
+
+
+def modularity_report(
+    pairs: DataFrame,
+    labels: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a partition over an undirected graph
+    (Newman & Girvan 2004): per community ``Q_c = e_c/m − (d_c/2m)²``
+    where ``e_c`` is the intra-community edge count, ``d_c`` the summed
+    degree, ``m`` the total edge count — total modularity is the sum of
+    ``q_contrib``. The quality number that says whether the communities
+    LPA found are real structure (Q ≈ 0.3+) or noise (Q ≈ 0).
+
+    Scale: edges canonicalize map-side (least/greatest + distinct);
+    intra counting is two |edges|-bounded label joins; degrees and
+    community rollups are node-bounded aggs; ``m`` rides along as one
+    broadcast row.
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    e = (
+        pairs.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = e.agg(F.count("*").cast("double").alias("m"))
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    lab = labels.select(
+        F.col(node_col).alias("u"), F.col(community_col).alias("c")
+    )
+    la = lab.select(F.col("u"), F.col("c").alias("ca"))
+    lb = lab.select(F.col("u").alias("v"), F.col("c").alias("cb"))
+    intra = (
+        e.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    comm = (
+        lab.join(deg, "u")
+        .groupBy("c")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("d").alias("degree_sum"),
+        )
+    )
+    return (
+        comm.join(intra, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("c").alias(community_col),
+            "n_members",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            "degree_sum",
+            F.round(
+                F.coalesce("intra_edges", F.lit(0)) / F.col("m")
+                - (F.col("degree_sum") / (2.0 * F.col("m")))
+                * (F.col("degree_sum") / (2.0 * F.col("m"))),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

@@ -158,6 +158,35 @@ def test_unigram_encode_budgets_and_empty_doc(spark):
     assert out[1]["n_ws_tokens"] == 3
 
 
+def test_modularity_hand_computed(spark):
+    from kafka_connect_hdfs_spark.operators.graph import modularity_report
+
+    # two disjoint triangles: m=6, per community e_c=3, d_c=6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "id_a long, id_b long",
+    )
+    good = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 4) for n in range(1, 7)],
+        "node long, community long",
+    )
+    out = {r["community"]: r for r in modularity_report(edges, good).collect()}
+    for c in (1, 4):
+        assert out[c]["n_members"] == 3
+        assert out[c]["intra_edges"] == 3
+        assert out[c]["degree_sum"] == 6
+        # 3/6 - (6/12)^2 = 0.25
+        assert abs(out[c]["q_contrib"] - 0.25) < 1e-6
+    # the trivial all-one-community partition scores Q = 0
+    bad = spark.createDataFrame(
+        [(n, 1) for n in range(1, 7)], "node long, community long"
+    )
+    total = sum(
+        r["q_contrib"] for r in modularity_report(edges, bad).collect()
+    )
+    assert abs(total) < 1e-6
+
+
 def test_centroid_drift_zero_for_identical_halves(spark):
     from kafka_connect_hdfs_spark.operators.similarity import centroid_drift
 
