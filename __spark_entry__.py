@@ -2957,6 +2957,28 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ops_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side CHECK constraints over the events intake: one aggregate
+    computes every rule's violation count (value bounds, known type set,
+    key presence) — the declarative quarantine gate a lakehouse sink runs
+    before committing a batch."""
+    from kafka_connect_hdfs_spark.operators.quality import constraint_report
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        ("value_nonneg", F.col("value") >= 0),
+        ("value_under_cap", F.col("value") <= 50),
+        (
+            "known_type",
+            F.col("event_type").isin("click", "view", "purchase", "signup"),
+        ),
+        ("user_present", F.col("user_id").isNotNull()),
+        ("user_not_mod7", F.col("user_id") % 7 != 0),
+    ]
+    return constraint_report(ev, rules).orderBy("rule")
+
+
 def _q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modularity audit of the LPA partition on the thresholded
     co-visitation graph: per-community e_c/m − (d_c/2m)² — the number
@@ -2965,9 +2987,13 @@ def _q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         covisit_edges, label_propagation_communities, modularity_report,
     )
 
-    edges = covisit_edges(
-        _events(spark, sf_dir), max_users_per_bucket=200
-    ).filter(F.col("n_covisits") >= 3)
+    # the edge pipeline feeds BOTH the LPA sweeps and the modularity
+    # joins — materialize it once instead of rebuilding the covisit cells
+    edges = (
+        covisit_edges(_events(spark, sf_dir), max_users_per_bucket=200)
+        .filter(F.col("n_covisits") >= 3)
+        .localCheckpoint(eager=True)
+    )
     labels = label_propagation_communities(
         edges, iterations=4, id_a="user_a", id_b="user_b"
     )
@@ -3334,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_drift": _q_embedding_centroid_drift,
         "corpus_concentration": _q_corpus_concentration,
         "graph_modularity": _q_graph_modularity,
+        "ops_constraint_report": _q_ops_constraint_report,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -7576,6 +7603,35 @@ FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN m
 ORDER BY c.community
 """
     )
+    # write-side CHECK constraints: NOT-TRUE (false or NULL) counts as a
+    # violation, one aggregate for all rules
+    sql["ops_constraint_report"] = """
+WITH agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN (value >= 0) IS NOT TRUE THEN 1 ELSE 0 END)::BIGINT
+           AS v_nonneg,
+         sum(CASE WHEN (value <= 50) IS NOT TRUE THEN 1 ELSE 0 END)::BIGINT
+           AS v_cap,
+         sum(CASE WHEN (event_type IN ('click', 'view', 'purchase',
+                                       'signup')) IS NOT TRUE
+                  THEN 1 ELSE 0 END)::BIGINT AS v_type,
+         sum(CASE WHEN (user_id IS NOT NULL) IS NOT TRUE
+                  THEN 1 ELSE 0 END)::BIGINT AS v_user,
+         sum(CASE WHEN (user_id % 7 != 0) IS NOT TRUE
+                  THEN 1 ELSE 0 END)::BIGINT AS v_mod7
+  FROM events
+),
+rules AS (
+  SELECT 'value_nonneg' AS rule, n, v_nonneg AS v FROM agg
+  UNION ALL SELECT 'value_under_cap', n, v_cap FROM agg
+  UNION ALL SELECT 'known_type', n, v_type FROM agg
+  UNION ALL SELECT 'user_present', n, v_user FROM agg
+  UNION ALL SELECT 'user_not_mod7', n, v_mod7 FROM agg
+)
+SELECT rule, n AS n_checked, v AS n_violations,
+       round(v::DOUBLE / n, 6) AS violation_rate
+FROM rules ORDER BY rule
+"""
     # per-label centroid drift between even/odd snapshot halves
     sql["embedding_centroid_drift"] = """
 WITH v AS (

@@ -298,3 +298,58 @@ def concentration_report(
         )
         out = dim if out is None else out.unionByName(dim)
     return out
+
+
+def validate_constraints(
+    df: DataFrame, rules: "list[tuple[str, F.Column]]"
+) -> DataFrame:
+    """Write-side CHECK-constraint validation (the Delta/Iceberg table
+    constraint model; the reference has no equivalent — bad records reach
+    HDFS): annotate every row with the list of violated rule names and a
+    ``valid`` flag, entirely map-side — callers route ``valid`` rows to
+    the sink and the rest to a quarantine path (the json_quarantine
+    pattern generalized to declarative predicates).
+
+    ``rules`` is ``[(name, boolean Column)]``; a row violates a rule when
+    the predicate is NOT TRUE (false OR null — SQL CHECK semantics treat
+    NULL as passing, but a data gate must flag unknowns).
+    """
+    viols = F.array_compact(
+        F.array(
+            *[
+                F.when(~cond.eqNullSafe(F.lit(True)), F.lit(name))
+                for name, cond in rules
+            ]
+        )
+    )
+    return df.withColumn("violations", viols).withColumn(
+        "valid", F.size("violations") == 0
+    )
+
+
+def constraint_report(
+    df: DataFrame, rules: "list[tuple[str, F.Column]]"
+) -> DataFrame:
+    """Per-rule violation summary ``(rule, n_checked, n_violations,
+    violation_rate)`` — ONE aggregate over the table computes every
+    rule's count (no per-rule scans), the shape profile_table uses.
+    """
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(
+            F.when(~cond.eqNullSafe(F.lit(True)), 1).otherwise(0)
+        ).alias(f"_v_{i}")
+        for i, (name, cond) in enumerate(rules)
+    ]
+    row = df.agg(*aggs)
+    out = None
+    for i, (name, _) in enumerate(rules):
+        r = row.select(
+            F.lit(name).alias("rule"),
+            F.col("_n").alias("n_checked"),
+            F.col(f"_v_{i}").alias("n_violations"),
+            F.round(F.col(f"_v_{i}") / F.col("_n"), 6).alias(
+                "violation_rate"
+            ),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

@@ -158,6 +158,30 @@ def test_unigram_encode_budgets_and_empty_doc(spark):
     assert out[1]["n_ws_tokens"] == 3
 
 
+def test_validate_constraints_flags_false_and_null(spark):
+    from kafka_connect_hdfs_spark.operators.quality import (
+        constraint_report, validate_constraints,
+    )
+
+    rows = [(1, 10.0), (2, -3.0), (3, None), (4, 100.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    rules = [
+        ("v_nonneg", F.col("v") >= 0),
+        ("v_cap", F.col("v") <= 50),
+    ]
+    ann = {r["id"]: r for r in validate_constraints(df, rules).collect()}
+    assert ann[1]["valid"] and ann[1]["violations"] == []
+    assert ann[2]["violations"] == ["v_nonneg"]
+    # NULL fails BOTH predicates (a gate must flag unknowns)
+    assert set(ann[3]["violations"]) == {"v_nonneg", "v_cap"}
+    assert ann[4]["violations"] == ["v_cap"]
+    rep = {r["rule"]: r for r in constraint_report(df, rules).collect()}
+    assert rep["v_nonneg"]["n_violations"] == 2
+    assert rep["v_cap"]["n_violations"] == 2
+    assert rep["v_cap"]["n_checked"] == 4
+    assert rep["v_cap"]["violation_rate"] == 0.5
+
+
 def test_modularity_hand_computed(spark):
     from kafka_connect_hdfs_spark.operators.graph import modularity_report
 
