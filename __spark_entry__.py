@@ -2957,6 +2957,83 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed HLL distinct through the gate: file stream →
+    watermarked tumbling windows → approx_count_distinct(user) → memory
+    sink (availableNow). The sketch-gate pattern of q_hll_distinct_users:
+    the oracle verifies the EXACT per-window distinct (recomputed in
+    batch) and the estimate-tolerance boolean rides as a constant TRUE."""
+    import tempfile
+    import uuid
+
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.streaming.windowed import (
+        windowed_distinct_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    base = tempfile.mkdtemp(prefix="kchs_swhll_")
+    src = f"{base}/src"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    name = "stream_whll_gate_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_distinct_users(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/chk")
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+    est = spark.table(name)
+    exact = ev.groupBy(
+        F.window(F.col("ts"), "1 hour").alias("w")
+    ).agg(F.countDistinct("user_id").alias("n_exact")).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_exact",
+    )
+    tol = F.greatest(F.lit(5.0), 0.1 * F.col("n_exact"))
+    return (
+        exact.join(est, ["window_start", "window_end"])
+        .select(
+            "window_start",
+            "window_end",
+            "n_exact",
+            (F.abs(F.col("n_est") - F.col("n_exact")) <= tol).alias(
+                "est_within_tol"
+            ),
+        )
+        .orderBy("window_start")
+    )
+
+
+def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate: docs vs distinct normalized
+    fingerprints — the triage number that decides which sources earn a
+    deeper near-dup pass. Text reduces to md5 in the scan projection."""
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    return (
+        docs.select("source", fp.alias("f"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("f").alias("n_unique"),
+            F.round(
+                (F.count("*") - F.countDistinct("f")) / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_ops_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-side CHECK constraints over the events intake: one aggregate
     computes every rule's violation count (value bounds, known type set,
@@ -3361,6 +3438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_concentration": _q_corpus_concentration,
         "graph_modularity": _q_graph_modularity,
         "ops_constraint_report": _q_ops_constraint_report,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "stream_windowed_hll": _q_stream_windowed_hll,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -7603,6 +7682,25 @@ FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN m
 ORDER BY c.community
 """
     )
+    # streaming windowed HLL: oracle = exact windowed distinct; the
+    # estimate-tolerance boolean is constant TRUE (sketch-gate pattern)
+    sql["stream_windowed_hll"] = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       count(DISTINCT user_id)::BIGINT AS n_exact,
+       TRUE AS est_within_tol
+FROM events WHERE event_id < 5000
+GROUP BY 1, 2 ORDER BY window_start
+"""
+    sql["dedup_rate_by_source"] = r"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+         ::BIGINT AS n_unique,
+       round((count(*) - count(DISTINCT
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))))
+             ::DOUBLE / count(*), 6) AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+"""
     # write-side CHECK constraints: NOT-TRUE (false or NULL) counts as a
     # violation, one aggregate for all rules
     sql["ops_constraint_report"] = """

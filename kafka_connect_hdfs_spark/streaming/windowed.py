@@ -47,3 +47,29 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per tumbling window approximate distinct ``key_col`` (HLL sketch)
+    with a late-data watermark — the live audience counter. The sketch is
+    the POINT at streaming scale: exact distinct would hold every key in
+    state forever; HLL state is a fixed-size register set per window,
+    bounded by the watermark horizon. Same query runs in batch for the
+    backfill (watermark ignored), which is what the gate exploits.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"))
+        .agg(F.approx_count_distinct(key_col).alias("n_est"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_est",
+        )
+    )
