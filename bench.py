@@ -164,11 +164,14 @@ def main() -> None:
     ).count()
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
-    # median of 3 runs per query: the shared-host VM shows 2-4x single-run
-    # noise, medians make round-over-round regressions attributable.
-    # Queries whose FIRST run exceeds 5 s are timed once — their noise is
-    # proportionally small and repeating them dominates suite wall time.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # 2 runs per query (keep the larger -> conservative), because the
+    # shared-host VM shows 2-4x single-run noise; raise via
+    # SPARK_GRAFT_BENCH_REPEATS for a quiet-machine median-of-3. Queries
+    # whose FIRST run exceeds 3 s are timed once — their noise is
+    # proportionally small and repeating them dominates suite wall time
+    # (222 queries x 3 runs was ~17 min wall; this keeps the driver's
+    # bench pass around 10).
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
     def _clear_persisted() -> None:
         # localCheckpoint()-ed RDDs accumulate across a 200-query session
@@ -189,7 +192,7 @@ def main() -> None:
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
             _clear_persisted()
-            if runs[0] > 5.0:
+            if runs[0] > 3.0:
                 break
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
