@@ -2957,6 +2957,62 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the COMPRESSED index (IVF routing + PQ ADC scoring)
+    against the exact top-5 — the quality number that prices the
+    compression: completes the eval matrix next to ann_ivf_recall (same
+    queries, same exact side)."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        ann_recall, brute_force_topk, ivfpq_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = ivfpq_topk(
+        emb, queries, k=5, n_seeds=8, n_probe=2, m=4, n_codes=16
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    return ann_recall(approx, exact).orderBy("query_id")
+
+
+def _q_corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality audit of the FFD assignment: per-shard bin count,
+    fill ratio, and waste tokens (empty space in non-overflow bins) —
+    the number that justifies FFD over concat-and-chunk when documents
+    must stay whole."""
+    from kafka_connect_hdfs_spark.operators.packing import (
+        pack_sequences_bestfit,
+    )
+
+    docs = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    with_tokens = docs.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .alias("n_tokens"),
+    )
+    packed = pack_sequences_bestfit(with_tokens, budget=512, shards=8)
+    loads = packed.groupBy("shard", "seq").agg(
+        F.sum("n_tokens").alias("load"), F.count("*").alias("n_docs")
+    )
+    return (
+        loads.groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.count("*").alias("n_bins"),
+            F.sum("load").alias("total_tokens"),
+            F.sum(F.greatest(F.lit(512) - F.col("load"), F.lit(0))).alias(
+                "waste_tokens"
+            ),
+            F.round(F.sum("load") / (F.count("*") * 512.0), 6).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
 def _q_stream_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed HLL distinct through the gate: file stream →
     watermarked tumbling windows → approx_count_distinct(user) → memory
@@ -3443,6 +3499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_constraint_report": _q_ops_constraint_report,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "stream_windowed_hll": _q_stream_windowed_hll,
+        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
+        "corpus_pack_efficiency": _q_corpus_pack_efficiency,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -8211,4 +8269,34 @@ SELECT doc_id, n_tokens, shard,
 FROM pc ORDER BY doc_id
 """
     )
+    # recall of the compressed (IVF+PQ) index vs exact — composed
+    sql["ann_ivfpq_recall"] = f"""
+WITH approx AS ({sql["ann_ivfpq_topk"]}),
+exact AS ({sql["ann_topk_bruteforce"]}),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+SELECT t.query_id, coalesce(h.n_hits, 0) AS n_hits, t.n_exact,
+       round(coalesce(h.n_hits, 0) / t.n_exact, 6) AS recall
+FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+ORDER BY t.query_id
+"""
+    # FFD bin-fill audit — composed over the bestfit replay
+    sql["corpus_pack_efficiency"] = f"""
+WITH packed AS ({sql["corpus_pack_bestfit"]}),
+binloads AS (
+  SELECT shard, seq, sum(n_tokens)::BIGINT AS load,
+         count(*)::BIGINT AS n_docs
+  FROM packed GROUP BY 1, 2
+)
+SELECT shard, sum(n_docs)::BIGINT AS n_docs, count(*)::BIGINT AS n_bins,
+       sum(load)::BIGINT AS total_tokens,
+       sum(greatest(512 - load, 0))::BIGINT AS waste_tokens,
+       round(sum(load)::DOUBLE / (count(*) * 512.0), 6) AS fill_ratio
+FROM binloads GROUP BY shard ORDER BY shard
+"""
     return sql
