@@ -2957,6 +2957,41 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ops_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollback: v1 = English docs, v2 OVERWRITES with
+    German, rollback creates v3 referencing v1's files — the latest read
+    must see the English slice again while v2 stays in history. Oracle
+    recomputes both reads from the source table."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, read_snapshot, rollback_snapshot,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kchs_snaprb_") + "/t"
+    v1 = commit_snapshot(spark, docs.filter(F.col("lang") == "en"), path)
+    v2 = commit_snapshot(
+        spark, docs.filter(F.col("lang") == "de"), path, mode="overwrite"
+    )
+    v3 = rollback_snapshot(spark, path, v1)
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    def _agg(df: DataFrame, which: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.lit(which).alias("readpoint"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    return (
+        _agg(read_snapshot(spark, path), "latest_after_rollback")
+        .unionByName(_agg(read_snapshot(spark, path, v2), "v2_history"))
+        .select("readpoint", "lang", "n_docs", "sum_chars")
+        .orderBy("readpoint", "lang")
+    )
+
+
 def _q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the COMPRESSED index (IVF routing + PQ ADC scoring)
     against the exact top-5 — the quality number that prices the
@@ -3501,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_hll": _q_stream_windowed_hll,
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "corpus_pack_efficiency": _q_corpus_pack_efficiency,
+        "ops_snapshot_rollback": _q_ops_snapshot_rollback,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -8269,6 +8305,16 @@ SELECT doc_id, n_tokens, shard,
 FROM pc ORDER BY doc_id
 """
     )
+    # rollback: latest-after-rollback == v1's slice; v2 stays readable
+    sql["ops_snapshot_rollback"] = """
+SELECT 'latest_after_rollback' AS readpoint, lang,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents WHERE lang = 'en' GROUP BY lang
+UNION ALL
+SELECT 'v2_history', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
+FROM documents WHERE lang = 'de' GROUP BY lang
+ORDER BY readpoint, lang
+"""
     # recall of the compressed (IVF+PQ) index vs exact — composed
     sql["ann_ivfpq_recall"] = f"""
 WITH approx AS ({sql["ann_ivfpq_topk"]}),

@@ -141,6 +141,40 @@ def read_snapshot(
     return reader.load(man["files"])
 
 
+def rollback_snapshot(
+    spark: SparkSession, path: str, to_version: int
+) -> int:
+    """Revert the table to ``to_version`` by committing a NEW version
+    whose manifest references that version's files — a metadata-only
+    operation (no data is copied or deleted, history stays intact), the
+    Iceberg rollback semantics. Returns the new version number."""
+    versions = list_snapshots(spark, path)
+    if to_version not in versions:
+        raise FileNotFoundError(
+            f"snapshot v{to_version} not found (have {versions})"
+        )
+    fs, Path = _fs(spark, path)
+    target = _read_manifest(spark, path, to_version)
+    version = versions[-1] + 1
+    manifest = {
+        "version": version,
+        "mode": f"rollback:{to_version}",
+        "format": target["format"],
+        "files": target["files"],
+    }
+    mdir = _manifest_dir(path)
+    tmp = Path(f"{mdir}/.v{version}.json.tmp")
+    final = Path(f"{mdir}/v{version}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"rollback commit rename failed for v{version}")
+    return version
+
+
 def expire_snapshots(
     spark: SparkSession, path: str, keep_last: int = 1
 ) -> "list[int]":

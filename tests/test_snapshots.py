@@ -97,3 +97,28 @@ def test_bad_mode_and_missing_version(spark, table_path):
     commit_snapshot(spark, spark.range(1), table_path)
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, table_path, 7)
+
+
+def test_rollback_is_metadata_only_and_expirable(spark, table_path):
+    from kafka_connect_hdfs_spark.snapshots import rollback_snapshot
+
+    commit_snapshot(spark, spark.range(10), table_path)
+    commit_snapshot(spark, spark.range(3), table_path, mode="overwrite")
+    v3 = rollback_snapshot(spark, table_path, 1)
+    assert v3 == 3
+    assert read_snapshot(spark, table_path).count() == 10   # latest = v1 files
+    assert read_snapshot(spark, table_path, 2).count() == 3  # history intact
+    # expiring down to the rollback version must keep v1's data files
+    # (still referenced by v3) while dropping v2's orphaned dir
+    expire_snapshots(spark, table_path, keep_last=1)
+    assert list_snapshots(spark, table_path) == [3]
+    assert read_snapshot(spark, table_path).count() == 10
+    assert not os.path.exists(table_path + "/data/v2")
+
+
+def test_rollback_to_missing_version_raises(spark, table_path):
+    from kafka_connect_hdfs_spark.snapshots import rollback_snapshot
+
+    commit_snapshot(spark, spark.range(1), table_path)
+    with pytest.raises(FileNotFoundError):
+        rollback_snapshot(spark, table_path, 9)
