@@ -3433,13 +3433,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stream_cdc_upsert, ops_snapshot_schema_merge, ann_maxsim_topk,
     # q_scd2_asof_enrich, corpus_pack_unigram, embedding_centroid_drift,
     # corpus_concentration, graph_modularity, ops_constraint_report,
-    # dedup_rate_by_source, stream_windowed_hll (37 total — more than one
-    # 50-slot window can also absorb re-checks, so fill slots 1-37 with
-    # these and the remaining ~13 with the stalest r01 driver-greens per
-    # the cadence above; overflow rolls to r06 exactly like r03's did).
-    # Full 220-query sweep at sf0.01 was green on 2026-08-14; the 6 later
-    # additions each verified green at sf0.001 AND sf0.01 the same day
-    # (this file's r04b state).
+    # dedup_rate_by_source, stream_windowed_hll, ann_ivfpq_recall,
+    # corpus_pack_efficiency, ops_snapshot_rollback (40 total — fill
+    # slots 1-40 with these and the remaining ~10 with the stalest r01
+    # driver-greens per the cadence above; overflow rolls to r06 exactly
+    # like r03's did). Full 220-query sweep at sf0.01 green on
+    # 2026-08-14; every later addition verified green at sf0.001 AND
+    # sf0.01 the same day; see the final-sweep log in the r04b session.
     return {
         # --- r03 window-overflow: ANN / graph / text / corpus batch
         "ann_cell_stats": _q_ann_cell_stats,
