@@ -2957,6 +2957,19 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization-error report: per subspace, mean/max squared
+    distance of each subvector to its assigned centroid — prices the
+    codebook the ADC queries run against (same book as ann_pq_topk)."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        pq_codebook, pq_error_report,
+    )
+
+    emb = _emb(spark, sf_dir)
+    book = pq_codebook(emb, m=4, n_codes=16)
+    return pq_error_report(emb, book).orderBy("subspace")
+
+
 def _q_ops_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only rollback: v1 = English docs, v2 OVERWRITES with
     German, rollback creates v3 referencing v1's files — the latest read
@@ -3537,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "corpus_pack_efficiency": _q_corpus_pack_efficiency,
         "ops_snapshot_rollback": _q_ops_snapshot_rollback,
+        "ann_pq_error": _q_ann_pq_error,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -8314,6 +8328,29 @@ UNION ALL
 SELECT 'v2_history', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
 FROM documents WHERE lang = 'de' GROUP BY lang
 ORDER BY readpoint, lang
+"""
+    # PQ quantization error: same codebook/assignment math as ann_pq_topk
+    sql["ann_pq_error"] = """
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+book AS (SELECT vec_id AS c_id, v FROM vecs WHERE vec_id < 16),
+subs AS (SELECT unnest(range(0, 4)) AS j),
+enc_d AS (
+  SELECT e.vec_id, s.j, b.c_id,
+         round(list_sum(list_transform(range(1, 17),
+               i -> (e.v[s.j*16 + i] - b.v[s.j*16 + i])
+                    * (e.v[s.j*16 + i] - b.v[s.j*16 + i]))), 6) AS d
+  FROM vecs e CROSS JOIN subs s CROSS JOIN book b
+),
+assigned AS (
+  SELECT vec_id, j, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY d, c_id) AS rn
+    FROM enc_d
+  ) WHERE rn = 1
+)
+SELECT j::INT AS subspace, count(*)::BIGINT AS n_vectors,
+       round(avg(d), 6) AS avg_sq_error, round(max(d), 6) AS max_sq_error
+FROM assigned GROUP BY j ORDER BY subspace
 """
     # recall of the compressed (IVF+PQ) index vs exact — composed
     sql["ann_ivfpq_recall"] = f"""

@@ -1032,6 +1032,41 @@ def _pq_codes_sql(vec_sql: str, book: list[list[list[float]]]) -> str:
     return "cast(array(%s) as array<int>)" % ", ".join(parts)
 
 
+def pq_error_report(
+    embeddings: DataFrame,
+    book: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantization-error report for a PQ codebook: per subspace, the
+    mean and max squared L2 distance between each vector's subvector and
+    its ASSIGNED centroid (the argmin the encoder uses) — the number
+    that prices a codebook before committing the corpus to codes, and
+    the before/after metric for ``lloyd_refine``. Returns ``(subspace,
+    n_vectors, avg_sq_error, max_sq_error)``.
+
+    Scale: the min-distance per subspace is the same map-side literal
+    fold as :func:`pq_encode` (zero shuffle); the only aggregation is
+    m-bounded.
+    """
+    v = _vec_sql(vec_col)
+    mins = ", ".join(
+        f"array_min({_pq_subspace_dists_sql(v, book_j, j)})"
+        for j, book_j in enumerate(book)
+    )
+    return (
+        embeddings.select(
+            F.posexplode(F.expr(f"array({mins})")).alias("subspace", "err")
+        )
+        .groupBy("subspace")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("err"), 6).alias("avg_sq_error"),
+            F.round(F.max("err"), 6).alias("max_sq_error"),
+        )
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
