@@ -2957,6 +2957,34 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree distribution of the thresholded co-visitation
+    graph — the heavy-tail diagnostic read before choosing skew caps and
+    salting. Buckets via binary length (exact integer floor(log2), no
+    float-log boundary risk)."""
+    from kafka_connect_hdfs_spark.operators.graph import covisit_edges
+
+    e = covisit_edges(
+        _events(spark, sf_dir), max_users_per_bucket=200
+    ).filter(F.col("n_covisits") >= 3)
+    sym = e.select(F.col("user_a").alias("u")).unionByName(
+        e.select(F.col("user_b").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    return (
+        deg.withColumn(
+            "bucket", (F.length(F.expr("bin(d)")) - 1).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _q_ann_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ quantization-error report: per subspace, mean/max squared
     distance of each subvector to its assigned centroid — prices the
@@ -3551,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_efficiency": _q_corpus_pack_efficiency,
         "ops_snapshot_rollback": _q_ops_snapshot_rollback,
         "ann_pq_error": _q_ann_pq_error,
+        "graph_degree_dist": _q_graph_degree_dist,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -8328,6 +8357,29 @@ UNION ALL
 SELECT 'v2_history', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
 FROM documents WHERE lang = 'de' GROUP BY lang
 ORDER BY readpoint, lang
+"""
+    # log2-binned degree distribution via exact binary-length buckets
+    sql["graph_degree_dist"] = """
+WITH cell AS (
+  SELECT DISTINCT user_id AS u, event_type AS it,
+         date_trunc('hour', ts) AS bkt
+  FROM events
+),
+csize AS (SELECT it, bkt, count(*) AS n_users FROM cell GROUP BY 1, 2),
+cf AS (
+  SELECT cell.u, cell.it, cell.bkt FROM cell
+  JOIN csize USING (it, bkt) WHERE csize.n_users <= 200
+),
+edges AS (
+  SELECT a.u AS s, b.u AS d
+  FROM cf a JOIN cf b ON a.it = b.it AND a.bkt = b.bkt AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+sym AS (SELECT s AS u FROM edges UNION ALL SELECT d FROM edges),
+deg AS (SELECT u, count(*)::BIGINT AS dg FROM sym GROUP BY 1)
+SELECT (length(bin(dg)) - 1)::INT AS bucket, count(*)::BIGINT AS n_nodes,
+       min(dg)::BIGINT AS min_degree, max(dg)::BIGINT AS max_degree
+FROM deg GROUP BY 1 ORDER BY bucket
 """
     # PQ quantization error: same codebook/assignment math as ann_pq_topk
     sql["ann_pq_error"] = """
