@@ -2957,6 +2957,42 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival time statistics (median / p90 / max gap in
+    seconds) — the traffic-cadence diagnostic behind trigger intervals
+    and watermark delays. Gaps via lag() over (ts, event_id) order;
+    exact interpolated percentiles so the SQL replay agrees."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (
+                (
+                    F.unix_micros(F.col("ts"))
+                    - F.unix_micros(F.lag("ts").over(w))
+                )
+                / 1_000_000.0
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias(
+                "median_gap_s"
+            ),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_gap_s"),
+            F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-binned degree distribution of the thresholded co-visitation
     graph — the heavy-tail diagnostic read before choosing skew caps and
@@ -3580,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_snapshot_rollback": _q_ops_snapshot_rollback,
         "ann_pq_error": _q_ann_pq_error,
         "graph_degree_dist": _q_graph_degree_dist,
+        "q_event_interarrival": _q_event_interarrival,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -8357,6 +8394,22 @@ UNION ALL
 SELECT 'v2_history', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
 FROM documents WHERE lang = 'de' GROUP BY lang
 ORDER BY readpoint, lang
+"""
+    # inter-arrival gaps: lag over (ts, id), exact interpolated quantiles
+    sql["q_event_interarrival"] = """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id)))
+           / 1000000.0 AS gap_s
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 6) AS median_gap_s,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
+       round(max(gap_s), 6) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
 """
     # log2-binned degree distribution via exact binary-length buckets
     sql["graph_degree_dist"] = """
