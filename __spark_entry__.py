@@ -2957,6 +2957,50 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_lloyd_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell balance BEFORE vs AFTER one Lloyd refinement of the IVF
+    codebook — the rebalancing effect the k-means pass is for. Refined
+    centroids are 6-dp means (cells × dim bounded), reassembled into a
+    literal seed set and reassigned map-side; the oracle replays both
+    assignments."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        assign_ivf_cells, lloyd_refine,
+    )
+
+    emb = _emb(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < 8)
+    before = (
+        assign_ivf_cells(emb, seeds)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_before"))
+    )
+    rows = lloyd_refine(emb, seeds).collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["centroid_val"]
+    new_seeds = spark.createDataFrame(
+        [
+            (int(c), [float(v[d]) for d in sorted(v)])
+            for c, v in sorted(by_cell.items())
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    after = (
+        assign_ivf_cells(emb, new_seeds)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_after"))
+    )
+    return (
+        before.join(after, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+        .orderBy("cell")
+    )
+
+
 def _q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type inter-arrival time statistics (median / p90 / max gap in
     seconds) — the traffic-cadence diagnostic behind trigger intervals
@@ -3617,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_error": _q_ann_pq_error,
         "graph_degree_dist": _q_graph_degree_dist,
         "q_event_interarrival": _q_event_interarrival,
+        "ann_lloyd_cell_stats": _q_ann_lloyd_cell_stats,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -8394,6 +8439,59 @@ UNION ALL
 SELECT 'v2_history', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
 FROM documents WHERE lang = 'de' GROUP BY lang
 ORDER BY readpoint, lang
+"""
+    # cell balance before/after one Lloyd pass: both assignments replayed
+    sql["ann_lloyd_cell_stats"] = """
+WITH seeds AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, v, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim
+  FROM vecs, seeds
+),
+cells AS (
+  SELECT vec_id, v, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, seed_id ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+before AS (SELECT cell, count(*)::BIGINT AS n_before FROM cells GROUP BY 1),
+exploded AS (
+  SELECT cell, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val
+  FROM cells
+),
+refined AS (
+  SELECT cell, dim, round(avg(val), 6) AS centroid_val
+  FROM exploded GROUP BY 1, 2
+),
+nseeds AS (
+  SELECT cell AS seed_id, list(centroid_val ORDER BY dim) AS sv
+  FROM refined GROUP BY cell
+),
+rescored AS (
+  SELECT vec_id, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim
+  FROM vecs, nseeds
+),
+recells AS (
+  SELECT vec_id, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, seed_id ASC) AS r
+    FROM rescored
+  ) WHERE r = 1
+),
+after AS (SELECT cell, count(*)::BIGINT AS n_after FROM recells GROUP BY 1)
+SELECT coalesce(b.cell, a.cell) AS cell,
+       coalesce(b.n_before, 0)::BIGINT AS n_before,
+       coalesce(a.n_after, 0)::BIGINT AS n_after
+FROM before b FULL OUTER JOIN after a ON b.cell = a.cell
+ORDER BY cell
 """
     # inter-arrival gaps: lag over (ts, id), exact interpolated quantiles
     sql["q_event_interarrival"] = """
