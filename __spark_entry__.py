@@ -2957,6 +2957,33 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length (whitespace tokens)
+    and the heuristic quality score, per source — the bias check run
+    before a quality cut ships (a strongly negative value means the
+    filter would systematically drop long documents). Quality scores are
+    rounded to the 6-dp contract BEFORE the correlation so the oracle
+    correlates identical values."""
+    from kafka_connect_hdfs_spark.operators.text import (
+        with_quality_score, with_token_stats,
+    )
+
+    docs = with_quality_score(with_token_stats(_docs(spark, sf_dir)))
+    return (
+        docs.select(
+            "source",
+            F.col("ws_tokens").cast("double").alias("len_toks"),
+            F.round("quality_score", 6).alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.corr("len_toks", "q"), 6).alias("corr_len_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_ann_lloyd_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell balance BEFORE vs AFTER one Lloyd refinement of the IVF
     codebook — the rebalancing effect the k-means pass is for. Refined
@@ -3662,6 +3689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_dist": _q_graph_degree_dist,
         "q_event_interarrival": _q_event_interarrival,
         "ann_lloyd_cell_stats": _q_ann_lloyd_cell_stats,
+        "quality_length_corr": _q_quality_length_corr,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -8439,6 +8467,37 @@ UNION ALL
 SELECT 'v2_history', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
 FROM documents WHERE lang = 'de' GROUP BY lang
 ORDER BY readpoint, lang
+"""
+    # length-vs-quality Pearson correlation per source (composed from the
+    # text_quality formula; quality rounded to 6dp before correlating)
+    sql["quality_length_corr"] = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         length(text)::DOUBLE AS total,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE AS punct,
+         len({_TOKS})::DOUBLE AS n_tok,
+         len(list_filter({_TOKS}, x -> list_contains({_en}, x)))::DOUBLE AS n_stop,
+         len(list_distinct({_TOKS}))::DOUBLE AS n_uniq
+  FROM documents
+),
+ratios AS (
+  SELECT source, n_tok,
+         CASE WHEN total > 0 THEN alpha / total ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN total > 0 THEN punct / total ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END AS uniq_ratio
+  FROM feats
+),
+qx AS (
+  SELECT source, n_tok AS len_toks,
+         round((alpha_ratio + (1 - punct_ratio) +
+                least(1.0, 4 * stopword_ratio) + uniq_ratio) / 4, 6) AS q
+  FROM ratios
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(corr(len_toks, q), 6) AS corr_len_quality
+FROM qx GROUP BY source ORDER BY source
 """
     # cell balance before/after one Lloyd pass: both assignments replayed
     sql["ann_lloyd_cell_stats"] = """
