@@ -3582,12 +3582,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_scd2_asof_enrich, corpus_pack_unigram, embedding_centroid_drift,
     # corpus_concentration, graph_modularity, ops_constraint_report,
     # dedup_rate_by_source, stream_windowed_hll, ann_ivfpq_recall,
-    # corpus_pack_efficiency, ops_snapshot_rollback, ann_pq_error (41
-    # total — fill slots 1-41 with these and the remaining ~9 with the
-    # stalest r01 driver-greens per the cadence above; overflow rolls to
-    # r06 exactly like r03's did). A full 229/229 sweep at sf0.01 was
-    # green on 2026-08-14 late in the r04b session; ann_pq_error (added
-    # after it) verified green at sf0.001 AND sf0.01 the same day.
+    # corpus_pack_efficiency, ops_snapshot_rollback, ann_pq_error,
+    # graph_degree_dist, q_event_interarrival, ann_lloyd_cell_stats,
+    # quality_length_corr (45 total — one 50-slot window fits them all;
+    # fill the remaining ~5 with the stalest r01 driver-greens per the
+    # cadence above; overflow rolls to r06 exactly like r03's did). A
+    # full registry sweep at sf0.01 was green on 2026-08-14 late in the
+    # r04b session (see the session's final sweep log); every entry
+    # added after that sweep verified green at sf0.001 AND sf0.01.
     return {
         # --- r03 window-overflow: ANN / graph / text / corpus batch
         "ann_cell_stats": _q_ann_cell_stats,
