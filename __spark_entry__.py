@@ -2957,6 +2957,65 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality alignment audit: how much of the document corpus
+    has an embedding row (and vice versa) — the integrity check run
+    before any text+vector pipeline (semantic dedup, hybrid retrieval)
+    trusts the join. One row: doc/vector counts, the matched overlap,
+    and each side's orphans."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("id")).distinct()
+    vecs = _emb(spark, sf_dir).select(F.col("vec_id").alias("id")).distinct()
+    j = docs.withColumn("d", F.lit(1)).join(
+        vecs.withColumn("v", F.lit(1)), "id", "full_outer"
+    )
+    return j.agg(
+        F.sum(F.coalesce("d", F.lit(0))).alias("n_docs"),
+        F.sum(F.coalesce("v", F.lit(0))).alias("n_vecs"),
+        F.sum(
+            F.when(F.col("d").isNotNull() & F.col("v").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_both"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("docs_only"),
+        F.sum(F.when(F.col("d").isNull(), 1).otherwise(0)).alias("vecs_only"),
+        F.round(
+            F.sum(
+                F.when(F.col("d").isNotNull() & F.col("v").isNotNull(), 1)
+                .otherwise(0)
+            )
+            / F.sum(F.coalesce("d", F.lit(0))),
+            6,
+        ).alias("doc_coverage"),
+    )
+
+
+def _q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of the
+    endpoint degrees over the symmetrized edge list — positive means
+    hubs link hubs (social-style), negative means hub-and-spoke.
+    Completes the graph-health trio with modularity and the degree
+    distribution."""
+    from kafka_connect_hdfs_spark.operators.graph import covisit_edges
+
+    e = covisit_edges(
+        _events(spark, sf_dir), max_users_per_bucket=200
+    ).filter(F.col("n_covisits") >= 3)
+    sym = e.select(
+        F.col("user_a").alias("u"), F.col("user_b").alias("v")
+    ).unionByName(
+        e.select(F.col("user_b").alias("u"), F.col("user_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    pairs = sym.join(du, "u").join(dv, "v")
+    return pairs.agg(
+        F.count("*").alias("n_directed_edges"),
+        F.round(
+            F.corr(F.col("du").cast("double"), F.col("dv").cast("double")), 6
+        ).alias("assortativity"),
+    )
+
+
 def _q_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation between document length (whitespace tokens)
     and the heuristic quality score, per source — the bias check run
@@ -3692,6 +3751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_interarrival": _q_event_interarrival,
         "ann_lloyd_cell_stats": _q_ann_lloyd_cell_stats,
         "quality_length_corr": _q_quality_length_corr,
+        "corpus_modality_coverage": _q_corpus_modality_coverage,
+        "graph_assortativity": _q_graph_assortativity,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -8469,6 +8530,51 @@ UNION ALL
 SELECT 'v2_history', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
 FROM documents WHERE lang = 'de' GROUP BY lang
 ORDER BY readpoint, lang
+"""
+    sql["corpus_modality_coverage"] = """
+WITH d AS (SELECT DISTINCT doc_id AS id FROM documents),
+v AS (SELECT DISTINCT vec_id AS id FROM embeddings),
+j AS (
+  SELECT d.id AS did, v.id AS vid
+  FROM d FULL OUTER JOIN v ON d.id = v.id
+)
+SELECT sum(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       sum(CASE WHEN vid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_vecs,
+       sum(CASE WHEN did IS NOT NULL AND vid IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_both,
+       sum(CASE WHEN vid IS NULL THEN 1 ELSE 0 END)::BIGINT AS docs_only,
+       sum(CASE WHEN did IS NULL THEN 1 ELSE 0 END)::BIGINT AS vecs_only,
+       round(sum(CASE WHEN did IS NOT NULL AND vid IS NOT NULL
+                      THEN 1 ELSE 0 END)::DOUBLE /
+             sum(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END), 6)
+         AS doc_coverage
+FROM j
+"""
+    sql["graph_assortativity"] = """
+WITH cell AS (
+  SELECT DISTINCT user_id AS u, event_type AS it,
+         date_trunc('hour', ts) AS bkt
+  FROM events
+),
+csize AS (SELECT it, bkt, count(*) AS n_users FROM cell GROUP BY 1, 2),
+cf AS (
+  SELECT cell.u, cell.it, cell.bkt FROM cell
+  JOIN csize USING (it, bkt) WHERE csize.n_users <= 200
+),
+edges AS (
+  SELECT a.u AS s, b.u AS d
+  FROM cf a JOIN cf b ON a.it = b.it AND a.bkt = b.bkt AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+sym AS (SELECT s, d FROM edges UNION ALL SELECT d, s FROM edges),
+deg AS (SELECT s AS u, count(*)::BIGINT AS dg FROM sym GROUP BY 1),
+pairs AS (
+  SELECT a.dg::DOUBLE AS du, b.dg::DOUBLE AS dv
+  FROM sym JOIN deg a ON sym.s = a.u JOIN deg b ON sym.d = b.u
+)
+SELECT count(*)::BIGINT AS n_directed_edges,
+       round(corr(du, dv), 6) AS assortativity
+FROM pairs
 """
     # length-vs-quality Pearson correlation per source (composed from the
     # text_quality formula; quality rounded to 6dp before correlating)
