@@ -2957,6 +2957,74 @@ def _q_ops_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration curve: customers ranked by total order value
+    into deciles, each decile's share of total revenue — the 80/20
+    diagnostic behind account prioritization. Windows run over the
+    customer-sized aggregate, never order lines; DECIMAL sums keep the
+    decile boundaries engine-exact."""
+    from pyspark.sql import Window
+
+    from kafka_connect_hdfs_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = per_cust.withColumn("dec", F.ntile(10).over(w))
+    total = ranked.agg(F.sum("rev").alias("t"))
+    return (
+        ranked.groupBy("dec")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev").alias("decile_rev"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("dec").alias("decile"),
+            "n_customers",
+            F.round(
+                (F.col("decile_rev") / F.col("t")).cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _q_corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per source (bits): −Σ p·log2(p) over each
+    source's token distribution — the vocabulary-diversity number read
+    next to the Zipf slope (low entropy = templated text)."""
+    t = F.trim(F.lower(F.col("text")))
+    toks = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    counts = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(toks).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    return (
+        counts.join(totals, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n"))
+                    * F.log2(F.col("c") / F.col("n"))
+                ),
+                6,
+            ).alias("entropy_bits"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_corpus_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modality alignment audit: how much of the document corpus
     has an embedding row (and vice versa) — the integrity check run
@@ -3753,6 +3821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_length_corr": _q_quality_length_corr,
         "corpus_modality_coverage": _q_corpus_modality_coverage,
         "graph_assortativity": _q_graph_assortativity,
+        "q_revenue_pareto": _q_revenue_pareto,
+        "corpus_token_entropy": _q_corpus_token_entropy,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -8530,6 +8600,37 @@ UNION ALL
 SELECT 'v2_history', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
 FROM documents WHERE lang = 'de' GROUP BY lang
 ORDER BY readpoint, lang
+"""
+    sql["q_revenue_pareto"] = """
+WITH pc AS (
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1
+),
+rk AS (
+  SELECT o_custkey, rev,
+         ntile(10) OVER (ORDER BY rev DESC, o_custkey ASC) AS dec
+  FROM pc
+),
+tot AS (SELECT sum(rev) AS t FROM rk)
+SELECT dec::INT AS decile, count(*)::BIGINT AS n_customers,
+       round((sum(rev) / tot.t)::DOUBLE, 6) AS revenue_share
+FROM rk CROSS JOIN tot GROUP BY dec, tot.t ORDER BY decile
+"""
+    sql["corpus_token_entropy"] = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                     ELSE str_split_regex(trim(lower(text)), '\s+') END)
+           AS tok
+  FROM documents
+),
+counts AS (SELECT source, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+totals AS (SELECT source, sum(c)::BIGINT AS n FROM counts GROUP BY 1)
+SELECT c.source, max(t.n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+       round(-sum((c.c::DOUBLE / t.n) * log2(c.c::DOUBLE / t.n)), 6)
+         AS entropy_bits
+FROM counts c JOIN totals t USING (source)
+GROUP BY c.source ORDER BY source
 """
     sql["corpus_modality_coverage"] = """
 WITH d AS (SELECT DISTINCT doc_id AS id FROM documents),
