@@ -3711,12 +3711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_rate_by_source, stream_windowed_hll, ann_ivfpq_recall,
     # corpus_pack_efficiency, ops_snapshot_rollback, ann_pq_error,
     # graph_degree_dist, q_event_interarrival, ann_lloyd_cell_stats,
-    # quality_length_corr (45 total — one 50-slot window fits them all;
-    # fill the remaining ~5 with the stalest r01 driver-greens per the
-    # cadence above; overflow rolls to r06 exactly like r03's did). A
-    # full registry sweep at sf0.01 was green on 2026-08-14 late in the
-    # r04b session (see the session's final sweep log); every entry
-    # added after that sweep verified green at sf0.001 AND sf0.01.
+    # quality_length_corr, corpus_modality_coverage,
+    # graph_assortativity, q_revenue_pareto, corpus_token_entropy (49
+    # total — fill the 50-slot window with them + 1 stale r01 green;
+    # overflow of later additions rolls to r06 exactly like r03's did).
+    # A full registry sweep at sf0.01 (234/234) was green on 2026-08-14
+    # late in the r04b session; every entry added after that sweep
+    # verified green at sf0.001 AND sf0.01 individually.
     return {
         # --- r03 window-overflow: ANN / graph / text / corpus batch
         "ann_cell_stats": _q_ann_cell_stats,
