@@ -3691,88 +3691,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 4 oldest r01 greens as re-checks (q_sessionize, asof_last_signup,
     # p1/p2 partitioners). Verified locally before rotation with:
     #   python scripts/oracle_check.py /root/testdata/sf0.01
-    # RE-CHECK CADENCE (r05+): once every registered query has a driver
-    # row, reserve ~10 tail-end window slots each round for the OLDEST
-    # driver-green entries (stalest evidence first); new queries take
-    # the remaining slots and this round's greens go to the back.
-    # ROUND-5 ROTATION TODO: promote the 25 "NEW in r04/r04b" entries
-    # into slots 1-25 — text_bpe_encode, text_quality_filter_approx,
-    # text_unk_replace_join, corpus_pack_bpe, graph_kcore,
-    # dedup_span_coverage, corpus_source_budget, text_bpe_fertility,
-    # text_clf_filter, ann_knn_graph, semantic_knn_clusters,
-    # ann_knn_refine, ops_wap_publish, text_perplexity_filter,
-    # stream_windowed_counts, stream_sessionize, embedding_pca,
-    # ann_trunc_recall, text_dsir_select, graph_lpa_communities,
-    # ann_probe_sweep, text_zipf_slope, text_unigram_lm,
-    # text_unigram_encode, media_phash_clusters, ops_time_travel,
-    # stream_cdc_upsert, ops_snapshot_schema_merge, ann_maxsim_topk,
-    # q_scd2_asof_enrich, corpus_pack_unigram, embedding_centroid_drift,
-    # corpus_concentration, graph_modularity, ops_constraint_report,
-    # dedup_rate_by_source, stream_windowed_hll, ann_ivfpq_recall,
-    # corpus_pack_efficiency, ops_snapshot_rollback, ann_pq_error,
-    # graph_degree_dist, q_event_interarrival, ann_lloyd_cell_stats,
-    # quality_length_corr, corpus_modality_coverage,
-    # graph_assortativity, q_revenue_pareto, corpus_token_entropy (49
-    # total — fill the 50-slot window with them + 1 stale r01 green;
-    # overflow of later additions rolls to r06 exactly like r03's did).
-    # A full registry sweep at sf0.01 (234/234) was green on 2026-08-14
-    # late in the r04b session; every entry added after that sweep
-    # verified green at sf0.001 AND sf0.01 individually.
+    # ROUND-5 WINDOW (slots 1-50, the executed r04 TODO): the 49 entries
+    # that had never been driver-checked (all locally oracle-verified at
+    # sf0.01; the r04b sweep was 234/234 green) PLUS embedding_covariance
+    # — r04's lone driver-red, rewritten this round with exact fixed-point
+    # integer sums (order-free across engines) and re-verified at
+    # sf0.001/0.01/0.1. Those 50 exactly fill the window, so every
+    # registered query has a driver CORRECTNESS row after r05.
+    # RE-CHECK CADENCE (r06+): reserve ~10 tail-end window slots each
+    # round for the OLDEST driver-green entries (stalest evidence first);
+    # new queries take the remaining slots and this round's greens go to
+    # the back. The queue ALREADY starts at slot 51: w6_offset_recovery
+    # (stalest r01 green) and ann_topk_arrow (its rounding kernel changed
+    # to HALF_UP this round — re-verified locally, re-check first).
     return {
-        # --- r03 window-overflow: ANN / graph / text / corpus batch
-        "ann_cell_stats": _q_ann_cell_stats,
-        "ann_label_mrr": _q_ann_label_mrr,
-        "dedup_lsh_eval": _q_dedup_lsh_eval,
-        "q_session_sequences": _q_session_sequences,
-        "corpus_pack_manifest": _q_corpus_pack_manifest,
-        "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
-        "dedup_semantic_text": _q_dedup_semantic_text,
-        "text_bm25": _q_text_bm25,
-        "text_hybrid_search": _q_text_hybrid_search,
-        "corpus_e2e_pipeline_v2": _q_corpus_e2e_pipeline_v2,
-        "text_vocab_drift": _q_text_vocab_drift,
-        "ann_triplets": _q_ann_triplets,
-        "media_exact_dedup": _q_media_exact_dedup,
-        "q_feature_asof_join": _q_feature_asof_join,
-        "graph_source_pagerank": _q_graph_source_pagerank,
-        "graph_covisit_pagerank": _q_graph_covisit_pagerank,
-        "text_bpe_pairs": _q_text_bpe_pairs,
-        "corpus_curriculum": _q_corpus_curriculum,
-        "q_event_transitions": _q_event_transitions,
-        "bitext_mine_margin": _q_bitext_mine_margin,
-        "embedding_covariance": _q_embedding_covariance,
-        "ann_mmr_rerank": _q_ann_mmr_rerank,
-        "q_hll_set_overlap": _q_hll_set_overlap,
-        "text_gopher_rules": _q_text_gopher_rules,
-        "graph_triangle_count": _q_graph_triangle_count,
-        "graph_source_jaccard": _q_graph_source_jaccard,
-        "text_ngram_novelty": _q_text_ngram_novelty,
-        "embedding_outliers": _q_embedding_outliers,
-        "dedup_containment": _q_dedup_containment,
-        "corpus_datacard": _q_corpus_datacard,
-        "q_customer_rfm": _q_customer_rfm,
-        "q_basket_lift": _q_basket_lift,
-        "text_bm25_batch": _q_text_bm25_batch,
-        "text_kwic": _q_text_kwic,
-        "q_hourly_anomalies": _q_hourly_anomalies,
-        "ann_label_ndcg": _q_ann_label_ndcg,
-        "q_split_leakage": _q_split_leakage,
-        "q_conversion_attribution": _q_conversion_attribution,
-        "semantic_threshold_sweep": _q_semantic_threshold_sweep,
-        "text_bigram_logprob": _q_text_bigram_logprob,
-        "dedup_star_clusters": _q_dedup_star_clusters,
-        "q_first_touch_attribution": _q_first_touch_attribution,
-        "corpus_reduction_report": _q_dedup_reduction_report,
-        "text_lang_confusion": _q_lang_confusion,
-        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
-        "corpus_split_balance": _q_split_balance,
-        # --- oldest r01 greens, re-checked this round (slots 47-50)
-        "q_sessionize": A2.q_sessionize,
-        "asof_last_signup": A2.q_asof_last_signup,
-        "p1_default_partition": _q_p1_default_partition,
-        "p2_field_partition": _q_p2_field_partition,
-        # ============== below the 50-slot budget window ==============
-        # --- NEW in r04 (locally oracle-verified; FRONT of the r05 window)
+        # ===== r05 WINDOW slots 1-16: NEW in r04, never driver-checked
         "text_bpe_encode": _q_text_bpe_encode,
         "text_quality_filter_approx": _q_text_quality_filter_approx,
         "text_unk_replace_join": _q_text_unk_replace_join,
@@ -3789,8 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity_filter": _q_text_perplexity_filter,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_sessionize": _q_stream_sessionize,
-        # --- NEW in r04b (locally oracle-verified; queue for the r05
-        # window right behind the r04 batch above)
+        # ===== r05 WINDOW slots 17-49: NEW in r04b, never driver-checked
         "embedding_pca": _q_embedding_pca,
         "ann_trunc_recall": _q_ann_trunc_recall,
         "text_dsir_select": _q_text_dsir_select,
@@ -3824,6 +3756,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": _q_graph_assortativity,
         "q_revenue_pareto": _q_revenue_pareto,
         "corpus_token_entropy": _q_corpus_token_entropy,
+        # ===== r05 WINDOW slot 50: r04's lone red, fixed this round
+        # (exact fixed-point sums — similarity.embedding_covariance)
+        "embedding_covariance": _q_embedding_covariance,
+        # ============== below the 50-slot budget window ==============
+        # r06 re-check queue head: stalest r01 green + this round's
+        # HALF_UP rounding-kernel change (locally re-verified)
+        "w6_offset_recovery": A2.q_offset_recovery,
+        "ann_topk_arrow": _q_ann_topk_arrow,
+        # --- r03 window-overflow, driver-green in r04
+        "ann_cell_stats": _q_ann_cell_stats,
+        "ann_label_mrr": _q_ann_label_mrr,
+        "dedup_lsh_eval": _q_dedup_lsh_eval,
+        "q_session_sequences": _q_session_sequences,
+        "corpus_pack_manifest": _q_corpus_pack_manifest,
+        "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
+        "dedup_semantic_text": _q_dedup_semantic_text,
+        "text_bm25": _q_text_bm25,
+        "text_hybrid_search": _q_text_hybrid_search,
+        "corpus_e2e_pipeline_v2": _q_corpus_e2e_pipeline_v2,
+        "text_vocab_drift": _q_text_vocab_drift,
+        "ann_triplets": _q_ann_triplets,
+        "media_exact_dedup": _q_media_exact_dedup,
+        "q_feature_asof_join": _q_feature_asof_join,
+        "graph_source_pagerank": _q_graph_source_pagerank,
+        "graph_covisit_pagerank": _q_graph_covisit_pagerank,
+        "text_bpe_pairs": _q_text_bpe_pairs,
+        "corpus_curriculum": _q_corpus_curriculum,
+        "q_event_transitions": _q_event_transitions,
+        "bitext_mine_margin": _q_bitext_mine_margin,
+        "ann_mmr_rerank": _q_ann_mmr_rerank,
+        "q_hll_set_overlap": _q_hll_set_overlap,
+        "text_gopher_rules": _q_text_gopher_rules,
+        "graph_triangle_count": _q_graph_triangle_count,
+        "graph_source_jaccard": _q_graph_source_jaccard,
+        "text_ngram_novelty": _q_text_ngram_novelty,
+        "embedding_outliers": _q_embedding_outliers,
+        "dedup_containment": _q_dedup_containment,
+        "corpus_datacard": _q_corpus_datacard,
+        "q_customer_rfm": _q_customer_rfm,
+        "q_basket_lift": _q_basket_lift,
+        "text_bm25_batch": _q_text_bm25_batch,
+        "text_kwic": _q_text_kwic,
+        "q_hourly_anomalies": _q_hourly_anomalies,
+        "ann_label_ndcg": _q_ann_label_ndcg,
+        "q_split_leakage": _q_split_leakage,
+        "q_conversion_attribution": _q_conversion_attribution,
+        "semantic_threshold_sweep": _q_semantic_threshold_sweep,
+        "text_bigram_logprob": _q_text_bigram_logprob,
+        "dedup_star_clusters": _q_dedup_star_clusters,
+        "q_first_touch_attribution": _q_first_touch_attribution,
+        "corpus_reduction_report": _q_dedup_reduction_report,
+        "text_lang_confusion": _q_lang_confusion,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "corpus_split_balance": _q_split_balance,
+        # --- oldest r01 greens, re-checked in the r04 window
+        "q_sessionize": A2.q_sessionize,
+        "asof_last_signup": A2.q_asof_last_signup,
+        "p1_default_partition": _q_p1_default_partition,
+        "p2_field_partition": _q_p2_field_partition,
         # driver-green in r03 (freshest evidence, back of the queue):
         "cdc_latest_state": _q_cdc_latest_state,
         "cdc_changelog_compact": _q_cdc_changelog_compact,
@@ -3876,7 +3867,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_serve": _q_ann_index_serve,
         "ann_hard_negatives": _q_ann_hard_negatives,
         # driver-green in r01/r02:
-        "w6_offset_recovery": A2.q_offset_recovery,
         "q6_forecast_revenue": A2.q6_forecast_revenue,
         "q_semi_anti_customers": A2.q_semi_anti_customers,
         "q_set_ops_users": A2.q_set_ops_users,
@@ -3907,7 +3897,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk_bruteforce": _q_ann_topk_bruteforce,
-        "ann_topk_arrow": _q_ann_topk_arrow,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
         "ann_quantized_topk": _q_ann_quantized_topk,
@@ -7101,20 +7090,34 @@ SELECT a_id, b_id, cosine, margin FROM best
 WHERE ba = 1 AND bb = 1 AND margin >= 1.0 ORDER BY a_id
 """
 
+    # fixed-point exact sums (the r04 flake fix): dims floor-scaled to
+    # 1e-6 integers BEFORE summation, so every aggregate is an exact
+    # HUGEINT — order-free — and the derived doubles mirror the Spark
+    # side term-for-term (similarity.embedding_covariance)
     sql["embedding_covariance"] = """
-WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-dd AS (SELECT max(len(e)) AS d FROM v),
+WITH v AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS s
+  FROM embeddings
+),
+dd AS (SELECT max(len(s)) AS d FROM v),
 idx AS (SELECT unnest(generate_series(1, d)) AS i FROM dd),
 prs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
-exy AS (
-  SELECT p.i, p.j, avg(e[p.i] * e[p.j]) AS exy
+sxy AS (
+  SELECT p.i, p.j, sum(s[p.i] * s[p.j]) AS sxy, count(*) AS n
   FROM v CROSS JOIN prs p GROUP BY 1, 2
 ),
-ex AS (SELECT idx.i, avg(e[idx.i]) AS ex FROM v CROSS JOIN idx GROUP BY 1)
-SELECT (exy.i - 1)::INT AS i, (exy.j - 1)::INT AS j,
-       round(mi.ex, 6) AS mean_i, round(mj.ex, 6) AS mean_j,
-       round(exy.exy - mi.ex * mj.ex, 6) AS cov
-FROM exy JOIN ex mi ON exy.i = mi.i JOIN ex mj ON exy.j = mj.i
+sx AS (SELECT idx.i, sum(s[idx.i]) AS sx FROM v CROSS JOIN idx GROUP BY 1)
+SELECT (sxy.i - 1)::INT AS i, (sxy.j - 1)::INT AS j,
+       round(CAST(mi.sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0),
+             6) AS mean_i,
+       round(CAST(mj.sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0),
+             6) AS mean_j,
+       round(CAST(sxy.sxy AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+             - (CAST(mi.sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+             * (CAST(mj.sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)),
+             6) AS cov
+FROM sxy JOIN sx mi ON sxy.i = mi.i JOIN sx mj ON sxy.j = mj.i
 ORDER BY i, j
 """
 
@@ -7835,63 +7838,98 @@ FROM withlang w JOIN thresholds t USING (lang)
 WHERE w.avg_logprob >= t.lp_threshold
 ORDER BY w.doc_id
 """
-    # power iteration unrolled: 20 matvec/normalize rounds on the 6-dp
-    # covariance (the exact matrix the Spark driver iterates), every round
-    # MATERIALIZED (DuckDB would otherwise inline the chain exponentially)
+    # power iteration unrolled as the EXACT-INTEGER replay of
+    # similarity._pca_power_int: the 6-dp covariance becomes a BIGINT
+    # micro-unit matrix, every matvec/eig sum is exact HUGEINT (order-
+    # free), the unit vector is half-up-quantized to micro-units each
+    # round, and every >2^53 int→double conversion uses the hi/lo 2^50
+    # split (DuckDB's HUGEINT→DOUBLE cast is not correctly rounded —
+    # similarity._big_to_double). Every round MATERIALIZED (DuckDB would
+    # otherwise inline the chain exponentially).
+    def _d2(expr: str) -> str:
+        # deterministic hugeint→double: sign * (hi * 2^50 + lo)
+        return (
+            f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END * "
+            f"(CAST(abs({expr}) // 1125899906842624 AS DOUBLE) "
+            f"* 1125899906842624.0 "
+            f"+ CAST(abs({expr}) % 1125899906842624 AS DOUBLE)))"
+        )
+
+    def _q6(expr: str) -> str:
+        # half-up 6-dp quantization to micro-unit BIGINT (_scaled_int6)
+        return (
+            f"CAST(CASE WHEN ({expr}) < 0 "
+            f"THEN -floor(-({expr}) * 1000000.0 + 0.5) "
+            f"ELSE floor(({expr}) * 1000000.0 + 0.5) END AS BIGINT)"
+        )
+
     pca_rounds = []
     prev = "x0"
     for it in range(1, 21):
         pca_rounds.append(
             f"""y{it} AS MATERIALIZED (
-  SELECT c.i, sum(c.cov * x.v) AS v
+  SELECT c.i, sum(CAST(c.c AS HUGEINT) * x.v) AS yv
   FROM fullcov c JOIN {prev} x ON c.j = x.i GROUP BY 1
 ),
-n{it} AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS n FROM y{it}),
+n{it} AS MATERIALIZED (SELECT sqrt({_d2('sum(yv * yv)')}) AS n FROM y{it}),
 x{it} AS MATERIALIZED (
-  SELECT y.i, CASE WHEN n.n = 0 THEN 0.0 ELSE y.v / n.n END AS v
-  FROM y{it} y CROSS JOIN n{it} n
+  SELECT y.i, CASE WHEN n.n = 0 THEN CAST(0 AS BIGINT)
+                   ELSE {_q6('y.yd / n.n')} END AS v
+  FROM (SELECT i, {_d2('yv')} AS yd FROM y{it}) y CROSS JOIN n{it} n
 ),
 """
         )
         prev = f"x{it}"
     sql["embedding_pca"] = f"""
-WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-ddm AS (SELECT max(len(e)) AS d FROM v),
+WITH v AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS s
+  FROM embeddings
+),
+ddm AS (SELECT max(len(s)) AS d FROM v),
 idx AS (SELECT unnest(generate_series(1, d)) AS i FROM ddm),
 prs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
-exy AS (
-  SELECT p.i, p.j, avg(e[p.i] * e[p.j]) AS exy
+sxy AS (
+  SELECT p.i, p.j, sum(s[p.i] * s[p.j]) AS sxy, count(*) AS n
   FROM v CROSS JOIN prs p GROUP BY 1, 2
 ),
-ex AS (SELECT idx.i, avg(e[idx.i]) AS ex FROM v CROSS JOIN idx GROUP BY 1),
+sx AS (SELECT idx.i, sum(s[idx.i]) AS sx FROM v CROSS JOIN idx GROUP BY 1),
 covu AS MATERIALIZED (
-  SELECT (exy.i - 1)::INT AS i, (exy.j - 1)::INT AS j,
-         round(exy.exy - mi.ex * mj.ex, 6) AS cov
-  FROM exy JOIN ex mi ON exy.i = mi.i JOIN ex mj ON exy.j = mj.i
+  SELECT (sxy.i - 1)::INT AS i, (sxy.j - 1)::INT AS j,
+         round(CAST(sxy.sxy AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+               - (CAST(mi.sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+               * (CAST(mj.sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)),
+               6) AS cov
+  FROM sxy JOIN sx mi ON sxy.i = mi.i JOIN sx mj ON sxy.j = mj.i
 ),
+cov6 AS MATERIALIZED (SELECT i, j, {_q6('cov')} AS c FROM covu),
 fullcov AS MATERIALIZED (
-  SELECT i, j, cov FROM covu
+  SELECT i, j, c FROM cov6
   UNION ALL
-  SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
+  SELECT j AS i, i AS j, c FROM cov6 WHERE i <> j
 ),
-dd AS (SELECT (max(i) + 1)::INT AS d FROM covu),
+dd AS (SELECT (max(i) + 1)::INT AS d FROM cov6),
 x0 AS MATERIALIZED (
   SELECT unnest(generate_series(0, (SELECT d FROM dd) - 1))::INT AS i,
-         1.0 / sqrt((SELECT d FROM dd)) AS v
+         {_q6('1.0 / sqrt((SELECT d FROM dd))')} AS v
 ),
-{''.join(pca_rounds)}eig AS (
-  SELECT sum(a.v * c.cov * b.v) AS e
+{''.join(pca_rounds)}eig AS MATERIALIZED (
+  SELECT sum(CAST(a.v AS HUGEINT) * c.c * b.v) AS e
   FROM fullcov c JOIN x20 a ON c.i = a.i JOIN x20 b ON c.j = b.i
 ),
+ed AS (SELECT {_d2('e.e')} / 1e18 AS eig FROM eig e),
 sgn AS (
-  SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
-  FROM x20 WHERE abs(v) > 1e-12 ORDER BY i LIMIT 1
+  SELECT coalesce((SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END
+                   FROM x20 WHERE v <> 0 ORDER BY i LIMIT 1), 1.0) AS s
 ),
-tr AS (SELECT sum(cov) AS t FROM covu WHERE i = j)
-SELECT x.i AS i, round(s.s * x.v, 6) AS component,
-       round(e.e, 6) AS eigenvalue,
-       round(e.e / t.t, 6) AS var_share
-FROM x20 x CROSS JOIN sgn s CROSS JOIN eig e CROSS JOIN tr t
+tr AS (SELECT sum(c) AS t FROM cov6 WHERE i = j)
+SELECT x.i AS i,
+       (s.s * x.v) / 1000000.0 AS component,
+       CAST({_q6('ed.eig')} AS DOUBLE) / 1000000.0 AS eigenvalue,
+       CASE WHEN t.t = 0 THEN 0.0
+            ELSE CAST({_q6('ed.eig / (CAST(t.t AS DOUBLE) / 1000000.0)')}
+                      AS DOUBLE) / 1000000.0 END AS var_share
+FROM x20 x CROSS JOIN sgn s CROSS JOIN ed CROSS JOIN tr t
 ORDER BY i
 """
     # truncated-dimension recall: exact side composes the existing

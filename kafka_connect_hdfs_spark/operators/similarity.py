@@ -294,7 +294,10 @@ def brute_force_topk_arrow(
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = np.round(c_norm @ q_norm.T, 6)  # (n_cand, n_query)
+            # HALF_UP like F.round/the oracle — np.round is half-even and
+            # flips boundary values, and the rounded value is the top-k
+            # selection key (the mmr_rerank lesson, applied here too)
+            sims = _round6_half_up(c_norm @ q_norm.T)  # (n_cand, n_query)
             out = []
             for qi, qid in enumerate(q_ids):
                 col = sims[:, qi]
@@ -312,8 +315,9 @@ def brute_force_topk_arrow(
             if out:
                 yield pd.concat(out)
 
+    _id_t = embeddings.schema[id_col].dataType.simpleString()
     partial = fan_out(embeddings.select(id_col, vec_col)).mapInPandas(
-        part, schema="query_id long, neighbor_id long, cosine double"
+        part, schema=f"query_id {_id_t}, neighbor_id {_id_t}, cosine double"
     )
     from pyspark.sql import Window
 
@@ -1759,21 +1763,42 @@ def bitext_mine(
 def embedding_covariance(
     embeddings: DataFrame,
     vec_col: str = "embedding",
+    scale: int = 1_000_000,
 ) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding dimensions:
     ``(i, j, mean_i, mean_j, cov)`` for i <= j (0-based dims, population
     covariance E[xi·xj] − E[xi]E[xj]) — the input of PCA, whitening, and
     the isotropy diagnostics run before indexing an embedding corpus.
 
+    Determinism (the r04 driver-red lesson): values are floored to
+    integers at ``scale`` precision BEFORE any summation (the
+    :func:`dim_stats` convention), so every aggregate is an EXACT integer
+    — order-free across partial-aggregation plans and engines. The
+    double-accumulation phrasing (``avg`` of double products) flips
+    6-dp-rounding-boundary values depending on partition order, which is
+    why the gate was green locally and red on the driver. The derived
+    means/cov are pure double functions of exact integers, so both sides
+    of an oracle compare bit-identical doubles and the final
+    ``round(_, 6)`` cannot diverge.
+
     Scale: each row emits its dim·(dim+1)/2 upper-triangle products
     map-side (one flatten/transform expression, no UDF); the aggregation
     partial-combines per partition, so the shuffle carries dim² rows PER
-    PARTITION, independent of corpus size. Means come from a second
-    dim-bounded aggregate joined back by broadcast. At dim ≳ 512 prefer
-    the Arrow/BLAS kernel shape (arrow_topk's dgemm pattern) — this
+    PARTITION, independent of corpus size. Products are summed as
+    decimal(38,0) so the exact-integer contract survives any corpus size
+    (bigint would wrap at ~1e19). Means come from a second dim-bounded
+    aggregate joined back by broadcast. At dim ≳ 512 prefer the
+    Arrow/BLAS kernel shape (arrow_topk's dgemm pattern) — this
     expression form is the no-dependency, plan-transparent path.
     """
-    v = F.col(vec_col)
+    s = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+            "bigint"
+        ),
+    )
+    scaled = embeddings.select(s.alias("_s"))
+    v = F.col("_s")
     d = F.size(v)
     prods = F.flatten(
         F.transform(
@@ -1784,41 +1809,115 @@ def embedding_covariance(
                     i.alias("i"),
                     j.alias("j"),
                     (
-                        F.element_at(v, i + 1).cast("double")
-                        * F.element_at(v, j + 1).cast("double")
-                    ).alias("xy"),
+                        F.element_at(v, i + 1) * F.element_at(v, j + 1)
+                    ).cast("decimal(38,0)").alias("xy"),
                 ),
             ),
         )
     )
-    e_xy = (
-        embeddings.select(F.explode(prods).alias("p"))
+    s_xy = (
+        scaled.select(F.explode(prods).alias("p"))
         .select("p.i", "p.j", "p.xy")
         .groupBy("i", "j")
-        .agg(F.avg("xy").alias("_exy"))
+        .agg(F.sum("xy").alias("_sxy"), F.count("*").alias("_n"))
     )
     dims = (
-        embeddings.select(F.posexplode(v).alias("i", "x"))
+        scaled.select(F.posexplode(v).alias("i", "x"))
         .groupBy("i")
-        .agg(F.avg(F.col("x").cast("double")).alias("_ex"))
+        .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("_sx"))
     )
-    mi = broadcast(dims.select(F.col("i"), F.col("_ex").alias("_ei")))
+    mi = broadcast(dims.select(F.col("i"), F.col("_sx").alias("_si")))
     mj = broadcast(
-        dims.select(F.col("i").alias("j"), F.col("_ex").alias("_ej"))
+        dims.select(F.col("i").alias("j"), F.col("_sx").alias("_sj"))
+    )
+    # every double op below mirrors the oracle SQL term-for-term: exact
+    # integer → double conversions are correctly rounded IEEE on both
+    # engines, so the inputs to round() are bit-identical
+    nd = F.col("_n").cast("double")
+    mean_i = F.col("_si").cast("double") / (nd * F.lit(float(scale)))
+    mean_j = F.col("_sj").cast("double") / (nd * F.lit(float(scale)))
+    e_xy = F.col("_sxy").cast("double") / (
+        nd * F.lit(float(scale) * float(scale))
     )
     return (
-        e_xy.join(mi, "i")
+        s_xy.join(mi, "i")
         .join(mj, "j")
         .select(
             "i",
             "j",
-            F.round("_ei", 6).alias("mean_i"),
-            F.round("_ej", 6).alias("mean_j"),
-            F.round(
-                F.col("_exy") - F.col("_ei") * F.col("_ej"), 6
-            ).alias("cov"),
+            F.round(mean_i, 6).alias("mean_i"),
+            F.round(mean_j, 6).alias("mean_j"),
+            F.round(e_xy - mean_i * mean_j, 6).alias("cov"),
         )
     )
+
+
+_P50 = 1 << 50
+
+
+def _big_to_double(s: int) -> float:
+    """Deterministic int→double for integers that may exceed 2**53:
+    ``float(|s| // 2**50) * 2**50 + float(|s| % 2**50)``, sign-adjusted.
+    Python's float(int) is correctly rounded but DuckDB's HUGEINT→DOUBLE
+    cast is NOT (measured: ~0.2% of near-halfway 64-90 bit values differ
+    by 1 ulp), so cross-engine replays must both run THIS split — the two
+    sub-conversions are exact (< 2**53) and the mul/add are identical
+    IEEE ops. For |s| < 2**53 it equals float(s) exactly."""
+    m = abs(s)
+    d = float(m // _P50) * float(_P50) + float(m % _P50)
+    return -d if s < 0 else d
+
+
+def _scaled_int6(x: float) -> int:
+    """HALF_UP 6-dp quantization of a double to a scaled integer
+    (micro-units). Matches F.round(_, 6)*1e6 and the oracle's
+    ``floor(abs(x)*1e6 + 0.5)`` sign-adjusted — Python round() is
+    half-even and MUST NOT be used here."""
+    import math
+
+    if x != x or x in (float("inf"), float("-inf")):
+        return 0
+    q = int(math.floor(abs(x) * 1e6 + 0.5))
+    return -q if x < 0 else q
+
+
+def _pca_power_int(
+    cov_rows, iterations: int
+) -> "tuple[list[int], int, int, int]":
+    """Exact-integer power iteration on a collected 6-dp covariance:
+    returns (X, E, TR, d) where X[i] is the sign-fixed unit component in
+    micro-units (1e-6), E the Rayleigh numerator in 1e-18 units, TR the
+    trace in 1e-6 units. Everything except sqrt/divide is arbitrary-
+    precision integer math, so an unrolled SQL replay (HUGEINT sums +
+    identical half-up quantization per round) reproduces it BIT-EXACTLY —
+    no float-summation-order hazard anywhere, the r04 covariance-flake
+    lesson applied to the iteration itself. The per-round 6-dp
+    quantization of the unit vector costs ~1e-6 accuracy — far inside
+    power iteration's own convergence tolerance.
+    """
+    import math
+
+    d = max(r["j"] for r in cov_rows) + 1
+    C = [[0] * d for _ in range(d)]  # micro-unit ints (cov * 1e6)
+    for r in cov_rows:
+        c6 = _scaled_int6(r["cov"])
+        C[r["i"]][r["j"]] = c6
+        C[r["j"]][r["i"]] = c6
+    X = [_scaled_int6(1.0 / math.sqrt(d))] * d
+    for _ in range(iterations):
+        Y = [sum(C[i][j] * X[j] for j in range(d)) for i in range(d)]
+        nrm = math.sqrt(_big_to_double(sum(y * y for y in Y)))
+        if nrm == 0.0:
+            X = [0] * d
+            break
+        X = [_scaled_int6(_big_to_double(y) / nrm) for y in Y]
+    E = sum(
+        X[i] * C[i][j] * X[j] for i in range(d) for j in range(d)
+    )  # 1e-18 units
+    if next((x for x in X if x != 0), 0) < 0:
+        X = [-x for x in X]  # E is quadratic in X: flip leaves it unchanged
+    TR = sum(C[i][i] for i in range(d))  # 1e-6 units
+    return X, E, TR, d
 
 
 def pca_top_component(
@@ -1830,33 +1929,19 @@ def pca_top_component(
     dim×dim covariance matrix. The matrix is dim²-sized — small by
     contract (the corpus-sized work is the one distributed pass inside
     :func:`embedding_covariance`) — so the iteration itself runs on the
-    driver in numpy, the same split FAISS/PCA trainers use: distributed
-    moment accumulation, local eigensolve. Deterministic: fixed start
-    vector (all-ones), fixed iteration count. Sign convention: first
-    nonzero coordinate positive.
+    driver, the same split FAISS/PCA trainers use: distributed moment
+    accumulation, local eigensolve. Deterministic: fixed start vector
+    (all-ones), fixed iteration count, exact-integer replay (see
+    :func:`_pca_power_int`). Sign convention: first nonzero coordinate
+    positive.
     """
-    import numpy as np
-
     rows = embedding_covariance(embeddings, vec_col=vec_col).collect()
     if not rows:
         return [], 0.0
-    d = max(r["j"] for r in rows) + 1
-    C = np.zeros((d, d))
-    for r in rows:
-        C[r["i"], r["j"]] = r["cov"]
-        C[r["j"], r["i"]] = r["cov"]
-    x = np.ones(d) / np.sqrt(d)
-    for _ in range(iterations):
-        x = C @ x
-        n = np.linalg.norm(x)
-        if n == 0.0:
-            return [0.0] * d, 0.0
-        x = x / n
-    eig = float(x @ C @ x)
-    nz = np.nonzero(np.abs(x) > 1e-12)[0]
-    if len(nz) and x[nz[0]] < 0:
-        x = -x
-    return [round(float(c), 6) for c in x], round(eig, 6)
+    X, E, _tr, d = _pca_power_int(rows, iterations)
+    comp = [x / 1e6 for x in X]
+    eig = float(_scaled_int6(_big_to_double(E) / 1e18)) / 1e6
+    return comp, eig
 
 
 def pca_power_summary(
@@ -1875,41 +1960,22 @@ def pca_power_summary(
     corpus-sized work is the distributed moment pass inside
     :func:`embedding_covariance`; the collected matrix and the iteration
     are dim²-bounded driver work (dim=64 → 2,080 rows), the split
-    FAISS-style PCA trainers use. All floats are 6-dp HALF_UP so a
-    replayed oracle (unrolled matvec rounds) lands on identical values.
+    FAISS-style PCA trainers use. The iteration is the exact-integer
+    replay of :func:`_pca_power_int`, so an unrolled-CTE oracle lands on
+    bit-identical values (no float-summation-order hazard).
     """
-    import numpy as np
-
     spark = embeddings.sparkSession
     schema = "i int, component double, eigenvalue double, var_share double"
     rows = embedding_covariance(embeddings, vec_col=vec_col).collect()
     if not rows:
         return spark.createDataFrame([], schema)
-    d = max(r["j"] for r in rows) + 1
-    C = np.zeros((d, d))
-    for r in rows:
-        C[r["i"], r["j"]] = r["cov"]
-        C[r["j"], r["i"]] = r["cov"]
-    x = np.ones(d) / np.sqrt(d)
-    for _ in range(iterations):
-        y = C @ x
-        n = np.linalg.norm(y)
-        if n == 0.0:
-            x = np.zeros(d)
-            break
-        x = y / n
-    eig = float(x @ C @ x)
-    nz = np.nonzero(np.abs(x) > 1e-12)[0]
-    if len(nz) and x[nz[0]] < 0:
-        x = -x
-    trace = float(np.trace(C))
-    share = eig / trace if trace else 0.0
-    comp = _round6_half_up(x)
-    eig6 = float(_round6_half_up(np.array([eig]))[0])
-    share6 = float(_round6_half_up(np.array([share]))[0])
-    out = [
-        (int(i), float(comp[i]), eig6, share6) for i in range(d)
-    ]
+    X, E, TR, d = _pca_power_int(rows, iterations)
+    # exact-int → double conversions mirror the oracle term-for-term
+    eig_d = _big_to_double(E) / 1e18
+    share = eig_d / (float(TR) / 1e6) if TR else 0.0
+    eig6 = float(_scaled_int6(eig_d)) / 1e6
+    share6 = float(_scaled_int6(share)) / 1e6
+    out = [(int(i), X[i] / 1e6, eig6, share6) for i in range(d)]
     return spark.createDataFrame(out, schema)
 
 

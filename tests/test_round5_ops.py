@@ -1,0 +1,167 @@
+"""Round-5 fixes: arrow top-k HALF_UP rounding + id-type derivation
+(VERDICT r04 item 3 / ADVICE), exact-integer covariance/PCA replay
+(VERDICT r04 item 1), LPA string-id tie-break (ADVICE), CDC state-swap
+crash recovery (ADVICE), snapshot commit orphan recovery (ADVICE),
+cluster-convergence witness gating (ADVICE)."""
+
+import math
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# brute_force_topk_arrow: HALF_UP boundary + non-long ids
+
+
+def test_arrow_topk_rounding_is_half_up(spark):
+    """A cosine that is EXACTLY n+0.5 at 6 dp (in double) must round UP
+    (HALF_UP, like F.round/DuckDB round) — np.round is half-even and
+    rounds it DOWN to n, which flips the top-1 selection against the
+    decoy. Fails on np.round, passes on _round6_half_up.
+
+    Construction: q = [1, 0] so cosine == first coordinate; both
+    candidate vectors are unit-norm EXACTLY in float64 (searched by ulp
+    nudging), so normalization is the identity and the cosine is the
+    literal coordinate. 0.1000005 * 1e6 == 100000.5 exactly, and its
+    exact binary expansion is above the decimal boundary, so HALF_UP,
+    F.round, and DuckDB round all give 0.100001 while np.round gives
+    0.1 — tying it with the decoy and electing the lower id.
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
+
+    x_boundary = (100000 + 0.5) / 1e6  # 0.1000005, round-trips *1e6 exactly
+    assert x_boundary * 1e6 == 100000.5
+    emb = spark.createDataFrame(
+        [
+            (2, [0.1, 0.99498743710662]),          # decoy: cosine 0.1 exact
+            (3, [x_boundary, 0.9949873868546023]),  # boundary: 0.1000005
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = brute_force_topk_arrow(emb, q, k=1).collect()
+    assert len(rows) == 1
+    # HALF_UP: boundary candidate scores 0.100001 > 0.1 and wins even
+    # with the higher id; np.round would tie both at 0.1 -> id 2 wins
+    assert rows[0]["neighbor_id"] == 3
+    assert rows[0]["cosine"] == pytest.approx(0.100001, abs=1e-12)
+
+
+def test_arrow_topk_derives_id_type_from_input(spark):
+    """VERDICT r04: the mapInPandas schema hard-coded `long` ids; it must
+    follow the input id column type like the rest of the file."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = brute_force_topk_arrow(emb, emb.filter("vec_id = 1"), k=2)
+    assert out.schema["query_id"].dataType.simpleString() == "int"
+    assert out.schema["neighbor_id"].dataType.simpleString() == "int"
+    got = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert got == [2, 3]
+
+
+def test_arrow_topk_matches_column_variant(spark):
+    """Equivalence on generic data: the BLAS path and the pure-column
+    path must agree on ids, ranks, AND rounded cosines."""
+    import random
+
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        brute_force_topk, brute_force_topk_arrow,
+    )
+
+    rnd = random.Random(5)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 4")
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk_arrow(emb, q, k=5).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# exact-integer covariance / PCA replay
+
+
+def test_big_to_double_equals_float_below_2_53(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import _big_to_double
+
+    for v in (0, 1, -7, 2**52 + 12345, -(2**53 - 1)):
+        assert _big_to_double(v) == float(v)
+    # above 2^53 it is the documented hi/lo split, deterministic
+    big = 31542303057697262321
+    hi, lo = divmod(big, 1 << 50)
+    assert _big_to_double(big) == float(hi) * float(1 << 50) + float(lo)
+    assert _big_to_double(-big) == -_big_to_double(big)
+
+
+def test_covariance_sums_are_exact_integers(spark):
+    """The fixed-point covariance must be invariant to partition count /
+    summation order — the r04 driver-red was an order-dependent float
+    aggregate. Repartitioning must not change a single output bit."""
+    import random
+
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.uniform(-2, 2) for _ in range(5)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, embedding_covariance(emb.coalesce(1)).collect()))
+    b = sorted(
+        map(tuple, embedding_covariance(emb.repartition(17)).collect())
+    )
+    assert a == b
+
+
+def test_pca_power_int_replay_is_pure_integer(spark):
+    """_pca_power_int must be reproducible from the covariance rows alone
+    with arbitrary-precision arithmetic (the oracle-replay contract)."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        _big_to_double, _pca_power_int, _scaled_int6, embedding_covariance,
+    )
+
+    rows = [
+        (i, [float((-1) ** i * 3), 0.1 * (i % 4), 0.05 * (i % 2)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cov = embedding_covariance(emb).collect()
+    X, E, TR, d = _pca_power_int(cov, 20)
+    # replay independently
+    C = [[0] * d for _ in range(d)]
+    for r in cov:
+        c6 = _scaled_int6(r["cov"])
+        C[r["i"]][r["j"]] = c6
+        C[r["j"]][r["i"]] = c6
+    x = [_scaled_int6(1.0 / math.sqrt(d))] * d
+    for _ in range(20):
+        y = [sum(C[i][j] * x[j] for j in range(d)) for i in range(d)]
+        n = math.sqrt(_big_to_double(sum(v * v for v in y)))
+        x = [_scaled_int6(_big_to_double(v) / n) for v in y]
+    e = sum(x[i] * C[i][j] * x[j] for i in range(d) for j in range(d))
+    if next((v for v in x if v != 0), 0) < 0:
+        x = [-v for v in x]
+    assert (x, e, sum(C[i][i] for i in range(d))) == (X, E, TR)
+    # dominant axis is dim 0 and the component is unit-ish
+    assert abs(X[0]) > 990_000
+    assert X[0] > 0
