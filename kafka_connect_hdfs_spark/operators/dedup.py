@@ -509,14 +509,21 @@ def duplicate_clusters(
 
     # Convergence by ONE aggregate on the label table per round instead of
     # an old⋈new join + count (a |nodes| shuffle per iteration). Labels only
-    # DECREASE under min-propagation, so for numeric ids an exact monotone
+    # DECREASE under min-propagation, so for INTEGRAL ids an exact monotone
     # witness exists: sum(cluster_id) is strictly decreasing until the fixed
-    # point — equality ⇒ converged, no collision risk. Non-numeric ids fall
-    # back to the (count, bit_xor(xxhash64)) signature from
-    # graph.py:connected_components_star.
-    from pyspark.sql.types import NumericType
+    # point — equality ⇒ converged, no collision risk. The exactness
+    # argument needs the decimal(38,0) cast to be lossless, so it is gated
+    # on integral types (incl. scale-0 decimals); fractional numeric ids
+    # would ROUND in the cast and could alias distinct states (ADVICE r04)
+    # — they take the (count, bit_xor(xxhash64)) signature fallback from
+    # graph.py:connected_components_star, like strings.
+    from pyspark.sql.types import ByteType, DecimalType, IntegerType
+    from pyspark.sql.types import LongType, ShortType
 
-    _numeric = isinstance(labels.schema["cluster_id"].dataType, NumericType)
+    _id_t = labels.schema["cluster_id"].dataType
+    _numeric = isinstance(
+        _id_t, (ByteType, ShortType, IntegerType, LongType)
+    ) or (isinstance(_id_t, DecimalType) and _id_t.scale == 0)
 
     def _label_sig(lab: DataFrame) -> tuple:
         if _numeric:

@@ -556,16 +556,18 @@ def label_propagation_communities(
             labels.select(F.col("u").alias("v"), "lbl"), "v"
         ).select("u", "lbl")
         counts = nbr.groupBy("u", "lbl").agg(F.count("*").alias("c"))
-        # argmax by (count DESC, label ASC) as one max-of-struct agg:
-        # (c, -lbl) orders ties toward the smaller label without a window.
-        # Every node in sym has >= 1 neighbor (symmetrized, self-pairs
-        # dropped), so this covers the full node set — no isolated-node
-        # restore join is needed.
+        # argmax by (count DESC, label ASC) as one min-of-struct agg:
+        # (-c, lbl) — the COUNT is negated (always numeric), not the
+        # label, so string/any-type node ids order by their natural ASC
+        # (the old (c, -lbl) form failed under ANSI for string ids —
+        # ADVICE r04). Every node in sym has >= 1 neighbor (symmetrized,
+        # self-pairs dropped), so this covers the full node set — no
+        # isolated-node restore join is needed.
         labels = counts.groupBy("u").agg(
-            F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias(
                 "m"
             )
-        ).select("u", (-F.col("m.nl")).alias("lbl"))
+        ).select("u", F.col("m.lbl").alias("lbl"))
     # final labels feed two consumers (sizes + join) — materialize once
     labels = labels.localCheckpoint(eager=True)
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("n_members"))

@@ -89,6 +89,15 @@ def commit_snapshot(
     versions = list_snapshots(spark, path)
     version = (versions[-1] + 1) if versions else 1
     data_dir = f"{path.rstrip('/')}/data/v{version}"
+    # crash recovery (ADVICE r04): a crash between the data write and the
+    # manifest rename orphans data/v<N>; the next commit recomputes the
+    # SAME N (manifests are the source of truth) and mode("error") would
+    # wedge the table permanently. N is by construction in no manifest,
+    # so an existing data/v<N> can only be such an orphan — remove it.
+    # (Single writer by design, the reference's one-owner-per-partition
+    # model — SURVEY §2.5 W4 — so nobody else can be mid-write here.)
+    if fs.exists(Path(data_dir)):
+        fs.delete(Path(data_dir), True)
     df.write.format(fmt).mode("error").save(data_dir)
 
     files = [data_dir]

@@ -76,6 +76,19 @@ def _merge_batch(
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(state_path).getFileSystem(spark._jsc.hadoopConfiguration())
 
+    parent, leaf = state_path.rstrip("/").rsplit("/", 1)
+    tmp = f"{parent}/.{leaf}__cdc_new"
+    old = f"{parent}/.{leaf}__cdc_old"
+    # crash recovery (ADVICE r04): a crash between the swap's two renames
+    # leaves the state ONLY at the backup path; without this restore the
+    # replayed batch would see no state and silently rebuild from the
+    # current micro-batch alone, dropping every previously merged key.
+    # (A crash after publish but before backup cleanup just leaves a
+    # stale backup — deleted below as before.)
+    if not fs.exists(Path(state_path)) and fs.exists(Path(old)):
+        if not fs.rename(Path(old), Path(state_path)):
+            raise IOError("cdc state swap: crash-recovery restore failed")
+
     latest = _latest_per_key(batch_df, key_cols, order_cols)
     if fs.exists(Path(state_path)):
         state = spark.read.parquet(state_path)
@@ -84,9 +97,6 @@ def _merge_batch(
         )
     else:
         merged = latest
-    parent, leaf = state_path.rstrip("/").rsplit("/", 1)
-    tmp = f"{parent}/.{leaf}__cdc_new"
-    old = f"{parent}/.{leaf}__cdc_old"
     fs.delete(Path(tmp), True)
     merged.write.parquet(tmp)
     fs.delete(Path(old), True)

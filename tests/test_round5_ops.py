@@ -165,3 +165,137 @@ def test_pca_power_int_replay_is_pure_integer(spark):
     # dominant axis is dim 0 and the component is unit-ish
     assert abs(X[0]) > 990_000
     assert X[0] > 0
+
+
+# ---------------------------------------------------------------------------
+# LPA tie-break must be type-agnostic (ADVICE r04: unary minus on a
+# string label fails under ANSI / silently corrupts communities)
+
+
+def test_lpa_works_with_string_node_ids(spark):
+    from kafka_connect_hdfs_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    # two 3-cliques joined by one bridge edge; string ids
+    pairs = spark.createDataFrame(
+        [
+            ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+            ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+            ("a3", "b1"),
+        ],
+        "id_a string, id_b string",
+    )
+    rows = label_propagation_communities(pairs, iterations=4).collect()
+    comm = {r["node"]: r["community"] for r in rows}
+    assert set(comm) == {"a1", "a2", "a3", "b1", "b2", "b3"}
+    # the two cliques must resolve to internally-consistent communities
+    assert comm["a1"] == comm["a2"] == comm["a3"]
+    assert comm["b1"] == comm["b2"] == comm["b3"]
+
+
+def test_lpa_string_and_long_ids_agree(spark):
+    """The same topology with string vs long ids must produce the same
+    partition (communities compared as node-set partitions)."""
+    from kafka_connect_hdfs_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (7, 8)]
+    pl = spark.createDataFrame(edges, "id_a long, id_b long")
+    ps = spark.createDataFrame(
+        [(f"n{a:02d}", f"n{b:02d}") for a, b in edges],
+        "id_a string, id_b string",
+    )
+
+    # normalize long ids to the same node names as the string run
+    out_l = label_propagation_communities(pl, iterations=4).collect()
+    out_s = label_propagation_communities(ps, iterations=4).collect()
+    part_l = {}
+    for r in out_l:
+        part_l.setdefault(r["community"], set()).add(f"n{r['node']:02d}")
+    part_s = {}
+    for r in out_s:
+        part_s.setdefault(r["community"], set()).add(r["node"])
+    assert set(map(frozenset, part_l.values())) == set(
+        map(frozenset, part_s.values())
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC state-swap crash recovery (ADVICE r04)
+
+
+def test_cdc_merge_recovers_state_from_backup(spark, tmp_path):
+    """Simulate a crash between the swap's two renames: the state dir is
+    gone and only the .__cdc_old backup exists. The next merge must
+    restore the backup instead of silently rebuilding from the current
+    micro-batch alone."""
+    import shutil
+
+    from kafka_connect_hdfs_spark.streaming.cdc import _merge_batch
+
+    state = str(tmp_path / "state")
+    prior = spark.createDataFrame(
+        [(7, 1, "old7"), (8, 1, "old8")], "k long, v long, tag string"
+    )
+    _merge_batch(spark, prior, state, ["k"], ["v"])
+    # crash simulation: state renamed to backup, publish never happened
+    shutil.move(state, str(tmp_path / ".state__cdc_old"))
+    batch2 = spark.createDataFrame([(8, 2, "new8")], "k long, v long, tag string")
+    _merge_batch(spark, batch2, state, ["k"], ["v"])
+    got = {r["k"]: r["tag"] for r in spark.read.parquet(state).collect()}
+    # key 7 (only in the pre-crash state) must survive; 8 updated
+    assert got == {7: "old7", 8: "new8"}
+
+
+# ---------------------------------------------------------------------------
+# snapshot commit must clear an orphaned data dir (ADVICE r04)
+
+
+def test_snapshot_commit_recovers_from_orphaned_data_dir(spark, tmp_path):
+    """A crash after the data write but before the manifest rename leaves
+    data/v<N> with no manifest; the next commit recomputes the same N and
+    must overwrite the orphan instead of wedging on mode('error')."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, list_snapshots, read_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a")], "id long, s string")
+    assert commit_snapshot(spark, df1, table) == 1
+    # crash simulation: data/v2 written, manifest never landed
+    orphan = spark.createDataFrame([(99, "orphan")], "id long, s string")
+    orphan.write.parquet(f"{table}/data/v2")
+    df2 = spark.createDataFrame([(2, "b")], "id long, s string")
+    assert commit_snapshot(spark, df2, table) == 2
+    assert list_snapshots(spark, table) == [1, 2]
+    got = sorted(
+        (r["id"], r["s"]) for r in read_snapshot(spark, table, 2).collect()
+    )
+    assert got == [(2, "b")]  # the orphan rows are gone, not merged
+
+
+# ---------------------------------------------------------------------------
+# duplicate_clusters convergence witness gating (ADVICE r04)
+
+
+def test_duplicate_clusters_fractional_ids_use_hash_witness(spark):
+    """double ids would round in the decimal(38,0) sum witness; they must
+    route to the hash signature and still produce exact components."""
+    from kafka_connect_hdfs_spark.operators.dedup import duplicate_clusters
+
+    # ids differing only below the decimal(38,0) rounding precision
+    pairs = spark.createDataFrame(
+        [(1.25, 1.75), (1.75, 2.25), (9.5, 10.5)],
+        "id_a double, id_b double",
+    )
+    rows = duplicate_clusters(pairs, max_iter=10).collect()
+    comp = {}
+    for r in rows:
+        comp.setdefault(r["cluster_id"], set()).add(r["node"])
+    assert sorted(comp.values(), key=len) == [
+        {9.5, 10.5},
+        {1.25, 1.75, 2.25},
+    ]
+    assert set(comp) == {1.25, 9.5}  # min-label convention
