@@ -902,6 +902,53 @@ def _q_o1_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_o2_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 through the correctness gate (VERDICT r04 item 5): land a
+    deterministic events slice with the reference parquet writer profile
+    — snappy, 256 MB block, 64 KB page, dictionary encoding
+    (ParquetRecordWriterProvider.java:53-105) — read it back, aggregate.
+    The ``codec`` column is read from the landed file FOOTERS (pyarrow
+    metadata), so the profile's compression knob is pinned by the hash
+    match (the oracle hardcodes SNAPPY); the aggregate pins the data."""
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from kafka_connect_hdfs_spark.config import HdfsSinkConfig
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.sinks import build_sink
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    sink = build_sink(
+        HdfsSinkConfig(url="file:///unused", format="parquet",
+                       flush_size=1000)
+    )
+    path = tempfile.mkdtemp(prefix="kchs_parquet_rt_") + "/landed"
+    sink.write(ev, path, ["event_type"])
+    codecs = set()
+    files = sorted(
+        _glob.glob(path + "/**/*.parquet", recursive=True)
+    )
+    for f in files[:4]:
+        rg = _pq.ParquetFile(f).metadata.row_group(0)
+        for ci in range(rg.num_columns):
+            codecs.add(rg.column(ci).compression)
+    back = sink.read(spark, path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumn("codec", F.lit(",".join(sorted(codecs))))
+        .orderBy("event_type")
+    )
+
+
 def _q_ops_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction through the gate: land a fragmented partitioned
     table (many tiny files), compact every leaf dir, and aggregate the
@@ -3761,9 +3808,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": _q_embedding_covariance,
         # ============== below the 50-slot budget window ==============
         # r06 re-check queue head: stalest r01 green + this round's
-        # HALF_UP rounding-kernel change (locally re-verified)
+        # HALF_UP rounding-kernel change (locally re-verified) + the new
+        # o2 writer-profile gate (VERDICT r04 item 5, locally verified)
         "w6_offset_recovery": A2.q_offset_recovery,
         "ann_topk_arrow": _q_ann_topk_arrow,
+        "o2_parquet_roundtrip": _q_o2_parquet_roundtrip,
         # --- r03 window-overflow, driver-green in r04
         "ann_cell_stats": _q_ann_cell_stats,
         "ann_label_mrr": _q_ann_label_mrr,
@@ -5964,6 +6013,15 @@ FROM events WHERE event_id < 2000
     sql["o1_avro_roundtrip"] = """
 SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events WHERE event_id < 2000
+GROUP BY event_type ORDER BY event_type
+"""
+    # o2: same aggregate + the writer profile's codec pinned from the
+    # landed file footers (the Spark side reads it out of pyarrow metadata)
+    sql["o2_parquet_roundtrip"] = """
+SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       'SNAPPY' AS codec
 FROM events WHERE event_id < 2000
 GROUP BY event_type ORDER BY event_type
 """

@@ -143,6 +143,35 @@ def main() -> None:
         "stream_sessionize",
     ]
     qs = entrymod.queries()
+    # ann_index_serve (the correctness gate) conflates the ONE-TIME index
+    # build (two parquet writes) with the serve path it plan-guards — the
+    # r04 bench read a 2.3x "regression" that was entirely the rebuild.
+    # Bench them as SEPARATE entries (VERDICT r04 item 4): the serve
+    # entry reads an index pre-built once outside the timed region (at
+    # 100 TB the index is built once and served many), and the build cost
+    # gets its own explicit entry instead of hiding inside the serve one.
+    import tempfile
+
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        build_ivf_index, query_ivf_index,
+    )
+
+    _served_idx = tempfile.mkdtemp(prefix="kchs_bench_ivf_") + "/idx"
+    build_ivf_index(entrymod._emb(spark, sf_dir), _served_idx, n_seeds=8)
+
+    def _bench_index_build(spark, sf_dir):
+        p = tempfile.mkdtemp(prefix="kchs_bench_ivfb_") + "/idx"
+        build_ivf_index(entrymod._emb(spark, sf_dir), p, n_seeds=8)
+        return spark.read.parquet(p + "/_seeds")
+
+    def _bench_index_serve(spark, sf_dir):
+        return query_ivf_index(
+            spark, _served_idx, list(range(10)), k=5, n_probe=1
+        ).orderBy("query_id", "rank")
+
+    qs = dict(qs)
+    qs["ann_index_serve"] = _bench_index_serve
+    qs["ann_index_build"] = _bench_index_build
     # full-registry coverage: every gated query is benched — the explicit
     # list above keeps round-over-round comparability for the long-lived
     # entries, everything else appends in registry order so the per-query
@@ -166,11 +195,12 @@ def main() -> None:
 
     # 2 runs per query (keep the larger -> conservative), because the
     # shared-host VM shows 2-4x single-run noise; raise via
-    # SPARK_GRAFT_BENCH_REPEATS for a quiet-machine median-of-3. Queries
-    # whose FIRST run exceeds 3 s are timed once — their noise is
-    # proportionally small and repeating them dominates suite wall time
-    # (222 queries x 3 runs was ~17 min wall; this keeps the driver's
-    # bench pass around 10).
+    # SPARK_GRAFT_BENCH_REPEATS for a quiet-machine median-of-3.
+    # Queries whose FIRST run exceeds 3 s get a second run with the MIN
+    # kept (VERDICT r04 item 6): single-run timings in that tier swung
+    # 2-4x round-over-round and made regression diffs mostly noise — the
+    # min of two runs is the stable "how fast can this plan go" number,
+    # while sub-3 s entries keep the conservative larger-of-two.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
     def _clear_persisted() -> None:
@@ -187,14 +217,17 @@ def main() -> None:
     for name in headline:
         fn = qs[name]
         runs = []
-        for i in range(repeats):
+        for i in range(max(repeats, 2)):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
             _clear_persisted()
-            if runs[0] > 3.0:
+            if runs[0] > 3.0 and len(runs) >= 2:
                 break
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        if runs[0] > 3.0:
+            timings[name] = round(min(runs), 3)  # two-run min: stable tier
+        else:
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -207,7 +240,20 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(
-            {"sf": sf_val, "n_queries": len(timings), "queries": timings},
+            {
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "timing_note": (
+                    "sub-3s entries: larger of 2 runs (conservative); "
+                    ">3s entries: MIN of 2 runs (single runs in this tier "
+                    "swing 2-4x on the shared VM, so round-over-round "
+                    "diffs of single-run numbers are mostly noise); "
+                    "ann_index_serve times ONLY the partition-pruned "
+                    "serve read against a pre-built index, build cost is "
+                    "the separate ann_index_build entry"
+                ),
+                "queries": timings,
+            },
             fh,
             indent=1,
             sort_keys=True,
