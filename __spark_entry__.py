@@ -3712,6 +3712,49 @@ def _q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope(_docs(spark, sf_dir), top_n=30).orderBy("source")
 
 
+def _q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source: OLS of ln(types) on
+    ln(cumulative tokens) over the source's docs in id order — the
+    vocab-GROWTH corpus-health check beside zipf_slope's frequency-shape
+    check (β→0 templated, β→1 noise)."""
+    from kafka_connect_hdfs_spark.operators.text import heaps_law
+
+    return heaps_law(_docs(spark, sf_dir)).orderBy("source")
+
+
+def _q_corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length bucketing with padding economics per bucket —
+    the dynamic-batching pre-serving analysis (waste ratio says pad vs
+    pack). Integer math throughout; one rounded ratio per bucket."""
+    from kafka_connect_hdfs_spark.operators.packing import length_buckets
+
+    return length_buckets(_docs(spark, sf_dir)).orderBy("bucket_cap")
+
+
+def _q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius search (FAISS range_search): all corpus vectors with
+    cosine >= 0.25 of queries 0-9, self-excluded — the recall-complete
+    retrieval mode where top-k under/over-fetches per query."""
+    from kafka_connect_hdfs_spark.operators.similarity import range_search
+
+    emb = _emb(spark, sf_dir)
+    return range_search(
+        emb, emb.filter(F.col("vec_id") < 10), min_cosine=0.25
+    ).orderBy("query_id", "neighbor_id")
+
+
+def _q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label isotropy: mean pairwise cosine of the label's unit
+    vectors via the pair-free ||Σu||² identity + mean-vector norm — the
+    collapse diagnostic run before contrastive training / ANN
+    partitioning. Exact fixed-point sums (the covariance convention)."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        isotropy_by_label,
+    )
+
+    return isotropy_by_label(_emb(spark, sf_dir)).orderBy("label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -3813,6 +3856,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_offset_recovery": A2.q_offset_recovery,
         "ann_topk_arrow": _q_ann_topk_arrow,
         "o2_parquet_roundtrip": _q_o2_parquet_roundtrip,
+        # --- NEW in r05 (locally oracle-verified; r06 window after the
+        # re-checks above)
+        "text_heaps_law": _q_text_heaps_law,
+        "corpus_length_buckets": _q_corpus_length_buckets,
+        "ann_range_search": _q_ann_range_search,
+        "embedding_isotropy": _q_embedding_isotropy,
         # --- r03 window-overflow, driver-green in r04
         "ann_cell_stats": _q_ann_cell_stats,
         "ann_label_mrr": _q_ann_label_mrr,
@@ -8949,5 +8998,132 @@ SELECT shard, sum(n_docs)::BIGINT AS n_docs, count(*)::BIGINT AS n_bins,
        sum(greatest(512 - load, 0))::BIGINT AS waste_tokens,
        round(sum(load)::DOUBLE / (count(*) * 512.0), 6) AS fill_ratio
 FROM binloads GROUP BY shard ORDER BY shard
+"""
+    # ---- r05 additions ----
+    # Heaps'-law OLS: cumulative tokens/types per doc in id order, then
+    # the closed-form regression sums (the zipf_slope oracle pattern)
+    sql["text_heaps_law"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(t) AS tok
+  FROM (SELECT doc_id, source, {_TOKS} AS t FROM documents)
+  WHERE len(t) > 0 AND NOT (len(t) = 1 AND t[1] = '')
+),
+per_doc AS (
+  SELECT source, doc_id, count(*) AS n_tok FROM toks GROUP BY 1, 2
+),
+first_seen AS (
+  SELECT source, min(doc_id) AS doc_id, tok FROM toks GROUP BY source, tok
+),
+new_types AS (
+  SELECT source, doc_id, count(*) AS new_types
+  FROM first_seen GROUP BY 1, 2
+),
+curve AS (
+  SELECT p.source,
+         sum(p.n_tok) OVER w AS cum_tok,
+         sum(coalesce(n.new_types, 0)) OVER w AS cum_types
+  FROM per_doc p LEFT JOIN new_types n USING (source, doc_id)
+  WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pts AS (
+  SELECT source, cum_tok, cum_types,
+         ln(cum_tok::DOUBLE) AS x, ln(cum_types::DOUBLE) AS y
+  FROM curve
+),
+agg AS (
+  SELECT source, count(*)::DOUBLE AS n,
+         count(*)::BIGINT AS n_docs,
+         max(cum_types)::BIGINT AS vocab_size,
+         max(cum_tok)::BIGINT AS total_tokens,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pts GROUP BY source
+)
+SELECT source, n_docs, vocab_size, total_tokens,
+       round(CASE WHEN (n * sxx - sx * sx) != 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END,
+             6) AS beta,
+       round((sy - (CASE WHEN (n * sxx - sx * sx) != 0
+                         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    END) * sx) / n, 6) AS ln_k,
+       round(CASE WHEN (n * sxx - sx * sx) != 0
+                   AND (n * syy - sy * sy) != 0
+                  THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+             6) AS r2
+FROM agg ORDER BY source
+"""
+    # power-of-two bucket via bin() bit length — exact integer logic on
+    # both engines (float log2 can sit a hair off an integer)
+    sql["corpus_length_buckets"] = f"""
+WITH nt AS (
+  SELECT CASE WHEN {_NORM} = '' THEN 1
+              ELSE len(string_split({_NORM}, ' ')) END AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT n_tok::BIGINT AS n_tok,
+         least(CASE WHEN n_tok <= 1 THEN 1
+                    ELSE CAST(power(2.0, length(bin(n_tok - 1))) AS BIGINT)
+               END, 1048576)::BIGINT AS bucket_cap
+  FROM nt
+)
+SELECT bucket_cap, count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens,
+       sum(bucket_cap - n_tok)::BIGINT AS padded_tokens,
+       round(sum(bucket_cap - n_tok)::DOUBLE
+             / (bucket_cap * count(*))::DOUBLE, 6) AS pad_waste_ratio
+FROM b GROUP BY bucket_cap ORDER BY bucket_cap
+"""
+    sql["ann_range_search"] = f"""
+WITH p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(q.embedding AS DOUBLE[]) AS qv,
+         CAST(c.embedding AS DOUBLE[]) AS cv
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, {_COSINE} AS cosine
+FROM p WHERE {_COSINE} >= 0.25
+ORDER BY query_id, neighbor_id
+"""
+    # pair-free isotropy: ||sum of quantized unit vectors||^2 identity;
+    # exact HUGEINT sums + the hi/lo 2^50 split (HUGEINT->DOUBLE is not
+    # correctly rounded in DuckDB) mirror similarity.isotropy_by_label
+    sql["embedding_isotropy"] = """
+WITH u AS (
+  SELECT label,
+         list_transform(e, x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT))
+           AS s
+  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings)
+  WHERE nrm > 0
+),
+dd AS (SELECT max(len(s)) AS d FROM u),
+idx AS (SELECT unnest(generate_series(1, d)) AS i FROM dd),
+dimsums AS (
+  SELECT label, idx.i, sum(s[idx.i]) AS sd, count(*) AS n_dim
+  FROM u CROSS JOIN idx GROUP BY 1, 2
+),
+lab AS (
+  SELECT label, max(n_dim) AS n_vecs, sum(sd * sd) AS s2
+  FROM dimsums GROUP BY label
+),
+conv AS (
+  SELECT label, n_vecs,
+         CAST(s2 // 1125899906842624 AS DOUBLE) * 1125899906842624.0
+         + CAST(s2 % 1125899906842624 AS DOUBLE) AS s2d,
+         n_vecs::DOUBLE AS n
+  FROM lab
+)
+SELECT label, n_vecs::BIGINT AS n_vecs,
+       CASE WHEN n_vecs > 1
+            THEN round((s2d / 1000000000000.0 - n) / (n * (n - 1.0)), 6)
+       END AS avg_pairwise_cos,
+       round(sqrt(s2d) / (n * 1000000.0), 6) AS mean_vector_norm
+FROM conv ORDER BY label
 """
     return sql

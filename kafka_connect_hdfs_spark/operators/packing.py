@@ -699,3 +699,66 @@ def source_token_budget(
         out_rows,
         "source string, avail_tokens bigint, alloc_tokens bigint, epochs double",
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    max_bucket_cap: int = 1 << 20,
+) -> DataFrame:
+    """Power-of-two length bucketing for batched inference/training:
+    every document lands in the smallest bucket whose capacity
+    ``2^k`` holds its whitespace token count, and each bucket reports
+    the padding economics of batching at that capacity — ``(bucket_cap,
+    n_docs, total_tokens, padded_tokens, pad_waste_ratio)``. The
+    standard pre-serving analysis (dynamic batching by length class):
+    a high waste ratio in a bucket says its range should be split or
+    its members packed (:func:`pack_sequences_bestfit`) instead of
+    padded.
+
+    Determinism: everything is integer arithmetic until the single
+    final ratio (exact-int division, one rounded double per bucket).
+    Scale: one projection + one bucket-keyed partial-combined aggregate
+    — the shuffle carries ≤ log2(max_len) rows per partition. Empty
+    docs count as length 1 (they still occupy a slot when batched).
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    n_tok = F.when(F.length(t) == 0, F.lit(1)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    # exponent via bit length (length of bin(n-1)), NOT ceil(log2(n)):
+    # float log2 can land a hair above/below an integer on exact powers
+    # of two and the two engines need not agree — bin() is exact integer
+    # logic on both. 2^k maps n=1 -> 1, 2 -> 2, 3..4 -> 4, ...
+    k = F.when(n_tok <= 1, F.lit(0)).otherwise(
+        F.length(F.bin((n_tok - 1).cast("bigint")))
+    )
+    cap = F.least(
+        F.pow(F.lit(2.0), k.cast("double")).cast("bigint"),
+        F.lit(max_bucket_cap).cast("bigint"),
+    )
+    buck = df.select(
+        n_tok.cast("bigint").alias("n_tok"),
+        cap.alias("bucket_cap"),
+    )
+    return (
+        buck.groupBy("bucket_cap")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.col("bucket_cap") - F.col("n_tok")).alias(
+                "padded_tokens"
+            ),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "total_tokens",
+            "padded_tokens",
+            F.round(
+                F.col("padded_tokens").cast("double")
+                / (F.col("bucket_cap") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("pad_waste_ratio"),
+        )
+    )

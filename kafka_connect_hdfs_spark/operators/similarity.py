@@ -2534,3 +2534,128 @@ def knn_graph_refine(
         .filter(F.col("rank") <= k)
         .select("src", "dst", "cosine", "rank")
     )
+
+
+def range_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    min_cosine: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact radius search (the FAISS ``range_search`` primitive): every
+    ``(query_id, neighbor_id, cosine)`` with cosine >= ``min_cosine``,
+    self-matches excluded — the retrieval mode for "give me EVERYTHING
+    at least this similar" (dedup candidate pulls, recall-complete
+    nearest-duplicate audits) where top-k's fixed cutoff under- or
+    over-fetches per query.
+
+    Scale: broadcast-nested-loop like :func:`brute_force_topk` — the
+    corpus never shuffles its vectors, and the radius predicate prunes
+    IN the scan projection so only qualifying triples ever move (unlike
+    top-k there is no window/rank shuffle at all: the filter is the
+    operator). At corpus scale route candidates through the IVF index
+    and probe every cell whose seed similarity clears
+    ``min_cosine - cell_radius`` (triangle-inequality bound), then apply
+    this exact filter inside the probed cells.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = fan_out(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    return (
+        c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_similarity(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= F.lit(min_cosine))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def isotropy_by_label(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label embedding isotropy: the mean pairwise cosine of the
+    label's UNIT vectors and the norm of their mean — the collapse
+    diagnostics run before trusting a label/cluster for contrastive
+    training or ANN partitioning (mean pairwise cosine ≈ 1 means the
+    label collapsed to a point; ≈ 0 means isotropic spread; Ethayarajh
+    2019's anisotropy measure, per group). Returns ``(label, n_vecs,
+    avg_pairwise_cos, mean_vector_norm)``.
+
+    The pair-free identity does the work: for unit vectors u_i with
+    s = Σu_i, Σ_{i≠j} cos(u_i,u_j) = ||s||² − n, so ONE sum per
+    (label, dim) replaces the n² pair table — the same reduction that
+    makes this meaningful at 100 TB (shuffle is labels × dim rows, the
+    corpus never pairs). Determinism: unit vectors are floor-quantized
+    to ``scale`` integers BEFORE summation (the embedding_covariance
+    convention) so every aggregate is exact and order-free; ||s||² can
+    exceed 2^53, so its double conversion goes through the hi/lo split
+    (:func:`_big_to_double`'s SQL twin) on both engines.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    unit_scaled = F.transform(
+        v,
+        lambda x: F.floor(x / nrm * F.lit(float(scale))).cast("bigint"),
+    )
+    sums = (
+        embeddings.filter(nrm > 0)
+        .select(
+            F.col(label_col).alias("label"),
+            F.posexplode(unit_scaled).alias("dim", "s"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("s").cast("decimal(38,0)")).alias("sd"),
+            (F.count("*")).alias("n_dim"),
+        )
+    )
+    per_label = sums.groupBy("label").agg(
+        F.max("n_dim").alias("n_vecs"),
+        F.sum(
+            (F.col("sd") * F.col("sd")).cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    # deterministic decimal -> double via the hi/lo 2^50 split (the
+    # direct cast is not correctly rounded in DuckDB for > 2^53). s2 is
+    # a sum of squares, so no sign handling; DIV/% are exact integral
+    # decimal ops and the two sub-conversions are < 2^53 -> exact.
+    p50 = F.lit(float(_P50))
+    s2d = (
+        F.expr(f"CAST(s2 DIV {_P50} AS DOUBLE)") * p50
+        + F.expr(f"CAST(s2 % {_P50} AS BIGINT)").cast("double")
+    )
+    n = F.col("n_vecs").cast("double")
+    sc2 = F.lit(float(scale) * float(scale))
+    return per_label.select(
+        "label",
+        "n_vecs",
+        F.when(
+            F.col("n_vecs") > 1,
+            F.round(
+                (s2d / sc2 - n) / (n * (n - F.lit(1.0))), 6
+            ),
+        ).alias("avg_pairwise_cos"),
+        F.round(F.sqrt(s2d) / (n * F.lit(float(scale))), 6).alias(
+            "mean_vector_norm"
+        ),
+    )

@@ -2113,3 +2113,104 @@ def dsir_importance_select(
     # not the corpus — single-partition is fine at that size
     w = Window.orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def heaps_law(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group Heaps'-law fit: OLS regression of ln(distinct types) on
+    ln(cumulative tokens) over the group's documents in ``id_col`` order
+    (Heaps 1978; V(N) = K·N^β). Natural corpora fit β ≈ 0.4-0.6; β → 0
+    flags a closed templated vocabulary, β → 1 flags noise/IDs/random
+    strings — the vocabulary-GROWTH health check that complements
+    :func:`zipf_slope`'s frequency-shape check. Returns ``(group,
+    n_docs, vocab_size, total_tokens, beta, ln_k, r2)``.
+
+    Scale: type first-appearances come from the vocab-bounded
+    ``groupBy(group, token) -> min(doc)`` every text op uses (corpus
+    shuffles once, partial-combined); the growth curve is two running
+    windows over the per-group DOC table (doc-bounded, not token-bounded)
+    and the regression is one closed-form aggregate per group. No
+    iteration, no driver math. Reference analogue: none (the reference
+    has no text analytics; SURVEY §2.11 extension).
+    """
+    from pyspark.sql import Window
+
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc"),
+        F.explode(toks).alias("tok"),
+    )
+    # tokens per doc (doc-bounded after the partial-combined count)
+    per_doc = exploded.groupBy("grp", "doc").agg(
+        F.count("*").alias("n_tok")
+    )
+    # types INTRODUCED at each doc = tokens whose first doc this is
+    first_seen = (
+        exploded.groupBy("grp", "tok")
+        .agg(F.min("doc").alias("doc"))
+        .groupBy("grp", "doc")
+        .agg(F.count("*").alias("new_types"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = (
+        per_doc.join(first_seen, ["grp", "doc"], "left")
+        .select(
+            "grp",
+            "doc",
+            "n_tok",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "grp",
+            F.sum("n_tok").over(w).alias("cum_tok"),
+            F.sum("new_types").over(w).alias("cum_types"),
+        )
+        .select(
+            "grp",
+            "cum_tok",
+            "cum_types",
+            F.log(F.col("cum_tok").cast("double")).alias("x"),
+            F.log(F.col("cum_types").cast("double")).alias("y"),
+        )
+    )
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, syy, sxy = (
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("y") * F.col("y")),
+        F.sum(F.col("x") * F.col("y")),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    beta = F.when(var_x != 0, cov_n / var_x)
+    return (
+        curve.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("cum_types").alias("vocab_size"),
+            F.max("cum_tok").alias("total_tokens"),
+            F.round(beta, 6).alias("beta"),
+            F.round((sy - beta * sx) / n, 6).alias("ln_k"),
+            F.round(
+                F.when(
+                    (var_x != 0) & (var_y != 0),
+                    (cov_n * cov_n) / (var_x * var_y),
+                ),
+                6,
+            ).alias("r2"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

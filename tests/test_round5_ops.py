@@ -299,3 +299,99 @@ def test_duplicate_clusters_fractional_ids_use_hash_witness(spark):
         {1.25, 1.75, 2.25},
     ]
     assert set(comp) == {1.25, 9.5}  # min-label convention
+
+
+# ---------------------------------------------------------------------------
+# new r05 operators
+
+
+def test_heaps_law_separates_closed_and_open_vocab(spark):
+    from kafka_connect_hdfs_spark.operators.text import heaps_law
+
+    closed = [
+        (i, "alpha beta gamma alpha beta", "closed") for i in range(20)
+    ]
+    open_v = [
+        (100 + i, " ".join(f"tok{i}_{j}" for j in range(5)), "open")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        closed + open_v, "doc_id long, text string, source string"
+    )
+    out = {r["source"]: r for r in heaps_law(docs).collect()}
+    # closed vocab: 3 types forever -> beta ~ 0; open: every doc adds 5
+    assert out["closed"]["vocab_size"] == 3
+    assert out["open"]["vocab_size"] == 100
+    assert out["closed"]["total_tokens"] == 100
+    assert abs(out["closed"]["beta"]) < 0.1
+    assert out["open"]["beta"] > 0.9
+    assert out["open"]["r2"] > 0.99
+
+
+def test_length_buckets_pow2_and_waste(spark):
+    from kafka_connect_hdfs_spark.operators.packing import length_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a"),                  # 1 tok -> cap 1
+            (1, "a b"),                # 2 -> 2
+            (2, "a b c"),              # 3 -> 4
+            (3, "a b c d"),            # 4 -> 4
+            (4, "a b c d e"),          # 5 -> 8
+            (5, ""),                   # empty counts as 1 -> cap 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["bucket_cap"]: r for r in length_buckets(docs).collect()}
+    assert set(out) == {1, 2, 4, 8}
+    assert out[1]["n_docs"] == 2 and out[1]["padded_tokens"] == 0
+    assert out[4]["n_docs"] == 2
+    assert out[4]["total_tokens"] == 7 and out[4]["padded_tokens"] == 1
+    assert out[8]["pad_waste_ratio"] == pytest.approx(3 / 8, abs=1e-9)
+
+
+def test_range_search_exact_set_and_self_exclusion(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import range_search
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.43589]),   # cos ~ 0.9
+            (3, [0.0, 1.0]),       # cos 0
+            (4, [0.6, 0.8]),       # cos 0.6
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in range_search(
+            emb, emb.filter("vec_id = 1"), min_cosine=0.5
+        ).collect()
+    }
+    assert got == {(1, 2), (1, 4)}  # 3 below radius, self excluded
+
+
+def test_isotropy_collapsed_and_spread_labels(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        isotropy_by_label,
+    )
+
+    rows = (
+        # label 0: all identical -> pairwise cos 1, mean norm 1
+        [(i, [3.0, 4.0], 0) for i in range(5)]
+        # label 1: antipodal pairs -> mean ~ 0
+        + [(10, [1.0, 0.0], 1), (11, [-1.0, 0.0], 1)]
+        # label 2: singleton -> NULL pairwise
+        + [(20, [0.0, 2.0], 2)]
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["label"]: r for r in isotropy_by_label(emb).collect()}
+    assert out[0]["n_vecs"] == 5
+    assert out[0]["avg_pairwise_cos"] == pytest.approx(1.0, abs=1e-5)
+    assert out[0]["mean_vector_norm"] == pytest.approx(1.0, abs=1e-5)
+    assert out[1]["avg_pairwise_cos"] == pytest.approx(-1.0, abs=1e-5)
+    assert out[1]["mean_vector_norm"] == pytest.approx(0.0, abs=1e-5)
+    assert out[2]["avg_pairwise_cos"] is None
+    assert out[2]["mean_vector_norm"] == pytest.approx(1.0, abs=1e-5)
