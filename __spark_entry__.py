@@ -3743,6 +3743,35 @@ def _q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neighbor_id")
 
 
+def _q_ann_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit sign-sketch ANN: Hamming top-5 for queries 0-9 — exact
+    integer semantics end-to-end (xor+popcount), the cheapest tier of
+    the quantization family."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return binary_hamming_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).orderBy("query_id", "rank")
+
+
+def _q_ann_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 1-bit Hamming tier against the exact cosine top-5
+    — prices the 32x compression the way ann_ivf_recall/ann_ivfpq_recall
+    price cells and PQ codes."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        ann_recall, binary_hamming_topk, brute_force_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    return ann_recall(
+        binary_hamming_topk(emb, q, k=5), brute_force_topk(emb, q, k=5)
+    ).orderBy("query_id")
+
+
 def _q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label isotropy: mean pairwise cosine of the label's unit
     vectors via the pair-free ||Σu||² identity + mean-vector norm — the
@@ -3862,6 +3891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_buckets": _q_corpus_length_buckets,
         "ann_range_search": _q_ann_range_search,
         "embedding_isotropy": _q_embedding_isotropy,
+        "ann_binary_topk": _q_ann_binary_topk,
+        "ann_binary_recall": _q_ann_binary_recall,
         # --- r03 window-overflow, driver-green in r04
         "ann_cell_stats": _q_ann_cell_stats,
         "ann_label_mrr": _q_ann_label_mrr,
@@ -9125,5 +9156,53 @@ SELECT label, n_vecs::BIGINT AS n_vecs,
        END AS avg_pairwise_cos,
        round(sqrt(s2d) / (n * 1000000.0), 6) AS mean_vector_norm
 FROM conv ORDER BY label
+"""
+    # 1-bit sign sketches: 32-bit word packing + xor/popcount — exact
+    # integer semantics, replayed verbatim (no float anywhere)
+    _sketch_cte = """
+sk AS (
+  SELECT vec_id,
+         [list_sum([CASE WHEN e[w * 32 + i + 1] > 0
+                         THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                    FOR i IN range(32)])
+          FOR w IN range(2)] AS words
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+)
+"""
+    sql["ann_binary_topk"] = f"""
+WITH {_sketch_cte},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum([bit_count(xor(q.words[w + 1], c.words[w + 1]))
+                   FOR w IN range(2)])::BIGINT AS hamming
+  FROM sk q, sk c WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, neighbor_id ASC)
+            AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, hamming, rank::INT AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+    sql["ann_binary_recall"] = f"""
+WITH approx AS (
+  SELECT query_id, neighbor_id FROM ({sql["ann_binary_topk"]})
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM ({sql["ann_topk_bruteforce"]})
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY 1
+),
+totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+SELECT t.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       t.n_exact::BIGINT AS n_exact,
+       round(coalesce(h.n_hits, 0) / t.n_exact, 6) AS recall
+FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+ORDER BY t.query_id
 """
     return sql

@@ -2659,3 +2659,94 @@ def isotropy_by_label(
             "mean_vector_norm"
         ),
     )
+
+
+def binarize_sign_sketch(
+    embeddings: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    word_bits: int = 32,
+) -> DataFrame:
+    """1-bit sign sketch: dimension i contributes bit ``i % word_bits`` of
+    word ``i // word_bits`` iff x_i > 0 — the 32x/64x compression extreme
+    of the quantization family (PQ, int8, Matryoshka slices all live
+    here). Returns ``(id, words array<bigint>)``. Packed in 32-bit words
+    (not 64) so every value stays far from the signed-bigint edge and the
+    arithmetic is identical plain-integer math on any engine.
+
+    Scale: pure map-side projection (no shuffle, no UDF) — the sketch is
+    what SHUFFLES thereafter, so every downstream join moves dim/8 bytes
+    per row instead of 4·dim.
+    """
+    v = F.col(vec_col)
+    n_words = (dim + word_bits - 1) // word_bits
+    words = []
+    for w in range(n_words):
+        acc = F.lit(0).cast("bigint")
+        for i in range(min(word_bits, dim - w * word_bits)):
+            bit = F.when(
+                F.element_at(v, w * word_bits + i + 1).cast("double")
+                > 0.0,
+                F.lit(1 << i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            acc = acc + bit
+        words.append(acc)
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.array(*words).alias("words")
+    )
+
+
+def binary_hamming_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by Hamming distance between sign sketches
+    (Charikar 2002 SimHash bound: angle ≈ π·hamming/dim) — the cheapest
+    ANN tier: 1 bit/dim, xor+popcount distance, exact integer semantics
+    end-to-end (no float anywhere), so results replay bit-identically on
+    any engine. Ties by neighbor id. Returns ``(query_id, neighbor_id,
+    hamming, rank)``.
+
+    Scale: queries' sketches broadcast; the corpus scans its own sketch
+    projection map-side and only (query, neighbor, hamming) triples
+    shuffle into the per-query top-k window — same shape as
+    brute_force_topk but with dim/8-byte payloads and codegen bit ops
+    instead of a float fold.
+    """
+    from pyspark.sql import Window
+
+    q = binarize_sign_sketch(queries, dim, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("words").alias("q_words")
+    )
+    c = fan_out(
+        binarize_sign_sketch(embeddings, dim, id_col, vec_col).select(
+            F.col("id").alias("neighbor_id"), F.col("words").alias("c_words")
+        )
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("q_words"),
+            F.col("c_words"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("hamming", ham)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )

@@ -781,3 +781,65 @@ def test_unigram_word_table_aggregates_map_side(spark, sf):
     )
     plan = _plan(words)
     assert "partial_count" in plan, plan
+
+
+def test_range_search_broadcast_filter_in_projection(spark, sf):
+    """Radius search: queries broadcast (nested-loop), the radius filter
+    runs before anything shuffles, and there is NO window/rank stage at
+    all (the filter IS the operator)."""
+    from kafka_connect_hdfs_spark.operators.similarity import range_search
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    plan = _plan(
+        range_search(emb, emb.filter("vec_id < 10"), min_cosine=0.25)
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan.split("BroadcastNestedLoopJoin")[0], plan
+
+
+def test_isotropy_no_pair_join(spark, sf):
+    """Isotropy uses the ||sum||^2 identity: label-dim bounded aggregates
+    only — no self-join, no cartesian pair table, no window."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        isotropy_by_label,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    plan = _plan(isotropy_by_label(emb))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "Window"):
+        assert bad not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial-combined
+
+
+def test_length_buckets_single_partial_agg(spark, sf):
+    """Length bucketing: one projection + one bucket-keyed two-phase
+    aggregate; nothing else (no join, no window, one shuffle)."""
+    from kafka_connect_hdfs_spark.operators.packing import length_buckets
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(length_buckets(docs))
+    # tree lines render as "Exchange (n)", node details as "(n) Exchange"
+    assert plan.count("Exchange (") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_heaps_law_vocab_bounded_shuffles(spark, sf):
+    """Heaps fit: the corpus shuffles once on (group, token) with map-side
+    partial counts; the growth windows run over the DOC table, and the
+    regression is a closed-form aggregate — no corpus-sized window."""
+    from kafka_connect_hdfs_spark.operators.text import heaps_law
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(heaps_law(docs))
+    # the ReadSchema must prune to the three consumed columns
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "n_chars" not in read_schema, read_schema
+    assert "lang" not in read_schema, read_schema
+    assert plan.count("HashAggregate") >= 4, plan  # partial-combined aggs

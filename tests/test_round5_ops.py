@@ -395,3 +395,50 @@ def test_isotropy_collapsed_and_spread_labels(spark):
     assert out[1]["mean_vector_norm"] == pytest.approx(0.0, abs=1e-5)
     assert out[2]["avg_pairwise_cos"] is None
     assert out[2]["mean_vector_norm"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_binary_sketch_packs_signs_into_words(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        binarize_sign_sketch,
+    )
+
+    # dims 0 and 33 positive -> word0 bit0, word1 bit1
+    vec = [0.0] * 64
+    vec[0] = 1.0
+    vec[33] = 0.5
+    emb = spark.createDataFrame(
+        [(7, vec)], "vec_id long, embedding array<double>"
+    )
+    row = binarize_sign_sketch(emb).collect()[0]
+    assert row["id"] == 7
+    assert row["words"] == [1, 2]
+
+
+def test_binary_hamming_topk_orders_by_distance_then_id(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+
+    def v(*pos):
+        x = [-1.0] * 64
+        for p in pos:
+            x[p] = 1.0
+        return x
+
+    emb = spark.createDataFrame(
+        [
+            (1, v(0, 1, 2)),       # query
+            (2, v(0, 1, 2)),       # hamming 0
+            (3, v(0, 1)),          # hamming 1
+            (4, v(5, 6, 7)),       # hamming 6
+            (5, v(0, 1)),          # hamming 1, tie with 3 -> after by id
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r["neighbor_id"], r["hamming"])
+        for r in binary_hamming_topk(
+            emb, emb.filter("vec_id = 1"), k=4
+        ).orderBy("rank").collect()
+    ]
+    assert got == [(2, 0), (3, 1), (5, 1), (4, 6)]
