@@ -3743,6 +3743,48 @@ def _q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neighbor_id")
 
 
+def _q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-source contamination matrix: distinct shared 3-gram
+    shingles + overlap coefficient per source pair — the 'who mirrors
+    whom' audit behind per-source sampling weights."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        cross_source_overlap,
+    )
+
+    return cross_source_overlap(
+        _docs(spark, sf_dir), n=3, max_shingle_freq=100
+    ).orderBy("source_a", "source_b")
+
+
+def _q_ops_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum-planner audit over the snapshot log: commit v1 (en) and an
+    appending v2 (de), drop an unmanifested data/v99 orphan next to them
+    (the crashed-commit state), and report each data dir's status and
+    manifest reference count. The oracle recomputes the per-dir row
+    counts from the source table and pins the statuses."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, orphan_report,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kchs_orph_") + "/t"
+    commit_snapshot(spark, docs.filter(F.col("lang") == "en"), path)
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "de"), path, mode="append"
+    )
+    docs.filter(F.col("lang") == "fr").write.parquet(f"{path}/data/v99")
+    rep = orphan_report(spark, path)
+    counts = []
+    for r in rep.collect():
+        n = spark.read.parquet(f"{path}/data/{r['data_dir']}").count()
+        counts.append((r["data_dir"], r["status"], r["n_refs"], n))
+    return spark.createDataFrame(
+        counts, "data_dir string, status string, n_refs int, n_rows bigint"
+    ).orderBy("data_dir")
+
+
 def _q_ann_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-bit sign-sketch ANN: Hamming top-5 for queries 0-9 — exact
     integer semantics end-to-end (xor+popcount), the cheapest tier of
@@ -3893,6 +3935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_isotropy": _q_embedding_isotropy,
         "ann_binary_topk": _q_ann_binary_topk,
         "ann_binary_recall": _q_ann_binary_recall,
+        "corpus_source_overlap": _q_corpus_source_overlap,
+        "ops_orphan_report": _q_ops_orphan_report,
         # --- r03 window-overflow, driver-green in r04
         "ann_cell_stats": _q_ann_cell_stats,
         "ann_label_mrr": _q_ann_label_mrr,
@@ -9204,5 +9248,43 @@ SELECT t.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        round(coalesce(h.n_hits, 0) / t.n_exact, 6) AS recall
 FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
 ORDER BY t.query_id
+"""
+    # cross-source shingle overlap: the same stop-shingle universe as
+    # the Jaccard oracles, reduced to DISTINCT (source, shingle)
+    sql["corpus_source_overlap"] = f"""
+WITH {_SHINGLES_CTE},
+freq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
+shf AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN freq USING (shingle) WHERE df <= 100
+),
+ss AS (
+  SELECT DISTINCT d.source AS src, shingle
+  FROM shf JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT src, count(*) AS n FROM ss GROUP BY 1),
+shared AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+  FROM ss a JOIN ss b USING (shingle)
+  WHERE a.src < b.src GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared::BIGINT AS n_shared,
+       round(n_shared / least(na.n, nb.n), 6) AS overlap_coef
+FROM shared JOIN sizes na ON source_a = na.src
+            JOIN sizes nb ON source_b = nb.src
+ORDER BY source_a, source_b
+"""
+    # orphan audit: statuses/refs are protocol constants of the gate's
+    # setup (v1, v1+v2 append, unmanifested v99); row counts recompute
+    # from the source table so a data/manifest mixup breaks the hash
+    sql["ops_orphan_report"] = """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1)
+SELECT 'v1' AS data_dir, 'live' AS status, 2 AS n_refs,
+       (SELECT n FROM c WHERE lang = 'en') AS n_rows
+UNION ALL
+SELECT 'v2', 'live', 1, (SELECT n FROM c WHERE lang = 'de')
+UNION ALL
+SELECT 'v99', 'orphan', 0, (SELECT n FROM c WHERE lang = 'fr')
+ORDER BY data_dir
 """
     return sql

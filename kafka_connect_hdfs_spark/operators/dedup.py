@@ -1084,3 +1084,67 @@ def duplicated_span_coverage(
             ).alias("dup_token_coverage"),
         )
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    max_shingle_freq: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-vs-source contamination matrix: for every source pair, the
+    number of distinct n-gram shingles both contain and the overlap
+    coefficient ``|A∩B| / min(|A|,|B|)`` — the "who mirrors whom" audit
+    run before setting per-source sampling weights (a pair with high
+    overlap double-counts its content under independent source budgets).
+    Returns ``(source_a, source_b, n_shared, overlap_coef)`` for
+    source_a < source_b.
+
+    Scale: the same stop-shingle universe as :func:`ngram_jaccard_pairs`
+    (doc-frequency cap bounds hot shingles BEFORE anything pairs); the
+    corpus then reduces to DISTINCT (source, shingle) rows — vocabulary-
+    bounded per source — and the pair join fans each shingle out by at
+    most n_sources², with n_sources tiny by definition. Text never
+    shuffles; shingles travel as strings once, countable as md5 at
+    higher scale.
+    """
+    sh = with_shingles(df, n, id_col, text_col)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    sh_f = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
+    src = df.select(F.col(id_col), F.col(source_col).alias("_src"))
+    ss = (
+        sh_f.join(src, id_col)
+        .select(F.col("_src").alias("src"), "shingle")
+        .distinct()
+    )
+    sizes = ss.groupBy("src").agg(F.count("*").alias("n_shingles"))
+    a = ss.select(F.col("src").alias("source_a"), "shingle")
+    b = ss.select(F.col("src").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("src").alias("source_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("src").alias("source_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / F.least(F.col("size_a"), F.col("size_b")),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )

@@ -207,3 +207,39 @@ def expire_snapshots(
                 fs.delete(Path(f), True)
         fs.delete(Path(f"{_manifest_dir(path)}/v{v}.json"), False)
     return expired
+
+
+def orphan_report(spark: SparkSession, path: str) -> DataFrame:
+    """Audit the table's ``data/`` directories against the manifest log:
+    every on-disk data dir is ``live`` (referenced by ≥1 manifest) or
+    ``orphan`` (a crashed commit's leftovers — exactly the state
+    :func:`commit_snapshot`'s crash recovery clears lazily — or an
+    expired-but-unswept version), and a referenced dir MISSING from disk
+    reports ``missing`` (external deletion / corruption; its versions are
+    unreadable). Returns ``(data_dir, status, n_refs)`` — the vacuum
+    planner's input: ``orphan`` rows are safe to delete, ``missing`` rows
+    demand a rollback or expiry.
+
+    Scale: pure driver metadata (one directory listing + the manifest
+    list); no data files are opened.
+    """
+    fs, Path = _fs(spark, path)
+    referenced: "dict[str, int]" = {}
+    for v in list_snapshots(spark, path):
+        for f in _read_manifest(spark, path, v)["files"]:
+            name = f.rstrip("/").rsplit("/", 1)[-1]
+            referenced[name] = referenced.get(name, 0) + 1
+    ddir = Path(path.rstrip("/") + "/data")
+    on_disk = set()
+    if fs.exists(ddir):
+        on_disk = {st.getPath().getName() for st in fs.listStatus(ddir)}
+    rows = []
+    for name in sorted(on_disk | set(referenced)):
+        if name in referenced:
+            status = "live" if name in on_disk else "missing"
+        else:
+            status = "orphan"
+        rows.append((name, status, referenced.get(name, 0)))
+    return spark.createDataFrame(
+        rows, "data_dir string, status string, n_refs int"
+    )

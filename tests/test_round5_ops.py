@@ -442,3 +442,55 @@ def test_binary_hamming_topk_orders_by_distance_then_id(spark):
         ).orderBy("rank").collect()
     ]
     assert got == [(2, 0), (3, 1), (5, 1), (4, 6)]
+
+
+def test_cross_source_overlap_counts_and_stop_cap(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import cross_source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            # A and B share the shingle "x y z"; "c c c" is everywhere
+            # (df=4 > cap) and must not count
+            (1, "x y z q r s", "A"),
+            (2, "x y z t u v", "B"),
+            (3, "c c c", "A"),
+            (4, "c c c", "B"),
+            (5, "c c c", "C"),
+            (6, "c c c", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_overlap(docs, n=3, max_shingle_freq=3).collect()
+    }
+    ab = rows[("A", "B")]
+    assert ab["n_shared"] == 1  # only "x y z"
+    # A has 4 capped shingles (xyz,yzq,zqr,qrs), B has 4 -> 1/4
+    assert ab["overlap_coef"] == pytest.approx(0.25, abs=1e-9)
+    assert ("A", "C") not in rows and ("B", "C") not in rows
+
+
+def test_orphan_report_statuses(spark, tmp_path):
+    import shutil
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, orphan_report,
+    )
+
+    table = str(tmp_path / "t")
+    d1 = spark.createDataFrame([(1, "a")], "id long, s string")
+    d2 = spark.createDataFrame([(2, "b")], "id long, s string")
+    commit_snapshot(spark, d1, table)                       # v1
+    commit_snapshot(spark, d2, table, mode="append")        # v2 -> refs v1+v2
+    d2.write.parquet(f"{table}/data/v9")                    # orphan
+    shutil.rmtree(f"{table}/data/v2")                       # corrupt v2
+    got = {
+        r["data_dir"]: (r["status"], r["n_refs"])
+        for r in orphan_report(spark, table).collect()
+    }
+    assert got == {
+        "v1": ("live", 2),      # referenced by v1 and the v2 append
+        "v2": ("missing", 1),
+        "v9": ("orphan", 0),
+    }
