@@ -494,3 +494,55 @@ def test_orphan_report_statuses(spark, tmp_path):
         "v2": ("missing", 1),
         "v9": ("orphan", 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# cross-engine determinism kernels vs DuckDB (property-style)
+
+
+def test_big_to_double_matches_duckdb_split_everywhere():
+    """The hi/lo 2^50 split must be bit-identical between Python and the
+    SQL expression the oracles use — including >2^53 magnitudes where the
+    naive HUGEINT->DOUBLE cast is NOT correctly rounded."""
+    import random
+
+    import duckdb
+
+    from kafka_connect_hdfs_spark.operators.similarity import _big_to_double
+
+    con = duckdb.connect()
+    rnd = random.Random(42)
+    vals = [0, 1, -1, 2**53 - 1, 2**53 + 1, -(2**53 + 3)]
+    for e in range(54, 100, 5):
+        v = rnd.getrandbits(e) | (1 << (e - 1))
+        vals += [v, -v]
+    for v in vals:
+        got = con.sql(
+            f"SELECT CASE WHEN h < 0 THEN -1.0 ELSE 1.0 END * "
+            f"(CAST(abs(h) // 1125899906842624 AS DOUBLE) "
+            f"* 1125899906842624.0 "
+            f"+ CAST(abs(h) % 1125899906842624 AS DOUBLE)) "
+            f"FROM (SELECT CAST('{v}' AS HUGEINT) AS h)"
+        ).fetchone()[0]
+        assert got == _big_to_double(v), v
+
+
+def test_scaled_int6_matches_duckdb_floor_formula():
+    import random
+
+    import duckdb
+
+    from kafka_connect_hdfs_spark.operators.similarity import _scaled_int6
+
+    con = duckdb.connect()
+    rnd = random.Random(7)
+    vals = [0.0, 1.0, -1.0, 0.1000005, -0.1000005, 0.9999995]
+    vals += [rnd.uniform(-3, 3) for _ in range(200)]
+    for v in vals:
+        got = con.sql(
+            f"SELECT CAST(CASE WHEN x < 0 "
+            f"THEN -floor(-x * 1000000.0 + 0.5) "
+            f"ELSE floor(x * 1000000.0 + 0.5) END AS BIGINT) "
+            f"FROM (SELECT {v!r}::DOUBLE AS x)"
+        ).fetchone()[0]
+        assert got == _scaled_int6(v), v
