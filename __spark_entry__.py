@@ -3743,6 +3743,29 @@ def _q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neighbor_id")
 
 
+def _q_media_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval plumbing end-to-end: media payloads reduce
+    to stub encoder embeddings (md5-derived, deterministic — the real
+    encoder drops into the same mapInPandas slot) and image queries
+    retrieve audio/video neighbors through the ordinary cosine top-k
+    kernel. Proves the binary→vector→ANN path with exact oracles."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        documents_as_media, media_stub_embeddings,
+    )
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = media_stub_embeddings(documents_as_media(_docs(spark, sf_dir)))
+    img = emb.filter(
+        (F.col("media_type") == "image") & (F.col("media_id") < 30)
+    )
+    av = emb.filter(F.col("media_type") != "image")
+    return brute_force_topk(av, img, k=3, id_col="media_id").orderBy(
+        "query_id", "rank"
+    )
+
+
 def _q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-vs-source contamination matrix: distinct shared 3-gram
     shingles + overlap coefficient per source pair — the 'who mirrors
@@ -3863,8 +3886,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round for the OLDEST driver-green entries (stalest evidence first);
     # new queries take the remaining slots and this round's greens go to
     # the back. The queue ALREADY starts at slot 51: w6_offset_recovery
-    # (stalest r01 green) and ann_topk_arrow (its rounding kernel changed
-    # to HALF_UP this round — re-verified locally, re-check first).
+    # (stalest r01 green), ann_topk_arrow (its rounding kernel changed
+    # to HALF_UP this round — re-verified locally, re-check first), then
+    # the 9 NEW r05 gates (o2_parquet_roundtrip, text_heaps_law,
+    # corpus_length_buckets, ann_range_search, embedding_isotropy,
+    # ann_binary_topk, ann_binary_recall, corpus_source_overlap,
+    # ops_orphan_report — each locally oracle-verified at sf0.01).
+    # ROUND-6 ROTATION TODO: slots 1-11 = the queue above; slots 12-50 =
+    # oldest driver-green entries by last-checked round (r01 first:
+    # q6_forecast_revenue, q_semi_anti_customers, q_set_ops_users,
+    # p3/p4/p5, f1/f2, e2_schema_projection, embedding_centroids, q1, q3,
+    # q5, ... in registry-tail order).
     return {
         # ===== r05 WINDOW slots 1-16: NEW in r04, never driver-checked
         "text_bpe_encode": _q_text_bpe_encode,
@@ -3937,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_binary_recall": _q_ann_binary_recall,
         "corpus_source_overlap": _q_corpus_source_overlap,
         "ops_orphan_report": _q_ops_orphan_report,
+        "media_crossmodal_topk": _q_media_crossmodal_topk,
         # --- r03 window-overflow, driver-green in r04
         "ann_cell_stats": _q_ann_cell_stats,
         "ann_label_mrr": _q_ann_label_mrr,
@@ -9248,6 +9281,33 @@ SELECT t.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        round(coalesce(h.n_hits, 0) / t.n_exact, 6) AS recall
 FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
 ORDER BY t.query_id
+"""
+    # cross-modal plumbing: md5-derived stub embeddings (byte_i/128 - 1)
+    # through the ordinary cosine top-k — the encoder is a deterministic
+    # fake, the pipeline is the real path
+    sql["media_crossmodal_topk"] = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio' ELSE 'video' END AS mt,
+         [(('0x' || substr(md5(text), 2 * i + 1, 2))::BIGINT::DOUBLE
+           / 128.0 - 1.0) FOR i IN range(8)] AS v
+  FROM documents
+),
+q AS (SELECT media_id AS query_id, v AS qv
+      FROM m WHERE mt = 'image' AND media_id < 30),
+c AS (SELECT media_id AS neighbor_id, v AS cv FROM m WHERE mt != 'image'),
+sims AS (
+  SELECT query_id, neighbor_id, {_COSINE} AS cosine
+  FROM q, c WHERE query_id != neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 """
     # cross-source shingle overlap: the same stop-shingle universe as
     # the Jaccard oracles, reduced to DISTINCT (source, shingle)

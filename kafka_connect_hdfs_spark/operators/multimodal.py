@@ -236,3 +236,30 @@ def media_exact_dedup(df: DataFrame) -> DataFrame:
             ((F.count("*") - 1) * F.max("n_bytes")).alias("bytes_saved"),
         )
     )
+
+
+def media_stub_embeddings(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Deterministic stand-in for a media encoder (CLIP/CLAP class):
+    ``payload -> md5 -> dim pseudo-embedding`` with component i =
+    byte_i/128 − 1 ∈ [−1, 1). Swap for a real encoder (mapInPandas over
+    Arrow batches, the :func:`extract_features` shape) when codecs/models
+    are available — the PLUMBING this proves is real: payloads reduce to
+    a fixed-width vector in the scan projection (bytes never shuffle),
+    and the output is drop-in compatible with every ANN operator in
+    :mod:`operators.similarity` (brute force, IVF, PQ, sign sketch).
+    Oracle-replayable because md5 is identical in SQL.
+    """
+    h = F.md5(F.col("payload"))
+    emb = F.array(
+        *[
+            (
+                F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("double")
+                / F.lit(128.0)
+                - F.lit(1.0)
+            )
+            for i in range(dim)
+        ]
+    )
+    return df.select(
+        F.col("media_id"), F.col("media_type"), emb.alias("embedding")
+    )

@@ -496,6 +496,29 @@ def test_orphan_report_statuses(spark, tmp_path):
     }
 
 
+def test_media_stub_embeddings_shape_and_determinism(spark):
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        documents_as_media, media_stub_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "hello world"), (2, "different")],
+        "doc_id long, text string",
+    )
+    emb = media_stub_embeddings(documents_as_media(docs)).collect()
+    by_id = {r["media_id"]: r["embedding"] for r in emb}
+    assert all(len(v) == 8 for v in by_id.values())
+    assert all(-1.0 <= x < 1.0 for v in by_id.values() for x in v)
+    # same payload -> same embedding regardless of media type
+    assert by_id[0] == by_id[1]
+    assert by_id[0] != by_id[2]
+    import hashlib
+
+    b0 = hashlib.md5(b"hello world").hexdigest()
+    expect0 = int(b0[0:2], 16) / 128.0 - 1.0
+    assert by_id[0][0] == pytest.approx(expect0, abs=1e-12)
+
+
 # ---------------------------------------------------------------------------
 # cross-engine determinism kernels vs DuckDB (property-style)
 
