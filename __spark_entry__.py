@@ -3743,6 +3743,50 @@ def _q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neighbor_id")
 
 
+def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality filtering ≡ batch: the documents table replayed
+    as a file stream through the SAME gopher_rules operator (stateless —
+    corpus operators compose with readStream unchanged by design), append
+    mode to a memory sink, then the per-(source, drop_reason) census.
+    The oracle is the batch census, so a dropped or double-read file
+    breaks the hash."""
+    import tempfile
+    import uuid
+
+    from kafka_connect_hdfs_spark.operators.text import gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="kchs_stream_q_")
+    src = f"{base}/src"
+    docs.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    name = "stream_quality_gate_" + uuid.uuid4().hex[:8]
+    flagged = gopher_rules(
+        stream, min_tokens=30, max_tokens=80,
+        min_word_len=3.9, max_word_len=5.0,
+    ).select("doc_id", "source", "drop_reason", "keep")
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/chk")
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("source", "drop_reason")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("source", "drop_reason")
+    )
+
+
 def _q_media_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal retrieval plumbing end-to-end: media payloads reduce
     to stub encoder embeddings (md5-derived, deterministic — the real
@@ -3970,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_overlap": _q_corpus_source_overlap,
         "ops_orphan_report": _q_ops_orphan_report,
         "media_crossmodal_topk": _q_media_crossmodal_topk,
+        "stream_quality_gate": _q_stream_quality_gate,
         # --- r03 window-overflow, driver-green in r04
         "ann_cell_stats": _q_ann_cell_stats,
         "ann_label_mrr": _q_ann_label_mrr,
@@ -9281,6 +9326,18 @@ SELECT t.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        round(coalesce(h.n_hits, 0) / t.n_exact, 6) AS recall
 FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
 ORDER BY t.query_id
+"""
+    # streaming quality gate ≡ batch: the gopher census per (source,
+    # drop_reason), recomputed from the source table
+    sql["stream_quality_gate"] = f"""
+WITH flagged AS ({sql["text_gopher_rules"]}),
+j AS (
+  SELECT d.source, f.drop_reason, f.keep
+  FROM flagged f JOIN documents d USING (doc_id)
+)
+SELECT source, drop_reason, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM j GROUP BY 1, 2 ORDER BY source, drop_reason
 """
     # cross-modal plumbing: md5-derived stub embeddings (byte_i/128 - 1)
     # through the ordinary cosine top-k — the encoder is a deterministic
