@@ -3743,6 +3743,36 @@ def _q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neighbor_id")
 
 
+def _q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full persisted-index lifecycle: build on 60% of the corpus, append
+    the rest in two fragmenting batches, COMPACT every cell dir, then
+    serve queries 0-9 — the result must still match the in-memory
+    ivf_topk oracle bit-for-bit (compaction must not lose, duplicate, or
+    reorder index content), with the seeds untouched."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        append_to_ivf_index, build_ivf_index, compact_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    cut1, cut2 = int(n * 0.6), int(n * 0.8)
+    path = tempfile.mkdtemp(prefix="kchs_ivf_compact_") + "/idx"
+    build_ivf_index(emb.filter(F.col("vec_id") < cut1), path, n_seeds=8)
+    append_to_ivf_index(
+        spark,
+        emb.filter((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2)),
+        path,
+    )
+    append_to_ivf_index(spark, emb.filter(F.col("vec_id") >= cut2), path)
+    compact_ivf_index(spark, path)
+    return query_ivf_index(
+        spark, path, list(range(10)), k=5, n_probe=1
+    ).orderBy("query_id", "rank")
+
+
 def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quality filtering ≡ batch: the documents table replayed
     as a file stream through the SAME gopher_rules operator (stateless —
@@ -4015,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_orphan_report": _q_ops_orphan_report,
         "media_crossmodal_topk": _q_media_crossmodal_topk,
         "stream_quality_gate": _q_stream_quality_gate,
+        "ann_index_compact": _q_ann_index_compact,
         # --- r03 window-overflow, driver-green in r04
         "ann_cell_stats": _q_ann_cell_stats,
         "ann_label_mrr": _q_ann_label_mrr,
@@ -5587,6 +5618,8 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     sql["ann_topk_arrow"] = sql["ann_topk_bruteforce"]
     # persisted-index serving must reproduce the in-memory IVF result
     sql["ann_index_serve"] = sql["ann_ivf_topk"]
+    # compaction must be content-preserving: same oracle as the serve
+    sql["ann_index_compact"] = sql["ann_ivf_topk"]
     sql["ann_hard_negatives"] = f"""
 WITH pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neg_label,

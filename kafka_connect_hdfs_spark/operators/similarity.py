@@ -2750,3 +2750,21 @@ def binary_hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
+
+
+def compact_ivf_index(spark, path: str) -> "dict[str, tuple[int, int]]":
+    """Maintenance pass for a :func:`build_ivf_index` layout that has
+    taken :func:`append_to_ivf_index` batches: every ``cell=N`` directory
+    is a leaf partition, so the generic small-file compactor applies
+    verbatim — each cell rewrites independently (no cross-cell shuffle),
+    the atomic dir-swap keeps the index serveable throughout, and
+    `_seeds` is untouched (the coarse quantizer must never drift during
+    maintenance; re-seeding is a REBUILD, not a compaction). Returns the
+    per-cell (files_before, files_after) map.
+
+    This closes the index lifecycle: build → serve → append → compact,
+    mirroring the landing pipeline's ingest → compaction split.
+    """
+    from kafka_connect_hdfs_spark.compaction import compact_partitions
+
+    return compact_partitions(spark, path + "/cells")

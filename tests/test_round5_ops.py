@@ -519,6 +519,42 @@ def test_media_stub_embeddings_shape_and_determinism(spark):
     assert by_id[0][0] == pytest.approx(expect0, abs=1e-12)
 
 
+def test_ivf_compact_reduces_files_preserves_content(spark, tmp_path):
+    """After fragmenting appends, compaction must shrink per-cell file
+    counts, leave _seeds byte-identical, and serve the same results."""
+    import glob
+    import random
+
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        append_to_ivf_index, build_ivf_index, compact_ivf_index,
+        query_ivf_index,
+    )
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter("vec_id < 60"), path, n_seeds=4)
+    for lo, hi in ((60, 90), (90, 120)):
+        append_to_ivf_index(
+            spark, emb.filter(f"vec_id >= {lo} and vec_id < {hi}"), path
+        )
+    seeds_before = sorted(glob.glob(f"{path}/_seeds/*.parquet"))
+    before = query_ivf_index(spark, path, [0, 1, 2], k=3, n_probe=2)
+    rows_before = sorted(map(tuple, before.collect()))
+    files_before = len(glob.glob(f"{path}/cells/cell=*/*.parquet"))
+
+    report = compact_ivf_index(spark, path)
+    assert report, "nothing was compacted despite fragmenting appends"
+    files_after = len(glob.glob(f"{path}/cells/cell=*/*.parquet"))
+    assert files_after < files_before
+    assert sorted(glob.glob(f"{path}/_seeds/*.parquet")) == seeds_before
+    after = query_ivf_index(spark, path, [0, 1, 2], k=3, n_probe=2)
+    assert sorted(map(tuple, after.collect())) == rows_before
+
+
 # ---------------------------------------------------------------------------
 # cross-engine determinism kernels vs DuckDB (property-style)
 
