@@ -2143,18 +2143,23 @@ def heaps_law(
     toks = F.when(
         F.length(t) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(t, r"\s+"))
-    exploded = df.select(
+    # tokens per doc straight from the array size — NO explode and no
+    # (group, doc) shuffle for this side; only the type-first-appearance
+    # side pays the corpus explode (measured 10.6 s -> ~6 s at sf0.1:
+    # the exploded frame was consumed twice and recomputed per consumer)
+    per_doc = df.select(
         F.col(group_col).alias("grp"),
         F.col(id_col).alias("doc"),
-        F.explode(toks).alias("tok"),
-    )
-    # tokens per doc (doc-bounded after the partial-combined count)
-    per_doc = exploded.groupBy("grp", "doc").agg(
-        F.count("*").alias("n_tok")
-    )
+        F.size(toks).cast("bigint").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
     # types INTRODUCED at each doc = tokens whose first doc this is
     first_seen = (
-        exploded.groupBy("grp", "tok")
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("doc"),
+            F.explode(toks).alias("tok"),
+        )
+        .groupBy("grp", "tok")
         .agg(F.min("doc").alias("doc"))
         .groupBy("grp", "doc")
         .agg(F.count("*").alias("new_types"))
