@@ -3743,6 +3743,33 @@ def _q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neighbor_id")
 
 
+def _q_corpus_rehydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-then-materialize proof: with_sequence_packing at budget 64,
+    then token-level reconstruction of every training sequence including
+    cross-sequence document tails — per (shard, seq) the member count,
+    filled token count, and an md5 fingerprint of the exact ordered token
+    stream. The oracle replays the whole thing in SQL, so a lost,
+    duplicated, or misaligned token anywhere breaks the hash."""
+    from kafka_connect_hdfs_spark.operators.packing import (
+        rehydrate_sequences, with_sequence_packing,
+    )
+
+    docs = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    with_tokens = docs.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .alias("n_tokens"),
+    )
+    assignment = with_sequence_packing(
+        with_tokens, budget=64, shards=8
+    )
+    return rehydrate_sequences(docs, assignment, budget=64).orderBy(
+        "shard", "seq"
+    )
+
+
 def _q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full persisted-index lifecycle: build on 60% of the corpus, append
     the rest in two fragmenting batches, COMPACT every cell dir, then
@@ -4046,6 +4073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_crossmodal_topk": _q_media_crossmodal_topk,
         "stream_quality_gate": _q_stream_quality_gate,
         "ann_index_compact": _q_ann_index_compact,
+        "corpus_rehydrate": _q_corpus_rehydrate,
         # --- r03 window-overflow, driver-green in r04
         "ann_cell_stats": _q_ann_cell_stats,
         "ann_label_mrr": _q_ann_label_mrr,
@@ -9359,6 +9387,50 @@ SELECT t.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        round(coalesce(h.n_hits, 0) / t.n_exact, 6) AS recall
 FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
 ORDER BY t.query_id
+"""
+    # pack-then-materialize replay: same shard/running-sum CTE as
+    # corpus_pack_sequences (budget 64), continuation spans via
+    # generate_series, token slices re-concatenated in (offset, id) order
+    sql["corpus_rehydrate"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 8 AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tk, n_tokens, shard,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT - n_tokens
+           AS start_tok
+  FROM t
+),
+spans AS (
+  SELECT doc_id, tk, shard, start_tok, n_tokens,
+         unnest(generate_series(start_tok // 64,
+                                (start_tok + n_tokens - 1) // 64)) AS s
+  FROM c WHERE n_tokens > 0
+),
+pieces AS (
+  SELECT shard, s AS seq,
+         greatest(s * 64, start_tok) - s * 64 AS off,
+         doc_id,
+         least((s + 1) * 64, start_tok + n_tokens)
+           - greatest(s * 64, start_tok) AS flen,
+         array_to_string(
+           tk[(greatest(s * 64, start_tok) - start_tok + 1):
+              (least((s + 1) * 64, start_tok + n_tokens) - start_tok)],
+           ' ') AS piece
+  FROM spans
+)
+SELECT shard, seq, count(*)::BIGINT AS n_docs,
+       sum(flen)::BIGINT AS n_tokens_filled,
+       md5(string_agg(piece, ' ' ORDER BY off, doc_id)) AS text_fp
+FROM pieces GROUP BY shard, seq ORDER BY shard, seq
 """
     # streaming quality gate ≡ batch: the gopher census per (source,
     # drop_reason), recomputed from the source table

@@ -762,3 +762,83 @@ def length_buckets(
             ).alias("pad_waste_ratio"),
         )
     )
+
+
+def rehydrate_sequences(
+    docs: DataFrame,
+    assignment: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Serving-side materializer for :func:`with_sequence_packing`: joins
+    text back by id and reconstructs every packed training sequence at
+    TOKEN level, including documents whose tail overflows into later
+    sequences (the assignment has one row per doc — the continuation
+    spans are derived here). Returns one row per ``(shard, seq)`` with
+    ``(n_docs, n_tokens_filled, text_fp)`` where ``text_fp`` fingerprints
+    the exact ordered token stream — the end-to-end proof that
+    pack-then-materialize loses or duplicates nothing.
+
+    ``assignment``'s ``token_col`` MUST equal the whitespace token count
+    of ``trim(text)`` (the packing convention) or spans will misalign;
+    zero-token documents occupy no tokens and are excluded from
+    reconstruction.
+
+    Scale: the ONLY stage that touches text is the final per-sequence
+    concat, and each doc's text is sliced map-side into just the pieces
+    that land in each sequence — the shuffle carries (shard, seq)-keyed
+    pieces once, pre-subdivided by the existing shard partitioning. The
+    span fan-out per doc is ceil(n_tokens/budget)+1 rows, bounded.
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+    joined = docs.select(F.col(id_col), toks.alias("_tk")).join(
+        assignment.filter(F.col(token_col) > 0), id_col
+    )
+    start = F.col("seq") * budget + F.col("offset_in_seq")
+    last_seq = F.floor(
+        (start + F.col(token_col) - 1) / F.lit(budget)
+    )
+    spans = joined.select(
+        F.col(id_col),
+        "_tk",
+        "shard",
+        F.col(token_col).alias("_n"),
+        start.alias("_start"),
+        F.explode(F.sequence(F.col("seq"), last_seq)).alias("s"),
+    )
+    gstart = F.greatest(F.col("s") * budget, F.col("_start"))
+    gend = F.least(
+        (F.col("s") + 1) * budget, F.col("_start") + F.col("_n")
+    )
+    pieces = spans.select(
+        "shard",
+        F.col("s").alias("seq"),
+        (gstart - F.col("s") * budget).alias("_off"),
+        F.col(id_col).alias("_id"),
+        (gend - gstart).alias("_flen"),
+        F.array_join(
+            F.slice(
+                F.col("_tk"),
+                (gstart - F.col("_start") + 1).cast("int"),
+                (gend - gstart).cast("int"),
+            ),
+            " ",
+        ).alias("_piece"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("_off", "_id", "_piece"))
+    )
+    return pieces.groupBy("shard", "seq").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_flen").alias("n_tokens_filled"),
+        F.md5(
+            F.array_join(
+                F.transform(ordered, lambda x: x["_piece"]), " "
+            )
+        ).alias("text_fp"),
+    )

@@ -519,6 +519,41 @@ def test_media_stub_embeddings_shape_and_determinism(spark):
     assert by_id[0][0] == pytest.approx(expect0, abs=1e-12)
 
 
+def test_rehydrate_fills_every_nonfinal_sequence_exactly(spark):
+    """Token-level invariants: every non-final sequence of a shard holds
+    exactly `budget` tokens (tails included), the total equals the corpus
+    token count, and a doc spanning sequences is split, not duplicated."""
+    from kafka_connect_hdfs_spark.operators.packing import (
+        rehydrate_sequences, with_sequence_packing,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(5 + (i * 7) % 11)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    with_tokens = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    assignment = with_sequence_packing(with_tokens, budget=16, shards=4)
+    out = rehydrate_sequences(docs, assignment, budget=16).collect()
+    per_shard_max = {}
+    for r in out:
+        per_shard_max[r["shard"]] = max(
+            per_shard_max.get(r["shard"], -1), r["seq"]
+        )
+    for r in out:
+        if r["seq"] < per_shard_max[r["shard"]]:
+            assert r["n_tokens_filled"] == 16, r
+    total = sum(r["n_tokens_filled"] for r in out)
+    expect = sum(r["n_tokens"] for r in with_tokens.collect())
+    assert total == expect
+    # fingerprints are all distinct (no sequence duplicated)
+    fps = [r["text_fp"] for r in out]
+    assert len(set(fps)) == len(fps)
+
+
 def test_ivf_compact_reduces_files_preserves_content(spark, tmp_path):
     """After fragmenting appends, compaction must shrink per-cell file
     counts, leave _seeds byte-identical, and serve the same results."""
