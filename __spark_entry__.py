@@ -2354,11 +2354,22 @@ def _q_graph_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_graph_covisit_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User co-visitation graph from events (same event_type, same hour
     bucket) + PageRank over the top of it; returns the 25 most central
-    users — the recommendation/fraud-ring centrality signal."""
+    users — the recommendation/fraud-ring centrality signal. Weight-1
+    edges (one shared hour = coincidence) are dropped before the
+    iteration: the raw projection is near-dense and the power iterations
+    over it dominate wall time (the graph-hygiene floor every covisit
+    consumer applies; cf. graph_triangle_count)."""
     from kafka_connect_hdfs_spark.operators.graph import covisit_edges, pagerank
 
     ev = _events(spark, sf_dir)
-    edges = covisit_edges(ev, max_users_per_bucket=200)
+    # materialize the (thresholded, ~24 B/row) edge list ONCE: the PR
+    # loop consumes it 3x and the pair-join upstream is the expensive
+    # part — measured 7.1-14.4 s lazy vs 4.1-5.6 s checkpointed at sf0.1
+    # (the opposite call to pagerank's internal norm table, whose
+    # recompute is cheap — measure per site, don't assume)
+    edges = covisit_edges(
+        ev, max_users_per_bucket=200, min_covisits=2
+    ).localCheckpoint(eager=True)
     pr = pagerank(
         edges, src="user_a", dst="user_b", weight="n_covisits", iterations=2
     )
@@ -3989,10 +4000,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the back. The queue ALREADY starts at slot 51: w6_offset_recovery
     # (stalest r01 green), ann_topk_arrow (its rounding kernel changed
     # to HALF_UP this round — re-verified locally, re-check first), then
-    # the 9 NEW r05 gates (o2_parquet_roundtrip, text_heaps_law,
+    # the NEW r05 gates (o2_parquet_roundtrip, text_heaps_law,
     # corpus_length_buckets, ann_range_search, embedding_isotropy,
     # ann_binary_topk, ann_binary_recall, corpus_source_overlap,
-    # ops_orphan_report — each locally oracle-verified at sf0.01).
+    # ops_orphan_report, media_crossmodal_topk, stream_quality_gate,
+    # ann_index_compact, corpus_rehydrate — each locally oracle-verified
+    # at sf0.01), and graph_covisit_pagerank whose semantics changed in
+    # r05 (min_covisits=2 edge floor; r03 green row predates it).
     # ROUND-6 ROTATION TODO: slots 1-11 = the queue above; slots 12-50 =
     # oldest driver-green entries by last-checked round (r01 first:
     # q6_forecast_revenue, q_semi_anti_customers, q_set_ops_users,
@@ -7027,6 +7041,7 @@ edges AS (
   SELECT a.u AS s, b.u AS d, count(*)::DOUBLE AS w
   FROM cf a JOIN cf b ON a.it = b.it AND a.bkt = b.bkt AND a.u < b.u
   GROUP BY 1, 2
+  HAVING count(*) >= 2
 ),
 sym AS (SELECT s, d, w FROM edges UNION ALL SELECT d AS s, s AS d, w FROM edges),
 """ + _pagerank_cte(2) + "\nORDER BY rank DESC, node LIMIT 25"

@@ -204,6 +204,7 @@ def covisit_edges(
     ts_col: str = "ts",
     bucket: str = "1 hour",
     max_users_per_bucket: int = 200,
+    min_covisits: int = 1,
 ) -> DataFrame:
     """Bipartite projection: edges between users co-active in the same
     (item, time-bucket) → (user_a, user_b, n_covisits). The co-visitation
@@ -213,6 +214,11 @@ def covisit_edges(
     ``max_users_per_bucket`` distinct users are dropped (a cell that hot is
     a global event, not a co-visitation signal — and its pair count grows
     quadratically). The events table shuffles once on the cell key.
+    ``min_covisits`` is the edge-weight analogue of the cell cap: a
+    single shared (item, hour) is coincidence, not affinity, and weight-1
+    edges make the projection near-dense — downstream iterative consumers
+    (PageRank, triangles) should threshold (the measured triangle-count
+    lesson: 25.5 s → 5 s at sf0.1 with a weight floor).
     """
     cell = events.select(
         F.col(user_col).alias("u"),
@@ -225,12 +231,15 @@ def covisit_edges(
     )
     a = cell_f.select(F.col("u").alias("user_a"), "it", "bkt")
     b = cell_f.select(F.col("u").alias("user_b"), "it", "bkt")
-    return (
+    edges = (
         a.join(b, ["it", "bkt"])
         .filter(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b")
         .agg(F.count("*").alias("n_covisits"))
     )
+    if min_covisits > 1:
+        edges = edges.filter(F.col("n_covisits") >= min_covisits)
+    return edges
 
 
 def connected_components_star(
