@@ -3754,6 +3754,24 @@ def _q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neighbor_id")
 
 
+def _q_graph_source_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the source shingle-share graph from
+    seeds {src0, src1}: rank = proximity to the seed sources — the
+    'find sources like these' expansion primitive next to the global
+    centrality of graph_source_pagerank. Same edge universe as that
+    gate; seed-teleport power iteration, 3 rounds."""
+    from kafka_connect_hdfs_spark.operators.graph import (
+        personalized_pagerank, shingle_share_edges,
+    )
+
+    edges = shingle_share_edges(
+        _docs(spark, sf_dir), n=3, max_groups_per_shingle=5
+    )
+    return personalized_pagerank(
+        edges, seeds=["src0", "src1"], iterations=3
+    ).orderBy("node")
+
+
 def _q_corpus_rehydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack-then-materialize proof: with_sequence_packing at budget 64,
     then token-level reconstruction of every training sequence including
@@ -4088,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quality_gate": _q_stream_quality_gate,
         "ann_index_compact": _q_ann_index_compact,
         "corpus_rehydrate": _q_corpus_rehydrate,
+        "graph_source_ppr": _q_graph_source_ppr,
         # --- r03 window-overflow, driver-green in r04
         "ann_cell_stats": _q_ann_cell_stats,
         "ann_label_mrr": _q_ann_label_mrr,
@@ -7001,6 +7020,37 @@ ORDER BY t.doc_id
             )
         return ",\n".join(parts) + f"\nSELECT node, round(rank, 6) AS rank FROM r{n_iter}"
 
+    def _ppr_cte(n_iter: int, seeds: "list[str]", damping: float = 0.85) -> str:
+        # seed-teleport variant: replays graph.personalized_pagerank —
+        # rank_0 = [v∈S]/|S∩nodes|, teleport mass only to seeds; the
+        # (1.0 - d) stays an EXPRESSION so both engines fold the same
+        # IEEE double
+        in_list = ", ".join(f"'{s}'" for s in seeds)
+        parts = [
+            "ow AS (SELECT s, sum(w) AS ow FROM sym GROUP BY s)",
+            "nrm AS (SELECT sym.s, sym.d, sym.w/ow.ow AS share"
+            " FROM sym JOIN ow ON sym.s = ow.s)",
+            "nodes AS (SELECT DISTINCT s AS node FROM sym)",
+            f"seedf AS (SELECT node, CASE WHEN node IN ({in_list})"
+            " THEN 1.0 ELSE 0.0 END AS isd FROM nodes)",
+            "ns AS (SELECT sum(isd) AS ns FROM seedf)",
+            "r0 AS (SELECT node, isd, isd / ns.ns AS rank FROM seedf, ns)",
+        ]
+        for i in range(1, n_iter + 1):
+            parts.append(
+                f"c{i} AS (SELECT d, sum(share*rank) AS c FROM nrm"
+                f" JOIN r{i-1} ON nrm.s = r{i-1}.node GROUP BY d)"
+            )
+            parts.append(
+                f"r{i} AS (SELECT node, isd, (1.0 - {damping}) * isd / ns.ns"
+                f" + {damping}*COALESCE(c, 0.0) AS rank"
+                f" FROM seedf LEFT JOIN c{i} ON node = c{i}.d, ns)"
+            )
+        return (
+            ",\n".join(parts)
+            + f"\nSELECT node, round(rank, 6) AS rank FROM r{n_iter}"
+        )
+
     sql["graph_source_pagerank"] = r"""
 WITH toksrc AS (
   SELECT source,
@@ -7025,6 +7075,33 @@ edges AS (
 ),
 sym AS (SELECT s, d, w FROM edges UNION ALL SELECT d AS s, s AS d, w FROM edges),
 """ + _pagerank_cte(3) + "\nORDER BY node"
+
+    # same edge universe as graph_source_pagerank; seed-teleport rounds
+    sql["graph_source_ppr"] = r"""
+WITH toksrc AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source, unnest(
+      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE list_distinct(list_transform(generate_series(1, len(toks)-2),
+                i -> array_to_string(toks[i:i+2], ' '))) END) AS shingle
+    FROM toksrc)
+),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+shf AS (SELECT sh.source, sh.shingle FROM sh JOIN keep USING (shingle)),
+edges AS (
+  SELECT a.source AS s, b.source AS d, count(*)::DOUBLE AS w
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+),
+sym AS (SELECT s, d, w FROM edges UNION ALL SELECT d AS s, s AS d, w FROM edges),
+""" + _ppr_cte(3, ["src0", "src1"]) + "\nORDER BY node"
+
 
     sql["graph_covisit_pagerank"] = """
 WITH cell AS (

@@ -657,3 +657,81 @@ def modularity_report(
             ).alias("q_contrib"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: "list",
+    src: str = "src_a",
+    dst: str = "src_b",
+    weight: str = "n_shared",
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """Personalized (seed-teleport) PageRank → ``(node, rank)``: the
+    random walk restarts at the SEED set instead of everywhere, so rank
+    measures proximity to the seeds — the "more like these" expansion
+    primitive (related-item discovery, fraud-ring neighborhoods, topic
+    expansion from labeled exemplars). rank_0(v) = [v∈S]/|S|;
+    rank_{t+1}(v) = (1−d)·[v∈S]/|S| + d·Σ_{u→v} share(u→v)·rank_t(u).
+    Undirected input symmetrized like :func:`pagerank`; seeds not present
+    in the graph are ignored (they have no edges to walk).
+
+    Scale: identical shape to :func:`pagerank` — the normalized edge list
+    computes once, each iteration is one |edges| join + |nodes|-bounded
+    partial-summed groupBy; the seed indicator is a broadcast-joined flag
+    column, never a shuffle key.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        F.col(weight).cast("double").alias("_w"),
+    )
+    e = e.unionByName(
+        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"), "_w")
+    )
+    out_w = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    norm = e.join(out_w, "_s").select(
+        "_s", "_d", (F.col("_w") / F.col("_ow")).alias("_share")
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    spark = edges.sparkSession
+    seed_df = F.broadcast(
+        spark.createDataFrame(
+            [(s,) for s in seeds], f"node {nodes.schema['node'].dataType.simpleString()}"
+        )
+    )
+    flagged = nodes.join(
+        seed_df.select("node", F.lit(1.0).alias("_is_seed")), "node", "left"
+    ).select("node", F.coalesce("_is_seed", F.lit(0.0)).alias("_is_seed"))
+    ns = F.broadcast(
+        flagged.agg(F.sum("_is_seed").alias("_ns"))
+    )
+    ranks = flagged.crossJoin(ns).select(
+        "node",
+        "_is_seed",
+        (F.col("_is_seed") / F.col("_ns")).alias("rank"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            norm.join(ranks, norm["_s"] == ranks["node"])
+            .groupBy("_d")
+            .agg(F.sum(F.col("_share") * F.col("rank")).alias("_c"))
+        )
+        ranks = (
+            flagged.join(contrib, flagged["node"] == contrib["_d"], "left")
+            .crossJoin(ns)
+            .select(
+                "node",
+                "_is_seed",
+                (
+                    (1.0 - damping) * F.col("_is_seed") / F.col("_ns")
+                    + damping * F.coalesce(F.col("_c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -519,6 +519,48 @@ def test_media_stub_embeddings_shape_and_determinism(spark):
     assert by_id[0][0] == pytest.approx(expect0, abs=1e-12)
 
 
+def test_personalized_pagerank_concentrates_on_seed_side(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.graph import (
+        pagerank, personalized_pagerank,
+    )
+
+    # barbell: clique {1,2,3} — bridge — clique {7,8,9}; seed side wins
+    pairs = [
+        (1, 2), (2, 3), (1, 3),
+        (7, 8), (8, 9), (7, 9),
+        (3, 7),
+    ]
+    edges = spark.createDataFrame(pairs, "src_a long, src_b long")
+    edges = edges.withColumn("n_shared", F.lit(1))
+    ppr = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            edges, seeds=[1, 2], iterations=4
+        ).collect()
+    }
+    assert min(ppr[1], ppr[2], ppr[3]) > max(ppr[8], ppr[9])
+    assert abs(math.fsum(ppr.values()) - 1.0) < 1e-3
+    # unknown seed is ignored; known seed still drives the walk
+    ppr2 = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            edges, seeds=[1, 999], iterations=4
+        ).collect()
+    }
+    assert 999 not in ppr2 and ppr2[1] == max(ppr2.values())
+    # the GLOBAL pagerank on the symmetric barbell is ~uniform by side —
+    # personalization is what breaks the tie
+    pr = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=4).collect()
+    }
+    assert abs(pr[1] - pr[9]) < 1e-6
+
+
 def test_rehydrate_fills_every_nonfinal_sequence_exactly(spark):
     """Token-level invariants: every non-final sequence of a shard holds
     exactly `budget` tokens (tails included), the total equals the corpus
