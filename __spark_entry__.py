@@ -3764,9 +3764,12 @@ def _q_graph_source_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         personalized_pagerank, shingle_share_edges,
     )
 
+    # the |sources|²-bounded edge list is tiny but its shingle-join
+    # upstream is not — materialize once, the iteration consumes it 4x
+    # (the covisit-pagerank lesson applied at build time)
     edges = shingle_share_edges(
         _docs(spark, sf_dir), n=3, max_groups_per_shingle=5
-    )
+    ).localCheckpoint(eager=True)
     return personalized_pagerank(
         edges, seeds=["src0", "src1"], iterations=3
     ).orderBy("node")
