@@ -3754,6 +3754,38 @@ def _q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neighbor_id")
 
 
+def _q_media_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal e2e composition: adapt docs to media → exact byte dedup
+    (keep min-id per digest) → stub-encoder embeddings over the kept set
+    → per-modality isotropy/collapse stats. One row per media_type with
+    raw/kept counts and the embedding-space diagnostics — the nightly
+    media-corpus triage mart, every stage individually gated."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        documents_as_media, media_exact_dedup, media_stub_embeddings,
+    )
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        isotropy_by_label,
+    )
+
+    m = documents_as_media(_docs(spark, sf_dir))
+    keep = media_exact_dedup(m).select(F.col("keep_id").alias("media_id"))
+    kept = m.join(keep, "media_id", "semi")
+    iso = isotropy_by_label(
+        media_stub_embeddings(kept), label_col="media_type"
+    )
+    raw = m.groupBy("media_type").agg(F.count("*").alias("n_raw"))
+    kc = kept.groupBy("media_type").agg(F.count("*").alias("n_kept"))
+    return (
+        raw.join(kc, "media_type")
+        .join(iso.withColumnRenamed("label", "media_type"), "media_type")
+        .select(
+            "media_type", "n_raw", "n_kept", "n_vecs",
+            "avg_pairwise_cos", "mean_vector_norm",
+        )
+        .orderBy("media_type")
+    )
+
+
 def _q_graph_source_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank over the source shingle-share graph from
     seeds {src0, src1}: rank = proximity to the seed sources — the
@@ -4110,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_compact": _q_ann_index_compact,
         "corpus_rehydrate": _q_corpus_rehydrate,
         "graph_source_ppr": _q_graph_source_ppr,
+        "media_e2e_pipeline": _q_media_e2e_pipeline,
         # --- r03 window-overflow, driver-green in r04
         "ann_cell_stats": _q_ann_cell_stats,
         "ann_label_mrr": _q_ann_label_mrr,
@@ -9482,6 +9515,59 @@ SELECT t.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        round(coalesce(h.n_hits, 0) / t.n_exact, 6) AS recall
 FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
 ORDER BY t.query_id
+"""
+    # multimodal e2e: exact byte dedup (min-id per md5) + stub-encoder
+    # embeddings + per-modality isotropy (the embedding_isotropy kernel
+    # with dim 8 and md5-derived vectors)
+    sql["media_e2e_pipeline"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio' ELSE 'video' END AS mt,
+         text, md5(text) AS digest
+  FROM documents
+),
+keep AS (SELECT min(media_id) AS media_id FROM m GROUP BY digest),
+kept AS (SELECT m.* FROM m JOIN keep USING (media_id)),
+raw AS (SELECT mt, count(*) AS n_raw FROM m GROUP BY 1),
+kc AS (SELECT mt, count(*) AS n_kept FROM kept GROUP BY 1),
+emb AS (
+  SELECT mt,
+         [(('0x' || substr(md5(text), 2 * i + 1, 2))::BIGINT::DOUBLE
+           / 128.0 - 1.0) FOR i IN range(8)] AS e
+  FROM kept
+),
+u AS (
+  SELECT mt,
+         list_transform(e, x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT))
+           AS s
+  FROM (SELECT mt, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)
+  WHERE nrm > 0
+),
+idx AS (SELECT unnest(generate_series(1, 8)) AS i),
+dimsums AS (
+  SELECT mt, idx.i, sum(s[idx.i]) AS sd, count(*) AS n_dim
+  FROM u CROSS JOIN idx GROUP BY 1, 2
+),
+lab AS (
+  SELECT mt, max(n_dim) AS n_vecs, sum(sd * sd) AS s2
+  FROM dimsums GROUP BY mt
+),
+conv AS (
+  SELECT mt, n_vecs,
+         CAST(s2 // 1125899906842624 AS DOUBLE) * 1125899906842624.0
+         + CAST(s2 % 1125899906842624 AS DOUBLE) AS s2d,
+         n_vecs::DOUBLE AS n
+  FROM lab
+)
+SELECT raw.mt AS media_type, raw.n_raw::BIGINT AS n_raw,
+       kc.n_kept::BIGINT AS n_kept, conv.n_vecs::BIGINT AS n_vecs,
+       CASE WHEN conv.n_vecs > 1
+            THEN round((s2d / 1000000000000.0 - n) / (n * (n - 1.0)), 6)
+       END AS avg_pairwise_cos,
+       round(sqrt(s2d) / (n * 1000000.0), 6) AS mean_vector_norm
+FROM raw JOIN kc USING (mt) JOIN conv USING (mt)
+ORDER BY media_type
 """
     # pack-then-materialize replay: same shard/running-sum CTE as
     # corpus_pack_sequences (budget 64), continuation spans via
