@@ -499,6 +499,46 @@ def _q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index delete lifecycle: build the persisted IVF index, tombstone
+    every vec_id ≡ 11 (mod 17) (merge-on-read delete log — no cell file
+    touched), serve queries 0-9 (deleted ids must be invisible), then
+    vacuum (physical rewrite of ONLY the affected cells + log clear) and
+    serve again. Both phases must return the identical survivor top-k —
+    the oracle emits the same exclusion-filtered ranking twice."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        build_ivf_index, delete_from_ivf_index, query_ivf_index,
+        vacuum_ivf_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kchs_ivf_del_") + "/idx"
+    build_ivf_index(emb, path, n_seeds=8)
+    victims = [
+        int(r["vec_id"])
+        for r in emb.filter(F.col("vec_id") % 17 == 11)
+        .select("vec_id")
+        .collect()
+    ]
+    delete_from_ivf_index(spark, path, victims)
+    before = query_ivf_index(
+        spark, path, list(range(10)), k=5, n_probe=1
+    ).withColumn("phase", F.lit("tombstoned"))
+    before = before.localCheckpoint()  # materialize BEFORE vacuum swaps dirs
+    stats = vacuum_ivf_index(spark, path)
+    assert stats and all(b > a for b, a in stats.values())
+    after = query_ivf_index(
+        spark, path, list(range(10)), k=5, n_probe=1
+    ).withColumn("phase", F.lit("vacuumed"))
+    return (
+        before.unionByName(after)
+        .select("phase", "query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("phase", "query_id", "rank")
+    )
+
+
 _BM25_TERMS = ["spark", "table", "merge", "window"]
 
 
@@ -4014,6 +4054,276 @@ def _q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotropy_by_label(_emb(spark, sf_dir)).orderBy("label")
 
 
+def _q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the customer→supplier purchase graph
+    (edges = lineitems per (customer, supplier) pair via orders⋈lineitem).
+    Exact-integer un-normalized rounds (graph.hits_scores), scores
+    surfaced as doubles through the 2^50 hi/lo split so values past 2^53
+    still compare bit-identically across engines."""
+    from kafka_connect_hdfs_spark.operators.graph import hits_scores
+    from kafka_connect_hdfs_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    scores = hits_scores(edges, iterations=2)
+    P = 1 << 50  # exact decimal -> double: hi*2^50 + lo, both < 2^53
+
+    def _split(c: str) -> F.Column:
+        hi = F.floor(F.col(c) / F.lit(P)).cast("decimal(38,0)")
+        lo = (F.col(c) - hi * F.lit(P)).cast("double")
+        return hi.cast("double") * F.lit(float(P)) + lo
+
+    return scores.select(
+        "node",
+        _split("hub_score").alias("hub_score"),
+        _split("authority_score").alias("authority_score"),
+    ).orderBy("node")
+
+
+def _q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup: build a fixed-size filter over the
+    even-doc_id half's content fingerprints (the 'already ingested'
+    snapshot), probe EVERY doc, and cross-tab the probe verdict against
+    exact membership. The Bloom guarantee pins the 'missed' cell to
+    zero rows; the false_positive row prices the m/k choice. The filter
+    is md5-derived so the oracle rebuilds it bit-identically. m is
+    deliberately UNDERSIZED (2048 bits) so the false-positive path
+    materializes at gate scale; production sizes ~10 bits/key (see
+    bloom_build docstring)."""
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        bloom_build, bloom_probe,
+    )
+
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fingerprint"),
+    )
+    snap = fp.filter(F.col("doc_id") % 2 == 0)
+    flt = bloom_build(snap, "fingerprint", m_bits=2048, k=4)
+    probe = bloom_probe(fp, flt, "fingerprint", "doc_id", m_bits=2048, k=4)
+    truth = snap.select("fingerprint").distinct().withColumn(
+        "is_member", F.lit(True)
+    )
+    j = probe.join(F.broadcast(truth), "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.when(F.col("doc_id") % 2 == 0, "snapshot")
+        .otherwise("incoming")
+        .alias("cohort"),
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        "maybe_member",
+    )
+    status = (
+        F.when(F.col("is_member") & F.col("maybe_member"), "hit")
+        .when(~F.col("is_member") & F.col("maybe_member"), "false_positive")
+        .when(~F.col("is_member") & ~F.col("maybe_member"), "new")
+        .otherwise("missed")  # bloom guarantee: this row must not exist
+    )
+    return (
+        j.groupBy("cohort", status.alias("status"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_fingerprints"),
+        )
+        .orderBy("cohort", "status")
+    )
+
+
+def _q_ops_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention end-to-end: v1 = en (overwrite), v2 = +de
+    (append — its manifest references v1's data dir), v3 = fr
+    (overwrite). expire(keep_last=2) drops v1's manifest but must KEEP
+    data/v1 on disk because surviving v2 references it, and v1 must stop
+    being readable. Output = expiry result + per-dir reference audit +
+    the read-back census of both surviving versions."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, expire_snapshots, orphan_report, read_snapshot,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kchs_expire_") + "/t"
+    v1 = commit_snapshot(spark, docs.filter(F.col("lang") == "en"), path)
+    v2 = commit_snapshot(
+        spark, docs.filter(F.col("lang") == "de"), path, mode="append"
+    )
+    v3 = commit_snapshot(
+        spark, docs.filter(F.col("lang") == "fr"), path, mode="overwrite"
+    )
+    expired = expire_snapshots(spark, path, keep_last=2)
+    assert (v1, v2, v3, expired) == (1, 2, 3, [1])
+    try:
+        read_snapshot(spark, path, v1)
+        v1_fails = 0
+    except FileNotFoundError:
+        v1_fails = 1
+    rows = [("expired", "v1", 1), ("read_fail_v1", "expired_version", v1_fails)]
+    refs = spark.createDataFrame(rows, "kind string, name string, n bigint")
+    audit = orphan_report(spark, path).select(
+        F.lit("dir_refs").alias("kind"),
+        F.concat("data_dir", F.lit(":"), "status").alias("name"),
+        F.col("n_refs").cast("bigint").alias("n"),
+    )
+
+    def _census(v: int) -> DataFrame:
+        return (
+            read_snapshot(spark, path, v)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.lit(f"read_v{v}").alias("kind"),
+                F.col("lang").alias("name"),
+                "n",
+            )
+        )
+
+    return (
+        refs.unionByName(audit)
+        .unionByName(_census(v2))
+        .unionByName(_census(v3))
+        .orderBy("kind", "name")
+    )
+
+
+def _stream_collect(spark: SparkSession, stream_df: DataFrame, base: str):
+    """Run a bounded streaming DataFrame to a memory sink (availableNow)
+    and return the collected batch table."""
+    import uuid
+
+    name = "stream_gate_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/chk_{name}")
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+    return spark.table(name)
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming replay-suppression ≡ batch distinct: the events table
+    plus a re-delivered subset (every 7th event duplicated — the
+    at-least-once redelivery a Kafka source produces after a failure)
+    replayed as a file stream through dropDuplicatesWithinWatermark on
+    the event key. The census must equal the clean batch census: one
+    surviving duplicate or one dropped original breaks count and sum.
+    The watermark delay is set past the replay horizon so the bounded
+    replay is exact; production tunes it to the redelivery window."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.streaming.dedup_join import dedup_stream
+
+    ev = _events(spark, sf_dir)
+    dirty = ev.unionByName(ev.filter(F.col("event_id") % 7 == 0))
+    base = tempfile.mkdtemp(prefix="kchs_stream_dd_")
+    src = f"{base}/src"
+    dirty.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    clean = dedup_stream(
+        stream, keys=["event_id"], ts_col="ts", watermark_delay="3650 days"
+    )
+    out = _stream_collect(spark, clean, base)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream equi-join with a symmetric event-time bound:
+    purchases ⋈ clicks by user within ±15 minutes, both sides replayed
+    as file streams with join state keyed on (user, time-range). The
+    per-hour pair census must equal the batch time-bound join — a pair
+    dropped by premature state eviction or emitted twice breaks it."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.streaming.dedup_join import (
+        stream_stream_join,
+    )
+
+    ev = _events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="kchs_stream_j_")
+    lp, rp = f"{base}/purchase", f"{base}/click"
+    ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    ).repartition(2).write.parquet(lp)
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    ).repartition(2).write.parquet(rp)
+    ls = spark.readStream.schema(spark.read.parquet(lp).schema).parquet(lp)
+    rs = spark.readStream.schema(spark.read.parquet(rp).schema).parquet(rp)
+    joined = stream_stream_join(
+        ls,
+        rs,
+        on="user_id",
+        max_lag="15 minutes",
+        watermark_delay="3650 days",
+    )
+    out = _stream_collect(spark, joined, base)
+    return (
+        out.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("click_id").alias("sum_click_id"),
+        )
+        .orderBy("hour")
+    )
+
+
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined per micro-batch
+    against the broadcast customer dimension (user → market segment),
+    then the per-segment census. Stateless — no watermark, the static
+    side re-resolves each batch; the oracle is the plain batch join."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.streaming.dedup_join import enrich_stream
+
+    ev = _events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="kchs_stream_e_")
+    src = f"{base}/src"
+    ev.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    enriched = enrich_stream(stream, dim, on="user_id", how="inner")
+    out = _stream_collect(spark, enriched, base)
+    return (
+        out.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .orderBy("segment")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -4060,11 +4370,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_index_compact, corpus_rehydrate — each locally oracle-verified
     # at sf0.01), and graph_covisit_pagerank whose semantics changed in
     # r05 (min_covisits=2 edge floor; r03 green row predates it).
-    # ROUND-6 ROTATION TODO: slots 1-11 = the queue above; slots 12-50 =
-    # oldest driver-green entries by last-checked round (r01 first:
-    # q6_forecast_revenue, q_semi_anti_customers, q_set_ops_users,
-    # p3/p4/p5, f1/f2, e2_schema_projection, embedding_centroids, q1, q3,
-    # q5, ... in registry-tail order).
+    # ROUND-6 ROTATION TODO: slots 1-24 = the queue above PLUS the seven
+    # r05c gates at the dict tail (graph_hits, dedup_bloom,
+    # ops_expire_snapshots, stream_dedup, stream_join, stream_enrich,
+    # ann_index_delete — never driver-checked, each locally
+    # oracle-verified at sf0.001 AND sf0.01); slots 25-50 = oldest
+    # driver-green entries by last-checked
+    # round (r01 first: q6_forecast_revenue, q_semi_anti_customers,
+    # q_set_ops_users, p3/p4/p5, f1/f2, e2_schema_projection,
+    # embedding_centroids, q1, q3, q5, ... in registry-tail order).
     return {
         # ===== r05 WINDOW slots 1-16: NEW in r04, never driver-checked
         "text_bpe_encode": _q_text_bpe_encode,
@@ -4333,6 +4647,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "corpus_weighted_sample": _q_corpus_weighted_sample,
         "dedup_incremental": _q_dedup_incremental,
+        # ===== NEW in r05c (r06 window queue): HITS, bloom dedup,
+        # snapshot retention, streaming dedup/join/enrich equivalences
+        "graph_hits": _q_graph_hits,
+        "dedup_bloom": _q_dedup_bloom,
+        "ops_expire_snapshots": _q_ops_expire_snapshots,
+        "stream_dedup": _q_stream_dedup,
+        "stream_join": _q_stream_join,
+        "stream_enrich": _q_stream_enrich,
+        "ann_index_delete": _q_ann_index_delete,
     }
 
 
@@ -9689,5 +10012,178 @@ SELECT 'v2', 'live', 1, (SELECT n FROM c WHERE lang = 'de')
 UNION ALL
 SELECT 'v99', 'orphan', 0, (SELECT n FROM c WHERE lang = 'fr')
 ORDER BY data_dir
+"""
+    # HITS replay: exact-integer un-normalized rounds (HUGEINT), scores
+    # surfaced through the 2^50 hi/lo split (HUGEINT->DOUBLE direct cast
+    # is not correctly rounded past 2^53); every per-round CTE is
+    # MATERIALIZED (referenced twice: next half-step + final join)
+    sql["graph_hits"] = """
+WITH e AS MATERIALIZED (
+  SELECT 'c' || o_custkey AS s, 's' || l_suppkey AS d,
+         count(*)::HUGEINT AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+h0 AS MATERIALIZED (SELECT DISTINCT s AS node, 1::HUGEINT AS score FROM e),
+a1 AS MATERIALIZED (
+  SELECT e.d AS node, sum(e.w * h0.score) AS score
+  FROM e JOIN h0 ON e.s = h0.node GROUP BY e.d),
+h1 AS MATERIALIZED (
+  SELECT e.s AS node, sum(e.w * a1.score) AS score
+  FROM e JOIN a1 ON e.d = a1.node GROUP BY e.s),
+a2 AS MATERIALIZED (
+  SELECT e.d AS node, sum(e.w * h1.score) AS score
+  FROM e JOIN h1 ON e.s = h1.node GROUP BY e.d),
+h2 AS MATERIALIZED (
+  SELECT e.s AS node, sum(e.w * a2.score) AS score
+  FROM e JOIN a2 ON e.d = a2.node GROUP BY e.s),
+nodes AS (SELECT node FROM h0 UNION SELECT node FROM a1),
+fin AS (
+  SELECT n.node, COALESCE(h2.score, 0::HUGEINT) AS hs,
+         COALESCE(a2.score, 0::HUGEINT) AS asc_
+  FROM nodes n LEFT JOIN h2 USING (node) LEFT JOIN a2 USING (node))
+SELECT node,
+       (hs // 1125899906842624)::DOUBLE * 1125899906842624.0
+         + (hs % 1125899906842624)::DOUBLE AS hub_score,
+       (asc_ // 1125899906842624)::DOUBLE * 1125899906842624.0
+         + (asc_ % 1125899906842624)::DOUBLE AS authority_score
+FROM fin ORDER BY node
+"""
+    # Bloom filter rebuilt bit-identically: same md5-derived positions,
+    # same 62-bit word packing, bit_or aggregation
+    sql["dedup_bloom"] = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS fingerprint
+  FROM documents
+),
+pos AS (
+  SELECT unnest([(('0x' || substr(md5(fingerprint || ':' || i), 1, 8))
+                  ::BIGINT % 2048) FOR i IN range(4)]) AS p
+  FROM fp WHERE doc_id % 2 = 0
+),
+words AS (
+  SELECT p // 62 AS word, bit_or(1::BIGINT << (p % 62)::INT) AS bits
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT f.doc_id, f.fingerprint,
+         (('0x' || substr(md5(f.fingerprint || ':' || u.i), 1, 8))
+          ::BIGINT % 2048) AS p
+  FROM fp f CROSS JOIN (SELECT unnest(range(4)) AS i) u
+),
+checkbits AS (
+  SELECT doc_id, fingerprint,
+         min(CASE WHEN ((w.bits >> (p % 62)::INT) & 1) = 1
+                  THEN 1 ELSE 0 END) AS allset
+  FROM probe LEFT JOIN words w ON probe.p // 62 = w.word
+  GROUP BY 1, 2
+),
+truth AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+labeled AS (
+  SELECT c.doc_id, c.fingerprint,
+         CASE WHEN c.doc_id % 2 = 0 THEN 'snapshot'
+              ELSE 'incoming' END AS cohort,
+         (t.fingerprint IS NOT NULL) AS is_member,
+         c.allset = 1 AS maybe_member
+  FROM checkbits c LEFT JOIN truth t USING (fingerprint)
+)
+SELECT cohort,
+       CASE WHEN is_member AND maybe_member THEN 'hit'
+            WHEN NOT is_member AND maybe_member THEN 'false_positive'
+            WHEN NOT is_member AND NOT maybe_member THEN 'new'
+            ELSE 'missed' END AS status,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT fingerprint)::BIGINT AS n_fingerprints
+FROM labeled GROUP BY 1, 2 ORDER BY cohort, status
+"""
+    # retention: v1 expired (manifest gone, read fails) but data/v1
+    # survives because surviving append-v2 references it; censuses
+    # recompute from the source table
+    sql["ops_expire_snapshots"] = """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1)
+SELECT 'dir_refs' AS kind, 'v1:live' AS name, 1::BIGINT AS n
+UNION ALL SELECT 'dir_refs', 'v2:live', 1::BIGINT
+UNION ALL SELECT 'dir_refs', 'v3:live', 1::BIGINT
+UNION ALL SELECT 'expired', 'v1', 1::BIGINT
+UNION ALL SELECT 'read_fail_v1', 'expired_version', 1::BIGINT
+UNION ALL SELECT 'read_v2', lang, n FROM c WHERE lang IN ('en', 'de')
+UNION ALL SELECT 'read_v3', lang, n FROM c WHERE lang = 'fr'
+ORDER BY kind, name
+"""
+    # streaming replay-suppression == batch distinct: the clean census
+    sql["stream_dedup"] = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(event_id)::BIGINT AS sum_event_id
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+    # stream-stream time-bound join == batch time-bound join
+    sql["stream_join"] = """
+SELECT date_trunc('hour', p.ts) AS hour, count(*)::BIGINT AS n_pairs,
+       count(DISTINCT p.user_id)::BIGINT AS n_users,
+       sum(c.event_id)::BIGINT AS sum_click_id
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 15 MINUTE AND p.ts + INTERVAL 15 MINUTE
+GROUP BY 1 ORDER BY hour
+"""
+    # index delete lifecycle: the same IVF routing/ranking as
+    # ann_ivf_topk with the tombstoned ids excluded, emitted twice —
+    # tombstone-filtered serving and post-vacuum serving must agree
+    sql["ann_index_delete"] = """
+WITH seeds AS (
+  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, v, seed_id,
+         round(list_dot_product(v, sv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(sv, sv))), 6) AS sim
+  FROM vecs, seeds
+),
+cells AS (
+  SELECT vec_id, v, seed_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, seed_id ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+surv AS (SELECT * FROM cells WHERE vec_id % 17 != 11),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM surv WHERE vec_id < 10),
+pairs AS (
+  SELECT query_id, c.vec_id AS neighbor_id, qv, c.v AS cv
+  FROM surv c JOIN q ON c.cell = q.cell
+  WHERE c.vec_id != q.query_id
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM pairs
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+),
+res AS (SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= 5)
+SELECT 'tombstoned' AS phase, query_id, neighbor_id, cosine, rank FROM res
+UNION ALL
+SELECT 'vacuumed', query_id, neighbor_id, cosine, rank FROM res
+ORDER BY phase, query_id, rank
+"""
+    # stream-static enrichment == batch join census
+    sql["stream_enrich"] = """
+SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(event_id)::BIGINT AS sum_event_id
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY segment
 """
     return sql

@@ -1148,3 +1148,109 @@ def cross_source_overlap(
             ).alias("overlap_coef"),
         )
     )
+
+
+def _bloom_positions(key: F.Column, m_bits: int, k: int) -> F.Column:
+    """Array of ``k`` deterministic bit positions in ``[0, m_bits)`` for a
+    key: position_i = int(first 8 hex chars of md5(key || ':' || i), 16)
+    mod m_bits. md5 + hex parse replay identically in DuckDB
+    (``('0x' || substr(md5(..), 1, 8))::BIGINT``), so a SQL oracle can
+    rebuild the exact same filter."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key, F.lit(":"), i.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+        ),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str = "fingerprint",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` → ``(word, bits)`` rows, one
+    per 62-bit word that has at least one bit set.
+
+    The membership structure behind INCREMENTAL dedup at ingest scale: the
+    seen-corpus filter is ``m_bits/8`` bytes REGARDLESS of corpus size
+    (vs. the full anti-join of :func:`incremental_dedup`, whose build side
+    is corpus-sized). A new batch probes the broadcast filter and only
+    probable members pay the exact verification join — at 1% FP rate the
+    exact join's build side shrinks by ~99%.
+
+    Layout: word = position // 62, bit = position % 62 (62 bits per long
+    keeps every shift away from the sign bit so ``bit_or`` replays
+    identically on DuckDB HUGEINT-free BIGINT math). The aggregation is
+    map-side-combining ``bit_or`` — exact integer, order-free, and the
+    shuffle carries at most ``m_bits/62`` rows per partition.
+    """
+    pos = (
+        df.select(
+            F.explode(
+                _bloom_positions(F.col(key_col), m_bits, k)
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 62).cast("bigint").alias("word"),
+            # shiftleft's python wrapper only takes int literals — SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))").alias("bit"),
+        )
+    )
+    return pos.groupBy("word").agg(F.expr("bit_or(bit)").alias("bits"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "fingerprint",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Probe a :func:`bloom_build` filter → ``(id, key, maybe_member)``.
+
+    ``maybe_member`` is true iff ALL k bits are set: false ⇒ definitely
+    new (the Bloom guarantee — zero false negatives), true ⇒ probable
+    member, to be confirmed by the exact join on the (much smaller)
+    flagged subset.
+
+    Scale: the filter is broadcast (≤ m_bits/62 rows); the probe side
+    explodes to k rows per key, joins the broadcast filter, and reduces
+    back with an all-bits-set aggregate — no shuffle of the probe table
+    beyond the final groupBy on its own key, and the text never moves
+    (keys are md5 fingerprints).
+    """
+    pos = df.select(
+        F.col(id_col).alias("_pid"),
+        F.col(key_col).alias("_pkey"),
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos"),
+    ).select(
+        "_pid",
+        "_pkey",
+        (F.col("pos") / 62).cast("bigint").alias("word"),
+        (F.col("pos") % 62).cast("int").alias("bit"),
+    )
+    hit = pos.join(F.broadcast(bloom), "word", "left").select(
+        "_pid",
+        "_pkey",
+        F.coalesce(
+            F.expr("(shiftright(bits, bit) & 1) = 1"),
+            F.lit(False),
+        ).alias("bit_set"),
+    )
+    return hit.groupBy("_pid", "_pkey").agg(
+        F.min(F.col("bit_set").cast("int")).cast("boolean").alias("maybe_member")
+    ).select(
+        F.col("_pid").alias(id_col),
+        F.col("_pkey").alias(key_col),
+        "maybe_member",
+    )

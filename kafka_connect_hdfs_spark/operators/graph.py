@@ -735,3 +735,86 @@ def personalized_pagerank(
             )
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg, "Authoritative Sources in a
+    Hyperlinked Environment", JACM'99) on a weighted DIRECTED graph →
+    ``(node, hub_score, authority_score)``.
+
+    Exact-integer formulation: the classical algorithm L2-normalizes after
+    every half-step, which makes scores float accumulations whose 6-dp
+    rounding is partition-order-dependent (the embedding_covariance driver-red
+    lesson). Normalization only rescales — the RANKING after any fixed number
+    of un-normalized rounds is identical — so this runs the mutual-
+    reinforcement recurrence on raw integer weights:
+
+        h_0(u) = 1
+        a_t(v) = Σ_{u→v} w(u,v) · h_{t-1}(u)
+        h_t(u) = Σ_{u→v} w(u,v) · a_t(v)
+
+    and returns the exact decimal(38,0) scores after ``iterations`` full
+    rounds. Every aggregate is an exact integer sum — order-free across
+    partial-aggregation plans and engines, no rounding contract needed.
+
+    Magnitude: scores grow like (Σw)^(2·iterations); decimal(38,0) holds
+    W ≤ ~1e9 at 2 rounds. At 100 TB production scale you would re-enable
+    per-round normalization (float) and drop oracle exactness — this exact
+    variant is the replayable correctness witness for the same plan shape.
+
+    Scale shape (same as :func:`pagerank`): the edge list is the only big
+    side, scores are |nodes|-sized (AQE broadcasts them under threshold);
+    each half-step is one join + one groupBy with map-side partial sums, so
+    per-step shuffle is |nodes|-bounded. Not in the reference (SURVEY.md
+    §2.9 — no relational layer); extends the graph family of §2.11.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        F.col(weight).cast("decimal(38,0)").alias("_w"),
+    )
+    hubs = e.select(F.col("_s").alias("node")).distinct()
+    auths = e.select(F.col("_d").alias("node")).distinct()
+    one = F.lit(1).cast("decimal(38,0)")
+    h = hubs.select("node", one.alias("score"))
+    a = None
+    for _ in range(iterations):
+        a = (
+            e.join(
+                h.select(F.col("node").alias("_s"), F.col("score").alias("_h")),
+                "_s",
+            )
+            .groupBy("_d")
+            .agg(F.sum(F.col("_w") * F.col("_h")).alias("score"))
+            .select(F.col("_d").alias("node"), "score")
+        )
+        h = (
+            e.join(
+                a.select(F.col("node").alias("_d"), F.col("score").alias("_a")),
+                "_d",
+            )
+            .groupBy("_s")
+            .agg(F.sum(F.col("_w") * F.col("_a")).alias("score"))
+            .select(F.col("_s").alias("node"), "score")
+        )
+    zero = F.lit(0).cast("decimal(38,0)")
+    nodes = hubs.unionByName(auths).distinct()
+    return (
+        nodes.join(h.select("node", F.col("score").alias("hub_score")), "node", "left")
+        .join(
+            a.select("node", F.col("score").alias("authority_score")),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("hub_score", zero).alias("hub_score"),
+            F.coalesce("authority_score", zero).alias("authority_score"),
+        )
+    )

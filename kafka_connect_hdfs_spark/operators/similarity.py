@@ -1402,6 +1402,19 @@ def query_ivf_index(
     index = spark.read.parquet(path + "/cells").withColumn(
         "cell", F.col("cell").cast("long")
     )
+    # merge-on-read deletes: tombstoned ids (delete_from_ivf_index) are
+    # invisible to serving via one broadcast anti-join — vectors stay in
+    # the cell files until vacuum_ivf_index folds the log in
+    from kafka_connect_hdfs_spark.snapshots import _fs
+
+    fs, Path = _fs(spark, path)
+    if fs.exists(Path(path + "/_tombstones")):
+        tomb = (
+            spark.read.parquet(path + "/_tombstones")
+            .select(id_col)
+            .distinct()
+        )
+        index = index.join(F.broadcast(tomb), id_col, "anti")
     if queries is not None:
         q_vecs = queries.select(F.col(id_col), F.col(vec_col))
     else:
@@ -2768,3 +2781,71 @@ def compact_ivf_index(spark, path: str) -> "dict[str, tuple[int, int]]":
     from kafka_connect_hdfs_spark.compaction import compact_partitions
 
     return compact_partitions(spark, path + "/cells")
+
+
+def delete_from_ivf_index(
+    spark, path: str, ids: "list[int]", id_col: str = "vec_id"
+) -> None:
+    """Soft-delete vectors from a :func:`build_ivf_index` layout by
+    appending their ids to the ``_tombstones`` log — the merge-on-read
+    delete-file model (Iceberg v2 position/equality deletes): a delete is
+    visible to the next :func:`query_ivf_index` call immediately, costs
+    O(batch) metadata, and touches NO cell file. Serving anti-joins the
+    broadcast tombstone set; :func:`vacuum_ivf_index` is the physical
+    erasure (RTBF) that folds the log into the cells.
+
+    Scale: tombstones accumulate as tiny parquet appends; the serving
+    overhead is one broadcast anti-join whose build side is the tombstone
+    id list — vacuum when the log grows past a fraction of a cell.
+    """
+    spark.createDataFrame(
+        [(int(i),) for i in ids], f"{id_col} bigint"
+    ).write.mode("append").parquet(path + "/_tombstones")
+
+
+def vacuum_ivf_index(
+    spark, path: str, id_col: str = "vec_id"
+) -> "dict[int, tuple[int, int]]":
+    """Hard-delete pass: physically rewrite ONLY the cells that contain
+    tombstoned vectors, then clear the tombstone log. Returns the
+    per-affected-cell (rows_before, rows_after) map.
+
+    Scale shape (the erasure.py protocol re-aimed at the index): cell
+    discovery scans just the pruned ``(id, cell)`` projection; each
+    affected cell rewrites independently to a hidden sibling and swaps
+    atomically (readers see old-or-new, never partial); untouched cells
+    keep their files byte-identical. Clearing the log LAST makes a crash
+    re-runnable: already-swapped cells simply contain no tombstoned rows
+    on the retry.
+    """
+    from kafka_connect_hdfs_spark.snapshots import _fs
+
+    fs, Path = _fs(spark, path)
+    tomb_dir = path + "/_tombstones"
+    if not fs.exists(Path(tomb_dir)):
+        return {}
+    tomb = spark.read.parquet(tomb_dir).select(id_col).distinct()
+    index = spark.read.parquet(path + "/cells")
+    affected = sorted(
+        int(r["cell"])
+        for r in index.join(F.broadcast(tomb), id_col)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    stats: "dict[int, tuple[int, int]]" = {}
+    for c in affected:
+        cell_dir = f"{path}/cells/cell={c}"
+        cur = spark.read.parquet(cell_dir)
+        kept = cur.join(F.broadcast(tomb), id_col, "anti")
+        n_before, n_after = cur.count(), kept.count()
+        tmp = f"{path}/cells/.cell={c}.__vacuum"
+        if fs.exists(Path(tmp)):
+            fs.delete(Path(tmp), True)
+        kept.write.parquet(tmp)
+        fs.delete(Path(cell_dir), True)
+        if not fs.rename(Path(tmp), Path(cell_dir)):
+            raise IOError(f"vacuum swap failed for cell={c}")
+        stats[c] = (n_before, n_after)
+    fs.delete(Path(tomb_dir), True)
+    return stats

@@ -843,3 +843,35 @@ def test_heaps_law_vocab_bounded_shuffles(spark, sf):
     assert "n_chars" not in read_schema, read_schema
     assert "lang" not in read_schema, read_schema
     assert plan.count("HashAggregate") >= 4, plan  # partial-combined aggs
+
+
+def test_bloom_probe_broadcasts_filter_no_shuffle_of_probe(spark):
+    # the probe side must join the (tiny) filter by BROADCAST — a shuffled
+    # join here would move the whole incoming batch at 100 TB scale
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.dedup import (
+        bloom_build, bloom_probe,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("fp")
+    )
+    flt = bloom_build(df, "fp", m_bits=4096, k=4)
+    plan = _plan(bloom_probe(df, flt, "fp", "doc_id", m_bits=4096, k=4))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hits_partial_aggregation_per_half_step(spark):
+    # each half-step must partial-combine map-side (two HashAggregates per
+    # groupBy) and never build a cartesian product
+    from kafka_connect_hdfs_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"v{i % 7}", 1 + i % 3) for i in range(50)],
+        "src string, dst string, w int",
+    )
+    plan = _plan(hits_scores(edges, iterations=2))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 8  # 4 half-steps x partial+final
