@@ -4324,6 +4324,57 @@ def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, deterministically replayed: batch 1
+    (all events before Jan 21) advances the watermark to ~Jan 18; batch 2
+    re-delivers the pre-Jan-6 rows (ALL too late — their daily windows
+    closed, so they must be dropped, not double-counted) plus the fresh
+    Jan 21+ tail. Append mode then emits only windows the final watermark
+    (max ts − 2 days ≈ Jan 28) has passed: the Jan 28-30 windows stay
+    open and must NOT appear. The oracle is the batch daily rollup over
+    each event ONCE, cut at the final watermark — a duplicated late row
+    breaks the counts, a leaked open window breaks the row count.
+    File order is pinned (one file per micro-batch, mtime-ordered), which
+    is what makes the watermark trajectory — and so the drop set —
+    exactly replayable."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_connect_hdfs_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    ev = _events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="kchs_stream_late_")
+    cut_lo = F.lit("2024-01-06").cast("timestamp")
+    cut_hi = F.lit("2024-01-21").cast("timestamp")
+    ev.filter(F.col("ts") < cut_hi).coalesce(1).write.parquet(f"{base}/b1")
+    ev.filter(F.col("ts") < cut_lo).unionByName(
+        ev.filter(F.col("ts") >= cut_hi)
+    ).coalesce(1).write.parquet(f"{base}/b2")
+    src = f"{base}/src"
+    os.makedirs(src)
+    for i, bdir in enumerate(("b1", "b2"), 1):
+        (part,) = glob.glob(f"{base}/{bdir}/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    schema = spark.read.parquet(f"{base}/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    windowed = windowed_event_counts(
+        stream, window_duration="1 day", watermark_delay="2 days"
+    )
+    out = _stream_collect(spark, windowed, base)
+    return out.orderBy("window_start", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -4656,6 +4707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": _q_stream_join,
         "stream_enrich": _q_stream_enrich,
         "ann_index_delete": _q_ann_index_delete,
+        "stream_late_data": _q_stream_late_data,
     }
 
 
@@ -10177,6 +10229,23 @@ SELECT 'tombstoned' AS phase, query_id, neighbor_id, cosine, rank FROM res
 UNION ALL
 SELECT 'vacuumed', query_id, neighbor_id, cosine, rank FROM res
 ORDER BY phase, query_id, rank
+"""
+    # late-data watermark replay: every event counted ONCE (the re-
+    # delivered pre-Jan-6 rows are too late and dropped), emission cut at
+    # the final watermark (max ts - 2 days) — open windows never appear
+    sql["stream_late_data"] = """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 DAY AS final_wm FROM events),
+agg AS (
+  SELECT date_trunc('day', ts) AS window_start,
+         date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+         event_type, count(*)::BIGINT AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT a.window_start, a.window_end, a.event_type, a.n_events,
+       a.total_value
+FROM agg a, wm WHERE a.window_end <= wm.final_wm
+ORDER BY window_start, event_type
 """
     # stream-static enrichment == batch join census
     sql["stream_enrich"] = """
