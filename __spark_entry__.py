@@ -41,6 +41,31 @@ def _kafka_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_as_kafka_records(_events(spark, sf_dir))
 
 
+def _OQ6(expr: str) -> str:
+    """DuckDB mirror of similarity.q6_col: floor-based HALF_UP 6-dp
+    quantization of a double. NATIVE round(x,6) is cross-engine unsafe
+    (r05 verdict, measured): Spark F.round = BigDecimal HALF_UP on the
+    shortest decimal repr, DuckDB round = float multiply — they disagree
+    on midpoint-shaped doubles, which fixed-point-derived quotients hit
+    by construction. Identical IEEE ops on both sides instead."""
+    return (
+        f"(CASE WHEN ({expr}) < 0 THEN -floor(-({expr}) * 1000000.0 + 0.5) "
+        f"ELSE floor(({expr}) * 1000000.0 + 0.5) END / 1000000.0)"
+    )
+
+
+def _OD2(expr: str) -> str:
+    """DuckDB mirror of similarity.dec_to_double: deterministic
+    HUGEINT→DOUBLE via the hi/lo 2**50 split (DuckDB's native cast is
+    not correctly rounded past 2**53; each sub-cast here is exact)."""
+    return (
+        f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END * "
+        f"(CAST(abs({expr}) // 1125899906842624 AS DOUBLE) "
+        f"* 1125899906842624.0 "
+        f"+ CAST(abs({expr}) % 1125899906842624 AS DOUBLE)))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -4077,7 +4102,12 @@ def _q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     P = 1 << 50  # exact decimal -> double: hi*2^50 + lo, both < 2^53
 
     def _split(c: str) -> F.Column:
-        hi = F.floor(F.col(c) / F.lit(P)).cast("decimal(38,0)")
+        # exact integral DIV (true floor) — decimal "/" HALF_UP-rounds
+        # to scale 6 BEFORE F.floor, so hi could land one above the
+        # real floor when the quotient's fraction is >= 0.9999995 and
+        # the recomposed double would then be off vs the oracle's exact
+        # "//" (r05 ADVICE item). Scores are non-negative (counts).
+        hi = F.expr(f"CAST({c} DIV {P} AS DECIMAL(38,0))")
         lo = (F.col(c) - hi * F.lit(P)).cast("double")
         return hi.cast("double") * F.lit(float(P)) + lo
 
@@ -7917,8 +7947,15 @@ WHERE ba = 1 AND bb = 1 AND margin >= 1.0 ORDER BY a_id
     # fixed-point exact sums (the r04 flake fix): dims floor-scaled to
     # 1e-6 integers BEFORE summation, so every aggregate is an exact
     # HUGEINT — order-free — and the derived doubles mirror the Spark
-    # side term-for-term (similarity.embedding_covariance)
-    sql["embedding_covariance"] = """
+    # side term-for-term (similarity.embedding_covariance). r05 fix:
+    # int→double through the _OD2 hi/lo split and floor-based HALF_UP
+    # quantization (_OQ6) instead of NATIVE round(x,6) — the engines'
+    # native rounds provably disagree on midpoint doubles, and these
+    # exact-integer quotients hit true …5 midpoints by construction.
+    _cm_i = f"({_OD2('mi.sx')} / (CAST(n AS DOUBLE) * 1000000.0))"
+    _cm_j = f"({_OD2('mj.sx')} / (CAST(n AS DOUBLE) * 1000000.0))"
+    _ce_xy = f"({_OD2('sxy.sxy')} / (CAST(n AS DOUBLE) * 1000000000000.0))"
+    sql["embedding_covariance"] = f"""
 WITH v AS (
   SELECT list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS s
@@ -7928,19 +7965,15 @@ dd AS (SELECT max(len(s)) AS d FROM v),
 idx AS (SELECT unnest(generate_series(1, d)) AS i FROM dd),
 prs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
 sxy AS (
-  SELECT p.i, p.j, sum(s[p.i] * s[p.j]) AS sxy, count(*) AS n
+  SELECT p.i, p.j, sum(CAST(s[p.i] AS HUGEINT) * s[p.j]) AS sxy,
+         count(*) AS n
   FROM v CROSS JOIN prs p GROUP BY 1, 2
 ),
 sx AS (SELECT idx.i, sum(s[idx.i]) AS sx FROM v CROSS JOIN idx GROUP BY 1)
 SELECT (sxy.i - 1)::INT AS i, (sxy.j - 1)::INT AS j,
-       round(CAST(mi.sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0),
-             6) AS mean_i,
-       round(CAST(mj.sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0),
-             6) AS mean_j,
-       round(CAST(sxy.sxy AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
-             - (CAST(mi.sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
-             * (CAST(mj.sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)),
-             6) AS cov
+       {_OQ6(_cm_i)} AS mean_i,
+       {_OQ6(_cm_j)} AS mean_j,
+       {_OQ6(f"{_ce_xy} - {_cm_i} * {_cm_j}")} AS cov
 FROM sxy JOIN sx mi ON sxy.i = mi.i JOIN sx mj ON sxy.j = mj.i
 ORDER BY i, j
 """
@@ -8714,16 +8747,14 @@ ddm AS (SELECT max(len(s)) AS d FROM v),
 idx AS (SELECT unnest(generate_series(1, d)) AS i FROM ddm),
 prs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
 sxy AS (
-  SELECT p.i, p.j, sum(s[p.i] * s[p.j]) AS sxy, count(*) AS n
+  SELECT p.i, p.j, sum(CAST(s[p.i] AS HUGEINT) * s[p.j]) AS sxy,
+         count(*) AS n
   FROM v CROSS JOIN prs p GROUP BY 1, 2
 ),
 sx AS (SELECT idx.i, sum(s[idx.i]) AS sx FROM v CROSS JOIN idx GROUP BY 1),
 covu AS MATERIALIZED (
   SELECT (sxy.i - 1)::INT AS i, (sxy.j - 1)::INT AS j,
-         round(CAST(sxy.sxy AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
-               - (CAST(mi.sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
-               * (CAST(mj.sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)),
-               6) AS cov
+         {_OQ6(f"{_ce_xy} - {_cm_i} * {_cm_j}")} AS cov
   FROM sxy JOIN sx mi ON sxy.i = mi.i JOIN sx mj ON sxy.j = mj.i
 ),
 cov6 AS MATERIALIZED (SELECT i, j, {_q6('cov')} AS c FROM covu),
@@ -8751,7 +8782,7 @@ SELECT x.i AS i,
        (s.s * x.v) / 1000000.0 AS component,
        CAST({_q6('ed.eig')} AS DOUBLE) / 1000000.0 AS eigenvalue,
        CASE WHEN t.t = 0 THEN 0.0
-            ELSE CAST({_q6('ed.eig / (CAST(t.t AS DOUBLE) / 1000000.0)')}
+            ELSE CAST({_q6(f"ed.eig / ({_d2('t.t')} / 1000000.0)")}
                       AS DOUBLE) / 1000000.0 END AS var_share
 FROM x20 x CROSS JOIN sgn s CROSS JOIN ed CROSS JOIN tr t
 ORDER BY i

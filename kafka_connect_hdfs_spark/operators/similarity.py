@@ -60,6 +60,40 @@ def _round6_half_up(a):
     )
 
 
+def q6_col(c: F.Column) -> F.Column:
+    """Cross-engine-safe HALF_UP 6-dp quantization of a double COLUMN:
+    ``CASE WHEN x<0 THEN -floor(-x*1e6+0.5) ELSE floor(x*1e6+0.5) END / 1e6``.
+    NATIVE round(x, 6) is unsafe across engines (r05 verdict, measured):
+    Spark's F.round runs BigDecimal HALF_UP on the double's shortest
+    decimal repr while DuckDB's round float-multiplies — they disagree on
+    ~1.2% of midpoint-shaped doubles. Fixed-point-derived quotients
+    (exact int / 1e6..1e12) land on true ``…5`` midpoints by
+    construction, so any such output MUST go through this form on BOTH
+    sides (the oracle mirror is the ``_q6``-style CASE expression)."""
+    q = F.when(c < 0, -F.floor(-c * F.lit(1e6) + F.lit(0.5))).otherwise(
+        F.floor(c * F.lit(1e6) + F.lit(0.5))
+    )
+    return q.cast("double") / F.lit(1e6)
+
+
+def dec_to_double(name: str) -> F.Column:
+    """Deterministic decimal(38,0)→double for exact-integer sums that can
+    pass 2**53: ``sign · (float(|s| DIV 2**50)·2**50 + float(|s| % 2**50))``.
+    Spark's decimal→double cast is correctly rounded but DuckDB's
+    HUGEINT→DOUBLE is NOT (measured ~0.2% of 64-90-bit near-halfway ints
+    off 1 ulp), so cross-engine replays run THIS split on both sides —
+    each sub-cast is exact (< 2**53) and the mul/add are identical IEEE
+    ops (mirror of :func:`_big_to_double` / the oracle ``_d2`` CASE).
+    Uses SQL ``DIV`` (true floor on decimals) — decimal ``/`` would
+    HALF_UP-round at scale 6 first (the graph_hits ADVICE defect).
+    Takes a column NAME because ``DIV`` needs an expr string."""
+    p50 = 1 << 50
+    hi = F.expr(f"CAST(abs({name}) DIV {p50} AS DOUBLE)")
+    lo = F.expr(f"CAST(abs({name}) % {p50} AS DOUBLE)")
+    d = hi * F.lit(float(p50)) + lo
+    return F.when(F.col(name) < 0, -d).otherwise(d)
+
+
 def _cell_pair_cosines(
     cellframe: DataFrame,
     min_cos: "float | None" = None,
@@ -1821,8 +1855,14 @@ def embedding_covariance(
                 lambda j: F.struct(
                     i.alias("i"),
                     j.alias("j"),
+                    # each factor cast to decimal BEFORE the multiply:
+                    # a bigint×bigint product silently wraps on Spark at
+                    # 2**63 (|x| ≳ 3037 at scale 1e6) while DuckDB
+                    # raises — the decimal product is exact to 1e38
+                    # (r05 ADVICE item)
                     (
-                        F.element_at(v, i + 1) * F.element_at(v, j + 1)
+                        F.element_at(v, i + 1).cast("decimal(19,0)")
+                        * F.element_at(v, j + 1).cast("decimal(19,0)")
                     ).cast("decimal(38,0)").alias("xy"),
                 ),
             ),
@@ -1843,13 +1883,17 @@ def embedding_covariance(
     mj = broadcast(
         dims.select(F.col("i").alias("j"), F.col("_sx").alias("_sj"))
     )
-    # every double op below mirrors the oracle SQL term-for-term: exact
-    # integer → double conversions are correctly rounded IEEE on both
-    # engines, so the inputs to round() are bit-identical
+    # every double op below mirrors the oracle SQL term-for-term: sums
+    # go int→double through the hi/lo 2**50 split (dec_to_double — the
+    # DuckDB HUGEINT cast is not correctly rounded past 2**53) and the
+    # final quantization is the floor-based HALF_UP form (q6_col) —
+    # NATIVE round(x,6) was the r05 driver-red: the engines disagree on
+    # midpoint-shaped doubles, and these fixed-point quotients land on
+    # true …5 midpoints by construction
     nd = F.col("_n").cast("double")
-    mean_i = F.col("_si").cast("double") / (nd * F.lit(float(scale)))
-    mean_j = F.col("_sj").cast("double") / (nd * F.lit(float(scale)))
-    e_xy = F.col("_sxy").cast("double") / (
+    mean_i = dec_to_double("_si") / (nd * F.lit(float(scale)))
+    mean_j = dec_to_double("_sj") / (nd * F.lit(float(scale)))
+    e_xy = dec_to_double("_sxy") / (
         nd * F.lit(float(scale) * float(scale))
     )
     return (
@@ -1858,9 +1902,9 @@ def embedding_covariance(
         .select(
             "i",
             "j",
-            F.round(mean_i, 6).alias("mean_i"),
-            F.round(mean_j, 6).alias("mean_j"),
-            F.round(e_xy - mean_i * mean_j, 6).alias("cov"),
+            q6_col(mean_i).alias("mean_i"),
+            q6_col(mean_j).alias("mean_j"),
+            q6_col(e_xy - mean_i * mean_j).alias("cov"),
         )
     )
 
@@ -1984,8 +2028,10 @@ def pca_power_summary(
         return spark.createDataFrame([], schema)
     X, E, TR, d = _pca_power_int(rows, iterations)
     # exact-int → double conversions mirror the oracle term-for-term
+    # (TR through the same hi/lo split the oracle's _d2 runs — identical
+    # even past 2**53 where float(int) and the split may differ)
     eig_d = _big_to_double(E) / 1e18
-    share = eig_d / (float(TR) / 1e6) if TR else 0.0
+    share = eig_d / (_big_to_double(TR) / 1e6) if TR else 0.0
     eig6 = float(_scaled_int6(eig_d)) / 1e6
     share6 = float(_scaled_int6(share)) / 1e6
     out = [(int(i), X[i] / 1e6, eig6, share6) for i in range(d)]
