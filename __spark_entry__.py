@@ -66,6 +66,34 @@ def _OD2(expr: str) -> str:
     )
 
 
+def _OQ6INT(expr: str) -> str:
+    """DuckDB mirror of similarity.fp_sum_micro_q6's per-row kernel:
+    HALF-UP micro-int of an already-6-dp double (recovers the exact q
+    from q/1e6)."""
+    return (
+        f"CAST(CASE WHEN ({expr}) < 0 "
+        f"THEN -floor(-({expr}) * 1000000.0 + 0.5) "
+        f"ELSE floor(({expr}) * 1000000.0 + 0.5) END AS BIGINT)"
+    )
+
+
+def _OFPM(val: str) -> str:
+    """DuckDB mirror of similarity.fp_sum_micro + fp_mean_from: 6-dp mean
+    via exact integer micro-unit sum (order-free, replacing the
+    partition-order-dependent avg(double)) → deterministic hi/lo cast →
+    floor-based HALF_UP quantization."""
+    s = f"sum(CAST(floor(({val}) * 1000000.0) AS BIGINT))"
+    return _OQ6(f"{_OD2(s)} / (CAST(count(*) AS DOUBLE) * 1000000.0)")
+
+
+def _OFPMH(val: str) -> str:
+    """Like _OFPM but with the HALF-UP per-row micro-int kernel
+    (similarity.fp_sum_micro_q6) — for means over values that are
+    themselves computed doubles (log-probs, 6-dp scores)."""
+    s = f"sum({_OQ6INT(val)})"
+    return _OQ6(f"{_OD2(s)} / (CAST(count(*) AS DOUBLE) * 1000000.0)")
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -210,13 +238,28 @@ def _q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: explode multiplies rows by dim but aggregates immediately with
     map-side combine; shuffle carries only (label × dim) partials."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        fp_mean_from, fp_sum_micro,
+    )
+
     emb = _emb(spark, sf_dir)
-    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        ),
+    )
     return (
         exploded.groupBy("label", "dim")
         .agg(
-            F.round(F.avg("val"), 6).alias("centroid_val"),
+            fp_sum_micro(F.col("val")).alias("_sv"),
             F.count("*").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            "dim",
+            fp_mean_from("_sv", "n_vectors").alias("centroid_val"),
+            "n_vectors",
         )
         .orderBy("label", "dim")
     )
@@ -5120,13 +5163,15 @@ SELECT (user_id % 4)::INT AS "partition",
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
 """
-    sql["embedding_centroids"] = """
+    # fixed-point mean (similarity.fp_sum_micro convention) — avg(double)
+    # is partition-order-dependent at 6-dp boundaries (r05 verdict item 2)
+    sql["embedding_centroids"] = f"""
 WITH exploded AS (
   SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
-         unnest(embedding) AS val
+         unnest(CAST(embedding AS DOUBLE[])) AS val
   FROM embeddings
 )
-SELECT label, dim, round(avg(val), 6) AS centroid_val, count(*) AS n_vectors
+SELECT label, dim, {_OFPM('val')} AS centroid_val, count(*) AS n_vectors
 FROM exploded GROUP BY 1, 2 ORDER BY 1, 2
 """
     sql["q_hopping_windows"] = """
@@ -6708,7 +6753,7 @@ ranked AS (
 SELECT doc_id, term, tf, tfidf, rank
 FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
 """
-    sql["ann_lloyd_refine"] = """
+    sql["ann_lloyd_refine"] = f"""
 WITH seeds AS (
   SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
   FROM embeddings WHERE vec_id < 8
@@ -6731,7 +6776,7 @@ exploded AS (
   SELECT cell, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val
   FROM cells
 )
-SELECT cell, dim, round(avg(val), 6) AS centroid_val, count(*) AS n_members
+SELECT cell, dim, {_OFPM('val')} AS centroid_val, count(*) AS n_members
 FROM exploded GROUP BY 1, 2 ORDER BY cell, dim
 """
     sql["o1_avro_decimal_roundtrip"] = """
@@ -6988,7 +7033,7 @@ FROM small a JOIN small b ON a.block = b.block AND a.doc_id < b.doc_id
 WHERE levenshtein(a.prefix, b.prefix) <= 12
 ORDER BY id_a, id_b
 """
-    sql["text_unigram_logprob"] = """
+    sql["text_unigram_logprob"] = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
   FROM documents
@@ -6996,7 +7041,7 @@ WITH toks AS (
 cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
 tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt)
 SELECT toks.doc_id, count(*) AS n_tokens,
-       round(avg(ln(cnt.c / tot.t)), 6) AS avg_logprob
+       {_OFPMH('ln(cnt.c / tot.t)')} AS avg_logprob
 FROM toks JOIN cnt USING (term) CROSS JOIN tot
 GROUP BY toks.doc_id ORDER BY toks.doc_id
 """
@@ -7909,16 +7954,17 @@ SELECT prev_type, next_type, n_transitions,
 FROM cnt ORDER BY prev_type, next_type
 """
 
-    sql["bitext_mine_margin"] = """
+    # fixed-point kNN means (exact micro-int sums — cosine is already
+    # 6-dp so the half-up micro-int is exact) + _OQ6 instead of native
+    # round, mirroring similarity.bitext margin term-for-term
+    sql["bitext_mine_margin"] = f"""
 WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS va
            FROM embeddings WHERE label < 5 AND vec_id < 400),
 b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS vb
       FROM embeddings WHERE label >= 5),
 scored AS (
   SELECT a_id, b_id,
-         round(list_dot_product(va, vb) /
-               (sqrt(list_dot_product(va, va)) *
-                sqrt(list_dot_product(vb, vb))), 6) AS cosine
+         {_OQ6("list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))")} AS cosine
   FROM a CROSS JOIN b
 ),
 ranked AS (
@@ -7927,11 +7973,13 @@ ranked AS (
          row_number() OVER (PARTITION BY b_id ORDER BY cosine DESC, a_id) AS rnb
   FROM scored
 ),
-ma AS (SELECT a_id, avg(cosine) AS m_a FROM ranked WHERE rna <= 4 GROUP BY a_id),
-mb AS (SELECT b_id, avg(cosine) AS m_b FROM ranked WHERE rnb <= 4 GROUP BY b_id),
+ma AS (SELECT a_id, sum({_OQ6INT('cosine')}) AS s_a, count(*) AS n_a
+       FROM ranked WHERE rna <= 4 GROUP BY a_id),
+mb AS (SELECT b_id, sum({_OQ6INT('cosine')}) AS s_b, count(*) AS n_b
+       FROM ranked WHERE rnb <= 4 GROUP BY b_id),
 marg AS (
   SELECT r.a_id, r.b_id, r.cosine,
-         round(r.cosine / ((ma.m_a + mb.m_b) / 2), 6) AS margin
+         {_OQ6(f"r.cosine / (({_OD2('ma.s_a')} / (CAST(ma.n_a AS DOUBLE) * 1000000.0) + {_OD2('mb.s_b')} / (CAST(mb.n_b AS DOUBLE) * 1000000.0)) / 2)")} AS margin
   FROM ranked r JOIN ma USING (a_id) JOIN mb USING (b_id)
 ),
 best AS (
@@ -8225,25 +8273,41 @@ FROM shingles JOIN gdf USING (shingle)
 GROUP BY doc_id ORDER BY doc_id
 """
 
-    sql["embedding_outliers"] = """
+    # fixed-point mirror of similarity.embedding_outlier_scores: micro-int
+    # centroid means, _OQ6 distances, exact integer mean/stddev moments
+    sql["embedding_outliers"] = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 dd AS (SELECT max(len(e)) AS d FROM v),
 idx AS (SELECT unnest(generate_series(1, d)) AS i FROM dd),
 cent AS (
-  SELECT idx.i, round(avg(e[idx.i]), 6) AS m
+  SELECT idx.i, {_OFPM('e[idx.i]')} AS m
   FROM v CROSS JOIN idx GROUP BY idx.i
 ),
 ca AS (SELECT list(m ORDER BY i) AS c FROM cent),
 dist AS (
   SELECT vec_id,
-         round(sqrt(list_sum(list_transform(generate_series(1, len(e)),
-               i -> (e[i] - c[i]) * (e[i] - c[i])))), 6) AS dist
+         {_OQ6("sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> (e[i] - c[i]) * (e[i] - c[i]))))")} AS dist
   FROM v CROSS JOIN ca
 ),
-st AS (SELECT avg(dist) AS mu, stddev_pop(dist) AS sd FROM dist)
+di AS (
+  SELECT vec_id, dist, CAST(floor(dist * 1000000.0) AS BIGINT) AS dmic
+  FROM dist
+),
+st AS (
+  SELECT count(*) AS n, sum(dmic) AS sx,
+         sum(CAST(dmic AS HUGEINT) * dmic) AS sxx
+  FROM di
+),
+mo AS (
+  SELECT {_OD2('sx')} / CAST(n AS DOUBLE) AS mu,
+         sqrt(greatest({_OD2('sxx')} / CAST(n AS DOUBLE)
+              - ({_OD2('sx')} / CAST(n AS DOUBLE))
+              * ({_OD2('sx')} / CAST(n AS DOUBLE)), 0.0)) AS sd
+  FROM st
+)
 SELECT vec_id, dist,
-       round(CASE WHEN sd > 0 THEN (dist - mu) / sd ELSE 0.0 END, 6) AS z
-FROM dist CROSS JOIN st
+       {_OQ6("CASE WHEN sd > 0 THEN (CAST(dmic AS DOUBLE) - mu) / sd ELSE 0.0 END")} AS z
+FROM di CROSS JOIN mo
 ORDER BY z DESC, vec_id LIMIT 20
 """
 
@@ -8605,7 +8669,7 @@ SELECT np.threshold, n_pairs, n_docs_involved
 FROM np JOIN nd USING (threshold) ORDER BY threshold
 """
 
-    sql["text_bigram_logprob"] = r"""
+    sql["text_bigram_logprob"] = rf"""
 WITH base AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
   FROM documents WHERE length(trim(text)) > 0
@@ -8639,13 +8703,13 @@ scored AS (
   CROSS JOIN tot
 )
 SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-       round(avg(lp), 6) AS avg_logprob
+       {_OFPMH('lp')} AS avg_logprob
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
     # same scoring pipeline, then a per-language quantile_disc threshold —
     # the order statistic Spark's exact-mode percentile_approx picks at p=0.2
-    sql["text_perplexity_filter"] = r"""
+    sql["text_perplexity_filter"] = rf"""
 WITH base AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
   FROM documents WHERE length(trim(text)) > 0
@@ -8679,7 +8743,7 @@ lp_raw AS (
   CROSS JOIN tot
 ),
 docscore AS (
-  SELECT doc_id, round(avg(lp), 6) AS avg_logprob
+  SELECT doc_id, {_OFPMH('lp')} AS avg_logprob
   FROM lp_raw GROUP BY doc_id
 ),
 withlang AS (
@@ -9007,29 +9071,42 @@ SELECT rule, n AS n_checked, v AS n_violations,
        round(v::DOUBLE / n, 6) AS violation_rate
 FROM rules ORDER BY rule
 """
-    # per-label centroid drift between even/odd snapshot halves
-    sql["embedding_centroid_drift"] = """
+    # per-label centroid drift between even/odd snapshot halves.
+    # Fixed-point mirror of similarity.centroid_drift: micro-int sums,
+    # half-up micro-int centroids, exact integer folds, _OQ6 output.
+    _cd_m = (
+        "CASE WHEN ({m}) < 0 THEN -floor(-({m}) + 0.5) "
+        "ELSE floor(({m}) + 0.5) END"
+    )
+    _cd_mo = _cd_m.format(m=f"{_OD2('s_old')} / CAST(n_old AS DOUBLE)")
+    _cd_mn = _cd_m.format(m=f"{_OD2('s_new')} / CAST(n_new AS DOUBLE)")
+    sql["embedding_centroid_drift"] = f"""
 WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
 dd AS (SELECT max(len(e)) AS d FROM v),
 idx AS (SELECT unnest(generate_series(1, d)) AS i FROM dd),
 o AS (
-  SELECT label AS lbl, idx.i - 1 AS dim, avg(e[idx.i]) AS c_old,
+  SELECT label AS lbl, idx.i - 1 AS dim,
+         sum(CAST(floor(e[idx.i] * 1000000.0) AS BIGINT)) AS s_old,
          count(*)::BIGINT AS n_old
   FROM v CROSS JOIN idx WHERE vec_id % 2 = 0 GROUP BY 1, 2
 ),
 nn AS (
-  SELECT label AS lbl, idx.i - 1 AS dim, avg(e[idx.i]) AS c_new,
+  SELECT label AS lbl, idx.i - 1 AS dim,
+         sum(CAST(floor(e[idx.i] * 1000000.0) AS BIGINT)) AS s_new,
          count(*)::BIGINT AS n_new
   FROM v CROSS JOIN idx WHERE vec_id % 2 = 1 GROUP BY 1, 2
 ),
-j AS (SELECT * FROM o JOIN nn USING (lbl, dim))
+j AS (
+  SELECT lbl, dim, n_old, n_new,
+         CAST({_cd_mo} AS HUGEINT) AS m_old,
+         CAST({_cd_mn} AS HUGEINT) AS m_new
+  FROM o JOIN nn USING (lbl, dim)
+)
 SELECT lbl AS label, max(n_old)::BIGINT AS n_old, max(n_new)::BIGINT AS n_new,
-       round(sqrt(sum((c_new - c_old) * (c_new - c_old))), 6) AS drift_l2,
-       round(sum(c_old * c_new) /
-             (sqrt(sum(c_old * c_old)) * sqrt(sum(c_new * c_new))), 6)
-         AS centroid_cos
+       {_OQ6(f"sqrt({_OD2('sum((m_new - m_old) * (m_new - m_old))')}) / 1000000.0")} AS drift_l2,
+       {_OQ6(f"{_OD2('sum(m_old * m_new)')} / (sqrt({_OD2('sum(m_old * m_old)')}) * sqrt({_OD2('sum(m_new * m_new)')}))")} AS centroid_cos
 FROM j GROUP BY lbl ORDER BY label
 """
     # Gini concentration per grouping dimension (integer sums, one division)
@@ -9603,7 +9680,7 @@ SELECT source, count(*)::BIGINT AS n_docs,
 FROM qx GROUP BY source ORDER BY source
 """
     # cell balance before/after one Lloyd pass: both assignments replayed
-    sql["ann_lloyd_cell_stats"] = """
+    sql["ann_lloyd_cell_stats"] = f"""
 WITH seeds AS (
   SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
   FROM embeddings WHERE vec_id < 8
@@ -9628,7 +9705,7 @@ exploded AS (
   FROM cells
 ),
 refined AS (
-  SELECT cell, dim, round(avg(val), 6) AS centroid_val
+  SELECT cell, dim, {_OFPM('val')} AS centroid_val
   FROM exploded GROUP BY 1, 2
 ),
 nseeds AS (
@@ -9695,7 +9772,7 @@ SELECT (length(bin(dg)) - 1)::INT AS bucket, count(*)::BIGINT AS n_nodes,
 FROM deg GROUP BY 1 ORDER BY bucket
 """
     # PQ quantization error: same codebook/assignment math as ann_pq_topk
-    sql["ann_pq_error"] = """
+    sql["ann_pq_error"] = f"""
 WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 book AS (SELECT vec_id AS c_id, v FROM vecs WHERE vec_id < 16),
 subs AS (SELECT unnest(range(0, 4)) AS j),
@@ -9714,7 +9791,7 @@ assigned AS (
   ) WHERE rn = 1
 )
 SELECT j::INT AS subspace, count(*)::BIGINT AS n_vectors,
-       round(avg(d), 6) AS avg_sq_error, round(max(d), 6) AS max_sq_error
+       {_OFPM('d')} AS avg_sq_error, {_OQ6('max(d)')} AS max_sq_error
 FROM assigned GROUP BY j ORDER BY subspace
 """
     # recall of the compressed (IVF+PQ) index vs exact — composed

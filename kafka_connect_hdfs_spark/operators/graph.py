@@ -708,6 +708,15 @@ def personalized_pagerank(
     flagged = nodes.join(
         seed_df.select("node", F.lit(1.0).alias("_is_seed")), "node", "left"
     ).select("node", F.coalesce("_is_seed", F.lit(0.0)).alias("_is_seed"))
+    # eager guard: seeds absent from the graph would make _ns = 0 and the
+    # teleport division NULL — every rank silently null (r05 ADVICE item).
+    # One scalar aggregate over the |nodes|-bounded flag frame.
+    _n_eff = flagged.agg(F.sum("_is_seed")).collect()[0][0] or 0.0
+    if _n_eff <= 0:
+        raise ValueError(
+            "personalized_pagerank: none of the seeds are present in the "
+            f"graph (seeds={list(seeds)[:5]}{'...' if len(list(seeds)) > 5 else ''})"
+        )
     ns = F.broadcast(
         flagged.agg(F.sum("_is_seed").alias("_ns"))
     )
@@ -774,6 +783,13 @@ def hits_scores(
     per-step shuffle is |nodes|-bounded. Not in the reference (SURVEY.md
     §2.9 — no relational layer); extends the graph family of §2.11.
     """
+    if iterations < 1:
+        # iterations=0 would leave the authority frame undefined (there
+        # is no half-step to produce it) — fail loudly, not with an
+        # AttributeError at plan-build time (r05 ADVICE item)
+        raise ValueError(
+            f"hits_scores requires iterations >= 1, got {iterations}"
+        )
     e = edges.select(
         F.col(src).alias("_s"),
         F.col(dst).alias("_d"),

@@ -455,12 +455,25 @@ def unigram_logprob(
     if total_tokens is None:
         total_tokens = counts.agg(F.sum("c")).collect()[0][0]
     logp = F.log(F.col("c") / F.lit(float(total_tokens)))
+    # per-token log-probs are half-up-quantized to micro-ints BEFORE the
+    # mean: avg(double) partial sums are partition-order-dependent at
+    # 6-dp boundaries (r05 verdict item 2); the ≤0.5e-6/token quantization
+    # is far inside any quality-ranking tolerance
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        fp_mean_from, fp_sum_micro_q6,
+    )
+
     return (
         terms.join(F.broadcast(counts), "term")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg(logp), 6).alias("avg_logprob"),
+            fp_sum_micro_q6(logp).alias("_slp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            fp_mean_from("_slp", "n_tokens").alias("avg_logprob"),
         )
     )
 
@@ -1558,9 +1571,23 @@ def bigram_logprob(
             ),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    # fixed-point mean of per-bigram log-probs (see unigram_logprob note:
+    # avg(double) is partition-order-dependent — r05 verdict item 2)
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        fp_mean_from, fp_sum_micro_q6,
+    )
+
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            fp_sum_micro_q6(F.col("_lp")).alias("_slp"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            fp_mean_from("_slp", "n_bigrams").alias("avg_logprob"),
+        )
     )
 
 

@@ -5,7 +5,9 @@ depend on float partial-aggregation order — which a same-config rerun or
 a single-engine oracle diff cannot see.
 
 Usage: python scripts/permutation_check.py [sf_dir] [query ...]
-Defaults to sf0.01 and the first 50 queries (the driver window).
+Defaults to sf0.01 and ALL registered queries (r05 verdict item 2 —
+the first-50 default let order-dependent avg(double) sites hide in the
+unchecked tail). Pass explicit names to check a subset.
 """
 
 from __future__ import annotations
@@ -50,7 +52,7 @@ def main() -> None:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     qs = mod.queries()
-    names = sys.argv[2:] or list(qs)[:50]
+    names = sys.argv[2:] or list(qs)
 
     spark = get_spark("kchs-permcheck")
     spark.sparkContext.setLogLevel("ERROR")
