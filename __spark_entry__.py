@@ -4400,13 +4400,18 @@ def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark LATE-DATA semantics, deterministically replayed: batch 1
     (all events before Jan 21) advances the watermark to ~Jan 18; batch 2
-    re-delivers the pre-Jan-6 rows (ALL too late — their daily windows
+    is a fresh Jan 21-23 heartbeat (Spark's late-row FILTER applies the
+    watermark one batch AFTER the progress log reports it — measured on
+    this build: a late row arriving in the batch right after the advance
+    is merged, not dropped, while one more batch later it drops — so the
+    heartbeat puts the redelivery two batches behind the advance); batch
+    3 re-delivers the pre-Jan-6 rows (ALL too late — their daily windows
     closed, so they must be dropped, not double-counted) plus the fresh
-    Jan 21+ tail. Append mode then emits only windows the final watermark
-    (max ts − 2 days ≈ Jan 28) has passed: the Jan 28-30 windows stay
-    open and must NOT appear. The oracle is the batch daily rollup over
-    each event ONCE, cut at the final watermark — a duplicated late row
-    breaks the counts, a leaked open window breaks the row count.
+    Jan 23+ tail. Append mode then emits only windows the final
+    watermark (max ts − 2 days) has passed: the last 2 days of windows
+    stay open and must NOT appear. The oracle is the batch daily rollup
+    over each event ONCE, cut at the final watermark — a duplicated late
+    row breaks the counts, a leaked open window breaks the row count.
     File order is pinned (one file per micro-batch, mtime-ordered), which
     is what makes the watermark trajectory — and so the drop set —
     exactly replayable."""
@@ -4422,14 +4427,18 @@ def _q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="kchs_stream_late_")
     cut_lo = F.lit("2024-01-06").cast("timestamp")
-    cut_hi = F.lit("2024-01-21").cast("timestamp")
-    ev.filter(F.col("ts") < cut_hi).coalesce(1).write.parquet(f"{base}/b1")
+    cut_mid = F.lit("2024-01-21").cast("timestamp")
+    cut_hi = F.lit("2024-01-23").cast("timestamp")
+    ev.filter(F.col("ts") < cut_mid).coalesce(1).write.parquet(f"{base}/b1")
+    ev.filter(
+        (F.col("ts") >= cut_mid) & (F.col("ts") < cut_hi)
+    ).coalesce(1).write.parquet(f"{base}/b2")
     ev.filter(F.col("ts") < cut_lo).unionByName(
         ev.filter(F.col("ts") >= cut_hi)
-    ).coalesce(1).write.parquet(f"{base}/b2")
+    ).coalesce(1).write.parquet(f"{base}/b3")
     src = f"{base}/src"
     os.makedirs(src)
-    for i, bdir in enumerate(("b1", "b2"), 1):
+    for i, bdir in enumerate(("b1", "b2", "b3"), 1):
         (part,) = glob.glob(f"{base}/{bdir}/part-*.parquet")
         dst = f"{src}/batch{i}.parquet"
         shutil.copyfile(part, dst)
@@ -4494,16 +4503,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_index_compact, corpus_rehydrate — each locally oracle-verified
     # at sf0.01), and graph_covisit_pagerank whose semantics changed in
     # r05 (min_covisits=2 edge floor; r03 green row predates it).
-    # ROUND-6 ROTATION TODO: slots 1-24 = the queue above PLUS the seven
-    # r05c gates at the dict tail (graph_hits, dedup_bloom,
-    # ops_expire_snapshots, stream_dedup, stream_join, stream_enrich,
-    # ann_index_delete — never driver-checked, each locally
-    # oracle-verified at sf0.001 AND sf0.01); slots 25-50 = oldest
-    # driver-green entries by last-checked
-    # round (r01 first: q6_forecast_revenue, q_semi_anti_customers,
-    # q_set_ops_users, p3/p4/p5, f1/f2, e2_schema_projection,
-    # embedding_centroids, q1, q3, q5, ... in registry-tail order).
-    return {
+    # ROUND-6 ROTATION (EXECUTED — see _R06_WINDOW below, which reorders
+    # this registry so the driver's first-50 window is exactly):
+    #   slot 1:      embedding_covariance — r05's lone red, re-fixed this
+    #                round (native round(x,6) replaced by floor-based
+    #                HALF_UP quantization on BOTH engines + hi/lo casts;
+    #                midpoint-adversarial fixture proves the fix)
+    #   slots 2-4:   re-checks (w6_offset_recovery stalest r01 green;
+    #                ann_topk_arrow rounding kernel changed in r05;
+    #                graph_covisit_pagerank semantics changed in r05)
+    #   slots 5-27:  the 23 r05 gates that never had a driver row
+    #   slots 28-38: the 11 gates whose Spark+oracle pairs changed this
+    #                round in the avg(double)→fixed-point sweep (their
+    #                old greens predate the new semantics)
+    #   slots 39-50: stalest r01 driver-greens (re-check cadence)
+    # ROUND-7 QUEUE: any gate newly added in r06 (appended at the dict
+    # tail, below the window) + next-stalest greens (q12, q17, q10-q18
+    # family, dedup_exact/minhash r01 block) per the documented cadence.
+    reg = {
         # ===== r05 WINDOW slots 1-16: NEW in r04, never driver-checked
         "text_bpe_encode": _q_text_bpe_encode,
         "text_quality_filter_approx": _q_text_quality_filter_approx,
@@ -4782,6 +4799,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_delete": _q_ann_index_delete,
         "stream_late_data": _q_stream_late_data,
     }
+    # ROUND-6 WINDOW: the driver checks the FIRST 50 keys — put the red
+    # fix, the never-checked gates, the semantics-changed gates, and the
+    # stalest greens there; everything else keeps registry order.
+    _R06_WINDOW = [
+        # slot 1: r05's red, fixed (floor-based HALF_UP on both engines)
+        "embedding_covariance",
+        # slots 2-4: re-checks
+        "w6_offset_recovery",
+        "ann_topk_arrow",
+        "graph_covisit_pagerank",
+        # slots 5-27: never driver-checked (added r05)
+        "o2_parquet_roundtrip",
+        "text_heaps_law",
+        "corpus_length_buckets",
+        "ann_range_search",
+        "embedding_isotropy",
+        "ann_binary_topk",
+        "ann_binary_recall",
+        "corpus_source_overlap",
+        "ops_orphan_report",
+        "media_crossmodal_topk",
+        "stream_quality_gate",
+        "ann_index_compact",
+        "corpus_rehydrate",
+        "graph_source_ppr",
+        "media_e2e_pipeline",
+        "graph_hits",
+        "dedup_bloom",
+        "ops_expire_snapshots",
+        "stream_dedup",
+        "stream_join",
+        "stream_enrich",
+        "ann_index_delete",
+        "stream_late_data",
+        # slots 28-38: Spark+oracle pairs changed this round (fixed-point
+        # mean sweep) — old driver greens predate the new semantics
+        "embedding_pca",
+        "embedding_centroids",
+        "ann_lloyd_refine",
+        "ann_lloyd_cell_stats",
+        "ann_pq_error",
+        "embedding_centroid_drift",
+        "embedding_outliers",
+        "bitext_mine_margin",
+        "text_unigram_logprob",
+        "text_bigram_logprob",
+        "text_perplexity_filter",
+        # slots 39-50: stalest r01 driver-greens (re-check cadence)
+        "q6_forecast_revenue",
+        "q_semi_anti_customers",
+        "q_set_ops_users",
+        "p3_hourly_partition",
+        "p4_daily_partition",
+        "p5_timebased_tz",
+        "f1_rotation_manifest",
+        "f2_time_rotation",
+        "e2_schema_projection",
+        "q1_pricing_summary",
+        "q3_unshipped_orders",
+        "q5_local_supplier_volume",
+    ]
+    assert len(_R06_WINDOW) == 50, len(_R06_WINDOW)
+    out = {k: reg.pop(k) for k in _R06_WINDOW}
+    out.update(reg)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -220,6 +220,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in headline:
         fn = qs[name]
         runs = []
@@ -230,6 +231,10 @@ def main() -> None:
             _clear_persisted()
             if runs[0] > 3.0 and len(runs) >= 2:
                 break
+        # raw per-run pairs recorded alongside the aggregate (VERDICT r05
+        # item 7): round-over-round diffs of the mixed max-of-2/min-of-2
+        # aggregate required archaeology without them
+        raw_runs[name] = [round(r, 3) for r in runs]
         if runs[0] > 3.0:
             timings[name] = round(min(runs), 3)  # two-run min: stable tier
         else:
@@ -244,10 +249,23 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # one-shot 10x scale proof (scripts/scale_proof.py) rides along so the
+    # per-round BENCH record carries the measured scaling factors
+    scale_proof = None
+    scale_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    if os.path.exists(scale_path):
+        try:
+            with open(scale_path) as fh:
+                scale_proof = json.load(fh)
+        except Exception:  # noqa: BLE001 - sidecar is best-effort
+            scale_proof = None
     with open(detail_path, "w") as fh:
         json.dump(
             {
                 "sf": sf_val,
+                "scale_proof": scale_proof,
                 "n_queries": len(timings),
                 "timing_note": (
                     "sub-3s entries: larger of 2 runs (conservative); "
@@ -259,6 +277,7 @@ def main() -> None:
                     "the separate ann_index_build entry"
                 ),
                 "queries": timings,
+                "runs": raw_runs,
             },
             fh,
             indent=1,

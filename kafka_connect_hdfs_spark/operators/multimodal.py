@@ -55,7 +55,38 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-STUB_DECODERS_REAL = False  # flips when real codec libs are wired in
+def codec_capabilities() -> "dict[str, bool]":
+    """Capability probe (r05 VERDICT optional item): which real codec
+    libraries are importable in THIS environment. The sandbox ships
+    none, so everything is False here and the deterministic fake decode
+    runs; an environment with PIL / soundfile / PyAV flips the matching
+    capability and :func:`_decode` starts decoding real payloads through
+    the SAME gates, unchanged (synthetic text-byte payloads still fall
+    back to the fake, keeping the oracles replayable)."""
+    caps = {}
+    try:  # pragma: no cover - not present in this container
+        import PIL.Image  # noqa: F401
+
+        caps["image"] = True
+    except ImportError:
+        caps["image"] = False
+    try:  # pragma: no cover
+        import soundfile  # noqa: F401
+
+        caps["audio"] = True
+    except ImportError:
+        caps["audio"] = False
+    try:  # pragma: no cover
+        import av  # noqa: F401
+
+        caps["video"] = True
+    except ImportError:
+        caps["video"] = False
+    return caps
+
+
+_CAPS = codec_capabilities()
+STUB_DECODERS_REAL = any(_CAPS.values())  # True once codec libs exist
 
 
 def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -79,16 +110,51 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def _fake_decode(media_type: str, payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a codec: derives (width, height, n_frames)
-    from payload length. Replace with PIL/ffmpeg when available.
+    from payload length — replayable by a SQL oracle, used whenever no
+    real codec is available OR the payload isn't a decodable stream
+    (the synthetic fixtures are utf-8 text bytes).
     """
-    if STUB_DECODERS_REAL:  # pragma: no cover
-        raise NotImplementedError("real codecs not wired in this container")
     n = len(payload or b"")
     if media_type == "image":
         return (n % 640) + 1, (n % 480) + 1, 1
     if media_type == "audio":
         return 0, 0, (n % 1000) + 1
     return (n % 1920) + 1, (n % 1080) + 1, (n % 120) + 1
+
+
+def _decode(media_type: str, payload: bytes) -> tuple[int, int, int]:
+    """Decode dispatch: real codec when the capability probe found one
+    AND the payload actually decodes; deterministic fake otherwise. The
+    flip path for a codec-equipped environment is exactly this function
+    — gates, schemas, and batch shapes stay identical.
+    """
+    if _CAPS.get(media_type):  # pragma: no cover - no codecs in sandbox
+        try:
+            if media_type == "image":
+                import io
+
+                import PIL.Image
+
+                with PIL.Image.open(io.BytesIO(payload)) as im:
+                    return im.width, im.height, getattr(im, "n_frames", 1)
+            if media_type == "audio":
+                import io
+
+                import soundfile
+
+                info = soundfile.info(io.BytesIO(payload))
+                return 0, 0, int(info.frames)
+            if media_type == "video":
+                import io
+
+                import av
+
+                with av.open(io.BytesIO(payload)) as c:
+                    vs = c.streams.video[0]
+                    return int(vs.width), int(vs.height), int(vs.frames or 1)
+        except Exception:  # noqa: BLE001 - non-decodable → deterministic fake
+            pass
+    return _fake_decode(media_type, payload)
 
 
 def extract_features(df: DataFrame) -> DataFrame:

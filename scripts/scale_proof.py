@@ -1,0 +1,185 @@
+"""Scale spot-proof (r05 VERDICT item 4): run 2-3 flagship entries at
+sf0.1 AND at a 10x synthetic volume (sf1-equivalent, built by unioning
+sf0.1 ten times with id offsets) and record wall time + shuffle bytes
+for each, so the documented caps (LSH bucket caps, IVF cell pruning,
+running-total packing windows) are validated by a measured scaling
+factor instead of plan reading alone.
+
+Writes BENCH_SCALE.json at the repo root; bench.py embeds it into
+BENCH_DETAIL.json under "scale_proof" when present.
+
+Usage: python scripts/scale_proof.py [base_sf_dir] [scale_copies]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ("documents", "embeddings")
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """Sum shuffle read/write bytes over all completed stages via the UI
+    REST API (no listener plumbing needed for a one-shot proof)."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        apps = json.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10)
+        )
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+                timeout=30,
+            )
+        )
+        rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
+        wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        return rd, wr
+    except Exception:  # noqa: BLE001 - metrics are best-effort
+        return 0, 0
+
+
+def _make_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.session import load_table
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    for t in TABLES:
+        df = load_table(spark, base_dir, t)
+        idc = "doc_id" if t == "documents" else "vec_id"
+        n = df.agg(F.max(idc)).collect()[0][0] + 1
+        parts = [
+            df.withColumn(idc, (F.col(idc) + F.lit(i * n)).cast("long"))
+            for i in range(copies)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.parquet(f"{out_dir}/{t}.parquet")
+
+
+def _timed(spark, label, fn):
+    r0, w0 = _shuffle_totals(spark)
+    t0 = time.perf_counter()
+    n = fn()
+    wall = time.perf_counter() - t0
+    r1, w1 = _shuffle_totals(spark)
+    return {
+        "entry": label,
+        "rows": int(n),
+        "wall_sec": round(wall, 3),
+        "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+        "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+    }
+
+
+def _run_suite(spark, sf_dir: str, tag: str) -> list[dict]:
+    import importlib.util
+    import tempfile
+
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        build_ivf_index, query_ivf_index,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    ent = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ent)
+    qs = ent.queries()
+    out = []
+    out.append(
+        _timed(
+            spark,
+            f"corpus_e2e_pipeline_v2@{tag}",
+            lambda: qs["corpus_e2e_pipeline_v2"](spark, sf_dir).count(),
+        )
+    )
+    out.append(
+        _timed(
+            spark,
+            f"dedup_minhash_lsh@{tag}",
+            lambda: qs["dedup_minhash_lsh"](spark, sf_dir).count(),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix=f"kchs_scale_{tag}_") + "/idx"
+    out.append(
+        _timed(
+            spark,
+            f"ann_index_build@{tag}",
+            lambda: (build_ivf_index(emb, idx, n_seeds=8), emb.count())[1],
+        )
+    )
+    out.append(
+        _timed(
+            spark,
+            f"ann_index_serve@{tag}",
+            lambda: query_ivf_index(
+                spark, idx, list(range(10)), k=5, n_probe=1
+            ).count(),
+        )
+    )
+    for r in out:
+        print(json.dumps(r))
+    return out
+
+
+def main() -> None:
+    from kafka_connect_hdfs_spark.session import get_spark
+
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    scaled = "/tmp/kchs_scale_10x"
+    spark = get_spark("kchs-scaleproof")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"building {copies}x copy of {base} at {scaled} ...")
+    _make_scaled(spark, base, scaled, copies)
+
+    base_res = _run_suite(spark, base, "1x")
+    big_res = _run_suite(spark, scaled, f"{copies}x")
+
+    factors = {}
+    for a, b in zip(base_res, big_res):
+        name = a["entry"].split("@")[0]
+        factors[name] = {
+            "wall_1x_sec": a["wall_sec"],
+            f"wall_{copies}x_sec": b["wall_sec"],
+            "wall_factor": round(b["wall_sec"] / max(a["wall_sec"], 1e-9), 2),
+            "shuffle_write_1x_mb": a["shuffle_write_mb"],
+            f"shuffle_write_{copies}x_mb": b["shuffle_write_mb"],
+            "rows_1x": a["rows"],
+            f"rows_{copies}x": b["rows"],
+        }
+    doc = {
+        "base_sf_dir": base,
+        "data_factor": copies,
+        "note": (
+            "10x synthetic volume = sf0.1 unioned 10x with id offsets; "
+            "wall_factor well under data_factor on the capped/pruned "
+            "entries means the documented caps bind (LSH bucket caps, "
+            "IVF partition pruning); near-linear on the corpus passes "
+            "is the expected one-pass shape"
+        ),
+        "entries": factors,
+    }
+    with open("/root/repo/BENCH_SCALE.json", "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    print(json.dumps(doc))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
