@@ -34,7 +34,13 @@ def get_spark(app_name: str = "kafka-connect-hdfs-spark", shuffle_partitions: in
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test noise); SPARK_GRAFT_UI=1 re-enables it
+        # for runs that read shuffle metrics off the REST API
+        # (scripts/scale_proof.py)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         .getOrCreate()
     )
 

@@ -59,10 +59,18 @@ def _make_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
         df = load_table(spark, base_dir, t)
         idc = "doc_id" if t == "documents" else "vec_id"
         n = df.agg(F.max(idc)).collect()[0][0] + 1
-        parts = [
-            df.withColumn(idc, (F.col(idc) + F.lit(i * n)).cast("long"))
-            for i in range(copies)
-        ]
+        parts = []
+        for i in range(copies):
+            p = df.withColumn(idc, (F.col(idc) + F.lit(i * n)).cast("long"))
+            if t == "documents" and i > 0:
+                # perturb the copy so exact dedup does NOT collapse the
+                # volume back to 1x (copies stay NEAR-duplicates — the
+                # LSH bucket-cap stress case), keeping content stages at
+                # true 10x input
+                p = p.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" copytag{i}"))
+                )
+            parts.append(p)
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
@@ -70,6 +78,7 @@ def _make_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
 
 
 def _timed(spark, label, fn):
+    fn()  # warm run: JVM/codegen/file-listing — timings measure the plan
     r0, w0 = _shuffle_totals(spark)
     t0 = time.perf_counter()
     n = fn()
@@ -143,6 +152,9 @@ def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     scaled = "/tmp/kchs_scale_10x"
+    # the session factory disables the UI by default; the shuffle metrics
+    # come from its REST API, so re-enable it for this measurement run
+    os.environ["SPARK_GRAFT_UI"] = "1"
     spark = get_spark("kchs-scaleproof")
     spark.sparkContext.setLogLevel("ERROR")
     print(f"building {copies}x copy of {base} at {scaled} ...")
