@@ -4457,6 +4457,39 @@ def _q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def _q_ops_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh (merge.refresh_aggregate):
+    a per-(event_type, day) count/sum mart built from the base 80% of
+    events is folded together with the remaining 20% delta WITHOUT
+    re-scanning the base — the result must be bit-identical to the full
+    recompute the oracle runs. Counts are exact longs, sums exact
+    decimal(18,2) (order-free), surfaced as doubles."""
+    from kafka_connect_hdfs_spark.merge import refresh_aggregate
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.to_date("ts")
+    )
+    base = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    base_agg = base.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+    out = refresh_aggregate(
+        base_agg,
+        delta,
+        keys=["event_type", "day"],
+        count_col="n_rows",
+        sum_cols={"value": "total_value"},
+    )
+    return out.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n_rows",
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("event_type", "day")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -4798,6 +4831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": _q_stream_enrich,
         "ann_index_delete": _q_ann_index_delete,
         "stream_late_data": _q_stream_late_data,
+        # ===== NEW in r06 (r07 window queue): incremental mart refresh
+        "ops_agg_refresh": _q_ops_agg_refresh,
     }
     # ROUND-6 WINDOW: the driver checks the FIRST 50 keys — put the red
     # fix, the never-checked gates, the semantics-changed gates, and the
@@ -10436,6 +10471,13 @@ SELECT a.window_start, a.window_end, a.event_type, a.n_events,
        a.total_value
 FROM agg a, wm WHERE a.window_end <= wm.final_wm
 ORDER BY window_start, event_type
+"""
+    # incremental mart refresh == full recompute (distributive aggregates)
+    sql["ops_agg_refresh"] = """
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
+       count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, day
 """
     # stream-static enrichment == batch join census
     sql["stream_enrich"] = """

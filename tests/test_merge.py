@@ -211,3 +211,71 @@ def test_merge_handles_escaped_partition_values(spark, tmp_path):
     assert back == {
         1: ("a b:c", 9.0), 2: ("plain", 1.0), 3: ("a b:c", 1.0), 4: ("a b:c", 9.0),
     }
+
+
+def test_refresh_aggregate_equals_full_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.merge import refresh_aggregate
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    base = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    base_agg = base.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+    got = {
+        (r["event_type"], str(r["day"])): (r["n_rows"], r["total_value"])
+        for r in refresh_aggregate(
+            base_agg, delta, ["event_type", "day"],
+            sum_cols={"value": "total_value"},
+        ).collect()
+    }
+    want = {
+        (r["event_type"], str(r["day"])): (r["n_rows"], r["total_value"])
+        for r in ev.groupBy("event_type", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_refresh_aggregate_new_keys_and_empty_delta(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.merge import refresh_aggregate
+
+    base_rows = spark.createDataFrame(
+        [("a", 2, 10.0), ("b", 1, 5.0)], "k string, n_rows long, v double"
+    ).select(
+        "k",
+        "n_rows",
+        F.col("v").cast("decimal(18,2)").alias("total_v"),
+    )
+    # delta introduces a brand-new key c and augments a
+    delta = spark.createDataFrame(
+        [("a", 1.5), ("c", 2.0), ("c", 3.0)], "k string, value double"
+    )
+    got = {
+        r["k"]: (r["n_rows"], float(r["total_v"]))
+        for r in refresh_aggregate(
+            base_rows, delta, ["k"], sum_cols={"value": "total_v"}
+        ).collect()
+    }
+    assert got == {"a": (3, 11.5), "b": (1, 5.0), "c": (2, 5.0)}
+    # empty delta: the mart passes through unchanged
+    empty = delta.filter(F.lit(False))
+    same = {
+        r["k"]: (r["n_rows"], float(r["total_v"]))
+        for r in refresh_aggregate(
+            base_rows, empty, ["k"], sum_cols={"value": "total_v"}
+        ).collect()
+    }
+    assert same == {"a": (2, 10.0), "b": (1, 5.0)}
