@@ -4490,6 +4490,26 @@ def _q_ops_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+def _q_ops_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE mart (quality.cube_profile): per-(event_type, day)
+    cells + both marginals + grand total in ONE pass, gid = grouping_id
+    bits. Exact counts, decimal value sums surfaced as doubles."""
+    from kafka_connect_hdfs_spark.operators.quality import cube_profile
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return (
+        cube_profile(ev, ["event_type", "day"], value_col="value")
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "gid",
+            "n_rows",
+            "total_value",
+        )
+        .orderBy("gid", "event_type", "day")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -4831,8 +4851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": _q_stream_enrich,
         "ann_index_delete": _q_ann_index_delete,
         "stream_late_data": _q_stream_late_data,
-        # ===== NEW in r06 (r07 window queue): incremental mart refresh
+        # ===== NEW in r06 (r07 window queue): incremental mart refresh,
+        # CUBE mart
         "ops_agg_refresh": _q_ops_agg_refresh,
+        "ops_cube_profile": _q_ops_cube_profile,
     }
     # ROUND-6 WINDOW: the driver checks the FIRST 50 keys — put the red
     # fix, the never-checked gates, the semantics-changed gates, and the
@@ -10478,6 +10500,18 @@ SELECT event_type, CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
        count(*)::BIGINT AS n_rows,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY event_type, day
+"""
+    # CUBE mart: DuckDB GROUP BY CUBE + GROUPING() mirrors Spark
+    # cube()/grouping_id() bit-for-bit (leftmost dim = MSB)
+    sql["ops_cube_profile"] = """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
+       GROUPING(event_type, date_trunc('day', ts))::INT AS gid,
+       count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', ts))
+ORDER BY gid, event_type, day
 """
     # stream-static enrichment == batch join census
     sql["stream_enrich"] = """

@@ -353,3 +353,34 @@ def constraint_report(
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def cube_profile(
+    df: DataFrame,
+    dims: "list[str]",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Multi-dimensional rollup mart (GROUP BY CUBE): one pass emits the
+    aggregate at EVERY subset of ``dims`` — the per-dim marginals, the
+    cross-tabs, and the grand total a datacard/dashboard reads — with
+    ``gid`` (Spark ``grouping_id``: bit i set ⇔ dim i rolled up) telling
+    the levels apart. The reference's consumers build these marts in
+    Hive after landing (SURVEY §2.7); here it is one declarative pass.
+
+    Counts are exact longs; the optional value sum runs as decimal(18,2)
+    (order-free) and surfaces as double.
+
+    Scale: CUBE over d dims multiplies aggregate rows by 2^d, NOT input
+    rows — partial aggregation combines map-side per grouping set, so
+    the shuffle carries |groups|·2^d partials regardless of corpus size.
+    Keep d small (2-4) like any sane mart; for high-cardinality dims use
+    grouping sets of the needed combinations instead of the full cube.
+    """
+    aggs = [F.grouping_id().alias("gid"), F.count("*").alias("n_rows")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    return df.cube(*dims).agg(*aggs)

@@ -279,3 +279,32 @@ def test_refresh_aggregate_new_keys_and_empty_delta(spark):
         ).collect()
     }
     assert same == {"a": (2, 10.0), "b": (1, 5.0)}
+
+
+def test_cube_profile_levels_and_plan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.quality import cube_profile
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = cube_profile(ev, ["event_type", "day"], value_col="value")
+    rows = out.collect()
+    by_gid: dict = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # 4 grouping sets: cells(0), day-marginal rolled up (1), type-marginal
+    # rolled up (2), grand total (3)
+    assert set(by_gid) == {0, 1, 2, 3}
+    assert len(by_gid[3]) == 1
+    total = ev.count()
+    assert by_gid[3][0]["n_rows"] == total
+    assert sum(r["n_rows"] for r in by_gid[0]) == total
+    assert sum(r["n_rows"] for r in by_gid[1]) == total
+    assert sum(r["n_rows"] for r in by_gid[2]) == total
+    # one-pass shape: a single Expand, no extra shuffles beyond the agg
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1
+    assert plan.count("Exchange") <= 2  # partial agg + AQE reads
