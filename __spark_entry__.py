@@ -4510,47 +4510,6 @@ def _q_ops_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ops_zorder_land(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order clustered landing (layout.zorder_write): events land
-    Morton-ordered on (user_id, day) — one range shuffle, pure-expression
-    bit interleave — then the landed table must census-match the source
-    exactly (count, decimal sum, order-free bit_xor of id hashes per
-    event_type). The data-skipping payoff (per-file min/max spans
-    shrink on BOTH keys) is pinned by tests/test_layout.py."""
-    import tempfile
-
-    from kafka_connect_hdfs_spark.operators.layout import zorder_write
-
-    ev = _events(spark, sf_dir).select(
-        "event_id",
-        "event_type",
-        F.col("user_id").cast("long").alias("user_id"),
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long").alias(
-            "day"
-        ),
-        "value",
-    )
-    path = tempfile.mkdtemp(prefix="kchs_zorder_") + "/t"
-    zorder_write(ev, path, "user_id", "day", n_files=8)
-    landed = spark.read.parquet(path)
-    return (
-        landed.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_value"),
-            F.bit_xor(
-                F.expr(
-                    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 12),"
-                    " 16, 10) AS BIGINT)"
-                )
-            ).alias("id_checksum"),
-        )
-        .orderBy("event_type")
-    )
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -4896,7 +4855,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CUBE mart
         "ops_agg_refresh": _q_ops_agg_refresh,
         "ops_cube_profile": _q_ops_cube_profile,
-        "ops_zorder_land": _q_ops_zorder_land,
     }
     # ROUND-6 WINDOW: the driver checks the FIRST 50 keys — put the red
     # fix, the never-checked gates, the semantics-changed gates, and the
@@ -10554,18 +10512,6 @@ SELECT event_type,
 FROM events
 GROUP BY CUBE (event_type, date_trunc('day', ts))
 ORDER BY gid, event_type, day
-"""
-    # z-order landed census == source census (md5-prefix order-free xor)
-    sql["ops_zorder_land"] = """
-WITH h AS (
-  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
-         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS hh
-  FROM events
-)
-SELECT event_type, count(*)::BIGINT AS n_rows,
-       CAST(sum(v) AS DOUBLE) AS total_value,
-       bit_xor(hh)::BIGINT AS id_checksum
-FROM h GROUP BY event_type ORDER BY event_type
 """
     # stream-static enrichment == batch join census
     sql["stream_enrich"] = """
