@@ -237,3 +237,29 @@ def test_ivf_vacuum_noop_without_tombstones(spark, sf_dir, tmp_path):
     path = str(tmp_path / "idx")
     build_ivf_index(emb, path, n_seeds=4)
     assert vacuum_ivf_index(spark, path) == {}
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from kafka_connect_hdfs_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src string, dst string, w long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations >= 1"):
+        hits_scores(edges, iterations=0)
+
+
+def test_ppr_rejects_absent_seed_set(spark):
+    from kafka_connect_hdfs_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0)], "src_a string, src_b string, n_shared double"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="none of the seeds"):
+        personalized_pagerank(edges, seeds=["zzz-not-here"], iterations=2)
