@@ -147,19 +147,32 @@ def refresh_aggregate(
     from pyspark.sql import functions as F
 
     sum_cols = sum_cols or {}
+    # partials carry decimal(28,2) — what a full recompute's sum over
+    # decimal(18,2) inputs produces — so the merge NEVER downcasts an
+    # accumulated total (a cast back to (18,2) silently nulls past 1e16
+    # and would drop the whole base contribution for that key)
     aggs = [F.count("*").cast("long").alias(count_col)] + [
-        F.sum(F.col(src).cast("decimal(18,2)")).alias(dst)
+        F.sum(F.col(src).cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias(dst)
         for src, dst in sum_cols.items()
     ]
     d = delta.groupBy(*keys).agg(*aggs)
     merged_aggs = [F.sum(count_col).cast("long").alias(count_col)] + [
-        F.sum(F.col(dst).cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
+        F.sum(F.col(dst).cast("decimal(28,2)"))
+        .cast("decimal(28,2)")
         .alias(dst)
         for dst in sum_cols.values()
     ]
     return (
-        base_agg.select(*keys, count_col, *sum_cols.values())
+        base_agg.select(
+            *keys,
+            F.col(count_col).cast("long").alias(count_col),
+            *[
+                F.col(dst).cast("decimal(28,2)").alias(dst)
+                for dst in sum_cols.values()
+            ],
+        )
         .unionByName(d)
         .groupBy(*keys)
         .agg(*merged_aggs)

@@ -708,22 +708,22 @@ def personalized_pagerank(
     flagged = nodes.join(
         seed_df.select("node", F.lit(1.0).alias("_is_seed")), "node", "left"
     ).select("node", F.coalesce("_is_seed", F.lit(0.0)).alias("_is_seed"))
-    # eager guard: seeds absent from the graph would make _ns = 0 and the
+    # eager guard: seeds absent from the graph would make |S| = 0 and the
     # teleport division NULL — every rank silently null (r05 ADVICE item).
-    # One scalar aggregate over the |nodes|-bounded flag frame.
+    # ONE scalar aggregate over the |nodes|-bounded flag frame; the
+    # collected |S| then rides as a literal (no second aggregate, no
+    # broadcast crossJoin — the r06 review finding).
     _n_eff = flagged.agg(F.sum("_is_seed")).collect()[0][0] or 0.0
     if _n_eff <= 0:
         raise ValueError(
             "personalized_pagerank: none of the seeds are present in the "
             f"graph (seeds={list(seeds)[:5]}{'...' if len(list(seeds)) > 5 else ''})"
         )
-    ns = F.broadcast(
-        flagged.agg(F.sum("_is_seed").alias("_ns"))
-    )
-    ranks = flagged.crossJoin(ns).select(
+    ns_lit = F.lit(float(_n_eff))
+    ranks = flagged.select(
         "node",
         "_is_seed",
-        (F.col("_is_seed") / F.col("_ns")).alias("rank"),
+        (F.col("_is_seed") / ns_lit).alias("rank"),
     )
     for _ in range(iterations):
         contrib = (
@@ -733,12 +733,11 @@ def personalized_pagerank(
         )
         ranks = (
             flagged.join(contrib, flagged["node"] == contrib["_d"], "left")
-            .crossJoin(ns)
             .select(
                 "node",
                 "_is_seed",
                 (
-                    (1.0 - damping) * F.col("_is_seed") / F.col("_ns")
+                    (1.0 - damping) * F.col("_is_seed") / ns_lit
                     + damping * F.coalesce(F.col("_c"), F.lit(0.0))
                 ).alias("rank"),
             )

@@ -168,8 +168,11 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # _decode, not _fake_decode: dispatches to a real codec when
+            # the capability probe found one (falls back to the
+            # deterministic fake for synthetic/undecodable payloads)
             dims = [
-                _fake_decode(mt, pl)
+                _decode(mt, pl)
                 for mt, pl in zip(pdf["media_type"], pdf["payload"])
             ]
             pdf = pdf.copy()

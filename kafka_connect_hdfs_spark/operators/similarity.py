@@ -354,13 +354,16 @@ def brute_force_topk_arrow(
     # support — enforce the contract up front (r05 ADVICE item)
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    _id_type = embeddings.schema[id_col].dataType
-    if not isinstance(_id_type, (ByteType, ShortType, IntegerType, LongType)):
-        raise TypeError(
-            "brute_force_topk_arrow requires an integral id column "
-            f"(got {id_col}: {_id_type.simpleString()}); use "
-            "brute_force_topk for non-integral ids"
-        )
+    for side, frame in (("embeddings", embeddings), ("queries", queries)):
+        _id_type = frame.schema[id_col].dataType
+        if not isinstance(
+            _id_type, (ByteType, ShortType, IntegerType, LongType)
+        ):
+            raise TypeError(
+                f"brute_force_topk_arrow requires an integral id column "
+                f"(got {side}.{id_col}: {_id_type.simpleString()}); use "
+                "brute_force_topk for non-integral ids"
+            )
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
