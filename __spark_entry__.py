@@ -4510,6 +4510,54 @@ def _q_ops_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level dedup (dedup.line_dedup): docs are re-shaped into
+    8-token lines with a shared boilerplate line injected into every 3rd
+    doc; any line occurring > 2 times corpus-wide (the boilerplate, plus
+    lines of exact-duplicate docs) is dropped EVERYWHERE and docs
+    reassemble in order. Output: per-doc line counts + md5 of the
+    reassembled text (the oracle replays chunking, counting, and
+    reassembly)."""
+    from kafka_connect_hdfs_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    body = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(n / F.lit(8.0)).cast("int") - 1
+            ),
+            lambda i: F.array_join(
+                F.slice(words, i * 8 + 1, 8), " "
+            ),
+        ),
+    )
+    boiler = F.lit("shared cookie banner boilerplate line")
+    ml = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(boiler, F.lit("\n"), body),
+        )
+        .otherwise(body)
+        .alias("text"),
+    )
+    return (
+        line_dedup(ml, max_occurrences=2)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_lines_kept",
+            F.md5(F.col("text_kept")).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -4855,6 +4903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CUBE mart
         "ops_agg_refresh": _q_ops_agg_refresh,
         "ops_cube_profile": _q_ops_cube_profile,
+        "dedup_lines": _q_dedup_lines,
     }
     # ROUND-6 WINDOW: the driver checks the FIRST 50 keys — put the red
     # fix, the never-checked gates, the semantics-changed gates, and the
@@ -10512,6 +10561,46 @@ SELECT event_type,
 FROM events
 GROUP BY CUBE (event_type, date_trunc('day', ts))
 ORDER BY gid, event_type, day
+"""
+    # CCNet line dedup: chunk → corpus line counts → drop > 2 → reassemble
+    sql["dedup_lines"] = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+ml AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'shared cookie banner boilerplate line' || chr(10) || body
+              ELSE body END AS text
+  FROM (
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1),
+               i -> array_to_string(w[i*8+1 : i*8+8], ' ')),
+             chr(10)) AS body
+    FROM base)
+),
+lx AS (SELECT doc_id, string_split(text, chr(10)) AS t FROM ml),
+lines AS (
+  SELECT doc_id, u.i AS idx, t[u.i] AS line,
+         md5(lower(trim(t[u.i]))) AS h
+  FROM lx, unnest(generate_series(1, len(t))) AS u(i)
+  WHERE length(trim(t[u.i])) > 0
+),
+cnt AS (SELECT h, count(*) AS c FROM lines GROUP BY h),
+kept AS (SELECT l.* FROM lines l JOIN cnt USING (h) WHERE c <= 2),
+re AS (
+  SELECT doc_id, count(*) AS n_lines_kept,
+         string_agg(line, chr(10) ORDER BY idx) AS text_kept
+  FROM kept GROUP BY doc_id
+),
+bf AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT b.doc_id, b.n_lines::BIGINT AS n_lines,
+       coalesce(r.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+       md5(coalesce(r.text_kept, '')) AS kept_md5
+FROM bf b LEFT JOIN re r USING (doc_id) ORDER BY doc_id
 """
     # stream-static enrichment == batch join census
     sql["stream_enrich"] = """

@@ -1254,3 +1254,65 @@ def bloom_probe(
         F.col("_pkey").alias(key_col),
         "maybe_member",
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """CCNet-style LINE-level deduplication (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC 2020 — their pipeline hashes normalized lines/paragraphs and
+    drops repeated ones BEFORE document-level filtering): every line
+    whose normalized form (lower + trim) occurs more than
+    ``max_occurrences`` times ACROSS THE CORPUS is removed from every
+    document, then documents reassemble from the surviving lines in
+    original order. This kills the boilerplate that document-level
+    dedup can't see — cookie banners, nav menus, license headers —
+    which otherwise dominates n-gram statistics and LM training loss.
+
+    Returns ``(id, n_lines, n_lines_kept, text_kept)`` — ``n_lines``
+    counts the doc's non-empty lines, ``text_kept`` is '' when every
+    line was boilerplate (callers typically drop those docs).
+
+    Scale: the only corpus-sized shuffle is line-count-bounded on the
+    md5 of the normalized line (uniform key, no skew); the count table
+    is produced by the same hash partitioning the probe join needs, so
+    Catalyst reuses the exchange instead of re-shuffling; reassembly
+    groups each doc's (idx, line) pairs once (array_sort of structs —
+    no per-doc window sort). Nothing corpus-sized is broadcast or
+    collected.
+    """
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "_idx", "_line"
+            ),
+        )
+        .filter(F.length(F.trim(F.col("_line"))) > 0)
+        .withColumn("_h", F.md5(F.lower(F.trim(F.col("_line")))))
+    )
+    counts = lines.groupBy("_h").agg(F.count("*").alias("_c"))
+    kept = lines.join(counts, "_h").filter(
+        F.col("_c") <= max_occurrences
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_lines_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("text_kept"),
+    )
+    before = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return before.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+    )

@@ -263,3 +263,29 @@ def test_ppr_rejects_absent_seed_set(spark):
 
     with _pytest.raises(ValueError, match="none of the seeds"):
         personalized_pagerank(edges, seeds=["zzz-not-here"], iterations=2)
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "BANNER\nalpha beta\ngamma"),
+            (2, "banner\ndelta"),          # normalized match of BANNER
+            (3, "  banner \nalpha beta"),  # trim+lower match again
+            (4, "unique only line"),
+            (5, "BANNER"),                 # becomes empty after dedup
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_lines_kept"], r["text_kept"])
+        for r in line_dedup(docs, max_occurrences=2).collect()
+    }
+    # 'banner' occurs 4x > 2 -> dropped everywhere; 'alpha beta' occurs
+    # 2x <= 2 -> kept; order inside doc 1 preserved
+    assert out[1] == (3, 2, "alpha beta\ngamma")
+    assert out[2] == (2, 1, "delta")
+    assert out[3] == (2, 1, "alpha beta")
+    assert out[4] == (1, 1, "unique only line")
+    assert out[5] == (1, 0, "")
