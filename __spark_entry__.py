@@ -4510,6 +4510,53 @@ def _q_ops_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-mart maintenance ≡ batch rollup: events land
+    as 4 files, replay ONE FILE PER MICRO-BATCH, and every batch folds
+    into the per-(event_type, day) count/sum mart with a crash-
+    recoverable directory swap (streaming.mart). Because count/sum are
+    distributive, the final mart must equal the full batch rollup the
+    oracle computes — a lost batch, a double-fold, or a stale swap
+    breaks count and sum."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.streaming.mart import start_mart_refresh
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    base = tempfile.mkdtemp(prefix="kchs_mart_stream_")
+    src = f"{base}/src"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_mart_refresh(
+        stream,
+        f"{base}/mart",
+        ["event_type", "day"],
+        f"{base}/chk",
+        count_col="n_rows",
+        sum_cols={"value": "total_value"},
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+    return (
+        spark.read.parquet(f"{base}/mart")
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "n_rows",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet line-level dedup (dedup.line_dedup): docs are re-shaped into
     8-token lines with a shared boilerplate line injected into every 3rd
@@ -4904,6 +4951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_agg_refresh": _q_ops_agg_refresh,
         "ops_cube_profile": _q_ops_cube_profile,
         "dedup_lines": _q_dedup_lines,
+        "stream_agg_refresh": _q_stream_agg_refresh,
     }
     # ROUND-6 WINDOW: the driver checks the FIRST 50 keys — put the red
     # fix, the never-checked gates, the semantics-changed gates, and the
@@ -10601,6 +10649,13 @@ SELECT b.doc_id, b.n_lines::BIGINT AS n_lines,
        coalesce(r.n_lines_kept, 0)::BIGINT AS n_lines_kept,
        md5(coalesce(r.text_kept, '')) AS kept_md5
 FROM bf b LEFT JOIN re r USING (doc_id) ORDER BY doc_id
+"""
+    # streaming incremental mart == full batch rollup (distributive aggs)
+    sql["stream_agg_refresh"] = """
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
+       count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, day
 """
     # stream-static enrichment == batch join census
     sql["stream_enrich"] = """

@@ -115,7 +115,7 @@ def merge_upsert(
 
 
 def refresh_aggregate(
-    base_agg: "DataFrame",
+    base_agg: "DataFrame | None",
     delta: "DataFrame",
     keys: "list[str]",
     count_col: str = "n_rows",
@@ -158,6 +158,9 @@ def refresh_aggregate(
         for src, dst in sum_cols.items()
     ]
     d = delta.groupBy(*keys).agg(*aggs)
+    if base_agg is None:
+        # bootstrap: no mart yet — the delta aggregate IS the mart
+        return d
     merged_aggs = [F.sum(count_col).cast("long").alias(count_col)] + [
         F.sum(F.col(dst).cast("decimal(28,2)"))
         .cast("decimal(28,2)")

@@ -186,3 +186,31 @@ def test_vacuum_clears_stale_backup_when_cell_published(spark, ivf_index):
     assert 123456789 not in survivors  # stale backup did not resurface
     assert not (survivors & set(victims))
     assert not fs.exists(Path(f"{path}/cells/.cell={cell}.__vacuum_old"))
+
+
+def test_mart_refresh_restores_state_stranded_at_backup(spark, tmp_path):
+    """Same two-rename crash matrix as CDC, for the streaming mart: state
+    stranded at the backup path must be restored and folded with the new
+    batch, not rebuilt from the batch alone."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.streaming.mart import _refresh_batch
+
+    mart = str(tmp_path / "mart")
+    prior = spark.createDataFrame(
+        [("a", 5, 50.0), ("b", 2, 20.0)], "k string, n_rows long, v double"
+    ).select(
+        "k", "n_rows", F.col("v").cast("decimal(28,2)").alias("total_v")
+    )
+    prior.write.parquet(str(tmp_path / ".mart__mart_old"))
+    batch = spark.createDataFrame(
+        [("a", 1.5), ("c", 3.0)], "k string, value double"
+    )
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "total_v"}
+    )
+    got = {
+        r["k"]: (r["n_rows"], float(r["total_v"]))
+        for r in spark.read.parquet(mart).collect()
+    }
+    assert got == {"a": (6, 51.5), "b": (2, 20.0), "c": (1, 3.0)}
