@@ -4665,8 +4665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                round in the avg(double)→fixed-point sweep (their
     #                old greens predate the new semantics)
     #   slots 39-50: stalest r01 driver-greens (re-check cadence)
-    # ROUND-7 QUEUE: any gate newly added in r06 (appended at the dict
-    # tail, below the window) + next-stalest greens (q12, q17, q10-q18
+    # ROUND-7 QUEUE (slots 1-N): the gates newly added in r06, never
+    # driver-checked — ops_agg_refresh, ops_cube_profile, dedup_lines,
+    # stream_agg_refresh (each locally oracle-verified at sf0.01 and
+    # permutation-checked) — then next-stalest greens (q12, q17, q10-q18
     # family, dedup_exact/minhash r01 block) per the documented cadence.
     reg = {
         # ===== r05 WINDOW slots 1-16: NEW in r04, never driver-checked
