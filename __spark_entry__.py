@@ -4557,6 +4557,49 @@ def _q_stream_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ops_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot refs (snapshots.tag_snapshot/read_tag, Iceberg-style
+    tags): commit v1 = English docs, append v2 = German, tag v1
+    'baseline' and v2 'release', MOVE 'latest' from v1 to v2 (ref
+    replace is atomic rename-over), then read the table back THROUGH
+    each tag. One row per (tag, lang) census — a tag resolving to the
+    wrong version or leaking the other commit's rows breaks the hash."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, list_tags, read_tag, tag_snapshot,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kchs_tags_") + "/t"
+    v1 = commit_snapshot(spark, docs.filter(F.col("lang") == "en"), path)
+    v2 = commit_snapshot(
+        spark, docs.filter(F.col("lang") == "de"), path, mode="append"
+    )
+    tag_snapshot(spark, path, "baseline", v1)
+    tag_snapshot(spark, path, "release", v2)
+    tag_snapshot(spark, path, "latest", v1)
+    tag_snapshot(spark, path, "latest", v2)  # ref move: atomic replace
+    assert list_tags(spark, path) == {
+        "baseline": v1, "release": v2, "latest": v2,
+    }
+
+    def _agg(tag: str) -> DataFrame:
+        return read_tag(spark, path, tag).groupBy("lang").agg(
+            F.lit(tag).alias("tag"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    return (
+        _agg("baseline")
+        .unionByName(_agg("release"))
+        .unionByName(_agg("latest"))
+        .select("tag", "lang", "n_docs", "sum_chars")
+        .orderBy("tag", "lang")
+    )
+
+
 def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet line-level dedup (dedup.line_dedup): docs are re-shaped into
     8-token lines with a shared boilerplate line injected into every 3rd
@@ -4667,7 +4710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   slots 39-50: stalest r01 driver-greens (re-check cadence)
     # ROUND-7 QUEUE (slots 1-N): the gates newly added in r06, never
     # driver-checked — ops_agg_refresh, ops_cube_profile, dedup_lines,
-    # stream_agg_refresh (each locally oracle-verified at sf0.01 and
+    # stream_agg_refresh, ops_snapshot_tags (each locally oracle-verified
+    # at sf0.01 and
     # permutation-checked) — then next-stalest greens (q12, q17, q10-q18
     # family, dedup_exact/minhash r01 block) per the documented cadence.
     reg = {
@@ -4954,6 +4998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_cube_profile": _q_ops_cube_profile,
         "dedup_lines": _q_dedup_lines,
         "stream_agg_refresh": _q_stream_agg_refresh,
+        "ops_snapshot_tags": _q_ops_snapshot_tags,
     }
     # ROUND-6 WINDOW: the driver checks the FIRST 50 keys — put the red
     # fix, the never-checked gates, the semantics-changed gates, and the
@@ -10651,6 +10696,21 @@ SELECT b.doc_id, b.n_lines::BIGINT AS n_lines,
        coalesce(r.n_lines_kept, 0)::BIGINT AS n_lines_kept,
        md5(coalesce(r.text_kept, '')) AS kept_md5
 FROM bf b LEFT JOIN re r USING (doc_id) ORDER BY doc_id
+"""
+    # snapshot tags: baseline->v1 (en), release/latest->v2 (en+de)
+    sql["ops_snapshot_tags"] = """
+WITH c1 AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+  FROM documents WHERE lang = 'en' GROUP BY lang
+),
+c2 AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+)
+SELECT 'baseline' AS tag, lang, n_docs, sum_chars FROM c1
+UNION ALL SELECT 'release', lang, n_docs, sum_chars FROM c2
+UNION ALL SELECT 'latest', lang, n_docs, sum_chars FROM c2
+ORDER BY tag, lang
 """
     # streaming incremental mart == full batch rollup (distributive aggs)
     sql["stream_agg_refresh"] = """

@@ -243,3 +243,80 @@ def orphan_report(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "data_dir string, status string, n_refs int"
     )
+
+
+def _tags_dir(path: str) -> str:
+    return path.rstrip("/") + "/_tags"
+
+
+def tag_snapshot(
+    spark: SparkSession, path: str, tag: str, version: int | None = None
+) -> int:
+    """Create or move a NAMED REF to a snapshot version (Iceberg-style
+    tags: ``release-2024-01``, ``baseline`` — the handles training jobs
+    and audits pin instead of raw version numbers). Metadata-only: the
+    tag is a one-line JSON at ``_tags/<tag>.json`` committed with the
+    same write-hidden-then-rename protocol as the manifests, so a tag
+    either resolves completely or not at all. Returns the tagged
+    version.
+
+    Tag names keep to ``[A-Za-z0-9._-]`` so the ref name IS the file
+    name (no escaping ambiguity across filesystems)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9._-]+", tag):
+        raise ValueError(f"invalid tag name: {tag!r}")
+    versions = list_snapshots(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
+    fs, Path = _fs(spark, path)
+    tdir = _tags_dir(path)
+    fs.mkdirs(Path(tdir))
+    tmp = Path(f"{tdir}/.{tag}.json.tmp")
+    final = Path(f"{tdir}/{tag}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps({"tag": tag, "version": v}).encode()))
+    finally:
+        out.close()
+    fs.delete(final, False)  # moving a tag = replace the ref
+    if not fs.rename(tmp, final):
+        raise IOError(f"tag commit rename failed for {tag}")
+    return v
+
+
+def list_tags(spark: SparkSession, path: str) -> "dict[str, int]":
+    """All tags as ``{name: version}`` (driver metadata only)."""
+    fs, Path = _fs(spark, path)
+    tdir = Path(_tags_dir(path))
+    if not fs.exists(tdir):
+        return {}
+    out: "dict[str, int]" = {}
+    for st in fs.listStatus(tdir):
+        name = st.getPath().getName()
+        if name.startswith(".") or not name.endswith(".json"):
+            continue
+        stream = fs.open(st.getPath())
+        try:
+            jvm = spark._jvm
+            buf = jvm.java.io.ByteArrayOutputStream()
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, buf, 65536, False)
+            doc = json.loads(bytes(buf.toByteArray()).decode("utf-8"))
+        finally:
+            stream.close()
+        out[doc["tag"]] = int(doc["version"])
+    return out
+
+
+def read_tag(spark: SparkSession, path: str, tag: str) -> DataFrame:
+    """Load the table AS OF the tagged version — time travel by name.
+    A tag whose version was expired raises (the expiry gate protects
+    referenced versions; an expired tag is a retention-policy bug the
+    caller must see, not silently read-latest)."""
+    tags = list_tags(spark, path)
+    if tag not in tags:
+        raise FileNotFoundError(f"tag {tag!r} not found (have {sorted(tags)})")
+    return read_snapshot(spark, path, version=tags[tag])

@@ -122,3 +122,38 @@ def test_rollback_to_missing_version_raises(spark, table_path):
     commit_snapshot(spark, spark.range(1), table_path)
     with pytest.raises(FileNotFoundError):
         rollback_snapshot(spark, table_path, 9)
+
+
+def test_tag_snapshot_refs_and_expiry_interaction(spark, tmp_path):
+    import pytest as _pytest
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, expire_snapshots, list_tags, read_tag,
+        tag_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1,), (2,)], "x int")
+    df2 = spark.createDataFrame([(3,)], "x int")
+    v1 = commit_snapshot(spark, df1, path)
+    v2 = commit_snapshot(spark, df2, path, mode="append")
+    tag_snapshot(spark, path, "baseline", v1)
+    tag_snapshot(spark, path, "latest")  # defaults to newest
+    assert list_tags(spark, path) == {"baseline": v1, "latest": v2}
+    assert sorted(r["x"] for r in read_tag(spark, path, "baseline").collect()) == [1, 2]
+    assert sorted(r["x"] for r in read_tag(spark, path, "latest").collect()) == [1, 2, 3]
+    # moving a ref replaces it atomically
+    tag_snapshot(spark, path, "baseline", v2)
+    assert list_tags(spark, path)["baseline"] == v2
+    # invalid names and missing versions fail loudly
+    with _pytest.raises(ValueError):
+        tag_snapshot(spark, path, "bad/name")
+    with _pytest.raises(FileNotFoundError):
+        tag_snapshot(spark, path, "ghost", 99)
+    with _pytest.raises(FileNotFoundError):
+        read_tag(spark, path, "nope")
+    # a tag whose version was expired raises instead of silently reading
+    tag_snapshot(spark, path, "pinned_old", v1)
+    expire_snapshots(spark, path, keep_last=1)
+    with _pytest.raises(FileNotFoundError):
+        read_tag(spark, path, "pinned_old")
