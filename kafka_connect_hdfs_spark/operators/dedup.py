@@ -1277,14 +1277,19 @@ def line_dedup(
     counts the doc's non-empty lines, ``text_kept`` is '' when every
     line was boilerplate (callers typically drop those docs).
 
-    Scale: the only corpus-sized shuffle is line-count-bounded on the
-    md5 of the normalized line (uniform key, no skew); the count table
-    is produced by the same hash partitioning the probe join needs, so
-    Catalyst reuses the exchange instead of re-shuffling; reassembly
-    groups each doc's (idx, line) pairs once (array_sort of structs —
-    no per-doc window sort). Nothing corpus-sized is broadcast or
-    collected.
+    Scale: EXACTLY TWO corpus-sized shuffles and zero joins — (1) the
+    line table partitions once on the md5 of the normalized line
+    (uniform key, no skew) and the occurrence count rides a
+    partition-only window over that exchange (the groupBy-then-join
+    phrasing would shuffle the line table twice at scale, once for the
+    counts and once for the probe — or broadcast a corpus-sized count
+    table); (2) one doc-keyed aggregation computes kept-count AND
+    reassembly together (collect_list skips the NULLed dropped lines;
+    array_sort of (idx, line) structs — no per-doc window sort).
+    Nothing corpus-sized is broadcast or collected.
     """
+    from pyspark.sql import Window
+
     lines = (
         df.select(
             F.col(id_col),
@@ -1295,24 +1300,25 @@ def line_dedup(
         .filter(F.length(F.trim(F.col("_line"))) > 0)
         .withColumn("_h", F.md5(F.lower(F.trim(F.col("_line")))))
     )
-    counts = lines.groupBy("_h").agg(F.count("*").alias("_c"))
-    kept = lines.join(counts, "_h").filter(
-        F.col("_c") <= max_occurrences
+    flagged = lines.withColumn(
+        "_keep",
+        F.count("*").over(Window.partitionBy("_h"))
+        <= F.lit(max_occurrences),
     )
-    reassembled = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_lines_kept"),
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).alias("n_lines_kept"),
         F.concat_ws(
             "\n",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"), F.struct("_idx", "_line")
+                        )
+                    )
+                ),
                 lambda s: s["_line"],
             ),
         ).alias("text_kept"),
-    )
-    before = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
-    return before.join(reassembled, id_col, "left").select(
-        id_col,
-        "n_lines",
-        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-        F.coalesce("text_kept", F.lit("")).alias("text_kept"),
     )
