@@ -875,3 +875,59 @@ def test_hits_partial_aggregation_per_half_step(spark):
     plan = _plan(hits_scores(edges, iterations=2))
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 8  # 4 half-steps x partial+final
+
+
+def test_line_dedup_two_shuffles_no_joins(spark, sf):
+    """CCNet line dedup must keep its 2-shuffle/0-join shape: one line-hash
+    exchange feeding a partition-only window, one doc-keyed aggregation —
+    a groupBy-then-join phrasing shuffles the line table twice at scale."""
+    from kafka_connect_hdfs_spark.operators.dedup import line_dedup
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents").selectExpr("doc_id", "text")
+    # executedPlan tree (formatted mode lists each node twice: tree + detail)
+    plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_cube_profile_single_aggregate_with_expand(spark, sf):
+    """CUBE mart: one Expand (the 2^d grouping sets) + ONE partial-combined
+    aggregate exchange — corpus rows never shuffle per grouping set."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.quality import cube_profile
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    df = cube_profile(ev, ["event_type", "day"], value_col="value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_" in plan, plan
+
+
+def test_refresh_aggregate_no_base_rescan_shape(spark, sf):
+    """Incremental mart refresh: the merged plan aggregates the delta and
+    unions the (already-aggregated) mart — no join, and only the delta
+    aggregation plus the merge aggregation shuffle."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.merge import refresh_aggregate
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    base = ev.filter(F.col("event_id") % 5 != 0).groupBy(
+        "event_type", "day"
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    plan = _plan(
+        refresh_aggregate(
+            base, delta, ["event_type", "day"],
+            sum_cols={"value": "total_value"},
+        )
+    )
+    assert "Join" not in plan, plan
