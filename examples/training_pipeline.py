@@ -120,6 +120,18 @@ def main() -> None:
     heavy = spans.filter(F.col("dup_token_coverage") > 0.5)
     print(f"boilerplate-heavy docs (>50% duplicated spans): {heavy.count()}")
 
+    # 2b'. line-level boilerplate removal (CCNet): any normalized line
+    #      repeated corpus-wide beyond the threshold is dropped from every
+    #      doc — report the boilerplate volume here (the single-line
+    #      fixture makes it ≈ exact dedup; real corpora cut 10-30%)
+    from kafka_connect_hdfs_spark.operators.dedup import line_dedup
+
+    line_report = line_dedup(deduped, max_occurrences=2)
+    dropped = line_report.agg(
+        F.sum(F.col("n_lines") - F.col("n_lines_kept")).alias("d")
+    ).collect()[0]["d"]
+    print(f"boilerplate lines dropped corpus-wide: {dropped}")
+
     # 2b. repeated-paragraph removal: chunk-level exact dedup with document
     #     reassembly (C4-style; chunk granularity per corpus)
     from kafka_connect_hdfs_spark.operators.dedup import chunk_dedup
@@ -196,6 +208,23 @@ def main() -> None:
 
     n = read_snapshot(spark, f"{out}/documents", version).count()
     print(f"landed {n} documents to {out} as snapshot v{version}")
+
+    # 5b. tag the release (named ref training jobs pin instead of raw
+    #     version numbers) and refresh the per-(lang, split) mart
+    #     incrementally — the dashboards read the mart, never the corpus
+    from kafka_connect_hdfs_spark.merge import refresh_aggregate
+    from kafka_connect_hdfs_spark.snapshots import read_tag, tag_snapshot
+
+    tag_snapshot(spark, f"{out}/documents", "release")
+    assert read_tag(spark, f"{out}/documents", "release").count() == n
+    mart = refresh_aggregate(
+        None,  # bootstrap; nightly runs fold only the day's delta
+        read_tag(spark, f"{out}/documents", "release"),
+        keys=["lang", "split"],
+        count_col="n_docs",
+    )
+    mart.write.mode("overwrite").parquet(f"{out}/mart_lang_split")
+    print(f"tagged v{version} as 'release'; mart rows: {mart.count()}")
     spark.stop()
 
 
