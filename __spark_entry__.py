@@ -4600,6 +4600,38 @@ def _q_ops_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ops_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level membership diff between two snapshot versions
+    (snapshots.snapshot_diff): v1 = docs with doc_id % 4 != 0, v2
+    (overwrite) = docs with doc_id % 3 != 0 — the diff must be exactly
+    the mod-arithmetic add/remove sets the oracle computes, rolled up
+    per (change, lang)."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, snapshot_diff,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kchs_diff_") + "/t"
+    v1 = commit_snapshot(
+        spark, docs.filter(F.col("doc_id") % 4 != 0), path
+    )
+    v2 = commit_snapshot(
+        spark, docs.filter(F.col("doc_id") % 3 != 0), path
+    )
+    d = snapshot_diff(spark, path, v1, v2, "doc_id")
+    return (
+        d.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("change", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("change", "lang")
+    )
+
+
 def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet line-level dedup (dedup.line_dedup): docs are re-shaped into
     8-token lines with a shared boilerplate line injected into every 3rd
@@ -4710,8 +4742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   slots 39-50: stalest r01 driver-greens (re-check cadence)
     # ROUND-7 QUEUE (slots 1-N): the gates newly added in r06, never
     # driver-checked — ops_agg_refresh, ops_cube_profile, dedup_lines,
-    # stream_agg_refresh, ops_snapshot_tags (each locally oracle-verified
-    # at sf0.01 and
+    # stream_agg_refresh, ops_snapshot_tags, ops_snapshot_diff (each
+    # locally oracle-verified at sf0.01 and
     # permutation-checked) — then next-stalest greens (q12, q17, q10-q18
     # family, dedup_exact/minhash r01 block) per the documented cadence.
     reg = {
@@ -4999,6 +5031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": _q_dedup_lines,
         "stream_agg_refresh": _q_stream_agg_refresh,
         "ops_snapshot_tags": _q_ops_snapshot_tags,
+        "ops_snapshot_diff": _q_ops_snapshot_diff,
     }
     # ROUND-6 WINDOW: the driver checks the FIRST 50 keys — put the red
     # fix, the never-checked gates, the semantics-changed gates, and the
@@ -10696,6 +10729,20 @@ SELECT b.doc_id, b.n_lines::BIGINT AS n_lines,
        coalesce(r.n_lines_kept, 0)::BIGINT AS n_lines_kept,
        md5(coalesce(r.text_kept, '')) AS kept_md5
 FROM bf b LEFT JOIN re r USING (doc_id) ORDER BY doc_id
+"""
+    # snapshot membership diff: v1 = %4!=0, v2 (overwrite) = %3!=0
+    sql["ops_snapshot_diff"] = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 4 = 0 AND doc_id % 3 != 0 THEN 'added'
+              WHEN doc_id % 3 = 0 AND doc_id % 4 != 0 THEN 'removed'
+         END AS change
+  FROM documents
+)
+SELECT change, lang, count(*)::BIGINT AS n_docs,
+       sum(doc_id)::BIGINT AS sum_ids
+FROM d WHERE change IS NOT NULL
+GROUP BY change, lang ORDER BY change, lang
 """
     # snapshot tags: baseline->v1 (en), release/latest->v2 (en+de)
     sql["ops_snapshot_tags"] = """

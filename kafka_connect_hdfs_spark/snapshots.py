@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _fs(spark: SparkSession, path: str):
@@ -320,3 +321,37 @@ def read_tag(spark: SparkSession, path: str, tag: str) -> DataFrame:
     if tag not in tags:
         raise FileNotFoundError(f"tag {tag!r} not found (have {sorted(tags)})")
     return read_snapshot(spark, path, version=tags[tag])
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_col: str,
+) -> DataFrame:
+    """Key-level diff between two table versions → ``(key, change)``
+    with change ∈ {'added', 'removed'} — the audit primitive behind
+    "what moved between the baseline and release corpus tags" (pair with
+    :func:`tag_snapshot`: resolve names via :func:`list_tags`). Keys
+    present in both versions are not emitted (content drift within a key
+    is :mod:`operators.cdc`'s SCD2 job, not a membership diff's).
+
+    Scale: ONE full-outer join on the key across the two manifests'
+    file sets — Catalyst reads only the two versions' directories, and
+    the null-side filters prune to the changed keys before anything
+    else touches them.
+    """
+    a = read_snapshot(spark, path, v_from).select(
+        F.col(key_col).alias("_k_from")
+    )
+    b = read_snapshot(spark, path, v_to).select(
+        F.col(key_col).alias("_k_to")
+    )
+    j = a.join(b, a["_k_from"] == b["_k_to"], "full_outer")
+    return j.select(
+        F.coalesce("_k_from", "_k_to").alias(key_col),
+        F.when(F.col("_k_from").isNull(), F.lit("added"))
+        .when(F.col("_k_to").isNull(), F.lit("removed"))
+        .alias("change"),
+    ).filter(F.col("change").isNotNull())

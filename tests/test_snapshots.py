@@ -157,3 +157,38 @@ def test_tag_snapshot_refs_and_expiry_interaction(spark, tmp_path):
     expire_snapshots(spark, path, keep_last=1)
     with _pytest.raises(FileNotFoundError):
         read_tag(spark, path, "pinned_old")
+
+
+def test_snapshot_diff_membership(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, snapshot_diff,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = commit_snapshot(
+        spark,
+        spark.createDataFrame([(i,) for i in range(10) if i % 4], "k int"),
+        path,
+    )
+    v2 = commit_snapshot(
+        spark,
+        spark.createDataFrame([(i,) for i in range(10) if i % 3], "k int"),
+        path,
+    )
+    got = sorted(
+        (r["k"], r["change"])
+        for r in snapshot_diff(spark, path, v1, v2, "k").collect()
+    )
+    assert got == [
+        (3, "removed"), (4, "added"), (6, "removed"),
+        (8, "added"), (9, "removed"),
+    ]
+    # reverse direction flips the labels
+    rev = sorted(
+        (r["k"], r["change"])
+        for r in snapshot_diff(spark, path, v2, v1, "k").collect()
+    )
+    assert rev == [
+        (3, "added"), (4, "removed"), (6, "added"),
+        (8, "removed"), (9, "added"),
+    ]
