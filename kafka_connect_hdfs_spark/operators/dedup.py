@@ -1275,7 +1275,11 @@ def line_dedup(
 
     Returns ``(id, n_lines, n_lines_kept, text_kept)`` — ``n_lines``
     counts the doc's non-empty lines, ``text_kept`` is '' when every
-    line was boilerplate (callers typically drop those docs).
+    line was boilerplate (callers typically drop those docs). EVERY
+    input doc with non-NULL text gets a row — a blank-only or empty doc
+    reports ``(id, 0, 0, '')`` rather than vanishing (r06 review
+    finding: a silently missing row is indistinguishable from a join
+    bug downstream).
 
     Scale: EXACTLY TWO corpus-sized shuffles and zero joins — (1) the
     line table partitions once on the md5 of the normalized line
@@ -1290,23 +1294,34 @@ def line_dedup(
     """
     from pyspark.sql import Window
 
-    lines = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias(
-                "_idx", "_line"
-            ),
-        )
-        .filter(F.length(F.trim(F.col("_line"))) > 0)
-        .withColumn("_h", F.md5(F.lower(F.trim(F.col("_line")))))
-    )
+    # blank lines neither count nor dedup, but blank-only/empty docs must
+    # STILL get their (id, 0, 0, '') row — so blanks stay in the frame
+    # with a UNIQUE hash (a shared blank hash would funnel every blank
+    # line in the corpus into one skewed window partition) and are
+    # excluded from both counters and the reassembly
+    blank = F.length(F.trim(F.col("_line"))) == 0
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "_idx", "_line"
+        ),
+    ).withColumn(
+        "_h",
+        F.when(
+            blank,
+            F.md5(F.concat_ws(":", F.col(id_col), F.col("_idx"), F.lit("b"))),
+        ).otherwise(F.md5(F.lower(F.trim(F.col("_line"))))),
+    ).withColumn("_blank", blank)
     flagged = lines.withColumn(
         "_keep",
-        F.count("*").over(Window.partitionBy("_h"))
-        <= F.lit(max_occurrences),
+        ~F.col("_blank")
+        & (
+            F.count("*").over(Window.partitionBy("_h"))
+            <= F.lit(max_occurrences)
+        ),
     )
     return flagged.groupBy(id_col).agg(
-        F.count("*").alias("n_lines"),
+        F.sum((~F.col("_blank")).cast("long")).alias("n_lines"),
         F.sum(F.col("_keep").cast("long")).alias("n_lines_kept"),
         F.concat_ws(
             "\n",

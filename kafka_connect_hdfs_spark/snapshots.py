@@ -189,18 +189,22 @@ def expire_snapshots(
     spark: SparkSession, path: str, keep_last: int = 1
 ) -> "list[int]":
     """Drop all but the newest ``keep_last`` versions and delete data
-    directories no surviving manifest references. Returns the expired
-    version numbers."""
+    directories no surviving manifest references. Versions a TAG points
+    at are PROTECTED (Iceberg ref semantics — retention must not break
+    ``read_tag``; drop or move the tag first to release its version).
+    Returns the expired version numbers."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     fs, Path = _fs(spark, path)
     versions = list_snapshots(spark, path)
-    expired = versions[:-keep_last]
+    tagged = set(list_tags(spark, path).values())
+    expired = [v for v in versions[:-keep_last] if v not in tagged]
     if not expired:
         return []
     keep_files: set = set()
-    for v in versions[-keep_last:]:
-        keep_files.update(_read_manifest(spark, path, v)["files"])
+    for v in versions:
+        if v not in expired:
+            keep_files.update(_read_manifest(spark, path, v)["files"])
     for v in expired:
         man = _read_manifest(spark, path, v)
         for f in man["files"]:
@@ -278,45 +282,71 @@ def tag_snapshot(
     fs.mkdirs(Path(tdir))
     tmp = Path(f"{tdir}/.{tag}.json.tmp")
     final = Path(f"{tdir}/{tag}.json")
+    bak = Path(f"{tdir}/.{tag}.json.bak")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps({"tag": tag, "version": v}).encode()))
     finally:
         out.close()
-    fs.delete(final, False)  # moving a tag = replace the ref
+    # ref move via the two-rename protocol (delete-then-rename would
+    # leave the tag GONE if a crash lands in the gap): old ref aside,
+    # new ref in, backup dropped last; list_tags falls back to a
+    # stranded .bak so the ref never stops resolving
+    fs.delete(bak, False)
+    if fs.exists(final):
+        if not fs.rename(final, bak):
+            raise IOError(f"tag backup rename failed for {tag}")
     if not fs.rename(tmp, final):
+        fs.rename(bak, final)  # restore the old ref and fail
         raise IOError(f"tag commit rename failed for {tag}")
+    fs.delete(bak, False)
     return v
 
 
 def list_tags(spark: SparkSession, path: str) -> "dict[str, int]":
-    """All tags as ``{name: version}`` (driver metadata only)."""
+    """All tags as ``{name: version}`` (driver metadata only). A tag
+    whose published ref vanished mid-move resolves through its ``.bak``
+    (the crash window between tag_snapshot's two renames) — the live
+    ref always wins when both exist."""
     fs, Path = _fs(spark, path)
     tdir = Path(_tags_dir(path))
     if not fs.exists(tdir):
         return {}
-    out: "dict[str, int]" = {}
-    for st in fs.listStatus(tdir):
-        name = st.getPath().getName()
-        if name.startswith(".") or not name.endswith(".json"):
-            continue
-        stream = fs.open(st.getPath())
+
+    def _read(p) -> dict:
+        stream = fs.open(p)
         try:
             jvm = spark._jvm
             buf = jvm.java.io.ByteArrayOutputStream()
             jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, buf, 65536, False)
-            doc = json.loads(bytes(buf.toByteArray()).decode("utf-8"))
+            return json.loads(bytes(buf.toByteArray()).decode("utf-8"))
         finally:
             stream.close()
+
+    out: "dict[str, int]" = {}
+    baks: "dict[str, object]" = {}
+    for st in fs.listStatus(tdir):
+        name = st.getPath().getName()
+        if name.startswith(".") and name.endswith(".json.bak"):
+            baks[name[1:-len(".json.bak")]] = st.getPath()
+            continue
+        if name.startswith(".") or not name.endswith(".json"):
+            continue
+        doc = _read(st.getPath())
         out[doc["tag"]] = int(doc["version"])
+    for tag, p in baks.items():
+        if tag not in out:  # stranded mid-move: the backup IS the ref
+            doc = _read(p)
+            out[doc["tag"]] = int(doc["version"])
     return out
 
 
 def read_tag(spark: SparkSession, path: str, tag: str) -> DataFrame:
     """Load the table AS OF the tagged version — time travel by name.
-    A tag whose version was expired raises (the expiry gate protects
-    referenced versions; an expired tag is a retention-policy bug the
-    caller must see, not silently read-latest)."""
+    :func:`expire_snapshots` PROTECTS tagged versions (Iceberg ref
+    semantics), so a healthy lifecycle can never expire a version out
+    from under a tag; if a version nonetheless vanished (manual manifest
+    deletion), this raises instead of silently reading latest."""
     tags = list_tags(spark, path)
     if tag not in tags:
         raise FileNotFoundError(f"tag {tag!r} not found (have {sorted(tags)})")
@@ -337,21 +367,26 @@ def snapshot_diff(
     present in both versions are not emitted (content drift within a key
     is :mod:`operators.cdc`'s SCD2 job, not a membership diff's).
 
-    Scale: ONE full-outer join on the key across the two manifests'
-    file sets — Catalyst reads only the two versions' directories, and
-    the null-side filters prune to the changed keys before anything
-    else touches them.
+    Scale: ONE full-outer join over the two versions' DISTINCT key sets
+    (membership semantics: a key appearing n times is one member, so a
+    non-unique key can't emit duplicate diff rows) — Catalyst reads only
+    the two versions' directories, and the null-side filters prune to
+    the changed keys before anything else touches them. The join is
+    null-safe, so a NULL key is one membership like any other instead
+    of surfacing as simultaneously added and removed.
     """
+    # presence flags, not key-null checks: with eqNullSafe a NULL key
+    # present on one side only must still classify correctly
     a = read_snapshot(spark, path, v_from).select(
-        F.col(key_col).alias("_k_from")
-    )
+        F.col(key_col).alias("_k_from"), F.lit(True).alias("_in_from")
+    ).distinct()
     b = read_snapshot(spark, path, v_to).select(
-        F.col(key_col).alias("_k_to")
-    )
-    j = a.join(b, a["_k_from"] == b["_k_to"], "full_outer")
+        F.col(key_col).alias("_k_to"), F.lit(True).alias("_in_to")
+    ).distinct()
+    j = a.join(b, a["_k_from"].eqNullSafe(b["_k_to"]), "full_outer")
     return j.select(
         F.coalesce("_k_from", "_k_to").alias(key_col),
-        F.when(F.col("_k_from").isNull(), F.lit("added"))
-        .when(F.col("_k_to").isNull(), F.lit("removed"))
+        F.when(F.col("_in_from").isNull(), F.lit("added"))
+        .when(F.col("_in_to").isNull(), F.lit("removed"))
         .alias("change"),
     ).filter(F.col("change").isNotNull())

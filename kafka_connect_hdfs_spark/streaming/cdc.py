@@ -72,39 +72,20 @@ def _merge_batch(
     key_cols: Sequence[str],
     order_cols: Sequence[str],
 ) -> None:
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(state_path).getFileSystem(spark._jsc.hadoopConfiguration())
-
-    parent, leaf = state_path.rstrip("/").rsplit("/", 1)
-    tmp = f"{parent}/.{leaf}__cdc_new"
-    old = f"{parent}/.{leaf}__cdc_old"
-    # crash recovery (ADVICE r04): a crash between the swap's two renames
-    # leaves the state ONLY at the backup path; without this restore the
-    # replayed batch would see no state and silently rebuild from the
-    # current micro-batch alone, dropping every previously merged key.
-    # (A crash after publish but before backup cleanup just leaves a
-    # stale backup — deleted below as before.)
-    if not fs.exists(Path(state_path)) and fs.exists(Path(old)):
-        if not fs.rename(Path(old), Path(state_path)):
-            raise IOError("cdc state swap: crash-recovery restore failed")
+    """One micro-batch fold through the shared crash-recoverable swap
+    (statedir.swap_state_update — the ADVICE-r04 recovery plus the
+    two-rename publish live there now, shared with streaming.mart).
+    No replay marker needed: latest-per-key is IDEMPOTENT, so a batch
+    re-delivered after a crash-past-publish merges to the same state."""
+    from kafka_connect_hdfs_spark.statedir import swap_state_update
 
     latest = _latest_per_key(batch_df, key_cols, order_cols)
-    if fs.exists(Path(state_path)):
-        state = spark.read.parquet(state_path)
-        merged = _latest_per_key(
+
+    def _upd(state: "DataFrame | None") -> DataFrame:
+        if state is None:
+            return latest
+        return _latest_per_key(
             state.unionByName(latest), key_cols, order_cols
         )
-    else:
-        merged = latest
-    fs.delete(Path(tmp), True)
-    merged.write.parquet(tmp)
-    fs.delete(Path(old), True)
-    if fs.exists(Path(state_path)):
-        if not fs.rename(Path(state_path), Path(old)):
-            raise IOError("cdc state swap: backup rename failed")
-    if not fs.rename(Path(tmp), Path(state_path)):
-        # restore the previous state before failing
-        fs.rename(Path(old), Path(state_path))
-        raise IOError("cdc state swap: publish rename failed")
-    fs.delete(Path(old), True)
+
+    swap_state_update(spark, state_path, _upd, suffix="cdc")

@@ -41,7 +41,13 @@ def start_mart_refresh(
 
     def _refresh(batch_df: DataFrame, batch_id: int) -> None:
         _refresh_batch(
-            spark, batch_df, state_path, list(keys), count_col, sum_cols
+            spark,
+            batch_df,
+            state_path,
+            list(keys),
+            count_col,
+            sum_cols,
+            batch_id=batch_id,
         )
 
     writer = stream.writeStream.foreachBatch(_refresh).option(
@@ -52,6 +58,9 @@ def start_mart_refresh(
     return writer.start()
 
 
+_MARKER_PREFIX = "_applied_"
+
+
 def _refresh_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -59,39 +68,37 @@ def _refresh_batch(
     keys: "list[str]",
     count_col: str,
     sum_cols: "dict[str, str] | None",
+    batch_id: "int | None" = None,
 ) -> None:
+    """Fold one micro-batch through the shared crash-recoverable swap
+    (statedir.swap_state_update). UNLIKE the CDC upsert, an additive
+    count/sum fold is NOT idempotent — a batch re-delivered after a
+    crash that landed past the publish but before the streaming offset
+    commit would double-count — so the last-applied batch id rides as a
+    marker file INSIDE the swapped state dir (atomic with the data;
+    parquet readers ignore underscore files) and an already-applied
+    batch id is skipped."""
     from kafka_connect_hdfs_spark.merge import refresh_aggregate
-
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(state_path).getFileSystem(spark._jsc.hadoopConfiguration())
-
-    parent, leaf = state_path.rstrip("/").rsplit("/", 1)
-    tmp = f"{parent}/.{leaf}__mart_new"
-    old = f"{parent}/.{leaf}__mart_old"
-    # crash recovery (the cdc._merge_batch protocol): a crash between the
-    # swap's two renames leaves the mart ONLY at the backup path; without
-    # the restore the replayed batch would rebuild the mart from itself
-    # alone, silently dropping every previously folded batch.
-    if not fs.exists(Path(state_path)) and fs.exists(Path(old)):
-        if not fs.rename(Path(old), Path(state_path)):
-            raise IOError("mart refresh: crash-recovery restore failed")
-
-    base = (
-        spark.read.parquet(state_path)
-        if fs.exists(Path(state_path))
-        else None
+    from kafka_connect_hdfs_spark.statedir import (
+        state_marker, swap_state_update,
     )
-    refreshed = refresh_aggregate(
-        base, batch_df, keys, count_col=count_col, sum_cols=sum_cols
+
+    if batch_id is not None:
+        m = state_marker(spark, state_path, _MARKER_PREFIX)
+        if m is not None and batch_id <= int(m[len(_MARKER_PREFIX):]):
+            return  # replayed batch: already folded into the mart
+
+    def _upd(state: "DataFrame | None") -> DataFrame:
+        return refresh_aggregate(
+            state, batch_df, keys, count_col=count_col, sum_cols=sum_cols
+        )
+
+    swap_state_update(
+        spark,
+        state_path,
+        _upd,
+        suffix="mart",
+        marker=(
+            f"{_MARKER_PREFIX}{batch_id}" if batch_id is not None else None
+        ),
     )
-    fs.delete(Path(tmp), True)
-    refreshed.write.parquet(tmp)
-    fs.delete(Path(old), True)
-    if fs.exists(Path(state_path)):
-        if not fs.rename(Path(state_path), Path(old)):
-            raise IOError("mart refresh: backup rename failed")
-    if not fs.rename(Path(tmp), Path(state_path)):
-        fs.rename(Path(old), Path(state_path))  # restore and fail
-        raise IOError("mart refresh: publish rename failed")
-    fs.delete(Path(old), True)

@@ -289,3 +289,22 @@ def test_line_dedup_drops_boilerplate_keeps_order(spark):
     assert out[3] == (2, 1, "alpha beta")
     assert out[4] == (1, 1, "unique only line")
     assert out[5] == (1, 0, "")
+
+
+def test_line_dedup_keeps_blank_only_docs_visible(spark):
+    from kafka_connect_hdfs_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "real line"), (2, ""), (3, "  \n\n  "), (4, "real line")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_lines_kept"], r["text_kept"])
+        for r in line_dedup(docs, max_occurrences=1).collect()
+    }
+    # empty/blank docs report (0, 0, '') instead of vanishing
+    assert out[2] == (0, 0, "")
+    assert out[3] == (0, 0, "")
+    # 'real line' occurs twice > 1 -> dropped from both
+    assert out[1] == (1, 0, "")
+    assert out[4] == (1, 0, "")

@@ -152,11 +152,20 @@ def test_tag_snapshot_refs_and_expiry_interaction(spark, tmp_path):
         tag_snapshot(spark, path, "ghost", 99)
     with _pytest.raises(FileNotFoundError):
         read_tag(spark, path, "nope")
-    # a tag whose version was expired raises instead of silently reading
+    # expiry PROTECTS tagged versions (Iceberg ref semantics): the
+    # pinned version survives keep_last=1 and keeps resolving
     tag_snapshot(spark, path, "pinned_old", v1)
-    expire_snapshots(spark, path, keep_last=1)
-    with _pytest.raises(FileNotFoundError):
-        read_tag(spark, path, "pinned_old")
+    expired = expire_snapshots(spark, path, keep_last=1)
+    assert v1 not in expired
+    assert sorted(
+        r["x"] for r in read_tag(spark, path, "pinned_old").collect()
+    ) == [1, 2]
+    # dropping the tag releases the version on the next expiry
+    from kafka_connect_hdfs_spark.snapshots import _fs as _snap_fs
+
+    fs, Path = _snap_fs(spark, path)
+    fs.delete(Path(path + "/_tags/pinned_old.json"), False)
+    assert v1 in expire_snapshots(spark, path, keep_last=1)
 
 
 def test_snapshot_diff_membership(spark, tmp_path):
