@@ -41,17 +41,105 @@ def _kafka_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_as_kafka_records(_events(spark, sf_dir))
 
 
+def _dec2d(name: str) -> F.Column:
+    """Spark-side deterministic decimal(38,0)→double (the hi/lo 2**50
+    split) — alias of similarity.dec_to_double for gate surfacing."""
+    from kafka_connect_hdfs_spark.operators.similarity import dec_to_double
+
+    return dec_to_double(name)
+
+
 def _OQ6(expr: str) -> str:
     """DuckDB mirror of similarity.q6_col: floor-based HALF_UP 6-dp
     quantization of a double. NATIVE round(x,6) is cross-engine unsafe
     (r05 verdict, measured): Spark F.round = BigDecimal HALF_UP on the
     shortest decimal repr, DuckDB round = float multiply — they disagree
     on midpoint-shaped doubles, which fixed-point-derived quotients hit
-    by construction. Identical IEEE ops on both sides instead."""
+    by construction. Identical IEEE ops on both sides instead.
+
+    Trailing ``+ 0.0`` normalizes ``-0.0 -> +0.0`` (r06 verdict): for true
+    values in (-5e-07, 0) DuckDB's DOUBLE floor emits ``-0.0`` while
+    Spark's BIGINT floor loses the sign (``-0L == 0L -> +0.0``); the two
+    compare ``==`` but hash differently byte-level (the lone r06 driver
+    red, embedding_covariance cell (5,9) at sf0.01). IEEE: ``-0.0 + 0.0 =
+    +0.0`` and every other value is unchanged."""
     return (
-        f"(CASE WHEN ({expr}) < 0 THEN -floor(-({expr}) * 1000000.0 + 0.5) "
-        f"ELSE floor(({expr}) * 1000000.0 + 0.5) END / 1000000.0)"
+        f"((CASE WHEN ({expr}) < 0 THEN -floor(-({expr}) * 1000000.0 + 0.5) "
+        f"ELSE floor(({expr}) * 1000000.0 + 0.5) END / 1000000.0) + 0.0)"
     )
+
+
+def _pz(sql: str) -> str:
+    """Normalize the sign of zero across every native ``round(...)`` in an
+    oracle: rewrites each call to ``(round(...) + 0.0)``.
+
+    Why (r06 verdict item 3): DuckDB's ``round`` float-multiplies, so a
+    tiny-negative input (cosine, z-score, log-prob delta, slope, KL
+    contribution …) rounds to ``-0.0``; Spark's ``F.round`` goes through
+    BigDecimal, which has no signed zero, so the same input yields
+    ``+0.0``. The two compare ``==`` but byte-hash differently — the
+    exact mechanism of the r06 ``embedding_covariance`` driver red, latent
+    in every native-round oracle until the data happens to produce a value
+    in (-5e-07·10^-(6-n), 0). ``x + 0.0`` is the IEEE identity except on
+    ``-0.0`` (→ ``+0.0``), and Spark can never emit ``-0.0`` from
+    ``F.round``, so normalizing only the oracle side is exact.
+
+    Quote-aware: skips single-quoted SQL literals (with ``''`` escapes)
+    both when matching ``round(`` and when scanning for the closing
+    paren; recurses into arguments so nested rounds are wrapped too. For
+    DECIMAL-typed rounds the ``+ 0.0`` upcasts to DOUBLE — harmless here
+    because decimals have no signed zero and every oracle decimal at
+    6 dp is < 2**53 scaled units (exact cast); wide sums use _OD2, not
+    native round.
+    """
+    import re
+
+    out: list[str] = []
+    i, n = 0, len(sql)
+    word = re.compile(r"round\s*\(", re.IGNORECASE)
+
+    def _skip_quote(j: int) -> int:
+        # sql[j] == "'": return index just past the closing quote
+        j += 1
+        while j < n:
+            if sql[j] == "'":
+                if j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return j
+
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = _skip_quote(i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = word.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            j = m.end()  # just past '('
+            depth = 1
+            while j < n and depth:
+                c = sql[j]
+                if c == "'":
+                    j = _skip_quote(j)
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = _pz(sql[m.end() : j])
+            out.append(f"(round({inner}) + 0.0)")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _OD2(expr: str) -> str:
@@ -4482,12 +4570,20 @@ def _q_ops_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_col="n_rows",
         sum_cols={"value": "total_value"},
     )
-    return out.select(
-        "event_type",
-        F.col("day").cast("string").alias("day"),
-        "n_rows",
-        F.col("total_value").cast("double").alias("total_value"),
-    ).orderBy("event_type", "day")
+    return (
+        out.withColumn(
+            "_cents", (F.col("total_value") * F.lit(100)).cast("decimal(38,0)")
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "n_rows",
+            # decimal→double via the hi/lo split on exact cents (r06
+            # ADVICE): native casts diverge cross-engine past 2**53
+            (_dec2d("_cents") / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("event_type", "day")
+    )
 
 
 def _q_ops_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4547,11 +4643,14 @@ def _q_stream_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     return (
         spark.read.parquet(f"{base}/mart")
+        .withColumn(
+            "_cents", (F.col("total_value") * F.lit(100)).cast("decimal(38,0)")
+        )
         .select(
             "event_type",
             F.col("day").cast("string").alias("day"),
             "n_rows",
-            F.col("total_value").cast("double").alias("total_value"),
+            (_dec2d("_cents") / F.lit(100.0)).alias("total_value"),
         )
         .orderBy("event_type", "day")
     )
@@ -8606,7 +8705,7 @@ dist AS (
   FROM v CROSS JOIN ca
 ),
 di AS (
-  SELECT vec_id, dist, CAST(floor(dist * 1000000.0) AS BIGINT) AS dmic
+  SELECT vec_id, dist, {_OQ6INT('dist')} AS dmic
   FROM dist
 ),
 st AS (
@@ -10672,20 +10771,27 @@ FROM agg a, wm WHERE a.window_end <= wm.final_wm
 ORDER BY window_start, event_type
 """
     # incremental mart refresh == full recompute (distributive aggregates)
-    sql["ops_agg_refresh"] = """
+    # decimal sums surface through exact-cents _OD2, not a native
+    # decimal→double cast (r06 ADVICE: DuckDB's cast is not correctly
+    # rounded past 2**53 scaled units — the CUBE grand total hits it
+    # first at larger sf)
+    _cents_sum = _OD2(
+        "sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))"
+    )
+    sql["ops_agg_refresh"] = f"""
 SELECT event_type, CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
        count(*)::BIGINT AS n_rows,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       ({_cents_sum} / 100.0) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY event_type, day
 """
     # CUBE mart: DuckDB GROUP BY CUBE + GROUPING() mirrors Spark
     # cube()/grouping_id() bit-for-bit (leftmost dim = MSB)
-    sql["ops_cube_profile"] = """
+    sql["ops_cube_profile"] = f"""
 SELECT event_type,
        CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
        GROUPING(event_type, date_trunc('day', ts))::INT AS gid,
        count(*)::BIGINT AS n_rows,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       ({_cents_sum} / 100.0) AS total_value
 FROM events
 GROUP BY CUBE (event_type, date_trunc('day', ts))
 ORDER BY gid, event_type, day
@@ -10710,7 +10816,7 @@ ml AS (
              chr(10)) AS body
     FROM base)
 ),
-lx AS (SELECT doc_id, string_split(text, chr(10)) AS t FROM ml),
+lx AS (SELECT doc_id, regexp_split_to_array(text, '\r?\n') AS t FROM ml),
 lines AS (
   SELECT doc_id, u.i AS idx, t[u.i] AS line,
          md5(lower(trim(t[u.i]))) AS h
@@ -10760,10 +10866,10 @@ UNION ALL SELECT 'latest', lang, n_docs, sum_chars FROM c2
 ORDER BY tag, lang
 """
     # streaming incremental mart == full batch rollup (distributive aggs)
-    sql["stream_agg_refresh"] = """
+    sql["stream_agg_refresh"] = f"""
 SELECT event_type, CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
        count(*)::BIGINT AS n_rows,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       ({_cents_sum} / 100.0) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY event_type, day
 """
     # stream-static enrichment == batch join census
@@ -10774,4 +10880,6 @@ SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_events,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1 ORDER BY segment
 """
-    return sql
+    # one normalization point for the whole corpus: every native round()
+    # in every oracle gets the -0.0 -> +0.0 wrap (r06 verdict item 3)
+    return {k: _pz(v) for k, v in sql.items()}

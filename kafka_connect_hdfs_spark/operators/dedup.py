@@ -1300,9 +1300,13 @@ def line_dedup(
     # line in the corpus into one skewed window partition) and are
     # excluded from both counters and the reassembly
     blank = F.length(F.trim(F.col("_line"))) == 0
+    # split on \r?\n, not \n (r06 ADVICE): trim strips only spaces, so a
+    # CRLF corpus would leave a trailing \r on every line and identical
+    # boilerplate with mixed line endings would hash differently and
+    # escape dedup — the web-crawl text CCNet targets is CRLF-heavy
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias(
             "_idx", "_line"
         ),
     ).withColumn(

@@ -376,11 +376,26 @@ def cube_profile(
     Keep d small (2-4) like any sane mart; for high-cardinality dims use
     grouping sets of the needed combinations instead of the full cube.
     """
+    from kafka_connect_hdfs_spark.operators.similarity import dec_to_double
+
     aggs = [F.grouping_id().alias("gid"), F.count("*").alias("n_rows")]
     if value_col is not None:
         aggs.append(
-            F.sum(F.col(value_col).cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_value")
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_tv_dec")
         )
-    return df.cube(*dims).agg(*aggs)
+    out = df.cube(*dims).agg(*aggs)
+    if value_col is not None:
+        # decimal→double through the deterministic hi/lo split on exact
+        # integer cents (r06 ADVICE): a native decimal→double cast is not
+        # correctly rounded in DuckDB past 2**53 scaled units, and the
+        # CUBE grand-total cell is exactly the sum that gets there first
+        out = (
+            out.withColumn(
+                "_cents", (F.col("_tv_dec") * F.lit(100)).cast("decimal(38,0)")
+            )
+            .withColumn(
+                "total_value", dec_to_double("_cents") / F.lit(100.0)
+            )
+            .drop("_tv_dec", "_cents")
+        )
+    return out

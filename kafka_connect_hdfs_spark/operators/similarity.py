@@ -55,8 +55,10 @@ def _round6_half_up(a):
     import numpy as np
 
     a = np.asarray(a, dtype="float64")
+    # + 0.0 normalizes -0.0 -> +0.0 (r06 verdict: sign(a)*floor(...) emits
+    # -0.0 for a in (-5e-7, 0), which == 0.0 but byte-hashes differently).
     return np.where(
-        np.isfinite(a), np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6, a
+        np.isfinite(a), np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6 + 0.0, a
     )
 
 
@@ -2401,8 +2403,12 @@ def embedding_outlier_scores(
             )
         )
     )
+    # dist is ALREADY 6-dp quantized, so recover its exact micro-int with
+    # the HALF-UP kernel (fp_sum_micro_q6 convention) — a truncating
+    # floor(dist*1e6) lands on q-1 for midpoint-represented distances
+    # (r06 ADVICE); dist >= 0 so the sign branch is unnecessary
     wd = embeddings.select(F.col(id_col), dist.alias("dist")).withColumn(
-        "_di", F.floor(F.col("dist") * F.lit(1e6))
+        "_di", F.floor(F.col("dist") * F.lit(1e6) + F.lit(0.5))
     )
     stats = F.broadcast(
         wd.agg(

@@ -291,7 +291,16 @@ def tag_snapshot(
     # ref move via the two-rename protocol (delete-then-rename would
     # leave the tag GONE if a crash lands in the gap): old ref aside,
     # new ref in, backup dropped last; list_tags falls back to a
-    # stranded .bak so the ref never stops resolving
+    # stranded .bak so the ref never stops resolving.
+    # Recovery pre-step (r06 ADVICE, mirrors swap_state_update): if the
+    # PREVIOUS move crashed between its two renames, the stranded .bak is
+    # the tag's only surviving ref — restore it to final FIRST, so a
+    # failure later in THIS move still has an old value to fall back to
+    # (deleting it up front would lose the tag entirely on a failed
+    # tmp->final rename).
+    if not fs.exists(final) and fs.exists(bak):
+        if not fs.rename(bak, final):
+            raise IOError(f"tag crash-recovery restore failed for {tag}")
     fs.delete(bak, False)
     if fs.exists(final):
         if not fs.rename(final, bak):

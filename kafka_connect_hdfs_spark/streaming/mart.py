@@ -36,10 +36,24 @@ def start_mart_refresh(
     available_now: bool = True,
 ):
     """Start the mart-maintenance query; returns the StreamingQuery. The
-    mart at ``state_path`` is plain parquet, readable between batches."""
+    mart at ``state_path`` is plain parquet, readable between batches.
+
+    The mart is BOUND to its checkpoint (r06 ADVICE): batch ids are scoped
+    to a checkpoint, so the replay marker records the stream identity
+    (the query id Spark persists at ``{checkpoint}/metadata``) alongside
+    the batch id. Restarting against an existing mart with a FRESH
+    checkpoint (ids restart at 0) raises instead of silently skipping
+    every batch whose id is <= the old marker. Delete the mart together
+    with its checkpoint, or keep both.
+    """
     spark = stream.sparkSession
+    ident: "dict[str, str | None]" = {}
 
     def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if "sid" not in ident:
+            # Spark writes {checkpoint}/metadata (the query id) during
+            # start(), strictly before the first batch runs
+            ident["sid"] = _stream_identity(spark, checkpoint)
         _refresh_batch(
             spark,
             batch_df,
@@ -48,6 +62,7 @@ def start_mart_refresh(
             count_col,
             sum_cols,
             batch_id=batch_id,
+            stream_id=ident["sid"],
         )
 
     writer = stream.writeStream.foreachBatch(_refresh).option(
@@ -61,6 +76,39 @@ def start_mart_refresh(
 _MARKER_PREFIX = "_applied_"
 
 
+def _stream_identity(spark: SparkSession, checkpoint: str) -> "str | None":
+    """The streaming-query id persisted at ``{checkpoint}/metadata`` —
+    stable across restarts of the SAME checkpoint, regenerated when the
+    checkpoint is wiped (which is exactly when batch ids restart at 0 and
+    the replay guard must not trust them)."""
+    import json
+
+    from kafka_connect_hdfs_spark.statedir import _fs
+
+    fs, Path = _fs(spark, checkpoint)
+    p = Path(f"{checkpoint.rstrip('/')}/metadata")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return str(json.loads(text)["id"])
+
+
+def _parse_marker(name: str) -> "tuple[str | None, int]":
+    """``_applied_<stream_id>_<batch_id>`` -> (stream_id, batch_id);
+    legacy ``_applied_<batch_id>`` -> (None, batch_id)."""
+    rest = name[len(_MARKER_PREFIX):]
+    if "_" in rest:
+        sid, bid = rest.rsplit("_", 1)
+        return sid, int(bid)
+    return None, int(rest)
+
+
 def _refresh_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -69,15 +117,19 @@ def _refresh_batch(
     count_col: str,
     sum_cols: "dict[str, str] | None",
     batch_id: "int | None" = None,
+    stream_id: "str | None" = None,
 ) -> None:
     """Fold one micro-batch through the shared crash-recoverable swap
     (statedir.swap_state_update). UNLIKE the CDC upsert, an additive
     count/sum fold is NOT idempotent — a batch re-delivered after a
     crash that landed past the publish but before the streaming offset
-    commit would double-count — so the last-applied batch id rides as a
-    marker file INSIDE the swapped state dir (atomic with the data;
-    parquet readers ignore underscore files) and an already-applied
-    batch id is skipped."""
+    commit would double-count — so the last-applied (stream id, batch id)
+    rides as a marker file INSIDE the swapped state dir (atomic with the
+    data; parquet readers ignore underscore files). An already-applied
+    batch id from the SAME stream is skipped; a marker from a DIFFERENT
+    stream raises — batch ids are checkpoint-scoped, so a fresh
+    checkpoint restarting at id 0 against an old mart would otherwise
+    silently drop every batch (r06 ADVICE)."""
     from kafka_connect_hdfs_spark.merge import refresh_aggregate
     from kafka_connect_hdfs_spark.statedir import (
         state_marker, swap_state_update,
@@ -85,8 +137,23 @@ def _refresh_batch(
 
     if batch_id is not None:
         m = state_marker(spark, state_path, _MARKER_PREFIX)
-        if m is not None and batch_id <= int(m[len(_MARKER_PREFIX):]):
-            return  # replayed batch: already folded into the mart
+        if m is not None:
+            m_sid, m_bid = _parse_marker(m)
+            if m_sid is not None and stream_id is not None and m_sid != stream_id:
+                raise ValueError(
+                    f"mart at {state_path} was maintained by stream "
+                    f"{m_sid} (last batch {m_bid}) but this query is "
+                    f"{stream_id}: batch ids are checkpoint-scoped, so "
+                    "folding would double-count or drop batches. The "
+                    "mart and its checkpoint must live and die together "
+                    "— delete both to rebuild, or restart with the "
+                    "original checkpoint."
+                )
+            if batch_id <= m_bid:
+                return  # replayed batch: already folded into the mart
+        tag = f"{stream_id}_{batch_id}" if stream_id is not None else str(batch_id)
+    else:
+        tag = None
 
     def _upd(state: "DataFrame | None") -> DataFrame:
         return refresh_aggregate(
@@ -98,7 +165,5 @@ def _refresh_batch(
         state_path,
         _upd,
         suffix="mart",
-        marker=(
-            f"{_MARKER_PREFIX}{batch_id}" if batch_id is not None else None
-        ),
+        marker=(f"{_MARKER_PREFIX}{tag}" if tag is not None else None),
     )

@@ -19,6 +19,7 @@ TABLES = (
 
 def norm_cell(v):
     import datetime
+    import struct
 
     import numpy as np
     import pandas as pd
@@ -28,13 +29,18 @@ def norm_cell(v):
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.floating,)):
-        return float(v)
+        v = float(v)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, float):
-        return v
+        if math.isnan(v):
+            return None
+        # BYTE-level identity (r06 verdict): the driver hashes value bytes,
+        # where -0.0 != +0.0 even though they compare ==. Carry the repr for
+        # readable FAIL diffs; equality/sort run on the packed bytes.
+        return ("f64", struct.pack("<d", v).hex(), repr(v))
     return v
 
 

@@ -29,12 +29,23 @@ CONF_B = {
 }
 
 
+def _cell(x):
+    # floats compare by IEEE bytes (r06 verdict: -0.0 == 0.0 is True, so a
+    # value-level compare is blind to the sign-of-zero class the driver's
+    # byte hash catches)
+    import struct
+
+    if isinstance(x, float):
+        return ("f64", struct.pack("<d", x).hex())
+    return x
+
+
 def _rows(df):
     # bit-exact cell compare: no rounding, no normalization beyond sort
     cols = sorted(df.columns)
     out = []
     for r in df.select(*cols).collect():
-        out.append(tuple(r[c] for c in cols))
+        out.append(tuple(_cell(r[c]) for c in cols))
     return sorted(
         out, key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t)
     )

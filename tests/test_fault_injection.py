@@ -214,3 +214,80 @@ def test_mart_refresh_restores_state_stranded_at_backup(spark, tmp_path):
         for r in spark.read.parquet(mart).collect()
     }
     assert got == {"a": (6, 51.5), "b": (2, 20.0), "c": (1, 3.0)}
+
+
+def test_mart_refresh_raises_on_foreign_stream_marker(spark, tmp_path):
+    """A mart carries the identity of the stream that maintains it (r06
+    ADVICE): restarting against an existing mart with a FRESH checkpoint
+    (batch ids restart at 0) must RAISE, not silently skip every batch
+    whose id is <= the old marker."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.streaming.mart import _refresh_batch
+
+    mart = str(tmp_path / "mart")
+    batch = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "k string, value double"
+    )
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "total_v"},
+        batch_id=3, stream_id="stream-one",
+    )
+    # same stream, replayed id -> silently skipped (idempotent replay)
+    before = sorted(
+        (r["k"], r["n_rows"]) for r in spark.read.parquet(mart).collect()
+    )
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "total_v"},
+        batch_id=3, stream_id="stream-one",
+    )
+    after = sorted(
+        (r["k"], r["n_rows"]) for r in spark.read.parquet(mart).collect()
+    )
+    assert before == after == [("a", 1), ("b", 1)]
+    # different stream identity (fresh checkpoint) -> hard error
+    with pytest.raises(ValueError, match="checkpoint"):
+        _refresh_batch(
+            spark, batch, mart, ["k"], "n_rows", {"value": "total_v"},
+            batch_id=0, stream_id="stream-two",
+        )
+    # same stream, NEW id -> folds normally
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "total_v"},
+        batch_id=4, stream_id="stream-one",
+    )
+    got = sorted(
+        (r["k"], r["n_rows"]) for r in spark.read.parquet(mart).collect()
+    )
+    assert got == [("a", 2), ("b", 2)]
+
+
+def test_tag_move_restores_stranded_bak_before_moving(spark, tmp_path):
+    """tag_snapshot's recovery pre-step (r06 ADVICE): when the previous
+    move crashed BETWEEN its two renames (final gone, .bak is the only
+    surviving ref), a new move must first restore the .bak — deleting it
+    up front would leave NOTHING to fall back to if this move's publish
+    rename also fails, losing the tag entirely."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, list_tags, tag_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(5).withColumn("v", F.col("id") * 2)
+    commit_snapshot(spark, df, tbl)  # v1
+    commit_snapshot(spark, df, tbl)  # v2
+    tag_snapshot(spark, tbl, "rel", version=1)
+    fs, Path = _hadoop(spark, tbl)
+    final = Path(f"{tbl}/_tags/rel.json")
+    bak = Path(f"{tbl}/_tags/.rel.json.bak")
+    # simulate a crash between the two renames of a previous move:
+    # the ref survives only as .bak
+    assert fs.rename(final, bak)
+    assert list_tags(spark, tbl) == {"rel": 1}  # resolves through .bak
+    # a new move must succeed AND not pass through a window where the
+    # .bak was deleted while final is absent
+    tag_snapshot(spark, tbl, "rel", version=2)
+    assert list_tags(spark, tbl) == {"rel": 2}
+    assert not fs.exists(bak)

@@ -155,8 +155,13 @@ def _run_gate_vs_oracle(spark, name, data_dir, parquet="embeddings.parquet"):
     for sr, dr in zip(s_rows, d_rows):
         for sv, dv in zip(sr, dr):
             if isinstance(sv, float) or isinstance(dv, float):
-                # EXACT — bit-identical doubles are the whole contract
-                assert float(sv) == float(dv), (name, sr, dr)
+                # BYTE-exact — `==` is blind to -0.0 vs +0.0 (the r06
+                # driver red); the driver hashes value bytes
+                import struct
+
+                assert struct.pack("<d", float(sv)) == struct.pack(
+                    "<d", float(dv)
+                ), (name, sr, dr)
             else:
                 assert sv == dv, (name, sr, dr)
 

@@ -308,3 +308,29 @@ def test_line_dedup_keeps_blank_only_docs_visible(spark):
     # 'real line' occurs twice > 1 -> dropped from both
     assert out[1] == (1, 0, "")
     assert out[4] == (1, 0, "")
+
+
+def test_line_dedup_normalizes_crlf_line_endings(spark):
+    """CRLF corpora (r06 ADVICE): identical boilerplate terminated with
+    \r\n vs \n must hash to the same normalized line and dedup together;
+    reassembled text must not carry stray \r."""
+    from kafka_connect_hdfs_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\r\nunique alpha\r\nbody one"),
+            (2, "cookie banner\nunique beta\nbody two"),
+            (3, "cookie banner\r\nunique gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_lines_kept"], r["text_kept"])
+        for r in line_dedup(docs, max_occurrences=1).collect()
+    }
+    # the banner occurs 3x across mixed endings -> dropped everywhere
+    assert got[1] == (3, 2, "unique alpha\nbody one")
+    assert got[2] == (3, 2, "unique beta\nbody two")
+    assert got[3] == (2, 1, "unique gamma")
+    for _, _, text in got.values():
+        assert "\r" not in text
