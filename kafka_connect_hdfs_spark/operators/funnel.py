@@ -244,3 +244,60 @@ def event_transitions(
             F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
         ),
     )
+
+
+def decayed_engagement(
+    df: DataFrame,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Recency-weighted engagement ranking: each event contributes
+    ``value / (1 + age_days)`` (hyperbolic decay against the corpus's
+    newest event) and users rank by their decayed sum — the freshness-
+    aware activity score feeds retention triage and training-data
+    recency mixing, where a raw lifetime sum lets long-dead heavy users
+    dominate.
+
+    Hyperbolic (rational) decay rather than exponential half-life:
+    ``pow()`` is libm-implementation-shaped and can differ across engines
+    in the last ulp, while ``v / (1 + d)`` with integer ``d`` is one
+    identical IEEE op. Per-event scores quantize to HALF-UP micro-ints
+    BEFORE summation (fp_sum_micro_q6 — float partial sums are
+    partition-order-dependent), the exact integer sum crosses to double
+    via the hi/lo split, and the surfaced score is q6 — bit-reproducible
+    for any partitioning and oracle-replayable.
+
+    Returns the top ``k`` users: ``(user_id, n_events, score)``,
+    ties broken by user id.
+
+    Scale: one single-row max(ts) broadcast, one map-side projection
+    (int day-diff + one divide + micro-int), one exact per-user sum
+    (partial-combining), one top-k sort of the per-user table.
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        dec_to_double, fp_sum_micro_q6, q6_col,
+    )
+
+    ref = df.agg(F.max(F.to_date(F.col(ts_col))).alias("_ref"))
+    scored = df.crossJoin(F.broadcast(ref)).select(
+        F.col(user_col),
+        (
+            F.col(value_col).cast("double")
+            / (
+                F.lit(1)
+                + F.datediff(F.col("_ref"), F.to_date(F.col(ts_col)))
+            ).cast("double")
+        ).alias("_w"),
+    )
+    per_user = scored.groupBy(user_col).agg(
+        F.count("*").alias("n_events"),
+        fp_sum_micro_q6(F.col("_w")).alias("_s"),
+    )
+    out = per_user.select(
+        user_col,
+        "n_events",
+        q6_col(dec_to_double("_s") / F.lit(1e6)).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc(user_col)).limit(k)

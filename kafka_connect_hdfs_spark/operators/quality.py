@@ -399,3 +399,197 @@ def cube_profile(
             .drop("_tv_dec", "_cents")
         )
     return out
+
+
+def robust_length_outliers(
+    df: DataFrame,
+    group_col: str = "lang",
+    len_col: str = "n_chars",
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Robust (median/MAD) per-group length-outlier report — the
+    distribution health check that survives the heavy tails mean/stddev
+    z-scores drown in (one 10 MB scrape in a group of tweets inflates σ
+    until nothing is an outlier). Per group: the median length, the
+    median absolute deviation, the count beyond the modified z-score cut
+    ``0.6745·(x − med)/MAD`` (Iglewicz–Hoaglin), and the worst score.
+
+    Determinism: lengths are integers, so exact interpolated medians land
+    on .0/.5 (and MAD on .0/.25/.5/.75) — exactly representable doubles;
+    every later op is the identical IEEE expression on both engines and
+    the surfaced score goes through q6. A group with MAD = 0 (all lengths
+    equal) reports 0 outliers and score 0 rather than dividing by zero.
+
+    Scale: one group-bounded percentile aggregation (Spark's exact
+    ``percentile`` partial-aggregates per partition), one broadcast join
+    of the tiny per-group stats, one counting pass — nothing corpus-sized
+    shuffles twice.
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(len_col), F.lit(0.5)).alias("_med"),
+        F.count("*").alias("n_docs"),
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_dev", F.abs(F.col(len_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad")
+    )
+    z = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * (F.col(len_col) - F.col("_med")) / F.col("_mad"),
+    ).otherwise(F.lit(0.0))
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .withColumn("_z", z)
+        .groupBy(group_col)
+        .agg(
+            F.max("_med").alias("median_len"),
+            F.max("_mad").alias("mad"),
+            F.count("*").alias("n_docs"),
+            F.sum((F.abs(F.col("_z")) > F.lit(z_cut)).cast("long")).alias(
+                "n_outliers"
+            ),
+            F.max(F.abs(F.col("_z"))).alias("_maxz"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "median_len",
+            "mad",
+            "n_outliers",
+            q6_col(F.col("_maxz")).alias("max_abs_z"),
+        )
+    )
+
+
+def weak_label_census(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Snorkel-style weak-supervision vote census: three labeling
+    functions vote keep(+1)/drop(−1)/abstain(0) on every document, and
+    the census reports one row per (vote₁, vote₂, vote₃, decision) with
+    its document count — the coverage/overlap/conflict table a
+    programmatic-labeling pipeline inspects before training a label
+    model. Decision = majority sign of the vote sum (0 = undecided).
+
+    The three LFs (deterministic, integer-exact — ratio thresholds use
+    cross-multiplication, never float division):
+      LF1 length:    10 ≤ tokens ≤ 80 → +1; tokens < 5 → −1; else 0.
+      LF2 diversity: distinct/total ≥ 1/2 → +1; < 3/10 → −1; else 0.
+      LF3 keywords:  token 'dup' present → −1; 'spark' present → +1;
+                     both → conflict resolved to −1 (spam beats topical);
+                     neither → 0.
+
+    Scale: one map-side pass computes all three votes from a single
+    tokenization (no joins), one |vote-space|-bounded aggregation
+    (≤ 3³·3 = 81 output rows regardless of corpus size).
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    lf1 = (
+        F.when((n >= 10) & (n <= 80), 1).when(n < 5, -1).otherwise(0)
+    )
+    lf2 = (
+        F.when(nd * 2 >= n, 1).when(nd * 10 < n * 3, -1).otherwise(0)
+    )
+    has_dup = F.array_contains(toks, "dup")
+    has_spark = F.array_contains(toks, "spark")
+    lf3 = F.when(has_dup, -1).when(has_spark, 1).otherwise(0)
+    voted = df.select(
+        lf1.alias("v1"), lf2.alias("v2"), lf3.alias("v3")
+    ).withColumn("_s", F.col("v1") + F.col("v2") + F.col("v3"))
+    decision = (
+        F.when(F.col("_s") > 0, F.lit("keep"))
+        .when(F.col("_s") < 0, F.lit("drop"))
+        .otherwise(F.lit("undecided"))
+    )
+    return (
+        voted.withColumn("decision", decision)
+        .groupBy("v1", "v2", "v3", "decision")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of a numeric column — the standard train/serve drift gate
+    (rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 retrain).
+    Returns one row per bucket: ``(bucket, n_ref, n_cur, psi_contrib)``;
+    Σ psi_contrib is the PSI.
+
+    Buckets are EQUAL-WIDTH over the reference min/max (not quantiles:
+    interpolated quantile edges are engine-implementation-shaped doubles,
+    and a value landing exactly on an edge could bucket differently
+    across engines — min/max are exact and the bucket index is one
+    identical IEEE expression). Out-of-range current values clamp to the
+    edge buckets, which is exactly the drift signal. Counts get +1
+    Laplace smoothing so empty buckets contribute finitely.
+
+    Scale: two single-pass bounded aggregations (min/max, then bucket
+    counts — ≤ n_buckets rows each after map-side combine) and a
+    broadcast join of two tiny count tables.
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    mm = ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+
+    def _bucketed(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        raw = F.floor(
+            (v - F.col("_lo"))
+            * F.lit(float(n_buckets))
+            / (F.col("_hi") - F.col("_lo"))
+        ).cast("int")
+        b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), raw))
+        )
+        return (
+            df.crossJoin(F.broadcast(mm))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(out))
+        )
+
+    rb = _bucketed(ref, "_nr")
+    cb = _bucketed(cur, "_nc")
+    base = F.broadcast(
+        ref.sparkSession.range(n_buckets).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+    )
+    j = (
+        base.join(rb, "bucket", "left")
+        .join(cb, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("_nr", F.lit(0)).alias("n_ref"),
+            F.coalesce("_nc", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (
+        F.col("_tr") + n_buckets
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.col("_tc") + n_buckets
+    ).cast("double")
+    return j.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        q6_col((p - q) * F.log(p / q)).alias("psi_contrib"),
+    )

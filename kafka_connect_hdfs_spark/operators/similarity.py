@@ -2660,6 +2660,86 @@ def knn_graph(
     return edges
 
 
+def embedding_int8_quant(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension symmetric int8 quantization audit: for each dim,
+    the max-abs scale, the saturation count, and the EXACT reconstruction
+    MSE the int8 codes would incur — the go/no-go check run before
+    shipping an embedding corpus to an int8 serving index (4× smaller,
+    SIMD-friendly ADC; the audit tells you which dims lose precision).
+
+    Returns ``(i, amax_micro, n_saturated, mse)`` per 0-based dim:
+      - ``amax_micro``: max |value| at micro precision — the per-dim scale
+        denominator (symmetric quantization: code = round(127·x/amax)).
+      - ``n_saturated``: elements hitting |code| = 127 (≥ 1 per nonzero
+        dim by construction — the max element itself).
+      - ``mse``: mean of (x − code·amax/127)², computed EXACTLY — codes
+        and errors stay integers (micro-unit convention of
+        :func:`embedding_covariance`), the error sum is an exact
+        decimal(38,0), and only the final mean goes through the
+        deterministic hi/lo cast + q6 quantization. No float accumulates,
+        so the result is partition-order-free and oracle-replayable.
+
+    Math (all integer): m = floor(x·1e6); code = sign(m)·((|m|·254 +
+    amax) DIV (2·amax)) (half-up |m|·127/amax); err_int = 127·m −
+    code·amax; mse = Σ err_int² / (n·127²·1e12).
+
+    Scale: one posexplode pass → per-dim max (dim-bounded shuffle), one
+    broadcast join back, one per-dim exact aggregation — the shuffle
+    carries O(dims) rows per partition after partial combine, independent
+    of corpus size (the covariance shape without the dim² blowup).
+    """
+    m = F.floor(F.col("_x").cast("double") * F.lit(float(scale))).cast(
+        "bigint"
+    )
+    el = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("i", "_x")
+    ).select("i", m.alias("_m"))
+    amax = el.groupBy("i").agg(F.max(F.abs(F.col("_m"))).alias("_amax"))
+    j = el.join(broadcast(amax), "i")
+    mag = F.expr("(abs(_m) * 254 + _amax) DIV (2 * _amax)")
+    code = F.when(F.col("_amax") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.when(F.col("_m") < 0, -mag).otherwise(mag)
+    )
+    e = (
+        F.lit(127).cast("bigint") * F.col("_m") - F.col("_code") * F.col("_amax")
+    )
+    return (
+        j.withColumn("_code", code)
+        .withColumn("_e", e)
+        .groupBy("i")
+        .agg(
+            F.max("_amax").alias("amax_micro"),
+            F.sum((F.abs(F.col("_code")) == 127).cast("long")).alias(
+                "n_saturated"
+            ),
+            F.sum(
+                (
+                    F.col("_e").cast("decimal(19,0)")
+                    * F.col("_e").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).alias("_se"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "i",
+            "amax_micro",
+            "n_saturated",
+            q6_col(
+                dec_to_double("_se")
+                / (
+                    F.col("_n").cast("double")
+                    * F.lit(127.0 * 127.0)
+                    * F.lit(float(scale) * float(scale))
+                )
+            ).alias("mse"),
+        )
+    )
+
+
 def knn_graph_refine(
     embeddings: DataFrame,
     edges: DataFrame,
@@ -2955,7 +3035,7 @@ def compact_ivf_index(spark, path: str) -> "dict[str, tuple[int, int]]":
 
 
 def delete_from_ivf_index(
-    spark, path: str, ids: "list[int]", id_col: str = "vec_id"
+    spark, path: str, ids, id_col: str = "vec_id"
 ) -> None:
     """Soft-delete vectors from a :func:`build_ivf_index` layout by
     appending their ids to the ``_tombstones`` log — the merge-on-read
@@ -2965,13 +3045,22 @@ def delete_from_ivf_index(
     broadcast tombstone set; :func:`vacuum_ivf_index` is the physical
     erasure (RTBF) that folds the log into the cells.
 
+    ``ids`` is a DataFrame with an ``id_col`` column (the unbounded-safe
+    path — a predicate-derived victim set appends log-to-log without ever
+    visiting the driver; r06 verdict item 6) or a small python list for
+    ad-hoc deletes.
+
     Scale: tombstones accumulate as tiny parquet appends; the serving
     overhead is one broadcast anti-join whose build side is the tombstone
     id list — vacuum when the log grows past a fraction of a cell.
     """
-    spark.createDataFrame(
-        [(int(i),) for i in ids], f"{id_col} bigint"
-    ).write.mode("append").parquet(path + "/_tombstones")
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(id_col).cast("bigint").alias(id_col))
+    else:
+        df = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} bigint"
+        )
+    df.write.mode("append").parquet(path + "/_tombstones")
 
 
 def vacuum_ivf_index(

@@ -22,7 +22,8 @@ import urllib.request
 
 sys.path.insert(0, "/root/repo")
 
-TABLES = ("documents", "embeddings")
+TABLES = ("documents", "embeddings", "events")
+_IDCOL = {"documents": "doc_id", "embeddings": "vec_id", "events": "event_id"}
 
 
 def _shuffle_totals(spark) -> tuple[int, int]:
@@ -57,7 +58,7 @@ def _make_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
     os.makedirs(out_dir)
     for t in TABLES:
         df = load_table(spark, base_dir, t)
-        idc = "doc_id" if t == "documents" else "vec_id"
+        idc = _IDCOL[t]
         n = df.agg(F.max(idc)).collect()[0][0] + 1
         parts = []
         for i in range(copies):
@@ -121,6 +122,25 @@ def _run_suite(spark, sf_dir: str, tag: str) -> list[dict]:
             spark,
             f"dedup_minhash_lsh@{tag}",
             lambda: qs["dedup_minhash_lsh"](spark, sf_dir).count(),
+        )
+    )
+    # r06 verdict item 7: the two new heavy ops — line dedup must hold
+    # its 2-shuffle/0-join shape (near-linear wall, no blowup from the
+    # corpus-wide line-hash window), the CUBE mart must stay bounded by
+    # |groups|·2^d partials (Expand multiplies aggregate rows, not input
+    # shuffle volume)
+    out.append(
+        _timed(
+            spark,
+            f"dedup_lines@{tag}",
+            lambda: qs["dedup_lines"](spark, sf_dir).count(),
+        )
+    )
+    out.append(
+        _timed(
+            spark,
+            f"ops_cube_profile@{tag}",
+            lambda: qs["ops_cube_profile"](spark, sf_dir).count(),
         )
     )
     emb = load_table(spark, sf_dir, "embeddings")

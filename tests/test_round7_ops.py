@@ -1,0 +1,228 @@
+"""Unit tests for the five r07 operators: int8 quantization audit,
+robust MAD outliers, weak-label vote census, recency-decayed engagement,
+and PSI drift. Each test pins the SEMANTICS on a hand-computed fixture
+(the oracle gates pin cross-engine parity separately)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# embedding_int8_quant
+
+
+def test_int8_quant_hand_computed(spark):
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        embedding_int8_quant,
+    )
+
+    # dim0 micro-ints: 1_000_000, -500_000, 250_000  (amax = 1_000_000)
+    # codes (half-up 127*m/amax): 127, -64 (63.5 rounds half-up), 32 (31.75->32)
+    # dim1: all zero -> amax 0, codes 0, mse 0
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [-0.5, 0.0]),
+        (2, [0.25, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["i"]: r for r in embedding_int8_quant(df).collect()}
+    assert got[0]["amax_micro"] == 1_000_000
+    assert got[0]["n_saturated"] == 1  # only the max element
+    assert got[1]["amax_micro"] == 0
+    assert got[1]["n_saturated"] == 0
+    assert got[1]["mse"] == 0.0
+    # dim0 exact errors: e = 127*m - code*amax
+    #   m=1e6:  127e6 - 127e6 = 0
+    #   m=-5e5: -63.5e6 + 64e6 = 5e5
+    #   m=2.5e5: 31.75e6 - 32e6 = -2.5e5
+    # mse = (0 + 25e10 + 6.25e10) / (3 * 127^2 * 1e12)
+    expected = (25e10 + 6.25e10) / (3 * 127 * 127 * 1e12)
+    assert abs(got[0]["mse"] - round(expected, 6)) < 1e-9
+
+
+def test_int8_quant_code_bound(spark):
+    """No code may exceed |127| and every nonzero dim saturates at least
+    once (the max element maps to exactly 127)."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        embedding_int8_quant,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = embedding_int8_quant(emb).collect()
+    assert len(out) == 64
+    for r in out:
+        assert r["n_saturated"] >= 1
+        assert r["mse"] >= 0.0
+        # quantization error per element is <= (amax/254)/1e6 in original
+        # units, so mse <= (amax/254e6)^2
+        bound = (r["amax_micro"] / 254e6) ** 2
+        assert r["mse"] <= bound + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# robust_length_outliers (MAD)
+
+
+def test_mad_outliers_hand_computed(spark):
+    from kafka_connect_hdfs_spark.operators.quality import (
+        robust_length_outliers,
+    )
+
+    # lengths 10,12,14,16,1000: median 14, deviations 4,2,0,2,986
+    # MAD = median(0,2,2,4,986) = 2
+    # z(1000) = 0.6745*986/2 = 332.5... -> 1 outlier at cut 3.5
+    rows = [(i, "x", "en", "s", n) for i, n in enumerate([10, 12, 14, 16, 1000])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = robust_length_outliers(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["median_len"] == 14.0
+    assert r["mad"] == 2.0
+    assert r["n_docs"] == 5
+    assert r["n_outliers"] == 1
+    assert r["max_abs_z"] == round(0.6745 * 986 / 2, 6)
+
+
+def test_mad_zero_guard(spark):
+    from kafka_connect_hdfs_spark.operators.quality import (
+        robust_length_outliers,
+    )
+
+    rows = [(i, "x", "de", "s", 50) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = robust_length_outliers(df).collect()[0]
+    assert r["mad"] == 0.0 and r["n_outliers"] == 0 and r["max_abs_z"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# weak_label_census
+
+
+def test_weak_label_votes_per_branch(spark):
+    from kafka_connect_hdfs_spark.operators.quality import weak_label_census
+
+    docs = [
+        # 12 distinct tokens: LF1 +1 (10<=12<=80), LF2 +1, LF3 'spark' +1
+        (1, "spark a b c d e f g h i j k"),
+        # 3 tokens: LF1 -1 (<5), LF2 +1 (3 distinct of 3), LF3 'dup' -1
+        (2, "dup x y"),
+        # 12 tokens all 'w': LF1 +1, LF2 -1 (1*10 < 12*3), LF3 0
+        (3, "w w w w w w w w w w w w"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["v1"], r["v2"], r["v3"]): (r["decision"], r["n_docs"])
+        for r in weak_label_census(df).collect()
+    }
+    assert got[(1, 1, 1)] == ("keep", 1)
+    assert got[(-1, 1, -1)] == ("drop", 1)
+    assert got[(1, -1, 0)] == ("undecided", 1)
+
+
+def test_weak_label_dup_beats_spark(spark):
+    from kafka_connect_hdfs_spark.operators.quality import weak_label_census
+
+    df = spark.createDataFrame(
+        [(1, "spark dup a b c d e f g h i j")], "doc_id long, text string"
+    )
+    r = weak_label_census(df).collect()[0]
+    assert r["v3"] == -1  # both keywords -> spam wins
+
+
+# ---------------------------------------------------------------------------
+# decayed_engagement
+
+
+def test_decay_engagement_hand_computed(spark):
+    from kafka_connect_hdfs_spark.operators.funnel import decayed_engagement
+
+    d = datetime.datetime
+    rows = [
+        # user 1: 10.0 today (w=10), 10.0 four days ago (w=2) -> 12
+        (1, d(2026, 1, 5, 12), 1, "click", 10.0, None),
+        (2, d(2026, 1, 1, 9), 1, "click", 10.0, None),
+        # user 2: 30.0 nine days ago (w=3) -> 3
+        (3, d(2025, 12, 27, 8), 2, "click", 30.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = decayed_engagement(df, k=10).collect()
+    assert [(r["user_id"], r["n_events"], r["score"]) for r in out] == [
+        (1, 2, 12.0),
+        (2, 1, 3.0),
+    ]
+
+
+def test_decay_engagement_is_topk_and_ordered(spark):
+    from kafka_connect_hdfs_spark.operators.funnel import decayed_engagement
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = decayed_engagement(ev, k=5).collect()
+    assert len(out) == 5
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+
+
+def _events_df(spark, values, ids=None):
+    d = datetime.datetime(2026, 1, 1)
+    rows = [
+        ((ids[i] if ids else i), d, 1, "click", float(v), None)
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_psi_identical_samples_is_zero(spark):
+    from kafka_connect_hdfs_spark.operators.quality import psi_drift
+
+    vals = [float(x) for x in range(100)]
+    ref = _events_df(spark, vals)
+    out = psi_drift(ref, _events_df(spark, vals)).collect()
+    assert len(out) == 10
+    assert all(r["psi_contrib"] == 0.0 for r in out)  # p == q exactly
+    assert sum(r["n_ref"] for r in out) == 100
+
+
+def test_psi_shifted_sample_is_positive_and_clamped(spark):
+    from kafka_connect_hdfs_spark.operators.quality import psi_drift
+
+    ref = _events_df(spark, [float(x) for x in range(100)])
+    cur = _events_df(spark, [float(x) + 200.0 for x in range(100)])
+    out = psi_drift(ref, cur).collect()
+    by_bucket = {r["bucket"]: r for r in out}
+    # every out-of-range current value clamps into the top bucket
+    assert by_bucket[9]["n_cur"] == 100
+    total_psi = sum(r["psi_contrib"] for r in out)
+    assert total_psi > 0.25  # "retrain" territory for a full shift
+
+
+def test_psi_constant_reference_single_bucket(spark):
+    from kafka_connect_hdfs_spark.operators.quality import psi_drift
+
+    ref = _events_df(spark, [5.0] * 10)
+    cur = _events_df(spark, [5.0] * 10)
+    out = psi_drift(ref, cur).collect()
+    by_bucket = {r["bucket"]: (r["n_ref"], r["n_cur"]) for r in out}
+    assert by_bucket[0] == (10, 10)  # hi == lo -> everything in bucket 0
+    assert all(v == (0, 0) for b, v in by_bucket.items() if b != 0)
