@@ -225,6 +225,36 @@ def main() -> None:
     )
     mart.write.mode("overwrite").parquet(f"{out}/mart_lang_split")
     print(f"tagged v{version} as 'release'; mart rows: {mart.count()}")
+
+    # 6. release health checks: robust length outliers (median/MAD — a
+    #    scrape of 10 MB pages can't hide behind an inflated stddev),
+    #    weak-label vote census (which LF combinations dominate), and the
+    #    PSI drift gate against the previous release
+    from kafka_connect_hdfs_spark.operators.quality import (
+        psi_drift, robust_length_outliers, weak_label_census,
+    )
+
+    released = read_tag(spark, f"{out}/documents", "release").withColumn(
+        "n_chars", F.length("text")
+    )
+    print("robust length outliers per lang (first 3):")
+    for r in robust_length_outliers(released).orderBy("lang").limit(3).collect():
+        print(
+            f"  {r['lang']}: med={r['median_len']} mad={r['mad']} "
+            f"outliers={r['n_outliers']}"
+        )
+    votes = weak_label_census(released)
+    kept = votes.filter(F.col("decision") == "keep").agg(
+        F.sum("n_docs")
+    ).collect()[0][0]
+    print(f"weak-label census: {kept} docs vote 'keep'")
+    halves = released.withColumn("value", F.col("n_chars").cast("double"))
+    drift = psi_drift(
+        halves.filter(F.col("doc_id") % 2 == 0),
+        halves.filter(F.col("doc_id") % 2 == 1),
+    )
+    psi = drift.agg(F.round(F.sum("psi_contrib"), 6).alias("psi")).collect()
+    print(f"release-half length PSI (same-release halves, small-n): {psi[0]['psi']}")
     spark.stop()
 
 

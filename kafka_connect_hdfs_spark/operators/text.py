@@ -2246,3 +2246,107 @@ def heaps_law(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pairs: int = 5,
+    max_tokens: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k document-level collocations by pointwise mutual information:
+    PMI(a,b) = ln(N·n_ab / (n_a·n_b)) over per-document DISTINCT token
+    sets — the corpus-analysis primitive behind phrase mining, stopword-
+    pair detection, and template discovery (a near-1 co-occurrence of two
+    rare tokens is a boilerplate signature the unigram stats can't see).
+
+    Returns ``(tok_a, tok_b, n_ab, pmi)`` (a < b lexicographically),
+    ranked by pmi desc. ``min_pairs`` floors the co-occurrence count
+    (PMI is famously noise-dominated at n_ab = 1); ``max_tokens`` caps
+    each doc at its first ``max_tokens`` distinct tokens (sorted) so a
+    pathological doc cannot emit O(V²) pairs — the cap is mirrored in
+    the oracle, not silent.
+
+    Determinism: all counts are exact integers; the only float op is one
+    divide + one ln of an exact-int ratio (identical IEEE/libm on both
+    engines — the kl_contrib precedent), quantized q6.
+
+    Scale: pairs emit MAP-SIDE from a per-doc sorted array (i < j nested
+    transform — no self-join of the token table, which would shuffle the
+    corpus twice); the pair aggregation partial-combines, so the shuffle
+    carries observed-pair partials; per-token doc counts broadcast back
+    onto the (min_pairs-floored) pair table.
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    toks = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+                    ),
+                    " ",
+                )
+            )
+        ),
+        1,
+        max_tokens,
+    )
+    docs = df.select(toks.alias("_t")).filter(F.size("_t") > 0)
+    n_docs = docs.count()
+    t = F.col("_t")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(t)),
+                lambda j: F.struct(
+                    F.element_at(t, i).alias("tok_a"),
+                    F.element_at(t, j).alias("tok_b"),
+                ),
+            ),
+        )
+    )
+    pair_counts = (
+        docs.filter(F.size(t) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    tok_counts = (
+        docs.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    na = F.broadcast(
+        tok_counts.select(
+            F.col("tok").alias("tok_a"), F.col("n_tok").alias("_na")
+        )
+    )
+    nb = F.broadcast(
+        tok_counts.select(
+            F.col("tok").alias("tok_b"), F.col("n_tok").alias("_nb")
+        )
+    )
+    scored = (
+        pair_counts.join(na, "tok_a")
+        .join(nb, "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            q6_col(
+                F.log(
+                    (F.col("n_ab") * F.lit(n_docs)).cast("double")
+                    / (F.col("_na") * F.col("_nb")).cast("double")
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")
+    ).limit(k)

@@ -399,3 +399,65 @@ def snapshot_diff(
         .when(F.col("_in_to").isNull(), F.lit("removed"))
         .alias("change"),
     ).filter(F.col("change").isNotNull())
+
+
+def snapshot_content_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_col: str,
+    content_cols: "list[str]",
+) -> DataFrame:
+    """Row-CONTENT diff between two table versions → ``(key, change)``
+    with change ∈ {'added', 'removed', 'modified'} — the release audit
+    :func:`snapshot_diff` explicitly punts on (membership only): which
+    keys' content actually changed between the baseline and release tags.
+
+    Content per key is an order-free multiset fingerprint: the xor-fold
+    of a per-row md5-derived 48-bit hash over the canonical string
+    rendering of ``content_cols`` plus the row count (the
+    :func:`quality.table_checksum` construction scoped per key) — so
+    non-unique keys compare as multisets, row order and partitioning
+    never matter, and the fingerprint is engine-replayable (md5 + xor on
+    both sides). 'modified' = key present in both versions with a
+    differing (count, xor) fingerprint.
+
+    Scale: one per-key aggregation per version (map-side combining xor +
+    count — 16 bytes/key into the shuffle regardless of row width), one
+    key-keyed full-outer join of the two fingerprint tables.
+    """
+    from kafka_connect_hdfs_spark.functions import md5_int48
+
+    def _fp(version: int, kname: str, pre: str) -> DataFrame:
+        df = read_snapshot(spark, path, version)
+        row_repr = F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in content_cols
+            ],
+        )
+        return (
+            df.select(F.col(key_col).alias(kname), md5_int48(row_repr).alias("_h"))
+            .groupBy(kname)
+            .agg(
+                F.count("*").alias(f"{pre}_n"),
+                F.expr("bit_xor(_h)").alias(f"{pre}_x"),
+            )
+        )
+
+    a = _fp(v_from, "_k_from", "_f")
+    b = _fp(v_to, "_k_to", "_t")
+    j = a.join(b, a["_k_from"].eqNullSafe(b["_k_to"]), "full_outer")
+    return j.select(
+        F.coalesce("_k_from", "_k_to").alias(key_col),
+        F.when(F.col("_f_n").isNull(), F.lit("added"))
+        .when(F.col("_t_n").isNull(), F.lit("removed"))
+        .when(
+            (F.col("_f_n") != F.col("_t_n"))
+            | (F.col("_f_x") != F.col("_t_x")),
+            F.lit("modified"),
+        )
+        .alias("change"),
+    ).filter(F.col("change").isNotNull())

@@ -931,3 +931,112 @@ def test_refresh_aggregate_no_base_rescan_shape(spark, sf):
         )
     )
     assert "Join" not in plan, plan
+
+
+def test_int8_quant_broadcast_dim_stats(spark, sf):
+    """int8 audit: the per-dim amax table joins back by BROADCAST (it is
+    dims-sized), the element table shuffles once for the amax aggregation
+    and once for the per-dim error aggregation — never a sort-merge join
+    of two corpus-sized explosions."""
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        embedding_int8_quant,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    plan = _plan(embedding_int8_quant(emb))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+
+
+def test_mad_outliers_broadcast_stats(spark, sf):
+    """MAD report: both per-group stat tables (median, MAD) come back via
+    broadcast joins; the corpus never sort-merge-joins itself."""
+    from kafka_connect_hdfs_spark.operators.quality import (
+        robust_length_outliers,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(robust_length_outliers(docs))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_weak_label_census_no_joins_single_agg(spark, sf):
+    """Vote census: all three LFs fold in one map-side projection — zero
+    joins, one partial-combined aggregation over the ≤81-row vote space."""
+    from kafka_connect_hdfs_spark.operators.quality import weak_label_census
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = weak_label_census(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_decay_engagement_single_user_shuffle(spark, sf):
+    """Decayed engagement: the max(ts) reference is a broadcast nested
+    loop over a ONE-ROW build side (not a shuffled join); per-user sums
+    partial-combine so the user exchange is the only corpus-keyed one."""
+    from kafka_connect_hdfs_spark.operators.funnel import decayed_engagement
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf, "events")
+    plan = _plan(decayed_engagement(ev, k=20))
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan  # map-side combine on the exact micro sums
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_psi_drift_bounded_aggregations(spark, sf):
+    """PSI: the only corpus-sized work is two bucket-count aggregations
+    (≤ n_buckets rows out, partial-combined); everything after joins
+    ≤10-row tables by broadcast."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.quality import psi_drift
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    plan = _plan(psi_drift(ref, cur))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("partial_count") >= 2  # both bucket counts combine
+
+
+def test_pmi_pairs_map_side_no_self_join(spark, sf):
+    """PMI collocations: pairs come from the per-doc nested transform —
+    the corpus-sized token table is never self-joined; the two exchanges
+    are the pair aggregation and the (vocab-bounded) token counts, joined
+    back by broadcast."""
+    from kafka_connect_hdfs_spark.operators.text import pmi_collocations
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(pmi_collocations(docs))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_snapshot_content_diff_fingerprints_before_join(spark, sf, tmp_path):
+    """Content diff: each version aggregates to (key, count, xor) BEFORE
+    the full-outer join — row payloads never cross the join."""
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, snapshot_content_diff,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tbl = str(tmp_path / "t")
+    commit_snapshot(spark, docs, tbl)
+    commit_snapshot(spark, docs.limit(10), tbl)
+    plan = _plan(snapshot_content_diff(spark, tbl, 1, 2, "doc_id", ["text"]))
+    # partial xor/count per version: 2 versions × (partial+final)
+    assert plan.count("partial_count") >= 2
+    # the join input is the aggregated fingerprint, not raw text: text
+    # appears only under the scans/hash, never in the SMJ output schema
+    smj = plan.split("SortMergeJoin")
+    assert len(smj) >= 2  # full-outer over key fingerprints

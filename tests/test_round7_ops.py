@@ -226,3 +226,140 @@ def test_psi_constant_reference_single_bucket(spark):
     by_bucket = {r["bucket"]: (r["n_ref"], r["n_cur"]) for r in out}
     assert by_bucket[0] == (10, 10)  # hi == lo -> everything in bucket 0
     assert all(v == (0, 0) for b, v in by_bucket.items() if b != 0)
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+
+
+def test_pmi_hand_computed(spark):
+    from kafka_connect_hdfs_spark.operators.text import pmi_collocations
+
+    # 'a b' co-occur in all 6 docs; 'a c' in 3; 'b c' in 3.
+    docs = [(i, "a b" + (" c" if i % 2 == 0 else "")) for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["tok_a"], r["tok_b"]): (r["n_ab"], r["pmi"])
+        for r in pmi_collocations(df, min_pairs=1, k=10).collect()
+    }
+    import math
+
+    # n_docs=6, n_a=n_b=6, n_c=3
+    assert out[("a", "b")][0] == 6
+    assert out[("a", "b")][1] == round(math.log(6 * 6 / (6 * 6)), 6) == 0.0
+    assert out[("a", "c")] == (3, round(math.log(3 * 6 / (6 * 3)), 6))
+    # PMI('b','c') == PMI('a','c'); min_pairs floor respected
+    assert out[("b", "c")] == out[("a", "c")]
+
+
+def test_pmi_min_pairs_floor_and_cap(spark):
+    from kafka_connect_hdfs_spark.operators.text import pmi_collocations
+
+    docs = [(1, "x y"), (2, "x y"), (3, "p q")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, min_pairs=2, k=10).collect()
+    assert [(r["tok_a"], r["tok_b"]) for r in out] == [("x", "y")]
+    # max_tokens cap: a doc with many distinct tokens emits only pairs
+    # among its first (sorted) max_tokens
+    wide = spark.createDataFrame(
+        [(1, " ".join(f"t{i:03d}" for i in range(10)))] * 2,
+        "doc_id long, text string",
+    )
+    capped = pmi_collocations(wide, min_pairs=1, max_tokens=3, k=100).collect()
+    assert len(capped) == 3  # C(3,2), not C(10,2)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_content_diff
+
+
+def test_snapshot_content_diff_classifies(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, snapshot_content_diff,
+    )
+
+    tbl = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, txt string"
+    )
+    commit_snapshot(spark, v1, tbl)
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "k long, txt string"
+    )
+    commit_snapshot(spark, v2, tbl)
+    got = {
+        r["k"]: r["change"]
+        for r in snapshot_content_diff(spark, tbl, 1, 2, "k", ["txt"]).collect()
+    }
+    assert got == {2: "modified", 3: "removed", 4: "added"}  # 1 unchanged
+
+
+def test_snapshot_content_diff_multiset_keys(spark, tmp_path):
+    """Non-unique keys compare as MULTISETS: same rows in different order
+    are unchanged; a duplicated row count change is 'modified'."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, snapshot_content_diff,
+    )
+
+    tbl = str(tmp_path / "t")
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "z")], "k long, txt string"
+        ),
+        tbl,
+    )
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(1, "y"), (1, "x"), (2, "z"), (2, "z")], "k long, txt string"
+        ),
+        tbl,
+    )
+    got = {
+        r["k"]: r["change"]
+        for r in snapshot_content_diff(spark, tbl, 1, 2, "k", ["txt"]).collect()
+    }
+    assert got == {2: "modified"}  # key 1 reordered only -> unchanged
+
+
+# ---------------------------------------------------------------------------
+# bucketing
+
+
+def test_bucketed_join_has_no_exchange_and_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.bucketing import (
+        assert_no_exchange, bucketed_join, drop_bucketed, write_bucketed,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_id", "user_id")
+    cu = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(ev, "t_bj_ev", "user_id", n_buckets=4)
+    write_bucketed(cu, "t_bj_cu", "c_custkey", n_buckets=4)
+    try:
+        j = bucketed_join(spark, "t_bj_ev", "t_bj_cu", "user_id", "c_custkey")
+        plan = assert_no_exchange(j)  # must not raise
+        assert "SortMergeJoin" in plan
+        got = j.count()
+        want = ev.join(cu, ev.user_id == cu.c_custkey).count()
+        assert got == want
+    finally:
+        drop_bucketed(spark, "t_bj_ev", "t_bj_cu")
+
+
+def test_assert_no_exchange_raises_on_shuffled_join(spark):
+    import pytest as _pytest
+
+    from kafka_connect_hdfs_spark.operators.bucketing import assert_no_exchange
+    from kafka_connect_hdfs_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_id", "user_id")
+    cu = load_table(spark, sf, "customer").select("c_custkey")
+    j = ev.hint("merge").join(cu.hint("merge"), ev.user_id == cu.c_custkey)
+    with _pytest.raises(AssertionError, match="Exchange"):
+        assert_no_exchange(j)
