@@ -85,8 +85,10 @@ def _pz(sql: str) -> str:
     ``F.round``, so normalizing only the oracle side is exact.
 
     Quote-aware: skips single-quoted SQL literals (with ``''`` escapes)
-    both when matching ``round(`` and when scanning for the closing
-    paren; recurses into arguments so nested rounds are wrapped too. For
+    and ``--`` line comments both when matching ``round(`` and when
+    scanning for the closing paren (a ``round(`` in a comment must not
+    start a paren scan that swallows real SQL); recurses into arguments
+    so nested rounds are wrapped too. For
     DECIMAL-typed rounds the ``+ 0.0`` upcasts to DOUBLE — harmless here
     because decimals have no signed zero and every oracle decimal at
     6 dp is < 2**53 scaled units (exact cast); wide sums use _OD2, not
@@ -110,10 +112,21 @@ def _pz(sql: str) -> str:
             j += 1
         return j
 
+    def _skip_comment(j: int) -> int:
+        # sql[j:j+2] == "--": return index of the newline (or end)
+        while j < n and sql[j] != "\n":
+            j += 1
+        return j
+
     while i < n:
         ch = sql[i]
         if ch == "'":
             j = _skip_quote(i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = _skip_comment(i)
             out.append(sql[i:j])
             i = j
             continue
@@ -125,6 +138,9 @@ def _pz(sql: str) -> str:
                 c = sql[j]
                 if c == "'":
                     j = _skip_quote(j)
+                    continue
+                if c == "-" and j + 1 < n and sql[j + 1] == "-":
+                    j = _skip_comment(j)
                     continue
                 if c == "(":
                     depth += 1
@@ -4893,14 +4909,14 @@ def _q_ops_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the bucket layout with NO Exchange on either side
     (assert_no_exchange raises on a shuffle — the plan IS the contract);
     the census result must equal the plain-join oracle."""
-    import tempfile
-
     from kafka_connect_hdfs_spark.operators.bucketing import (
         assert_no_exchange, bucketed_join, drop_bucketed, write_bucketed,
     )
     from kafka_connect_hdfs_spark.session import load_table
 
-    tag = tempfile.mkdtemp(prefix="kchs_bj_").rsplit("_", 1)[-1]
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
     ev_t, cu_t = f"kchs_bj_ev_{tag}", f"kchs_bj_cu_{tag}"
     ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
     cu = load_table(spark, sf_dir, "customer").select(
@@ -11085,11 +11101,16 @@ dev AS (
   SELECT d.lang, d.n_chars, m.med, abs(d.n_chars - m.med) AS dv
   FROM documents d JOIN med m ON d.lang = m.lang
 ),
-mad AS (SELECT lang, quantile_cont(dv, 0.5) AS mad FROM dev GROUP BY lang),
+mad AS (
+  SELECT lang, quantile_cont(dv, 0.5) AS mad, avg(dv) AS meanad
+  FROM dev GROUP BY lang
+),
 z AS (
   SELECT dev.lang, med, mad.mad, n_chars,
          CASE WHEN mad.mad > 0
               THEN 0.6745::DOUBLE * (n_chars - med) / mad.mad
+              WHEN mad.meanad > 0
+              THEN 0.7979::DOUBLE * (n_chars - med) / mad.meanad
               ELSE 0.0 END AS z
   FROM dev JOIN mad ON dev.lang = mad.lang
 )
@@ -11147,15 +11168,15 @@ c AS (SELECT value FROM events WHERE event_id % 2 = 1),
 mm AS (SELECT min(value) AS lo, max(value) AS hi FROM r),
 rb AS (
   SELECT CASE WHEN hi = lo THEN 0
-              ELSE greatest(0, least(9,
-                   CAST(floor(((value - lo) * 10.0) / (hi - lo)) AS INTEGER)))
+              ELSE CAST(floor(greatest(0.0, least(9.0,
+                   ((value - lo) * 10.0) / (hi - lo)))) AS INTEGER)
          END AS bucket, count(*) AS nr
   FROM r CROSS JOIN mm GROUP BY 1
 ),
 cb AS (
   SELECT CASE WHEN hi = lo THEN 0
-              ELSE greatest(0, least(9,
-                   CAST(floor(((value - lo) * 10.0) / (hi - lo)) AS INTEGER)))
+              ELSE CAST(floor(greatest(0.0, least(9.0,
+                   ((value - lo) * 10.0) / (hi - lo)))) AS INTEGER)
          END AS bucket, count(*) AS nc
   FROM c CROSS JOIN mm GROUP BY 1
 ),
@@ -11173,9 +11194,13 @@ FROM j CROSS JOIN t ORDER BY bucket
 """
     # PMI collocations: doc-level distinct co-occurrence, exact counts,
     # ln of an exact-int ratio (the kl_contrib precedent), q6
+    _TOKS_NN = (
+        "string_split(trim(regexp_replace(lower(coalesce(text, '')), "
+        "'\\s+', ' ', 'g')), ' ')"
+    )
     sql["text_pmi_pairs"] = f"""
 WITH tok AS (
-  SELECT doc_id, (list_sort(list_distinct({_TOKS})))[1:64] AS t FROM documents
+  SELECT doc_id, (list_sort(list_distinct({_TOKS_NN})))[1:64] AS t FROM documents
 ),
 nd AS (SELECT count(*) AS n FROM tok),
 tl AS (SELECT doc_id, unnest(t) AS tok FROM tok),

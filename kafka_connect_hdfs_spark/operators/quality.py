@@ -417,8 +417,13 @@ def robust_length_outliers(
     Determinism: lengths are integers, so exact interpolated medians land
     on .0/.5 (and MAD on .0/.25/.5/.75) — exactly representable doubles;
     every later op is the identical IEEE expression on both engines and
-    the surfaced score goes through q6. A group with MAD = 0 (all lengths
-    equal) reports 0 outliers and score 0 rather than dividing by zero.
+    the surfaced score goes through q6. MAD = 0 does NOT mean all lengths
+    are equal (any >50%-constant group zeroes the median deviation), so
+    the Iglewicz–Hoaglin fallback applies: ``0.7979·(x − med)/MeanAD``
+    with MeanAD the MEAN absolute deviation — still order-free, because
+    the deviations are exact dyadic halves whose partial sums are all
+    exactly representable, so avg() is one deterministic division. Only a
+    truly constant group (MeanAD = 0 too) reports z = 0.
 
     Scale: one group-bounded percentile aggregation (Spark's exact
     ``percentile`` partial-aggregates per partition), one broadcast join
@@ -426,19 +431,28 @@ def robust_length_outliers(
     shuffles twice.
     """
     med = df.groupBy(group_col).agg(
-        F.percentile(F.col(len_col), F.lit(0.5)).alias("_med"),
-        F.count("*").alias("n_docs"),
+        F.percentile(F.col(len_col), F.lit(0.5)).alias("_med")
     )
     dev = df.join(F.broadcast(med), group_col).withColumn(
         "_dev", F.abs(F.col(len_col) - F.col("_med"))
     )
     mad = dev.groupBy(group_col).agg(
-        F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad")
+        F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad"),
+        F.avg(F.col("_dev")).alias("_meanad"),
     )
-    z = F.when(
-        F.col("_mad") > 0,
-        F.lit(0.6745) * (F.col(len_col) - F.col("_med")) / F.col("_mad"),
-    ).otherwise(F.lit(0.0))
+    z = (
+        F.when(
+            F.col("_mad") > 0,
+            F.lit(0.6745) * (F.col(len_col) - F.col("_med")) / F.col("_mad"),
+        )
+        .when(
+            F.col("_meanad") > 0,
+            F.lit(0.7979)
+            * (F.col(len_col) - F.col("_med"))
+            / F.col("_meanad"),
+        )
+        .otherwise(F.lit(0.0))
+    )
     from kafka_connect_hdfs_spark.operators.similarity import q6_col
 
     return (
@@ -547,14 +561,19 @@ def psi_drift(
 
     def _bucketed(df: DataFrame, out: str) -> DataFrame:
         v = F.col(value_col).cast("double")
-        raw = F.floor(
+        # clamp the DOUBLE index BEFORE floor/int-cast: a far-out-of-range
+        # current value (raw index past 2**31, or even 2**63) must clamp
+        # to the edge bucket, not overflow the ANSI cast or floor's
+        # BIGINT result (r07 review finding, reproduced)
+        raw = (
             (v - F.col("_lo"))
             * F.lit(float(n_buckets))
             / (F.col("_hi") - F.col("_lo"))
-        ).cast("int")
-        b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
-            F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), raw))
         )
+        clamped = F.floor(
+            F.greatest(F.lit(0.0), F.least(F.lit(float(n_buckets - 1)), raw))
+        ).cast("int")
+        b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(clamped)
         return (
             df.crossJoin(F.broadcast(mm))
             .select(b.alias("bucket"))

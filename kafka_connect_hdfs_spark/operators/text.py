@@ -2270,13 +2270,16 @@ def pmi_collocations(
 
     Determinism: all counts are exact integers; the only float op is one
     divide + one ln of an exact-int ratio (identical IEEE/libm on both
-    engines — the kl_contrib precedent), quantized q6.
+    engines — the kl_contrib precedent), quantized q6. NULL text
+    normalizes to '' (one degenerate token) so the document count N is
+    exactly the table's row count on both engines.
 
     Scale: pairs emit MAP-SIDE from a per-doc sorted array (i < j nested
     transform — no self-join of the token table, which would shuffle the
     corpus twice); the pair aggregation partial-combines, so the shuffle
     carries observed-pair partials; per-token doc counts broadcast back
-    onto the (min_pairs-floored) pair table.
+    onto the (min_pairs-floored) pair table; N rides a broadcast one-row
+    aggregate (no eager driver-side count action).
     """
     from kafka_connect_hdfs_spark.operators.similarity import q6_col
 
@@ -2285,7 +2288,11 @@ def pmi_collocations(
             F.array_distinct(
                 F.split(
                     F.trim(
-                        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+                        F.regexp_replace(
+                            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+",
+                            " ",
+                        )
                     ),
                     " ",
                 )
@@ -2294,8 +2301,8 @@ def pmi_collocations(
         1,
         max_tokens,
     )
-    docs = df.select(toks.alias("_t")).filter(F.size("_t") > 0)
-    n_docs = docs.count()
+    docs = df.select(toks.alias("_t"))
+    nd_row = F.broadcast(docs.agg(F.count("*").alias("_ndocs")))
     t = F.col("_t")
     pairs = F.flatten(
         F.transform(
@@ -2335,13 +2342,14 @@ def pmi_collocations(
     scored = (
         pair_counts.join(na, "tok_a")
         .join(nb, "tok_b")
+        .crossJoin(nd_row)
         .select(
             "tok_a",
             "tok_b",
             "n_ab",
             q6_col(
                 F.log(
-                    (F.col("n_ab") * F.lit(n_docs)).cast("double")
+                    (F.col("n_ab") * F.col("_ndocs")).cast("double")
                     / (F.col("_na") * F.col("_nb")).cast("double")
                 )
             ).alias("pmi"),

@@ -323,14 +323,9 @@ def list_tags(spark: SparkSession, path: str) -> "dict[str, int]":
         return {}
 
     def _read(p) -> dict:
-        stream = fs.open(p)
-        try:
-            jvm = spark._jvm
-            buf = jvm.java.io.ByteArrayOutputStream()
-            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, buf, 65536, False)
-            return json.loads(bytes(buf.toByteArray()).decode("utf-8"))
-        finally:
-            stream.close()
+        from kafka_connect_hdfs_spark.statedir import read_text
+
+        return json.loads(read_text(spark, str(p)))
 
     out: "dict[str, int]" = {}
     baks: "dict[str, object]" = {}

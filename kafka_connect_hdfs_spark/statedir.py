@@ -34,6 +34,21 @@ def _fs(spark: SparkSession, path: str):
     return fs, Path
 
 
+def read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text/metadata file through the Hadoop FS API (works
+    for any supported URI scheme) — the shared helper behind checkpoint
+    metadata and tag-ref reads."""
+    fs, Path = _fs(spark, path)
+    stream = fs.open(Path(path))
+    try:
+        jvm = spark._jvm
+        buf = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, buf, 65536, False)
+        return bytes(buf.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def state_marker(
     spark: SparkSession, state_path: str, prefix: str
 ) -> "str | None":

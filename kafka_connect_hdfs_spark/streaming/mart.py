@@ -83,20 +83,13 @@ def _stream_identity(spark: SparkSession, checkpoint: str) -> "str | None":
     the replay guard must not trust them)."""
     import json
 
-    from kafka_connect_hdfs_spark.statedir import _fs
+    from kafka_connect_hdfs_spark.statedir import _fs, read_text
 
     fs, Path = _fs(spark, checkpoint)
-    p = Path(f"{checkpoint.rstrip('/')}/metadata")
-    if not fs.exists(p):
+    p = f"{checkpoint.rstrip('/')}/metadata"
+    if not fs.exists(Path(p)):
         return None
-    stream = fs.open(p)
-    try:
-        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
-    return str(json.loads(text)["id"])
+    return str(json.loads(read_text(spark, p))["id"])
 
 
 def _parse_marker(name: str) -> "tuple[str | None, int]":
@@ -139,11 +132,20 @@ def _refresh_batch(
         m = state_marker(spark, state_path, _MARKER_PREFIX)
         if m is not None:
             m_sid, m_bid = _parse_marker(m)
-            if m_sid is not None and stream_id is not None and m_sid != stream_id:
+            if m_sid != stream_id:
+                # covers all three ownership mismatches (r07 review): a
+                # DIFFERENT stream id (fresh checkpoint — ids restart at
+                # 0), a STREAM taking over a batch-API mart (legacy
+                # marker, m_sid None), and the batch API touching a
+                # stream-owned mart (stream_id None). In every case the
+                # batch-id comparison is meaningless and silently
+                # skipping would drop data.
                 raise ValueError(
-                    f"mart at {state_path} was maintained by stream "
-                    f"{m_sid} (last batch {m_bid}) but this query is "
-                    f"{stream_id}: batch ids are checkpoint-scoped, so "
+                    f"mart at {state_path} was last folded by "
+                    f"{'stream ' + m_sid if m_sid else 'the batch API'} "
+                    f"(last batch {m_bid}) but this caller is "
+                    f"{'stream ' + stream_id if stream_id else 'the batch API'}: "
+                    "batch ids are scoped to one checkpoint/owner, so "
                     "folding would double-count or drop batches. The "
                     "mart and its checkpoint must live and die together "
                     "— delete both to rebuild, or restart with the "

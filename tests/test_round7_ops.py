@@ -363,3 +363,82 @@ def test_assert_no_exchange_raises_on_shuffled_join(spark):
     j = ev.hint("merge").join(cu.hint("merge"), ev.user_id == cu.c_custkey)
     with _pytest.raises(AssertionError, match="Exchange"):
         assert_no_exchange(j)
+
+
+# ---------------------------------------------------------------------------
+# r07 review-pass regressions
+
+
+def test_mad_meanad_fallback_catches_majority_constant_group(spark):
+    """MAD=0 does NOT mean all-equal: a >50%-constant group must fall
+    back to the MeanAD modified z (0.7979) and still flag the tail."""
+    from kafka_connect_hdfs_spark.operators.quality import (
+        robust_length_outliers,
+    )
+
+    rows = [(i, "x", "en", "s", n) for i, n in enumerate([5, 5, 5, 5, 1000])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = robust_length_outliers(df).collect()[0]
+    assert r["mad"] == 0.0
+    # MeanAD = 995/5 = 199; z(1000) = 0.7979*995/199 = 3.9895 > 3.5
+    assert r["n_outliers"] == 1
+    assert r["max_abs_z"] == round(0.7979 * 995 / 199, 6)
+
+
+def test_psi_extreme_value_clamps_not_crashes(spark):
+    """A current value whose raw bucket index exceeds int range must
+    clamp to the edge bucket (pre-fix: ANSI CAST_OVERFLOW crash)."""
+    from kafka_connect_hdfs_spark.operators.quality import psi_drift
+
+    ref = _events_df(spark, [float(x) for x in range(10)])
+    cur = _events_df(spark, [3.0e12, -3.0e12, 5.0])
+    out = {r["bucket"]: r for r in psi_drift(ref, cur).collect()}
+    assert out[9]["n_cur"] == 1  # +3e12 -> top bucket
+    assert out[0]["n_cur"] == 1  # -3e12 -> bottom bucket
+    assert sum(r["n_cur"] for r in out.values()) == 3
+
+
+def test_pmi_null_text_counts_as_document(spark):
+    """NULL text normalizes to '' on both engines, so N is the table's
+    row count — a NULL doc must not shift every PMI (latent cross-engine
+    red found in review)."""
+    import math
+
+    from kafka_connect_hdfs_spark.operators.text import pmi_collocations
+
+    docs = [(1, "a b"), (2, "a b"), (3, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, min_pairs=1, k=5).collect()
+    assert len(out) == 1
+    # N=3 (null doc counted), n_a=n_b=2, n_ab=2
+    assert out[0]["pmi"] == round(math.log(2 * 3 / (2 * 2)), 6)
+
+
+def test_mart_raises_when_stream_takes_over_batch_mart(spark, tmp_path):
+    """Legacy/batch-API marker + a stream caller (or vice versa) is an
+    ownership mismatch and must raise, not fall through to the
+    meaningless batch-id comparison."""
+    from kafka_connect_hdfs_spark.streaming.mart import _refresh_batch
+
+    mart = str(tmp_path / "mart")
+    batch = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "v"}, batch_id=7
+    )  # batch API writes a legacy marker
+    with pytest.raises(ValueError, match="batch API"):
+        _refresh_batch(
+            spark, batch, mart, ["k"], "n_rows", {"value": "v"},
+            batch_id=0, stream_id="fresh-stream",
+        )
+
+
+def test_pz_skips_sql_comments():
+    from __spark_entry__ import _pz
+
+    s = "-- round to 6dp (convention\nSELECT round(x, 6) FROM t"
+    assert _pz(s) == "-- round to 6dp (convention\nSELECT (round(x, 6) + 0.0) FROM t"
+    # a comment inside an argument scan must not unbalance the parens
+    s2 = "SELECT round(x + -- note (\n y, 6) FROM t"
+    assert _pz(s2) == "SELECT (round(x + -- note (\n y, 6) + 0.0) FROM t"
