@@ -4940,6 +4940,57 @@ def _q_ops_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census
 
 
+def _q_text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase top-20 (text.rake_keyphrases): stopword-delimited
+    phrase runs, degree/frequency word scores as HALF-UP micro-ints,
+    exact integer phrase sums — one doc-keyed shuffle + vocab-bounded
+    stats broadcast."""
+    from kafka_connect_hdfs_spark.operators.text import rake_keyphrases
+
+    return rake_keyphrases(_docs(spark, sf_dir))
+
+
+def _q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min maintenance ≡ batch sketch: events replay one
+    file per micro-batch, each batch's (r, bucket) cells fold additively
+    into the persisted sketch through the crash-recoverable mart swap
+    (streaming.sketch -> streaming.mart). Cell counts are exact ints, so
+    the streamed sketch is BIT-identical to the batch sketch — the
+    oracle replays the batch CMS and the top-20 true users' estimates
+    must match exactly."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.operators.sketches import cms_estimate
+    from kafka_connect_hdfs_spark.streaming.sketch import start_cms_refresh
+
+    ev = _events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="kchs_cms_stream_")
+    src = f"{base}/src"
+    ev.select("user_id").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_cms_refresh(stream, f"{base}/cms", "user_id", f"{base}/chk")
+    if not q.awaitTermination(300):
+        q.stop()
+    cms = spark.read.parquet(f"{base}/cms")
+    true_top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("user_id"))
+        .limit(20)
+    )
+    return (
+        cms_estimate(cms, true_top, "user_id")
+        .join(true_top, "user_id")
+        .select("user_id", "true_n", "est_n")
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -5308,6 +5359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_pairs": _q_text_pmi_pairs,
         "ops_snapshot_content_diff": _q_ops_snapshot_content_diff,
         "ops_bucketed_join": _q_ops_bucketed_join,
+        "text_rake_keyphrases": _q_text_rake_keyphrases,
+        "stream_cms_topk": _q_stream_cms_topk,
     }
     # ROUND-7 WINDOW: the driver checks the FIRST 50 keys — put the red
     # fix, the never-checked gates, the semantics-changed gates, and the
@@ -11236,6 +11289,72 @@ SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_events,
        sum(event_id)::BIGINT AS sum_event_id
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1 ORDER BY segment
+"""
+    # RAKE keyphrases: stopword-delimited runs, degree/frequency word
+    # scores as HALF-UP micro-ints, exact integer phrase sums
+    _RAKE_STOPS = "('the','a','of','and','in','to','is','on','for','small','big','fast','slow')"
+    sql["text_rake_keyphrases"] = f"""
+WITH words AS (
+  SELECT doc_id, u.i AS idx, t[u.i] AS w, (t[u.i] IN {_RAKE_STOPS}) AS stop
+  FROM (SELECT doc_id, {_TOKS_NN} AS t FROM documents),
+       unnest(generate_series(1, len(t))) AS u(i)
+),
+seg AS (
+  SELECT doc_id, idx, w, stop,
+         sum(CASE WHEN stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY idx) AS s
+  FROM words
+),
+ph AS (
+  SELECT doc_id, s, list(w ORDER BY idx) AS ws
+  FROM seg WHERE NOT stop AND length(w) > 0
+  GROUP BY doc_id, s
+),
+phx AS (
+  SELECT array_to_string(ws, ' ') AS phrase, len(ws) AS plen, unnest(ws) AS w
+  FROM ph WHERE len(ws) <= 4
+),
+stats AS (SELECT w, count(*) AS freq, sum(plen) AS deg FROM phx GROUP BY w),
+wsc AS (
+  SELECT w, CAST(floor((CAST(deg AS DOUBLE) * 1000000.0 / freq) + 0.5)
+                 AS BIGINT) AS wsm
+  FROM stats
+),
+psum AS (
+  SELECT phrase, sum(wsm) AS smic, count(*) AS nw,
+         len(string_split(phrase, ' ')) AS plen
+  FROM phx JOIN wsc USING (w) GROUP BY phrase
+),
+agg AS (SELECT phrase, nw // plen AS n_occurrences, smic FROM psum)
+SELECT phrase, n_occurrences::BIGINT AS n_occurrences,
+       {_OQ6(_OD2('smic') + " / (CAST(n_occurrences AS DOUBLE) * 1000000.0)")} AS score
+FROM agg WHERE n_occurrences >= 2
+ORDER BY score DESC, phrase LIMIT 20
+"""
+    # streaming CMS == batch CMS (exact integer cells, additive merge):
+    # the oracle replays the batch sketch for the top-20 true users
+    sql["stream_cms_topk"] = """
+WITH cms AS (
+  SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || user_id::VARCHAR),
+                            1, 12))::BIGINT % 256 AS bucket,
+         count(*) AS c
+  FROM events, range(0, 4) t(r)
+  GROUP BY 1, 2
+),
+true_top AS (
+  SELECT user_id, count(*) AS true_n FROM events
+  GROUP BY user_id ORDER BY true_n DESC, user_id LIMIT 20
+),
+buckets AS (
+  SELECT user_id, true_n, r,
+         ('0x' || substr(md5(r::VARCHAR || ':' || user_id::VARCHAR),
+                         1, 12))::BIGINT % 256 AS bucket
+  FROM true_top, range(0, 4) t(r)
+)
+SELECT b.user_id, b.true_n, min(cms.c) AS est_n
+FROM buckets b JOIN cms USING (r, bucket)
+GROUP BY b.user_id, b.true_n
+ORDER BY b.user_id
 """
     # one normalization point for the whole corpus: every native round()
     # in every oracle gets the -0.0 -> +0.0 wrap (r06 verdict item 3)

@@ -113,6 +113,24 @@ def count_min_table(
     partial rows per partition regardless of corpus size or key skew —
     the key itself never shuffles.
     """
+    return (
+        cms_cells(df, key_col, depth, width)
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_cells(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """The pre-aggregation cell stream behind :func:`count_min_table`:
+    one ``(r, bucket)`` row per input row per hash row. Exposed so the
+    STREAMING fold can feed it straight into the incremental-mart
+    machinery (count per cell is a distributive aggregate — the sketch
+    merges by cell-sum across micro-batches exactly)."""
     rows = F.explode(
         F.array(*[
             F.struct(
@@ -136,10 +154,8 @@ def count_min_table(
             for r in range(depth)
         ])
     )
-    return (
-        df.select(rows.alias("cell"))
-        .groupBy(F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
-        .agg(F.count("*").alias("c"))
+    return df.select(rows.alias("cell")).select(
+        F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket")
     )
 
 

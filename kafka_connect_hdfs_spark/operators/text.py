@@ -2358,3 +2358,126 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")
     ).limit(k)
+
+
+#: RAKE delimiter list for the synthetic corpus vocabulary: articles +
+#: high-frequency qualifiers act as phrase boundaries.
+RAKE_STOPWORDS = (
+    "the", "a", "of", "and", "in", "to", "is", "on", "for",
+    "small", "big", "fast", "slow",
+)
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: "tuple[str, ...]" = RAKE_STOPWORDS,
+    max_phrase_len: int = 4,
+    min_occurrences: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-delimited token runs; each word scores
+    degree/frequency (degree = Σ length of the phrases it appears in —
+    words that live in long collocations outrank free-floating frequent
+    words) and a phrase scores the sum of its word scores. The classic
+    zero-training keyphrase miner run on a corpus before indexing or
+    deduping on titles/keyphrases.
+
+    Returns the top ``k`` distinct phrases (1..``max_phrase_len`` words,
+    ≥ ``min_occurrences`` corpus occurrences): ``(phrase, n_occurrences,
+    score)``, ranked score desc / phrase asc.
+
+    Determinism: degree and frequency are exact integers; each word's
+    degree/frequency ratio quantizes to a HALF-UP micro-int (one IEEE
+    divide) and phrase scores are exact integer SUMS of those micro-ints
+    (a float sum over the phrase would be fold-order-shaped), surfaced
+    /1e6 through q6 — byte-reproducible and oracle-replayable.
+
+    Scale: ONE doc-keyed shuffle builds the segment ids (running stopword
+    count window); phrase assembly is the same exchange's groupBy
+    (partition-local); word stats are vocab-bounded aggregates broadcast
+    back onto the phrase-word table. Nothing corpus-sized joins itself.
+    """
+    from pyspark.sql import Window
+
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        dec_to_double, q6_col,
+    )
+
+    toks = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+            )
+        ),
+        " ",
+    )
+    # the doc id must materialize BEFORE the explode: a generator in the
+    # same projection evaluates monotonically_increasing_id once per
+    # OUTPUT row, giving every word its own "document" (r07 lesson —
+    # non-deterministic exprs don't collapse across Generate, so the
+    # two-stage select pins the evaluation order)
+    base = df.select(
+        F.monotonically_increasing_id().alias("_doc"), toks.alias("_tk")
+    )
+    words = base.select(
+        "_doc", F.posexplode("_tk").alias("_idx", "_w")
+    ).withColumn("_stop", F.col("_w").isin(*stopwords))
+    seg = F.sum(F.col("_stop").cast("int")).over(
+        Window.partitionBy("_doc").orderBy("_idx").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    phrases = (
+        words.withColumn("_seg", seg)
+        .filter(~F.col("_stop") & (F.length("_w") > 0))
+        .groupBy("_doc", "_seg")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_idx", "_w"))
+            ).alias("_ws")
+        )
+        .select(F.transform(F.col("_ws"), lambda s: s["_w"]).alias("_ph"))
+        .filter(F.size("_ph") <= max_phrase_len)
+    )
+    pw = phrases.select(
+        F.concat_ws(" ", F.col("_ph")).alias("phrase"),
+        F.size("_ph").alias("_plen"),
+        F.explode("_ph").alias("_w"),
+    )
+    word_stats = pw.groupBy("_w").agg(
+        F.count("*").alias("_freq"), F.sum("_plen").alias("_deg")
+    )
+    # HALF-UP micro-int of degree/frequency: one divide, then exact sums
+    ws = F.floor(
+        (F.col("_deg") * F.lit(1e6) / F.col("_freq")) + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        pw.join(F.broadcast(word_stats.withColumn("_ws", ws)), "_w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(F.col("_ws").cast("decimal(38,0)")).alias("_smic"),
+            F.count("*").alias("_nw"),
+        )
+    )
+    # _smic counts every OCCURRENCE of the phrase once per word: for a
+    # phrase occurring n times with words w1..wp, _smic = n·Σ ws(wi) and
+    # _nw = n·p — so score = _smic/n and n = _nw/p
+    per = scored.withColumn(
+        "_plen",
+        F.size(F.split(F.col("phrase"), " ")).cast("long"),
+    ).select(
+        "phrase",
+        F.expr("_nw DIV _plen").alias("n_occurrences"),
+        F.col("_smic"),
+    )
+    out = per.filter(F.col("n_occurrences") >= min_occurrences).select(
+        "phrase",
+        "n_occurrences",
+        q6_col(
+            dec_to_double("_smic")
+            / (F.col("n_occurrences").cast("double") * F.lit(1e6))
+        ).alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("phrase")).limit(k)

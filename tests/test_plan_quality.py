@@ -1040,3 +1040,15 @@ def test_snapshot_content_diff_fingerprints_before_join(spark, sf, tmp_path):
     # appears only under the scans/hash, never in the SMJ output schema
     smj = plan.split("SortMergeJoin")
     assert len(smj) >= 2  # full-outer over key fingerprints
+
+
+def test_rake_one_doc_shuffle_broadcast_stats(spark, sf):
+    """RAKE: segment ids ride ONE doc-keyed window exchange; the word
+    stats come back via broadcast — the corpus never sort-merge-joins."""
+    from kafka_connect_hdfs_spark.operators.text import rake_keyphrases
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(rake_keyphrases(docs))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -442,3 +442,87 @@ def test_pz_skips_sql_comments():
     # a comment inside an argument scan must not unbalance the parens
     s2 = "SELECT round(x + -- note (\n y, 6) FROM t"
     assert _pz(s2) == "SELECT (round(x + -- note (\n y, 6) + 0.0) FROM t"
+
+
+# ---------------------------------------------------------------------------
+# rake_keyphrases
+
+
+def test_rake_hand_computed(spark):
+    from kafka_connect_hdfs_spark.operators.text import rake_keyphrases
+
+    # phrases: 'key order sort' x2, 'scan' x2 (delimited by 'the'/'of')
+    docs = [
+        (1, "the key order sort of scan"),
+        (2, "the key order sort of scan"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["phrase"]: (r["n_occurrences"], r["score"])
+        for r in rake_keyphrases(df, min_occurrences=2, k=10).collect()
+    }
+    # freq: key=2, order=2, sort=2, scan=2; deg: key/order/sort=6, scan=2
+    # word scores: 3.0 for phrase words, 1.0 for scan
+    assert out["key order sort"] == (2, 9.0)
+    assert out["scan"] == (2, 1.0)
+
+
+def test_rake_respects_phrase_cap_and_min_occ(spark):
+    from kafka_connect_hdfs_spark.operators.text import rake_keyphrases
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),  # 5-word run > cap 4
+        (2, "zeta eta"),                        # occurs once only
+        (3, "zeta eta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = [r["phrase"] for r in rake_keyphrases(df, k=10).collect()]
+    assert out == ["zeta eta"]  # long run capped out, singletons floored
+
+
+def test_rake_multiple_docs_same_phrase_share_score(spark):
+    from kafka_connect_hdfs_spark.operators.text import rake_keyphrases
+
+    docs = [(i, "merge join the merge join") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = rake_keyphrases(df, min_occurrences=2, k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["phrase"] == "merge join" and r["n_occurrences"] == 6
+    # freq(merge)=freq(join)=6, deg=12 -> word score 2.0 each -> 4.0
+    assert r["score"] == 4.0
+
+
+# ---------------------------------------------------------------------------
+# streaming CMS
+
+
+def test_stream_cms_equals_batch_sketch(spark, tmp_path):
+    """The streamed sketch must be BIT-identical to the batch sketch over
+    the same rows (exact integer cells, additive merge)."""
+    from kafka_connect_hdfs_spark.operators.sketches import count_min_table
+    from kafka_connect_hdfs_spark.streaming.sketch import start_cms_refresh
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(200)], "user_id long"
+    )
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_cms_refresh(
+        stream, str(tmp_path / "cms"), "user_id", str(tmp_path / "chk")
+    )
+    assert q.awaitTermination(300)
+    streamed = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in spark.read.parquet(str(tmp_path / "cms")).collect()
+    }
+    batch = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in count_min_table(df, "user_id").collect()
+    }
+    assert streamed == batch
