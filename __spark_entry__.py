@@ -4991,6 +4991,51 @@ def _q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ops_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level schema diff between snapshot versions
+    (snapshots.snapshot_schema_drift): v2 drops lang, adds n_chars, and
+    narrows doc_id to int — the report must name exactly those three
+    contract changes (metadata-only, parquet footers at planning time)."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, snapshot_schema_drift,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tbl = tempfile.mkdtemp(prefix="kchs_sdrift_") + "/docs"
+    commit_snapshot(spark, docs.select("doc_id", "text", "lang"), tbl)
+    commit_snapshot(
+        spark,
+        docs.select(
+            F.col("doc_id").cast("int").alias("doc_id"), "text", "n_chars"
+        ),
+        tbl,
+    )
+    return snapshot_schema_drift(spark, tbl, 1, 2).orderBy("column")
+
+
+def _q_ops_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-integrity audit (snapshots.snapshot_audit): overwrite,
+    append, and rollback commits must each report their dir count and
+    footer-stats row count; a healthy table has zero missing dirs (the
+    corrupted path is fault-injection-tested in pytest)."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, rollback_snapshot, snapshot_audit,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    tbl = tempfile.mkdtemp(prefix="kchs_saudit_") + "/docs"
+    commit_snapshot(spark, docs, tbl)  # v1
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "de"), tbl, mode="append"
+    )  # v2 = v1 dirs + de
+    rollback_snapshot(spark, tbl, 1)  # v3 = v1's files
+    return snapshot_audit(spark, tbl).orderBy("version")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_connect_hdfs_spark.plans import analytics as A
     from kafka_connect_hdfs_spark.plans import analytics2 as A2
@@ -5361,6 +5406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_bucketed_join": _q_ops_bucketed_join,
         "text_rake_keyphrases": _q_text_rake_keyphrases,
         "stream_cms_topk": _q_stream_cms_topk,
+        "ops_schema_drift": _q_ops_schema_drift,
+        "ops_snapshot_audit": _q_ops_snapshot_audit,
     }
     # ROUND-7 WINDOW: the driver checks the FIRST 50 keys — put the red
     # fix, the never-checked gates, the semantics-changed gates, and the
@@ -11355,6 +11402,28 @@ SELECT b.user_id, b.true_n, min(cms.c) AS est_n
 FROM buckets b JOIN cms USING (r, bucket)
 GROUP BY b.user_id, b.true_n
 ORDER BY b.user_id
+"""
+    # schema drift: the gate's v1->v2 evolution replayed as constants
+    sql["ops_schema_drift"] = """
+SELECT * FROM (VALUES
+  ('doc_id', 'type_changed', 'bigint', 'int'),
+  ('lang', 'removed', 'string', NULL),
+  ('n_chars', 'added', NULL, 'bigint')
+) AS t("column", change, from_type, to_type)
+ORDER BY "column"
+"""
+    # snapshot audit: overwrite/append/rollback dir+row census from the
+    # same documents construction
+    sql["ops_snapshot_audit"] = """
+WITH n AS (SELECT count(*) AS total FROM documents),
+d AS (SELECT count(*) AS de FROM documents WHERE lang = 'de')
+SELECT 1 AS version, 'overwrite' AS mode, 1 AS n_data_dirs,
+       0 AS n_missing_dirs, total AS n_rows FROM n
+UNION ALL
+SELECT 2, 'append', 2, 0, total + de FROM n CROSS JOIN d
+UNION ALL
+SELECT 3, 'rollback:1', 1, 0, total FROM n
+ORDER BY version
 """
     # one normalization point for the whole corpus: every native round()
     # in every oracle gets the -0.0 -> +0.0 wrap (r06 verdict item 3)

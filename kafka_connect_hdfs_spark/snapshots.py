@@ -456,3 +456,70 @@ def snapshot_content_diff(
         )
         .alias("change"),
     ).filter(F.col("change").isNotNull())
+
+
+def snapshot_schema_drift(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Column-level SCHEMA diff between two table versions →
+    ``(column, change, from_type, to_type)`` with change ∈ {'added',
+    'removed', 'type_changed'} — the release-audit twin of
+    :func:`snapshot_diff` (membership) and :func:`snapshot_content_diff`
+    (values): did the producer evolve the contract between the baseline
+    and release tags, and how. Unchanged columns are not emitted.
+
+    Metadata-only: schemas come from the versions' parquet footers at
+    planning time (no data rows are read); type names render via Spark's
+    ``simpleString`` so the report is engine-stable text.
+    """
+    sa = {f.name: f.dataType.simpleString()
+          for f in read_snapshot(spark, path, v_from).schema.fields}
+    sb = {f.name: f.dataType.simpleString()
+          for f in read_snapshot(spark, path, v_to).schema.fields}
+    rows = []
+    for c in sorted(set(sa) | set(sb)):
+        if c not in sb:
+            rows.append((c, "removed", sa[c], None))
+        elif c not in sa:
+            rows.append((c, "added", None, sb[c]))
+        elif sa[c] != sb[c]:
+            rows.append((c, "type_changed", sa[c], sb[c]))
+    return spark.createDataFrame(
+        rows, "column string, change string, from_type string, to_type string"
+    )
+
+
+def snapshot_audit(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest-integrity audit over EVERY committed version: one row
+    ``(version, mode, n_data_dirs, n_missing_dirs, n_rows)`` — the
+    consistency check a warehouse runs before trusting time travel after
+    an incident (a manifest referencing a vanished data dir is exactly
+    the corruption :func:`expire_snapshots` misuse or manual deletion
+    leaves behind). ``n_rows`` is NULL for a version with missing dirs
+    (it is no longer fully readable) instead of a misleading partial
+    count.
+
+    Scale: manifests are driver metadata (O(files) strings); the row
+    counts are parquet footer-statistics counts per version — no column
+    data is scanned.
+    """
+    fs, Path = _fs(spark, path)
+    rows = []
+    for v in list_snapshots(spark, path):
+        man = _read_manifest(spark, path, v)
+        dirs = man["files"]
+        missing = [d for d in dirs if not fs.exists(Path(d))]
+        n_rows = None
+        if not missing:
+            n_rows = (
+                spark.read.format(man["format"]).load(dirs).count()
+            )
+        rows.append((v, man["mode"], len(dirs), len(missing), n_rows))
+    return spark.createDataFrame(
+        rows,
+        "version int, mode string, n_data_dirs int, n_missing_dirs int, "
+        "n_rows long",
+    )

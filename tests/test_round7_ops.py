@@ -526,3 +526,63 @@ def test_stream_cms_equals_batch_sketch(spark, tmp_path):
         for r in count_min_table(df, "user_id").collect()
     }
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# snapshot schema drift + audit
+
+
+def test_schema_drift_classifies_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, snapshot_schema_drift,
+    )
+
+    tbl = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a", 2.0)], "k long, s string, v double")
+    commit_snapshot(spark, v1, tbl)
+    v2 = v1.select(F.col("k").cast("int").alias("k"), "s").withColumn(
+        "w", F.lit(True)
+    )
+    commit_snapshot(spark, v2, tbl)
+    got = {
+        r["column"]: (r["change"], r["from_type"], r["to_type"])
+        for r in snapshot_schema_drift(spark, tbl, 1, 2).collect()
+    }
+    assert got == {
+        "k": ("type_changed", "bigint", "int"),
+        "v": ("removed", "double", None),
+        "w": ("added", None, "boolean"),
+    }
+    # identical versions -> empty report
+    assert snapshot_schema_drift(spark, tbl, 1, 1).count() == 0
+
+
+def test_snapshot_audit_flags_missing_dir(spark, tmp_path):
+    """A manifest referencing a vanished data dir must surface as
+    n_missing_dirs > 0 with a NULL row count, not a partial count or a
+    crash."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, snapshot_audit,
+    )
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    commit_snapshot(spark, df, tbl)                      # v1
+    commit_snapshot(spark, df, tbl, mode="append")       # v2 = v1+v2 dirs
+    fs, Path = _hadoop_fs(spark, tbl)
+    assert fs.delete(Path(f"{tbl}/data/v1"), True)       # corrupt v1
+    got = {
+        r["version"]: (r["n_data_dirs"], r["n_missing_dirs"], r["n_rows"])
+        for r in snapshot_audit(spark, tbl).collect()
+    }
+    assert got[1] == (1, 1, None)
+    assert got[2] == (2, 1, None)  # v2 references the vanished dir too
+
+
+def _hadoop_fs(spark, path):
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, Path
