@@ -297,6 +297,69 @@ def alter_table_schema(
         )
 
 
+def replace_table_schema(
+    spark: SparkSession,
+    cfg: HdfsSinkConfig,
+    topic: str,
+    schema,
+    partition_columns: "list[str]",
+    path: str,
+) -> None:
+    """H2 (full) — REPLACE COLUMNS semantics: swap the catalog table's
+    column list for ``schema`` wholesale, including column DROPS, exactly
+    the reference's ParquetHiveUtil.alterSchema
+    (parquet/ParquetHiveUtil.java:53-59, ``ALTER TABLE … REPLACE
+    COLUMNS``). Spark SQL has no REPLACE COLUMNS for v1 external tables,
+    but for an EXTERNAL location the column list is pure catalog metadata
+    — so the equivalent is re-registering the table at the same location
+    with the new list (DROP + CREATE + MSCK, which
+    :func:`register_external_table`'s create path already performs
+    atomically enough for a single-writer catalog). Data files are
+    untouched; columns absent from the new list become invisible, columns
+    the files lack read as NULL — Hive REPLACE COLUMNS behavior.
+
+    Use :func:`alter_table_schema` (ADD COLUMNS) for the additive
+    BACKWARD/FULL path; this entry point exists for FORWARD-compatible
+    evolution where the newest writer schema may DROP fields
+    (schema_evolution.py compatibility modes).
+    """
+    from pyspark.sql import types as T
+
+    table = table_name_for_topic(cfg, topic)
+    ordered = [f for f in schema.fields if f.name not in partition_columns] + [
+        T.StructField(c, T.StringType(), True)
+        if c not in schema.fieldNames()
+        else next(f for f in schema.fields if f.name == c)
+        for c in partition_columns
+    ]
+    cols_sql = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in ordered
+    )
+    part_sql = ", ".join(f"`{c}`" for c in partition_columns)
+    fmt = {
+        "parquet": "PARQUET", "orc": "ORC", "avro": "AVRO",
+        "json": "JSON", "text": "TEXT",
+    }[cfg.format]
+    props = ""
+    if cfg.format == "avro":
+        literal = avro_schema_literal(
+            T.StructType(ordered), partition_columns, topic
+        )
+        props = (
+            " TBLPROPERTIES ('avro.schema.literal' = '"
+            + literal.replace("'", "\\'")
+            + "')"
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    partitioned = f" PARTITIONED BY ({part_sql})" if part_sql else ""
+    spark.sql(
+        f"CREATE TABLE {table} ({cols_sql}) USING {fmt}{partitioned}"
+        f"{props} LOCATION '{path}'"
+    )
+    if partition_columns:
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
 def add_partition(spark: SparkSession, cfg: HdfsSinkConfig, topic: str, spec: str) -> None:
     """H3 — ALTER TABLE ADD IF NOT EXISTS PARTITION (addHivePartition :787-800)."""
     table = table_name_for_topic(cfg, topic)

@@ -37,6 +37,20 @@ def kafka_source(
 
     Emits the Connect envelope: topic, partition, offset, timestamp, key,
     value. ``maxOffsetsPerTrigger`` is the R3 backpressure analog.
+
+    SOURCE-SWAP CONTRACT (the one line that differs between the broker-
+    less test container and production): every downstream operator —
+    ``start_ingest``, ``land_topics``, the partitioners, rotation, the
+    filename contract — consumes ONLY the envelope columns above, so
+
+        source = file_replay_source(spark, path, schema)   # tests/CI
+        source = kafka_source(spark, "broker:9092", "t1")  # production
+
+    are interchangeable; nothing else changes. This container has no
+    broker, so the Kafka path is exercised at the config level and the
+    envelope contract is gated through ``events_as_kafka_records``; a
+    real-broker smoke run needs exactly this one-line swap plus the
+    ``spark-sql-kafka`` package on the classpath.
     """
     reader = (
         spark.readStream.format("kafka")

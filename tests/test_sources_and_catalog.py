@@ -171,3 +171,46 @@ def test_avro_table_ddl_attaches_literal(spark, tmp_path):
     )
     lit2 = json.loads(props2["avro.schema.literal"])
     assert [f["name"] for f in lit2["fields"]] == ["id", "name", "score"]
+
+
+def test_replace_table_schema_drops_columns(spark, sf_dir, tmp_path):
+    """H2 full REPLACE COLUMNS semantics (parquet/ParquetHiveUtil.java:
+    53-59): the new column list replaces the old wholesale — dropped
+    columns vanish from the catalog while data files stay untouched, and
+    columns the files lack read as NULL."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_hdfs_spark.pipeline import (
+        land, replace_table_schema, table_name_for_topic,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.sources import events_as_kafka_records
+
+    records = events_as_kafka_records(load_table(spark, sf_dir, "events"))
+    cfg = HdfsSinkConfig(
+        url=f"file://{tmp_path}", format="parquet", flush_size=100,
+        partitioner="default", compatibility="FORWARD", hive_integration=True,
+    )
+    land(spark, records, cfg, topic="replace_topic", ts_col="ts",
+         discard_partial=False, register_table=True)
+    tbl = table_name_for_topic(cfg, "replace_topic")
+    before = spark.table(tbl)
+    old_cols = [f.name for f in before.schema.fields]
+    assert "value" in old_cols
+    n_before = before.count()
+    # forward evolution: newest writer schema DROPS `value`, ADDS `note`
+    new_schema = T.StructType(
+        [f for f in before.schema.fields
+         if f.name not in ("value", "partition")]
+        + [T.StructField("note", T.StringType(), True)]
+    )
+    replace_table_schema(
+        spark, cfg, "replace_topic", new_schema, ["partition"],
+        f"{tmp_path}/topics/replace_topic",
+    )
+    after = spark.table(tbl)
+    new_cols = [f.name for f in after.schema.fields]
+    assert "value" not in new_cols           # dropped from the catalog
+    assert "note" in new_cols                # added
+    assert after.count() == n_before         # data files untouched
+    assert after.where("note IS NOT NULL").count() == 0  # absent -> NULL
