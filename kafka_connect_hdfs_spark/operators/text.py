@@ -2459,15 +2459,15 @@ def rake_keyphrases(
         .agg(
             F.sum(F.col("_ws").cast("decimal(38,0)")).alias("_smic"),
             F.count("*").alias("_nw"),
+            # constant per phrase — carried through instead of re-split
+            # from the phrase string (r07 review)
+            F.max(F.col("_plen").cast("long")).alias("_plen"),
         )
     )
     # _smic counts every OCCURRENCE of the phrase once per word: for a
     # phrase occurring n times with words w1..wp, _smic = n·Σ ws(wi) and
     # _nw = n·p — so score = _smic/n and n = _nw/p
-    per = scored.withColumn(
-        "_plen",
-        F.size(F.split(F.col("phrase"), " ")).cast("long"),
-    ).select(
+    per = scored.select(
         "phrase",
         F.expr("_nw DIV _plen").alias("n_occurrences"),
         F.col("_smic"),

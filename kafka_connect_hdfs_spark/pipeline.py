@@ -233,8 +233,26 @@ def register_external_table(
         for c in partition_columns:
             if c not in schema.fieldNames():
                 schema = schema.add(T.StructField(c, T.StringType(), True))
-    # data columns first, partition columns last (Spark's table layout rule);
-    # USING syntax lists every column once, PARTITIONED BY takes names only
+    _recreate_external_table(
+        spark, cfg, topic, schema, partition_columns, path
+    )
+
+
+def _recreate_external_table(
+    spark: SparkSession,
+    cfg: HdfsSinkConfig,
+    topic: str,
+    schema,
+    partition_columns: "list[str]",
+    path: str,
+) -> None:
+    """The shared Hive DDL tail (H1 create + H2 replace): render the
+    column list (data columns first, partition columns last — Spark's
+    table layout rule; USING syntax lists every column once,
+    PARTITIONED BY takes names only), DROP + CREATE at the external
+    location, MSCK-sync partitions. One definition so the H1 and H2
+    paths can never produce divergent catalog tables (r07 review)."""
+    table = table_name_for_topic(cfg, topic)
     ordered = [f for f in schema.fields if f.name not in partition_columns] + [
         f for f in schema.fields if f.name in partition_columns
     ]
@@ -326,38 +344,27 @@ def replace_table_schema(
     from pyspark.sql import types as T
 
     table = table_name_for_topic(cfg, topic)
-    ordered = [f for f in schema.fields if f.name not in partition_columns] + [
-        T.StructField(c, T.StringType(), True)
-        if c not in schema.fieldNames()
-        else next(f for f in schema.fields if f.name == c)
-        for c in partition_columns
-    ]
-    cols_sql = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in ordered
+    # partition columns absent from the new schema keep their CURRENT
+    # catalog type (r07 review: a payload-only evolution must not
+    # silently retype `partition int` to string); STRING only when the
+    # table never existed
+    current = {}
+    try:
+        current = {
+            f.name: f for f in spark.table(table).schema.fields
+        }
+    except Exception:  # noqa: BLE001 - no existing table: fresh create
+        pass
+    fields = list(schema.fields)
+    have = {f.name for f in fields}
+    for c in partition_columns:
+        if c not in have:
+            fields.append(
+                current.get(c, T.StructField(c, T.StringType(), True))
+            )
+    _recreate_external_table(
+        spark, cfg, topic, T.StructType(fields), partition_columns, path
     )
-    part_sql = ", ".join(f"`{c}`" for c in partition_columns)
-    fmt = {
-        "parquet": "PARQUET", "orc": "ORC", "avro": "AVRO",
-        "json": "JSON", "text": "TEXT",
-    }[cfg.format]
-    props = ""
-    if cfg.format == "avro":
-        literal = avro_schema_literal(
-            T.StructType(ordered), partition_columns, topic
-        )
-        props = (
-            " TBLPROPERTIES ('avro.schema.literal' = '"
-            + literal.replace("'", "\\'")
-            + "')"
-        )
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    partitioned = f" PARTITIONED BY ({part_sql})" if part_sql else ""
-    spark.sql(
-        f"CREATE TABLE {table} ({cols_sql}) USING {fmt}{partitioned}"
-        f"{props} LOCATION '{path}'"
-    )
-    if partition_columns:
-        spark.sql(f"MSCK REPAIR TABLE {table}")
 
 
 def add_partition(spark: SparkSession, cfg: HdfsSinkConfig, topic: str, spec: str) -> None:

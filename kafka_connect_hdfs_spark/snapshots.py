@@ -323,9 +323,11 @@ def list_tags(spark: SparkSession, path: str) -> "dict[str, int]":
         return {}
 
     def _read(p) -> dict:
+        # pass the Path OBJECT through: str(p) would re-parse '#'/'%' as
+        # URI syntax and open the wrong file (r07 review)
         from kafka_connect_hdfs_spark.statedir import read_text
 
-        return json.loads(read_text(spark, str(p)))
+        return json.loads(read_text(spark, p))
 
     out: "dict[str, int]" = {}
     baks: "dict[str, object]" = {}

@@ -34,12 +34,20 @@ def _fs(spark: SparkSession, path: str):
     return fs, Path
 
 
-def read_text(spark: SparkSession, path: str) -> str:
+def read_text(spark: SparkSession, path) -> str:
     """Read a small text/metadata file through the Hadoop FS API (works
     for any supported URI scheme) — the shared helper behind checkpoint
-    metadata and tag-ref reads."""
-    fs, Path = _fs(spark, path)
-    stream = fs.open(Path(path))
+    metadata and tag-ref reads. ``path`` may be a string or an
+    already-constructed Hadoop Path: a listStatus-produced Path must be
+    opened directly, because round-tripping it through str() re-parses
+    '#'/'%' as URI syntax and targets a different file (r07 review)."""
+    if isinstance(path, str):
+        fs, Path = _fs(spark, path)
+        p = Path(path)
+    else:
+        p = path
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
     try:
         jvm = spark._jvm
         buf = jvm.java.io.ByteArrayOutputStream()

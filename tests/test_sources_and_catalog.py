@@ -214,3 +214,36 @@ def test_replace_table_schema_drops_columns(spark, sf_dir, tmp_path):
     assert "note" in new_cols                # added
     assert after.count() == n_before         # data files untouched
     assert after.where("note IS NOT NULL").count() == 0  # absent -> NULL
+
+
+def test_replace_table_schema_preserves_partition_type(spark, sf_dir, tmp_path):
+    """A payload-only evolution must not silently retype the partition
+    column: absent partition cols inherit their CURRENT catalog type
+    (r07 review finding)."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_hdfs_spark.pipeline import (
+        land, replace_table_schema, table_name_for_topic,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+    from kafka_connect_hdfs_spark.sources import events_as_kafka_records
+
+    records = events_as_kafka_records(load_table(spark, sf_dir, "events"))
+    cfg = HdfsSinkConfig(
+        url=f"file://{tmp_path}", format="parquet", flush_size=100,
+        partitioner="default", compatibility="FORWARD", hive_integration=True,
+    )
+    land(spark, records, cfg, topic="ptype_topic", ts_col="ts",
+         discard_partial=False, register_table=True)
+    tbl = table_name_for_topic(cfg, "ptype_topic")
+    before = {f.name: f.dataType for f in spark.table(tbl).schema.fields}
+    new_schema = T.StructType(
+        [f for f in spark.table(tbl).schema.fields
+         if f.name not in ("value", "partition")]
+    )
+    replace_table_schema(
+        spark, cfg, "ptype_topic", new_schema, ["partition"],
+        f"{tmp_path}/topics/ptype_topic",
+    )
+    after = {f.name: f.dataType for f in spark.table(tbl).schema.fields}
+    assert after["partition"] == before["partition"]  # type preserved
