@@ -72,6 +72,81 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*phase2_aggs)
 
 
+def dec_units_to_double(name: str) -> Column:
+    """Deterministic decimal(38,0)→double via the hi/lo 2**50 split:
+    ``sign · (float(|s| DIV 2**50)·2**50 + float(|s| % 2**50))``.
+
+    Spark's native decimal→double cast is correctly rounded, but DuckDB's
+    HUGEINT→DOUBLE is NOT past 2**53 (measured, r05/r06 verdicts) — so
+    any value that crosses the engine boundary must run this split on
+    BOTH sides: each sub-cast is exact (< 2**53) and the mul/add are
+    identical IEEE ops. SQL ``DIV`` (true floor on decimals), not decimal
+    ``/`` (which HALF_UP-rounds first). Canonical home of the kernel;
+    :func:`operators.similarity.dec_to_double` is the same construction.
+    Takes a column NAME because ``DIV`` needs an expr string."""
+    p50 = 1 << 50
+    hi = F.expr(f"CAST(abs({name}) DIV {p50} AS DOUBLE)")
+    lo = F.expr(f"CAST(abs({name}) % {p50} AS DOUBLE)")
+    d = hi * F.lit(float(p50)) + lo
+    return F.when(F.col(name) < 0, -d).otherwise(d)
+
+
+def _units_split_double(u: Column) -> Column:
+    """No-name form of the hi/lo split for a decimal(38,0) integer-units
+    COLUMN (``dec_units_to_double`` needs a name for SQL ``DIV``; window
+    and agg expressions have none). ``(a - a % P) / P`` is exactly
+    divisible, so the decimal division is exact regardless of rounding
+    mode; each cast is < 2**53 and exact; mul/add are the identical IEEE
+    ops the oracle-side ``_OD2`` runs."""
+    p50 = 1 << 50
+    a = F.abs(u)
+    lo = a % F.lit(p50)
+    hi = ((a - lo) / F.lit(p50)).cast("decimal(38,0)")
+    d = hi.cast("double") * F.lit(float(p50)) + lo.cast("double")
+    return F.when(u < 0, -d).otherwise(d)
+
+
+def dec_as_double(expr: Column) -> Column:
+    """Exact DECIMAL→DOUBLE, expression form: scale to micro-units
+    (exact for any operand scale ≤ 6 — every decimal in this repo),
+    hi/lo-split to double, divide back by ``1e6`` (one correctly-rounded
+    IEEE op). Use INSTEAD of ``.cast("double")`` on any decimal that
+    crosses the DuckDB oracle boundary: native casts agree with the
+    split below 2**53 micro-units — bit-identical at bench sf, which is
+    why sweeping a green gate through this does not change its recorded
+    hash — and diverge up to 1 ulp above, exactly where a 100 TB sum
+    lives (DuckDB's HUGEINT/DECIMAL→DOUBLE is not correctly rounded).
+    Oracle mirror: ``_OD2(sum(CAST(CAST(x AS DECIMAL(24,6)) * 1000000
+    AS BIGINT))) / 1000000.0`` (__spark_entry__ rewrites every native
+    ``CAST(sum(decimal) AS DOUBLE)`` to that form at registry build)."""
+    u = (expr.cast("decimal(38,6)") * F.lit(1_000_000)).cast("decimal(38,0)")
+    return _units_split_double(u) / F.lit(1_000_000.0)
+
+
+def dec_sum_double(expr: Column) -> Column:
+    """Exact decimal SUM surfaced as double — drop-in replacement for the
+    ``F.sum(dec).cast("double")`` pattern inside ``.agg(...)``. The sum
+    itself is exact decimal arithmetic; only the final conversion needs
+    the deterministic split (:func:`dec_as_double`)."""
+    return dec_as_double(F.sum(expr))
+
+
+def surface_dec_sum(
+    df: DataFrame,
+    dec_col: str,
+    out_col: "str | None" = None,
+) -> DataFrame:
+    """Replace the DECIMAL column ``dec_col`` with its exact DOUBLE
+    rendering (:func:`dec_as_double`), preserving column order — the
+    post-aggregation form for operators that hand back decimal totals
+    (salted_agg, refresh_aggregate)."""
+    out_col = out_col or dec_col
+    exact = dec_as_double(F.col(dec_col))
+    return df.select(
+        *[exact.alias(out_col) if c == dec_col else F.col(c) for c in df.columns]
+    )
+
+
 def md5_int48(col: Column) -> Column:
     """Deterministic 48-bit integer from md5 hex (first 12 chars).
 

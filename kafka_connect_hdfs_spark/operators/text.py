@@ -2360,9 +2360,24 @@ def pmi_collocations(
     ).limit(k)
 
 
-#: RAKE delimiter list for the synthetic corpus vocabulary: articles +
-#: high-frequency qualifiers act as phrase boundaries.
+#: Standard English function-word delimiters (the FOX-stoplist core the
+#: RAKE paper uses): the library DEFAULT, suitable for real corpora.
 RAKE_STOPWORDS = (
+    "a", "about", "after", "all", "also", "an", "and", "any", "are", "as",
+    "at", "be", "because", "been", "but", "by", "can", "could", "do",
+    "for", "from", "had", "has", "have", "he", "her", "his", "how", "if",
+    "in", "into", "is", "it", "its", "may", "more", "most", "no", "not",
+    "of", "on", "one", "only", "or", "other", "our", "out", "she", "so",
+    "some", "such", "than", "that", "the", "their", "then", "there",
+    "these", "they", "this", "to", "up", "was", "we", "were", "what",
+    "when", "which", "who", "will", "with", "would", "you",
+)
+
+#: Delimiter list tuned to the SYNTHETIC test corpus (its high-frequency
+#: qualifiers act as phrase boundaries) — passed EXPLICITLY by the
+#: correctness gate; never the library default (r07 verdict item 4: a
+#: fixture-tuned default silently under-segments real English).
+RAKE_FIXTURE_STOPWORDS = (
     "the", "a", "of", "and", "in", "to", "is", "on", "for",
     "small", "big", "fast", "slow",
 )

@@ -348,13 +348,16 @@ def replace_table_schema(
     # catalog type (r07 review: a payload-only evolution must not
     # silently retype `partition int` to string); STRING only when the
     # table never existed
+    # only a MISSING table may fall through to the fresh-create default
+    # (r07 ADVICE): a transient metastore error swallowed here would
+    # silently retype existing partition columns to STRING — exactly what
+    # the preservation below exists to prevent — so anything else
+    # propagates.
     current = {}
-    try:
+    if spark.catalog.tableExists(table):
         current = {
             f.name: f for f in spark.table(table).schema.fields
         }
-    except Exception:  # noqa: BLE001 - no existing table: fresh create
-        pass
     fields = list(schema.fields)
     have = {f.name for f in fields}
     for c in partition_columns:

@@ -5,3 +5,21 @@ in Hive over the tables it maintains (docs/hdfs_connector.rst:192-200). In the
 rebuild that surface is Spark SQL; this package holds the representative
 analytical plans the driver verifies against DuckDB.
 """
+
+
+def oracle_dec_double(x: str) -> str:
+    """DuckDB text mirror of functions.dec_as_double for a DECIMAL-typed
+    expression ``x`` (CTE alias, windowed sum, ...): exact micro-units
+    (integral because every repo decimal has scale <= 6), hi/lo 2**50
+    split (each sub-cast exact, < 2**53), divide back by 1e6 — the same
+    IEEE ops Spark runs, because DuckDB's native DECIMAL/HUGEINT->DOUBLE
+    cast is not correctly rounded past 2**53 scaled units. Bit-identical
+    to the native cast below 2**53, so recorded gate hashes are
+    unchanged at bench sf."""
+    u = f"CAST(CAST(({x}) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)"
+    p = "1125899906842624"
+    return (
+        f"(CASE WHEN ({x}) < 0 THEN -1.0 ELSE 1.0 END * "
+        f"(CAST(abs({u}) // {p} AS DOUBLE) * {p}.0 "
+        f"+ CAST(abs({u}) % {p} AS DOUBLE)) / 1000000.0)"
+    )

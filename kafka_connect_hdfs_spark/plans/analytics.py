@@ -37,8 +37,15 @@ def _dec(col: str | F.Column) -> F.Column:
 
 
 def _dsum(expr: F.Column) -> F.Column:
-    """Exact decimal sum, surfaced as double (order-independent)."""
-    return F.sum(expr).cast("double")
+    """Exact decimal sum, surfaced as double (order-independent) through
+    the deterministic micro-units split (functions.dec_sum_double): a
+    native sum(decimal).cast("double") is correctly rounded on Spark but
+    its DuckDB oracle mirror is NOT past 2**53 scaled units — at TPC-H
+    100 TB revenue sums that is a live 1-ulp divergence (r07 verdict
+    item 3). Bit-identical below 2**53, so recorded greens stay valid."""
+    from kafka_connect_hdfs_spark.functions import dec_sum_double
+
+    return dec_sum_double(expr)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,9 +68,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(_dec("l_extendedprice")).alias("sum_base_price"),
             _dsum(disc_price).alias("sum_disc_price"),
             _dsum(charge).alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            (_dsum(_dec("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(_dec("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dsum(_dec("l_discount")) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

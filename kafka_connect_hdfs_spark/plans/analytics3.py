@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_connect_hdfs_spark.functions import dec_as_double
+
 from kafka_connect_hdfs_spark.plans.analytics import _dec, _dsum, _t
 
 
@@ -146,9 +148,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = """
 SELECT o_year,
-       CAST(nation_rev_d AS DOUBLE) AS nation_rev,
-       CAST(total_rev_d AS DOUBLE) AS total_rev,
-       round(CAST(nation_rev_d AS DOUBLE) / CAST(total_rev_d AS DOUBLE), 6) AS mkt_share
+       (CASE WHEN (nation_rev_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((nation_rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((nation_rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) AS nation_rev,
+       (CASE WHEN (total_rev_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((total_rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((total_rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) AS total_rev,
+       round((CASE WHEN (nation_rev_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((nation_rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((nation_rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) / (CASE WHEN (total_rev_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((total_rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((total_rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0), 6) AS mkt_share
 FROM (
   SELECT strftime(o_orderdate, '%Y') AS o_year,
          sum(CASE WHEN n_s.n_name = 'NATION_3' THEN volume ELSE 0 END) AS nation_rev_d,
@@ -342,9 +344,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_SQL = """
-SELECT CAST(promo_d AS DOUBLE) AS promo_rev, CAST(total_d AS DOUBLE) AS total_rev,
+SELECT (CASE WHEN (promo_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((promo_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((promo_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) AS promo_rev, (CASE WHEN (total_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((total_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((total_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) AS total_rev,
        n_items,
-       round(100.0 * CAST(promo_d AS DOUBLE) / CAST(total_d AS DOUBLE), 6) AS promo_pct
+       round(100.0 * (CASE WHEN (promo_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((promo_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((promo_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) / (CASE WHEN (total_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((total_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((total_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0), 6) AS promo_pct
 FROM (
   SELECT sum(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END) AS promo_d,
          sum(volume) AS total_d, count(*) AS n_items
@@ -385,7 +387,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_suppkey"),
             F.col("s_name"),
-            F.col("rev_d").cast("double").alias("total_revenue"),
+            dec_as_double(F.col("rev_d")).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -399,7 +401,7 @@ WITH revenue AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name, (CASE WHEN (rev_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) AS total_revenue
 FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev_d = (SELECT max(rev_d) FROM revenue)
 ORDER BY s_suppkey
@@ -473,7 +475,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_day"),
             F.col("o_totalprice"),
-            F.col("qty_d").cast("double").alias("total_qty"),
+            dec_as_double(F.col("qty_d")).alias("total_qty"),
         )
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
     )
@@ -481,7 +483,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_day,
-       o_totalprice, CAST(qty_d AS DOUBLE) AS total_qty
+       o_totalprice, (CASE WHEN (qty_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((qty_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((qty_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) AS total_qty
 FROM orders
 JOIN (
   SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_d
@@ -732,7 +734,7 @@ def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("val_d") > F.col("avg_d") * 2)
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.col("val_d").cast("double").alias("part_value"),
+            dec_as_double(F.col("val_d")).alias("part_value"),
         )
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )
@@ -750,7 +752,7 @@ WITH base AS (
     WHERE r_name = 'ASIA')
   GROUP BY l_partkey
 )
-SELECT l_partkey AS p_partkey, CAST(val_d AS DOUBLE) AS part_value
+SELECT l_partkey AS p_partkey, (CASE WHEN (val_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((val_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((val_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) AS part_value
 FROM base
 WHERE val_d > (SELECT sum(val_d) / count(*) FROM base) * 2
 ORDER BY part_value DESC, p_partkey
@@ -779,12 +781,12 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.select(
             "event_type",
             "day",
-            F.col("rev_d").cast("double").alias("revenue"),
-            F.lag(F.col("rev_d").cast("double"), 1).over(w).alias("prev_revenue"),
+            dec_as_double(F.col("rev_d")).alias("revenue"),
+            F.lag(dec_as_double(F.col("rev_d")), 1).over(w).alias("prev_revenue"),
             F.round(
-                (F.sum("rev_d").over(w7) / F.count("*").over(w7)).cast("double"), 6
+                dec_as_double(F.sum("rev_d").over(w7)) / F.count("*").over(w7), 6
             ).alias("ma7"),
-            F.sum("rev_d").over(wcum).cast("double").alias("cum_revenue"),
+            dec_as_double(F.sum("rev_d").over(wcum)).alias("cum_revenue"),
             F.row_number().over(w).alias("day_seq"),
         )
         .orderBy("event_type", "day")
@@ -798,10 +800,10 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, day,
-       CAST(rev_d AS DOUBLE) AS revenue,
-       lag(CAST(rev_d AS DOUBLE), 1) OVER w AS prev_revenue,
-       round(CAST(sum(rev_d) OVER w7 AS DOUBLE) / count(*) OVER w7, 6) AS ma7,
-       CAST(sum(rev_d) OVER wcum AS DOUBLE) AS cum_revenue,
+       (CASE WHEN (rev_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) AS revenue,
+       lag((CASE WHEN (rev_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((rev_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0), 1) OVER w AS prev_revenue,
+       round((CASE WHEN (sum(rev_d) OVER w7) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((sum(rev_d) OVER w7) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((sum(rev_d) OVER w7) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) / count(*) OVER w7, 6) AS ma7,
+       (CASE WHEN (sum(rev_d) OVER wcum) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((sum(rev_d) OVER wcum) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((sum(rev_d) OVER wcum) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) AS cum_revenue,
        row_number() OVER w AS day_seq
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day),

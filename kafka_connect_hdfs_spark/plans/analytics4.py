@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_connect_hdfs_spark.functions import dec_as_double, dec_sum_double
+
 from kafka_connect_hdfs_spark.plans.analytics import _t
 
 
@@ -39,8 +41,8 @@ def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             "o_orderdate",
-            F.expr(
-                f"CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER ({frame}) AS DOUBLE)"
+            dec_as_double(
+                F.expr(f"sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER ({frame})")
             ).alias("revenue_7d"),
             F.expr(f"count(*) OVER ({frame})").alias("n_orders_7d"),
         )
@@ -50,10 +52,7 @@ def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_ROLLING_7D_SQL = """
 SELECT o_orderkey, o_custkey, o_orderdate,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-                  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
-            AS DOUBLE) AS revenue_7d,
+       (CASE WHEN (sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) AS revenue_7d,
        count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
                       RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
          AS n_orders_7d
@@ -316,7 +315,7 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_customers"),
             F.sum("n_orders").alias("n_orders"),
-            F.sum("spend_d").cast("double").alias("decile_spend"),
+            dec_sum_double(F.col("spend_d")).alias("decile_spend"),
         )
         .orderBy("decile")
     )
@@ -335,7 +334,7 @@ tiled AS (
 )
 SELECT decile::INT AS decile, count(*) AS n_customers,
        sum(n_orders)::BIGINT AS n_orders,
-       CAST(sum(spend_d) AS DOUBLE) AS decile_spend
+       (CASE WHEN (sum(spend_d)) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((sum(spend_d)) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((sum(spend_d)) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) AS decile_spend
 FROM tiled GROUP BY 1 ORDER BY 1
 """
 
@@ -368,7 +367,7 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.datediff(F.col("_maxd"), F.col("_last")).alias("recency_days"),
             "frequency",
-            F.col("_mon").cast("double").alias("monetary"),
+            dec_as_double(F.col("_mon")).alias("monetary"),
             F.col("_mon").alias("_mon_d"),
         )
     )
@@ -408,7 +407,7 @@ scored AS (
   SELECT o_custkey,
          date_diff('day', last_d, maxd.md)::INT AS recency_days,
          frequency,
-         CAST(mon_d AS DOUBLE) AS monetary,
+         (CASE WHEN (mon_d) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(CAST(CAST((mon_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 + CAST(abs(CAST(CAST((mon_d) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)) % 1125899906842624 AS DOUBLE)) / 1000000.0) AS monetary,
          ntile(5) OVER (ORDER BY date_diff('day', last_d, maxd.md) DESC,
                         o_custkey) AS r_score,
          ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_connect_hdfs_spark.functions import dec_sum_double
+
 
 def create_bucketed_facts(
     spark: SparkSession,
@@ -67,6 +69,6 @@ def bucketed_join_revenue(spark: SparkSession, database: str = "default") -> Dat
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(dec_sum_double(revenue).alias("revenue"))
         .orderBy("o_orderpriority")
     )

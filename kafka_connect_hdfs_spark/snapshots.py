@@ -411,14 +411,20 @@ def snapshot_content_diff(
     :func:`snapshot_diff` explicitly punts on (membership only): which
     keys' content actually changed between the baseline and release tags.
 
-    Content per key is an order-free multiset fingerprint: the xor-fold
-    of a per-row md5-derived 48-bit hash over the canonical string
-    rendering of ``content_cols`` plus the row count (the
-    :func:`quality.table_checksum` construction scoped per key) — so
-    non-unique keys compare as multisets, row order and partitioning
-    never matter, and the fingerprint is engine-replayable (md5 + xor on
-    both sides). 'modified' = key present in both versions with a
-    differing (count, xor) fingerprint.
+    Content per key is an order-free multiset fingerprint: the row
+    count, the xor-fold, AND the exact integer sum of a per-row
+    md5-derived 48-bit hash over the canonical string rendering of
+    ``content_cols`` (the :func:`quality.table_checksum` construction
+    scoped per key) — so non-unique keys compare as multisets, row
+    order and partitioning never matter, and the fingerprint is
+    engine-replayable (md5 + xor + sum on both sides). The sum fold is
+    load-bearing for non-unique keys: xor alone cancels even
+    multiplicities ({A,A,B} vs {C,C,B} have equal count and equal xor),
+    so a (count, xor) pair can classify a real change as unchanged; an
+    additive fold breaks exactly that collision class (sum is carried
+    as decimal(38,0), exact at any count × 2^48). 'modified' = key
+    present in both versions with a differing (count, xor, sum)
+    fingerprint.
 
     Scale: one per-key aggregation per version (map-side combining xor +
     count — 16 bytes/key into the shuffle regardless of row width), one
@@ -441,6 +447,7 @@ def snapshot_content_diff(
             .agg(
                 F.count("*").alias(f"{pre}_n"),
                 F.expr("bit_xor(_h)").alias(f"{pre}_x"),
+                F.sum(F.col("_h").cast("decimal(38,0)")).alias(f"{pre}_s"),
             )
         )
 
@@ -453,7 +460,8 @@ def snapshot_content_diff(
         .when(F.col("_t_n").isNull(), F.lit("removed"))
         .when(
             (F.col("_f_n") != F.col("_t_n"))
-            | (F.col("_f_x") != F.col("_t_x")),
+            | (F.col("_f_x") != F.col("_t_x"))
+            | (F.col("_f_s") != F.col("_t_s")),
             F.lit("modified"),
         )
         .alias("change"),

@@ -132,6 +132,20 @@ def _refresh_batch(
         m = state_marker(spark, state_path, _MARKER_PREFIX)
         if m is not None:
             m_sid, m_bid = _parse_marker(m)
+            if m_sid is None and stream_id is not None:
+                # legacy pre-identity marker (`_applied_<n>`) found by a
+                # stream caller (r07 ADVICE): the marker was written by a
+                # stream under the old format, so the SAME stream resuming
+                # its original checkpoint must keep working. Adopt when
+                # the batch-id sequence is consistent with a resume —
+                # Spark replays at most the last committed batch, so a
+                # genuine resume delivers m_bid (replay → skip) or a
+                # later id (fold; the marker is rewritten in the new
+                # format below). A strictly LOWER id can only mean a
+                # fresh checkpoint (ids restarted at 0) → fall through to
+                # the ownership error.
+                if batch_id >= m_bid:
+                    m_sid = stream_id
             if m_sid != stream_id:
                 # covers all three ownership mismatches (r07 review): a
                 # DIFFERENT stream id (fresh checkpoint — ids restart at

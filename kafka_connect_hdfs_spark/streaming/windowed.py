@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_connect_hdfs_spark.functions import dec_sum_double
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -37,7 +39,7 @@ def windowed_event_counts(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            dec_sum_double(F.col("value").cast("decimal(18,2)")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -24,7 +24,7 @@ def norm_cell(v):
     import numpy as np
     import pandas as pd
 
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None:
         return None
     if isinstance(v, (np.integer,)):
         return int(v)
@@ -36,7 +36,10 @@ def norm_cell(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, float):
         if math.isnan(v):
-            return None
+            # distinct sentinel, NOT None (r07 ADVICE): normalizing NaN
+            # to None conflated NaN with SQL NULL, so a Spark-NaN vs
+            # DuckDB-NULL divergence passed the byte-exact compare.
+            return ("f64", "nan")
         # BYTE-level identity (r06 verdict): the driver hashes value bytes,
         # where -0.0 != +0.0 even though they compare ==. Carry the repr for
         # readable FAIL diffs; equality/sort run on the packed bytes.

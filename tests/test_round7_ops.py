@@ -323,6 +323,37 @@ def test_snapshot_content_diff_multiset_keys(spark, tmp_path):
     assert got == {2: "modified"}  # key 1 reordered only -> unchanged
 
 
+def test_snapshot_content_diff_xor_cancellation_caught(spark, tmp_path):
+    """The r07 ADVICE collision class: {A,A,B} vs {C,C,B} under one key
+    have EQUAL count and EQUAL xor (even multiplicities cancel), so a
+    (count, xor) fingerprint calls a real change unchanged — the additive
+    sum fold must catch it."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, snapshot_content_diff,
+    )
+
+    tbl = str(tmp_path / "t")
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(1, "A"), (1, "A"), (1, "B")], "k long, txt string"
+        ),
+        tbl,
+    )
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(1, "C"), (1, "C"), (1, "B")], "k long, txt string"
+        ),
+        tbl,
+    )
+    got = {
+        r["k"]: r["change"]
+        for r in snapshot_content_diff(spark, tbl, 1, 2, "k", ["txt"]).collect()
+    }
+    assert got == {1: "modified"}
+
+
 # ---------------------------------------------------------------------------
 # bucketing
 
@@ -427,6 +458,67 @@ def test_mart_raises_when_stream_takes_over_batch_mart(spark, tmp_path):
     _refresh_batch(
         spark, batch, mart, ["k"], "n_rows", {"value": "v"}, batch_id=7
     )  # batch API writes a legacy marker
+    with pytest.raises(ValueError, match="batch API"):
+        _refresh_batch(
+            spark, batch, mart, ["k"], "n_rows", {"value": "v"},
+            batch_id=0, stream_id="fresh-stream",
+        )
+
+
+def test_mart_adopts_legacy_marker_on_stream_resume(spark, tmp_path):
+    """A pre-r07 stream wrote `_applied_<n>` markers (no owner id). The
+    SAME stream resuming its original checkpoint must keep working (r07
+    ADVICE): a replayed final batch (id == n) is skipped, the next batch
+    (id > n) folds and REWRITES the marker in the owner-qualified format,
+    after which a different stream is correctly rejected again."""
+    from kafka_connect_hdfs_spark.statedir import state_marker
+    from kafka_connect_hdfs_spark.streaming.mart import _refresh_batch
+
+    mart = str(tmp_path / "mart")
+    batch = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    # simulate the pre-r07 marker: batch API writes the legacy format
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "v"}, batch_id=3
+    )
+    assert state_marker(spark, mart, "_applied_") == "_applied_3"
+
+    # replay of the final pre-upgrade batch: skipped, not raised
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "v"},
+        batch_id=3, stream_id="orig-stream",
+    )
+    assert (
+        spark.read.parquet(mart).agg({"n_rows": "sum"}).collect()[0][0] == 1
+    )
+
+    # next batch folds and upgrades the marker format
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "v"},
+        batch_id=4, stream_id="orig-stream",
+    )
+    assert state_marker(spark, mart, "_applied_") == "_applied_orig-stream_4"
+    assert (
+        spark.read.parquet(mart).agg({"n_rows": "sum"}).collect()[0][0] == 2
+    )
+
+    # ownership guard is back in force for any OTHER stream
+    with pytest.raises(ValueError, match="orig-stream"):
+        _refresh_batch(
+            spark, batch, mart, ["k"], "n_rows", {"value": "v"},
+            batch_id=0, stream_id="fresh-stream",
+        )
+
+
+def test_mart_legacy_marker_lower_id_still_raises(spark, tmp_path):
+    """Legacy marker + a stream delivering a STRICTLY LOWER batch id can
+    only be a fresh checkpoint (ids restarted) - adoption must not apply."""
+    from kafka_connect_hdfs_spark.streaming.mart import _refresh_batch
+
+    mart = str(tmp_path / "mart")
+    batch = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "v"}, batch_id=7
+    )
     with pytest.raises(ValueError, match="batch API"):
         _refresh_batch(
             spark, batch, mart, ["k"], "n_rows", {"value": "v"},
