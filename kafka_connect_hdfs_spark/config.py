@@ -123,3 +123,179 @@ class HdfsSinkConfig:
     @property
     def logs_path(self) -> str:
         return f"{self.url.rstrip('/')}/{self.logs_dir}"
+
+
+# ---------------------------------------------------------------------------
+# ConfigDef surface: recommenders + visibility (reference
+# HdfsSinkConnectorConfig.getConfig() recommender/dependents wiring and
+# HdfsSinkConnectorConfigTest.java:56-370 — the Connect UI contract: which
+# values a key recommends, and which keys are visible given the current
+# partial configuration).
+
+AVRO_CODECS = ("null", "deflate", "snappy", "bzip2")
+PARQUET_CODECS = ("none", "snappy", "gzip", "zstd")
+
+#: Connect property name -> dataclass field name (the docstring mapping,
+#: machine-readable)
+PROPERTY_FIELDS: "dict[str, str]" = {
+    "hdfs.url": "url",
+    "topics.dir": "topics_dir",
+    "logs.dir": "logs_dir",
+    "format.class": "format",
+    "flush.size": "flush_size",
+    "rotate.interval.ms": "rotate_interval_ms",
+    "rotate.schedule.interval.ms": "rotate_schedule_interval_ms",
+    "partitioner.class": "partitioner",
+    "partition.field.name": "partition_fields",
+    "partition.duration.ms": "partition_duration_ms",
+    "path.format": "path_format",
+    "timezone": "timezone",
+    "timestamp.extractor": "timestamp_extractor",
+    "timestamp.field": "timestamp_field",
+    "schema.compatibility": "compatibility",
+    "hive.integration": "hive_integration",
+    "hive.database": "hive_database",
+    "avro.codec": "avro_codec",
+    "parquet.codec": "parquet_codec",
+    "filename.offset.zero.pad.width": "filename_offset_zero_pad_width",
+    "retry.backoff.ms": "retry_backoff_ms",
+    "shutdown.timeout.ms": "shutdown_timeout_ms",
+    "schema.cache.size": "schema_cache_size",
+    "hdfs.authentication.kerberos": "hdfs_authentication_kerberos",
+    "connect.hdfs.principal": "connect_hdfs_principal",
+    "connect.hdfs.keytab": "connect_hdfs_keytab",
+    "kerberos.ticket.renew.period.ms": "kerberos_ticket_renew_period_ms",
+}
+
+_RECOMMENDERS: "dict[str, tuple]" = {
+    "format.class": VALID_FORMATS,
+    "schema.compatibility": VALID_COMPAT,
+    "partitioner.class": VALID_PARTITIONERS,
+    "timestamp.extractor": VALID_EXTRACTORS,
+    "avro.codec": AVRO_CODECS,
+    "parquet.codec": PARQUET_CODECS,
+    "hive.integration": (True, False),
+    "hdfs.authentication.kerberos": (True, False),
+}
+
+#: gate key -> the keys whose visibility it controls (the reference's
+#: ConfigDef dependents lists)
+DEPENDENTS: "dict[str, tuple]" = {
+    "hive.integration": ("hive.database", "schema.compatibility"),
+    "partitioner.class": (
+        "partition.field.name",
+        "partition.duration.ms",
+        "path.format",
+        "timezone",
+    ),
+    "format.class": ("avro.codec", "parquet.codec"),
+    "hdfs.authentication.kerberos": (
+        "connect.hdfs.principal",
+        "connect.hdfs.keytab",
+        "kerberos.ticket.renew.period.ms",
+    ),
+}
+
+
+def recommended_values(key: str, partial: "dict | None" = None) -> list:
+    """Recommender hook: values the Connect UI should offer for ``key``
+    given the ``partial`` configuration entered so far. Keys without a
+    recommender return [] (free-form), matching ConfigDef semantics.
+
+    The one context-dependent recommendation mirrors the reference's
+    hive gate (HdfsSinkTask.java:55-65): with hive.integration on,
+    schema.compatibility must not be NONE, so NONE is not recommended.
+    """
+    partial = partial or {}
+    vals = list(_RECOMMENDERS.get(key, ()))
+    if key == "schema.compatibility" and partial.get("hive.integration"):
+        vals = [v for v in vals if v != "NONE"]
+    return vals
+
+
+def is_visible(key: str, partial: "dict | None" = None) -> bool:
+    """Visibility hook: should the Connect UI show ``key`` given the
+    ``partial`` configuration so far — the reference's recommender
+    ``visible()`` wiring:
+
+    - hive.database only with hive.integration on
+    - partition.field.name only for the field partitioner;
+      partition.duration.ms / path.format / timezone only for the
+      time-based family (time/daily/hourly)
+    - avro.codec only for the avro format; parquet.codec for parquet/orc
+    - kerberos principal/keytab/renew period only with
+      hdfs.authentication.kerberos on
+    Unknown keys raise (the UI asked about a key this connector does not
+    define); everything defined and ungated is visible.
+    """
+    if key not in PROPERTY_FIELDS:
+        raise ConfigException(f"unknown configuration key: {key}")
+    partial = partial or {}
+    part = partial.get("partitioner.class", "default")
+    fmt = partial.get("format.class", "parquet")
+    if key == "hive.database":
+        return bool(partial.get("hive.integration"))
+    if key == "partition.field.name":
+        return part == "field"
+    if key in ("partition.duration.ms", "path.format"):
+        return part in ("time", "daily", "hourly")
+    if key == "timezone":
+        # timezone also gates scheduled rotation (HdfsSinkTask.java:67-76)
+        return part in ("time", "daily", "hourly") or int(
+            partial.get("rotate.schedule.interval.ms", -1) or -1
+        ) > 0
+    if key == "avro.codec":
+        return fmt == "avro"
+    if key == "parquet.codec":
+        return fmt in ("parquet", "orc")
+    if key in (
+        "connect.hdfs.principal",
+        "connect.hdfs.keytab",
+        "kerberos.ticket.renew.period.ms",
+    ):
+        return bool(partial.get("hdfs.authentication.kerberos"))
+    return True
+
+
+def validate_config(partial: "dict") -> "dict[str, list[str]]":
+    """Connect-style ``validate()``: per-key error lists for a property
+    map (empty dict = valid). Unknown keys, out-of-recommendation values
+    for recommender-backed keys, and the cross-key gates the dataclass
+    enforces — reported per key instead of fail-fast, the way the
+    Connect REST validation endpoint renders them.
+    """
+    errors: "dict[str, list[str]]" = {}
+
+    def _err(key: str, msg: str) -> None:
+        errors.setdefault(key, []).append(msg)
+
+    for key in partial:
+        if key not in PROPERTY_FIELDS:
+            _err(key, "unknown configuration key")
+    for key, allowed in _RECOMMENDERS.items():
+        if key in partial and partial[key] not in allowed:
+            _err(key, f"must be one of {list(allowed)}")
+    if partial.get("hive.integration") and (
+        partial.get("schema.compatibility", "NONE") == "NONE"
+    ):
+        _err(
+            "schema.compatibility",
+            "hive.integration requires BACKWARD, FORWARD or FULL",
+        )
+    if int(partial.get("rotate.schedule.interval.ms", -1) or -1) > 0 and not partial.get(
+        "timezone"
+    ):
+        _err("timezone", "required when rotate.schedule.interval.ms is set")
+    if partial.get("partitioner.class") == "field" and not partial.get(
+        "partition.field.name"
+    ):
+        _err("partition.field.name", "required by the field partitioner")
+    if partial.get("hdfs.authentication.kerberos") and not (
+        partial.get("connect.hdfs.principal")
+        and partial.get("connect.hdfs.keytab")
+    ):
+        _err(
+            "connect.hdfs.principal",
+            "kerberos requires both principal and keytab",
+        )
+    return errors

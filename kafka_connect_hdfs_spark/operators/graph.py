@@ -833,3 +833,117 @@ def hits_scores(
             F.coalesce("authority_score", zero).alias("authority_score"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "user_a",
+    dst: str = "user_b",
+    node_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source breadth-first hop distances over an undirected edge
+    list: every node within ``max_hops`` of ANY source gets its minimum
+    hop count — reach/blast-radius analysis (how far does an account
+    ring extend; which docs sit within k citation hops of a seed set).
+
+    Returns ``(node, dist)``, dist ∈ [0, max_hops], sources at 0.
+
+    Scale: classic iterative relaxation — each round is ONE |edges|-keyed
+    join from the current frontier plus a min-aggregate; the frontier
+    only carries nodes whose distance improved, so rounds shrink as the
+    BFS saturates. ``max_hops`` bounds the job count (fixed small
+    constant), and the symmetrized edge list is materialized once.
+    """
+    sym = edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
+    ).distinct().localCheckpoint(eager=True)
+
+    dist = sources.select(
+        F.col(node_col).alias("_n"), F.lit(0).alias("dist")
+    ).distinct()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(sym, frontier["_n"] == sym["_u"])
+            .select(F.col("_v").alias("_n"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        # keep only genuinely-new nodes: anti-join against settled set
+        new = reached.join(dist.select("_n"), "_n", "anti").localCheckpoint(
+            eager=True
+        )
+        dist = dist.unionByName(new)
+        frontier = new
+    return dist.select(F.col("_n").alias(node_col), "dist").orderBy(
+        node_col
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "user_a",
+    dst: str = "user_b",
+    k: int = 20,
+    max_degree: int = 100,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph: for
+    every NON-adjacent pair sharing ≥1 neighbor, the common-neighbor
+    count and Jaccard overlap ``cn/(deg_u+deg_v−cn)`` — the classic
+    "users who should know each other" / near-duplicate-cluster-merge
+    candidate ranking. Returns the top ``k`` pairs (cn desc, then
+    jaccard desc, then (u, v) asc — fully deterministic).
+
+    Scale: candidate pairs enumerate as WEDGES through shared neighbors
+    (Σ deg² bounded), never node×node; hub nodes past ``max_degree``
+    are dropped from the wedge middle first (a hub manufactures
+    quadratically many meaningless candidates — same hygiene as
+    covisit_edges' cell cap). Existing edges leave via one anti-join.
+    """
+    sym = edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
+    ).distinct()
+    deg = sym.groupBy("_u").agg(F.count("*").alias("_deg"))
+    mid_ok = deg.filter(F.col("_deg") <= max_degree).select(
+        F.col("_u").alias("_m")
+    )
+    # wedges u - m - v with u < v, middle degree-capped
+    left = sym.join(mid_ok, sym["_v"] == mid_ok["_m"]).select(
+        F.col("_u").alias("_a"), F.col("_v").alias("_mid")
+    )
+    right = sym.select(F.col("_u").alias("_mid"), F.col("_v").alias("_b"))
+    cand = (
+        left.join(right, "_mid")
+        .filter(F.col("_a") < F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count("*").alias("cn"))
+    )
+    # drop already-adjacent pairs
+    adj = sym.filter(F.col("_u") < F.col("_v")).select(
+        F.col("_u").alias("_a"), F.col("_v").alias("_b")
+    )
+    cand = cand.join(adj, ["_a", "_b"], "anti")
+    da = deg.select(F.col("_u").alias("_a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("_u").alias("_b"), F.col("_deg").alias("_db"))
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    jac = F.col("cn").cast("double") / (
+        F.col("_da") + F.col("_db") - F.col("cn")
+    ).cast("double")
+    return (
+        cand.join(da, "_a")
+        .join(db, "_b")
+        .select(
+            F.col("_a").alias(src),
+            F.col("_b").alias(dst),
+            "cn",
+            q6_col(jac).alias("jaccard"),
+        )
+        .orderBy(F.desc("cn"), F.desc("jaccard"), src, dst)
+        .limit(k)
+    )

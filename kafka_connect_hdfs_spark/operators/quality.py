@@ -612,3 +612,246 @@ def psi_drift(
         "n_cur",
         q6_col((p - q) * F.log(p / q)).alias("psi_contrib"),
     )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    quantize_scale: int = 2,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between a reference
+    and a current sample of a numeric column — the distribution-shape
+    drift gate complementing :func:`psi_drift` (PSI sees bucket mass
+    shift; KS sees the largest ECDF gap wherever it lies, without
+    choosing bucket edges).
+
+    Values are quantized to HALF-UP integer units (``10**quantize_scale``
+    — cents by default) so the ECDFs live on an exact integer grid:
+    every comparison, cumulative count and the gap numerator
+    ``|c_ref·n_cur − c_cur·n_ref|`` is integer arithmetic, order-free
+    and engine-replayable; only the final ``D = max_gap/(n_ref·n_cur)``
+    divides (one IEEE op, 6-dp HALF-UP).
+
+    Returns ONE row: ``(n_ref, n_cur, d_num, ks_stat)`` where ``d_num``
+    is the exact integer ``max |c_ref·n_cur − c_cur·n_ref|``.
+
+    Scale: per-side counts aggregate map-side onto the quantized grid
+    (distinct grid values, not rows, cross the shuffle); the cumulative
+    scan runs on the merged GRID table — bounded by value-domain
+    granularity, not corpus size. The single-partition window is over
+    that bounded table only.
+    """
+    from pyspark.sql import Window
+
+    unit = 10**quantize_scale
+
+    def _q(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col).cast("double") * F.lit(float(unit))
+        m = F.when(v < 0, -F.floor(-v + F.lit(0.5))).otherwise(
+            F.floor(v + F.lit(0.5))
+        ).cast("bigint")
+        return df.select(m.alias("q")).groupBy("q").agg(
+            F.count("*").alias(out)
+        )
+
+    r = _q(ref, "_nr")
+    c = _q(cur, "_nc")
+    grid = r.join(c, "q", "full_outer").select(
+        "q",
+        F.coalesce("_nr", F.lit(0)).alias("_nr"),
+        F.coalesce("_nc", F.lit(0)).alias("_nc"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        F.sum("_nr").over(w).alias("_cr"), F.sum("_nc").over(w).alias("_cc")
+    )
+    tot = grid.agg(
+        F.sum("_nr").alias("n_ref"), F.sum("_nc").alias("n_cur")
+    )
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    gap = F.abs(
+        F.col("_cr") * F.col("n_cur") - F.col("_cc") * F.col("n_ref")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.max(gap).alias("d_num"),
+        )
+        .select(
+            "n_ref",
+            "n_cur",
+            "d_num",
+            q6_col(
+                F.col("d_num").cast("double")
+                / (F.col("n_ref") * F.col("n_cur")).cast("double")
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def benford_profile(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """First-significant-digit census of ``|value|`` against Benford's
+    law — the classic fabricated-data / unit-mix-up screen for a numeric
+    column (real multiplicative data tracks ``log10(1+1/d)``; uniform or
+    synthetic generators don't, which the gate fixture demonstrates).
+
+    The digit is extracted EXACTLY: HALF-UP integer cents, then the first
+    character of the integer's decimal string — integer-to-string is
+    engine-unambiguous, unlike double formatting or ``log10`` near
+    powers of ten. Zero values are excluded (no leading digit).
+
+    Returns 9 rows: ``(digit, n, observed_pct, benford_pct, abs_dev)``
+    with the pcts 6-dp HALF-UP from exact integer ratios.
+
+    Scale: one map-side-combined 9-group aggregate; nothing else.
+    """
+    import math
+
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    v = F.abs(F.col(value_col).cast("double")) * F.lit(100.0)
+    m = F.floor(v + F.lit(0.5)).cast("bigint")
+    digit = F.substring(m.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.select(m.alias("_m"), digit.alias("digit"))
+        .filter(F.col("_m") > 0)
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+        "digit int, _exp double",
+    )
+    tot = counts.agg(F.sum("n").alias("_t"))
+    obs = F.col("n").cast("double") / F.col("_t").cast("double")
+    return (
+        F.broadcast(expected)
+        .join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            q6_col(F.coalesce(obs, F.lit(0.0))).alias("observed_pct"),
+            q6_col(F.col("_exp")).alias("benford_pct"),
+            q6_col(F.abs(F.coalesce(obs, F.lit(0.0)) - F.col("_exp"))).alias(
+                "abs_dev"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+def mutual_information(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Per-cell mutual-information decomposition of two categorical
+    columns: for each ``(a, b)`` cell, exact contingency counts and the
+    MI contribution ``(n_ab/N)·ln(n_ab·N/(n_a·n_b))`` — Σ contributions
+    is ``I(A;B)``. The corpus-audit question "does source leak language
+    (or label leak split)?" answered cell-by-cell, so the offending
+    pairing is visible, not just the scalar.
+
+    Counts are exact integers; each contribution is one ln of an
+    exact-integer ratio and one multiply, 6-dp HALF-UP quantized (the
+    PMI kernel, text.pmi_collocations) — order-free and replayable.
+
+    Scale: one shuffle on the (a, b) cell key; marginals are
+    vocab-bounded aggregates broadcast back onto the cell table.
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    cells = (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = cells.agg(F.sum("n_ab").alias("_N"))
+    contrib = (
+        F.col("n_ab").cast("double") / F.col("_N").cast("double")
+    ) * F.log(
+        (F.col("n_ab") * F.col("_N")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            q6_col(contrib).alias("mi_contrib"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def column_completeness(
+    tables: "dict[str, DataFrame]",
+) -> DataFrame:
+    """Null/blank census for every column of every table in one pass per
+    table: ``(table, column, n_rows, n_null, n_blank, complete_pct)``
+    (blank = trimmed-empty string, only meaningful for string columns,
+    0 elsewhere). The first audit a landing runs before downstream teams
+    point jobs at it — :func:`profile_table` per-column stats with the
+    cross-TABLE matrix shape dashboards want.
+
+    Scale: ONE aggregate per table covering all its columns (no
+    per-column scan loop); the unpivot runs on single aggregated rows.
+    """
+    from functools import reduce
+
+    from pyspark.sql import types as T
+
+    pieces = []
+    for name, df in tables.items():
+        aggs = [F.count("*").alias("_n")]
+        for c in df.columns:
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+            if isinstance(df.schema[c].dataType, T.StringType):
+                blank = (
+                    F.col(c).isNotNull() & (F.length(F.trim(F.col(c))) == 0)
+                ).cast("long")
+            else:
+                blank = F.lit(0).cast("long")
+            aggs.append(F.sum(blank).alias(f"_blank_{c}"))
+        one = df.agg(*aggs)
+        rows = [
+            F.struct(
+                F.lit(name).alias("table"),
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.col(f"_blank_{c}").alias("n_blank"),
+            )
+            for c in df.columns
+        ]
+        pieces.append(
+            one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+        )
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    out = reduce(lambda x, y: x.unionByName(y), pieces)
+    pct = (
+        (F.col("n_rows") - F.col("n_null") - F.col("n_blank")).cast("double")
+        / F.col("n_rows").cast("double")
+    )
+    return out.select(
+        "table",
+        "column",
+        "n_rows",
+        "n_null",
+        "n_blank",
+        q6_col(F.when(F.col("n_rows") > 0, pct).otherwise(F.lit(1.0))).alias(
+            "complete_pct"
+        ),
+    ).orderBy("table", "column")

@@ -2496,3 +2496,48 @@ def rake_keyphrases(
         ).alias("score"),
     )
     return out.orderBy(F.desc("score"), F.asc("phrase")).limit(k)
+
+
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) over the
+    normalized text — the cheap gibberish/boilerplate screen: natural
+    language sits ~2.8-3.3 nats, base64/URL dumps and key-mash run
+    higher, repeated-character padding collapses toward 0. Pairs with
+    the token-level quality scores as a pre-training filter input.
+
+    Determinism: per-(doc, char) counts are exact integers; each term
+    ``-(c/n)·ln(c/n)`` is one divide + one ln of an exact-int ratio,
+    HALF-UP micro-int quantized, and the per-doc entropy is the exact
+    INTEGER sum of those micro-ints (a float sum would be
+    fold-order-shaped), surfaced /1e6 — byte-replayable cross-engine.
+
+    Returns ``(doc_id, n_chars_counted, n_distinct_chars, entropy)``.
+
+    Scale: one explode + one (doc, char)-keyed aggregation (alphabet-
+    bounded per doc after map-side combine) + one doc-keyed integer sum.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")
+    )
+    chars = df.select(
+        F.col("doc_id"), F.explode(F.split(norm, "")).alias("_ch")
+    ).filter(F.length("_ch") > 0)
+    counts = chars.groupBy("doc_id", "_ch").agg(F.count("*").alias("_c"))
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("_c").alias("_n"), F.count("*").alias("n_distinct_chars")
+    )
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    term = -p * F.log(p)
+    micro = F.when(
+        term < 0, -F.floor(-term * F.lit(1e6) + F.lit(0.5))
+    ).otherwise(F.floor(term * F.lit(1e6) + F.lit(0.5))).cast("bigint")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("_n").alias("n_chars_counted"),
+            F.first("n_distinct_chars").alias("n_distinct_chars"),
+            (F.sum(micro).cast("double") / F.lit(1e6)).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

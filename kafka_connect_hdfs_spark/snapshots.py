@@ -533,3 +533,63 @@ def snapshot_audit(spark: SparkSession, path: str) -> DataFrame:
         "version int, mode string, n_data_dirs int, n_missing_dirs int, "
         "n_rows long",
     )
+
+
+def clone_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: "int | None" = None,
+) -> int:
+    """ZERO-COPY clone: create a new snapshot-log table at ``dst_path``
+    whose v1 manifest references the SOURCE table's data files for
+    ``version`` (default: latest) — no data is read or rewritten, only
+    one manifest is written. The dev/test-branch primitive every
+    lakehouse grows: clone a 100 TB table in milliseconds, experiment on
+    the clone (appends land under the CLONE's own ``data/`` dirs via the
+    ordinary :func:`commit_snapshot` metadata-union), and the source
+    never observes any of it.
+
+    Safety: the clone's manifests point INTO the source's data dirs, so
+    ``expire_snapshots`` on the source can strand a clone — the same
+    shared-file hazard the in-table expiry already guards against,
+    which is why clones are for dev/test branches, not long-lived forks
+    (document-for-production would pin source retention). The clone
+    itself never deletes source files: expire/rollback on the clone
+    only touch manifests and data dirs UNDER ``dst_path``.
+
+    Returns the clone's version number (always 1 — cloning into an
+    existing snapshot table is refused: silently grafting a foreign file
+    list onto a table with history would corrupt its lineage).
+    """
+    if list_snapshots(spark, dst_path):
+        raise ValueError(
+            f"clone target {dst_path} is already a snapshot table; "
+            "clone only creates fresh tables"
+        )
+    versions = list_snapshots(spark, src_path)
+    if not versions:
+        raise ValueError(f"clone source {src_path} has no snapshots")
+    v = versions[-1] if version is None else version
+    src_manifest = _read_manifest(spark, src_path, v)
+
+    fs, Path = _fs(spark, dst_path)
+    manifest = {
+        "version": 1,
+        "mode": "clone",
+        "format": src_manifest.get("format", "parquet"),
+        "files": list(src_manifest["files"]),
+        "cloned_from": {"path": src_path, "version": v},
+    }
+    mdir = _manifest_dir(dst_path)
+    fs.mkdirs(Path(mdir))
+    tmp = Path(f"{mdir}/.v1.json.tmp")
+    final = Path(f"{mdir}/v1.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"clone commit rename failed for {dst_path}")
+    return 1

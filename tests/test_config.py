@@ -83,3 +83,99 @@ def test_kerberos_renewer_lifecycle():
     )
     rn = build_renewer(cfg, lambda p, k: None)
     assert rn is not None and rn.renew_period_ms == 3_600_000
+
+
+# ---------------------------------------------------------------------------
+# ConfigDef surface: recommenders + visibility (r07 verdict missing item 3;
+# reference HdfsSinkConnectorConfigTest.java:56-370)
+
+
+def test_recommended_values_static():
+    from kafka_connect_hdfs_spark.config import (
+        AVRO_CODECS, VALID_FORMATS, recommended_values,
+    )
+
+    assert recommended_values("format.class") == list(VALID_FORMATS)
+    assert recommended_values("avro.codec") == list(AVRO_CODECS)
+    assert recommended_values("hdfs.url") == []  # free-form
+
+
+def test_compatibility_recommendation_excludes_none_under_hive():
+    from kafka_connect_hdfs_spark.config import recommended_values
+
+    assert "NONE" in recommended_values("schema.compatibility", {})
+    assert "NONE" not in recommended_values(
+        "schema.compatibility", {"hive.integration": True}
+    )
+
+
+def test_visibility_hive_and_partitioner_gates():
+    from kafka_connect_hdfs_spark.config import is_visible
+
+    assert not is_visible("hive.database", {})
+    assert is_visible("hive.database", {"hive.integration": True})
+    assert not is_visible("partition.field.name", {})
+    assert is_visible("partition.field.name", {"partitioner.class": "field"})
+    assert is_visible("partition.duration.ms", {"partitioner.class": "hourly"})
+    assert not is_visible("partition.duration.ms", {"partitioner.class": "field"})
+
+
+def test_visibility_timezone_follows_scheduled_rotation():
+    from kafka_connect_hdfs_spark.config import is_visible
+
+    assert not is_visible("timezone", {})
+    assert is_visible("timezone", {"rotate.schedule.interval.ms": 60000})
+    assert is_visible("timezone", {"partitioner.class": "daily"})
+
+
+def test_visibility_format_and_kerberos_gates():
+    from kafka_connect_hdfs_spark.config import is_visible
+
+    assert not is_visible("avro.codec", {})
+    assert is_visible("avro.codec", {"format.class": "avro"})
+    assert is_visible("parquet.codec", {})  # parquet is the default format
+    assert not is_visible("connect.hdfs.keytab", {})
+    assert is_visible(
+        "connect.hdfs.keytab", {"hdfs.authentication.kerberos": True}
+    )
+
+
+def test_visibility_unknown_key_raises():
+    import pytest
+
+    from kafka_connect_hdfs_spark.config import ConfigException, is_visible
+
+    with pytest.raises(ConfigException, match="unknown"):
+        is_visible("no.such.key", {})
+
+
+def test_validate_config_reports_per_key():
+    from kafka_connect_hdfs_spark.config import validate_config
+
+    errs = validate_config(
+        {
+            "format.class": "xml",                    # not recommended
+            "hive.integration": True,                  # compat gate trips
+            "partitioner.class": "field",              # missing field name
+            "rotate.schedule.interval.ms": 60000,      # missing timezone
+            "bogus.key": 1,
+        }
+    )
+    assert "must be one of" in errs["format.class"][0]
+    assert "schema.compatibility" in errs
+    assert "partition.field.name" in errs
+    assert "timezone" in errs
+    assert errs["bogus.key"] == ["unknown configuration key"]
+
+
+def test_validate_config_clean_map_is_empty():
+    from kafka_connect_hdfs_spark.config import validate_config
+
+    assert validate_config(
+        {
+            "format.class": "avro",
+            "avro.codec": "deflate",
+            "hive.integration": True,
+            "schema.compatibility": "BACKWARD",
+        }
+    ) == {}

@@ -1052,3 +1052,60 @@ def test_rake_one_doc_shuffle_broadcast_stats(spark, sf):
     plan = _plan(rake_keyphrases(docs))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# r08 operators
+
+
+def test_mutual_info_marginals_broadcast(spark, sf):
+    from kafka_connect_hdfs_spark.operators.quality import mutual_information
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(mutual_information(docs, "lang", "source"))
+    # vocab-bounded marginals + the scalar total join back as broadcasts —
+    # the cell table never sort-merge-joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+
+
+def test_ks_drift_single_agg_per_side_before_grid(spark, sf):
+    from kafka_connect_hdfs_spark.operators.quality import ks_drift
+    from kafka_connect_hdfs_spark.session import load_table
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf, "events")
+    plan = _plan(
+        ks_drift(
+            ev.filter(F.col("event_id") % 2 == 0),
+            ev.filter(F.col("event_id") % 2 == 1),
+        )
+    )
+    # per-side grid counts partial-aggregate map-side (HashAggregate
+    # pairs); the single-partition window runs on the bounded GRID table
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" in plan
+
+
+def test_benford_is_one_aggregate_no_join_on_rows(spark, sf):
+    from kafka_connect_hdfs_spark.operators.quality import benford_profile
+    from kafka_connect_hdfs_spark.session import load_table
+
+    plan = _plan(benford_profile(load_table(spark, sf, "events")))
+    # the events scan reads ONLY value (digit census needs nothing else)
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "value" in read and "props" not in read and "user_id" not in read
+    assert "SortMergeJoin" not in plan
+
+
+def test_link_prediction_no_cartesian(spark):
+    from kafka_connect_hdfs_spark.operators.graph import link_prediction
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (4, 3)], "user_a long, user_b long"
+    )
+    plan = _plan(link_prediction(e, k=5))
+    assert "CartesianProduct" not in plan
