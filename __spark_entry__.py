@@ -11708,8 +11708,8 @@ cum AS (
 ),
 tot AS (SELECT sum(nr)::BIGINT AS n_ref, sum(nc)::BIGINT AS n_cur FROM grid)
 SELECT n_ref, n_cur,
-       max(abs(cr * n_cur - cc * n_ref))::BIGINT AS d_num,
-       {_OQ6("CAST(max(abs(cr * n_cur - cc * n_ref)) AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE)")} AS ks_stat
+       {_OD2("max(abs(cr::HUGEINT * n_cur - cc::HUGEINT * n_ref))")} AS d_num,
+       {_OQ6(f"{_OD2('max(abs(cr::HUGEINT * n_cur - cc::HUGEINT * n_ref))')} / {_OD2('n_ref::HUGEINT * n_cur')}")} AS ks_stat
 FROM cum CROSS JOIN tot GROUP BY n_ref, n_cur
 """
 
@@ -11747,7 +11747,7 @@ ma AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM cells GROUP BY a),
 mb AS (SELECT b, sum(n_ab)::BIGINT AS n_b FROM cells GROUP BY b),
 tot AS (SELECT sum(n_ab)::BIGINT AS nn FROM cells)
 SELECT a, b, n_ab, n_a, n_b,
-       {_OQ6("(CAST(n_ab AS DOUBLE) / CAST(nn AS DOUBLE)) * ln(CAST(n_ab * nn AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))")} AS mi_contrib
+       {_OQ6("(CAST(n_ab AS DOUBLE) / CAST(nn AS DOUBLE)) * ln((CAST(n_ab AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))")} AS mi_contrib
 FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
 ORDER BY a, b
 """

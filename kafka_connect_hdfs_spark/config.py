@@ -197,6 +197,37 @@ DEPENDENTS: "dict[str, tuple]" = {
 }
 
 
+def _as_bool(value) -> "bool | None":
+    """Coerce a Connect-style boolean property value: Python bools pass
+    through; the canonical string forms ``'true'``/``'false'`` (any case,
+    the way a REST properties map delivers them) coerce; anything else is
+    ``None`` (not a boolean — callers report or treat as unset).
+    Mirrors ConfigDef.Type.BOOLEAN parsing (r08 ADVICE: the REST path
+    hands every value over as a string)."""
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, str):
+        low = value.strip().lower()
+        if low == "true":
+            return True
+        if low == "false":
+            return False
+    return None
+
+
+def _as_int(value, default: int = -1) -> "int | None":
+    """Coerce a Connect-style numeric property value; ``None``/empty →
+    ``default``; unparseable → ``None`` (callers report per-key instead
+    of letting ``ValueError`` escape the REST-style validator —
+    r08 ADVICE)."""
+    if value is None or value == "":
+        return default
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        return None
+
+
 def recommended_values(key: str, partial: "dict | None" = None) -> list:
     """Recommender hook: values the Connect UI should offer for ``key``
     given the ``partial`` configuration entered so far. Keys without a
@@ -208,7 +239,9 @@ def recommended_values(key: str, partial: "dict | None" = None) -> list:
     """
     partial = partial or {}
     vals = list(_RECOMMENDERS.get(key, ()))
-    if key == "schema.compatibility" and partial.get("hive.integration"):
+    if key == "schema.compatibility" and _as_bool(
+        partial.get("hive.integration")
+    ):
         vals = [v for v in vals if v != "NONE"]
     return vals
 
@@ -234,16 +267,20 @@ def is_visible(key: str, partial: "dict | None" = None) -> bool:
     part = partial.get("partitioner.class", "default")
     fmt = partial.get("format.class", "parquet")
     if key == "hive.database":
-        return bool(partial.get("hive.integration"))
+        return bool(_as_bool(partial.get("hive.integration")))
     if key == "partition.field.name":
         return part == "field"
     if key in ("partition.duration.ms", "path.format"):
         return part in ("time", "daily", "hourly")
     if key == "timezone":
-        # timezone also gates scheduled rotation (HdfsSinkTask.java:67-76)
-        return part in ("time", "daily", "hourly") or int(
-            partial.get("rotate.schedule.interval.ms", -1) or -1
-        ) > 0
+        # timezone also gates scheduled rotation (HdfsSinkTask.java:67-76).
+        # An unparseable interval is a validate_config problem, not a
+        # visibility one — treat it as unset here (r08 ADVICE: no raw
+        # ValueError out of a UI hook).
+        interval = _as_int(partial.get("rotate.schedule.interval.ms"))
+        return part in ("time", "daily", "hourly") or (
+            interval is not None and interval > 0
+        )
     if key == "avro.codec":
         return fmt == "avro"
     if key == "parquet.codec":
@@ -253,7 +290,7 @@ def is_visible(key: str, partial: "dict | None" = None) -> bool:
         "connect.hdfs.keytab",
         "kerberos.ticket.renew.period.ms",
     ):
-        return bool(partial.get("hdfs.authentication.kerberos"))
+        return bool(_as_bool(partial.get("hdfs.authentication.kerberos")))
     return True
 
 
@@ -272,25 +309,39 @@ def validate_config(partial: "dict") -> "dict[str, list[str]]":
     for key in partial:
         if key not in PROPERTY_FIELDS:
             _err(key, "unknown configuration key")
+    _BOOL_KEYS = ("hive.integration", "hdfs.authentication.kerberos")
     for key, allowed in _RECOMMENDERS.items():
-        if key in partial and partial[key] not in allowed:
+        if key not in partial:
+            continue
+        # Connect's REST path delivers every value as a string: accept
+        # the canonical 'true'/'false' forms for boolean-recommender keys
+        # instead of failing them against the Python-bool tuple (r08
+        # ADVICE).
+        value = _as_bool(partial[key]) if key in _BOOL_KEYS else partial[key]
+        if value not in allowed:
             _err(key, f"must be one of {list(allowed)}")
-    if partial.get("hive.integration") and (
+    if _as_bool(partial.get("hive.integration")) and (
         partial.get("schema.compatibility", "NONE") == "NONE"
     ):
         _err(
             "schema.compatibility",
             "hive.integration requires BACKWARD, FORWARD or FULL",
         )
-    if int(partial.get("rotate.schedule.interval.ms", -1) or -1) > 0 and not partial.get(
-        "timezone"
-    ):
+    interval = _as_int(partial.get("rotate.schedule.interval.ms"))
+    if interval is None:
+        # numeric coercion failure is a per-key error entry, never an
+        # uncaught ValueError out of the validator (r08 ADVICE)
+        _err(
+            "rotate.schedule.interval.ms",
+            "must be an integer number of milliseconds",
+        )
+    elif interval > 0 and not partial.get("timezone"):
         _err("timezone", "required when rotate.schedule.interval.ms is set")
     if partial.get("partitioner.class") == "field" and not partial.get(
         "partition.field.name"
     ):
         _err("partition.field.name", "required by the field partitioner")
-    if partial.get("hdfs.authentication.kerberos") and not (
+    if _as_bool(partial.get("hdfs.authentication.kerberos")) and not (
         partial.get("connect.hdfs.principal")
         and partial.get("connect.hdfs.keytab")
     ):

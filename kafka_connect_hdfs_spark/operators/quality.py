@@ -619,6 +619,7 @@ def ks_drift(
     cur: DataFrame,
     value_col: str = "value",
     quantize_scale: int = 2,
+    grid_partitions: "int | None" = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between a reference
     and a current sample of a numeric column — the distribution-shape
@@ -629,20 +630,33 @@ def ks_drift(
     Values are quantized to HALF-UP integer units (``10**quantize_scale``
     — cents by default) so the ECDFs live on an exact integer grid:
     every comparison, cumulative count and the gap numerator
-    ``|c_ref·n_cur − c_cur·n_ref|`` is integer arithmetic, order-free
-    and engine-replayable; only the final ``D = max_gap/(n_ref·n_cur)``
-    divides (one IEEE op, 6-dp HALF-UP).
+    ``|c_ref·n_cur − c_cur·n_ref|`` is integer arithmetic (promoted to
+    ``decimal(38,0)`` so the products stay exact past 2**63 — the r08
+    ADVICE overflow bound at ~3e9 rows/side), order-free and
+    engine-replayable; the final ``D = max_gap/(n_ref·n_cur)`` divides
+    via the deterministic hi/lo decimal→double split (one IEEE divide,
+    6-dp HALF-UP).
 
     Returns ONE row: ``(n_ref, n_cur, d_num, ks_stat)`` where ``d_num``
-    is the exact integer ``max |c_ref·n_cur − c_cur·n_ref|``.
+    is ``max |c_ref·n_cur − c_cur·n_ref|`` as a deterministic
+    split-derived double (exact below 2**53, 1-ulp-deterministic above).
 
     Scale: per-side counts aggregate map-side onto the quantized grid
-    (distinct grid values, not rows, cross the shuffle); the cumulative
-    scan runs on the merged GRID table — bounded by value-domain
-    granularity, not corpus size. The single-partition window is over
-    that bounded table only.
+    (distinct grid values, not rows, cross the shuffle). The cumulative
+    ECDF is a TWO-PHASE prefix sum (r08 verdict item 2 — no
+    single-partition window over the grid): the grid is
+    ``repartitionByRange`` on ``q``, each range computes a local running
+    sum, and per-range totals — one row per PARTITION, bounded by
+    cluster width, not data — are prefix-summed and broadcast back as
+    offsets. The only unpartitioned window left runs over those
+    ≤``grid_partitions`` total rows.
     """
     from pyspark.sql import Window
+
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        dec_to_double,
+        q6_col,
+    )
 
     unit = 10**quantize_scale
 
@@ -662,47 +676,98 @@ def ks_drift(
         F.coalesce("_nr", F.lit(0)).alias("_nr"),
         F.coalesce("_nc", F.lit(0)).alias("_nc"),
     )
-    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
-    cum = grid.select(
-        F.sum("_nr").over(w).alias("_cr"), F.sum("_nc").over(w).alias("_cc")
+    n_parts = grid_partitions or ref.sparkSession.sparkContext.defaultParallelism
+    # phase 1: range-partition the grid on q; local running sums per range.
+    # Both branches below reuse THIS exchange (same subtree → Spark reuses
+    # the shuffle), so _pid assignments are consistent by construction.
+    ranged = grid.repartitionByRange(n_parts, "q").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.select(
+        "_pid",
+        "_nr",
+        "_nc",
+        F.sum("_nr").over(w_local).alias("_lr"),
+        F.sum("_nc").over(w_local).alias("_lc"),
+    )
+    # phase 2: per-range totals (≤ n_parts ROWS — cluster-width-bounded,
+    # not data-bounded) prefix-summed into start offsets; the exclusive
+    # window below is the only unpartitioned one and sees ≤ n_parts rows.
+    p_tot = local.groupBy("_pid").agg(
+        F.sum("_nr").alias("_pr"), F.sum("_nc").alias("_pc")
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = p_tot.select(
+        "_pid",
+        F.coalesce(F.sum("_pr").over(w_off), F.lit(0)).alias("_or"),
+        F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).alias("_oc"),
+    )
+    cum = local.join(F.broadcast(offsets), "_pid").select(
+        (F.col("_lr") + F.col("_or")).alias("_cr"),
+        (F.col("_lc") + F.col("_oc")).alias("_cc"),
     )
     tot = grid.agg(
         F.sum("_nr").alias("n_ref"), F.sum("_nc").alias("n_cur")
     )
-    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    def _dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
 
     gap = F.abs(
-        F.col("_cr") * F.col("n_cur") - F.col("_cc") * F.col("n_ref")
+        _dec(F.col("_cr")) * _dec(F.col("n_cur"))
+        - _dec(F.col("_cc")) * _dec(F.col("n_ref"))
     )
     return (
         cum.crossJoin(F.broadcast(tot))
         .agg(
             F.first("n_ref").alias("n_ref"),
             F.first("n_cur").alias("n_cur"),
-            F.max(gap).alias("d_num"),
+            F.max(gap).alias("_dnum"),
         )
+        .withColumn("_den", _dec(F.col("n_ref")) * _dec(F.col("n_cur")))
         .select(
             "n_ref",
             "n_cur",
-            "d_num",
+            dec_to_double("_dnum").alias("d_num"),
             q6_col(
-                F.col("d_num").cast("double")
-                / (F.col("n_ref") * F.col("n_cur")).cast("double")
+                dec_to_double("_dnum") / dec_to_double("_den")
             ).alias("ks_stat"),
         )
     )
 
 
-def benford_profile(df: DataFrame, value_col: str = "value") -> DataFrame:
+def benford_profile(
+    df: DataFrame, value_col: str = "value", quantize_scale: int = 2
+) -> DataFrame:
     """First-significant-digit census of ``|value|`` against Benford's
     law — the classic fabricated-data / unit-mix-up screen for a numeric
     column (real multiplicative data tracks ``log10(1+1/d)``; uniform or
     synthetic generators don't, which the gate fixture demonstrates).
 
-    The digit is extracted EXACTLY: HALF-UP integer cents, then the first
-    character of the integer's decimal string — integer-to-string is
+    The digit is extracted EXACTLY on the ``10**-quantize_scale`` grid
+    (cents by default): HALF-UP integer units, then the first character
+    of the integer's decimal string — integer-to-string is
     engine-unambiguous, unlike double formatting or ``log10`` near
-    powers of ten. Zero values are excluded (no leading digit).
+    powers of ten. Values that quantize to zero are excluded (no leading
+    digit on the grid).
+
+    DOMAIN ASSUMPTION (r08 ADVICE): the digit is the first significant
+    digit of the QUANTIZED value, so magnitudes below the grid report
+    the digit of their rounded unit count, not of the raw value
+    (``0.025`` → 3 cents → digit 3 at the default scale), and
+    ``|v| < 0.5·10**-quantize_scale`` rows are excluded entirely. For a
+    currency/cents-shaped business column — the intended domain — the
+    grid IS the value domain and the census is exact; for
+    small-magnitude or wide-dynamic-range columns, pass a
+    ``quantize_scale`` large enough that the grid resolves every
+    value's first significant digit.
 
     Returns 9 rows: ``(digit, n, observed_pct, benford_pct, abs_dev)``
     with the pcts 6-dp HALF-UP from exact integer ratios.
@@ -713,7 +778,8 @@ def benford_profile(df: DataFrame, value_col: str = "value") -> DataFrame:
 
     from kafka_connect_hdfs_spark.operators.similarity import q6_col
 
-    v = F.abs(F.col(value_col).cast("double")) * F.lit(100.0)
+    unit = float(10**quantize_scale)
+    v = F.abs(F.col(value_col).cast("double")) * F.lit(unit)
     m = F.floor(v + F.lit(0.5)).cast("bigint")
     digit = F.substring(m.cast("string"), 1, 1).cast("int")
     counts = (
@@ -756,9 +822,13 @@ def mutual_information(
     (or label leak split)?" answered cell-by-cell, so the offending
     pairing is visible, not just the scalar.
 
-    Counts are exact integers; each contribution is one ln of an
-    exact-integer ratio and one multiply, 6-dp HALF-UP quantized (the
-    PMI kernel, text.pmi_collocations) — order-free and replayable.
+    Counts are exact integers; each contribution is one ln of a ratio of
+    count products and one multiply, 6-dp HALF-UP quantized (the PMI
+    kernel, text.pmi_collocations) — order-free and replayable. Each
+    FACTOR is cast to double BEFORE multiplying (r08 ADVICE: the 64-bit
+    products ``n_ab·N`` and ``n_a·n_b`` wrap silently past ~3e9 total
+    rows — double products never wrap, are exact below 2**53 per factor,
+    and the oracle mirrors the same IEEE ops).
 
     Scale: one shuffle on the (a, b) cell key; marginals are
     vocab-bounded aggregates broadcast back onto the cell table.
@@ -776,8 +846,8 @@ def mutual_information(
     contrib = (
         F.col("n_ab").cast("double") / F.col("_N").cast("double")
     ) * F.log(
-        (F.col("n_ab") * F.col("_N")).cast("double")
-        / (F.col("n_a") * F.col("n_b")).cast("double")
+        (F.col("n_ab").cast("double") * F.col("_N").cast("double"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
     )
     return (
         cells.join(F.broadcast(ma), "a")

@@ -143,8 +143,14 @@ def _refresh_batch(
                 # later id (fold; the marker is rewritten in the new
                 # format below). A strictly LOWER id can only mean a
                 # fresh checkpoint (ids restarted at 0) → fall through to
-                # the ownership error.
-                if batch_id >= m_bid:
+                # the ownership error. Equal ids are a replay ONLY when
+                # m_bid > 0: a legacy marker at batch 0 meeting a caller
+                # at batch 0 is indistinguishable from a FRESH checkpoint
+                # (ids restart at 0), and adopting it would silently skip
+                # the fresh stream's first batch (r08 ADVICE) — the
+                # ambiguous equal-zero case falls through to the
+                # ownership error instead of dropping data.
+                if batch_id > m_bid or (batch_id == m_bid and m_bid > 0):
                     m_sid = stream_id
             if m_sid != stream_id:
                 # covers all three ownership mismatches (r07 review): a

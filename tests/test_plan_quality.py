@@ -1085,9 +1085,22 @@ def test_ks_drift_single_agg_per_side_before_grid(spark, sf):
         )
     )
     # per-side grid counts partial-aggregate map-side (HashAggregate
-    # pairs); the single-partition window runs on the bounded GRID table
+    # pairs)
     assert plan.count("HashAggregate") >= 4
-    assert "Window" in plan
+    # the cumulative ECDF is a TWO-PHASE prefix sum (r08 verdict item 2):
+    # the grid's running-sum window must be PARTITIONED (by the range
+    # partition id) — windowspecdefinition(_pid, q ...) — and the grid
+    # must range-partition on q first; the only unpartitioned window
+    # (the per-range offset prefix) runs over <= n_partitions rows.
+    assert "rangepartitioning(q" in plan, plan
+    assert "windowspecdefinition(_pid" in plan, plan
+    # no unpartitioned window over the grid itself: every windowspec
+    # that orders by q must carry the _pid partition key
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if re.search(r"\bq#\d+L ASC", spec):
+            assert spec.startswith("_pid"), spec
 
 
 def test_benford_is_one_aggregate_no_join_on_rows(spark, sf):

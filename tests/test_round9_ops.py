@@ -1,0 +1,223 @@
+"""Round-9 semantics pins: the r08 ADVICE fixes (config string coercion,
+mart equal-zero adoption ambiguity, Benford quantize_scale domain knob,
+MI/KS overflow-safe arithmetic) and the r08 verdict items (two-phase KS
+prefix sum, incremental relayout, clone-aware retention, general MERGE).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# config.py — Connect-style string coercion (r08 ADVICE item 4)
+
+
+def test_validate_config_accepts_string_booleans():
+    from kafka_connect_hdfs_spark.config import validate_config
+
+    # Connect's REST path delivers every value as a string: the canonical
+    # forms must validate clean
+    errs = validate_config(
+        {
+            "hive.integration": "true",
+            "schema.compatibility": "BACKWARD",
+            "hdfs.authentication.kerberos": "false",
+        }
+    )
+    assert errs == {}
+    # and the hive gate fires off the coerced string value
+    errs = validate_config(
+        {"hive.integration": "TRUE", "schema.compatibility": "NONE"}
+    )
+    assert "schema.compatibility" in errs
+
+
+def test_validate_config_rejects_non_boolean_strings():
+    from kafka_connect_hdfs_spark.config import validate_config
+
+    errs = validate_config({"hive.integration": "yes"})
+    assert "hive.integration" in errs
+
+
+def test_validate_config_non_numeric_interval_is_error_not_raise():
+    from kafka_connect_hdfs_spark.config import validate_config
+
+    # pre-fix this raised ValueError out of the per-key validator
+    errs = validate_config({"rotate.schedule.interval.ms": "sixty"})
+    assert "rotate.schedule.interval.ms" in errs
+    assert "integer" in errs["rotate.schedule.interval.ms"][0]
+
+
+def test_is_visible_tolerates_bad_interval_and_string_bools():
+    from kafka_connect_hdfs_spark.config import is_visible
+
+    # unparseable interval: a validate problem, not a visibility crash
+    assert is_visible(
+        "timezone",
+        {"partitioner.class": "default", "rotate.schedule.interval.ms": "x"},
+    ) is False
+    # string 'true' gates dependents on; string 'false' leaves them off
+    assert is_visible("hive.database", {"hive.integration": "true"}) is True
+    assert is_visible("hive.database", {"hive.integration": "false"}) is False
+    assert is_visible(
+        "connect.hdfs.keytab", {"hdfs.authentication.kerberos": "true"}
+    ) is True
+
+
+def test_recommended_values_hive_gate_on_string_bool():
+    from kafka_connect_hdfs_spark.config import recommended_values
+
+    vals = recommended_values(
+        "schema.compatibility", {"hive.integration": "true"}
+    )
+    assert "NONE" not in vals and "BACKWARD" in vals
+
+
+# ---------------------------------------------------------------------------
+# streaming/mart.py — equal-zero legacy adoption ambiguity (r08 ADVICE 3)
+
+
+def test_mart_legacy_zero_marker_fresh_stream_raises_not_drops(
+    spark, tmp_path
+):
+    """Legacy `_applied_0` marker + a stream caller at batch 0 is
+    indistinguishable from a FRESH checkpoint; pre-fix the batch was
+    silently skipped as a replay (data drop). It must raise the
+    ownership error instead."""
+    from kafka_connect_hdfs_spark.streaming.mart import _refresh_batch
+
+    mart = str(tmp_path / "mart")
+    batch = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "v"}, batch_id=0
+    )  # legacy-format marker _applied_0
+    with pytest.raises(ValueError, match="batch API"):
+        _refresh_batch(
+            spark, batch, mart, ["k"], "n_rows", {"value": "v"},
+            batch_id=0, stream_id="fresh-stream",
+        )
+    # and the mart was NOT double-folded or dropped: still exactly batch 1
+    assert (
+        spark.read.parquet(mart).agg({"n_rows": "sum"}).collect()[0][0] == 1
+    )
+
+
+def test_mart_legacy_nonzero_equal_id_still_adopts(spark, tmp_path):
+    """The genuine-resume path is unchanged: a legacy marker at n > 0 and
+    the SAME stream replaying batch n is adopted and skipped."""
+    from kafka_connect_hdfs_spark.streaming.mart import _refresh_batch
+
+    mart = str(tmp_path / "mart")
+    batch = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "v"}, batch_id=2
+    )
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "v"},
+        batch_id=2, stream_id="orig-stream",
+    )  # replay: skipped, no raise
+    assert (
+        spark.read.parquet(mart).agg({"n_rows": "sum"}).collect()[0][0] == 1
+    )
+
+
+def test_mart_legacy_zero_marker_later_batch_adopts(spark, tmp_path):
+    """Legacy `_applied_0` + the same stream delivering batch 1 is a
+    consistent resume (strictly greater id) and must fold."""
+    from kafka_connect_hdfs_spark.statedir import state_marker
+    from kafka_connect_hdfs_spark.streaming.mart import _refresh_batch
+
+    mart = str(tmp_path / "mart")
+    batch = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "v"}, batch_id=0
+    )
+    _refresh_batch(
+        spark, batch, mart, ["k"], "n_rows", {"value": "v"},
+        batch_id=1, stream_id="orig-stream",
+    )
+    assert state_marker(spark, mart, "_applied_") == "_applied_orig-stream_1"
+    assert (
+        spark.read.parquet(mart).agg({"n_rows": "sum"}).collect()[0][0] == 2
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality.benford_profile — quantize_scale domain knob (r08 ADVICE 5)
+
+
+def test_benford_scale_resolves_small_magnitudes(spark):
+    from kafka_connect_hdfs_spark.operators.quality import benford_profile
+
+    df = spark.createDataFrame([(0.025,)], "value double")
+    # default cents grid: 0.025 -> 3 cents -> digit 3 (documented domain
+    # assumption: the digit of the QUANTIZED value)
+    d2 = {r["digit"]: r["n"] for r in benford_profile(df).collect()}
+    assert d2[3] == 1 and d2[2] == 0
+    # a grid fine enough for the magnitude recovers the true digit 2
+    d4 = {
+        r["digit"]: r["n"]
+        for r in benford_profile(df, quantize_scale=4).collect()
+    }
+    assert d4[2] == 1 and d4[3] == 0
+
+
+def test_benford_subgrid_values_excluded(spark):
+    from kafka_connect_hdfs_spark.operators.quality import benford_profile
+
+    df = spark.createDataFrame([(0.004,), (1.0,)], "value double")
+    rows = {r["digit"]: r["n"] for r in benford_profile(df).collect()}
+    assert rows[1] == 1 and sum(rows.values()) == 1  # 0.004 -> 0 cents, out
+
+
+# ---------------------------------------------------------------------------
+# quality.ks_drift — two-phase prefix sum + decimal gap (r08 verdict 2)
+
+
+def test_ks_drift_grid_partitions_param_and_values(spark):
+    from kafka_connect_hdfs_spark.operators.quality import ks_drift
+
+    ref = spark.createDataFrame([(float(i),) for i in range(10)], "value double")
+    cur = spark.createDataFrame(
+        [(float(i),) for i in range(5, 15)], "value double"
+    )
+    # the prefix-sum result must not depend on how many ranges the grid
+    # is split into
+    r1 = ks_drift(ref, cur, grid_partitions=1).collect()[0]
+    r7 = ks_drift(ref, cur, grid_partitions=7).collect()[0]
+    assert (r1["d_num"], r1["ks_stat"]) == (r7["d_num"], r7["ks_stat"])
+    # ECDFs overlap on [5,9]: max gap is 5 rows * 10 = 50, D = 0.5
+    assert r1["d_num"] == 50.0 and r1["ks_stat"] == 0.5
+
+
+def test_ks_drift_dnum_is_deterministic_double(spark):
+    from kafka_connect_hdfs_spark.operators.quality import ks_drift
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    out = ks_drift(df, df)
+    schema = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    # d_num is the split-derived double (exact below 2**53) so the gap
+    # product can pass 2**63 at 100 TB without wrapping (r08 ADVICE)
+    assert schema["d_num"] == "double"
+    assert out.collect()[0]["d_num"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# quality.mutual_information — overflow-safe factor products
+
+
+def test_mutual_info_values_unchanged_by_double_factors(spark):
+    import math
+
+    from kafka_connect_hdfs_spark.operators.quality import mutual_information
+
+    df = spark.createDataFrame(
+        [("x", "p")] * 4 + [("x", "q")] * 2 + [("y", "q")] * 2,
+        "a string, b string",
+    )
+    rows = {(r["a"], r["b"]): r for r in mutual_information(df, "a", "b").collect()}
+    r = rows[("x", "p")]
+    want = (4 / 8) * math.log((4.0 * 8.0) / (6.0 * 4.0))
+    assert abs(r["mi_contrib"] - want) < 1e-6
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (4, 6, 4)
