@@ -192,7 +192,22 @@ def expire_snapshots(
     directories no surviving manifest references. Versions a TAG points
     at are PROTECTED (Iceberg ref semantics — retention must not break
     ``read_tag``; drop or move the tag first to release its version).
-    Returns the expired version numbers."""
+    Returns the expired version numbers.
+
+    Deletion is scoped to the table's OWN ``data/`` prefix (r08 ADVICE):
+    a clone's manifests reference the SOURCE table's data dirs, so an
+    unscoped expire on the clone would reach outside ``path`` and delete
+    the source's files. Foreign paths in expired manifests are never
+    touched — only the owning table retires its own data.
+
+    Clone-aware retention (r08 verdict item 4): if any of this table's
+    data dirs slated for deletion is still pinned by a LIVE registered
+    clone (see :func:`clone_table` / :func:`list_clones`), the expire is
+    REFUSED atomically — nothing is deleted, nothing is unmanifested —
+    naming the blocking clones. Drop the clone (:func:`drop_clone`, or
+    delete the clone table itself) to release the pins; registrations
+    whose clone no longer exists are swept automatically.
+    """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     fs, Path = _fs(spark, path)
@@ -205,10 +220,41 @@ def expire_snapshots(
     for v in versions:
         if v not in expired:
             keep_files.update(_read_manifest(spark, path, v)["files"])
+    own_prefix = path.rstrip("/") + "/data/"
+    doomed: "list[str]" = []
+    for v in expired:
+        for f in _read_manifest(spark, path, v)["files"]:
+            if f not in keep_files and f.startswith(own_prefix):
+                doomed.append(f)
+    # clone pins: refuse BEFORE deleting anything so a blocked expire
+    # leaves the table byte-identical (fault-injection-testable)
+    live, stale = _partition_clones(spark, path)
+    pinned: "set[str]" = set()
+    for reg in live:
+        pinned.update(reg["files"])
+    blocked = sorted(set(doomed) & pinned)
+    if blocked:
+        holders = sorted(
+            reg["path"]
+            for reg in live
+            if set(reg["files"]) & set(blocked)
+        )
+        raise ValueError(
+            f"expire_snapshots refused: {len(blocked)} data dir(s) of "
+            f"{path} are still referenced by live clone(s) {holders}; "
+            "drop the clone(s) first (snapshots.drop_clone) or keep "
+            "enough versions to retain their pinned files"
+        )
+    for reg in stale:  # clone gone from disk: sweep its registration
+        fs.delete(
+            Path(f"{_clones_dir(path)}/{_clone_reg_name(reg['path'])}.json"),
+            False,
+        )
+    doomed_set = set(doomed)
     for v in expired:
         man = _read_manifest(spark, path, v)
         for f in man["files"]:
-            if f not in keep_files:
+            if f in doomed_set:
                 fs.delete(Path(f), True)
         fs.delete(Path(f"{_manifest_dir(path)}/v{v}.json"), False)
     return expired
@@ -225,15 +271,27 @@ def orphan_report(spark: SparkSession, path: str) -> DataFrame:
     planner's input: ``orphan`` rows are safe to delete, ``missing`` rows
     demand a rollback or expiry.
 
+    Dirs pinned by a LIVE registered clone count as references too (r08
+    verdict item 4): a dir only a clone still needs must report ``live``,
+    never ``orphan`` — a vacuum acting on this report must not strand
+    the clone.
+
     Scale: pure driver metadata (one directory listing + the manifest
     list); no data files are opened.
     """
     fs, Path = _fs(spark, path)
+    own_prefix = path.rstrip("/") + "/data/"
     referenced: "dict[str, int]" = {}
     for v in list_snapshots(spark, path):
         for f in _read_manifest(spark, path, v)["files"]:
             name = f.rstrip("/").rsplit("/", 1)[-1]
             referenced[name] = referenced.get(name, 0) + 1
+    live_clones, _ = _partition_clones(spark, path)
+    for reg in live_clones:
+        for f in reg["files"]:
+            if f.startswith(own_prefix):
+                name = f.rstrip("/").rsplit("/", 1)[-1]
+                referenced[name] = referenced.get(name, 0) + 1
     ddir = Path(path.rstrip("/") + "/data")
     on_disk = set()
     if fs.exists(ddir):
@@ -248,6 +306,66 @@ def orphan_report(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "data_dir string, status string, n_refs int"
     )
+
+
+def _clones_dir(path: str) -> str:
+    return path.rstrip("/") + "/_clones"
+
+
+def _clone_reg_name(dst_path: str) -> str:
+    """Registration file name for a clone destination: a path-derived
+    hash so the name is filesystem-safe and idempotent per destination."""
+    import hashlib
+
+    return hashlib.md5(dst_path.rstrip("/").encode("utf-8")).hexdigest()[:16]
+
+
+def list_clones(spark: SparkSession, path: str) -> "list[dict]":
+    """All clone registrations of this table as
+    ``[{"path": dst, "version": v, "files": [...]}]`` — written by
+    :func:`clone_table` into the SOURCE's ``_clones/`` metadata dir so
+    retention (:func:`expire_snapshots`, :func:`orphan_report`) can see
+    which data dirs a clone still pins (r08 verdict item 4). Driver
+    metadata only; includes stale registrations (clone deleted from
+    disk) — :func:`expire_snapshots` sweeps those."""
+    fs, Path = _fs(spark, path)
+    cdir = Path(_clones_dir(path))
+    if not fs.exists(cdir):
+        return []
+    from kafka_connect_hdfs_spark.statedir import read_text
+
+    out = []
+    for st in fs.listStatus(cdir):
+        name = st.getPath().getName()
+        if name.startswith(".") or not name.endswith(".json"):
+            continue
+        out.append(json.loads(read_text(spark, st.getPath())))
+    return out
+
+
+def _partition_clones(
+    spark: SparkSession, path: str
+) -> "tuple[list[dict], list[dict]]":
+    """Split this table's clone registrations into (live, stale): a clone
+    is live while its own snapshot log still exists on disk — deleting
+    the clone table IS dropping the clone, and retention must not stay
+    blocked on a tombstone."""
+    live: "list[dict]" = []
+    stale: "list[dict]" = []
+    for reg in list_clones(spark, path):
+        (live if list_snapshots(spark, reg["path"]) else stale).append(reg)
+    return live, stale
+
+
+def drop_clone(spark: SparkSession, src_path: str, dst_path: str) -> bool:
+    """Deregister a clone from its source's ``_clones/`` registry —
+    releases the retention pins :func:`expire_snapshots` enforces. Does
+    NOT delete the clone's own files (delete the clone table separately;
+    a vanished clone is also auto-swept as stale). Returns whether a
+    registration was removed."""
+    fs, Path = _fs(spark, src_path)
+    p = Path(f"{_clones_dir(src_path)}/{_clone_reg_name(dst_path)}.json")
+    return bool(fs.delete(p, False))
 
 
 def _tags_dir(path: str) -> str:
@@ -551,12 +669,16 @@ def clone_table(
     never observes any of it.
 
     Safety: the clone's manifests point INTO the source's data dirs, so
-    ``expire_snapshots`` on the source can strand a clone — the same
-    shared-file hazard the in-table expiry already guards against,
-    which is why clones are for dev/test branches, not long-lived forks
-    (document-for-production would pin source retention). The clone
-    itself never deletes source files: expire/rollback on the clone
-    only touch manifests and data dirs UNDER ``dst_path``.
+    the clone REGISTERS itself in the source's ``_clones/`` metadata dir
+    (r08 verdict item 4, closing the r08 ADVICE stranding hazard):
+    ``expire_snapshots`` on the source REFUSES to delete data dirs a
+    live registered clone still pins, and :func:`orphan_report` counts
+    clone pins as references. Release the pins with :func:`drop_clone`
+    or by deleting the clone table (stale registrations are swept). The
+    clone itself never deletes source files: expire/rollback on the
+    clone only touch manifests and data dirs UNDER ``dst_path`` —
+    enforced in :func:`expire_snapshots` by scoping deletion to the
+    owning table's ``data/`` prefix, not just documented here.
 
     Returns the clone's version number (always 1 — cloning into an
     existing snapshot table is refused: silently grafting a foreign file
@@ -572,6 +694,30 @@ def clone_table(
         raise ValueError(f"clone source {src_path} has no snapshots")
     v = versions[-1] if version is None else version
     src_manifest = _read_manifest(spark, src_path, v)
+
+    # register at the SOURCE first: a crash between the two writes leaves
+    # a stale registration (no clone manifest → swept later), never a
+    # live-but-unprotected clone
+    sfs, SPath = _fs(spark, src_path)
+    cdir = _clones_dir(src_path)
+    sfs.mkdirs(SPath(cdir))
+    reg = {
+        "path": dst_path.rstrip("/"),
+        "version": v,
+        "files": list(src_manifest["files"]),
+    }
+    reg_tmp = SPath(f"{cdir}/.{_clone_reg_name(dst_path)}.json.tmp")
+    reg_final = SPath(f"{cdir}/{_clone_reg_name(dst_path)}.json")
+    reg_out = sfs.create(reg_tmp, True)
+    try:
+        reg_out.write(bytearray(json.dumps(reg).encode("utf-8")))
+    finally:
+        reg_out.close()
+    # idempotent per destination: re-cloning to a dst whose previous
+    # clone was deleted (stale registration left behind) must replace it
+    sfs.delete(reg_final, False)
+    if not sfs.rename(reg_tmp, reg_final):
+        raise IOError(f"clone registration rename failed for {dst_path}")
 
     fs, Path = _fs(spark, dst_path)
     manifest = {

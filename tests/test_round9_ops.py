@@ -221,3 +221,135 @@ def test_mutual_info_values_unchanged_by_double_factors(spark):
     want = (4 / 8) * math.log((4.0 * 8.0) / (6.0 * 4.0))
     assert abs(r["mi_contrib"] - want) < 1e-6
     assert (r["n_ab"], r["n_a"], r["n_b"]) == (4, 6, 4)
+
+
+# ---------------------------------------------------------------------------
+# snapshots — clone-aware retention (r08 ADVICE high + verdict item 4)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_expire_on_clone_never_deletes_source_files(spark, tmp_path):
+    """THE r08 ADVICE scenario: clone -> overwrite commit on the clone ->
+    expire_snapshots(clone, keep_last=1) previously deleted the SOURCE
+    table's data dirs (the clone's v1 manifest lists them). Deletion is
+    now scoped to the clone's own data/ prefix."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        clone_table, commit_snapshot, expire_snapshots, read_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    commit_snapshot(spark, _mk(spark, [(i, "a") for i in range(10)]), src)
+    clone_table(spark, src, dst)
+    commit_snapshot(spark, _mk(spark, [(99, "z")]), dst, mode="overwrite")
+    expired = expire_snapshots(spark, dst, keep_last=1)
+    assert expired == [1]
+    # the source is fully intact and readable
+    assert read_snapshot(spark, src).count() == 10
+    assert read_snapshot(spark, dst).count() == 1
+
+
+def test_expire_on_source_refused_while_clone_live(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        clone_table, commit_snapshot, expire_snapshots, read_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    commit_snapshot(spark, _mk(spark, [(1, "a")]), src)       # v1
+    clone_table(spark, src, dst)                               # pins v1 dirs
+    commit_snapshot(spark, _mk(spark, [(2, "b")]), src)        # v2 overwrite
+    with pytest.raises(ValueError, match="clone"):
+        expire_snapshots(spark, src, keep_last=1)
+    # atomic refusal: nothing deleted, nothing unmanifested
+    assert read_snapshot(spark, src, version=1).count() == 1
+    assert read_snapshot(spark, dst).count() == 1
+
+
+def test_expire_proceeds_after_drop_clone(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        clone_table, commit_snapshot, drop_clone, expire_snapshots,
+        list_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    commit_snapshot(spark, _mk(spark, [(1, "a")]), src)
+    clone_table(spark, src, dst)
+    commit_snapshot(spark, _mk(spark, [(2, "b")]), src)
+    assert drop_clone(spark, src, dst) is True
+    assert expire_snapshots(spark, src, keep_last=1) == [1]
+    assert list_snapshots(spark, src) == [2]
+
+
+def test_expire_sweeps_stale_registration_of_deleted_clone(spark, tmp_path):
+    import shutil
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        clone_table, commit_snapshot, expire_snapshots, list_clones,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    commit_snapshot(spark, _mk(spark, [(1, "a")]), src)
+    clone_table(spark, src, dst)
+    commit_snapshot(spark, _mk(spark, [(2, "b")]), src)
+    shutil.rmtree(dst)  # deleting the clone table IS dropping the clone
+    assert expire_snapshots(spark, src, keep_last=1) == [1]
+    assert list_clones(spark, src) == []  # stale registration swept
+
+
+def test_expire_allowed_when_clone_pins_survive(spark, tmp_path):
+    """A clone pinning files that SURVIVING manifests still reference
+    does not block expiry of other versions."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        clone_table, commit_snapshot, expire_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    commit_snapshot(spark, _mk(spark, [(1, "a")]), src)              # v1
+    commit_snapshot(spark, _mk(spark, [(2, "b")]), src, mode="append")  # v2
+    clone_table(spark, src, dst)  # pins v2's files = v1 dirs + v2 dirs
+    # expiring v1 deletes nothing (its dir survives in v2's manifest)
+    assert expire_snapshots(spark, src, keep_last=1) == [1]
+
+
+def test_orphan_report_counts_clone_pins_as_live(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        clone_table, commit_snapshot, orphan_report,
+    )
+    from kafka_connect_hdfs_spark.statedir import _fs as _sfs
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    commit_snapshot(spark, _mk(spark, [(1, "a")]), src)
+    clone_table(spark, src, dst)
+    # simulate an expired-version dir that ONLY the clone still pins:
+    # remove the v1 manifest by hand (leaving data/v1 unmanifested)
+    fs, Path = _sfs(spark, src)
+    fs.delete(Path(f"{src}/_snapshots/v1.json"), False)
+    rows = {r["data_dir"]: r for r in orphan_report(spark, src).collect()}
+    # without clone awareness this dir would report 'orphan' (vacuum bait)
+    assert rows["v1"]["status"] == "live"
+    assert rows["v1"]["n_refs"] == 1
+
+
+def test_reclone_after_clone_deletion_is_idempotent(spark, tmp_path):
+    import shutil
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        clone_table, commit_snapshot, list_clones, read_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    commit_snapshot(spark, _mk(spark, [(1, "a")]), src)
+    clone_table(spark, src, dst)
+    shutil.rmtree(dst)
+    clone_table(spark, src, dst)  # stale registration must be replaced
+    assert len(list_clones(spark, src)) == 1
+    assert read_snapshot(spark, dst).count() == 1
