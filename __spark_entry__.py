@@ -5216,6 +5216,52 @@ def _q_ops_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ops_partition_evolution_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL partition-layout evolution (compaction.
+    relayout_partitions with ``scope``, r08 verdict item 3): land an
+    events slice partitioned by event_type, then relay ONE old leaf per
+    call — mid-sequence calls must leave the live table untouched and
+    return {}, and only the completing call performs the atomic cutover.
+    The oracle aggregates the source rows, so any loss/duplication across
+    the per-leaf staging breaks the hash; relayout_ok pins the
+    mid-sequence {} contract and the final day-partitioned tree."""
+    import os
+    import tempfile
+
+    from kafka_connect_hdfs_spark.compaction import relayout_partitions
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= 4000) & (F.col("event_id") < 8000))
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    path = tempfile.mkdtemp(prefix="kchs_relayout_incr_") + "/t"
+    ev.write.partitionBy("event_type").parquet(path)
+    leaves = sorted(
+        d for d in os.listdir(path) if d.startswith("event_type=")
+    )
+    ok = True
+    for i, leaf in enumerate(leaves):
+        out = relayout_partitions(spark, path, ["day"], scope=[leaf])
+        if i < len(leaves) - 1:
+            ok = ok and out == {}  # live untouched mid-sequence
+        else:
+            ok = ok and len(out) > 0 and all(
+                k.startswith("day=") for k in out
+            )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .withColumn("relayout_ok", F.lit(ok))
+        .orderBy("day")
+    )
+
+
 def _q_graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distances over the thresholded covisit graph
     (graph.bfs_distances): seeds = user_id % 97 == 0, 3 bounded
@@ -5665,6 +5711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_distances": _q_graph_bfs_distances,
         "graph_link_prediction": _q_graph_link_prediction,
         "ops_clone_table": _q_ops_clone_table,
+        # ===== NEW in r09
+        "ops_partition_evolution_incr": _q_ops_partition_evolution_incr,
     }
     # ROUND-8 WINDOW: the driver checks the FIRST 50 keys — the 12 r07
     # gates that never had a driver row, the 4 gates whose Spark+oracle
@@ -11809,6 +11857,13 @@ ORDER BY counts.doc_id
 SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_events,
        sum(event_id)::BIGINT AS sum_ids, TRUE AS relayout_ok
 FROM events WHERE event_id < 4000
+GROUP BY 1 ORDER BY day
+"""
+
+    sql["ops_partition_evolution_incr"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_events,
+       sum(event_id)::BIGINT AS sum_ids, TRUE AS relayout_ok
+FROM events WHERE event_id >= 4000 AND event_id < 8000
 GROUP BY 1 ORDER BY day
 """
 

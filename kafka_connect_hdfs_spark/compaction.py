@@ -98,11 +98,37 @@ def compact_partitions(
     return results
 
 
+def _walk_leaves(fs, root) -> "list[tuple[str, list]]":
+    """All leaf data directories under ``root`` as ``(abs_path, files)``
+    (a dir with files and no visible subdirs; hidden ``_``/``.`` entries
+    ignored, matching Spark's discovery)."""
+    leaves: "list[tuple[str, list]]" = []
+
+    def walk(p):
+        entries = list(fs.listStatus(p))
+        subdirs = [
+            e for e in entries
+            if e.isDirectory() and not e.getPath().getName().startswith(("_", "."))
+        ]
+        files = [
+            e for e in entries
+            if e.isFile() and not e.getPath().getName().startswith(("_", "."))
+        ]
+        if files and not subdirs:
+            leaves.append((p.toString(), files))
+        for d in subdirs:
+            walk(d.getPath())
+
+    walk(root)
+    return leaves
+
+
 def relayout_partitions(
     spark: SparkSession,
     table_path: str,
     new_partition_cols: "list[str]",
     fmt: str = "parquet",
+    scope: "list[str] | None" = None,
 ) -> "dict[str, int]":
     """Partition-layout EVOLUTION: rewrite the landed table at
     ``table_path`` so its directory layout partitions by
@@ -122,18 +148,42 @@ def relayout_partitions(
 
     Returns ``{new_leaf_dir: n_files}`` for the rewritten tree.
 
+    INCREMENTAL MODE (r08 verdict item 3): pass ``scope`` — a list of
+    OLD leaf dirs relative to ``table_path`` (e.g.
+    ``["event_type=click"]``) — to relay only those slices into a
+    persistent hidden STAGE tree. Each scoped leaf is independently
+    crash-recoverable: its rewrite lands under a per-leaf temp dir, its
+    files move into the stage tree under a per-leaf name prefix (so a
+    crashed half-moved attempt is purged by prefix on restart), and a
+    per-leaf done marker commits it — re-running a completed leaf is a
+    no-op. The LIVE table is untouched (readers see the old layout,
+    every file inode-identical) until the call that completes the LAST
+    old leaf, which performs the same two-rename atomic swap as the
+    global mode (with roll-forward recovery if a crash lands between
+    the renames). Mid-sequence calls return ``{}``; the completing call
+    returns the new tree's ``{new_leaf_dir: n_files}``. A 100 TB
+    relayout restarts per-dir instead of wasting the whole job.
+
     Scale: the rewrite is ONE shuffle on the new partition key (the
     write's ``partitionBy`` clustering) over each old partition's data —
-    at 100 TB run it per OLD-partition slice (the dirs are independent;
-    loop the old leaves through this same swap) rather than one global
-    job; the operator keeps whole-table semantics because the gate's
-    fidelity contract is table-level.
+    at 100 TB run it per OLD-partition slice via ``scope`` (the dirs are
+    independent) rather than one global job; the operator keeps
+    whole-table semantics because the gate's fidelity contract is
+    table-level. Scoped reads recover the old partition columns via
+    ``basePath``, so the relayed rows are byte-equal to a global
+    rewrite's.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     root = Path(table_path)
     fs = root.getFileSystem(conf)
+
+    if scope is not None:
+        return _relayout_scoped(
+            spark, fs, Path, table_path, new_partition_cols, fmt, scope
+        )
+
     if not fs.exists(root):
         raise FileNotFoundError(table_path)
 
@@ -185,4 +235,157 @@ def relayout_partitions(
             walk(d.getPath())
 
     walk(root)
+    return out
+
+
+_DONE_PREFIX = "_relayout_done_"
+
+
+def _leaf_reg(rel: str) -> str:
+    """Stable per-old-leaf id: filesystem-safe, collision-free enough for
+    a directory tree (md5 of the relative path)."""
+    import hashlib
+
+    return hashlib.md5(rel.encode("utf-8")).hexdigest()[:12]
+
+
+def _relayout_scoped(
+    spark: SparkSession,
+    fs,
+    Path,
+    table_path: str,
+    new_partition_cols: "list[str]",
+    fmt: str,
+    scope: "list[str]",
+) -> "dict[str, int]":
+    """Incremental relayout (see :func:`relayout_partitions`): relay the
+    ``scope`` old leaves into the persistent stage tree; swap the stage
+    in when the last old leaf completes."""
+    live_str = table_path.rstrip("/")
+    live = Path(live_str)
+    parent, leaf = live_str.rsplit("/", 1)
+    stage_str = f"{parent}/.{leaf}__relayout_stage"
+    old_str = f"{parent}/.{leaf}__relayout_old"
+    stage = Path(stage_str)
+
+    def _sweep_markers(dir_str: str) -> None:
+        p = Path(dir_str)
+        if not fs.exists(p):
+            return
+        for e in fs.listStatus(p):
+            if e.isFile() and e.getPath().getName().startswith(_DONE_PREFIX):
+                fs.delete(e.getPath(), False)
+
+    # crash recovery for the FINAL swap: roll forward (stage was complete
+    # — finish the cutover), or finish the cleanup of a swap that landed
+    if not fs.exists(live):
+        if fs.exists(stage):
+            # mid-sequence the live dir is never renamed, so live-missing
+            # + stage-present is exactly the final-swap crash window and
+            # the stage is complete: finish the cutover and return it
+            if not fs.rename(stage, live):
+                raise IOError(f"relayout roll-forward failed for {live_str}")
+            fs.delete(Path(old_str), True)
+            _sweep_markers(live_str)
+            base_q = fs.makeQualified(live).toString().rstrip("/")
+            return {
+                dir_str[len(base_q):].lstrip("/"): len(files)
+                for dir_str, files in _walk_leaves(fs, live)
+            }
+        elif fs.exists(Path(old_str)):
+            if not fs.rename(Path(old_str), live):
+                raise IOError(f"relayout restore failed for {live_str}")
+        else:
+            raise FileNotFoundError(table_path)
+    elif fs.exists(Path(old_str)) and not fs.exists(stage):
+        fs.delete(Path(old_str), True)  # swap landed; cleanup crashed
+        _sweep_markers(live_str)
+
+    # fresh sequence: sweep stale done markers a crashed FINAL cleanup of
+    # a PREVIOUS sequence may have left in the live root (same rel names
+    # would otherwise read as already-done)
+    if not fs.exists(stage):
+        _sweep_markers(live_str)
+        fs.mkdirs(stage)
+
+    base_q = fs.makeQualified(live).toString().rstrip("/")
+    live_leaves = {
+        (p[len(base_q):].lstrip("/") if p != base_q else ""): files
+        for p, files in _walk_leaves(fs, live)
+    }
+    unknown = [rel for rel in scope if rel.rstrip("/") not in live_leaves]
+    if unknown:
+        raise ValueError(
+            f"scope entries {unknown} are not leaf dirs of {table_path} "
+            f"(have {sorted(live_leaves)})"
+        )
+
+    for rel in (r.rstrip("/") for r in scope):
+        reg = _leaf_reg(rel)
+        marker = Path(f"{stage_str}/{_DONE_PREFIX}{reg}")
+        if fs.exists(marker):
+            continue  # restart: this leaf already committed
+        # purge files of a crashed half-moved attempt of THIS leaf
+        for _dir, files in _walk_leaves(fs, stage):
+            for e in files:
+                if e.getPath().getName().startswith(f"p{reg}_"):
+                    fs.delete(e.getPath(), False)
+        tmp_str = f"{stage_str}/.leaf_{reg}_tmp"
+        fs.delete(Path(tmp_str), True)
+        src = live_str if rel == "" else f"{live_str}/{rel}"
+        df = (
+            spark.read.format(fmt)
+            .option("basePath", live_str)
+            .load(src)
+        )
+        missing = [c for c in new_partition_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"new partition columns {missing} not in table columns "
+                f"{df.columns}"
+            )
+        (
+            df.write.format(fmt)
+            .partitionBy(*new_partition_cols)
+            .mode("overwrite")
+            .save(tmp_str)
+        )
+        # move the slice's files into the cumulative stage tree under the
+        # per-leaf prefix; dir-level merge is append-only renames
+        tmp_q = fs.makeQualified(Path(tmp_str)).toString().rstrip("/")
+        for dir_str, files in _walk_leaves(fs, Path(tmp_str)):
+            nrel = dir_str[len(tmp_q):].lstrip("/")
+            dest = stage_str if nrel == "" else f"{stage_str}/{nrel}"
+            fs.mkdirs(Path(dest))
+            for e in files:
+                nm = e.getPath().getName()
+                if not fs.rename(e.getPath(), Path(f"{dest}/p{reg}_{nm}")):
+                    raise IOError(
+                        f"relayout stage move failed for {rel} ({nm})"
+                    )
+        fs.delete(Path(tmp_str), True)
+        fs.create(marker, True).close()  # the leaf's commit point
+
+    done = {
+        e.getPath().getName()[len(_DONE_PREFIX):]
+        for e in fs.listStatus(stage)
+        if e.isFile() and e.getPath().getName().startswith(_DONE_PREFIX)
+    }
+    if not all(_leaf_reg(rel) in done for rel in live_leaves):
+        return {}  # mid-sequence: live table untouched, stage persists
+
+    # every old leaf is staged: atomic cutover (two renames, recoverable
+    # by the roll-forward block above), then marker cleanup
+    if not fs.rename(live, Path(old_str)):
+        raise IOError(f"relayout swap-out rename failed for {table_path}")
+    if not fs.rename(stage, live):
+        fs.rename(Path(old_str), live)  # restore and surface
+        raise IOError(f"relayout swap-in rename failed for {table_path}")
+    fs.delete(Path(old_str), True)
+    _sweep_markers(live_str)
+
+    out: "dict[str, int]" = {}
+    for dir_str, files in _walk_leaves(fs, live):
+        rel = dir_str[len(base_q):].lstrip("/")
+        out[rel] = len(files)
     return out
