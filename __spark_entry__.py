@@ -2108,6 +2108,61 @@ def _q_ops_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _q_ops_merge_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL keyed MERGE (merge.merge_keyed, r08 verdict item 7): land
+    events partitioned by type, then one batch that exercises all three
+    MERGE clauses — ids %7==0 MOVE to a brand-new 'moved' partition with
+    value+500 (cross-partition update), ids %11==0 (and not %7) DELETE,
+    ids 3000-3099 INSERT — and aggregate the post-merge table. The
+    oracle recomputes the expected state with Delta MERGE semantics, so
+    lost moves, undeleted keys, duplicated inserts, or collateral damage
+    to unrelated partitions all break the hash."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.merge import merge_keyed
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "event_type", "value").filter(
+        F.col("event_id") < 3000
+    )
+    path = tempfile.mkdtemp(prefix="kchs_merge_keyed_") + "/t"
+    base.write.partitionBy("event_type").parquet(path)
+    moves = (
+        base.filter(F.col("event_id") % 7 == 0)
+        .withColumn("event_type", F.lit("moved"))
+        .withColumn("value", F.col("value") + 500.0)
+        .withColumn("is_del", F.lit(False))
+    )
+    deletes = (
+        base.filter((F.col("event_id") % 11 == 0) & (F.col("event_id") % 7 != 0))
+        .withColumn("is_del", F.lit(True))
+    )
+    inserts = (
+        ev.select("event_id", "event_type", "value")
+        .filter((F.col("event_id") >= 3000) & (F.col("event_id") < 3100))
+        .withColumn("is_del", F.lit(False))
+    )
+    merge_keyed(
+        spark, path,
+        moves.unionByName(deletes).unionByName(inserts),
+        key_col="event_id", partition_col="event_type",
+        delete_col="is_del",
+    )
+    back = spark.read.parquet(path)
+    from kafka_connect_hdfs_spark.functions import surface_dec_sum
+
+    return surface_dec_sum(
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        ),
+        "total_value",
+    ).orderBy("event_type")
+
+
 def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (m=4 subspaces, 16 codes/subspace,
     deterministic first-16 codebook)."""
@@ -5713,6 +5768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_clone_table": _q_ops_clone_table,
         # ===== NEW in r09
         "ops_partition_evolution_incr": _q_ops_partition_evolution_incr,
+        "ops_merge_keyed": _q_ops_merge_keyed,
     }
     # ROUND-8 WINDOW: the driver checks the FIRST 50 keys — the 12 r07
     # gates that never had a driver row, the 4 gates whose Spark+oracle
@@ -8362,6 +8418,33 @@ SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM merged GROUP BY event_type ORDER BY event_type
 """
+    sql["ops_merge_keyed"] = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id < 3000
+),
+upd AS (
+  SELECT event_id, 'moved' AS event_type, value + 500.0 AS value,
+         FALSE AS is_del
+  FROM base WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT event_id, event_type, value, TRUE AS is_del
+  FROM base WHERE event_id % 11 = 0 AND event_id % 7 <> 0
+  UNION ALL
+  SELECT event_id, event_type, value, FALSE AS is_del
+  FROM events WHERE event_id >= 3000 AND event_id < 3100
+),
+merged AS (
+  SELECT event_id, event_type, value FROM base
+  WHERE event_id NOT IN (SELECT event_id FROM upd)
+  UNION ALL
+  SELECT event_id, event_type, value FROM upd WHERE NOT is_del
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(event_id)::BIGINT AS sum_ids,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM merged GROUP BY event_type ORDER BY event_type
+"""
+
     sql["ann_pq_topk"] = """
 WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 book AS (SELECT vec_id AS c_id, v FROM vecs WHERE vec_id < 16),

@@ -180,3 +180,178 @@ def refresh_aggregate(
         .groupBy(*keys)
         .agg(*merged_aggs)
     )
+
+
+def merge_keyed(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_col: str,
+    partition_col: str,
+    fmt: str = "parquet",
+    delete_col: "str | None" = None,
+) -> dict[str, int]:
+    """GENERAL keyed MERGE across partitions — Delta/Iceberg MERGE parity
+    (r08 verdict item 7), generalizing :func:`merge_upsert` in the three
+    ways the partition-scoped form cannot express:
+
+    - **cross-partition key moves**: an update row whose key currently
+      lives in a DIFFERENT partition deletes the old row there and lands
+      the new row where the update says (``merge_upsert`` requires keys
+      to stay put);
+    - **deletes**: with ``delete_col`` set, update rows whose flag is
+      true remove the key wherever it lives (WHEN MATCHED THEN DELETE);
+    - **emptied partitions are dropped**: a partition whose last rows
+      moved or deleted is removed from the table, not left stale.
+
+    Semantics (Delta MERGE): per key, matched → replace (or delete),
+    not-matched → insert into the row's partition. ``updates`` must be
+    key-unique (two source rows for one key raise, Delta's
+    multiple-matches error) and carry the full row schema including
+    ``partition_col``.
+
+    Execution shape, 100 TB-ready:
+      1. LOCATE: one column-pruned scan (``key_col`` bytes only —
+         ``partition_col`` comes from directory names) semi-joined
+         against the broadcast update keys finds the partitions the
+         keys currently live in; Catalyst prunes everything else at
+         planning time. At sustained 100 TB merge cadence, front this
+         with a bucketed key→partition index; the pass stays correct
+         without it.
+      2. STAGE: one job writes the post-merge state of every touched
+         partition (current rows minus updated keys, union the update
+         rows) into a hidden staging tree.
+      3. SWAP: each staged leaf swaps in via the same two-rename
+         crash-recoverable protocol as :func:`merge_upsert`; leaves
+         EMPTIED by the merge roll forward through a
+         ``.<leaf>__merge_dropped`` rename-then-delete. Untouched
+         partitions are never read, written, or renamed
+         (inode-identical, asserted in tests).
+
+    Returns ``{"n_partitions_touched", "n_update_rows",
+    "n_rows_after_affected", "n_partitions_dropped"}``.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(table_path).getFileSystem(conf)
+
+    # crash recovery (same contract as merge_upsert): an __merge_old
+    # backup with no live sibling is a crash inside the two-rename window
+    # (restore it); with a live sibling it is post-swap residue (drop).
+    # An __merge_dropped backup is a partition-drop that crashed before
+    # its final delete — the merge that created it already decided the
+    # partition is gone, so completing the delete is the roll-forward.
+    for st in fs.listStatus(Path(table_path)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(".")):
+            continue
+        if name.endswith("__merge_old"):
+            live_p = Path(f"{table_path}/{name[1:-len('__merge_old')]}")
+            if not fs.exists(live_p):
+                fs.rename(st.getPath(), live_p)
+            else:
+                fs.delete(st.getPath(), True)
+        elif name.endswith("__merge_dropped"):
+            fs.delete(st.getPath(), True)
+
+    dup = (
+        updates.groupBy(key_col)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    if dup.limit(1).count() > 0:
+        raise ValueError(
+            f"updates are not key-unique on {key_col!r}: a MERGE source "
+            "with multiple rows per key is ambiguous (Delta's "
+            "multiple-matches error) — pre-aggregate to one row per key"
+        )
+
+    all_keys = updates.select(key_col).distinct()
+    if delete_col is not None:
+        upd_rows = updates.filter(
+            ~F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        ).drop(delete_col)
+    else:
+        upd_rows = updates
+
+    tgt = spark.read.format(fmt).load(table_path)
+    # LOCATE where the keys currently live: key-column-only scan
+    old_vals = [
+        r[0]
+        for r in tgt.join(F.broadcast(all_keys), key_col, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    new_vals = [
+        r[0] for r in upd_rows.select(partition_col).distinct().collect()
+    ]
+    touched = sorted(set(old_vals) | set(new_vals), key=str)
+    n_update_rows = updates.count()
+    if not touched:
+        return {
+            "n_partitions_touched": 0,
+            "n_update_rows": n_update_rows,
+            "n_rows_after_affected": 0,
+            "n_partitions_dropped": 0,
+        }
+
+    existing = tgt.filter(F.col(partition_col).isin(touched))
+    keep = existing.join(F.broadcast(all_keys), key_col, "left_anti")
+    merged = keep.unionByName(upd_rows.select(*keep.columns))
+
+    staging = f"{table_path}/.merge_keyed_tmp"
+    fs.delete(Path(staging), True)
+    (
+        merged.write.format(fmt)
+        .mode("overwrite")
+        .partitionBy(partition_col)
+        .save(staging)
+    )
+    prefix = f"{partition_col}="
+    staged_leaves = [
+        st.getPath().getName()
+        for st in fs.listStatus(Path(staging))
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+    n_after = (
+        spark.read.format(fmt).load(staging).count() if staged_leaves else 0
+    )
+    for leaf in staged_leaves:
+        live = f"{table_path}/{leaf}"
+        old = f"{table_path}/.{leaf}__merge_old"
+        fs.delete(Path(old), True)
+        if fs.exists(Path(live)):
+            fs.rename(Path(live), Path(old))
+        fs.rename(Path(f"{staging}/{leaf}"), Path(live))
+        fs.delete(Path(old), True)
+    fs.delete(Path(staging), True)
+
+    # partitions the merge emptied: touched but absent from the staged
+    # tree — drop via rename-then-delete (roll-forward recoverable).
+    # Leaf names derive from Spark's own partition-path escaping so the
+    # comparison matches what the writer produced.
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    expected = {
+        f"{prefix}{esc.escapePathName(str(v))}"
+        for v in touched
+        if v is not None
+    }
+    n_dropped = 0
+    for leaf in sorted(expected - set(staged_leaves)):
+        live_p = Path(f"{table_path}/{leaf}")
+        if fs.exists(live_p):
+            dropped = Path(f"{table_path}/.{leaf}__merge_dropped")
+            fs.delete(dropped, True)
+            if not fs.rename(live_p, dropped):
+                raise IOError(f"merge drop rename failed for {leaf}")
+            fs.delete(dropped, True)
+            n_dropped += 1
+
+    return {
+        "n_partitions_touched": len(touched),
+        "n_update_rows": n_update_rows,
+        "n_rows_after_affected": n_after,
+        "n_partitions_dropped": n_dropped,
+    }

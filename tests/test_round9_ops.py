@@ -507,3 +507,132 @@ def test_relayout_scoped_restore_after_swap_out_only_crash(spark, tmp_path):
     out = relayout_partitions(spark, path, ["day"], scope=[])
     assert out == {}  # restored, nothing staged yet
     assert spark.read.parquet(path).count() == 6
+
+
+# ---------------------------------------------------------------------------
+# merge.merge_keyed — general cross-partition MERGE (r08 verdict item 7)
+
+
+def _landing(spark, path):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0),
+            (4, "b", 40.0), (5, "c", 50.0),
+        ],
+        "k long, p string, v double",
+    )
+    df.write.partitionBy("p").parquet(path)
+    return df
+
+
+def test_merge_keyed_update_insert_and_cross_partition_move(spark, tmp_path):
+    from kafka_connect_hdfs_spark.merge import merge_keyed
+
+    path = str(tmp_path / "t")
+    _landing(spark, path)
+    updates = spark.createDataFrame(
+        [
+            (2, "a", 21.0),   # in-place update
+            (3, "c", 31.0),   # key MOVES b -> c
+            (9, "b", 90.0),   # brand-new key
+        ],
+        "k long, p string, v double",
+    )
+    stats = merge_keyed(spark, path, updates, "k", "p")
+    got = {
+        (r["k"], r["p"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "a", 10.0), (2, "a", 21.0), (4, "b", 40.0),
+        (9, "b", 90.0), (3, "c", 31.0), (5, "c", 50.0),
+    }
+    assert stats["n_partitions_touched"] == 3  # a, b, c all involved
+    assert stats["n_partitions_dropped"] == 0
+
+
+def test_merge_keyed_untouched_partition_inode_identical(spark, tmp_path):
+    import os
+
+    from kafka_connect_hdfs_spark.merge import merge_keyed
+
+    path = str(tmp_path / "t")
+    _landing(spark, path)
+    before = {
+        f: os.stat(os.path.join(path, "p=c", f)).st_ino
+        for f in os.listdir(f"{path}/p=c")
+        if not f.startswith((".", "_"))
+    }
+    updates = spark.createDataFrame([(1, "a", 11.0)], "k long, p string, v double")
+    merge_keyed(spark, path, updates, "k", "p")
+    after = {
+        f: os.stat(os.path.join(path, "p=c", f)).st_ino
+        for f in os.listdir(f"{path}/p=c")
+        if not f.startswith((".", "_"))
+    }
+    assert after == before  # p=c (and p=b) never read, written, or renamed
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).filter("p='a'").collect()}
+    assert got == {(1, 11.0), (2, 20.0)}
+
+
+def test_merge_keyed_delete_and_partition_drop(spark, tmp_path):
+    import os
+
+    from kafka_connect_hdfs_spark.merge import merge_keyed
+
+    path = str(tmp_path / "t")
+    _landing(spark, path)
+    updates = spark.createDataFrame(
+        [(5, "c", 0.0, True), (3, "a", 31.0, False)],
+        "k long, p string, v double, is_del boolean",
+    )
+    # deleting k=5 empties p=c; k=3 moves b -> a: p=b keeps only k=4
+    stats = merge_keyed(spark, path, updates, "k", "p", delete_col="is_del")
+    assert stats["n_partitions_dropped"] == 1
+    assert not os.path.exists(f"{path}/p=c")
+    got = {
+        (r["k"], r["p"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "a", 10.0), (2, "a", 20.0), (3, "a", 31.0), (4, "b", 40.0),
+    }
+
+
+def test_merge_keyed_rejects_duplicate_source_keys(spark, tmp_path):
+    from kafka_connect_hdfs_spark.merge import merge_keyed
+
+    path = str(tmp_path / "t")
+    _landing(spark, path)
+    updates = spark.createDataFrame(
+        [(2, "a", 1.0), (2, "b", 2.0)], "k long, p string, v double"
+    )
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_keyed(spark, path, updates, "k", "p")
+
+
+def test_merge_keyed_recovers_crashed_drop(spark, tmp_path):
+    """A __merge_dropped backup (drop crashed before its delete) rolls
+    forward on the next merge; an __merge_old with missing live sibling
+    restores."""
+    import os
+    import shutil
+
+    from kafka_connect_hdfs_spark.merge import merge_keyed
+
+    path = str(tmp_path / "t")
+    _landing(spark, path)
+    # crashed drop: p=c renamed aside but not yet deleted
+    os.rename(f"{path}/p=c", f"{path}/.p=c__merge_dropped")
+    # crashed swap: p=a renamed aside, staged never landed
+    os.rename(f"{path}/p=a", f"{path}/.p=a__merge_old")
+    merge_keyed(
+        spark, path,
+        spark.createDataFrame([(4, "b", 41.0)], "k long, p string, v double"),
+        "k", "p",
+    )
+    got = {
+        (r["k"], r["p"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    # p=a restored, p=c drop completed, the b update applied
+    assert got == {(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 41.0)}
+    assert not os.path.exists(f"{path}/.p=c__merge_dropped")
+    shutil.rmtree(path)
