@@ -5132,6 +5132,43 @@ def _q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KS drift monitor ≡ batch recompute (streaming.drift,
+    r08 verdict item 5): the odd-event_id rows replay one file per
+    micro-batch, each batch's quantized value-grid counts fold
+    additively into the persisted grid mart through the crash-
+    recoverable swap; the KS statistic scored from the streamed grid
+    against the even-row reference grid is BIT-identical to batch
+    ks_drift(even, odd) — the oracle IS the batch formulation."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.operators.quality import (
+        ks_from_grids, quantized_counts,
+    )
+    from kafka_connect_hdfs_spark.streaming.drift import start_ks_grid_refresh
+
+    ev = _events(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="kchs_ks_stream_")
+    src = f"{base}/src"
+    ev.filter(F.col("event_id") % 2 == 1).select("value").repartition(
+        4
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ks_grid_refresh(stream, f"{base}/grid", "value", f"{base}/chk")
+    if not q.awaitTermination(300):
+        q.stop()
+    cur_grid = spark.read.parquet(f"{base}/grid").select("q", "n")
+    ref_grid = quantized_counts(
+        ev.filter(F.col("event_id") % 2 == 0), "value"
+    )
+    return ks_from_grids(ref_grid, cur_grid)
+
+
 def _q_ops_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level schema diff between snapshot versions
     (snapshots.snapshot_schema_drift): v2 drops lang, adds n_chars, and
@@ -5769,6 +5806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== NEW in r09
         "ops_partition_evolution_incr": _q_ops_partition_evolution_incr,
         "ops_merge_keyed": _q_ops_merge_keyed,
+        "stream_ks_drift": _q_stream_ks_drift,
     }
     # ROUND-8 WINDOW: the driver checks the FIRST 50 keys — the 12 r07
     # gates that never had a driver row, the 4 gates whose Spark+oracle
@@ -11843,6 +11881,10 @@ SELECT n_ref, n_cur,
        {_OQ6(f"{_OD2('max(abs(cr::HUGEINT * n_cur - cc::HUGEINT * n_ref))')} / {_OD2('n_ref::HUGEINT * n_cur')}")} AS ks_stat
 FROM cum CROSS JOIN tot GROUP BY n_ref, n_cur
 """
+
+    # the streamed grid is bit-identical to the batch grid (exact integer
+    # fold), so the streaming monitor's oracle IS the batch KS SQL
+    sql["stream_ks_drift"] = sql["quality_ks_drift"]
 
     import math as _math
 

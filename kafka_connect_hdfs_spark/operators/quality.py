@@ -651,6 +651,46 @@ def ks_drift(
     offsets. The only unpartitioned window left runs over those
     ≤``grid_partitions`` total rows.
     """
+    r = quantized_counts(ref, value_col, quantize_scale, count_col="_nr")
+    c = quantized_counts(cur, value_col, quantize_scale, count_col="_nc")
+    return ks_from_grids(r, c, grid_partitions=grid_partitions)
+
+
+def quantized_counts(
+    df: DataFrame,
+    value_col: str = "value",
+    quantize_scale: int = 2,
+    count_col: str = "n",
+) -> DataFrame:
+    """Exact integer value-grid counts: HALF-UP quantize ``value_col`` to
+    ``10**quantize_scale`` units and count per grid point →
+    ``(q, count_col)``. This is :func:`ks_drift`'s per-side kernel,
+    exposed because grid counts are DISTRIBUTIVE — they fold additively
+    across micro-batches, which is what makes the streaming KS monitor
+    (:mod:`streaming.drift`) bit-identical to the batch recompute.
+
+    Scale: one map-side-combined aggregate; distinct grid values, not
+    rows, cross the shuffle."""
+    unit = 10**quantize_scale
+    v = F.col(value_col).cast("double") * F.lit(float(unit))
+    m = F.when(v < 0, -F.floor(-v + F.lit(0.5))).otherwise(
+        F.floor(v + F.lit(0.5))
+    ).cast("bigint")
+    return df.select(m.alias("q")).groupBy("q").agg(
+        F.count("*").alias(count_col)
+    )
+
+
+def ks_from_grids(
+    ref_grid: DataFrame,
+    cur_grid: DataFrame,
+    grid_partitions: "int | None" = None,
+) -> DataFrame:
+    """The KS statistic from two already-quantized integer count grids
+    (``(q, _nr)`` / ``(q, _nc)`` — :func:`quantized_counts` output with
+    those count names, or any exact-count table on the same grid, e.g.
+    the streaming grid mart). See :func:`ks_drift` for the semantics and
+    the two-phase prefix-sum plan shape."""
     from pyspark.sql import Window
 
     from kafka_connect_hdfs_spark.operators.similarity import (
@@ -658,25 +698,17 @@ def ks_drift(
         q6_col,
     )
 
-    unit = 10**quantize_scale
-
-    def _q(df: DataFrame, out: str) -> DataFrame:
-        v = F.col(value_col).cast("double") * F.lit(float(unit))
-        m = F.when(v < 0, -F.floor(-v + F.lit(0.5))).otherwise(
-            F.floor(v + F.lit(0.5))
-        ).cast("bigint")
-        return df.select(m.alias("q")).groupBy("q").agg(
-            F.count("*").alias(out)
-        )
-
-    r = _q(ref, "_nr")
-    c = _q(cur, "_nc")
+    r = ref_grid.select("q", F.col(ref_grid.columns[-1]).alias("_nr"))
+    c = cur_grid.select("q", F.col(cur_grid.columns[-1]).alias("_nc"))
     grid = r.join(c, "q", "full_outer").select(
         "q",
         F.coalesce("_nr", F.lit(0)).alias("_nr"),
         F.coalesce("_nc", F.lit(0)).alias("_nc"),
     )
-    n_parts = grid_partitions or ref.sparkSession.sparkContext.defaultParallelism
+    n_parts = (
+        grid_partitions
+        or ref_grid.sparkSession.sparkContext.defaultParallelism
+    )
     # phase 1: range-partition the grid on q; local running sums per range.
     # Both branches below reuse THIS exchange (same subtree → Spark reuses
     # the shuffle), so _pid assignments are consistent by construction.

@@ -636,3 +636,41 @@ def test_merge_keyed_recovers_crashed_drop(spark, tmp_path):
     assert got == {(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 41.0)}
     assert not os.path.exists(f"{path}/.p=c__merge_dropped")
     shutil.rmtree(path)
+
+
+# ---------------------------------------------------------------------------
+# streaming.drift — per-batch KS grid fold ≡ batch recompute (verdict 5)
+
+
+def test_stream_ks_grid_fold_equals_batch(spark, tmp_path):
+    from kafka_connect_hdfs_spark.operators.quality import (
+        ks_drift, ks_from_grids, quantized_counts,
+    )
+    from kafka_connect_hdfs_spark.streaming.drift import start_ks_grid_refresh
+
+    ref = spark.createDataFrame(
+        [(float(i % 7),) for i in range(40)], "value double"
+    )
+    cur = spark.createDataFrame(
+        [(float(i % 9) + 0.5,) for i in range(40)], "value double"
+    )
+    src = str(tmp_path / "src")
+    cur.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ks_grid_refresh(
+        stream, str(tmp_path / "grid"), "value", str(tmp_path / "chk")
+    )
+    assert q.awaitTermination(120)
+    streamed = ks_from_grids(
+        quantized_counts(ref, "value"),
+        spark.read.parquet(str(tmp_path / "grid")).select("q", "n"),
+    ).collect()[0]
+    batch = ks_drift(ref, cur).collect()[0]
+    assert (
+        streamed["n_ref"], streamed["n_cur"],
+        streamed["d_num"], streamed["ks_stat"],
+    ) == (batch["n_ref"], batch["n_cur"], batch["d_num"], batch["ks_stat"])
