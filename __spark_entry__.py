@@ -4986,6 +4986,22 @@ def _q_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ref, cur, value_col="value").orderBy("bucket")
 
 
+def _q_quality_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift gate (quality.jsd_drift): even event_ids =
+    reference, odd = current, 10 equal-width buckets over the reference
+    min/max (the PSI kernel); per-bucket ½p·ln(p/m)+½q·ln(q/m) with
+    zero-count terms contributing 0 — bounded [0, ln 2], the
+    cross-column-comparable member of the drift family."""
+    from kafka_connect_hdfs_spark.operators.quality import jsd_drift
+
+    ev = _events(spark, sf_dir)
+    return jsd_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        value_col="value",
+    ).orderBy("bucket")
+
+
 def _q_text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PMI collocations (text.pmi_collocations): doc-level distinct
     co-occurrence, exact integer counts, one divide + ln of an exact-int
@@ -5167,6 +5183,50 @@ def _q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 0), "value"
     )
     return ks_from_grids(ref_grid, cur_grid)
+
+
+def _q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor ≡ batch recompute (streaming.drift,
+    r08 verdict item 5): bucket edges pinned from the even-row reference
+    min/max at monitor setup, odd rows replay one file per micro-batch
+    folding exact bucket counts into the persisted mart; scoring the
+    streamed counts against the reference counts is BIT-identical to
+    batch psi_drift(even, odd) — the oracle IS the batch formulation."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.operators.quality import (
+        bucket_counts, psi_from_counts,
+    )
+    from kafka_connect_hdfs_spark.streaming.drift import (
+        start_psi_bucket_refresh,
+    )
+
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    mm = ref.agg(
+        F.min(F.col("value").cast("double")),
+        F.max(F.col("value").cast("double")),
+    ).collect()[0]
+    lo, hi = float(mm[0]), float(mm[1])
+    base = tempfile.mkdtemp(prefix="kchs_psi_stream_")
+    src = f"{base}/src"
+    ev.filter(F.col("event_id") % 2 == 1).select("value").repartition(
+        4
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_psi_bucket_refresh(
+        stream, f"{base}/buckets", "value", f"{base}/chk", lo=lo, hi=hi
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+    cur_counts = spark.read.parquet(f"{base}/buckets").select("bucket", "n")
+    ref_counts = bucket_counts(ref, "value", lo, hi)
+    return psi_from_counts(ref_counts, cur_counts).orderBy("bucket")
 
 
 def _q_ops_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5807,6 +5867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_partition_evolution_incr": _q_ops_partition_evolution_incr,
         "ops_merge_keyed": _q_ops_merge_keyed,
         "stream_ks_drift": _q_stream_ks_drift,
+        "stream_psi_drift": _q_stream_psi_drift,
+        "quality_jsd_drift": _q_quality_jsd_drift,
     }
     # ROUND-8 WINDOW: the driver checks the FIRST 50 keys — the 12 r07
     # gates that never had a driver row, the 4 gates whose Spark+oracle
@@ -11721,6 +11783,53 @@ SELECT bucket, n_ref, n_cur,
        {_OQ6(f"({_P} - {_Q}) * ln({_P} / {_Q})")} AS psi_contrib
 FROM j CROSS JOIN t ORDER BY bucket
 """
+
+    # the streamed bucket counts are bit-identical to the batch kernel
+    # (frozen reference edges, exact integer fold), so the streaming PSI
+    # monitor's oracle IS the batch PSI SQL
+    sql["stream_psi_drift"] = sql["quality_psi_drift"]
+
+    # JSD: same bucket CTEs as PSI, different per-bucket formula
+    # (½p·ln(p/m)+½q·ln(q/m), zero-count terms 0 — no smoothing)
+    _JP = "(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))"
+    _JQ = "(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE))"
+    _JM = f"(({_JP} + {_JQ}) / 2.0)"
+    _JTERM = (
+        f"(CASE WHEN n_ref > 0 THEN {_JP} * ln({_JP} / {_JM}) ELSE 0.0 END"
+        f" + CASE WHEN n_cur > 0 THEN {_JQ} * ln({_JQ} / {_JM}) ELSE 0.0 END"
+        ") * 0.5"
+    )
+    sql["quality_jsd_drift"] = f"""
+WITH r AS (SELECT value FROM events WHERE event_id % 2 = 0),
+c AS (SELECT value FROM events WHERE event_id % 2 = 1),
+mm AS (SELECT min(value) AS lo, max(value) AS hi FROM r),
+rb AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE CAST(floor(greatest(0.0, least(9.0,
+                   ((value - lo) * 10.0) / (hi - lo)))) AS INTEGER)
+         END AS bucket, count(*) AS nr
+  FROM r CROSS JOIN mm GROUP BY 1
+),
+cb AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE CAST(floor(greatest(0.0, least(9.0,
+                   ((value - lo) * 10.0) / (hi - lo)))) AS INTEGER)
+         END AS bucket, count(*) AS nc
+  FROM c CROSS JOIN mm GROUP BY 1
+),
+base AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+j AS (
+  SELECT base.bucket::INT AS bucket,
+         coalesce(nr, 0)::BIGINT AS n_ref, coalesce(nc, 0)::BIGINT AS n_cur
+  FROM base LEFT JOIN rb ON base.bucket = rb.bucket
+            LEFT JOIN cb ON base.bucket = cb.bucket
+),
+t AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM j)
+SELECT bucket, n_ref, n_cur,
+       {_OQ6(_JTERM)} AS jsd_contrib
+FROM j CROSS JOIN t ORDER BY bucket
+"""
+
     # PMI collocations: doc-level distinct co-occurrence, exact counts,
     # ln of an exact-int ratio (the kl_contrib precedent), q6
     _TOKS_NN = (

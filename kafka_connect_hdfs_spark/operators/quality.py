@@ -583,14 +583,152 @@ def psi_drift(
 
     rb = _bucketed(ref, "_nr")
     cb = _bucketed(cur, "_nc")
+    return psi_from_counts(rb, cb, n_buckets=n_buckets)
+
+
+def jsd_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Jensen-Shannon divergence between a reference and a current
+    sample of a numeric column — the bounded, symmetric member of the
+    drift family (:func:`psi_drift` is unbounded and blows up on
+    near-empty buckets even smoothed; :func:`ks_drift` sees only the
+    worst ECDF point; JSD ∈ [0, ln 2] weighs the WHOLE distribution and
+    is safe to threshold across columns of different shapes).
+
+    Buckets are the same exact equal-width reference-min/max kernel as
+    PSI (engine-identical edges, out-of-range clamps to the edge
+    buckets). Per bucket with ``p = n_ref/Nr``, ``q = n_cur/Nc``,
+    ``m = (p+q)/2``: contribution ``½·p·ln(p/m) + ½·q·ln(q/m)``
+    (zero-count terms contribute 0 — no smoothing needed, unlike PSI);
+    Σ contributions is the JSD. Returns one row per bucket:
+    ``(bucket, n_ref, n_cur, jsd_contrib)``, 6-dp HALF-UP.
+
+    Scale: identical to PSI — two bounded single-pass aggregations and
+    broadcast joins of ≤ ``n_buckets``-row tables.
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    mm = ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+
+    def _bucketed(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        raw = (
+            (v - F.col("_lo"))
+            * F.lit(float(n_buckets))
+            / (F.col("_hi") - F.col("_lo"))
+        )
+        clamped = F.floor(
+            F.greatest(F.lit(0.0), F.least(F.lit(float(n_buckets - 1)), raw))
+        ).cast("int")
+        b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(clamped)
+        return (
+            df.crossJoin(F.broadcast(mm))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(out))
+        )
+
+    r = _bucketed(ref, "_nr")
+    c = _bucketed(cur, "_nc")
     base = F.broadcast(
         ref.sparkSession.range(n_buckets).select(
             F.col("id").cast("int").alias("bucket")
         )
     )
     j = (
-        base.join(rb, "bucket", "left")
-        .join(cb, "bucket", "left")
+        base.join(r, "bucket", "left")
+        .join(c, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("_nr", F.lit(0)).alias("n_ref"),
+            F.coalesce("_nc", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p = F.col("n_ref").cast("double") / F.col("_tr").cast("double")
+    q = F.col("n_cur").cast("double") / F.col("_tc").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("n_ref") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("n_cur") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) * F.lit(0.5)
+    return j.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        q6_col(term).alias("jsd_contrib"),
+    )
+
+
+def bucket_counts(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    count_col: str = "n",
+) -> DataFrame:
+    """:func:`psi_drift`'s per-side bucket kernel with FROZEN literal
+    edges → ``(bucket, count_col)``. The bucket index is the identical
+    IEEE expression as the batch form (same multiply-then-divide, same
+    clamp), so counts folded from micro-batches with pinned ``lo``/``hi``
+    (the monitor-setup reference min/max) are bit-identical to the batch
+    recompute — the streaming PSI monitor's kernel
+    (:mod:`streaming.drift`). Counts are distributive; one
+    map-side-combined ≤ ``n_buckets``-row aggregate."""
+    v = F.col(value_col).cast("double")
+    if float(hi) == float(lo):
+        b = F.lit(0)
+    else:
+        raw = (
+            (v - F.lit(float(lo)))
+            * F.lit(float(n_buckets))
+            / F.lit(float(hi) - float(lo))
+        )
+        b = F.floor(
+            F.greatest(F.lit(0.0), F.least(F.lit(float(n_buckets - 1)), raw))
+        ).cast("int")
+    return df.select(b.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias(count_col)
+    )
+
+
+def psi_from_counts(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """The PSI contributions from two already-bucketed count tables
+    (``(bucket, n)`` — :func:`bucket_counts` output, the streaming
+    bucket mart, or :func:`psi_drift`'s internal kernels). See
+    :func:`psi_drift` for semantics; Laplace smoothing and the 6-dp
+    HALF-UP contract are applied here so every producer of counts scores
+    identically."""
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    r = ref_counts.select(
+        "bucket", F.col(ref_counts.columns[-1]).alias("_nr")
+    )
+    c = cur_counts.select(
+        "bucket", F.col(cur_counts.columns[-1]).alias("_nc")
+    )
+    base = F.broadcast(
+        ref_counts.sparkSession.range(n_buckets).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+    )
+    j = (
+        base.join(r, "bucket", "left")
+        .join(c, "bucket", "left")
         .select(
             "bucket",
             F.coalesce("_nr", F.lit(0)).alias("n_ref"),

@@ -62,3 +62,50 @@ def start_ks_grid_refresh(
         sum_cols=None,
         available_now=available_now,
     )
+
+
+def start_psi_bucket_refresh(
+    stream: DataFrame,
+    state_path: str,
+    value_col: str,
+    checkpoint: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    available_now: bool = True,
+):
+    """The PSI twin of :func:`start_ks_grid_refresh`: fold each
+    micro-batch's equal-width bucket counts into a persisted
+    ``(bucket, n)`` mart. ``lo``/``hi`` are the FROZEN reference min/max
+    pinned at monitor setup (collect them once from the reference
+    sample) — the bucket expression is the identical IEEE kernel as
+    batch :func:`operators.quality.psi_drift`
+    (:func:`operators.quality.bucket_counts`), so the streamed counts
+    are bit-identical to the batch recompute and
+    :func:`operators.quality.psi_from_counts` scores them identically.
+    Out-of-range late values clamp to the edge buckets — exactly the
+    drift signal."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("double")
+    if float(hi) == float(lo):
+        b = F.lit(0)
+    else:
+        raw = (
+            (v - F.lit(float(lo)))
+            * F.lit(float(n_buckets))
+            / F.lit(float(hi) - float(lo))
+        )
+        b = F.floor(
+            F.greatest(F.lit(0.0), F.least(F.lit(float(n_buckets - 1)), raw))
+        ).cast("int")
+    points = stream.select(b.alias("bucket"))
+    return start_mart_refresh(
+        points,
+        state_path,
+        keys=["bucket"],
+        checkpoint=checkpoint,
+        count_col="n",
+        sum_cols=None,
+        available_now=available_now,
+    )

@@ -143,6 +143,20 @@ def _run_suite(spark, sf_dir: str, tag: str) -> list[dict]:
             lambda: qs["ops_cube_profile"](spark, sf_dir).count(),
         )
     )
+    # r08 verdict item 6: the ITERATIVE tier — the round-bounded
+    # label-propagation / large-small-star / wedge kernels must show a
+    # measured wall factor ≈ data_factor (rounds are bounded by design;
+    # volume per round grows linearly), not a superlinear blowup from
+    # deep components or recomputed lineage
+    for it in (
+        "dedup_clusters",
+        "dedup_star_clusters",
+        "graph_triangle_count",
+        "graph_modularity",
+    ):
+        out.append(
+            _timed(spark, f"{it}@{tag}", lambda q=it: qs[q](spark, sf_dir).count())
+        )
     emb = load_table(spark, sf_dir, "embeddings")
     idx = tempfile.mkdtemp(prefix=f"kchs_scale_{tag}_") + "/idx"
     out.append(

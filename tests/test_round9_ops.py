@@ -674,3 +674,78 @@ def test_stream_ks_grid_fold_equals_batch(spark, tmp_path):
         streamed["n_ref"], streamed["n_cur"],
         streamed["d_num"], streamed["ks_stat"],
     ) == (batch["n_ref"], batch["n_cur"], batch["d_num"], batch["ks_stat"])
+
+
+# ---------------------------------------------------------------------------
+# quality.jsd_drift + streaming PSI
+
+
+def test_jsd_identical_samples_zero(spark):
+    from kafka_connect_hdfs_spark.operators.quality import jsd_drift
+
+    df = spark.createDataFrame([(float(i),) for i in range(20)], "value double")
+    rows = jsd_drift(df, df).collect()
+    assert len(rows) == 10
+    assert all(r["jsd_contrib"] == 0.0 for r in rows)
+
+
+def test_jsd_disjoint_samples_ln2(spark):
+    import math
+
+    from kafka_connect_hdfs_spark.operators.quality import jsd_drift
+
+    # ref mass in buckets 0 and 9, cur mass in bucket 5 only (out-of-range
+    # values would CLAMP into ref's edge buckets and overlap — in-range
+    # disjointness is the true upper-bound case)
+    ref = spark.createDataFrame([(0.0,), (10.0,)], "value double")
+    cur = spark.createDataFrame([(5.0,), (5.1,)], "value double")
+    total = sum(r["jsd_contrib"] for r in jsd_drift(ref, cur).collect())
+    # fully disjoint distributions: JSD = ln 2 (the upper bound)
+    assert abs(total - math.log(2.0)) < 1e-5
+
+
+def test_jsd_bounded_and_nonnegative(spark):
+    import math
+
+    from kafka_connect_hdfs_spark.operators.quality import jsd_drift
+
+    ref = spark.createDataFrame([(float(i % 13),) for i in range(50)], "value double")
+    cur = spark.createDataFrame([(float(i % 7) * 1.7,) for i in range(50)], "value double")
+    rows = jsd_drift(ref, cur).collect()
+    assert all(r["jsd_contrib"] >= 0.0 for r in rows)
+    assert sum(r["jsd_contrib"] for r in rows) <= math.log(2.0) + 1e-9
+
+
+def test_stream_psi_bucket_fold_equals_batch(spark, tmp_path):
+    from kafka_connect_hdfs_spark.operators.quality import (
+        bucket_counts, psi_drift, psi_from_counts,
+    )
+    from kafka_connect_hdfs_spark.streaming.drift import (
+        start_psi_bucket_refresh,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 11),) for i in range(60)], "value double"
+    )
+    cur = spark.createDataFrame(
+        [(float(i % 5) * 3.3 - 1.0,) for i in range(60)], "value double"
+    )
+    lo, hi = 0.0, 10.0  # the frozen reference min/max
+    src = str(tmp_path / "src")
+    cur.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_psi_bucket_refresh(
+        stream, str(tmp_path / "b"), "value", str(tmp_path / "chk"),
+        lo=lo, hi=hi,
+    )
+    assert q.awaitTermination(120)
+    streamed = psi_from_counts(
+        bucket_counts(ref, "value", lo, hi),
+        spark.read.parquet(str(tmp_path / "b")).select("bucket", "n"),
+    ).orderBy("bucket").collect()
+    batch = psi_drift(ref, cur, "value").orderBy("bucket").collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
