@@ -4986,6 +4986,41 @@ def _q_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ref, cur, value_col="value").orderBy("bucket")
 
 
+def _q_ops_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot scan (snapshots.read_incremental): commit en
+    (v1), append de (v2), append fr (v3); the v1→v3 incremental read
+    must return EXACTLY the de+fr rows (only the added dirs are listed
+    and read — O(delta) planning, never O(table)); the empty v3→v3
+    delta must count 0. The oracle recomputes the appended slices from
+    the source table."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, read_incremental,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    path = tempfile.mkdtemp(prefix="kchs_incr_") + "/t"
+    commit_snapshot(spark, docs.filter(F.col("lang") == "en"), path)
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "de"), path, mode="append"
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "fr"), path, mode="append"
+    )
+    delta = read_incremental(spark, path, 1, 3)
+    n_empty = read_incremental(spark, path, 3, 3).count()
+    return (
+        delta.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .withColumn("empty_delta_rows", F.lit(n_empty).cast("bigint"))
+        .orderBy("lang")
+    )
+
+
 def _q_quality_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon drift gate (quality.jsd_drift): even event_ids =
     reference, odd = current, 10 equal-width buckets over the reference
@@ -5869,6 +5904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ks_drift": _q_stream_ks_drift,
         "stream_psi_drift": _q_stream_psi_drift,
         "quality_jsd_drift": _q_quality_jsd_drift,
+        "ops_incremental_read": _q_ops_incremental_read,
     }
     # ROUND-8 WINDOW: the driver checks the FIRST 50 keys — the 12 r07
     # gates that never had a driver row, the 4 gates whose Spark+oracle
@@ -8518,6 +8554,13 @@ SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM merged GROUP BY event_type ORDER BY event_type
 """
+    sql["ops_incremental_read"] = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+       0::BIGINT AS empty_delta_rows
+FROM documents WHERE lang IN ('de', 'fr')
+GROUP BY lang ORDER BY lang
+"""
+
     sql["ops_merge_keyed"] = """
 WITH base AS (
   SELECT event_id, event_type, value FROM events WHERE event_id < 3000

@@ -749,3 +749,48 @@ def test_stream_psi_bucket_fold_equals_batch(spark, tmp_path):
     ).orderBy("bucket").collect()
     batch = psi_drift(ref, cur, "value").orderBy("bucket").collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+# ---------------------------------------------------------------------------
+# snapshots.read_incremental — incremental scan
+
+
+def test_incremental_read_returns_only_added_rows(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, read_incremental,
+    )
+
+    path = str(tmp_path / "t")
+    commit_snapshot(spark, _mk(spark, [(1, "a"), (2, "b")]), path)
+    commit_snapshot(spark, _mk(spark, [(3, "c")]), path, mode="append")
+    commit_snapshot(spark, _mk(spark, [(4, "d")]), path, mode="append")
+    assert {r["k"] for r in read_incremental(spark, path, 1, 3).collect()} == {3, 4}
+    assert {r["k"] for r in read_incremental(spark, path, 2).collect()} == {4}
+    # empty delta keeps the schema, returns zero rows
+    empty = read_incremental(spark, path, 3, 3)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_incremental_read_refuses_overwrite_boundary(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, read_incremental,
+    )
+
+    path = str(tmp_path / "t")
+    commit_snapshot(spark, _mk(spark, [(1, "a")]), path)
+    commit_snapshot(spark, _mk(spark, [(2, "b")]), path)  # overwrite
+    with pytest.raises(ValueError, match="append-only"):
+        read_incremental(spark, path, 1, 2)
+
+
+def test_incremental_read_plans_only_delta_dirs(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, read_incremental,
+    )
+
+    path = str(tmp_path / "t")
+    commit_snapshot(spark, _mk(spark, [(1, "a")]), path)
+    commit_snapshot(spark, _mk(spark, [(2, "b")]), path, mode="append")
+    files = read_incremental(spark, path, 1, 2).inputFiles()
+    # O(delta) scan: ONLY the added version's dirs are listed at planning
+    assert files and all("data/v2" in f for f in files), files
