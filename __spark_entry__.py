@@ -5021,6 +5021,61 @@ def _q_ops_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ops_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan vacuum (snapshots.vacuum_orphans): commit v1 (en), append
+    v2 (de), drop an unmanifested data/v99 crashed-commit leftover next
+    to them, vacuum, and census the table — the orphan must be GONE
+    (vacuumed_dirs pins it), both committed versions must read back
+    intact (any collateral deletion breaks the hash)."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, read_snapshot, vacuum_orphans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kchs_vac_") + "/t"
+    commit_snapshot(spark, docs.filter(F.col("lang") == "en"), path)
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "de"), path, mode="append"
+    )
+    docs.filter(F.col("lang") == "fr").write.parquet(f"{path}/data/v99")
+    deleted = vacuum_orphans(spark, path)
+    ok = deleted == ["v99"]
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .withColumn("vacuum_ok", F.lit(ok))
+        .orderBy("lang")
+    )
+
+
+def _q_q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT relational operator: events rotated into an event_type ×
+    day-of-week count/revenue matrix (explicit pivot values 1-7 so the
+    output schema is static — the scale-safe form; an implicit pivot
+    scans once just to discover columns). The oracle is the conditional-
+    aggregation unrolling, which is exactly what Catalyst compiles PIVOT
+    to — one shuffle, map-side partial aggregation."""
+    ev = _events(spark, sf_dir).withColumn("dow", F.dayofweek("ts"))
+    piv = (
+        ev.groupBy("event_type")
+        .pivot("dow", list(range(1, 8)))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "event_type",
+        *[
+            F.coalesce(F.col(str(d)), F.lit(0)).cast("bigint").alias(f"d{d}")
+            for d in range(1, 8)
+        ],
+    ).orderBy("event_type")
+
+
 def _q_quality_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon drift gate (quality.jsd_drift): even event_ids =
     reference, odd = current, 10 equal-width buckets over the reference
@@ -5905,6 +5960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_psi_drift": _q_stream_psi_drift,
         "quality_jsd_drift": _q_quality_jsd_drift,
         "ops_incremental_read": _q_ops_incremental_read,
+        "ops_vacuum_orphans": _q_ops_vacuum_orphans,
+        "q_pivot_report": _q_q_pivot_report,
     }
     # ROUND-8 WINDOW: the driver checks the FIRST 50 keys — the 12 r07
     # gates that never had a driver row, the 4 gates whose Spark+oracle
@@ -8554,6 +8611,24 @@ SELECT event_type, count(*) AS n_events, sum(event_id)::BIGINT AS sum_ids,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM merged GROUP BY event_type ORDER BY event_type
 """
+    sql["ops_vacuum_orphans"] = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+       TRUE AS vacuum_ok
+FROM documents WHERE lang IN ('de', 'en')
+GROUP BY lang ORDER BY lang
+"""
+
+    _dowcols = ",\n       ".join(
+        f"sum(CASE WHEN dayofweek(ts) + 1 = {d} THEN 1 ELSE 0 END)::BIGINT"
+        f" AS d{d}"
+        for d in range(1, 8)
+    )
+    sql["q_pivot_report"] = f"""
+SELECT event_type,
+       {_dowcols}
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
     sql["ops_incremental_read"] = """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
        0::BIGINT AS empty_delta_rows

@@ -360,6 +360,26 @@ def orphan_report(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def vacuum_orphans(spark: SparkSession, path: str) -> "list[str]":
+    """ACT on :func:`orphan_report`: delete every ``orphan`` data dir
+    (no manifest reference AND no live clone pin — the report already
+    counts clone registrations, so a dir only a clone still needs reports
+    ``live`` and survives the vacuum). The storage-reclaim maintenance
+    op after crashed commits or manual history surgery; ``live`` and
+    ``missing`` rows are untouched. Returns the deleted dir names.
+
+    Scale: driver metadata + one recursive delete per orphan dir; no
+    data files are read.
+    """
+    fs, Path = _fs(spark, path)
+    deleted: "list[str]" = []
+    for r in orphan_report(spark, path).collect():
+        if r["status"] == "orphan":
+            fs.delete(Path(f"{path.rstrip('/')}/data/{r['data_dir']}"), True)
+            deleted.append(r["data_dir"])
+    return deleted
+
+
 def _clones_dir(path: str) -> str:
     return path.rstrip("/") + "/_clones"
 

@@ -794,3 +794,30 @@ def test_incremental_read_plans_only_delta_dirs(spark, tmp_path):
     files = read_incremental(spark, path, 1, 2).inputFiles()
     # O(delta) scan: ONLY the added version's dirs are listed at planning
     assert files and all("data/v2" in f for f in files), files
+
+
+# ---------------------------------------------------------------------------
+# snapshots.vacuum_orphans
+
+
+def test_vacuum_deletes_orphans_keeps_live_and_clone_pinned(spark, tmp_path):
+    import os
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        clone_table, commit_snapshot, vacuum_orphans,
+    )
+    from kafka_connect_hdfs_spark.statedir import _fs as _sfs
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    commit_snapshot(spark, _mk(spark, [(1, "a")]), src)
+    clone_table(spark, src, dst)
+    # an unmanifested crashed-commit leftover
+    _mk(spark, [(9, "x")]).write.parquet(f"{src}/data/v99")
+    # a dir ONLY the clone pins (manifest removed by hand)
+    fs, Path = _sfs(spark, src)
+    fs.delete(Path(f"{src}/_snapshots/v1.json"), False)
+    deleted = vacuum_orphans(spark, src)
+    assert deleted == ["v99"]
+    assert os.path.exists(f"{src}/data/v1")  # clone pin rescued it
+    assert not os.path.exists(f"{src}/data/v99")
