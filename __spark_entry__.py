@@ -5475,7 +5475,7 @@ def _q_ops_partition_evolution_incr(spark: SparkSession, sf_dir: str) -> DataFra
 
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter((F.col("event_id") >= 4000) & (F.col("event_id") < 8000))
+        .filter(F.col("event_id") % 4 == 1)  # non-empty at EVERY sf
         .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
     )
     path = tempfile.mkdtemp(prefix="kchs_relayout_incr_") + "/t"
@@ -5963,83 +5963,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_vacuum_orphans": _q_ops_vacuum_orphans,
         "q_pivot_report": _q_q_pivot_report,
     }
-    # ROUND-8 WINDOW: the driver checks the FIRST 50 keys — the 12 r07
-    # gates that never had a driver row, the 4 gates whose Spark+oracle
-    # pairs changed in this round's decimal-split sweep (the other ~30
-    # swept gates produce BIT-IDENTICAL output below 2**53 scaled units
-    # — verified byte-level at sf0.01 — so their recorded greens stand;
-    # they queue first for r09 on the re-check cadence), the stalest
-    # r02-latest block, and the 9 NEW r08 operators.
-    # ROUND-9 QUEUE: the swept-but-bit-identical gates
-    # (o1_avro_roundtrip/_decimal, o3/o_csv roundtrips already in this
-    # window via the r02 block; then q1/q3/q5/q6/q8/q9/q14/q15/q17/q18/
-    # q19/q22, q_first_touch/q_conversion_attribution, q_sessionize,
-    # q_window_suite, q_rolling_7d, q_customer_deciles/rfm,
-    # q_event_type_rollup, stream_windowed_counts/sessionize/late_data,
-    # ops_snapshot_content_diff companions), then the r03-latest block
-    # (48 gates, stalest evidence after this window lands).
-    _R08_WINDOW = [
-        # slots 1-12: NEW in r07, never driver-checked (re-verified
-        # locally green by the r07 judge and again this round)
-        "embedding_int8_quant",
-        "ops_bucketed_join",
-        "ops_schema_drift",
-        "ops_snapshot_audit",
-        "ops_snapshot_content_diff",
-        "q_decay_engagement",
-        "quality_mad_outliers",
-        "quality_psi_drift",
-        "stream_cms_topk",
-        "text_pmi_pairs",
-        "text_rake_keyphrases",
-        "text_weak_label_vote",
-        # slots 13-16: Spark+oracle pairs changed this round (decimal
-        # micro-split sweep / max-offset content-diff fix) — re-check
-        "q_salted_agg",
-        "q_file_skipping",
-        "ops_merge_upsert",
-        "o2_parquet_roundtrip",
-        # slots 17-41: the r02-latest block (stalest driver evidence)
-        "ann_ivf_multiprobe",
-        "ann_ivf_recall",
-        "corpus_e2e_pipeline",
-        "corpus_pack_sequences",
-        "corpus_shuffle_order",
-        "corpus_split",
-        "corpus_weighted_sample",
-        "dedup_clusters",
-        "dedup_incremental",
-        "media_summary",
-        "o1_avro_decimal_roundtrip",
-        "o1_avro_primitive_values",
-        "o1_avro_roundtrip",
-        "o3_json_roundtrip",
-        "o4_text_roundtrip",
-        "o_csv_roundtrip",
-        "o_orc_roundtrip",
-        "ops_compaction_roundtrip",
-        "q_hopping_windows",
-        "q_range_join_shipments",
-        "q_session_windows",
-        "text_normalize",
-        "text_pii_scrub",
-        "text_tfidf",
-        "text_winnow",
-        # slots 42-50: NEW operators this round — driver-checked on
-        # arrival (KS drift, Benford, MI, completeness, char entropy,
-        # partition relayout, multi-source BFS, link prediction, clone)
+    # ROUND-9 WINDOW: the driver checks the FIRST 50 keys — the 8 NEW
+    # r09 operators, the 8 gates whose Spark and/or oracle pairs changed
+    # this round (KS decimal gap + two-phase prefix sum, MI double
+    # factors, PSI kernel refactor, Benford scale knob, clone-aware
+    # retention touching clone/orphan/expire, relayout incremental
+    # mode), the 11 gates whose latest driver row is still r02 (the
+    # stalest evidence), and the r08-documented swept-queue gates
+    # (q1/q3/q5/q6/q14/q15/q17/q18/q19/q22, attribution/sessionize/
+    # rolling/deciles/rfm/rollup, the stream_windowed trio — their
+    # decimal-sweep outputs were byte-identical at sf0.01, re-checked
+    # here on the cadence), topped up from the r03-latest block.
+    # ROUND-10 QUEUE: the remaining r03-latest block (ann_ivfpq_topk,
+    # ann_pq_topk, cdc_*, corpus_chunk_overlap/pack_bestfit/
+    # snapshot_diff/temperature_mix/token_budget, dedup_chunks/
+    # cluster_reps/fuzzy_prefix/incremental_neardup/lsh_jaccard_est,
+    # embedding_dim_stats/normalize, json_quarantine, media_phash_
+    # neardup, q12 + the q_* r03 tail, semantic_dedup_flags, text_
+    # bigram_counts/hot_ngrams/quality_filter/strip_markup/unk_replace),
+    # then the r04-latest block.
+    _R09_WINDOW = [
+        # slots 1-8: NEW in r09 — driver-checked on arrival (incremental
+        # relayout, general MERGE, streaming KS/PSI monitors, JSD drift,
+        # incremental snapshot scan, orphan vacuum, pivot)
+        "ops_partition_evolution_incr",
+        "ops_merge_keyed",
+        "stream_ks_drift",
+        "stream_psi_drift",
+        "quality_jsd_drift",
+        "ops_incremental_read",
+        "ops_vacuum_orphans",
+        "q_pivot_report",
+        # slots 9-16: Spark/oracle pairs changed this round — re-check
         "quality_ks_drift",
-        "quality_benford",
         "quality_mutual_info",
-        "quality_completeness",
-        "text_char_entropy",
-        "ops_partition_evolution",
-        "graph_bfs_distances",
-        "graph_link_prediction",
+        "quality_psi_drift",
+        "quality_benford",
         "ops_clone_table",
+        "ops_orphan_report",
+        "ops_partition_evolution",
+        "ops_expire_snapshots",
+        # slots 17-27: latest driver row still r02 (stalest evidence)
+        "f4_schema_rotation",
+        "json_schemaless",
+        "q2_min_balance_supplier",
+        "q4_order_priority",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q_cube_events",
+        "q_grouping_sets_events",
+        "q_value_percentiles",
+        "q_window_suite",
+        # slots 28-47: the r08-documented swept queue (bit-identical at
+        # sf0.01 when swept; re-checked on the cadence)
+        "q1_pricing_summary",
+        "q3_unshipped_orders",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q17_small_quantity",
+        "q18_large_orders",
+        "q19_disjunctive_revenue",
+        "q22_dormant_customers",
+        "q_first_touch_attribution",
+        "q_conversion_attribution",
+        "q_sessionize",
+        "q_rolling_7d_revenue",
+        "q_customer_deciles",
+        "q_customer_rfm",
+        "q_event_type_rollup",
+        "stream_windowed_counts",
+        "stream_sessionize",
+        "stream_late_data",
+        # slots 48-50: top-up from the r03-latest block
+        "ann_filtered_topk",
+        "ann_hard_negatives",
+        "ann_index_serve",
     ]
-    assert len(_R08_WINDOW) == 50, len(_R08_WINDOW)
-    out = {k: reg.pop(k) for k in _R08_WINDOW}
+    assert len(_R09_WINDOW) == 50, len(_R09_WINDOW)
+    out = {k: reg.pop(k) for k in _R09_WINDOW}
     out.update(reg)
     return out
 
@@ -12215,7 +12219,7 @@ GROUP BY 1 ORDER BY day
     sql["ops_partition_evolution_incr"] = """
 SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_events,
        sum(event_id)::BIGINT AS sum_ids, TRUE AS relayout_ok
-FROM events WHERE event_id >= 4000 AND event_id < 8000
+FROM events WHERE event_id % 4 = 1
 GROUP BY 1 ORDER BY day
 """
 
