@@ -5092,6 +5092,17 @@ def _q_quality_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def _q_text_llr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 LLR collocations (text.llr_collocations): Dunning's
+    log-likelihood ratio over the same doc-level distinct-token universe
+    as PMI — significance-weighted, so frequent genuine collocations
+    outrank sparse flukes; every 2x2 cell an exact integer, the S(x) =
+    x·ln x terms one fixed expression tree mirrored by the oracle."""
+    from kafka_connect_hdfs_spark.operators.text import llr_collocations
+
+    return llr_collocations(_docs(spark, sf_dir), min_pairs=5, k=20)
+
+
 def _q_text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PMI collocations (text.pmi_collocations): doc-level distinct
     co-occurrence, exact integer counts, one divide + ln of an exact-int
@@ -5962,6 +5973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_incremental_read": _q_ops_incremental_read,
         "ops_vacuum_orphans": _q_ops_vacuum_orphans,
         "q_pivot_report": _q_q_pivot_report,
+        "text_llr_pairs": _q_text_llr_pairs,
     }
     # ROUND-9 WINDOW: the driver checks the FIRST 50 keys — the 8 NEW
     # r09 operators, the 8 gates whose Spark and/or oracle pairs changed
@@ -6037,10 +6049,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts",
         "stream_sessionize",
         "stream_late_data",
-        # slots 48-50: top-up from the r03-latest block
-        "ann_filtered_topk",
-        "ann_hard_negatives",
-        "ann_index_serve",
+        # slots 48-50: the late-round additions — the NEW LLR scorer and
+        # the two gates whose Spark+oracle pairs changed in the
+        # count-product overflow sweep (PMI factors, pad-ratio factors);
+        # changed pairs outrank plain r03 staleness for window slots
+        "text_llr_pairs",
+        "text_pmi_pairs",
+        "corpus_length_buckets",
     ]
     assert len(_R09_WINDOW) == 50, len(_R09_WINDOW)
     out = {k: reg.pop(k) for k in _R09_WINDOW}
@@ -11214,7 +11229,7 @@ SELECT bucket_cap, count(*)::BIGINT AS n_docs,
        sum(n_tok)::BIGINT AS total_tokens,
        sum(bucket_cap - n_tok)::BIGINT AS padded_tokens,
        round(sum(bucket_cap - n_tok)::DOUBLE
-             / (bucket_cap * count(*))::DOUBLE, 6) AS pad_waste_ratio
+             / (bucket_cap::DOUBLE * count(*)::DOUBLE), 6) AS pad_waste_ratio
 FROM b GROUP BY bucket_cap ORDER BY bucket_cap
 """
     sql["ann_range_search"] = f"""
@@ -11971,11 +11986,40 @@ pr AS (
   GROUP BY 1, 2 HAVING count(*) >= 5
 )
 SELECT tok_a, tok_b, n_ab,
-       {_OQ6("ln(CAST(n_ab * n AS DOUBLE) / CAST(ta.n_tok * tb.n_tok AS DOUBLE))")} AS pmi
+       {_OQ6("ln((CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(ta.n_tok AS DOUBLE) * CAST(tb.n_tok AS DOUBLE)))")} AS pmi
 FROM pr CROSS JOIN nd
 JOIN tc ta ON pr.tok_a = ta.tok
 JOIN tc tb ON pr.tok_b = tb.tok
 ORDER BY pmi DESC, tok_a, tok_b LIMIT 20
+"""
+
+    # LLR collocations: Dunning 1993 over the same CTE universe as PMI;
+    # S(x)=x ln x terms in ONE fixed expression tree (identical IEEE
+    # left-assoc order as the Spark column)
+    sql["text_llr_pairs"] = f"""
+WITH tok AS (
+  SELECT doc_id, (list_sort(list_distinct({_TOKS_NN})))[1:64] AS t FROM documents
+),
+nd AS (SELECT count(*)::BIGINT AS n FROM tok),
+tl AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+tc AS (SELECT tok, count(*)::BIGINT AS n_tok FROM tl GROUP BY tok),
+pr AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS n_ab
+  FROM tl a JOIN tl b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+cells AS (
+  SELECT tok_a, tok_b, n_ab, ta.n_tok AS na, tb.n_tok AS nb, n,
+         n_ab AS k11, ta.n_tok - n_ab AS k12, tb.n_tok - n_ab AS k21,
+         n - ta.n_tok - tb.n_tok + n_ab AS k22
+  FROM pr CROSS JOIN nd
+  JOIN tc ta ON pr.tok_a = ta.tok
+  JOIN tc tb ON pr.tok_b = tb.tok
+)
+SELECT tok_a, tok_b, n_ab,
+       ((CASE WHEN (2.0 * (CASE WHEN (k11) > 0 THEN CAST((k11) AS DOUBLE) * ln(CAST((k11) AS DOUBLE)) ELSE 0.0 END + CASE WHEN (k12) > 0 THEN CAST((k12) AS DOUBLE) * ln(CAST((k12) AS DOUBLE)) ELSE 0.0 END + CASE WHEN (k21) > 0 THEN CAST((k21) AS DOUBLE) * ln(CAST((k21) AS DOUBLE)) ELSE 0.0 END + CASE WHEN (k22) > 0 THEN CAST((k22) AS DOUBLE) * ln(CAST((k22) AS DOUBLE)) ELSE 0.0 END - CASE WHEN (na) > 0 THEN CAST((na) AS DOUBLE) * ln(CAST((na) AS DOUBLE)) ELSE 0.0 END - CASE WHEN (n - na) > 0 THEN CAST((n - na) AS DOUBLE) * ln(CAST((n - na) AS DOUBLE)) ELSE 0.0 END - CASE WHEN (nb) > 0 THEN CAST((nb) AS DOUBLE) * ln(CAST((nb) AS DOUBLE)) ELSE 0.0 END - CASE WHEN (n - nb) > 0 THEN CAST((n - nb) AS DOUBLE) * ln(CAST((n - nb) AS DOUBLE)) ELSE 0.0 END + CASE WHEN (n) > 0 THEN CAST((n) AS DOUBLE) * ln(CAST((n) AS DOUBLE)) ELSE 0.0 END)) < 0 THEN -floor(-(2.0 * (CASE WHEN (k11) > 0 THEN CAST((k11) AS DOUBLE) * ln(CAST((k11) AS DOUBLE)) ELSE 0.0 END + CASE WHEN (k12) > 0 THEN CAST((k12) AS DOUBLE) * ln(CAST((k12) AS DOUBLE)) ELSE 0.0 END + CASE WHEN (k21) > 0 THEN CAST((k21) AS DOUBLE) * ln(CAST((k21) AS DOUBLE)) ELSE 0.0 END + CASE WHEN (k22) > 0 THEN CAST((k22) AS DOUBLE) * ln(CAST((k22) AS DOUBLE)) ELSE 0.0 END - CASE WHEN (na) > 0 THEN CAST((na) AS DOUBLE) * ln(CAST((na) AS DOUBLE)) ELSE 0.0 END - CASE WHEN (n - na) > 0 THEN CAST((n - na) AS DOUBLE) * ln(CAST((n - na) AS DOUBLE)) ELSE 0.0 END - CASE WHEN (nb) > 0 THEN CAST((nb) AS DOUBLE) * ln(CAST((nb) AS DOUBLE)) ELSE 0.0 END - CASE WHEN (n - nb) > 0 THEN CAST((n - nb) AS DOUBLE) * ln(CAST((n - nb) AS DOUBLE)) ELSE 0.0 END + CASE WHEN (n) > 0 THEN CAST((n) AS DOUBLE) * ln(CAST((n) AS DOUBLE)) ELSE 0.0 END)) * 1000000.0 + 0.5) ELSE floor((2.0 * (CASE WHEN (k11) > 0 THEN CAST((k11) AS DOUBLE) * ln(CAST((k11) AS DOUBLE)) ELSE 0.0 END + CASE WHEN (k12) > 0 THEN CAST((k12) AS DOUBLE) * ln(CAST((k12) AS DOUBLE)) ELSE 0.0 END + CASE WHEN (k21) > 0 THEN CAST((k21) AS DOUBLE) * ln(CAST((k21) AS DOUBLE)) ELSE 0.0 END + CASE WHEN (k22) > 0 THEN CAST((k22) AS DOUBLE) * ln(CAST((k22) AS DOUBLE)) ELSE 0.0 END - CASE WHEN (na) > 0 THEN CAST((na) AS DOUBLE) * ln(CAST((na) AS DOUBLE)) ELSE 0.0 END - CASE WHEN (n - na) > 0 THEN CAST((n - na) AS DOUBLE) * ln(CAST((n - na) AS DOUBLE)) ELSE 0.0 END - CASE WHEN (nb) > 0 THEN CAST((nb) AS DOUBLE) * ln(CAST((nb) AS DOUBLE)) ELSE 0.0 END - CASE WHEN (n - nb) > 0 THEN CAST((n - nb) AS DOUBLE) * ln(CAST((n - nb) AS DOUBLE)) ELSE 0.0 END + CASE WHEN (n) > 0 THEN CAST((n) AS DOUBLE) * ln(CAST((n) AS DOUBLE)) ELSE 0.0 END)) * 1000000.0 + 0.5) END / 1000000.0) + 0.0) AS llr
+FROM cells
+ORDER BY llr DESC, tok_a, tok_b LIMIT 20
 """
     # snapshot content diff: the gate's v2 construction replayed as
     # direct classification (disjoint predicates by construction)

@@ -757,7 +757,10 @@ def length_buckets(
             "padded_tokens",
             F.round(
                 F.col("padded_tokens").cast("double")
-                / (F.col("bucket_cap") * F.col("n_docs")).cast("double"),
+                / (
+                    F.col("bucket_cap").cast("double")
+                    * F.col("n_docs").cast("double")
+                ),
                 6,
             ).alias("pad_waste_ratio"),
         )

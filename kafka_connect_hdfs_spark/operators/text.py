@@ -2248,41 +2248,18 @@ def heaps_law(
     )
 
 
-def pmi_collocations(
+def _collocation_counts(
     df: DataFrame,
-    text_col: str = "text",
-    min_pairs: int = 5,
-    max_tokens: int = 64,
-    k: int = 20,
+    text_col: str,
+    min_pairs: int,
+    max_tokens: int,
 ) -> DataFrame:
-    """Top-k document-level collocations by pointwise mutual information:
-    PMI(a,b) = ln(N·n_ab / (n_a·n_b)) over per-document DISTINCT token
-    sets — the corpus-analysis primitive behind phrase mining, stopword-
-    pair detection, and template discovery (a near-1 co-occurrence of two
-    rare tokens is a boilerplate signature the unigram stats can't see).
-
-    Returns ``(tok_a, tok_b, n_ab, pmi)`` (a < b lexicographically),
-    ranked by pmi desc. ``min_pairs`` floors the co-occurrence count
-    (PMI is famously noise-dominated at n_ab = 1); ``max_tokens`` caps
-    each doc at its first ``max_tokens`` distinct tokens (sorted) so a
-    pathological doc cannot emit O(V²) pairs — the cap is mirrored in
-    the oracle, not silent.
-
-    Determinism: all counts are exact integers; the only float op is one
-    divide + one ln of an exact-int ratio (identical IEEE/libm on both
-    engines — the kl_contrib precedent), quantized q6. NULL text
-    normalizes to '' (one degenerate token) so the document count N is
-    exactly the table's row count on both engines.
-
-    Scale: pairs emit MAP-SIDE from a per-doc sorted array (i < j nested
-    transform — no self-join of the token table, which would shuffle the
-    corpus twice); the pair aggregation partial-combines, so the shuffle
-    carries observed-pair partials; per-token doc counts broadcast back
-    onto the (min_pairs-floored) pair table; N rides a broadcast one-row
-    aggregate (no eager driver-side count action).
-    """
-    from kafka_connect_hdfs_spark.operators.similarity import q6_col
-
+    """Shared doc-level co-occurrence construction for the collocation
+    scorers (:func:`pmi_collocations`, :func:`llr_collocations`): per-doc
+    sorted distinct tokens (capped at ``max_tokens``), map-side i<j pair
+    emission, exact integer pair/marginal/doc counts joined back →
+    ``(tok_a, tok_b, n_ab, _na, _nb, _ndocs)``. Pairs never self-join
+    the token table; marginals and N broadcast."""
     toks = F.slice(
         F.array_sort(
             F.array_distinct(
@@ -2339,24 +2316,125 @@ def pmi_collocations(
             F.col("tok").alias("tok_b"), F.col("n_tok").alias("_nb")
         )
     )
-    scored = (
+    return (
         pair_counts.join(na, "tok_a")
         .join(nb, "tok_b")
         .crossJoin(nd_row)
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pairs: int = 5,
+    max_tokens: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k document-level collocations by pointwise mutual information:
+    PMI(a,b) = ln(N·n_ab / (n_a·n_b)) over per-document DISTINCT token
+    sets — the corpus-analysis primitive behind phrase mining, stopword-
+    pair detection, and template discovery (a near-1 co-occurrence of two
+    rare tokens is a boilerplate signature the unigram stats can't see).
+
+    Returns ``(tok_a, tok_b, n_ab, pmi)`` (a < b lexicographically),
+    ranked by pmi desc. ``min_pairs`` floors the co-occurrence count
+    (PMI is famously noise-dominated at n_ab = 1); ``max_tokens`` caps
+    each doc at its first ``max_tokens`` distinct tokens (sorted) so a
+    pathological doc cannot emit O(V²) pairs — the cap is mirrored in
+    the oracle, not silent.
+
+    Determinism: all counts are exact integers; the only float op is one
+    divide + one ln of an exact-int ratio (identical IEEE/libm on both
+    engines — the kl_contrib precedent), quantized q6. NULL text
+    normalizes to '' (one degenerate token) so the document count N is
+    exactly the table's row count on both engines.
+
+    Scale: pairs emit MAP-SIDE from a per-doc sorted array (i < j nested
+    transform — no self-join of the token table, which would shuffle the
+    corpus twice); the pair aggregation partial-combines, so the shuffle
+    carries observed-pair partials; per-token doc counts broadcast back
+    onto the (min_pairs-floored) pair table; N rides a broadcast one-row
+    aggregate (no eager driver-side count action).
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    scored = (
+        _collocation_counts(df, text_col, min_pairs, max_tokens)
         .select(
             "tok_a",
             "tok_b",
             "n_ab",
             q6_col(
                 F.log(
-                    (F.col("n_ab") * F.col("_ndocs")).cast("double")
-                    / (F.col("_na") * F.col("_nb")).cast("double")
+                    # each FACTOR casts to double BEFORE multiplying (the
+                    # r08 MI ADVICE overflow class): 64-bit count products
+                    # wrap past ~3e9 rows; double products never wrap and
+                    # are exact below 2**53 per factor, oracle-mirrored
+                    (F.col("n_ab").cast("double") * F.col("_ndocs").cast("double"))
+                    / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
                 )
             ).alias("pmi"),
         )
     )
     return scored.orderBy(
         F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")
+    ).limit(k)
+
+
+def llr_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pairs: int = 5,
+    max_tokens: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k document-level collocations by Dunning's (1993)
+    log-likelihood ratio — the significance-weighted complement of
+    :func:`pmi_collocations`: PMI over-ranks rare-pair flukes (its
+    famous n_ab=1 pathology, here only floored by ``min_pairs``), while
+    LLR weighs surprise by EVIDENCE, so frequent genuine collocations
+    rank above sparse coincidences — the scorer the classic collocation
+    literature (and Mahout/OpenNLP) standardized on.
+
+    Over the same per-doc distinct-token universe as PMI, the 2×2 doc
+    contingency per pair (k11=n_ab, k12=n_a−n_ab, k21=n_b−n_ab,
+    k22=N−n_a−n_b+n_ab) scores ``2·(ΣS(k) − ΣS(rows) − ΣS(cols) +
+    S(N))`` with the entropy kernel ``S(x) = x·ln x`` (0 at 0).
+
+    Returns ``(tok_a, tok_b, n_ab, llr)`` ranked by llr desc, 6-dp
+    HALF-UP. Determinism: every cell is an exact integer; each S term
+    is one double multiply + ln of an exact-count double (exact below
+    2**53), combined in ONE fixed expression tree mirrored
+    operator-for-operator by the oracle — no float aggregation anywhere.
+
+    Scale: identical shape to PMI — map-side pair emission (never a
+    token-table self-join), partial-combined pair shuffle, vocab-bounded
+    marginals broadcast back.
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    def _S(c: F.Column) -> F.Column:
+        d = c.cast("double")
+        return F.when(c > 0, d * F.log(d)).otherwise(F.lit(0.0))
+
+    n_ab = F.col("n_ab")
+    n_a = F.col("_na")
+    n_b = F.col("_nb")
+    nd = F.col("_ndocs")
+    k11 = n_ab
+    k12 = n_a - n_ab
+    k21 = n_b - n_ab
+    k22 = nd - n_a - n_b + n_ab
+    llr = F.lit(2.0) * (
+        _S(k11) + _S(k12) + _S(k21) + _S(k22)
+        - _S(n_a) - _S(nd - n_a) - _S(n_b) - _S(nd - n_b)
+        + _S(nd)
+    )
+    scored = _collocation_counts(df, text_col, min_pairs, max_tokens).select(
+        "tok_a", "tok_b", "n_ab", q6_col(llr).alias("llr")
+    )
+    return scored.orderBy(
+        F.desc("llr"), F.asc("tok_a"), F.asc("tok_b")
     ).limit(k)
 
 

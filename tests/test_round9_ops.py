@@ -821,3 +821,46 @@ def test_vacuum_deletes_orphans_keeps_live_and_clone_pinned(spark, tmp_path):
     assert deleted == ["v99"]
     assert os.path.exists(f"{src}/data/v1")  # clone pin rescued it
     assert not os.path.exists(f"{src}/data/v99")
+
+
+# ---------------------------------------------------------------------------
+# text.llr_collocations — Dunning 1993 log-likelihood ratio
+
+
+def test_llr_hand_computed_contingency(spark):
+    import math
+
+    from kafka_connect_hdfs_spark.operators.text import llr_collocations
+
+    # 10 docs: 'a b' together in 4, 'a' alone in 2, 'b' alone in 1,
+    # neither in 3 -> k11=4 k12=2 k21=1 k22=3 (n_a=6, n_b=5, N=10)
+    rows = (
+        [("a b",)] * 4 + [("a x",)] * 2 + [("b y",)] * 1 + [("z w",)] * 3
+    )
+    df = spark.createDataFrame(rows, "text string")
+    out = {
+        (r["tok_a"], r["tok_b"]): r
+        for r in llr_collocations(df, min_pairs=1, k=100).collect()
+    }
+    r = out[("a", "b")]
+    assert r["n_ab"] == 4
+
+    def S(x):
+        return x * math.log(x) if x > 0 else 0.0
+
+    want = 2.0 * (
+        S(4) + S(2) + S(1) + S(3) - S(6) - S(4) - S(5) - S(5) + S(10)
+    )
+    assert abs(r["llr"] - want) < 1e-6
+
+
+def test_llr_ranks_evidence_over_rare_flukes(spark):
+    from kafka_connect_hdfs_spark.operators.text import llr_collocations
+
+    # 'p q' co-occurs 8 times (strong evidence); 'r s' once (fluke);
+    # filler docs dilute
+    rows = [("p q",)] * 8 + [("r s",)] + [("f%d g%d" % (i, i),) for i in range(20)]
+    df = spark.createDataFrame(rows, "text string")
+    top = llr_collocations(df, min_pairs=1, k=2).collect()
+    assert (top[0]["tok_a"], top[0]["tok_b"]) == ("p", "q")
+    assert top[0]["llr"] > top[1]["llr"]
