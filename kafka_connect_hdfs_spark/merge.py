@@ -297,7 +297,15 @@ def merge_keyed(
             "n_partitions_dropped": 0,
         }
 
-    existing = tgt.filter(F.col(partition_col).isin(touched))
+    # NULL partition values need an explicit isNull disjunct: isin(...)
+    # is three-valued NULL under SQL semantics, so a key living in the
+    # __HIVE_DEFAULT_PARTITION__ leaf would silently escape the rewrite
+    # and the merge would DUPLICATE it
+    non_null = [v for v in touched if v is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in touched):
+        cond = cond | F.col(partition_col).isNull()
+    existing = tgt.filter(cond)
     keep = existing.join(F.broadcast(all_keys), key_col, "left_anti")
     merged = keep.unionByName(upd_rows.select(*keep.columns))
 
@@ -338,6 +346,9 @@ def merge_keyed(
         for v in touched
         if v is not None
     }
+    if any(v is None for v in touched):
+        # Spark lands NULL partition values in the Hive default leaf
+        expected.add(f"{prefix}__HIVE_DEFAULT_PARTITION__")
     n_dropped = 0
     for leaf in sorted(expected - set(staged_leaves)):
         live_p = Path(f"{table_path}/{leaf}")

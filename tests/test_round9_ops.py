@@ -864,3 +864,24 @@ def test_llr_ranks_evidence_over_rare_flukes(spark):
     top = llr_collocations(df, min_pairs=1, k=2).collect()
     assert (top[0]["tok_a"], top[0]["tok_b"]) == ("p", "q")
     assert top[0]["llr"] > top[1]["llr"]
+
+
+def test_merge_keyed_null_partition_key_not_duplicated(spark, tmp_path):
+    """A key living in the NULL partition (__HIVE_DEFAULT_PARTITION__)
+    must still be located and rewritten — isin() is three-valued under
+    SQL NULL semantics and would silently skip it (duplicate key)."""
+    from kafka_connect_hdfs_spark.merge import merge_keyed
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, None, 10.0), (2, "a", 20.0)], "k long, p string, v double"
+    ).write.partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "a", 11.0)], "k long, p string, v double"
+    )  # k=1 MOVES from the null partition into p=a
+    merge_keyed(spark, path, updates, "k", "p")
+    got = [
+        (r["k"], r["p"], r["v"])
+        for r in spark.read.parquet(path).orderBy("k").collect()
+    ]
+    assert got == [(1, "a", 11.0), (2, "a", 20.0)]
