@@ -5330,6 +5330,48 @@ def _q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_counts(ref_counts, cur_counts).orderBy("bucket")
 
 
+def _q_stream_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JSD drift monitor ≡ batch recompute (streaming.drift):
+    scores the SAME streamed bucket mart as stream_psi_drift with the
+    bounded symmetric JSD — one maintained state table serves the whole
+    drift family (PSI for mass-shift, JSD for thresholding across
+    columns); the oracle IS the batch JSD formulation."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.operators.quality import (
+        bucket_counts, jsd_from_counts,
+    )
+    from kafka_connect_hdfs_spark.streaming.drift import (
+        start_psi_bucket_refresh,
+    )
+
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    mm = ref.agg(
+        F.min(F.col("value").cast("double")),
+        F.max(F.col("value").cast("double")),
+    ).collect()[0]
+    lo, hi = float(mm[0]), float(mm[1])
+    base = tempfile.mkdtemp(prefix="kchs_jsd_stream_")
+    src = f"{base}/src"
+    ev.filter(F.col("event_id") % 2 == 1).select("value").repartition(
+        4
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_psi_bucket_refresh(
+        stream, f"{base}/buckets", "value", f"{base}/chk", lo=lo, hi=hi
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+    cur_counts = spark.read.parquet(f"{base}/buckets").select("bucket", "n")
+    ref_counts = bucket_counts(ref, "value", lo, hi)
+    return jsd_from_counts(ref_counts, cur_counts).orderBy("bucket")
+
+
 def _q_ops_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level schema diff between snapshot versions
     (snapshots.snapshot_schema_drift): v2 drops lang, adds n_chars, and
@@ -5974,6 +6016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_vacuum_orphans": _q_ops_vacuum_orphans,
         "q_pivot_report": _q_q_pivot_report,
         "text_llr_pairs": _q_text_llr_pairs,
+        "stream_jsd_drift": _q_stream_jsd_drift,
     }
     # ROUND-9 WINDOW: the driver checks the FIRST 50 keys — the 8 NEW
     # r09 operators, the 8 gates whose Spark and/or oracle pairs changed
@@ -5986,7 +6029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rolling/deciles/rfm/rollup, the stream_windowed trio — their
     # decimal-sweep outputs were byte-identical at sf0.01, re-checked
     # here on the cadence), topped up from the r03-latest block.
-    # ROUND-10 QUEUE: the remaining r03-latest block (ann_ivfpq_topk,
+    # ROUND-10 QUEUE: stream_jsd_drift (NEW late in r09, no driver row
+    # yet — first slot), the r03-latest top-ups displaced by the late
+    # changed-pair swaps (ann_filtered_topk, ann_hard_negatives,
+    # ann_index_serve), then the remaining r03-latest block (ann_ivfpq_topk,
     # ann_pq_topk, cdc_*, corpus_chunk_overlap/pack_bestfit/
     # snapshot_diff/temperature_mix/token_budget, dedup_chunks/
     # cluster_reps/fuzzy_prefix/incremental_neardup/lsh_jaccard_est,
@@ -11966,6 +12012,10 @@ SELECT bucket, n_ref, n_cur,
        {_OQ6(_JTERM)} AS jsd_contrib
 FROM j CROSS JOIN t ORDER BY bucket
 """
+
+    # same streamed bucket state as PSI, JSD scoring — oracle IS the
+    # batch JSD SQL
+    sql["stream_jsd_drift"] = sql["quality_jsd_drift"]
 
     # PMI collocations: doc-level distinct co-occurrence, exact counts,
     # ln of an exact-int ratio (the kl_contrib precedent), q6

@@ -637,8 +637,28 @@ def jsd_drift(
 
     r = _bucketed(ref, "_nr")
     c = _bucketed(cur, "_nc")
+    return jsd_from_counts(r, c, n_buckets=n_buckets)
+
+
+def jsd_from_counts(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """The JSD contributions from two already-bucketed count tables —
+    the :func:`psi_from_counts` twin, so the streamed bucket mart
+    (:mod:`streaming.drift`) scores identically to batch
+    :func:`jsd_drift`."""
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    r = ref_counts.select(
+        "bucket", F.col(ref_counts.columns[-1]).alias("_nr")
+    )
+    c = cur_counts.select(
+        "bucket", F.col(cur_counts.columns[-1]).alias("_nc")
+    )
     base = F.broadcast(
-        ref.sparkSession.range(n_buckets).select(
+        ref_counts.sparkSession.range(n_buckets).select(
             F.col("id").cast("int").alias("bucket")
         )
     )
