@@ -161,10 +161,23 @@ def _pz(sql: str) -> str:
 def _OD2(expr: str) -> str:
     """DuckDB mirror of similarity.dec_to_double: deterministic
     HUGEINT→DOUBLE via the hi/lo 2**50 split (DuckDB's native cast is
-    not correctly rounded past 2**53; each sub-cast here is exact)."""
+    not correctly rounded past 2**53; each sub-cast here is exact).
+
+    The HI limb is reconstructed from a NESTED split (r09 hypothesis
+    find): past ~2**103 the hi limb itself exceeds 2**53 and its native
+    cast re-enters the miscast band, so ``float(hi)`` is rebuilt as
+    ``CAST(abs//2**100) * 2**50 + CAST((abs%2**100)//2**50)`` — two
+    exact sub-casts whose single IEEE addition IS the correctly-rounded
+    ``float(hi)`` (one rounding of the exact sum). Bit-identical to the
+    flat form wherever the flat form was correct (everything < 2**103
+    plus the 99.8% of the band the native cast happened to round right),
+    and equal to Python's ``float(int)`` reference over the entire
+    HUGEINT/decimal(38,0) range — fuzz-verified byte-level."""
+    p100 = 1 << 100
     return (
         f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END * "
-        f"(CAST(abs({expr}) // 1125899906842624 AS DOUBLE) "
+        f"((CAST(abs({expr}) // {p100} AS DOUBLE) * 1125899906842624.0 "
+        f"+ CAST((abs({expr}) % {p100}) // 1125899906842624 AS DOUBLE)) "
         f"* 1125899906842624.0 "
         f"+ CAST(abs({expr}) % 1125899906842624 AS DOUBLE)))"
     )
@@ -10145,13 +10158,10 @@ ORDER BY w.doc_id
     # similarity._big_to_double). Every round MATERIALIZED (DuckDB would
     # otherwise inline the chain exponentially).
     def _d2(expr: str) -> str:
-        # deterministic hugeint→double: sign * (hi * 2^50 + lo)
-        return (
-            f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END * "
-            f"(CAST(abs({expr}) // 1125899906842624 AS DOUBLE) "
-            f"* 1125899906842624.0 "
-            f"+ CAST(abs({expr}) % 1125899906842624 AS DOUBLE)))"
-        )
+        # deterministic hugeint→double: the module-level nested split
+        # (_OD2) — the hi limb itself passes 2^53 once the matvec sums
+        # pass ~2^103, where the flat form re-enters the miscast band
+        return _OD2(expr)
 
     def _q6(expr: str) -> str:
         # half-up 6-dp quantization to micro-unit BIGINT (_scaled_int6)
@@ -11316,7 +11326,9 @@ lab AS (
 ),
 conv AS (
   SELECT label, n_vecs,
-         CAST(s2 // 1125899906842624 AS DOUBLE) * 1125899906842624.0
+         (CAST(s2 // 1267650600228229401496703205376 AS DOUBLE) * 1125899906842624.0
+          + CAST((s2 % 1267650600228229401496703205376) // 1125899906842624 AS DOUBLE))
+         * 1125899906842624.0
          + CAST(s2 % 1125899906842624 AS DOUBLE) AS s2d,
          n_vecs::DOUBLE AS n
   FROM lab
@@ -11415,7 +11427,9 @@ lab AS (
 ),
 conv AS (
   SELECT mt, n_vecs,
-         CAST(s2 // 1125899906842624 AS DOUBLE) * 1125899906842624.0
+         (CAST(s2 // 1267650600228229401496703205376 AS DOUBLE) * 1125899906842624.0
+          + CAST((s2 % 1267650600228229401496703205376) // 1125899906842624 AS DOUBLE))
+         * 1125899906842624.0
          + CAST(s2 % 1125899906842624 AS DOUBLE) AS s2d,
          n_vecs::DOUBLE AS n
   FROM lab
@@ -11580,9 +11594,13 @@ fin AS (
          COALESCE(a2.score, 0::HUGEINT) AS asc_
   FROM nodes n LEFT JOIN h2 USING (node) LEFT JOIN a2 USING (node))
 SELECT node,
-       (hs // 1125899906842624)::DOUBLE * 1125899906842624.0
+       ((hs // 1267650600228229401496703205376)::DOUBLE * 1125899906842624.0
+          + ((hs % 1267650600228229401496703205376) // 1125899906842624)::DOUBLE)
+         * 1125899906842624.0
          + (hs % 1125899906842624)::DOUBLE AS hub_score,
-       (asc_ // 1125899906842624)::DOUBLE * 1125899906842624.0
+       ((asc_ // 1267650600228229401496703205376)::DOUBLE * 1125899906842624.0
+          + ((asc_ % 1267650600228229401496703205376) // 1125899906842624)::DOUBLE)
+         * 1125899906842624.0
          + (asc_ % 1125899906842624)::DOUBLE AS authority_score
 FROM fin ORDER BY node
 """

@@ -80,19 +80,27 @@ def q6_col(c: F.Column) -> F.Column:
 
 def dec_to_double(name: str) -> F.Column:
     """Deterministic decimal(38,0)→double for exact-integer sums that can
-    pass 2**53: ``sign · (float(|s| DIV 2**50)·2**50 + float(|s| % 2**50))``.
-    Spark's decimal→double cast is correctly rounded but DuckDB's
-    HUGEINT→DOUBLE is NOT (measured ~0.2% of 64-90-bit near-halfway ints
-    off 1 ulp), so cross-engine replays run THIS split on both sides —
-    each sub-cast is exact (< 2**53) and the mul/add are identical IEEE
-    ops (mirror of :func:`_big_to_double` / the oracle ``_d2`` CASE).
+    pass 2**53: ``sign · (float(|s| DIV 2**50)·2**50 + float(|s| % 2**50))``
+    with ``float(hi)`` itself rebuilt from a NESTED 2**100/2**50 split
+    (r09 hypothesis find): past ~2**103 the hi limb exceeds 2**53 — the
+    flat form's ``DIV 2**50`` also overflows Spark's LONG-typed integral
+    divide past 2**113 — so hi is reconstructed as
+    ``float(|s| DIV 2**100)·2**50 + float((|s| % 2**100) DIV 2**50)``:
+    every sub-cast exact (< 2**53 per limb), the single IEEE addition IS
+    the correctly-rounded ``float(hi)``, and every DIV operand stays in
+    LONG range. Bit-identical to the flat form below 2**103 and to
+    Python's ``float(int)`` reference (:func:`_big_to_double`) over the
+    whole decimal(38,0) range — fuzz-verified byte-level against the
+    oracle ``_OD2`` twin.
     Uses SQL ``DIV`` (true floor on decimals) — decimal ``/`` would
     HALF_UP-round at scale 6 first (the graph_hits ADVICE defect).
     Takes a column NAME because ``DIV`` needs an expr string."""
     p50 = 1 << 50
-    hi = F.expr(f"CAST(abs({name}) DIV {p50} AS DOUBLE)")
+    p100 = 1 << 100
+    hi_hi = F.expr(f"CAST(abs({name}) DIV {p100} AS DOUBLE)")
+    hi_lo = F.expr(f"CAST((abs({name}) % {p100}) DIV {p50} AS DOUBLE)")
     lo = F.expr(f"CAST(abs({name}) % {p50} AS DOUBLE)")
-    d = hi * F.lit(float(p50)) + lo
+    d = (hi_hi * F.lit(float(p50)) + hi_lo) * F.lit(float(p50)) + lo
     return F.when(F.col(name) < 0, -d).otherwise(d)
 
 

@@ -44,9 +44,11 @@ def _py_big_to_double(s: int) -> float:
 def _duck_od2(s: int) -> float:
     from __spark_entry__ import _OD2
 
-    return CON.execute(
-        f"SELECT {_OD2('?::HUGEINT')}", [s, s, s]
-    ).fetchone()[0]
+    # SQL literal, NOT a bound parameter: duckdb's Python binding
+    # degrades ints beyond int64 to DOUBLE before any ::HUGEINT cast
+    # (value silently corrupted) — a harness artifact no real oracle
+    # hits, since oracle HUGEINTs arise from SQL-side exact arithmetic
+    return CON.execute(f"SELECT {_OD2(f'({s})::HUGEINT')}").fetchone()[0]
 
 
 _finite = st.floats(
