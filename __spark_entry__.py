@@ -4387,22 +4387,17 @@ def _q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
     )
     scores = hits_scores(edges, iterations=2)
-    P = 1 << 50  # exact decimal -> double: hi*2^50 + lo, both < 2^53
-
-    def _split(c: str) -> F.Column:
-        # exact integral DIV (true floor) — decimal "/" HALF_UP-rounds
-        # to scale 6 BEFORE F.floor, so hi could land one above the
-        # real floor when the quotient's fraction is >= 0.9999995 and
-        # the recomposed double would then be off vs the oracle's exact
-        # "//" (r05 ADVICE item). Scores are non-negative (counts).
-        hi = F.expr(f"CAST({c} DIV {P} AS DECIMAL(38,0))")
-        lo = (F.col(c) - hi * F.lit(P)).cast("double")
-        return hi.cast("double") * F.lit(float(P)) + lo
+    # exact decimal -> double via the shared nested split (r09): the old
+    # local flat _split's DIV returned LONG and would overflow past
+    # 2**113-unit scores; dec_to_double is bit-identical below that and
+    # correct over the whole decimal(38,0) range, matching the oracle's
+    # nested reconstruction
+    from kafka_connect_hdfs_spark.operators.similarity import dec_to_double
 
     return scores.select(
         "node",
-        _split("hub_score").alias("hub_score"),
-        _split("authority_score").alias("authority_score"),
+        dec_to_double("hub_score").alias("hub_score"),
+        dec_to_double("authority_score").alias("authority_score"),
     ).orderBy("node")
 
 
