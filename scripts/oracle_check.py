@@ -52,7 +52,20 @@ def compare(name, sdf, ddf, verbose=True):
     if scols != dcols:
         print(f"FAIL {name}: columns spark={scols} duck={dcols}")
         return False
-    sdf, ddf = sdf[scols], ddf[scols]
+    sdf, ddf = sdf[scols].copy(), ddf[scols].copy()
+    # OBJECT-dtype columns (bools, strings, structs) represent SQL NULL
+    # asymmetrically through pandas: duckdb fetchdf emits float NaN,
+    # Spark toPandas emits None — map NaN→None there. A float NaN in an
+    # object column can only be a NULL marker (genuine NaN data lives in
+    # float64 columns, which keep the r07 NaN-vs-NULL sentinel).
+    for df in (sdf, ddf):
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(
+                    lambda v: None
+                    if isinstance(v, float) and math.isnan(v)
+                    else v
+                )
     if len(sdf) != len(ddf):
         print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}")
         return False
