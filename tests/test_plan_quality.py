@@ -1122,3 +1122,49 @@ def test_link_prediction_no_cartesian(spark):
     )
     plan = _plan(link_prediction(e, k=5))
     assert "CartesianProduct" not in plan
+
+
+def test_jsd_drift_bounded_aggregations(spark, sf):
+    """JSD: same scale shape as PSI — two bucket-count aggregations
+    (≤ n_buckets rows out, partial-combined), broadcast joins after."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.quality import jsd_drift
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf, "events")
+    plan = _plan(
+        jsd_drift(
+            ev.filter(F.col("event_id") % 2 == 0),
+            ev.filter(F.col("event_id") % 2 == 1),
+        )
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("partial_count") >= 2
+
+
+def test_llr_pairs_map_side_no_self_join(spark, sf):
+    """LLR collocations share PMI's construction: map-side pair emission
+    (never a token-table self-join), vocab-bounded marginals broadcast."""
+    from kafka_connect_hdfs_spark.operators.text import llr_collocations
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(llr_collocations(docs))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_mutual_info_factors_double_before_multiply(spark, sf):
+    """The MI contribution's count products must multiply as DOUBLES
+    (the r08 ADVICE 64-bit-wrap class): no bigint multiply of n_ab by
+    the total may survive into the physical plan."""
+    from kafka_connect_hdfs_spark.operators.quality import mutual_information
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(mutual_information(docs, "lang", "source"))
+    import re
+
+    # any (n_ab#x L * _N#y L) bigint product would render without casts
+    assert not re.search(r"\(n_ab#\d+L \* _N#\d+L\)", plan), plan
