@@ -5111,6 +5111,17 @@ def _q_text_llr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llr_collocations(_docs(spark, sf_dir), min_pairs=5, k=20)
 
 
+def _q_quality_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-squared independence decomposition of (lang, source)
+    (quality.chi2_independence): exact contingency counts, expected
+    n_a*n_b/N with per-factor double casts (the MI overflow class), the
+    (obs-exp)^2/exp contribution per observed cell — the frequentist
+    twin of quality_mutual_info on the same kernel."""
+    from kafka_connect_hdfs_spark.operators.quality import chi2_independence
+
+    return chi2_independence(_docs(spark, sf_dir), "lang", "source")
+
+
 def _q_text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PMI collocations (text.pmi_collocations): doc-level distinct
     co-occurrence, exact integer counts, one divide + ln of an exact-int
@@ -6025,6 +6036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_report": _q_q_pivot_report,
         "text_llr_pairs": _q_text_llr_pairs,
         "stream_jsd_drift": _q_stream_jsd_drift,
+        "quality_chi2": _q_quality_chi2,
     }
     # ROUND-9 WINDOW: the driver checks the FIRST 50 keys — the 8 NEW
     # r09 operators, the 8 gates whose Spark and/or oracle pairs changed
@@ -6037,10 +6049,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rolling/deciles/rfm/rollup, the stream_windowed trio — their
     # decimal-sweep outputs were byte-identical at sf0.01, re-checked
     # here on the cadence), topped up from the r03-latest block.
-    # ROUND-10 QUEUE: stream_jsd_drift (NEW late in r09, no driver row
-    # yet — first slot), the r03-latest top-ups displaced by the late
-    # changed-pair swaps (ann_filtered_topk, ann_hard_negatives,
-    # ann_index_serve), then the remaining r03-latest block (ann_ivfpq_topk,
+    # ROUND-10 QUEUE: stream_jsd_drift + quality_chi2 (NEW late in r09,
+    # no driver rows yet — first slots), the r03-latest top-ups displaced
+    # by the late changed-pair swaps (ann_filtered_topk,
+    # ann_hard_negatives, ann_index_serve), then the remaining
+    # r03-latest block (ann_ivfpq_topk,
     # ann_pq_topk, cdc_*, corpus_chunk_overlap/pack_bestfit/
     # snapshot_diff/temperature_mix/token_budget, dedup_chunks/
     # cluster_reps/fuzzy_prefix/incremental_neardup/lsh_jaccard_est,
@@ -12262,6 +12275,22 @@ SELECT a, b, n_ab, n_a, n_b,
 FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
 ORDER BY a, b
 """
+
+    sql["quality_chi2"] = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, count(*)::BIGINT AS n_ab
+  FROM documents GROUP BY 1, 2
+),
+ma AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM cells GROUP BY a),
+mb AS (SELECT b, sum(n_ab)::BIGINT AS n_b FROM cells GROUP BY b),
+tot AS (SELECT sum(n_ab)::BIGINT AS nn FROM cells)
+SELECT a, b, n_ab,
+       ((CASE WHEN (((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / CAST(nn AS DOUBLE))) < 0 THEN -floor(-(((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / CAST(nn AS DOUBLE))) * 1000000.0 + 0.5) ELSE floor((((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / CAST(nn AS DOUBLE))) * 1000000.0 + 0.5) END / 1000000.0) + 0.0) AS expected,
+       ((CASE WHEN (((CAST(n_ab AS DOUBLE) - ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / CAST(nn AS DOUBLE))) * (CAST(n_ab AS DOUBLE) - ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / CAST(nn AS DOUBLE)))) / ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / CAST(nn AS DOUBLE))) < 0 THEN -floor(-(((CAST(n_ab AS DOUBLE) - ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / CAST(nn AS DOUBLE))) * (CAST(n_ab AS DOUBLE) - ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / CAST(nn AS DOUBLE)))) / ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / CAST(nn AS DOUBLE))) * 1000000.0 + 0.5) ELSE floor((((CAST(n_ab AS DOUBLE) - ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / CAST(nn AS DOUBLE))) * (CAST(n_ab AS DOUBLE) - ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / CAST(nn AS DOUBLE)))) / ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / CAST(nn AS DOUBLE))) * 1000000.0 + 0.5) END / 1000000.0) + 0.0) AS chi2_contrib
+FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+ORDER BY a, b
+"""
+
 
     _cc_parts = []
     for _tbl, _cols in (

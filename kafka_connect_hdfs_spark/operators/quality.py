@@ -1055,6 +1055,58 @@ def mutual_information(
     )
 
 
+def chi2_independence(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Per-cell chi-squared decomposition of two categorical columns:
+    for each ``(a, b)`` cell, the observed count, the independence-
+    expected count ``n_a·n_b/N``, and the contribution
+    ``(n_ab − e)²/e`` — Σ contributions is the χ² statistic, the classic
+    frequentist companion to :func:`mutual_information` (MI measures the
+    dependence in nats; χ² weighs it by sample size, which is what a
+    fixed significance threshold needs). Cells with zero observed count
+    are NOT emitted (the corpus-audit question is "which observed
+    pairings are over/under-represented"; absent cells belong to the
+    marginal census).
+
+    Counts are exact integers; each FACTOR casts to double before
+    multiplying (the r08 MI ADVICE overflow class — 64-bit count
+    products wrap past ~3e9 rows; double products never wrap), expected
+    and contribution are a fixed IEEE expression tree mirrored by the
+    oracle, 6-dp HALF-UP.
+
+    Scale: identical to MI — one shuffle on the (a, b) cell key;
+    vocab-bounded marginals broadcast back.
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    cells = (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = cells.agg(F.sum("n_ab").alias("_N"))
+    e = (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    ) / F.col("_N").cast("double")
+    diff = F.col("n_ab").cast("double") - e
+    return (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            q6_col(e).alias("expected"),
+            q6_col((diff * diff) / e).alias("chi2_contrib"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 def column_completeness(
     tables: "dict[str, DataFrame]",
 ) -> DataFrame:

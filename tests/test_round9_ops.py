@@ -885,3 +885,32 @@ def test_merge_keyed_null_partition_key_not_duplicated(spark, tmp_path):
         for r in spark.read.parquet(path).orderBy("k").collect()
     ]
     assert got == [(1, "a", 11.0), (2, "a", 20.0)]
+
+
+# ---------------------------------------------------------------------------
+# quality.chi2_independence
+
+
+def test_chi2_hand_computed_2x2(spark):
+    from kafka_connect_hdfs_spark.operators.quality import chi2_independence
+
+    # classic 2x2: a/p 30, a/q 10, b/p 10, b/q 30 (N=80; expected 20 each)
+    rows = (
+        [("a", "p")] * 30 + [("a", "q")] * 10
+        + [("b", "p")] * 10 + [("b", "q")] * 30
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = {(r["a"], r["b"]): r for r in chi2_independence(df, "x", "y").collect()}
+    for cell in (("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")):
+        assert out[cell]["expected"] == 20.0
+        assert out[cell]["chi2_contrib"] == 5.0  # (30-20)^2/20 or (10-20)^2/20
+    assert sum(r["chi2_contrib"] for r in out.values()) == 20.0
+
+
+def test_chi2_independent_is_zero(spark):
+    from kafka_connect_hdfs_spark.operators.quality import chi2_independence
+
+    rows = [("a", "p")] * 6 + [("a", "q")] * 2 + [("b", "p")] * 3 + [("b", "q")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = chi2_independence(df, "x", "y").collect()
+    assert all(abs(r["chi2_contrib"]) < 1e-9 for r in out)
