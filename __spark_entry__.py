@@ -5111,6 +5111,29 @@ def _q_text_llr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llr_collocations(_docs(spark, sf_dir), min_pairs=5, k=20)
 
 
+def _q_q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native UNPIVOT (melt): the four lineitem measures rotate into the
+    tall (metric, value) shape dashboards and metric stores ingest —
+    Catalyst compiles unpivot to Expand (the CUBE machinery): ONE scan,
+    rows multiply map-side, the aggregate partial-combines; no join, no
+    per-column scan loop. Values normalize to decimal(18,2) so the tall
+    column has one type; the oracle is the UNION ALL unrolling, which is
+    relationally the same plan."""
+    from kafka_connect_hdfs_spark.functions import surface_dec_sum
+    from kafka_connect_hdfs_spark.session import load_table
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[F.col(c).cast("decimal(18,2)").alias(c) for c in cols]
+    )
+    tall = li.unpivot([], cols, "metric", "value")
+    agg = tall.groupBy("metric").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("value").alias("total"),
+    )
+    return surface_dec_sum(agg, "total").orderBy("metric")
+
+
 def _q_quality_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell chi-squared independence decomposition of (lang, source)
     (quality.chi2_independence): exact contingency counts, expected
@@ -6037,6 +6060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_llr_pairs": _q_text_llr_pairs,
         "stream_jsd_drift": _q_stream_jsd_drift,
         "quality_chi2": _q_quality_chi2,
+        "q_unpivot_metrics": _q_q_unpivot_metrics,
     }
     # ROUND-9 WINDOW: the driver checks the FIRST 50 keys — the 8 NEW
     # r09 operators, the 8 gates whose Spark and/or oracle pairs changed
@@ -6049,7 +6073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rolling/deciles/rfm/rollup, the stream_windowed trio — their
     # decimal-sweep outputs were byte-identical at sf0.01, re-checked
     # here on the cadence), topped up from the r03-latest block.
-    # ROUND-10 QUEUE: stream_jsd_drift + quality_chi2 (NEW late in r09,
+    # ROUND-10 QUEUE: stream_jsd_drift + quality_chi2 + q_unpivot_metrics
+    # (NEW late in r09,
     # no driver rows yet — first slots), the r03-latest top-ups displaced
     # by the late changed-pair swaps (ann_filtered_topk,
     # ann_hard_negatives, ann_index_serve), then the remaining
@@ -8709,6 +8734,21 @@ GROUP BY lang ORDER BY lang
         f" AS d{d}"
         for d in range(1, 8)
     )
+    sql["q_unpivot_metrics"] = """
+WITH u AS (
+  SELECT 'l_quantity' AS metric, CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+UNION ALL
+  SELECT 'l_extendedprice' AS metric, CAST(l_extendedprice AS DECIMAL(18,2)) AS value FROM lineitem
+UNION ALL
+  SELECT 'l_discount' AS metric, CAST(l_discount AS DECIMAL(18,2)) AS value FROM lineitem
+UNION ALL
+  SELECT 'l_tax' AS metric, CAST(l_tax AS DECIMAL(18,2)) AS value FROM lineitem
+)
+SELECT metric, count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM u GROUP BY metric ORDER BY metric
+"""
+
     sql["q_pivot_report"] = f"""
 SELECT event_type,
        {_dowcols}

@@ -1168,3 +1168,24 @@ def test_mutual_info_factors_double_before_multiply(spark, sf):
 
     # any (n_ab#x L * _N#y L) bigint product would render without casts
     assert not re.search(r"\(n_ab#\d+L \* _N#\d+L\)", plan), plan
+
+
+def test_unpivot_compiles_to_expand_single_scan(spark, sf):
+    """UNPIVOT must compile to Expand over ONE scan (the CUBE machinery)
+    — no join, no per-column scan loop; the aggregate partial-combines."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.session import load_table
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = load_table(spark, sf, "lineitem").select(
+        *[F.col(c).cast("decimal(18,2)").alias(c) for c in cols]
+    )
+    plan = _plan(
+        li.unpivot([], cols, "metric", "value")
+        .groupBy("metric")
+        .agg(F.count("*").alias("n"))
+    )
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan  # tree + detail render
