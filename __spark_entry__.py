@@ -3166,6 +3166,23 @@ def _q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, id_a="user_a", id_b="user_b")
 
 
+def _q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficients of the co-visitation graph
+    (graph.clustering_coefficients): same thresholded edges and
+    degree-oriented wedge join as graph_triangle_count, refined to the
+    node level — WHICH users sit inside near-cliques. The oracle replays
+    the identical orientation, explodes each triangle to its 3 nodes,
+    and mirrors the per-factor-double 2T/(d(d-1)) formula."""
+    from kafka_connect_hdfs_spark.operators.graph import (
+        clustering_coefficients, covisit_edges,
+    )
+
+    edges = covisit_edges(
+        _events(spark, sf_dir), max_users_per_bucket=200
+    ).filter(F.col("n_covisits") >= 3)
+    return clustering_coefficients(edges, id_a="user_a", id_b="user_b")
+
+
 def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the co-visitation graph: iterative peeling until every
     surviving user has >= 3 surviving co-visit partners — the dense-ring
@@ -6061,6 +6078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_jsd_drift": _q_stream_jsd_drift,
         "quality_chi2": _q_quality_chi2,
         "q_unpivot_metrics": _q_q_unpivot_metrics,
+        "graph_clustering_coeff": _q_graph_clustering,
     }
     # ROUND-9 WINDOW: the driver checks the FIRST 50 keys — the 8 NEW
     # r09 operators, the 8 gates whose Spark and/or oracle pairs changed
@@ -6074,7 +6092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # decimal-sweep outputs were byte-identical at sf0.01, re-checked
     # here on the cadence), topped up from the r03-latest block.
     # ROUND-10 QUEUE: stream_jsd_drift + quality_chi2 + q_unpivot_metrics
-    # (NEW late in r09,
+    # + graph_clustering_coeff (NEW late in r09,
     # no driver rows yet — first slots), the r03-latest top-ups displaced
     # by the late changed-pair swaps (ann_filtered_topk,
     # ann_hard_negatives, ann_index_serve), then the remaining
@@ -9619,6 +9637,36 @@ wedge AS (
 SELECT count(*)::BIGINT AS n_triangles
 FROM wedge JOIN oriented o ON wedge.a = o.u AND wedge.c = o.v
 """
+
+    # per-node refinement: identical CTEs through `oriented`, then the
+    # closed triangles explode to their 3 member nodes
+    sql["graph_clustering_coeff"] = sql["graph_triangle_count"].replace(
+        """SELECT count(*)::BIGINT AS n_triangles
+FROM wedge JOIN oriented o ON wedge.a = o.u AND wedge.c = o.v""",
+        """, tri AS (
+  SELECT wedge.a, wedge.b, wedge.c
+  FROM wedge JOIN oriented o ON wedge.a = o.u AND wedge.c = o.v
+),
+pernode AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tcount AS (SELECT node, count(*)::BIGINT AS t FROM pernode GROUP BY node)
+SELECT deg.u AS node, deg.d::BIGINT AS degree,
+       COALESCE(t, 0)::BIGINT AS n_triangles,
+       ((CASE WHEN (COALESCE((2.0 * CAST(t AS DOUBLE)) / (CAST(d AS DOUBLE) * CAST(d - 1 AS DOUBLE)), 0.0)) < 0 THEN -floor(-(COALESCE((2.0 * CAST(t AS DOUBLE)) / (CAST(d AS DOUBLE) * CAST(d - 1 AS DOUBLE)), 0.0)) * 1000000.0 + 0.5) ELSE floor((COALESCE((2.0 * CAST(t AS DOUBLE)) / (CAST(d AS DOUBLE) * CAST(d - 1 AS DOUBLE)), 0.0)) * 1000000.0 + 0.5) END / 1000000.0) + 0.0) AS clustering
+FROM deg LEFT JOIN tcount ON deg.u = tcount.node
+WHERE deg.d >= 2 ORDER BY node""",
+    ).replace(
+        """oriented AS (
+  SELECT u, v FROM wd WHERE du < dv OR (du = dv AND u < v)
+)""",
+        """oriented AS (
+  SELECT u, v FROM wd WHERE du < dv OR (du = dv AND u < v)
+)""",
+    )
+
 
     # unrolled k-core peel: same covisit edge build as triangle_count,
     # then R rounds of (degree -> keep d>=k -> filter edges); converges

@@ -422,6 +422,95 @@ def triangle_count(
     return closed.agg(F.count("*").alias("n_triangles"))
 
 
+def clustering_coefficients(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected graph:
+    ``cc(x) = 2·T(x) / (d(x)·(d(x)−1))`` with ``T(x)`` = triangles
+    through x — the node-level refinement of :func:`triangle_count`
+    (the global scalar says "this graph triangulates"; the coefficient
+    says WHICH accounts sit inside near-cliques — the spam-ring /
+    crawl-mirror membership list, Watts-Strogatz 1998). Returns
+    ``(node, degree, n_triangles, clustering)`` for nodes with
+    degree ≥ 2 (the coefficient is undefined below), 6-dp HALF-UP.
+
+    Scale: the SAME degree-oriented wedge join as
+    :func:`triangle_count` (O(m^{3/2}) worst case, hub-skew bounded —
+    each triangle enumerated once), then one explode-to-3-rows per
+    triangle + a node-keyed count; degrees join back on the node key.
+    The denominator multiplies per-factor DOUBLES (the r08 overflow
+    convention — d·(d−1) in 64-bit wraps at ~3e9-degree hubs).
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    with_deg = (
+        sym.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+        )
+    )
+    oriented = with_deg.filter(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
+    wedge = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("a"),
+        F.col("e1.v").alias("b"),
+        F.col("e2.v").alias("c"),
+    )
+    tri = wedge.join(
+        oriented.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = deg.filter(F.col("d") >= 2).select(
+        F.col("u").alias("node"), F.col("d").alias("degree")
+    )
+    cc = (F.lit(2.0) * F.col("n_triangles").cast("double")) / (
+        F.col("degree").cast("double")
+        * (F.col("degree") - 1).cast("double")
+    )
+    return (
+        nodes.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            q6_col(
+                F.coalesce(
+                    (F.lit(2.0) * F.col("n_triangles").cast("double"))
+                    / (
+                        F.col("degree").cast("double")
+                        * (F.col("degree") - 1).cast("double")
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias("clustering"),
+        )
+        .orderBy("node")
+    )
+
+
 def group_jaccard_edges(
     df: DataFrame,
     n: int = 3,

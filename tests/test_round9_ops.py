@@ -914,3 +914,40 @@ def test_chi2_independent_is_zero(spark):
     df = spark.createDataFrame(rows, "x string, y string")
     out = chi2_independence(df, "x", "y").collect()
     assert all(abs(r["chi2_contrib"]) < 1e-9 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# graph.clustering_coefficients
+
+
+def test_clustering_triangle_and_path(spark):
+    from kafka_connect_hdfs_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    # triangle 1-2-3 plus a pendant path 3-4-5: cc(1)=cc(2)=1.0;
+    # cc(3)=2*1/(3*2)=0.333333; cc(4)=0 (wedge 3-4-5 open); 5 has deg 1
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r for r in clustering_coefficients(e).collect()}
+    assert set(out) == {1, 2, 3, 4}  # node 5: degree 1, undefined
+    assert out[1]["clustering"] == 1.0 and out[2]["clustering"] == 1.0
+    assert out[3]["clustering"] == 0.333333
+    assert out[4]["clustering"] == 0.0 and out[4]["n_triangles"] == 0
+    assert out[3]["degree"] == 3 and out[3]["n_triangles"] == 1
+
+
+def test_clustering_clique_is_all_ones(spark):
+    from itertools import combinations
+
+    from kafka_connect_hdfs_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    e = spark.createDataFrame(
+        [(a, b) for a, b in combinations(range(5), 2)], "id_a long, id_b long"
+    )
+    rows = clustering_coefficients(e).collect()
+    assert len(rows) == 5
+    assert all(r["clustering"] == 1.0 and r["n_triangles"] == 6 for r in rows)
