@@ -153,6 +153,7 @@ def _run_suite(spark, sf_dir: str, tag: str) -> list[dict]:
         "dedup_star_clusters",
         "graph_triangle_count",
         "graph_modularity",
+        "graph_clustering_coeff",
     ):
         out.append(
             _timed(spark, f"{it}@{tag}", lambda q=it: qs[q](spark, sf_dir).count())
