@@ -371,8 +371,12 @@ def _relayout_scoped(
         for e in fs.listStatus(stage)
         if e.isFile() and e.getPath().getName().startswith(_DONE_PREFIX)
     }
-    if not all(_leaf_reg(rel) in done for rel in live_leaves):
-        return {}  # mid-sequence: live table untouched, stage persists
+    # `all(...)` is vacuously true on an empty live_leaves set (empty or
+    # malformed table) and would swap an empty stage over the live dir
+    if not live_leaves or not all(
+        _leaf_reg(rel) in done for rel in live_leaves
+    ):
+        return {}  # mid-sequence or leafless: live table untouched
 
     # every old leaf is staged: atomic cutover (two renames, recoverable
     # by the roll-forward block above), then marker cleanup

@@ -101,9 +101,14 @@ def merge_upsert(
         live = f"{table_path}/{leaf}"
         old = f"{table_path}/.{leaf}__merge_old"
         fs.delete(Path(old), True)
-        if fs.exists(Path(live)):
-            fs.rename(Path(live), Path(old))
-        fs.rename(Path(f"{staging}/{leaf}"), Path(live))
+        # rename() returns False on failure rather than raising; a
+        # swallowed failure here would let the trailing deletes destroy
+        # BOTH the pre-merge partition and the staged data (r09 ADVICE)
+        if fs.exists(Path(live)) and not fs.rename(Path(live), Path(old)):
+            raise IOError(f"merge swap-out rename failed for {leaf}")
+        if not fs.rename(Path(f"{staging}/{leaf}"), Path(live)):
+            fs.rename(Path(old), Path(live))
+            raise IOError(f"merge swap-in rename failed for {leaf}")
         fs.delete(Path(old), True)
     fs.delete(Path(staging), True)
 
@@ -330,9 +335,14 @@ def merge_keyed(
         live = f"{table_path}/{leaf}"
         old = f"{table_path}/.{leaf}__merge_old"
         fs.delete(Path(old), True)
-        if fs.exists(Path(live)):
-            fs.rename(Path(live), Path(old))
-        fs.rename(Path(f"{staging}/{leaf}"), Path(live))
+        # rename() returns False on failure rather than raising; a
+        # swallowed failure here would let the trailing deletes destroy
+        # BOTH the pre-merge partition and the staged data (r09 ADVICE)
+        if fs.exists(Path(live)) and not fs.rename(Path(live), Path(old)):
+            raise IOError(f"merge swap-out rename failed for {leaf}")
+        if not fs.rename(Path(f"{staging}/{leaf}"), Path(live)):
+            fs.rename(Path(old), Path(live))
+            raise IOError(f"merge swap-in rename failed for {leaf}")
         fs.delete(Path(old), True)
     fs.delete(Path(staging), True)
 

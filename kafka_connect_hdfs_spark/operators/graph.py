@@ -496,16 +496,7 @@ def clustering_coefficients(
             "node",
             "degree",
             F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
-            q6_col(
-                F.coalesce(
-                    (F.lit(2.0) * F.col("n_triangles").cast("double"))
-                    / (
-                        F.col("degree").cast("double")
-                        * (F.col("degree") - 1).cast("double")
-                    ),
-                    F.lit(0.0),
-                )
-            ).alias("clustering"),
+            q6_col(F.coalesce(cc, F.lit(0.0))).alias("clustering"),
         )
         .orderBy("node")
     )

@@ -1067,7 +1067,10 @@ def chi2_independence(
     fixed significance threshold needs). Cells with zero observed count
     are NOT emitted (the corpus-audit question is "which observed
     pairings are over/under-represented"; absent cells belong to the
-    marginal census).
+    marginal census). Rows with a NULL category in EITHER column are
+    excluded from the census entirely — the equi-joins to the marginals
+    never match NULL keys (same contract as :func:`mutual_information`;
+    coalesce to a sentinel upstream if NULL is a category of interest).
 
     Counts are exact integers; each FACTOR casts to double before
     multiplying (the r08 MI ADVICE overflow class — 64-bit count
