@@ -5076,6 +5076,48 @@ def _q_ops_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ops_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel (snapshots.read_as_of, r09 VERDICT item 3):
+    three commits with INJECTED clocks (1000/2000/3000 ms — the repo's
+    deterministic-clock convention), then ``AS OF 2500`` must resolve v2
+    and read exactly the en+de rows (Iceberg snapshot-log semantics:
+    greatest committed_at ≤ ts), ``AS OF 2000`` hits the boundary
+    inclusively (still v2), ``AS OF 1999`` falls back to v1. The oracle
+    recomputes the v2 content from the source table; the resolved
+    version numbers ride along as pinned columns."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, read_as_of, resolve_as_of,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    path = tempfile.mkdtemp(prefix="kchs_asof_") + "/t"
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "en"), path, now=lambda: 1000
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "de"), path, mode="append",
+        now=lambda: 2000,
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "fr"), path, mode="append",
+        now=lambda: 3000,
+    )
+    return (
+        read_as_of(spark, path, 2500)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .withColumn("v_at_2500", F.lit(resolve_as_of(spark, path, 2500)))
+        .withColumn("v_at_2000", F.lit(resolve_as_of(spark, path, 2000)))
+        .withColumn("v_at_1999", F.lit(resolve_as_of(spark, path, 1999)))
+        .orderBy("lang")
+    )
+
+
 def _q_ops_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan vacuum (snapshots.vacuum_orphans): commit v1 (en), append
     v2 (de), drop an unmanifested data/v99 crashed-commit leftover next
@@ -6111,6 +6153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coeff": _q_graph_clustering,
         # ===== NEW in r10
         "media_decode_stats": _q_media_decode_stats,
+        "ops_read_as_of": _q_ops_read_as_of,
     }
     # ROUND-9 WINDOW: the driver checks the FIRST 50 keys — the 8 NEW
     # r09 operators, the 8 gates whose Spark and/or oracle pairs changed
@@ -8851,6 +8894,15 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
        0::BIGINT AS empty_delta_rows
 FROM documents WHERE lang IN ('de', 'fr')
+GROUP BY lang ORDER BY lang
+"""
+
+    # AS OF 2500ms resolves v2 = en + de (commits at 1000/2000/3000);
+    # boundary 2000 stays v2 (inclusive ≤), 1999 falls back to v1
+    sql["ops_read_as_of"] = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+       2::INT AS v_at_2500, 2::INT AS v_at_2000, 1::INT AS v_at_1999
+FROM documents WHERE lang IN ('en', 'de')
 GROUP BY lang ORDER BY lang
 """
 

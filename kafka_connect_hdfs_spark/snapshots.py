@@ -66,12 +66,35 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
     return json.loads(data.decode("utf-8"))
 
 
+def _commit_ts(
+    spark: SparkSession,
+    path: str,
+    versions: "list[int]",
+    now,
+) -> int:
+    """Commit timestamp (epoch millis) for the NEXT manifest with the
+    Iceberg snapshot-log monotonic guard: never ≤ the previous commit's
+    timestamp, so ``read_as_of`` resolution is a total order even under
+    clock skew / sub-millisecond commit bursts. ``now`` is injectable
+    (epoch-ms callable) per the repo determinism convention — the same
+    pattern as the partitioners' timestamp extractors."""
+    import time
+
+    ts = int(now()) if now is not None else int(time.time() * 1000)
+    if versions:
+        prev = _read_manifest(spark, path, versions[-1]).get("committed_at")
+        if prev is not None and ts <= int(prev):
+            ts = int(prev) + 1
+    return ts
+
+
 def commit_snapshot(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
     fmt: str = "parquet",
+    now=None,
 ) -> int:
     """Commit ``df`` as the next table version and return its number.
 
@@ -83,12 +106,17 @@ def commit_snapshot(
     The manifest is written to a hidden temp name and renamed into place,
     so a version either exists completely or not at all (the same
     rename-is-the-commit protocol as the reference's WAL and wap.py).
+
+    Each manifest records ``committed_at`` (epoch millis, monotonic per
+    table — see :func:`_commit_ts`); ``now`` injects the clock for
+    deterministic tests.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown snapshot mode: {mode!r}")
     fs, Path = _fs(spark, path)
     versions = list_snapshots(spark, path)
     version = (versions[-1] + 1) if versions else 1
+    committed_at = _commit_ts(spark, path, versions, now)
     data_dir = f"{path.rstrip('/')}/data/v{version}"
     # crash recovery (ADVICE r04): a crash between the data write and the
     # manifest rename orphans data/v<N>; the next commit recomputes the
@@ -110,6 +138,7 @@ def commit_snapshot(
         "mode": mode,
         "format": fmt,
         "files": files,
+        "committed_at": committed_at,
     }
     mdir = _manifest_dir(path)
     fs.mkdirs(Path(mdir))
@@ -149,6 +178,75 @@ def read_snapshot(
     # load() takes ONE path-or-list argument; *args would bind the second
     # directory to the format parameter
     return reader.load(man["files"])
+
+
+def resolve_as_of(spark: SparkSession, path: str, ts_ms: int) -> int:
+    """Resolve ``AS OF TIMESTAMP`` to a version number: the greatest
+    version whose ``committed_at`` ≤ ``ts_ms`` — the Iceberg
+    snapshot-log lookup (SnapshotUtil.snapshotIdAsOfTime) / Delta
+    ``timestampAsOf`` semantics. Raises for a timestamp before the first
+    commit (there is no table state to read — same contract as Iceberg).
+
+    Manifests from before timestamp tracking (no ``committed_at`` field)
+    sort as epoch 0: they predate every tracked commit by construction,
+    so any ts at-or-after table creation still resolves — legacy logs
+    keep time-traveling without a migration.
+
+    Commit timestamps are monotonic per table (:func:`_commit_ts`), so
+    the greatest-version-≤-ts pick is unambiguous. Driver metadata only.
+    """
+    versions = list_snapshots(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    best = None
+    oldest_ts = None
+    for v in versions:
+        ts = int(_read_manifest(spark, path, v).get("committed_at") or 0)
+        oldest_ts = ts if oldest_ts is None else min(oldest_ts, ts)
+        if ts <= int(ts_ms):
+            best = v  # versions ascend and timestamps are monotonic
+    if best is None:
+        raise ValueError(
+            f"as-of timestamp {ts_ms} precedes the first commit "
+            f"({oldest_ts}) of {path}: no table state exists to read"
+        )
+    return best
+
+
+def read_as_of(
+    spark: SparkSession,
+    path: str,
+    ts_ms: int,
+    options: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Load the table AS OF an epoch-millis timestamp — time travel by
+    wall clock instead of version number (:func:`resolve_as_of` picks
+    the version; :func:`read_snapshot` loads it with the same
+    planning-time directory pruning)."""
+    return read_snapshot(
+        spark, path, version=resolve_as_of(spark, path, ts_ms),
+        options=options,
+    )
+
+
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    """The table's commit history as a DataFrame ``(version, mode,
+    committed_at, n_data_dirs)`` — the ``table.history()`` /
+    ``snapshots`` metadata relation of Iceberg/Delta. ``committed_at``
+    is NULL for manifests that predate timestamp tracking. Driver
+    metadata only; no data files are opened."""
+    rows = []
+    for v in list_snapshots(spark, path):
+        man = _read_manifest(spark, path, v)
+        ts = man.get("committed_at")
+        rows.append(
+            (v, man["mode"], None if ts is None else int(ts),
+             len(man["files"]))
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, mode string, committed_at long, n_data_dirs int",
+    )
 
 
 def read_incremental(
@@ -204,7 +302,7 @@ def read_incremental(
 
 
 def rollback_snapshot(
-    spark: SparkSession, path: str, to_version: int
+    spark: SparkSession, path: str, to_version: int, now=None
 ) -> int:
     """Revert the table to ``to_version`` by committing a NEW version
     whose manifest references that version's files — a metadata-only
@@ -223,6 +321,7 @@ def rollback_snapshot(
         "mode": f"rollback:{to_version}",
         "format": target["format"],
         "files": target["files"],
+        "committed_at": _commit_ts(spark, path, versions, now),
     }
     mdir = _manifest_dir(path)
     tmp = Path(f"{mdir}/.v{version}.json.tmp")
@@ -730,6 +829,7 @@ def clone_table(
     src_path: str,
     dst_path: str,
     version: "int | None" = None,
+    now=None,
 ) -> int:
     """ZERO-COPY clone: create a new snapshot-log table at ``dst_path``
     whose v1 manifest references the SOURCE table's data files for
@@ -798,6 +898,7 @@ def clone_table(
         "format": src_manifest.get("format", "parquet"),
         "files": list(src_manifest["files"]),
         "cloned_from": {"path": src_path, "version": v},
+        "committed_at": _commit_ts(spark, dst_path, [], now),
     }
     mdir = _manifest_dir(dst_path)
     fs.mkdirs(Path(mdir))

@@ -225,6 +225,117 @@ def test_decode_media_stats_stub_path_for_unknown_codec(spark):
         assert rows[mid]["media_type"] is None
 
 
+# ---------------------------------------------------------------------------
+# Timestamp time travel (snapshots.read_as_of — r09 VERDICT item 3)
+
+
+def _mk_versions(spark, tmp_path, clocks):
+    from kafka_connect_hdfs_spark.snapshots import commit_snapshot
+
+    path = str(tmp_path / "t")
+    for i, ts in enumerate(clocks):
+        df = spark.range(10 * i, 10 * i + 5).withColumnRenamed("id", "k")
+        commit_snapshot(
+            spark, df, path,
+            mode="overwrite" if i == 0 else "append",
+            now=(lambda t=ts: t),
+        )
+    return path
+
+
+def test_read_as_of_between_and_boundary(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import read_as_of, resolve_as_of
+
+    path = _mk_versions(spark, tmp_path, [1000, 2000, 3000])
+    assert resolve_as_of(spark, path, 2500) == 2
+    assert resolve_as_of(spark, path, 2000) == 2   # inclusive boundary
+    assert resolve_as_of(spark, path, 1999) == 1
+    assert resolve_as_of(spark, path, 10**15) == 3  # far future → latest
+    assert read_as_of(spark, path, 2500).count() == 10  # v1+v2 rows
+    assert read_as_of(spark, path, 1000).count() == 5
+
+
+def test_read_as_of_before_first_commit_raises(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import read_as_of
+
+    path = _mk_versions(spark, tmp_path, [1000])
+    with pytest.raises(ValueError, match="precedes the first commit"):
+        read_as_of(spark, path, 999)
+
+
+def test_commit_ts_monotonic_guard(spark, tmp_path):
+    """Two commits with the SAME injected clock: the second manifest's
+    committed_at must strictly exceed the first (Iceberg monotonic
+    snapshot-log invariant), so as-of resolution stays a total order."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, snapshot_history,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(3)
+    commit_snapshot(spark, df, path, now=lambda: 5000)
+    commit_snapshot(spark, df, path, mode="append", now=lambda: 5000)
+    commit_snapshot(spark, df, path, mode="append", now=lambda: 4000)
+    hist = {r["version"]: r["committed_at"]
+            for r in snapshot_history(spark, path).collect()}
+    assert hist[1] == 5000
+    assert hist[2] == 5001  # bumped past v1
+    assert hist[3] == 5002  # clock went BACKWARD; guard still advances
+
+
+def test_read_as_of_legacy_manifest_sorts_as_epoch_zero(spark, tmp_path):
+    """A manifest written before timestamp tracking (committed_at absent)
+    resolves as epoch 0 — old tables keep time-traveling, no migration."""
+    import json as _json
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, resolve_as_of, snapshot_history,
+    )
+
+    path = str(tmp_path / "t")
+    commit_snapshot(spark, spark.range(3), path, now=lambda: 7000)
+    # strip committed_at from v1 in place (simulating a pre-r10 manifest)
+    man_file = tmp_path / "t" / "_snapshots" / "v1.json"
+    man = _json.loads(man_file.read_text())
+    del man["committed_at"]
+    man_file.write_text(_json.dumps(man))
+    # drop Hadoop LocalFileSystem's checksum sidecar — the out-of-band
+    # edit above invalidated it and reads would fail ChecksumException
+    crc = man_file.parent / ".v1.json.crc"
+    if crc.exists():
+        crc.unlink()
+    commit_snapshot(
+        spark, spark.range(3), path, mode="append", now=lambda: 8000
+    )
+    assert resolve_as_of(spark, path, 0) == 1
+    assert resolve_as_of(spark, path, 8000) == 2
+    hist = {r["version"]: r["committed_at"]
+            for r in snapshot_history(spark, path).collect()}
+    assert hist[1] is None and hist[2] == 8000
+
+
+def test_rollback_and_clone_record_commit_ts(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        clone_table, commit_snapshot, resolve_as_of, rollback_snapshot,
+        snapshot_history,
+    )
+
+    src = str(tmp_path / "src")
+    commit_snapshot(spark, spark.range(4), src, now=lambda: 1000)
+    commit_snapshot(
+        spark, spark.range(4), src, mode="append", now=lambda: 2000
+    )
+    rollback_snapshot(spark, src, 1, now=lambda: 3000)
+    hist = {r["version"]: r["committed_at"]
+            for r in snapshot_history(spark, src).collect()}
+    assert hist[3] == 3000
+    assert resolve_as_of(spark, src, 2999) == 2
+    dst = str(tmp_path / "dst")
+    clone_table(spark, src, dst, now=lambda: 4000)
+    dhist = snapshot_history(spark, dst).collect()
+    assert dhist[0]["committed_at"] == 4000
+
+
 def test_extract_features_uses_real_codec_on_real_payloads(spark):
     """The legacy feature extractor's _decode now dispatches to the real
     codecs on BMP/WAV magic — dims come from the parsed header, not the
