@@ -2206,6 +2206,73 @@ def _q_ops_merge_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _q_ops_merge_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed MERGE (merge.build_key_index + locate_keys, r09
+    VERDICT item 4): same three-clause MERGE as ops_merge_keyed but
+    LOCATE resolves through the bucketed key→partition index (built
+    before the merge, validated fresh by fingerprint, refreshed
+    incrementally afterwards). The census must equal the scan-based
+    merge's — the index is purely a fast path — and the post-merge
+    index status rides along pinned to 'fresh' (a failed refresh or a
+    fingerprint bug would read 'stale' and break the hash)."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.merge import (
+        build_key_index, key_index_status, merge_keyed,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "event_type", "value").filter(
+        F.col("event_id") < 3000
+    )
+    path = tempfile.mkdtemp(prefix="kchs_merge_idx_") + "/t"
+    base.write.partitionBy("event_type").parquet(path)
+    build_key_index(
+        spark, path, "event_id", "event_type", n_buckets=16
+    )
+    moves = (
+        base.filter(F.col("event_id") % 7 == 0)
+        .withColumn("event_type", F.lit("moved"))
+        .withColumn("value", F.col("value") + 500.0)
+        .withColumn("is_del", F.lit(False))
+    )
+    deletes = (
+        base.filter((F.col("event_id") % 11 == 0) & (F.col("event_id") % 7 != 0))
+        .withColumn("is_del", F.lit(True))
+    )
+    inserts = (
+        ev.select("event_id", "event_type", "value")
+        .filter((F.col("event_id") >= 3000) & (F.col("event_id") < 3100))
+        .withColumn("is_del", F.lit(False))
+    )
+    merge_keyed(
+        spark, path,
+        moves.unionByName(deletes).unionByName(inserts),
+        key_col="event_id", partition_col="event_type",
+        delete_col="is_del",
+    )
+    status = key_index_status(spark, path, "event_type")
+    back = spark.read.parquet(path)
+    from kafka_connect_hdfs_spark.functions import surface_dec_sum
+
+    return (
+        surface_dec_sum(
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("event_id").cast("bigint").alias("sum_ids"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias(
+                    "total_value"
+                ),
+            ),
+            "total_value",
+        )
+        .withColumn("index_status", F.lit(status))
+        .orderBy("event_type")
+    )
+
+
 def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (m=4 subspaces, 16 codes/subspace,
     deterministic first-16 codebook)."""
@@ -6154,6 +6221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== NEW in r10
         "media_decode_stats": _q_media_decode_stats,
         "ops_read_as_of": _q_ops_read_as_of,
+        "ops_merge_indexed": _q_ops_merge_indexed,
     }
     # ROUND-9 WINDOW: the driver checks the FIRST 50 keys — the 8 NEW
     # r09 operators, the 8 gates whose Spark and/or oracle pairs changed
@@ -8932,6 +9000,12 @@ SELECT event_type, count(*)::BIGINT AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM merged GROUP BY event_type ORDER BY event_type
 """
+
+    # identical expected state as ops_merge_keyed (the index is a pure
+    # fast path) + the pinned post-merge freshness flag
+    sql["ops_merge_indexed"] = sql["ops_merge_keyed"].replace(
+        "AS total_value", "AS total_value,\n       'fresh' AS index_status", 1
+    )
 
     sql["ann_pq_topk"] = """
 WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -216,13 +216,15 @@ def merge_keyed(
     ``partition_col``.
 
     Execution shape, 100 TB-ready:
-      1. LOCATE: one column-pruned scan (``key_col`` bytes only —
-         ``partition_col`` comes from directory names) semi-joined
-         against the broadcast update keys finds the partitions the
-         keys currently live in; Catalyst prunes everything else at
-         planning time. At sustained 100 TB merge cadence, front this
-         with a bucketed key→partition index; the pass stays correct
-         without it.
+      1. LOCATE: when a FRESH bucketed key→partition index exists
+         (:func:`build_key_index`), read ONLY the index buckets the
+         update keys hash into — O(update keys), the sustained-cadence
+         path; otherwise one column-pruned scan (``key_col`` bytes only
+         — ``partition_col`` comes from directory names) semi-joined
+         against the broadcast update keys. The index is fingerprint-
+         validated (:func:`locate_keys`) and refreshed incrementally
+         after the swap (:func:`refresh_key_index`); staleness can only
+         cost a scan, never a wrong answer.
       2. STAGE: one job writes the post-merge state of every touched
          partition (current rows minus updated keys, union the update
          rows) into a hidden staging tree.
@@ -281,14 +283,28 @@ def merge_keyed(
         upd_rows = updates
 
     tgt = spark.read.format(fmt).load(table_path)
-    # LOCATE where the keys currently live: key-column-only scan
-    old_vals = [
-        r[0]
-        for r in tgt.join(F.broadcast(all_keys), key_col, "left_semi")
-        .select(partition_col)
-        .distinct()
-        .collect()
-    ]
+    # LOCATE where the keys currently live. Fast path (r09 VERDICT item
+    # 4): a FRESH bucketed key→partition index answers from the buckets
+    # the update keys hash into — O(update keys). Fallback: the
+    # key-column-only full scan (column-pruned; partition values come
+    # from directory names). The index is validated against the live
+    # listing fingerprint inside locate_keys, so a stale index can only
+    # cost a scan, never a wrong answer.
+    idx_meta = _read_index_meta(spark, table_path)
+    located = locate_keys(
+        spark, table_path, all_keys, key_col, partition_col, fmt
+    )
+    if located is not None:
+        old_vals = [r[0] for r in located.collect()]
+    else:
+        idx_meta = None  # absent or stale: do not refresh incrementally
+        old_vals = [
+            r[0]
+            for r in tgt.join(F.broadcast(all_keys), key_col, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        ]
     new_vals = [
         r[0] for r in upd_rows.select(partition_col).distinct().collect()
     ]
@@ -370,9 +386,278 @@ def merge_keyed(
             fs.delete(dropped, True)
             n_dropped += 1
 
+    # index maintenance: only when a FRESH index served this merge's
+    # LOCATE (idx_meta survived) — rewrite the touched buckets and
+    # republish the fingerprint of the post-merge listing. If the index
+    # was absent/stale we leave it; build_key_index is the recovery.
+    if idx_meta is not None:
+        refresh_key_index(
+            spark, table_path, all_keys, upd_rows,
+            key_col, partition_col, idx_meta,
+        )
+
     return {
         "n_partitions_touched": len(touched),
         "n_update_rows": n_update_rows,
         "n_rows_after_affected": n_after,
         "n_partitions_dropped": n_dropped,
     }
+
+
+# ---------------------------------------------------------------------------
+# Bucketed key→partition index for merge_keyed's LOCATE pass (r09 VERDICT
+# item 4). Without it every merge pays a full key-column scan of the
+# table; with it LOCATE reads only the index buckets the update keys hash
+# into — O(update keys), never O(table). The index lives INSIDE the table
+# dir under `_key_index/` (Spark's file index hides `_`-prefixed dirs, so
+# ordinary reads never see it), bucketed as hive dirs `bucket=N` so the
+# bucket filter prunes at PLANNING time.
+#
+# Consistency contract: `_key_index/meta.json` records a listing
+# fingerprint (leaf/file/size) of the table it indexes. locate_keys uses
+# the index ONLY while the fingerprint matches the live listing — any
+# out-of-band write, crashed refresh, or manual surgery makes the index
+# silently STALE and LOCATE falls back to the full scan (correctness
+# never depends on the index; it is purely a fast path). merge_keyed
+# refreshes the touched buckets after its swap and republishes the meta
+# atomically (write-hidden-then-rename, the manifest protocol).
+
+
+_INDEX_SUBDIR = "_key_index"
+
+
+def _index_dirs(table_path: str) -> "tuple[str, str, str]":
+    root = f"{table_path.rstrip('/')}/{_INDEX_SUBDIR}"
+    return root, f"{root}/data", f"{root}/meta.json"
+
+
+def _table_sig(fs, Path, table_path: str, partition_col: str) -> str:
+    """Fingerprint of the table's leaf listing: sorted
+    ``leaf/file:size`` lines, md5'd. O(files) driver metadata — the
+    cheap staleness signal the index contract rests on (file sizes catch
+    same-name rewrites; additions/deletions change the line set)."""
+    import hashlib
+
+    prefix = f"{partition_col}="
+    lines = []
+    root = Path(table_path.rstrip("/"))
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(prefix)):
+                continue
+            for f in fs.listStatus(st.getPath()):
+                fname = f.getPath().getName()
+                if f.isFile() and not fname.startswith(("_", ".")):
+                    lines.append(f"{name}/{fname}:{f.getLen()}")
+    return hashlib.md5("\n".join(sorted(lines)).encode("utf-8")).hexdigest()
+
+
+def _read_index_meta(spark: SparkSession, table_path: str) -> "dict | None":
+    import json
+
+    from kafka_connect_hdfs_spark.statedir import read_text
+
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    _, _, meta_path = _index_dirs(table_path)
+    if not fs.exists(Path(meta_path)):
+        return None
+    return json.loads(read_text(spark, Path(meta_path)))
+
+
+def _write_index_meta(spark: SparkSession, table_path: str, meta: dict) -> None:
+    import json
+
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root, _, meta_path = _index_dirs(table_path)
+    fs.mkdirs(Path(root))
+    tmp = Path(f"{root}/.meta.json.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(Path(meta_path), False)
+    if not fs.rename(tmp, Path(meta_path)):
+        raise IOError(f"key index meta rename failed for {table_path}")
+
+
+def _index_pairs(df: DataFrame, key_col: str, partition_col: str,
+                 n_buckets: int) -> DataFrame:
+    """(k, p, bucket) projection: bucket = pmod(murmur3(key), n_buckets)
+    — F.hash is seed-42 murmur3, stable across sessions/versions, so an
+    index built in one job resolves in every later one."""
+    return df.select(
+        F.col(key_col).alias("k"), F.col(partition_col).alias("p")
+    ).withColumn("bucket", F.pmod(F.hash(F.col("k")), F.lit(n_buckets)))
+
+
+def build_key_index(
+    spark: SparkSession,
+    table_path: str,
+    key_col: str,
+    partition_col: str,
+    fmt: str = "parquet",
+    n_buckets: int = 64,
+) -> dict:
+    """(Re)build the key→partition index from a full table scan — the
+    bootstrap and the staleness-recovery path. One column-pruned scan
+    (key bytes only; the partition value comes from directory names),
+    one shuffle into ``n_buckets`` hive dirs. Size ``n_buckets`` so a
+    bucket's pairs fit one task comfortably (~10⁷ keys/bucket); at
+    100 TB/10¹⁰ keys use 4096. Returns the published meta."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root, data_dir, _ = _index_dirs(table_path)
+    tgt = spark.read.format(fmt).load(table_path)
+    pairs = _index_pairs(tgt, key_col, partition_col, n_buckets)
+    staging = f"{root}/.data_stage"
+    fs.delete(Path(staging), True)
+    pairs.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+    old = f"{root}/.data_old"
+    fs.delete(Path(old), True)
+    if fs.exists(Path(data_dir)) and not fs.rename(Path(data_dir), Path(old)):
+        raise IOError(f"key index swap-out rename failed for {table_path}")
+    if not fs.rename(Path(staging), Path(data_dir)):
+        fs.rename(Path(old), Path(data_dir))
+        raise IOError(f"key index swap-in rename failed for {table_path}")
+    fs.delete(Path(old), True)
+    meta = {
+        "key_col": key_col,
+        "partition_col": partition_col,
+        "n_buckets": n_buckets,
+        "format": fmt,
+        "sig": _table_sig(fs, Path, table_path, partition_col),
+    }
+    _write_index_meta(spark, table_path, meta)
+    return meta
+
+
+def key_index_status(
+    spark: SparkSession, table_path: str, partition_col: str
+) -> str:
+    """'absent' | 'fresh' | 'stale' — the maintenance probe: stale means
+    the table listing no longer matches the indexed fingerprint (an
+    out-of-band write or a crashed refresh) and LOCATE is falling back
+    to full scans until :func:`build_key_index` runs again."""
+    meta = _read_index_meta(spark, table_path)
+    if meta is None:
+        return "absent"
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    cur = _table_sig(fs, Path, table_path, partition_col)
+    return "fresh" if cur == meta.get("sig") else "stale"
+
+
+def locate_keys(
+    spark: SparkSession,
+    table_path: str,
+    keys: DataFrame,
+    key_col: str,
+    partition_col: str,
+    fmt: str = "parquet",
+) -> "DataFrame | None":
+    """Index-backed LOCATE: the distinct partitions the given keys
+    currently live in, reading ONLY the index buckets those keys hash
+    into (planning-time partition pruning on the ``bucket`` dirs — the
+    plan's PartitionFilters, asserted in tests). Returns None when the
+    index is absent, indexes different columns, or is STALE against the
+    live listing — the caller falls back to the full key-column scan.
+    """
+    meta = _read_index_meta(spark, table_path)
+    if (
+        meta is None
+        or meta.get("key_col") != key_col
+        or meta.get("partition_col") != partition_col
+        or meta.get("format") != fmt
+    ):
+        return None
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if _table_sig(fs, Path, table_path, partition_col) != meta["sig"]:
+        return None  # stale: correctness falls back to the scan
+    _, data_dir, _ = _index_dirs(table_path)
+    n_buckets = int(meta["n_buckets"])
+    want = keys.select(
+        F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).alias("bucket")
+    ).distinct()
+    buckets = [r[0] for r in want.collect()]
+    idx = spark.read.parquet(data_dir).filter(F.col("bucket").isin(buckets))
+    return (
+        idx.join(
+            F.broadcast(keys.select(F.col(key_col).alias("k"))),
+            "k",
+            "left_semi",
+        )
+        .select(F.col("p").alias(partition_col))
+        .distinct()
+    )
+
+
+def refresh_key_index(
+    spark: SparkSession,
+    table_path: str,
+    all_keys: DataFrame,
+    surviving: DataFrame,
+    key_col: str,
+    partition_col: str,
+    meta: dict,
+) -> None:
+    """Incremental index maintenance after a merge commit: rewrite ONLY
+    the buckets the update keys hash into — drop every update key from
+    them, add back the surviving rows' (key, new partition) pairs — then
+    republish the meta with the POST-merge listing fingerprint. The meta
+    write is the publish point: a crash anywhere earlier leaves the old
+    meta whose fingerprint no longer matches the merged table, so the
+    index reads as stale and LOCATE falls back — a half-refreshed index
+    can never serve wrong answers."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root, data_dir, _ = _index_dirs(table_path)
+    n_buckets = int(meta["n_buckets"])
+    key_b = F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
+    buckets = [
+        r[0]
+        for r in all_keys.select(key_b.alias("bucket")).distinct().collect()
+    ]
+    if buckets:
+        existing = (
+            spark.read.parquet(data_dir)
+            .filter(F.col("bucket").isin(buckets))
+            .join(
+                F.broadcast(all_keys.select(F.col(key_col).alias("k"))),
+                "k",
+                "left_anti",
+            )
+            .select("k", "p", "bucket")
+        )
+        fresh = _index_pairs(surviving, key_col, partition_col, n_buckets)
+        merged = existing.unionByName(fresh)
+        staging = f"{root}/.refresh_stage"
+        fs.delete(Path(staging), True)
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+        for b in buckets:
+            leaf = f"bucket={b}"
+            live = Path(f"{data_dir}/{leaf}")
+            old = Path(f"{root}/.bucket_{b}__old")
+            fs.delete(old, True)
+            if fs.exists(live) and not fs.rename(live, old):
+                raise IOError(f"index bucket swap-out failed for {leaf}")
+            staged = Path(f"{staging}/{leaf}")
+            if fs.exists(staged):
+                if not fs.rename(staged, live):
+                    fs.rename(old, live)
+                    raise IOError(f"index bucket swap-in failed for {leaf}")
+            fs.delete(old, True)
+        fs.delete(Path(staging), True)
+    meta = dict(meta)
+    meta["sig"] = _table_sig(fs, Path, table_path, partition_col)
+    _write_index_meta(spark, table_path, meta)

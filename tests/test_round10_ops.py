@@ -336,6 +336,160 @@ def test_rollback_and_clone_record_commit_ts(spark, tmp_path):
     assert dhist[0]["committed_at"] == 4000
 
 
+# ---------------------------------------------------------------------------
+# Bucketed key→partition index for merge_keyed LOCATE (r09 VERDICT item 4)
+
+
+def _mk_table(spark, tmp_path, n=200):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("c"), (F.col("id") % 5)).alias("p"),
+            (F.col("id") * 2.0).alias("v"),
+        )
+    )
+    df.write.partitionBy("p").parquet(path)
+    return path
+
+
+def test_locate_keys_reads_only_index_with_bucket_pruning(spark, tmp_path):
+    """The plan contract: an index-backed LOCATE scans ONLY
+    `_key_index/data` with PartitionFilters on the bucket dirs — the
+    table's own files never appear in the plan."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.merge import build_key_index, locate_keys
+
+    path = _mk_table(spark, tmp_path)
+    build_key_index(spark, path, "k", "p", n_buckets=16)
+    keys = spark.range(3).select((F.col("id") * 7).alias("k"))
+    located = locate_keys(spark, path, keys, "k", "p")
+    assert located is not None
+    plan = located._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "_key_index/data" in plan
+    # bucket pruning reaches the scan as a PartitionFilter
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "bucket" in pf
+    # the table's own files must NOT be scanned (only the index is)
+    assert "/t]" not in plan and "/t/p=" not in plan
+    got = {r["p"] for r in located.collect()}
+    assert got == {f"c{(i * 7) % 5}" for i in range(3)}
+
+
+def test_locate_keys_stale_index_falls_back(spark, tmp_path):
+    """Any out-of-band write flips the listing fingerprint: locate_keys
+    must return None (scan fallback) and key_index_status report stale."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.merge import (
+        build_key_index, key_index_status, locate_keys,
+    )
+
+    path = _mk_table(spark, tmp_path)
+    build_key_index(spark, path, "k", "p", n_buckets=8)
+    assert key_index_status(spark, path, "p") == "fresh"
+    # out-of-band append into one leaf
+    extra = spark.range(1000, 1003).select(
+        F.col("id").alias("k"), F.lit("c0").alias("p"), F.lit(0.0).alias("v")
+    )
+    extra.write.mode("append").partitionBy("p").parquet(path)
+    assert key_index_status(spark, path, "p") == "stale"
+    keys = spark.createDataFrame([(1000,)], "k long")
+    assert locate_keys(spark, path, keys, "k", "p") is None
+
+
+def test_merge_keyed_uses_and_refreshes_index(spark, tmp_path):
+    """End-to-end: merge with a fresh index (moves + deletes + inserts),
+    index must still be FRESH afterwards and resolve the moved keys'
+    NEW partitions; a second merge through the refreshed index stays
+    correct vs a scan-based locate."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.merge import (
+        build_key_index, key_index_status, locate_keys, merge_keyed,
+    )
+
+    path = _mk_table(spark, tmp_path)
+    build_key_index(spark, path, "k", "p", n_buckets=8)
+    upd = spark.createDataFrame(
+        [
+            (7, "moved", 99.0, False),    # cross-partition move (was c2)
+            (11, None, 0.0, True),        # delete (was p=1)
+            (1000, "c3", 5.0, False),    # insert
+        ],
+        "k long, p string, v double, is_del boolean",
+    )
+    res = merge_keyed(
+        spark, path, upd, key_col="k", partition_col="p",
+        delete_col="is_del",
+    )
+    assert res["n_update_rows"] == 3
+    assert key_index_status(spark, path, "p") == "fresh"
+    # index resolves post-merge locations
+    keys = spark.createDataFrame([(7,), (11,), (1000,)], "k long")
+    located = locate_keys(spark, path, keys, "k", "p")
+    assert located is not None
+    assert {r["p"] for r in located.collect()} == {"moved", "c3"}
+    # table state agrees
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("k") == 7).collect()[0]["p"] == "moved"
+    assert back.filter(F.col("k") == 11).count() == 0
+    assert back.filter(F.col("k") == 1000).collect()[0]["p"] == "c3"
+    # second merge rides the refreshed index and stays fresh
+    upd2 = spark.createDataFrame(
+        [(7, "c0", 1.0, False)], "k long, p string, v double, is_del boolean"
+    )
+    merge_keyed(
+        spark, path, upd2, key_col="k", partition_col="p",
+        delete_col="is_del",
+    )
+    assert key_index_status(spark, path, "p") == "fresh"
+    back2 = spark.read.parquet(path)  # fresh listing post-second-merge
+    assert back2.filter(F.col("k") == 7).collect()[0]["p"] == "c0"
+    located2 = locate_keys(
+        spark, path, spark.createDataFrame([(7,)], "k long"), "k", "p"
+    )
+    assert {r["p"] for r in located2.collect()} == {"c0"}
+
+
+def test_merge_keyed_without_index_unchanged(spark, tmp_path):
+    """No index present: merge_keyed behaves exactly as before (scan
+    LOCATE) and creates no index dir."""
+    import os
+
+    from kafka_connect_hdfs_spark.merge import merge_keyed
+
+    path = _mk_table(spark, tmp_path)
+    upd = spark.createDataFrame(
+        [(7, "moved", 99.0)], "k long, p string, v double"
+    )
+    merge_keyed(spark, path, upd, key_col="k", partition_col="p")
+    assert not os.path.exists(os.path.join(path, "_key_index"))
+    back = spark.read.parquet(path)
+    assert back.filter("k = 7").collect()[0]["p"] == "moved"
+
+
+def test_ordinary_reads_ignore_index_dir(spark, tmp_path):
+    """`_key_index` lives inside the table dir; Spark's file index hides
+    `_`-prefixed dirs, so row counts are identical before/after build."""
+    from kafka_connect_hdfs_spark.merge import build_key_index
+
+    path = _mk_table(spark, tmp_path)
+    before = spark.read.parquet(path).count()
+    build_key_index(spark, path, "k", "p", n_buckets=4)
+    assert spark.read.parquet(path).count() == before
+    cols = set(spark.read.parquet(path).columns)
+    assert cols == {"k", "p", "v"}
+
+
 def test_extract_features_uses_real_codec_on_real_payloads(spark):
     """The legacy feature extractor's _decode now dispatches to the real
     codecs on BMP/WAV magic — dims come from the parsed header, not the
