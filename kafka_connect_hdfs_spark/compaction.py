@@ -173,11 +173,12 @@ def relayout_partitions(
     ``basePath``, so the relayed rows are byte-equal to a global
     rewrite's.
     """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    Path = jvm.org.apache.hadoop.fs.Path
+    from kafka_connect_hdfs_spark import statedir
+
+    # module-attribute call: the chaos kill-point sweep monkeypatches
+    # statedir.hadoop_fs to inject a mutation-counting fs proxy
+    fs, Path = statedir.hadoop_fs(spark, table_path)
     root = Path(table_path)
-    fs = root.getFileSystem(conf)
 
     if scope is not None:
         return _relayout_scoped(
@@ -306,6 +307,12 @@ def _relayout_scoped(
     # would otherwise read as already-done)
     if not fs.exists(stage):
         _sweep_markers(live_str)
+        if not scope:
+            # pure recovery call (scope=[]) with no stage on disk:
+            # nothing to stage and nothing mid-flight — creating an
+            # empty stage tree here would leave residue a later real
+            # sequence would mistake for its own (chaos-sweep find)
+            return {}
         fs.mkdirs(stage)
 
     base_q = fs.makeQualified(live).toString().rstrip("/")

@@ -238,10 +238,12 @@ def merge_keyed(
     Returns ``{"n_partitions_touched", "n_update_rows",
     "n_rows_after_affected", "n_partitions_dropped"}``.
     """
+    from kafka_connect_hdfs_spark import statedir
+
     jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(table_path).getFileSystem(conf)
+    # module-attribute call: the chaos kill-point sweep monkeypatches
+    # statedir.hadoop_fs to inject a mutation-counting fs proxy
+    fs, Path = statedir.hadoop_fs(spark, table_path)
 
     # crash recovery (same contract as merge_upsert): an __merge_old
     # backup with no live sibling is a crash inside the two-rename window

@@ -599,6 +599,161 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_sine_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio fixture for REAL spectral analysis: every doc becomes a
+    genuine PCM16 WAV containing a pure tone whose frequency bin is a
+    closed form of the id — n = 64 + (id%7)·32 samples at 8 kHz, tone
+    bin b = 1 + id % (n/2 − 1), sample i = round(12000·sin(2πbi/n)).
+    An FFT over a correct decode MUST put its dominant (non-DC) bin at
+    exactly b (verified numerically for the full parameter range in
+    tests), so the oracle needs only integer arithmetic — no trig in
+    SQL, no cross-engine libm concerns."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "media_type": [], "payload": [],
+                "mime": [], "n_bytes": [], "sample_rate": [],
+            }
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 64 + (did % 7) * 32
+                b = 1 + did % (n // 2 - 1)
+                i = _np.arange(n)
+                s = _np.round(
+                    12000.0 * _np.sin(2.0 * _np.pi * b * i / n)
+                ).astype(_np.int16)
+                payload = encode_wav_pcm16(s, 8000)
+                out["media_id"].append(did)
+                out["media_type"].append("audio")
+                out["payload"].append(payload)
+                out["mime"].append("audio/wav")
+                out["n_bytes"].append(len(payload))
+                out["sample_rate"].append(8000)
+            yield pd.DataFrame(out)
+
+    enc_schema = StructType(
+        list(MEDIA_SCHEMA.fields)
+        + [StructField("sample_rate", LongType(), True)]
+    )
+    from kafka_connect_hdfs_spark.functions import fan_out
+
+    return fan_out(docs.select(id_col)).mapInPandas(
+        batches, schema=enc_schema
+    )
+
+
+SPECTRUM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("dominant_bin", IntegerType(), True),
+        StructField("decode_ok", StringType(), True),
+    ]
+)
+
+
+def audio_spectral_features(df: DataFrame) -> DataFrame:
+    """REAL spectral analysis over decoded audio: parse the WAV container
+    genuinely, run an rFFT over the PCM16 samples (numpy, inside the
+    Arrow batch), and report the dominant non-DC frequency bin — the
+    feature a music/speech router or silence filter keys on. Non-WAV
+    payloads keep the stub path (NULL stats).
+
+    Scale: one mapInPandas pass; each clip reduces to three scalars in
+    the scan projection — payload bytes never shuffle; FFT cost is
+    O(n log n) per clip, embarrassingly partition-parallel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in SPECTRUM_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                rec = dict.fromkeys(rows)
+                rec["media_id"] = int(mid)
+                try:
+                    if payload[:4] != b"RIFF":
+                        raise ValueError("not wav")
+                    _, rate, frames = decode_wav(payload)
+                    s = frames[:, 0].astype(_np.float64)
+                    mag = _np.abs(_np.fft.rfft(s))
+                    rec.update(
+                        sample_rate=rate,
+                        n_frames=len(s),
+                        dominant_bin=int(_np.argmax(mag[1:]) + 1),
+                        decode_ok="wav",
+                    )
+                except ValueError:
+                    rec.update(decode_ok="stub")
+                for k, v in rec.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    from kafka_connect_hdfs_spark.functions import fan_out
+
+    return fan_out(df.select("media_id", "payload")).mapInPandas(
+        batches, schema=SPECTRUM_SCHEMA
+    )
+
+
+GRADIENT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("gx_sum", LongType(), True),   # Σ|I(x+1,y) − I(x,y)|
+        StructField("gy_sum", LongType(), True),   # Σ|I(x,y+1) − I(x,y)|
+        StructField("n_gx", LongType(), True),
+        StructField("n_gy", LongType(), True),
+        StructField("decode_ok", StringType(), True),
+    ]
+)
+
+
+def image_gradient_stats(df: DataFrame) -> DataFrame:
+    """REAL image feature extraction over decoded pixels: absolute
+    horizontal/vertical gradient sums (numpy diff over the decoded
+    top-down gray array) — the edge-density signal a visual-quality or
+    blur filter keys on. Exact int64 sums so the downstream 6-dp mean is
+    a deterministic exact-int division. Non-BMP payloads keep the stub
+    path. Gradients are direction-sensitive: a decoder that misses the
+    BMP bottom-up flip or the row stride produces different |Δ| sums,
+    so the oracle (generator closed form) catches it."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in GRADIENT_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                rec = dict.fromkeys(rows)
+                rec["media_id"] = int(mid)
+                try:
+                    if payload[:2] != b"BM":
+                        raise ValueError("not bmp")
+                    w, h, px = decode_bmp(payload)
+                    gray = px[:, :, 0].astype(_np.int64)
+                    gx = _np.abs(_np.diff(gray, axis=1))
+                    gy = _np.abs(_np.diff(gray, axis=0))
+                    rec.update(
+                        width=w, height=h,
+                        gx_sum=int(gx.sum()), gy_sum=int(gy.sum()),
+                        n_gx=int(gx.size), n_gy=int(gy.size),
+                        decode_ok="bmp",
+                    )
+                except ValueError:
+                    rec.update(decode_ok="stub")
+                for k, v in rec.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    from kafka_connect_hdfs_spark.functions import fan_out
+
+    return fan_out(df.select("media_id", "payload")).mapInPandas(
+        batches, schema=GRADIENT_SCHEMA
+    )
+
+
 def media_stub_embeddings(df: DataFrame, dim: int = 8) -> DataFrame:
     """Deterministic stand-in for a media encoder (CLIP/CLAP class):
     ``payload -> md5 -> dim pseudo-embedding`` with component i =

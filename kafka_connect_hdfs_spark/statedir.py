@@ -27,11 +27,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _fs(spark: SparkSession, path: str):
+def hadoop_fs(spark: SparkSession, path: str):
+    """Single acquisition point for the Hadoop FileSystem handle used by
+    the rename-protocol operators (state swap, relayout, merge). This is
+    the FAULT-INJECTION SEAM: the chaos kill-point sweep
+    (tests/test_chaos_killpoints.py) monkeypatches this function to wrap
+    the returned fs in a mutation-counting proxy that dies at every
+    rename/delete/create boundary in turn — so recovery is proven at
+    EVERY boundary mechanically, not at hand-picked ones."""
     jvm = spark._jvm
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
     return fs, Path
+
+
+def _fs(spark: SparkSession, path: str):
+    return hadoop_fs(spark, path)
 
 
 def read_text(spark: SparkSession, path) -> str:

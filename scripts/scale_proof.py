@@ -60,22 +60,30 @@ def _make_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
         df = load_table(spark, base_dir, t)
         idc = _IDCOL[t]
         n = df.agg(F.max(idc)).collect()[0][0] + 1
-        parts = []
-        for i in range(copies):
-            p = df.withColumn(idc, (F.col(idc) + F.lit(i * n)).cast("long"))
-            if t == "documents" and i > 0:
-                # perturb the copy so exact dedup does NOT collapse the
-                # volume back to 1x (copies stay NEAR-duplicates — the
-                # LSH bucket-cap stress case), keeping content stages at
-                # true 10x input
-                p = p.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" copytag{i}"))
-                )
-            parts.append(p)
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        u.write.parquet(f"{out_dir}/{t}.parquet")
+        # crossJoin against a copy-index range instead of a copies-way
+        # union: same rows, O(1) plan size — required for the 100x tier
+        cp = spark.range(copies).withColumnRenamed("id", "_c")
+        u = df.crossJoin(cp).withColumn(
+            idc, (F.col(idc) + F.col("_c") * F.lit(n)).cast("long")
+        )
+        if t == "documents":
+            # perturb the copies so exact dedup does NOT collapse the
+            # volume back to 1x (copies stay NEAR-duplicates — the LSH
+            # bucket-cap stress case), keeping content stages at true
+            # copies-x input
+            u = u.withColumn(
+                "text",
+                F.concat(
+                    F.col("text"),
+                    F.when(
+                        F.col("_c") > 0,
+                        F.concat(
+                            F.lit(" copytag"), F.col("_c").cast("string")
+                        ),
+                    ).otherwise(F.lit("")),
+                ),
+            )
+        u.drop("_c").write.parquet(f"{out_dir}/{t}.parquet")
 
 
 def _timed(spark, label, fn):
@@ -181,12 +189,66 @@ def _run_suite(spark, sf_dir: str, tag: str) -> list[dict]:
     return out
 
 
+#: entries whose cost is driven by the LSH candidate-PAIR graph, not raw
+#: document count — their wall_factor must be judged against pair_factor
+#: (r09 VERDICT item 5: make the proof self-contained)
+_PAIR_DRIVEN = ("dedup_minhash_lsh", "dedup_clusters", "dedup_star_clusters")
+
+#: one-pass/capped entries that additionally get a 100x point — the
+#: caps/pruning must still bind two orders of magnitude up
+_TIER_100X = ("dedup_lines", "ops_cube_profile", "ann_index_build")
+
+
+def _run_onepass_suite(spark, sf_dir: str, tag: str) -> list[dict]:
+    """The 100x tier: only the one-pass entries (the iterative tier's
+    pair graph grows ~quadratically within copy-families and would be a
+    pair-volume measurement, not a scale proof, at 100x)."""
+    import importlib.util
+    import tempfile
+
+    from kafka_connect_hdfs_spark.operators.similarity import build_ivf_index
+    from kafka_connect_hdfs_spark.session import load_table
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    ent = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ent)
+    qs = ent.queries()
+    out = [
+        _timed(
+            spark,
+            f"dedup_lines@{tag}",
+            lambda: qs["dedup_lines"](spark, sf_dir).count(),
+        ),
+        _timed(
+            spark,
+            f"ops_cube_profile@{tag}",
+            lambda: qs["ops_cube_profile"](spark, sf_dir).count(),
+        ),
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix=f"kchs_scale_{tag}_") + "/idx"
+    out.append(
+        _timed(
+            spark,
+            f"ann_index_build@{tag}",
+            lambda: (build_ivf_index(emb, idx, n_seeds=8), emb.count())[1],
+        )
+    )
+    for r in out:
+        print(json.dumps(r))
+    return out
+
+
 def main() -> None:
     from kafka_connect_hdfs_spark.session import get_spark
 
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    big_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     scaled = "/tmp/kchs_scale_10x"
+    scaled100 = "/tmp/kchs_scale_100x"
     # the session factory disables the UI by default; the shuffle metrics
     # come from its REST API, so re-enable it for this measurement run
     os.environ["SPARK_GRAFT_UI"] = "1"
@@ -210,22 +272,60 @@ def main() -> None:
             "rows_1x": a["rows"],
             f"rows_{copies}x": b["rows"],
         }
+    # explicit pair factors (r09 VERDICT item 5): the LSH candidate-pair
+    # graph IS the work unit of the iterative dedup tier — surface the
+    # measured pair growth next to each wall factor instead of leaving
+    # it to a prose note
+    lsh = factors.get("dedup_minhash_lsh")
+    if lsh:
+        pair_factor = round(
+            lsh[f"rows_{copies}x"] / max(lsh["rows_1x"], 1), 2
+        )
+        for name in _PAIR_DRIVEN:
+            if name in factors:
+                factors[name]["pair_rows_1x"] = lsh["rows_1x"]
+                factors[name][f"pair_rows_{copies}x"] = lsh[f"rows_{copies}x"]
+                factors[name]["pair_factor"] = pair_factor
+                factors[name]["wall_vs_pair"] = round(
+                    factors[name]["wall_factor"] / pair_factor, 3
+                )
+
+    # 100x point for the one-pass tier: the caps must bind at two orders
+    # of magnitude, not just one
+    print(f"building {big_copies}x copy of {base} at {scaled100} ...")
+    _make_scaled(spark, base, scaled100, big_copies)
+    big100_res = _run_onepass_suite(spark, scaled100, f"{big_copies}x")
+    for r in big100_res:
+        name = r["entry"].split("@")[0]
+        if name in factors:
+            factors[name][f"wall_{big_copies}x_sec"] = r["wall_sec"]
+            factors[name][f"rows_{big_copies}x"] = r["rows"]
+            factors[name][f"wall_factor_{big_copies}x"] = round(
+                r["wall_sec"] / max(factors[name]["wall_1x_sec"], 1e-9), 2
+            )
+            factors[name][f"shuffle_write_{big_copies}x_mb"] = r[
+                "shuffle_write_mb"
+            ]
+
     doc = {
         "base_sf_dir": base,
         "data_factor": copies,
+        "data_factor_big": big_copies,
         "note": (
-            "10x synthetic volume = sf0.1 unioned 10x with id offsets; "
+            "10x/100x synthetic volume = sf0.1 replicated with id "
+            "offsets (near-duplicate text perturbation on documents); "
             "wall_factor well under data_factor on the capped/pruned "
             "entries means the documented caps bind (LSH bucket caps, "
             "IVF partition pruning); near-linear on the corpus passes "
-            "is the expected one-pass shape. ITERATIVE tier caveat: the "
+            "is the expected one-pass shape. ITERATIVE tier: the "
             "copies are deliberate NEAR-DUPLICATES, so the LSH pair "
-            "graph feeding dedup_clusters/dedup_star_clusters grows "
-            "QUADRATICALLY within each copy-family (see "
-            "dedup_minhash_lsh rows_1x vs rows_10x, ~85x pairs at 10x "
-            "docs) — judge those entries' wall_factor against the PAIR "
-            "factor, not data_factor: 10-15x wall on ~85x edges is "
-            "strongly sublinear (bounded label-propagation rounds)."
+            "graph grows quadratically within each copy-family — the "
+            "pair_factor/wall_vs_pair fields carry the measured pair "
+            "growth, and wall_vs_pair << 1 means the wall grows "
+            "strongly sublinearly in the actual work (bounded "
+            "label-propagation rounds). The one-pass tier carries an "
+            "additional 100x point (wall_factor_100x) proving the caps "
+            "still bind two orders of magnitude up."
         ),
         "entries": factors,
     }

@@ -44,3 +44,61 @@ def test_bench_detail_covers_the_suite():
     d = _detail()
     assert d["n_queries"] == len(d["queries"])
     assert d["n_queries"] >= 90, "bench suite shrank"
+
+
+# ---------------------------------------------------------------------------
+# Streaming lane (r09 VERDICT item 6): per-batch fold budgets from
+# BENCH_STREAM.json (written by scripts/stream_bench.py — per-batch
+# addBatch ms over a fixed availableNow replay, no trigger waits)
+
+_STREAM = os.path.join(os.path.dirname(_DETAIL), "BENCH_STREAM.json")
+
+#: median per-batch fold cost at sf0.1/8 batches; the grid monitors fold
+#: a ~6k-row batch into a bounded mart (~1-3 s incl. the foreachBatch
+#: swap's parquet rewrite), the state-store operators run in the low
+#: hundreds of ms. 10 s catches an accidental per-batch full-rescan
+#: (those land at 30 s+ because state grows with the stream).
+PER_BATCH_BUDGET_MS = 10_000
+
+#: state must stay bounded by the value domain / window horizon, never
+#: grow with stream length: the largest legitimate state at sf0.1 is the
+#: dedup key set (~50k event ids within the watermark)
+STATE_ROWS_CEILING = 200_000
+
+
+def _stream():
+    if not os.path.exists(_STREAM):
+        pytest.skip("BENCH_STREAM.json not present (stream bench not run)")
+    with open(_STREAM) as fh:
+        return json.load(fh)
+
+
+def test_stream_batch_budget():
+    d = _stream()
+    over = {
+        name: m["addbatch_ms_median"]
+        for name, m in d["monitors"].items()
+        if m["addbatch_ms_median"] > PER_BATCH_BUDGET_MS
+    }
+    assert not over, f"monitors over {PER_BATCH_BUDGET_MS}ms/batch: {over}"
+
+
+def test_stream_state_bounded():
+    d = _stream()
+    over = {
+        name: m["state_rows_final"]
+        for name, m in d["monitors"].items()
+        if m["state_rows_final"] > STATE_ROWS_CEILING
+    }
+    assert not over, f"monitors with unbounded state: {over}"
+
+
+def test_stream_lane_covers_monitors():
+    d = _stream()
+    assert set(d["monitors"]) >= {
+        "ks_grid_monitor", "psi_bucket_monitor", "windowed_counts",
+        "sessionize", "dedup",
+    }
+    for name, m in d["monitors"].items():
+        assert m["n_batches"] >= 4, (name, m)
+        assert m["rows_total"] > 0, (name, m)

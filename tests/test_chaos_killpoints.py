@@ -1,0 +1,281 @@
+"""Chaos kill-point sweep (r09 VERDICT item 7): instead of hand-picking
+crash windows, kill the operator at EVERY filesystem-mutation boundary
+(rename/delete/create/mkdirs) in turn and prove the documented recovery
+converges from each one. The seam is statedir.hadoop_fs — every
+rename-protocol operator acquires its FileSystem handle there, so a
+mutation-counting proxy sees the complete metadata-op sequence.
+
+Reference parity: the reference proves its WAL recovery with targeted
+fault tests (FailureRecoveryTest.java); this sweep is the exhaustive
+form — the kill point is enumerated, not chosen.
+
+Protocol per sweep:
+  1. COUNT: run the operation clean on a fresh fixture, counting
+     mutations → N.
+  2. For every k in 0..N-1: fresh fixture, kill before mutation k+1,
+     then run the documented recovery with the REAL fs and assert the
+     end-state invariant (content correct, no hidden residue).
+The sweep is exhaustive over the metadata ops of THIS code path; Spark's
+own committer renames (inside df.write) are out of scope — they are
+Spark's crash contract, not ours.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_hdfs_spark import statedir
+
+
+class KillPoint(Exception):
+    """Injected crash: raised INSTEAD of executing a mutation."""
+
+
+_MUTATORS = ("rename", "delete", "create", "mkdirs")
+
+
+class _FaultFS:
+    def __init__(self, real, counter: dict, budget: "int | None"):
+        self._real = real
+        self._counter = counter
+        self._budget = budget
+
+    def __getattr__(self, name):
+        attr = getattr(self._real, name)
+        if name in _MUTATORS:
+            def wrapped(*a, **k):
+                if (
+                    self._budget is not None
+                    and self._counter["n"] >= self._budget
+                ):
+                    raise KillPoint(
+                        f"killed before mutation #{self._counter['n'] + 1} "
+                        f"({name})"
+                    )
+                self._counter["n"] += 1
+                return attr(*a, **k)
+
+            return wrapped
+        return attr
+
+
+class _patched_fs:
+    """Context manager: route statedir.hadoop_fs through _FaultFS."""
+
+    def __init__(self, counter: dict, budget: "int | None"):
+        self.counter = counter
+        self.budget = budget
+
+    def __enter__(self):
+        self._orig = statedir.hadoop_fs
+
+        def patched(spark, path):
+            fs, Path = self._orig(spark, path)
+            return _FaultFS(fs, self.counter, self.budget), Path
+
+        statedir.hadoop_fs = patched
+        return self
+
+    def __exit__(self, *exc):
+        statedir.hadoop_fs = self._orig
+        return False
+
+
+def _sweep(setup, op, recover, invariant, max_points: int = 64):
+    """Generic sweep driver. setup() → ctx; op(ctx) runs the protocol;
+    recover(ctx) converges after a crash; invariant(ctx) asserts the
+    end state."""
+    # COUNT pass (budget=None: count, never kill)
+    ctx = setup()
+    counter = {"n": 0}
+    with _patched_fs(counter, None):
+        op(ctx)
+    invariant(ctx)
+    n = counter["n"]
+    assert 0 < n <= max_points, f"unexpected mutation count {n}"
+    # KILL at every boundary
+    for k in range(n):
+        ctx = setup()
+        with _patched_fs({"n": 0}, k):
+            with pytest.raises(KillPoint):
+                op(ctx)
+        recover(ctx)
+        invariant(ctx)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# statedir.swap_state_update — every boundary of the two-rename swap
+
+
+def test_sweep_swap_state_update(spark, tmp_path):
+    from kafka_connect_hdfs_spark.statedir import swap_state_update
+
+    expected = {(1, "new"), (2, "new")}
+    it = iter(range(10_000))
+
+    def setup():
+        state = str(tmp_path / f"swap{next(it)}" / "state")
+        spark.createDataFrame(
+            [(9, "old")], "k int, tag string"
+        ).write.parquet(state)
+        return {"state": state}
+
+    def _update(_cur):
+        # idempotent on purpose: the swap contract is old-or-new; replay
+        # idempotence is the CALLER's marker job (tested in streaming)
+        return spark.createDataFrame(
+            [(1, "new"), (2, "new")], "k int, tag string"
+        )
+
+    def op(ctx):
+        swap_state_update(spark, ctx["state"], _update, suffix="chaos")
+
+    def recover(ctx):
+        # crash mid-swap may strand the state at the backup path; the
+        # next swap's entry recovery restores it — re-running IS the
+        # documented recovery
+        swap_state_update(spark, ctx["state"], _update, suffix="chaos")
+
+    def invariant(ctx):
+        got = {
+            (r["k"], r["tag"])
+            for r in spark.read.parquet(ctx["state"]).collect()
+        }
+        assert got == expected
+        parent = ctx["state"].rsplit("/", 1)[0]
+        fs, Path = statedir.hadoop_fs(spark, parent)
+        residue = [
+            st.getPath().getName()
+            for st in fs.listStatus(Path(parent))
+            if st.getPath().getName().startswith(".state__chaos")
+        ]
+        assert residue == [], residue
+
+    n = _sweep(setup, op, recover, invariant)
+    assert n >= 4  # delete(tmp), delete(old), 2 renames, delete(old)
+
+
+# ---------------------------------------------------------------------------
+# merge.merge_keyed — swap, emptied-partition drop, roll-forward
+
+
+def test_sweep_merge_keyed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.merge import merge_keyed
+
+    it = iter(range(10_000))
+    base_rows = [(k, f"c{k % 3}", float(k)) for k in range(12)]
+    # MERGE batch: k=1 moves c1→moved, ALL of c2 (2,5,8,11) deletes
+    # (empties the partition → drop path), k=100 inserts into c0
+    upd_rows = (
+        [(1, "moved", 99.0, False)]
+        + [(k, f"c{k % 3}", 0.0, True) for k in (2, 5, 8, 11)]
+        + [(100, "c0", 7.0, False)]
+    )
+    expected = {
+        (k, p)
+        for k, p, _ in base_rows
+        if k not in (1, 2, 5, 8, 11)
+    } | {(1, "moved"), (100, "c0")}
+
+    def setup():
+        path = str(tmp_path / f"mk{next(it)}" / "t")
+        spark.createDataFrame(
+            base_rows, "k long, p string, v double"
+        ).repartition(1).write.partitionBy("p").parquet(path)
+        return {"path": path}
+
+    def _upd():
+        return spark.createDataFrame(
+            upd_rows, "k long, p string, v double, is_del boolean"
+        )
+
+    def op(ctx):
+        merge_keyed(
+            spark, ctx["path"], _upd(), key_col="k", partition_col="p",
+            delete_col="is_del",
+        )
+
+    def recover(ctx):
+        # re-running the same MERGE is the documented recovery: entry
+        # roll-forward restores/drops stranded backups, then the merge
+        # (idempotent by key semantics) converges
+        op(ctx)
+
+    def invariant(ctx):
+        back = spark.read.parquet(ctx["path"])
+        got = {(r["k"], r["p"]) for r in back.collect()}
+        assert got == expected
+        fs, Path = statedir.hadoop_fs(spark, ctx["path"])
+        residue = [
+            st.getPath().getName()
+            for st in fs.listStatus(Path(ctx["path"]))
+            if st.getPath().getName().startswith(".")
+        ]
+        assert residue == [], residue
+        # the emptied partition is gone
+        assert back.filter(F.col("p") == "c2").count() == 0
+
+    _sweep(setup, op, recover, invariant, max_points=64)
+
+
+# ---------------------------------------------------------------------------
+# compaction.relayout_partitions (incremental scope mode) — stage moves,
+# per-leaf markers, final two-rename cutover, marker sweep
+
+
+def test_sweep_relayout_scoped(spark, tmp_path):
+    from kafka_connect_hdfs_spark.compaction import relayout_partitions
+
+    it = iter(range(10_000))
+    rows = [(k, f"a{k % 2}", f"b{k % 3}") for k in range(12)]
+    scope = ["a=a0", "a=a1"]
+
+    def setup():
+        path = str(tmp_path / f"rl{next(it)}" / "t")
+        spark.createDataFrame(rows, "k long, a string, b string").repartition(
+            1
+        ).write.partitionBy("a").parquet(path)
+        return {"path": path}
+
+    def op(ctx):
+        relayout_partitions(spark, ctx["path"], ["b"], scope=scope)
+
+    def _leaves(path):
+        fs, Path = statedir.hadoop_fs(spark, path)
+        return {
+            st.getPath().getName()
+            for st in fs.listStatus(Path(path))
+            if st.isDirectory()
+            and not st.getPath().getName().startswith((".", "_"))
+        }
+
+    def recover(ctx):
+        # step 1: a scope=[] call runs ONLY the entry crash recovery
+        # (roll-forward of a cut-over stage, restore of a stranded old,
+        # completion cutover if every leaf already staged)
+        relayout_partitions(spark, ctx["path"], ["b"], scope=[])
+        # step 2: if the table still shows the OLD layout, the staging
+        # sequence was incomplete — re-run it (completed leaves are
+        # no-ops via their done markers)
+        if any(lf.startswith("a=") for lf in _leaves(ctx["path"])):
+            relayout_partitions(spark, ctx["path"], ["b"], scope=scope)
+
+    def invariant(ctx):
+        assert _leaves(ctx["path"]) == {"b=b0", "b=b1", "b=b2"}
+        back = spark.read.parquet(ctx["path"])
+        got = {(r["k"], r["a"], r["b"]) for r in back.collect()}
+        assert got == set(rows)
+        # no stage/old residue next to the table
+        parent = ctx["path"].rsplit("/", 1)[0]
+        fs, Path = statedir.hadoop_fs(spark, parent)
+        residue = [
+            st.getPath().getName()
+            for st in fs.listStatus(Path(parent))
+            if st.getPath().getName().startswith(".t__relayout")
+        ]
+        assert residue == [], residue
+
+    _sweep(setup, op, recover, invariant, max_points=64)

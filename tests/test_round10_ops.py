@@ -510,3 +510,60 @@ def test_extract_features_uses_real_codec_on_real_payloads(spark):
     rows = {r["media_id"]: r for r in extract_features(df).collect()}
     assert (rows[1]["width"], rows[1]["height"]) == (5, 4)
     assert rows[2]["n_frames"] == 17
+
+
+# ---------------------------------------------------------------------------
+# Real DSP / vision features on decoded media
+
+
+def test_audio_spectral_features_find_the_tone(spark, sf_dir):
+    """rFFT over genuinely decoded sine WAVs must put the dominant
+    non-DC bin exactly on the generator's bin for the whole parameter
+    range present in the fixture slice."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        audio_spectral_features, synthetic_sine_corpus,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    rows = audio_spectral_features(synthetic_sine_corpus(docs)).collect()
+    assert rows
+    for r in rows:
+        n = 64 + (r["media_id"] % 7) * 32
+        assert r["n_frames"] == n
+        assert r["dominant_bin"] == 1 + r["media_id"] % (n // 2 - 1)
+        assert r["decode_ok"] == "wav"
+
+
+def test_image_gradient_stats_match_numpy(spark, sf_dir):
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        image_gradient_stats, synthetic_media_corpus,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    got = {
+        r["media_id"]: r
+        for r in image_gradient_stats(synthetic_media_corpus(docs))
+        .filter("decode_ok = 'bmp'")
+        .collect()
+    }
+    assert got
+    for did, r in got.items():
+        w, h = 4 + did % 13, 3 + did % 9
+        px = _gen_pixels(did, w, h).astype(np.int64)
+        assert r["gx_sum"] == int(np.abs(np.diff(px, axis=1)).sum())
+        assert r["gy_sum"] == int(np.abs(np.diff(px, axis=0)).sum())
+        assert (r["n_gx"], r["n_gy"]) == ((w - 1) * h, w * (h - 1))
+
+
+def test_spectral_features_stub_on_non_wav(spark):
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"not audio")], "media_id long, payload binary"
+    )
+    r = audio_spectral_features(df).collect()[0]
+    assert r["decode_ok"] == "stub" and r["dominant_bin"] is None
