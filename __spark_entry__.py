@@ -6284,95 +6284,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_spectrum": _q_media_audio_spectrum,
         "media_image_gradients": _q_media_image_gradients,
     }
-    # ROUND-9 WINDOW: the driver checks the FIRST 50 keys — the 8 NEW
-    # r09 operators, the 8 gates whose Spark and/or oracle pairs changed
-    # this round (KS decimal gap + two-phase prefix sum, MI double
-    # factors, PSI kernel refactor, Benford scale knob, clone-aware
-    # retention touching clone/orphan/expire, relayout incremental
-    # mode), the 11 gates whose latest driver row is still r02 (the
-    # stalest evidence), and the r08-documented swept-queue gates
-    # (q1/q3/q5/q6/q14/q15/q17/q18/q19/q22, attribution/sessionize/
-    # rolling/deciles/rfm/rollup, the stream_windowed trio — their
-    # decimal-sweep outputs were byte-identical at sf0.01, re-checked
-    # here on the cadence), topped up from the r03-latest block.
-    # ROUND-10 QUEUE: stream_jsd_drift + quality_chi2 + q_unpivot_metrics
-    # + graph_clustering_coeff (NEW late in r09,
-    # no driver rows yet — first slots), the r03-latest top-ups displaced
-    # by the late changed-pair swaps (ann_filtered_topk,
-    # ann_hard_negatives, ann_index_serve), then the remaining
-    # r03-latest block (ann_ivfpq_topk,
-    # ann_pq_topk, cdc_*, corpus_chunk_overlap/pack_bestfit/
-    # snapshot_diff/temperature_mix/token_budget, dedup_chunks/
-    # cluster_reps/fuzzy_prefix/incremental_neardup/lsh_jaccard_est,
-    # embedding_dim_stats/normalize, json_quarantine, media_phash_
-    # neardup, q12 + the q_* r03 tail, semantic_dedup_flags, text_
-    # bigram_counts/hot_ngrams/quality_filter/strip_markup/unk_replace),
-    # then the r04-latest block.
-    _R09_WINDOW = [
-        # slots 1-8: NEW in r09 — driver-checked on arrival (incremental
-        # relayout, general MERGE, streaming KS/PSI monitors, JSD drift,
-        # incremental snapshot scan, orphan vacuum, pivot)
-        "ops_partition_evolution_incr",
+    # ROUND-10 WINDOW: the driver checks the FIRST 50 keys — slots 1-4
+    # are the four gates added late in r09 with ZERO driver rows
+    # (r09 VERDICT item 1, mandatory); slots 5-9 the five NEW r10
+    # operators (real-codec decode stats, timestamp time travel,
+    # index-backed MERGE, FFT spectrum, image gradients); slots 10-12
+    # the r09-displaced changed-pair swaps; slots 13-21 the gates whose
+    # code paths changed THIS round (merge swap hardening + LOCATE
+    # index integration, compaction cutover guard + recovery-call
+    # fix + fs seam, snapshots committed_at manifests, multimodal
+    # _decode real-codec dispatch); slots 22-50 the r03-latest block
+    # (stalest driver evidence) in documented order.
+    # ROUND-11 QUEUE: the r03-latest remainder displaced here
+    # (q_scd2_dimension, q_source_report, q_table_checksum,
+    # q_user_erasure, q_value_histogram, q_value_outliers,
+    # q_zorder_values, semantic_dedup_flags, text_bigram_counts,
+    # text_hot_ngrams, text_quality_filter, text_strip_markup,
+    # text_unk_replace) + ops_orphan_report (also snapshots-touched,
+    # displaced by slot pressure), then the r04-latest block
+    # (ann_cell_stats, ann_label_mrr, ann_triplets, asof_last_signup,
+    # corpus_curriculum/datacard/e2e_pipeline_v2/pack_manifest/
+    # reduction_report/split_balance, dedup_cluster_sizes/containment/
+    # lsh_eval/prefix_jaccard/semantic_text/star_clusters,
+    # graph_source_jaccard/source_pagerank/triangle_count,
+    # media_exact_dedup, p1/p2, q_basket_lift, q_event_transitions,
+    # q_feature_asof_join, q_hll_set_overlap, q_hourly_anomalies,
+    # q_session_sequences, q_split_leakage, text_bm25*/bpe_pairs/
+    # gopher_rules/hybrid_search/kwic/lang_confusion/ngram_novelty/
+    # vocab_drift).
+    _R10_WINDOW = [
+        # slots 1-4: zero-driver-row gates from late r09 (MANDATORY per
+        # r09 verdict item 1)
+        "stream_jsd_drift",
+        "quality_chi2",
+        "q_unpivot_metrics",
+        "graph_clustering_coeff",
+        # slots 5-9: NEW in r10
+        "media_decode_stats",
+        "ops_read_as_of",
+        "ops_merge_indexed",
+        "media_audio_spectrum",
+        "media_image_gradients",
+        # slots 10-12: r09-displaced changed-pair swaps
+        "ann_filtered_topk",
+        "ann_hard_negatives",
+        "ann_index_serve",
+        # slots 13-21: Spark code paths changed in r10 — re-check
         "ops_merge_keyed",
-        "stream_ks_drift",
-        "stream_psi_drift",
-        "quality_jsd_drift",
+        "ops_partition_evolution",
+        "ops_partition_evolution_incr",
+        "ops_clone_table",
+        "ops_expire_snapshots",
         "ops_incremental_read",
         "ops_vacuum_orphans",
-        "q_pivot_report",
-        # slots 9-16: Spark/oracle pairs changed this round — re-check
-        "quality_ks_drift",
-        "quality_mutual_info",
-        "quality_psi_drift",
-        "quality_benford",
-        "ops_clone_table",
-        "ops_orphan_report",
-        "ops_partition_evolution",
-        "ops_expire_snapshots",
-        # slots 17-27: latest driver row still r02 (stalest evidence)
-        "f4_schema_rotation",
-        "json_schemaless",
-        "q2_min_balance_supplier",
-        "q4_order_priority",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q_cube_events",
-        "q_grouping_sets_events",
-        "q_value_percentiles",
-        "q_window_suite",
-        # slots 28-47: the r08-documented swept queue (bit-identical at
-        # sf0.01 when swept; re-checked on the cadence)
-        "q1_pricing_summary",
-        "q3_unshipped_orders",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q17_small_quantity",
-        "q18_large_orders",
-        "q19_disjunctive_revenue",
-        "q22_dormant_customers",
-        "q_first_touch_attribution",
-        "q_conversion_attribution",
-        "q_sessionize",
-        "q_rolling_7d_revenue",
-        "q_customer_deciles",
-        "q_customer_rfm",
-        "q_event_type_rollup",
-        "stream_windowed_counts",
-        "stream_sessionize",
-        "stream_late_data",
-        # slots 48-50: the late-round additions — the NEW LLR scorer and
-        # the two gates whose Spark+oracle pairs changed in the
-        # count-product overflow sweep (PMI factors, pad-ratio factors);
-        # changed pairs outrank plain r03 staleness for window slots
-        "text_llr_pairs",
-        "text_pmi_pairs",
-        "corpus_length_buckets",
+        "media_features",
+        "media_frame_sample",
+        # slots 22-50: the r03-latest block (stalest driver evidence)
+        "ann_ivfpq_topk",
+        "ann_pq_topk",
+        "cdc_changelog_compact",
+        "cdc_latest_state",
+        "corpus_chunk_overlap",
+        "corpus_pack_bestfit",
+        "corpus_snapshot_diff",
+        "corpus_temperature_mix",
+        "corpus_token_budget",
+        "dedup_chunks",
+        "dedup_cluster_reps",
+        "dedup_fuzzy_prefix",
+        "dedup_incremental_neardup",
+        "dedup_lsh_jaccard_est",
+        "embedding_dim_stats",
+        "embedding_normalize",
+        "json_quarantine",
+        "media_phash_neardup",
+        "q12_priority_shipping",
+        "q_approx_quantiles",
+        "q_cms_heavy_hitters",
+        "q_cohort_retention",
+        "q_event_cooccurrence",
+        "q_funnel_stages",
+        "q_hll_distinct_users",
+        "q_integrity_check",
+        "q_peak_concurrency",
+        "q_profile_events",
+        "q_rate_cap_flags",
     ]
-    assert len(_R09_WINDOW) == 50, len(_R09_WINDOW)
-    out = {k: reg.pop(k) for k in _R09_WINDOW}
+    assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+    out = {k: reg.pop(k) for k in _R10_WINDOW}
     out.update(reg)
     return out
 
