@@ -1189,3 +1189,50 @@ def test_unpivot_compiles_to_expand_single_scan(spark, sf):
     assert "Expand" in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") <= 2, plan  # tree + detail render
+
+
+def test_media_pipeline_scans_only_doc_id(spark, sf):
+    """The media fixture generators and decoders must never drag the
+    documents TEXT column (or any other) through the scan: the corpus is
+    born from doc_id alone, payloads are born in the executor, and the
+    decode output carries five scalars — so the one parquet scan in the
+    whole pipeline reads ReadSchema struct<doc_id:bigint>."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        decode_media_stats, synthetic_media_corpus,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(
+        decode_media_stats(synthetic_media_corpus(docs)).select(
+            "media_id", "val_sum"
+        )
+    )
+    rs = [
+        ln for ln in plan.split("\n") if "ReadSchema" in ln
+    ]
+    assert rs, plan
+    for ln in rs:
+        assert "doc_id" in ln and "text" not in ln, ln
+
+
+def test_decode_stats_payload_never_shuffles(spark, sf):
+    """Any Exchange in the decode-stats plan must carry only the scalar
+    stat columns — the binary payload reduces inside the scan-side
+    mapInPandas and must not cross a shuffle boundary."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        decode_media_stats, synthetic_media_corpus,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    df = decode_media_stats(
+        synthetic_media_corpus(load_table(spark, sf, "documents"))
+    ).orderBy("media_id")
+    plan = _plan(df)
+    # formatted explain details every Exchange's output row; payload must
+    # be absent downstream of the decode projection
+    for seg in plan.split("Exchange")[1:]:
+        head = seg.split("\n")[0]
+        assert "payload" not in head, head
