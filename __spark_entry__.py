@@ -5244,6 +5244,33 @@ def _q_ops_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ops_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-history relation (snapshots.snapshot_history — the
+    Iceberg ``snapshots`` / Delta ``DESCRIBE HISTORY`` twin): three
+    commits with injected clocks, the middle one an append (metadata
+    union: 2 data dirs) and the last a metadata-only rollback (1 dir,
+    no data copied). The pinned oracle literal breaks if committed_at
+    stops round-tripping, modes mislabel, or rollback starts copying
+    data (n_data_dirs would change)."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, rollback_snapshot, snapshot_history,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    path = tempfile.mkdtemp(prefix="kchs_hist_") + "/t"
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "en"), path, now=lambda: 1000
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "de"), path, mode="append",
+        now=lambda: 2000,
+    )
+    rollback_snapshot(spark, path, 1, now=lambda: 3000)
+    return snapshot_history(spark, path).orderBy("version")
+
+
 def _q_ops_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan vacuum (snapshots.vacuum_orphans): commit v1 (en), append
     v2 (de), drop an unmanifested data/v99 crashed-commit leftover next
@@ -6283,10 +6310,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_merge_indexed": _q_ops_merge_indexed,
         "media_audio_spectrum": _q_media_audio_spectrum,
         "media_image_gradients": _q_media_image_gradients,
+        "ops_snapshot_history": _q_ops_snapshot_history,
     }
     # ROUND-10 WINDOW: the driver checks the FIRST 50 keys — slots 1-4
     # are the four gates added late in r09 with ZERO driver rows
-    # (r09 VERDICT item 1, mandatory); slots 5-9 the five NEW r10
+    # (r09 VERDICT item 1, mandatory); slots 5-10 the six NEW r10
     # operators (real-codec decode stats, timestamp time travel,
     # index-backed MERGE, FFT spectrum, image gradients); slots 10-12
     # the r09-displaced changed-pair swaps; slots 13-21 the gates whose
@@ -6296,7 +6324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # _decode real-codec dispatch); slots 22-50 the r03-latest block
     # (stalest driver evidence) in documented order.
     # ROUND-11 QUEUE: the r03-latest remainder displaced here
-    # (q_scd2_dimension, q_source_report, q_table_checksum,
+    # (q_rate_cap_flags, q_scd2_dimension, q_source_report, q_table_checksum,
     # q_user_erasure, q_value_histogram, q_value_outliers,
     # q_zorder_values, semantic_dedup_flags, text_bigram_counts,
     # text_hot_ngrams, text_quality_filter, text_strip_markup,
@@ -6325,11 +6353,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_merge_indexed",
         "media_audio_spectrum",
         "media_image_gradients",
-        # slots 10-12: r09-displaced changed-pair swaps
+        "ops_snapshot_history",
+        # slots 11-13: r09-displaced changed-pair swaps
         "ann_filtered_topk",
         "ann_hard_negatives",
         "ann_index_serve",
-        # slots 13-21: Spark code paths changed in r10 — re-check
+        # slots 14-22: Spark code paths changed in r10 — re-check
         "ops_merge_keyed",
         "ops_partition_evolution",
         "ops_partition_evolution_incr",
@@ -6339,7 +6368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_vacuum_orphans",
         "media_features",
         "media_frame_sample",
-        # slots 22-50: the r03-latest block (stalest driver evidence)
+        # slots 23-50: the r03-latest block (stalest driver evidence)
         "ann_ivfpq_topk",
         "ann_pq_topk",
         "cdc_changelog_compact",
@@ -6368,7 +6397,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_integrity_check",
         "q_peak_concurrency",
         "q_profile_events",
-        "q_rate_cap_flags",
     ]
     assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
     out = {k: reg.pop(k) for k in _R10_WINDOW}
@@ -9077,6 +9105,16 @@ SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
        2::INT AS v_at_2500, 2::INT AS v_at_2000, 1::INT AS v_at_1999
 FROM documents WHERE lang IN ('en', 'de')
 GROUP BY lang ORDER BY lang
+"""
+
+    # pinned literal: injected clocks 1000/2000/3000, append = metadata
+    # union (2 dirs), rollback = metadata-only (back to 1 dir)
+    sql["ops_snapshot_history"] = """
+SELECT * FROM (VALUES
+  (1::INT, 'overwrite', 1000::BIGINT, 1::INT),
+  (2::INT, 'append',    2000::BIGINT, 2::INT),
+  (3::INT, 'rollback:1', 3000::BIGINT, 1::INT)
+) AS t(version, mode, committed_at, n_data_dirs) ORDER BY version
 """
 
     sql["ops_merge_keyed"] = """
