@@ -5202,6 +5202,26 @@ def _q_media_image_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize over decoded pixels (multimodal.
+    image_resize_stats): every BMP downsamples to 4x3 with the standard
+    floor(X*w/out_w) source mapping; position-weighted exact sums over
+    the RESIZED raster mean an off-by-one, transposed-axes, or wrong-
+    rounding resampler breaks the oracle's closed form (which replays
+    the generator at the sampled coordinates — no shared code)."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        image_resize_stats, synthetic_media_corpus,
+    )
+
+    st = image_resize_stats(
+        synthetic_media_corpus(_docs(spark, sf_dir)), out_w=4, out_h=3
+    ).filter(F.col("decode_ok") == "bmp")
+    return st.select(
+        "media_id", "src_w", "src_h", "out_w", "out_h",
+        "rs_val_sum", "rs_pos_sum",
+    ).orderBy("media_id")
+
+
 def _q_ops_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp time travel (snapshots.read_as_of, r09 VERDICT item 3):
     three commits with INJECTED clocks (1000/2000/3000 ms — the repo's
@@ -6311,10 +6331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_spectrum": _q_media_audio_spectrum,
         "media_image_gradients": _q_media_image_gradients,
         "ops_snapshot_history": _q_ops_snapshot_history,
+        "media_image_resize": _q_media_image_resize,
     }
     # ROUND-10 WINDOW: the driver checks the FIRST 50 keys — slots 1-4
     # are the four gates added late in r09 with ZERO driver rows
-    # (r09 VERDICT item 1, mandatory); slots 5-10 the six NEW r10
+    # (r09 VERDICT item 1, mandatory); slots 5-11 the seven NEW r10
     # operators (real-codec decode stats, timestamp time travel,
     # index-backed MERGE, FFT spectrum, image gradients); slots 10-12
     # the r09-displaced changed-pair swaps; slots 13-21 the gates whose
@@ -6324,7 +6345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # _decode real-codec dispatch); slots 22-50 the r03-latest block
     # (stalest driver evidence) in documented order.
     # ROUND-11 QUEUE: the r03-latest remainder displaced here
-    # (q_rate_cap_flags, q_scd2_dimension, q_source_report, q_table_checksum,
+    # (q_profile_events, q_rate_cap_flags, q_scd2_dimension, q_source_report, q_table_checksum,
     # q_user_erasure, q_value_histogram, q_value_outliers,
     # q_zorder_values, semantic_dedup_flags, text_bigram_counts,
     # text_hot_ngrams, text_quality_filter, text_strip_markup,
@@ -6354,11 +6375,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_spectrum",
         "media_image_gradients",
         "ops_snapshot_history",
-        # slots 11-13: r09-displaced changed-pair swaps
+        "media_image_resize",
+        # slots 12-14: r09-displaced changed-pair swaps
         "ann_filtered_topk",
         "ann_hard_negatives",
         "ann_index_serve",
-        # slots 14-22: Spark code paths changed in r10 — re-check
+        # slots 15-23: Spark code paths changed in r10 — re-check
         "ops_merge_keyed",
         "ops_partition_evolution",
         "ops_partition_evolution_incr",
@@ -6368,7 +6390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_vacuum_orphans",
         "media_features",
         "media_frame_sample",
-        # slots 23-50: the r03-latest block (stalest driver evidence)
+        # slots 24-50: the r03-latest block (stalest driver evidence)
         "ann_ivfpq_topk",
         "ann_pq_topk",
         "cdc_changelog_compact",
@@ -6396,7 +6418,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct_users",
         "q_integrity_check",
         "q_peak_concurrency",
-        "q_profile_events",
     ]
     assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
     out = {k: reg.pop(k) for k in _R10_WINDOW}
@@ -8673,6 +8694,27 @@ SELECT i.doc_id AS media_id, i.w AS width, i.h AS height,
        gxs.gx_mean, gys.gy_mean
 FROM img i JOIN gxs ON i.doc_id = gxs.doc_id JOIN gys ON i.doc_id = gys.doc_id
 ORDER BY media_id
+"""
+
+    # closed-form replay of the generator AT THE SAMPLED COORDINATES:
+    # sx = (X*w)//4, sy = (Y*h)//3 — integer-exact on both engines
+    sql["media_image_resize"] = """
+WITH img AS (
+  SELECT doc_id, (4 + doc_id % 13)::INT AS w, (3 + doc_id % 9)::INT AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (
+  SELECT doc_id, w, h, i,
+         (doc_id*31
+          + (((i % 4) * w) // 4) * 7
+          + (((i // 4) * h) // 3) * 13) % 256 AS v
+  FROM (SELECT doc_id, w, h, unnest(range(0, 12)) AS i FROM img)
+)
+SELECT doc_id AS media_id, w AS src_w, h AS src_h,
+       4::INT AS out_w, 3::INT AS out_h,
+       sum(v)::BIGINT AS rs_val_sum,
+       sum(v*i)::BIGINT AS rs_pos_sum
+FROM px GROUP BY doc_id, w, h ORDER BY media_id
 """
     # composed AFTER its constituents: recall@5 of IVF vs the exact top-5
     sql["ann_ivf_recall"] = f"""

@@ -567,3 +567,32 @@ def test_spectral_features_stub_on_non_wav(spark):
     )
     r = audio_spectral_features(df).collect()[0]
     assert r["decode_ok"] == "stub" and r["dominant_bin"] is None
+
+
+def test_image_resize_stats_match_numpy(spark, sf_dir):
+    """Nearest-neighbor resize over genuinely decoded pixels must equal
+    the same resample computed directly on the generator array."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        image_resize_stats, synthetic_media_corpus,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    got = {
+        r["media_id"]: r
+        for r in image_resize_stats(
+            synthetic_media_corpus(docs), out_w=4, out_h=3
+        )
+        .filter("decode_ok = 'bmp'")
+        .collect()
+    }
+    assert got
+    for did, r in got.items():
+        w, h = 4 + did % 13, 3 + did % 9
+        px = _gen_pixels(did, w, h).astype(np.int64)
+        sx = (np.arange(4) * w) // 4
+        sy = (np.arange(3) * h) // 3
+        rs = px[np.ix_(sy, sx)]
+        idx = np.arange(12).reshape(3, 4)
+        assert r["rs_val_sum"] == int(rs.sum())
+        assert r["rs_pos_sum"] == int((rs * idx).sum())
