@@ -87,6 +87,11 @@ def main() -> None:
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     spark = get_spark("kchs-streambench")
     spark.sparkContext.setLogLevel("ERROR")
+    # the stateful sessionizer's processing-time timeouts fire extra
+    # zero-row batches under availableNow; the default 100-entry
+    # recentProgress ring would drop the DATA batches before we read
+    # them — keep the whole run
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "5000")
     # Python-worker + codegen warmup so batch 0 doesn't carry process
     # startup (the same convention as bench.py)
     spark.range(64).repartition(32).mapInPandas(
