@@ -5222,6 +5222,38 @@ def _q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _q_media_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resampling over decoded samples (multimodal.
+    audio_resample_stats): linear interpolation onto 50 points carried
+    in exact integer numerators (value = numerator / (n_out-1)), so the
+    oracle replays the interpolation bit-for-bit from the generator's
+    closed form — a wrong index map, a dropped neighbor, or float
+    accumulation changes the position-weighted sums."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        audio_resample_stats, synthetic_media_corpus,
+    )
+
+    st = audio_resample_stats(
+        synthetic_media_corpus(_docs(spark, sf_dir)), n_out=50
+    ).filter(F.col("decode_ok") == "wav")
+    return st.select(
+        "media_id", "n_in", "n_out", "rs_num_sum", "rs_num_pos_sum",
+        "decode_ok",
+    ).orderBy("media_id")
+
+
+def _q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram LM (text.kneser_ney_bigrams, d=0.75):
+    discounted bigram MLE interpolated with the CONTINUATION unigram
+    (distinct-context counts, the San-Francisco fix) — the oracle
+    rebuilds every count table and the fixed IEEE expression tree in
+    SQL; a wrong continuation count, a missed discount, or float drift
+    breaks the 6-dp hash on the top-100 bigrams."""
+    from kafka_connect_hdfs_spark.operators.text import kneser_ney_bigrams
+
+    return kneser_ney_bigrams(_docs(spark, sf_dir), discount=0.75, top_n=100)
+
+
 def _q_ops_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp time travel (snapshots.read_as_of, r09 VERDICT item 3):
     three commits with INJECTED clocks (1000/2000/3000 ms — the repo's
@@ -6332,10 +6364,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_gradients": _q_media_image_gradients,
         "ops_snapshot_history": _q_ops_snapshot_history,
         "media_image_resize": _q_media_image_resize,
+        "media_audio_resample": _q_media_audio_resample,
+        "text_kneser_ney": _q_text_kneser_ney,
     }
     # ROUND-10 WINDOW: the driver checks the FIRST 50 keys — slots 1-4
     # are the four gates added late in r09 with ZERO driver rows
-    # (r09 VERDICT item 1, mandatory); slots 5-11 the seven NEW r10
+    # (r09 VERDICT item 1, mandatory); slots 5-13 the nine NEW r10
     # operators (real-codec decode stats, timestamp time travel,
     # index-backed MERGE, FFT spectrum, image gradients); slots 10-12
     # the r09-displaced changed-pair swaps; slots 13-21 the gates whose
@@ -6345,7 +6379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # _decode real-codec dispatch); slots 22-50 the r03-latest block
     # (stalest driver evidence) in documented order.
     # ROUND-11 QUEUE: the r03-latest remainder displaced here
-    # (q_profile_events, q_rate_cap_flags, q_scd2_dimension, q_source_report, q_table_checksum,
+    # (q_integrity_check, q_peak_concurrency, q_profile_events, q_rate_cap_flags,
+    # q_scd2_dimension, q_source_report, q_table_checksum,
     # q_user_erasure, q_value_histogram, q_value_outliers,
     # q_zorder_values, semantic_dedup_flags, text_bigram_counts,
     # text_hot_ngrams, text_quality_filter, text_strip_markup,
@@ -6376,11 +6411,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_gradients",
         "ops_snapshot_history",
         "media_image_resize",
-        # slots 12-14: r09-displaced changed-pair swaps
+        "media_audio_resample",
+        "text_kneser_ney",
+        # slots 14-16: r09-displaced changed-pair swaps
         "ann_filtered_topk",
         "ann_hard_negatives",
         "ann_index_serve",
-        # slots 15-23: Spark code paths changed in r10 — re-check
+        # slots 17-25: Spark code paths changed in r10 — re-check
         "ops_merge_keyed",
         "ops_partition_evolution",
         "ops_partition_evolution_incr",
@@ -6390,7 +6427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_vacuum_orphans",
         "media_features",
         "media_frame_sample",
-        # slots 24-50: the r03-latest block (stalest driver evidence)
+        # slots 26-50: the r03-latest block (stalest driver evidence)
         "ann_ivfpq_topk",
         "ann_pq_topk",
         "cdc_changelog_compact",
@@ -6416,8 +6453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_cooccurrence",
         "q_funnel_stages",
         "q_hll_distinct_users",
-        "q_integrity_check",
-        "q_peak_concurrency",
     ]
     assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
     out = {k: reg.pop(k) for k in _R10_WINDOW}
@@ -8715,6 +8750,50 @@ SELECT doc_id AS media_id, w AS src_w, h AS src_h,
        sum(v)::BIGINT AS rs_val_sum,
        sum(v*i)::BIGINT AS rs_pos_sum
 FROM px GROUP BY doc_id, w, h ORDER BY media_id
+"""
+
+    # exact-rational resample replay: numerator = s[idx]*(49-rem) +
+    # s[idx+1]*rem with idx/rem integer from j*(n-1) divmod 49
+    sql["media_audio_resample"] = """
+WITH aud AS (
+  SELECT doc_id, (40 + doc_id % 77)::INT AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+v AS (
+  SELECT doc_id, n, j, (j*(n-1)) // 49 AS idx, (j*(n-1)) % 49 AS rem
+  FROM (SELECT doc_id, n, unnest(range(0, 50)) AS j FROM aud)
+),
+num AS (
+  SELECT doc_id, n, j,
+         ( ((doc_id*37 + idx*11) % 65536) - 32768 ) * (49 - rem)
+       + ( ((doc_id*37 + least(idx+1, n-1)*11) % 65536) - 32768 ) * rem AS num
+  FROM v
+)
+SELECT doc_id AS media_id, n AS n_in, 50::INT AS n_out,
+       sum(num)::BIGINT AS rs_num_sum,
+       sum(num*j)::BIGINT AS rs_num_pos_sum,
+       'wav' AS decode_ok
+FROM num GROUP BY doc_id, n ORDER BY media_id
+"""
+
+    sql["text_kneser_ney"] = f"""
+WITH toks AS (
+  SELECT string_split(trim(lower(text)), ' ') AS t FROM documents
+  WHERE length(trim(text)) > 0
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS prev,
+         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS cur
+  FROM toks WHERE len(t) >= 2
+),
+big AS (SELECT prev, cur, count(*) AS cb FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(cb) AS cc, count(*) AS nf FROM big GROUP BY 1),
+cont AS (SELECT cur, count(*) AS np FROM big GROUP BY 1),
+tot AS (SELECT count(*) AS tt FROM big)
+SELECT b.prev, b.cur, cb::BIGINT AS c_big,
+       {_OQ6("((cb::DOUBLE - 0.75) / cc::DOUBLE) + (((0.75 * nf::DOUBLE) / cc::DOUBLE) * (np::DOUBLE / tt::DOUBLE))")} AS p_kn
+FROM big b JOIN ctx USING (prev) JOIN cont USING (cur) CROSS JOIN tot
+ORDER BY c_big DESC, prev, cur LIMIT 100
 """
     # composed AFTER its constituents: recall@5 of IVF vs the exact top-5
     sql["ann_ivf_recall"] = f"""

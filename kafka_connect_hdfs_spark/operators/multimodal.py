@@ -823,6 +823,76 @@ def image_resize_stats(
     )
 
 
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_in", IntegerType(), True),
+        StructField("n_out", IntegerType(), True),
+        StructField("rs_num_sum", LongType(), True),   # Σ numerator
+        StructField("rs_num_pos_sum", LongType(), True),
+        StructField("decode_ok", StringType(), True),
+    ]
+)
+
+
+def audio_resample_stats(df: DataFrame, n_out: int = 50) -> DataFrame:
+    """REAL audio resampling over decoded samples: linear interpolation
+    of the genuinely decoded PCM16 stream onto ``n_out`` points — the
+    rate-normalization step of an audio training pipeline — carried in
+    EXACT integer arithmetic so the oracle can replay it bit-for-bit.
+
+    Output sample j sits at position ``pos = j·(n_in−1)/(n_out−1)``;
+    with ``idx = ⌊pos⌋`` and remainder ``rem = j·(n_in−1) mod (n_out−1)``
+    the interpolated value is ``(s[idx]·(D−rem) + s[idx+1]·rem) / D``
+    where ``D = n_out−1``. The NUMERATOR is an exact int64 (|s| ≤ 2¹⁵,
+    rem < n_out), so the gate ships numerator sums — no float
+    interpolation crosses engines. A wrong index map, a dropped +1, or
+    float accumulation all change the sums.
+
+    Scale: one mapInPandas pass, payload → four scalars; O(n_out)/clip.
+    """
+    D = n_out - 1
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in RESAMPLE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                rec = dict.fromkeys(rows)
+                rec["media_id"] = int(mid)
+                try:
+                    if payload[:4] != b"RIFF":
+                        raise ValueError("not wav")
+                    _, _, frames = decode_wav(payload)
+                    s = frames[:, 0].astype(_np.int64)
+                    n_in = len(s)
+                    if n_in < 2:
+                        raise ValueError("too short to resample")
+                    j = _np.arange(n_out, dtype=_np.int64)
+                    pos_num = j * (n_in - 1)
+                    idx = pos_num // D
+                    rem = pos_num % D
+                    nxt = _np.minimum(idx + 1, n_in - 1)
+                    num = s[idx] * (D - rem) + s[nxt] * rem
+                    rec.update(
+                        n_in=n_in, n_out=n_out,
+                        rs_num_sum=int(num.sum()),
+                        rs_num_pos_sum=int((num * j).sum()),
+                        decode_ok="wav",
+                    )
+                except ValueError:
+                    rec.update(decode_ok="stub")
+                for k, v in rec.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    from kafka_connect_hdfs_spark.functions import fan_out
+
+    return fan_out(df.select("media_id", "payload")).mapInPandas(
+        batches, schema=RESAMPLE_SCHEMA
+    )
+
+
 def media_stub_embeddings(df: DataFrame, dim: int = 8) -> DataFrame:
     """Deterministic stand-in for a media encoder (CLIP/CLAP class):
     ``payload -> md5 -> dim pseudo-embedding`` with component i =

@@ -2619,3 +2619,78 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    discount: float = 0.75,
+    top_n: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Kneser-Ney-smoothed bigram probabilities over the corpus's own
+    counts — the modern-smoothing step up from the interpolated model in
+    :func:`bigram_logprob` (Kneser & Ney 1995; Chen & Goodman 1999's
+    evaluation made it the default):
+
+        P_KN(w2|w1) = (c(w1,w2) − d)/c(w1·)
+                    + (d · N1+(w1,·)/c(w1·)) · N1+(·,w2)/T
+
+    where N1+(w1,·) = distinct continuations of w1, N1+(·,w2) = distinct
+    contexts preceding w2 (the "how many ways can this word appear"
+    continuation probability that fixes the San-Francisco problem —
+    'francisco' is frequent but follows only 'san'), T = distinct bigram
+    types, d the absolute discount. Returns the ``top_n`` bigrams by
+    count: ``(prev, cur, c_big, p_kn)``.
+
+    Scale: ONE shuffle builds the bigram count table; every other term
+    (context totals, continuation counts, T) is an aggregation OF that
+    table — bounded by bigram vocabulary, never re-touching the corpus;
+    the top-n is TakeOrdered. Probabilities are fixed IEEE expression
+    trees over exact integer counts, 6-dp HALF-UP on both engines.
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        toks.alias("_t")
+    )
+    t = F.col("_t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = base.select(F.explode(bigrams).alias("bg")).select(
+        F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    big = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c_big"))
+    ctx = big.groupBy("prev").agg(
+        F.sum("c_big").alias("c_ctx"), F.count("*").alias("n_follow")
+    )
+    cont = big.groupBy("cur").agg(F.count("*").alias("n_prec"))
+    tot = big.agg(F.count("*").alias("_tt"))
+    d = F.lit(float(discount))
+    cb = F.col("c_big").cast("double")
+    cc = F.col("c_ctx").cast("double")
+    nf = F.col("n_follow").cast("double")
+    np_ = F.col("n_prec").cast("double")
+    tt = F.col("_tt").cast("double")
+    return (
+        big.join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(cont), "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev",
+            "cur",
+            F.col("c_big").cast("long").alias("c_big"),
+            q6_col((cb - d) / cc + ((d * nf) / cc) * (np_ / tt)).alias(
+                "p_kn"
+            ),
+        )
+        .orderBy(F.desc("c_big"), "prev", "cur")
+        .limit(top_n)
+    )

@@ -596,3 +596,59 @@ def test_image_resize_stats_match_numpy(spark, sf_dir):
         idx = np.arange(12).reshape(3, 4)
         assert r["rs_val_sum"] == int(rs.sum())
         assert r["rs_pos_sum"] == int((rs * idx).sum())
+
+
+def test_audio_resample_matches_numpy_float_interp(spark, sf_dir):
+    """The exact-integer numerators divided by (n_out-1) must equal a
+    straight float np.interp of the decoded samples (the operator's
+    integer carry is a determinism device, not different math)."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        audio_resample_stats, synthetic_media_corpus,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    got = {
+        r["media_id"]: r
+        for r in audio_resample_stats(
+            synthetic_media_corpus(docs), n_out=50
+        )
+        .filter("decode_ok = 'wav'")
+        .collect()
+    }
+    assert got
+    for did, r in got.items():
+        n = 40 + did % 77
+        i = np.arange(n, dtype=np.int64)
+        s = ((did * 37 + i * 11) % 65536) - 32768
+        pos = np.arange(50) * (n - 1) / 49.0
+        interp = np.interp(pos, np.arange(n), s.astype(float))
+        assert np.allclose(r["rs_num_sum"] / 49.0, interp.sum(), atol=1e-6)
+        assert r["n_in"] == n
+
+
+def test_kneser_ney_probabilities_sum_to_one_per_context(spark, sf_dir):
+    """KN is a proper conditional distribution: summing P_KN(w2|w1) over
+    every OBSERVED w2 plus the backed-off mass of unseen continuations
+    must give 1 per context. Check the discounted+backoff identity on
+    the full (untruncated) table for a few contexts."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.operators.text import kneser_ney_bigrams
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = kneser_ney_bigrams(docs, discount=0.75, top_n=10**9)
+    # Σ_observed [(c-d)/cc] = 1 - d·nf/cc, and the backoff term adds
+    # d·nf/cc · Σ_observed P_cont(w2); the remaining mass goes to unseen
+    # w2, so per context: Σ observed P_KN ≤ 1 and > 1 - d·nf/cc
+    agg = (
+        full.groupBy("prev")
+        .agg(F.sum("p_kn").alias("mass"), F.count("*").alias("k"))
+        .orderBy(F.desc("k"))
+        .limit(5)
+        .collect()
+    )
+    assert agg
+    for r in agg:
+        assert 0.0 < r["mass"] <= 1.0 + 1e-4, (r["prev"], r["mass"])
