@@ -518,6 +518,7 @@ def build_key_index(
     root, data_dir, _ = _index_dirs(table_path)
     tgt = spark.read.format(fmt).load(table_path)
     pairs = _index_pairs(tgt, key_col, partition_col, n_buckets)
+    schema_json = pairs.schema.json()
     staging = f"{root}/.data_stage"
     fs.delete(Path(staging), True)
     pairs.write.partitionBy("bucket").mode("overwrite").parquet(staging)
@@ -534,6 +535,9 @@ def build_key_index(
         "partition_col": partition_col,
         "n_buckets": n_buckets,
         "format": fmt,
+        # recorded schema: reads never depend on parquet schema inference,
+        # which fails on an index built from an EMPTY table (no files)
+        "index_schema": schema_json,
         "sig": _table_sig(fs, Path, table_path, partition_col),
     }
     _write_index_meta(spark, table_path, meta)
@@ -555,6 +559,22 @@ def key_index_status(
     fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
     cur = _table_sig(fs, Path, table_path, partition_col)
     return "fresh" if cur == meta.get("sig") else "stale"
+
+
+def _read_index_data(spark: SparkSession, data_dir: str, meta: dict):
+    """Read the index data tree with the RECORDED schema when the meta
+    carries one (an index built from an empty table has no parquet files
+    to infer from); fall back to inference for pre-schema metas."""
+    sj = meta.get("index_schema")
+    if sj:
+        import json
+
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(json.loads(sj))
+        ).parquet(data_dir)
+    return spark.read.parquet(data_dir)
 
 
 def locate_keys(
@@ -591,7 +611,9 @@ def locate_keys(
         F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).alias("bucket")
     ).distinct()
     buckets = [r[0] for r in want.collect()]
-    idx = spark.read.parquet(data_dir).filter(F.col("bucket").isin(buckets))
+    idx = _read_index_data(spark, data_dir, meta).filter(
+        F.col("bucket").isin(buckets)
+    )
     return (
         idx.join(
             F.broadcast(keys.select(F.col(key_col).alias("k"))),
@@ -632,7 +654,7 @@ def refresh_key_index(
     ]
     if buckets:
         existing = (
-            spark.read.parquet(data_dir)
+            _read_index_data(spark, data_dir, meta)
             .filter(F.col("bucket").isin(buckets))
             .join(
                 F.broadcast(all_keys.select(F.col(key_col).alias("k"))),

@@ -140,7 +140,7 @@ def _decode(media_type: str, payload: bytes) -> tuple[int, int, int]:
         if payload[:4] == b"RIFF":
             _, _, frames = decode_wav(bytes(payload))
             return 0, 0, int(len(frames))
-    except (ValueError, TypeError):
+    except (ValueError, TypeError, _struct.error):
         pass  # magic matched but the stream is not decodable → fall on
     if _CAPS.get(media_type):  # pragma: no cover - no codecs in sandbox
         try:
@@ -432,8 +432,8 @@ def decode_wav(data: bytes):
         size = _struct.unpack_from("<I", data, pos + 4)[0]
         body_at = pos + 8
         if cid == b"fmt ":
-            if size < 16:
-                raise ValueError("short fmt chunk")
+            if size < 16 or body_at + 16 > len(data):
+                raise ValueError("short or truncated fmt chunk")
             audio_fmt, channels, rate, _, _, bits = _struct.unpack_from(
                 "<HHIIHH", data, body_at
             )
@@ -586,7 +586,7 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
                         )
                     else:
                         rec.update(decode_ok="stub")
-                except ValueError:
+                except (ValueError, _struct.error):
                     rec.update(decode_ok="stub")
                 for k, v in rec.items():
                     rows[k].append(v)
@@ -684,7 +684,7 @@ def audio_spectral_features(df: DataFrame) -> DataFrame:
                         dominant_bin=int(_np.argmax(mag[1:]) + 1),
                         decode_ok="wav",
                     )
-                except ValueError:
+                except (ValueError, _struct.error):
                     rec.update(decode_ok="stub")
                 for k, v in rec.items():
                     rows[k].append(v)
@@ -741,7 +741,7 @@ def image_gradient_stats(df: DataFrame) -> DataFrame:
                         n_gx=int(gx.size), n_gy=int(gy.size),
                         decode_ok="bmp",
                     )
-                except ValueError:
+                except (ValueError, _struct.error):
                     rec.update(decode_ok="stub")
                 for k, v in rec.items():
                     rows[k].append(v)
@@ -810,7 +810,7 @@ def image_resize_stats(
                         rs_pos_sum=int((resized * idx).sum()),
                         decode_ok="bmp",
                     )
-                except ValueError:
+                except (ValueError, _struct.error):
                     rec.update(decode_ok="stub")
                 for k, v in rec.items():
                     rows[k].append(v)
@@ -880,7 +880,7 @@ def audio_resample_stats(df: DataFrame, n_out: int = 50) -> DataFrame:
                         rs_num_pos_sum=int((num * j).sum()),
                         decode_ok="wav",
                     )
-                except ValueError:
+                except (ValueError, _struct.error):
                     rec.update(decode_ok="stub")
                 for k, v in rec.items():
                     rows[k].append(v)

@@ -652,3 +652,48 @@ def test_kneser_ney_probabilities_sum_to_one_per_context(spark, sf_dir):
     assert agg
     for r in agg:
         assert 0.0 < r["mass"] <= 1.0 + 1e-4, (r["prev"], r["mass"])
+
+
+def test_key_index_survives_all_buckets_emptied(spark, tmp_path):
+    """A merge that deletes EVERY key empties every index bucket dir; the
+    recorded index_schema in meta keeps locate_keys working on the
+    file-less index (returns an empty locate set) instead of dying on
+    parquet schema inference."""
+    from kafka_connect_hdfs_spark.merge import (
+        build_key_index, key_index_status, locate_keys, merge_keyed,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "ca", 1.0), (2, "cb", 2.0)], "k long, p string, v double"
+    ).repartition(1).write.partitionBy("p").parquet(path)
+    build_key_index(spark, path, "k", "p", n_buckets=1)
+    deletes = spark.createDataFrame(
+        [(1, "ca", 0.0, True), (2, "cb", 0.0, True)],
+        "k long, p string, v double, is_del boolean",
+    )
+    merge_keyed(
+        spark, path, deletes, key_col="k", partition_col="p",
+        delete_col="is_del",
+    )
+    assert key_index_status(spark, path, "p") == "fresh"
+    located = locate_keys(
+        spark, path, spark.createDataFrame([(1,)], "k long"), "k", "p"
+    )
+    assert located is not None
+    assert located.count() == 0
+
+
+def test_decode_stats_survives_truncated_fmt_chunk(spark):
+    """A WAV whose fmt chunk is cut mid-struct must land on the stub
+    path, not kill the Arrow worker (struct-bounds guard)."""
+    import struct as _s
+
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        decode_media_stats,
+    )
+
+    bad = b"RIFF" + _s.pack("<I", 20) + b"WAVE" + b"fmt " + _s.pack("<I", 16) + b"\x01\x00"
+    df = spark.createDataFrame([(1, bad)], "media_id long, payload binary")
+    r = decode_media_stats(df).collect()[0]
+    assert r["decode_ok"] == "stub"
