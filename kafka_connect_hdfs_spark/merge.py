@@ -519,6 +519,14 @@ def build_key_index(
     tgt = spark.read.format(fmt).load(table_path)
     pairs = _index_pairs(tgt, key_col, partition_col, n_buckets)
     schema_json = pairs.schema.json()
+    # build is the documented recovery from a crashed incremental
+    # refresh — sweep its residue (stage tree, per-bucket backups) so
+    # repeated crash/rebuild cycles cannot accumulate hidden dirs
+    if fs.exists(Path(root)):
+        for st in fs.listStatus(Path(root)):
+            name = st.getPath().getName()
+            if name == ".refresh_stage" or name.startswith(".bucket_"):
+                fs.delete(st.getPath(), True)
     staging = f"{root}/.data_stage"
     fs.delete(Path(staging), True)
     pairs.write.partitionBy("bucket").mode("overwrite").parquet(staging)

@@ -697,3 +697,20 @@ def test_decode_stats_survives_truncated_fmt_chunk(spark):
     df = spark.createDataFrame([(1, bad)], "media_id long, payload binary")
     r = decode_media_stats(df).collect()[0]
     assert r["decode_ok"] == "stub"
+
+
+def test_build_key_index_sweeps_crashed_refresh_residue(spark, tmp_path):
+    from kafka_connect_hdfs_spark.merge import build_key_index
+
+    path = _mk_table(spark, tmp_path)
+    build_key_index(spark, path, "k", "p", n_buckets=4)
+    # plant crashed-refresh residue
+    import os
+
+    os.makedirs(os.path.join(path, "_key_index", ".refresh_stage"))
+    os.makedirs(os.path.join(path, "_key_index", ".bucket_2__old"))
+    build_key_index(spark, path, "k", "p", n_buckets=4)
+    left = set(os.listdir(os.path.join(path, "_key_index")))
+    assert left == {"data", "meta.json", ".meta.json.crc"} or left == {
+        "data", "meta.json",
+    }, left
