@@ -1236,3 +1236,47 @@ def test_decode_stats_payload_never_shuffles(spark, sf):
     for seg in plan.split("Exchange")[1:]:
         head = seg.split("\n")[0]
         assert "payload" not in head, head
+
+
+def test_read_as_of_scans_only_resolved_version_dirs(spark, tmp_path):
+    """Timestamp time travel must prune at PLANNING time: the AS-OF-v2
+    read's file index lists only v1+v2 data dirs — v3's files are
+    invisible, not filtered."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.snapshots import commit_snapshot, read_as_of
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang"
+    )
+    path = str(tmp_path / "t")
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "en"), path, now=lambda: 1000
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "de"), path, mode="append",
+        now=lambda: 2000,
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "fr"), path, mode="append",
+        now=lambda: 3000,
+    )
+    files = read_as_of(spark, path, 2500).inputFiles()
+    assert files
+    assert all("/data/v1/" in f or "/data/v2/" in f for f in files), files
+    assert not any("/data/v3/" in f for f in files)
+
+
+def test_kneser_ney_single_corpus_shuffle_no_smj(spark, sf):
+    """KN's count tables all derive from ONE bigram aggregation; the
+    probability join must broadcast the vocab-bounded sides — a
+    SortMergeJoin over the corpus would mean the shape regressed."""
+    from kafka_connect_hdfs_spark.operators.text import kneser_ney_bigrams
+    from kafka_connect_hdfs_spark.session import load_table
+
+    plan = _plan(
+        kneser_ney_bigrams(load_table(spark, sf, "documents"), top_n=100)
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 3  # ctx, cont, total
