@@ -5254,6 +5254,70 @@ def _q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_bigrams(_docs(spark, sf_dir), discount=0.75, top_n=100)
 
 
+def _q_quality_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between lang and source (quality.
+    cramers_v): chi² folded as exact 6-dp micro-integers (the _OQ6INT
+    pattern — a raw double Σ would be accumulation-order-dependent),
+    then normalized to the [0,1] effect size a mixing audit thresholds.
+    The oracle rebuilds cells, marginals, the quantized fold, and the
+    √ normalization in SQL."""
+    from kafka_connect_hdfs_spark.operators.quality import cramers_v
+
+    return cramers_v(_docs(spark, sf_dir), "lang", "source")
+
+
+def _q_quality_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew pre-flight (quality.key_skew_report) over
+    events.user_id: max/top-10 share and the exact rank-formula Gini —
+    every term an exact integer (tie order between equal counts provably
+    cancels in Σ i·cᵢ), so the 6-dp report is engine-identical."""
+    from kafka_connect_hdfs_spark.operators.quality import key_skew_report
+
+    return key_skew_report(_events(spark, sf_dir), "user_id")
+
+
+def _q_ops_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable time travel: membership diff between two WALL-CLOCK
+    states of the table (resolve_as_of at 1500 → v1, at 2500 → v2, then
+    snapshot_diff) — Iceberg's changes-between-timestamps audit. Only
+    the de docs were appended between the two instants, so the diff is
+    exactly {'added': de keys}; a wrong as-of resolution or diff
+    direction breaks the pinned oracle."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, resolve_as_of, snapshot_diff,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    path = tempfile.mkdtemp(prefix="kchs_asofdiff_") + "/t"
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "en"), path, now=lambda: 1000
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "de"), path, mode="append",
+        now=lambda: 2000,
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "fr"), path, mode="append",
+        now=lambda: 3000,
+    )
+    d = snapshot_diff(
+        spark, path,
+        resolve_as_of(spark, path, 1500),
+        resolve_as_of(spark, path, 2500),
+        "doc_id",
+    )
+    return (
+        d.groupBy("change")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("change")
+    )
+
+
 def _q_ops_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp time travel (snapshots.read_as_of, r09 VERDICT item 3):
     three commits with INJECTED clocks (1000/2000/3000 ms — the repo's
@@ -6366,10 +6430,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_resize": _q_media_image_resize,
         "media_audio_resample": _q_media_audio_resample,
         "text_kneser_ney": _q_text_kneser_ney,
+        "quality_cramers_v": _q_quality_cramers_v,
+        "quality_key_skew": _q_quality_key_skew,
+        "ops_asof_diff": _q_ops_asof_diff,
     }
     # ROUND-10 WINDOW: the driver checks the FIRST 50 keys — slots 1-4
     # are the four gates added late in r09 with ZERO driver rows
-    # (r09 VERDICT item 1, mandatory); slots 5-13 the nine NEW r10
+    # (r09 VERDICT item 1, mandatory); slots 5-16 the twelve NEW r10
     # operators (real-codec decode stats, timestamp time travel,
     # index-backed MERGE, FFT spectrum, image gradients); slots 10-12
     # the r09-displaced changed-pair swaps; slots 13-21 the gates whose
@@ -6379,7 +6446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # _decode real-codec dispatch); slots 22-50 the r03-latest block
     # (stalest driver evidence) in documented order.
     # ROUND-11 QUEUE: the r03-latest remainder displaced here
-    # (q_integrity_check, q_peak_concurrency, q_profile_events, q_rate_cap_flags,
+    # (q_event_cooccurrence, q_funnel_stages, q_hll_distinct_users,
+    # q_integrity_check, q_peak_concurrency, q_profile_events, q_rate_cap_flags,
     # q_scd2_dimension, q_source_report, q_table_checksum,
     # q_user_erasure, q_value_histogram, q_value_outliers,
     # q_zorder_values, semantic_dedup_flags, text_bigram_counts,
@@ -6413,11 +6481,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_resize",
         "media_audio_resample",
         "text_kneser_ney",
-        # slots 14-16: r09-displaced changed-pair swaps
+        "quality_cramers_v",
+        "quality_key_skew",
+        "ops_asof_diff",
+        # slots 17-19: r09-displaced changed-pair swaps
         "ann_filtered_topk",
         "ann_hard_negatives",
         "ann_index_serve",
-        # slots 17-25: Spark code paths changed in r10 — re-check
+        # slots 20-28: Spark code paths changed in r10 — re-check
         "ops_merge_keyed",
         "ops_partition_evolution",
         "ops_partition_evolution_incr",
@@ -6427,7 +6498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_vacuum_orphans",
         "media_features",
         "media_frame_sample",
-        # slots 26-50: the r03-latest block (stalest driver evidence)
+        # slots 29-50: the r03-latest block (stalest driver evidence)
         "ann_ivfpq_topk",
         "ann_pq_topk",
         "cdc_changelog_compact",
@@ -6450,9 +6521,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_quantiles",
         "q_cms_heavy_hitters",
         "q_cohort_retention",
-        "q_event_cooccurrence",
-        "q_funnel_stages",
-        "q_hll_distinct_users",
     ]
     assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
     out = {k: reg.pop(k) for k in _R10_WINDOW}
@@ -8794,6 +8862,47 @@ SELECT b.prev, b.cur, cb::BIGINT AS c_big,
        {_OQ6("((cb::DOUBLE - 0.75) / cc::DOUBLE) + (((0.75 * nf::DOUBLE) / cc::DOUBLE) * (np::DOUBLE / tt::DOUBLE))")} AS p_kn
 FROM big b JOIN ctx USING (prev) JOIN cont USING (cur) CROSS JOIN tot
 ORDER BY c_big DESC, prev, cur LIMIT 100
+"""
+
+    sql["quality_cramers_v"] = f"""
+WITH cells AS (
+  SELECT lang AS a, source AS b, count(*) AS n_ab FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+),
+ma AS (SELECT a, sum(n_ab) AS n_a FROM cells GROUP BY 1),
+mb AS (SELECT b, sum(n_ab) AS n_b FROM cells GROUP BY 1),
+tot AS (SELECT sum(n_ab) AS N, count(DISTINCT a) AS r,
+               count(DISTINCT b) AS c FROM cells),
+contrib AS (
+  SELECT N, r, c,
+         {_OQ6INT("((n_ab::DOUBLE - (n_a::DOUBLE * n_b::DOUBLE) / N::DOUBLE) * (n_ab::DOUBLE - (n_a::DOUBLE * n_b::DOUBLE) / N::DOUBLE)) / ((n_a::DOUBLE * n_b::DOUBLE) / N::DOUBLE)")} AS cm,
+         {_OQ6INT("(n_a::DOUBLE * n_b::DOUBLE) / N::DOUBLE")} AS em
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+)
+SELECT N::BIGINT AS n_rows, r::BIGINT AS n_cat_a, c::BIGINT AS n_cat_b,
+       {_OQ6("(sum(cm)::DOUBLE / 1000000.0) + (N::DOUBLE - sum(em)::DOUBLE / 1000000.0)")} AS chi2,
+       {_OQ6("sqrt(((sum(cm)::DOUBLE / 1000000.0) + (N::DOUBLE - sum(em)::DOUBLE / 1000000.0)) / (N::DOUBLE * (least(r, c) - 1)::DOUBLE))")} AS cramers_v
+FROM contrib GROUP BY N, r, c
+"""
+
+    sql["quality_key_skew"] = f"""
+WITH counts AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+ranked AS (SELECT c, row_number() OVER (ORDER BY c ASC) AS i FROM counts),
+t10 AS (SELECT sum(c) AS t FROM (SELECT c FROM counts ORDER BY c DESC LIMIT 10)),
+agg AS (SELECT count(*) AS K, sum(c) AS n, max(c) AS mx, sum(i*c) AS ic
+        FROM ranked)
+SELECT K::BIGINT AS n_keys, n::BIGINT AS n_rows,
+       {_OQ6("mx::DOUBLE / n::DOUBLE")} AS max_share,
+       {_OQ6("t::DOUBLE / n::DOUBLE")} AS top10_share,
+       {_OQ6("(2.0 * ic::DOUBLE - (K + 1)::DOUBLE * n::DOUBLE) / (K::DOUBLE * n::DOUBLE)")} AS gini
+FROM agg CROSS JOIN t10
+"""
+
+    # only the de slice was appended between t=1500 and t=2500
+    sql["ops_asof_diff"] = """
+SELECT 'added' AS change, count(*)::BIGINT AS n_keys,
+       sum(doc_id)::BIGINT AS sum_ids
+FROM documents WHERE lang = 'de'
 """
     # composed AFTER its constituents: recall@5 of IVF vs the exact top-5
     sql["ann_ivf_recall"] = f"""

@@ -1170,3 +1170,129 @@ def column_completeness(
             "complete_pct"
         ),
     ).orderBy("table", "column")
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Scalar association strength between two categorical columns:
+    Cramér's V = √(χ²/(N·(min(r,c)−1))) ∈ [0,1] — the normalized
+    companion to :func:`chi2_independence` (χ² grows with N; V is the
+    effect size a mixing audit can threshold). NULL categories are
+    excluded exactly as in chi2/MI.
+
+    Cross-engine determinism: a raw Σ of double χ² contributions is
+    accumulation-order-dependent, so each cell's contribution is 6-dp
+    HALF-UP quantized to a micro-unit BIGINT first and the SUM is exact
+    integer arithmetic (the `_OQ6INT` oracle pattern) — the χ² the two
+    engines see is bit-identical by construction, and √ of identical
+    doubles is identical.
+
+    Scale: identical to χ² — one (a,b) cell shuffle, broadcast
+    marginals; the quantized fold is a plain integer sum.
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+
+    cells = (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        # explicit upfront exclusion (not a join side effect) so N, r, c
+        # and the fold all see the same census
+        .filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = cells.agg(
+        F.sum("n_ab").alias("_N"),
+        F.count_distinct("a").alias("_r"),
+        F.count_distinct("b").alias("_c"),
+    )
+    e = (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    ) / F.col("_N").cast("double")
+    diff = F.col("n_ab").cast("double") - e
+    contrib_micro = (
+        (q6_col((diff * diff) / e) * F.lit(1e6)).cast("long")
+    )
+    e_micro = (q6_col(e) * F.lit(1e6)).cast("long")
+    folded = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("_N", "_r", "_c")
+        .agg(
+            F.sum(contrib_micro).alias("_chi2_micro"),
+            F.sum(e_micro).alias("_e_micro"),
+        )
+    )
+    # cells is OBSERVED pairs only; every unobserved (a, b) cell
+    # contributes exactly its expectation e to chi² ((0−e)²/e = e), and
+    # Σe over ALL r·c cells is N — so the zero-cell mass is N − Σe_obs.
+    # Without it V caps below 1 even for perfect association.
+    chi2 = (
+        F.col("_chi2_micro").cast("double") / F.lit(1e6)
+        + (
+            F.col("_N").cast("double")
+            - F.col("_e_micro").cast("double") / F.lit(1e6)
+        )
+    )
+    denom = F.col("_N").cast("double") * (
+        F.least(F.col("_r"), F.col("_c")) - F.lit(1)
+    ).cast("double")
+    return folded.select(
+        F.col("_N").cast("long").alias("n_rows"),
+        F.col("_r").cast("long").alias("n_cat_a"),
+        F.col("_c").cast("long").alias("n_cat_b"),
+        q6_col(chi2).alias("chi2"),
+        q6_col(F.sqrt(chi2 / denom)).alias("cramers_v"),
+    )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostics — the pre-flight an engineer
+    runs before keying a 100 TB join: one row of
+    ``(n_keys, n_rows, max_share, top10_share, gini)`` over the key's
+    count distribution. Gini via the exact rank formula
+    ``(2·Σ i·cᵢ − (K+1)·Σc) / (K·Σc)`` with counts sorted ascending —
+    every term an exact integer, so the 6-dp result is deterministic
+    (tie order between equal counts provably does not change Σ i·cᵢ).
+
+    Scale: ONE shuffle builds the per-key counts (map-side combined);
+    the rank/fold runs over K rows (key cardinality), never the corpus.
+    The window over counts is a single global sort of K rows — at
+    extreme K, range-partition the prefix sum like quality.ks_drift.
+    """
+    from kafka_connect_hdfs_spark.operators.similarity import q6_col
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count("*").alias("_c")
+    )
+    w = Window.orderBy(F.col("_c").asc())
+    ranked = counts.select(
+        "_c", F.row_number().over(w).alias("_i")
+    )
+    top10 = (
+        counts.orderBy(F.desc("_c"))
+        .limit(10)
+        .agg(F.sum("_c").alias("_t10"))
+    )
+    agg = ranked.agg(
+        F.count("*").alias("_K"),
+        F.sum("_c").alias("_n"),
+        F.max("_c").alias("_mx"),
+        F.sum(F.col("_i") * F.col("_c")).alias("_ic"),
+    ).crossJoin(F.broadcast(top10))
+    n = F.col("_n").cast("double")
+    return agg.select(
+        F.col("_K").cast("long").alias("n_keys"),
+        F.col("_n").cast("long").alias("n_rows"),
+        q6_col(F.col("_mx").cast("double") / n).alias("max_share"),
+        q6_col(F.col("_t10").cast("double") / n).alias("top10_share"),
+        q6_col(
+            (
+                F.lit(2.0) * F.col("_ic").cast("double")
+                - (F.col("_K") + 1).cast("double") * n
+            )
+            / (F.col("_K").cast("double") * n)
+        ).alias("gini"),
+    )

@@ -714,3 +714,44 @@ def test_build_key_index_sweeps_crashed_refresh_residue(spark, tmp_path):
     assert left == {"data", "meta.json", ".meta.json.crc"} or left == {
         "data", "meta.json",
     }, left
+
+
+def test_cramers_v_bounds_and_perfect_association(spark):
+    """V = 1 for a perfectly associated pair, ~0 for independent."""
+    from kafka_connect_hdfs_spark.operators.quality import cramers_v
+
+    perfect = spark.createDataFrame(
+        [("x", "a"), ("x", "a"), ("y", "b"), ("y", "b"), ("z", "c")],
+        "u string, v string",
+    )
+    r = cramers_v(perfect, "u", "v").collect()[0]
+    assert abs(r["cramers_v"] - 1.0) < 1e-6
+    indep = spark.createDataFrame(
+        [(u, v) for u in "xy" for v in "ab" for _ in range(10)],
+        "u string, v string",
+    )
+    r2 = cramers_v(indep, "u", "v").collect()[0]
+    assert r2["cramers_v"] < 1e-6
+    # NULL categories are excluded from the census entirely
+    with_null = perfect.union(
+        spark.createDataFrame([(None, "a")], "u string, v string")
+    )
+    assert cramers_v(with_null, "u", "v").collect()[0]["n_rows"] == 5
+
+
+def test_key_skew_gini_known_distributions(spark):
+    from kafka_connect_hdfs_spark.operators.quality import key_skew_report
+
+    # uniform: 4 keys x 5 rows -> gini 0
+    uni = spark.createDataFrame(
+        [(k,) for k in range(4) for _ in range(5)], "k int"
+    )
+    r = key_skew_report(uni, "k").collect()[0]
+    assert r["gini"] == 0.0 and r["max_share"] == 0.25
+    # extreme: one key holds 97 of 100 rows
+    skew = spark.createDataFrame(
+        [(0,)] * 97 + [(1,), (2,), (3,)], "k int"
+    )
+    r2 = key_skew_report(skew, "k").collect()[0]
+    assert r2["max_share"] == 0.97
+    assert r2["gini"] > 0.7
