@@ -6437,14 +6437,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROUND-10 WINDOW: the driver checks the FIRST 50 keys — slots 1-4
     # are the four gates added late in r09 with ZERO driver rows
     # (r09 VERDICT item 1, mandatory); slots 5-16 the twelve NEW r10
-    # operators (real-codec decode stats, timestamp time travel,
-    # index-backed MERGE, FFT spectrum, image gradients); slots 10-12
-    # the r09-displaced changed-pair swaps; slots 13-21 the gates whose
-    # code paths changed THIS round (merge swap hardening + LOCATE
-    # index integration, compaction cutover guard + recovery-call
-    # fix + fs seam, snapshots committed_at manifests, multimodal
-    # _decode real-codec dispatch); slots 22-50 the r03-latest block
-    # (stalest driver evidence) in documented order.
+    # operators (real-codec decode stats, FFT spectrum, image
+    # gradients/resize, audio resample, Kneser-Ney, Cramér's V, key
+    # skew, timestamp time travel, history, as-of diff, index-backed
+    # MERGE); slots 17-19 the r09-displaced changed-pair swaps; slots
+    # 20-28 the gates whose code paths changed THIS round (merge swap
+    # hardening + LOCATE index integration, compaction cutover guard +
+    # recovery-call fix + fs seam, snapshots committed_at manifests,
+    # multimodal _decode real-codec dispatch); slots 29-50 the
+    # r03-latest block (stalest driver evidence) in documented order.
     # ROUND-11 QUEUE: the r03-latest remainder displaced here
     # (q_event_cooccurrence, q_funnel_stages, q_hll_distinct_users,
     # q_integrity_check, q_peak_concurrency, q_profile_events, q_rate_cap_flags,
@@ -8881,7 +8882,9 @@ contrib AS (
 )
 SELECT N::BIGINT AS n_rows, r::BIGINT AS n_cat_a, c::BIGINT AS n_cat_b,
        {_OQ6("(sum(cm)::DOUBLE / 1000000.0) + (N::DOUBLE - sum(em)::DOUBLE / 1000000.0)")} AS chi2,
-       {_OQ6("sqrt(((sum(cm)::DOUBLE / 1000000.0) + (N::DOUBLE - sum(em)::DOUBLE / 1000000.0)) / (N::DOUBLE * (least(r, c) - 1)::DOUBLE))")} AS cramers_v
+       CASE WHEN least(r, c) > 1
+            THEN {_OQ6("sqrt(((sum(cm)::DOUBLE / 1000000.0) + (N::DOUBLE - sum(em)::DOUBLE / 1000000.0)) / (N::DOUBLE * (least(r, c) - 1)::DOUBLE))")}
+            ELSE 0.0 END AS cramers_v
 FROM contrib GROUP BY N, r, c
 """
 

@@ -49,10 +49,9 @@ def merge_upsert(
     explicitly). Returns
     ``{"n_partitions_touched", "n_update_rows", "n_rows_after_affected"}``.
     """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(table_path).getFileSystem(conf)
+    from kafka_connect_hdfs_spark import statedir
+
+    fs, Path = statedir.hadoop_fs(spark, table_path)
 
     # Crash recovery from a prior interrupted merge: a leftover
     # .<leaf>__merge_old backup means the previous run died mid-swap.
@@ -294,7 +293,8 @@ def merge_keyed(
     # cost a scan, never a wrong answer.
     idx_meta = _read_index_meta(spark, table_path)
     located = locate_keys(
-        spark, table_path, all_keys, key_col, partition_col, fmt
+        spark, table_path, all_keys, key_col, partition_col, fmt,
+        meta=idx_meta,
     )
     if located is not None:
         old_vals = [r[0] for r in located.collect()]
@@ -460,9 +460,9 @@ def _read_index_meta(spark: SparkSession, table_path: str) -> "dict | None":
 
     from kafka_connect_hdfs_spark.statedir import read_text
 
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    from kafka_connect_hdfs_spark import statedir
+
+    fs, Path = statedir.hadoop_fs(spark, table_path)
     _, _, meta_path = _index_dirs(table_path)
     if not fs.exists(Path(meta_path)):
         return None
@@ -472,9 +472,9 @@ def _read_index_meta(spark: SparkSession, table_path: str) -> "dict | None":
 def _write_index_meta(spark: SparkSession, table_path: str, meta: dict) -> None:
     import json
 
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    from kafka_connect_hdfs_spark import statedir
+
+    fs, Path = statedir.hadoop_fs(spark, table_path)
     root, _, meta_path = _index_dirs(table_path)
     fs.mkdirs(Path(root))
     tmp = Path(f"{root}/.meta.json.tmp")
@@ -512,9 +512,9 @@ def build_key_index(
     one shuffle into ``n_buckets`` hive dirs. Size ``n_buckets`` so a
     bucket's pairs fit one task comfortably (~10⁷ keys/bucket); at
     100 TB/10¹⁰ keys use 4096. Returns the published meta."""
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    from kafka_connect_hdfs_spark import statedir
+
+    fs, Path = statedir.hadoop_fs(spark, table_path)
     root, data_dir, _ = _index_dirs(table_path)
     tgt = spark.read.format(fmt).load(table_path)
     pairs = _index_pairs(tgt, key_col, partition_col, n_buckets)
@@ -562,11 +562,30 @@ def key_index_status(
     meta = _read_index_meta(spark, table_path)
     if meta is None:
         return "absent"
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    from kafka_connect_hdfs_spark import statedir
+
+    fs, Path = statedir.hadoop_fs(spark, table_path)
     cur = _table_sig(fs, Path, table_path, partition_col)
     return "fresh" if cur == meta.get("sig") else "stale"
+
+
+def _index_key_type(meta: dict):
+    """The key dtype the index was BUILT with (from the recorded
+    schema). F.hash is type-sensitive — hashing an int32 key against an
+    index built from int64 keys prunes to the WRONG buckets and the
+    fast path would silently miss matched keys (duplicate rows on
+    merge). Casting the caller's keys to the recorded type restores the
+    'staleness can only cost a scan, never a wrong answer' contract.
+    None for legacy metas without a recorded schema."""
+    sj = meta.get("index_schema")
+    if not sj:
+        return None
+    import json
+
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(json.loads(sj))
+    return {f.name: f.dataType for f in st.fields}.get("k")
 
 
 def _read_index_data(spark: SparkSession, data_dir: str, meta: dict):
@@ -592,6 +611,7 @@ def locate_keys(
     key_col: str,
     partition_col: str,
     fmt: str = "parquet",
+    meta: "dict | None" = None,
 ) -> "DataFrame | None":
     """Index-backed LOCATE: the distinct partitions the given keys
     currently live in, reading ONLY the index buckets those keys hash
@@ -600,7 +620,8 @@ def locate_keys(
     index is absent, indexes different columns, or is STALE against the
     live listing — the caller falls back to the full key-column scan.
     """
-    meta = _read_index_meta(spark, table_path)
+    if meta is None:
+        meta = _read_index_meta(spark, table_path)
     if (
         meta is None
         or meta.get("key_col") != key_col
@@ -608,13 +629,16 @@ def locate_keys(
         or meta.get("format") != fmt
     ):
         return None
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    from kafka_connect_hdfs_spark import statedir
+
+    fs, Path = statedir.hadoop_fs(spark, table_path)
     if _table_sig(fs, Path, table_path, partition_col) != meta["sig"]:
         return None  # stale: correctness falls back to the scan
     _, data_dir, _ = _index_dirs(table_path)
     n_buckets = int(meta["n_buckets"])
+    ktype = _index_key_type(meta)
+    if ktype is not None:
+        keys = keys.select(F.col(key_col).cast(ktype).alias(key_col))
     want = keys.select(
         F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).alias("bucket")
     ).distinct()
@@ -650,11 +674,21 @@ def refresh_key_index(
     meta whose fingerprint no longer matches the merged table, so the
     index reads as stale and LOCATE falls back — a half-refreshed index
     can never serve wrong answers."""
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    from kafka_connect_hdfs_spark import statedir
+
+    fs, Path = statedir.hadoop_fs(spark, table_path)
     root, data_dir, _ = _index_dirs(table_path)
     n_buckets = int(meta["n_buckets"])
+    ktype = _index_key_type(meta)
+    if ktype is not None:
+        # same type discipline as locate_keys: hash with the BUILT key
+        # dtype or the refreshed pairs land in the wrong buckets
+        all_keys = all_keys.select(
+            F.col(key_col).cast(ktype).alias(key_col)
+        )
+        surviving = surviving.withColumn(
+            key_col, F.col(key_col).cast(ktype)
+        )
     key_b = F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
     buckets = [
         r[0]

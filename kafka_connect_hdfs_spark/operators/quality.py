@@ -1210,18 +1210,21 @@ def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.col("n_a").cast("double") * F.col("n_b").cast("double")
     ) / F.col("_N").cast("double")
     diff = F.col("n_ab").cast("double") - e
-    contrib_micro = (
-        (q6_col((diff * diff) / e) * F.lit(1e6)).cast("long")
+    from kafka_connect_hdfs_spark.operators.similarity import (
+        fp_sum_micro_q6,
     )
-    e_micro = (q6_col(e) * F.lit(1e6)).cast("long")
+
+    # fp_sum_micro_q6, NOT (q6*1e6).cast(long): the float round-trip
+    # q/1e6·1e6 truncates to q−1 on ~1% of micro values — the exact
+    # hazard that helper exists for (r10 review find)
     folded = (
         cells.join(F.broadcast(ma), "a")
         .join(F.broadcast(mb), "b")
         .crossJoin(F.broadcast(tot))
         .groupBy("_N", "_r", "_c")
         .agg(
-            F.sum(contrib_micro).alias("_chi2_micro"),
-            F.sum(e_micro).alias("_e_micro"),
+            fp_sum_micro_q6(q6_col((diff * diff) / e)).alias("_chi2_micro"),
+            fp_sum_micro_q6(q6_col(e)).alias("_e_micro"),
         )
     )
     # cells is OBSERVED pairs only; every unobserved (a, b) cell
@@ -1243,7 +1246,15 @@ def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.col("_r").cast("long").alias("n_cat_a"),
         F.col("_c").cast("long").alias("n_cat_b"),
         q6_col(chi2).alias("chi2"),
-        q6_col(F.sqrt(chi2 / denom)).alias("cramers_v"),
+        # min(r,c)=1 makes the denominator 0 (and chi2 exactly 0): a
+        # constant column has no measurable association — define V=0
+        # instead of emitting engine-divergent NaN
+        F.when(
+            F.least(F.col("_r"), F.col("_c")) > 1,
+            q6_col(F.sqrt(chi2 / denom)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cramers_v"),
     )
 
 

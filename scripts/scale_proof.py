@@ -215,27 +215,23 @@ def _run_onepass_suite(spark, sf_dir: str, tag: str) -> list[dict]:
     ent = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ent)
     qs = ent.queries()
+    # driven by _TIER_100X so the constant and the measured set cannot
+    # drift apart (ann_index_build is not a gate — special-cased below)
     out = [
-        _timed(
-            spark,
-            f"dedup_lines@{tag}",
-            lambda: qs["dedup_lines"](spark, sf_dir).count(),
-        ),
-        _timed(
-            spark,
-            f"ops_cube_profile@{tag}",
-            lambda: qs["ops_cube_profile"](spark, sf_dir).count(),
-        ),
+        _timed(spark, f"{name}@{tag}", lambda q=name: qs[q](spark, sf_dir).count())
+        for name in _TIER_100X
+        if name in qs
     ]
-    emb = load_table(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix=f"kchs_scale_{tag}_") + "/idx"
-    out.append(
-        _timed(
-            spark,
-            f"ann_index_build@{tag}",
-            lambda: (build_ivf_index(emb, idx, n_seeds=8), emb.count())[1],
+    if "ann_index_build" in _TIER_100X:
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = tempfile.mkdtemp(prefix=f"kchs_scale_{tag}_") + "/idx"
+        out.append(
+            _timed(
+                spark,
+                f"ann_index_build@{tag}",
+                lambda: (build_ivf_index(emb, idx, n_seeds=8), emb.count())[1],
+            )
         )
-    )
     for r in out:
         print(json.dumps(r))
     return out

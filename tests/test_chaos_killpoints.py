@@ -279,3 +279,79 @@ def test_sweep_relayout_scoped(spark, tmp_path):
         assert residue == [], residue
 
     _sweep(setup, op, recover, invariant, max_points=64)
+
+
+def test_sweep_merge_keyed_with_index(spark, tmp_path):
+    """merge_keyed WITH a fresh LOCATE index: the sweep now also covers
+    the index-refresh protocol (bucket swap renames, meta publish) since
+    its fs flows through the same seam. Invariant: the TABLE converges
+    regardless of where the kill lands; the index ends either fresh
+    (refresh landed) or stale (crash mid-refresh → meta fingerprint no
+    longer matches → LOCATE falls back to the scan) — never wrong — and
+    build_key_index always restores it to fresh."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.merge import (
+        build_key_index, key_index_status, locate_keys, merge_keyed,
+    )
+
+    it = iter(range(10_000))
+    base_rows = [(k, f"c{k % 3}", float(k)) for k in range(12)]
+    upd_rows = (
+        [(1, "moved", 99.0, False)]
+        + [(k, f"c{k % 3}", 0.0, True) for k in (2, 5, 8, 11)]
+        + [(100, "c0", 7.0, False)]
+    )
+    expected = {
+        (k, p) for k, p, _ in base_rows if k not in (1, 2, 5, 8, 11)
+    } | {(1, "moved"), (100, "c0")}
+
+    def setup():
+        path = str(tmp_path / f"mki{next(it)}" / "t")
+        spark.createDataFrame(
+            base_rows, "k long, p string, v double"
+        ).repartition(1).write.partitionBy("p").parquet(path)
+        build_key_index(spark, path, "k", "p", n_buckets=4)
+        return {"path": path}
+
+    def _upd():
+        return spark.createDataFrame(
+            upd_rows, "k long, p string, v double, is_del boolean"
+        )
+
+    def op(ctx):
+        merge_keyed(
+            spark, ctx["path"], _upd(), key_col="k", partition_col="p",
+            delete_col="is_del",
+        )
+
+    def recover(ctx):
+        op(ctx)  # re-run: stale/absent index → scan LOCATE; idempotent
+        # a kill inside the meta publish (delete→rename window) leaves
+        # the meta ABSENT — same safe fallback as stale; either way the
+        # documented recovery is an explicit rebuild
+        if key_index_status(spark, ctx["path"], "p") != "fresh":
+            build_key_index(spark, ctx["path"], "k", "p", n_buckets=4)
+
+    def invariant(ctx):
+        back = spark.read.parquet(ctx["path"])
+        assert {(r["k"], r["p"]) for r in back.collect()} == expected
+        assert key_index_status(spark, ctx["path"], "p") == "fresh"
+        located = locate_keys(
+            spark, ctx["path"],
+            spark.createDataFrame([(7,), (1,), (100,)], "k long"),
+            "k", "p",
+        )
+        assert located is not None
+        got = {r["p"] for r in located.collect()}
+        assert got == {"c1", "moved", "c0"}, got
+        fs, Path = statedir.hadoop_fs(spark, ctx["path"])
+        residue = [
+            st.getPath().getName()
+            for st in fs.listStatus(Path(ctx["path"]))
+            if st.getPath().getName().startswith(".")
+        ]
+        assert residue == [], residue
+        assert back.filter(F.col("p") == "c2").count() == 0
+
+    _sweep(setup, op, recover, invariant, max_points=96)

@@ -755,3 +755,22 @@ def test_key_skew_gini_known_distributions(spark):
     r2 = key_skew_report(skew, "k").collect()[0]
     assert r2["max_share"] == 0.97
     assert r2["gini"] > 0.7
+
+
+def test_locate_keys_casts_caller_key_dtype(spark, tmp_path):
+    """F.hash is type-sensitive: int32 update keys against a long-keyed
+    index must still prune to the RIGHT buckets (the keys are cast to
+    the index's recorded dtype) — a miss here would silently duplicate
+    rows on merge."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.merge import build_key_index, locate_keys
+
+    path = _mk_table(spark, tmp_path)  # k is long
+    build_key_index(spark, path, "k", "p", n_buckets=16)
+    int_keys = spark.createDataFrame(
+        [(7,), (11,)], "k int"  # deliberately int32
+    )
+    located = locate_keys(spark, path, int_keys, "k", "p")
+    assert located is not None
+    assert {r["p"] for r in located.collect()} == {"c2", "c1"}
