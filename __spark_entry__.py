@@ -8881,9 +8881,9 @@ contrib AS (
   FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
 )
 SELECT N::BIGINT AS n_rows, r::BIGINT AS n_cat_a, c::BIGINT AS n_cat_b,
-       {_OQ6("(sum(cm)::DOUBLE / 1000000.0) + (N::DOUBLE - sum(em)::DOUBLE / 1000000.0)")} AS chi2,
+       {_OQ6("greatest((sum(cm)::DOUBLE / 1000000.0) + (N::DOUBLE - sum(em)::DOUBLE / 1000000.0), 0.0)")} AS chi2,
        CASE WHEN least(r, c) > 1
-            THEN {_OQ6("sqrt(((sum(cm)::DOUBLE / 1000000.0) + (N::DOUBLE - sum(em)::DOUBLE / 1000000.0)) / (N::DOUBLE * (least(r, c) - 1)::DOUBLE))")}
+            THEN {_OQ6("sqrt(greatest((sum(cm)::DOUBLE / 1000000.0) + (N::DOUBLE - sum(em)::DOUBLE / 1000000.0), 0.0) / (N::DOUBLE * (least(r, c) - 1)::DOUBLE))")}
             ELSE 0.0 END AS cramers_v
 FROM contrib GROUP BY N, r, c
 """
@@ -12929,7 +12929,8 @@ ORDER BY digit
     sql["quality_mutual_info"] = f"""
 WITH cells AS (
   SELECT lang AS a, source AS b, count(*)::BIGINT AS n_ab
-  FROM documents GROUP BY 1, 2
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
 ),
 ma AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM cells GROUP BY a),
 mb AS (SELECT b, sum(n_ab)::BIGINT AS n_b FROM cells GROUP BY b),
@@ -12943,7 +12944,8 @@ ORDER BY a, b
     sql["quality_chi2"] = """
 WITH cells AS (
   SELECT lang AS a, source AS b, count(*)::BIGINT AS n_ab
-  FROM documents GROUP BY 1, 2
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
 ),
 ma AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM cells GROUP BY a),
 mb AS (SELECT b, sum(n_ab)::BIGINT AS n_b FROM cells GROUP BY b),

@@ -435,9 +435,13 @@ def _index_dirs(table_path: str) -> "tuple[str, str, str]":
 
 def _table_sig(fs, Path, table_path: str, partition_col: str) -> str:
     """Fingerprint of the table's leaf listing: sorted
-    ``leaf/file:size`` lines, md5'd. O(files) driver metadata — the
-    cheap staleness signal the index contract rests on (file sizes catch
-    same-name rewrites; additions/deletions change the line set)."""
+    ``leaf/file:size:mtime`` lines, md5'd. O(files) driver metadata —
+    the cheap staleness signal the index contract rests on. Size catches
+    most same-name rewrites; mtime (r10 ADVICE) catches the residual
+    same-name/same-size rewrite, which would otherwise leave the index
+    'fresh' while its pairs are wrong. The NULL-partition leaf is
+    covered: Spark names it ``{partition_col}=__HIVE_DEFAULT_PARTITION__``,
+    which matches the prefix test like any other value."""
     import hashlib
 
     prefix = f"{partition_col}="
@@ -451,7 +455,10 @@ def _table_sig(fs, Path, table_path: str, partition_col: str) -> str:
             for f in fs.listStatus(st.getPath()):
                 fname = f.getPath().getName()
                 if f.isFile() and not fname.startswith(("_", ".")):
-                    lines.append(f"{name}/{fname}:{f.getLen()}")
+                    lines.append(
+                        f"{name}/{fname}:{f.getLen()}:"
+                        f"{f.getModificationTime()}"
+                    )
     return hashlib.md5("\n".join(sorted(lines)).encode("utf-8")).hexdigest()
 
 
@@ -505,18 +512,30 @@ def build_key_index(
     partition_col: str,
     fmt: str = "parquet",
     n_buckets: int = 64,
+    table_schema=None,
 ) -> dict:
     """(Re)build the key→partition index from a full table scan — the
     bootstrap and the staleness-recovery path. One column-pruned scan
     (key bytes only; the partition value comes from directory names),
     one shuffle into ``n_buckets`` hive dirs. Size ``n_buckets`` so a
     bucket's pairs fit one task comfortably (~10⁷ keys/bucket); at
-    100 TB/10¹⁰ keys use 4096. Returns the published meta."""
+    100 TB/10¹⁰ keys use 4096. Returns the published meta.
+
+    ``table_schema`` (a StructType) is REQUIRED to bootstrap an index
+    on an empty/leafless table: parquet schema inference has no files
+    to read there, so ``spark.read.load`` fails before any index exists
+    (r10 ADVICE — the recorded index_schema only makes the index
+    READABLE once built; it cannot conjure the table's key dtype). With
+    the schema supplied, the build publishes an empty index whose
+    recorded schema carries the declared key/partition dtypes."""
     from kafka_connect_hdfs_spark import statedir
 
     fs, Path = statedir.hadoop_fs(spark, table_path)
     root, data_dir, _ = _index_dirs(table_path)
-    tgt = spark.read.format(fmt).load(table_path)
+    reader = spark.read.format(fmt)
+    if table_schema is not None:
+        reader = reader.schema(table_schema)
+    tgt = reader.load(table_path)
     pairs = _index_pairs(tgt, key_col, partition_col, n_buckets)
     schema_json = pairs.schema.json()
     # build is the documented recovery from a crashed incremental

@@ -1020,6 +1020,11 @@ def mutual_information(
     rows — double products never wrap, are exact below 2**53 per factor,
     and the oracle mirrors the same IEEE ops).
 
+    Rows with a NULL category in EITHER column are excluded upfront
+    (same contract as :func:`chi2_independence` / :func:`cramers_v` —
+    a join-side drop alone would leave NULL-keyed rows in the
+    marginals and N).
+
     Scale: one shuffle on the (a, b) cell key; marginals are
     vocab-bounded aggregates broadcast back onto the cell table.
     """
@@ -1027,6 +1032,7 @@ def mutual_information(
 
     cells = (
         df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_ab"))
     )
@@ -1068,9 +1074,12 @@ def chi2_independence(
     are NOT emitted (the corpus-audit question is "which observed
     pairings are over/under-represented"; absent cells belong to the
     marginal census). Rows with a NULL category in EITHER column are
-    excluded from the census entirely — the equi-joins to the marginals
-    never match NULL keys (same contract as :func:`mutual_information`;
-    coalesce to a sentinel upstream if NULL is a category of interest).
+    excluded from the census entirely via an explicit upfront filter
+    (r10 ADVICE: relying on the equi-joins alone drops only the output
+    cells while the marginals and N still count NULL-keyed rows,
+    inflating every expected count; same contract as
+    :func:`mutual_information` and :func:`cramers_v`; coalesce to a
+    sentinel upstream if NULL is a category of interest).
 
     Counts are exact integers; each FACTOR casts to double before
     multiplying (the r08 MI ADVICE overflow class — 64-bit count
@@ -1085,6 +1094,7 @@ def chi2_independence(
 
     cells = (
         df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_ab"))
     )
@@ -1231,12 +1241,17 @@ def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     # contributes exactly its expectation e to chi² ((0−e)²/e = e), and
     # Σe over ALL r·c cells is N — so the zero-cell mass is N − Σe_obs.
     # Without it V caps below 1 even for perfect association.
-    chi2 = (
+    # the zero-cell term N − Σq6(e) can overshoot by ~5e-7·r·c half-up
+    # roundings; near perfect independence chi2 then goes slightly
+    # negative and sqrt yields NaN — clamp to 0 (r10 ADVICE), mirrored
+    # in the DuckDB oracle
+    chi2 = F.greatest(
         F.col("_chi2_micro").cast("double") / F.lit(1e6)
         + (
             F.col("_N").cast("double")
             - F.col("_e_micro").cast("double") / F.lit(1e6)
-        )
+        ),
+        F.lit(0.0),
     )
     denom = F.col("_N").cast("double") * (
         F.least(F.col("_r"), F.col("_c")) - F.lit(1)
