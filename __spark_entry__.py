@@ -597,9 +597,11 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pair→cluster resolution: connected components (min-label propagation)
-    over the n-gram Jaccard candidate pairs; cluster_id = min doc id in the
-    component, so transitive duplicates (a~b, b~c) collapse to one keeper."""
+    """Pair→cluster resolution: connected components (large/small-star
+    contraction, the O(log²)-round default since r11 — labels are
+    algorithm-independent so the oracle is unchanged) over the n-gram
+    Jaccard candidate pairs; cluster_id = min doc id in the component, so
+    transitive duplicates (a~b, b~c) collapse to one keeper."""
     from kafka_connect_hdfs_spark.operators.dedup import (
         duplicate_clusters, ngram_jaccard_pairs,
     )
@@ -634,7 +636,8 @@ def _q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-doc selection per duplicate cluster: connected components
     over n-gram Jaccard pairs, then ONE max(struct(quality, -id)) agg picks
     the highest-quality member (ties → lowest id); singletons represent
-    themselves."""
+    themselves. Cluster resolution rides the star-contraction default
+    (r11)."""
     from kafka_connect_hdfs_spark.operators.dedup import (
         cluster_representatives, ngram_jaccard_pairs,
     )
@@ -2944,10 +2947,9 @@ def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         _docs(spark, sf_dir), n=3, threshold=0.05, max_shingle_freq=200
     )
-    # threshold 0.05 yields deep/chained components — the star-contraction
-    # route converges in O(log²) rounds vs diameter-many for propagation
+    # star contraction is the duplicate_clusters default since r11
     # (labels are algorithm-independent, so the oracle is unchanged)
-    clusters = duplicate_clusters(pairs, method="star")
+    clusters = duplicate_clusters(pairs)
     return (
         clusters.groupBy("cluster_id")
         .agg(F.count("*").alias("cluster_size"))
