@@ -189,3 +189,179 @@ def test_cramers_v_never_negative_nor_nan(spark):
     assert row["chi2"] >= 0.0
     assert not math.isnan(row["cramers_v"])
     assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (r10 VERDICT item 2) — byte-level, no Spark
+
+
+import numpy as np
+
+from kafka_connect_hdfs_spark.operators.multimodal import (
+    _PNG_MAGIC, decode_png, encode_png,
+)
+
+
+def _gen_pixels(did: int, w: int, h: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((did * 31 + xx * 7 + yy * 13) % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize("did", [0, 4, 8, 12, 16, 20, 48, 104])
+def test_png_roundtrip_gray(did):
+    """Every fixture size decodes back bit-exact; heights ≥ 5 exercise
+    all five row filters (encoder cycles y % 5)."""
+    w, h = 4 + did % 13, 3 + did % 9
+    px = _gen_pixels(did, w, h)
+    data = encode_png(w, h, px)
+    assert data[:8] == _PNG_MAGIC
+    dw, dh, out = decode_png(data)
+    assert (dw, dh) == (w, h)
+    assert out.shape == (h, w)
+    assert np.array_equal(out, px)
+
+
+def test_png_roundtrip_gray_tall_narrow():
+    """w=1 (stride == bpp: no left neighbor anywhere) and h=16 — every
+    filter type appears 3+ times with the left-predictor degenerate."""
+    px = (np.arange(16, dtype=np.uint8) * 37 % 256).reshape(16, 1)
+    dw, dh, out = decode_png(encode_png(1, 16, px))
+    assert (dw, dh) == (1, 16)
+    assert np.array_equal(out, px)
+
+
+def test_png_roundtrip_rgb():
+    """Color type 2: 3 bytes/pixel — Sub/Paeth left neighbor is the
+    same channel 3 bytes back, which a bpp-unaware unfilter gets wrong."""
+    h, w = 7, 5
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        rgb[:, :, c] = _gen_pixels(c + 1, w, h)
+    dw, dh, out = decode_png(encode_png(w, h, rgb))
+    assert (dw, dh) == (w, h)
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, rgb)
+
+
+def test_png_truncation_hardening():
+    """EVERY strict prefix of a valid PNG must raise ValueError — no
+    IndexError/struct.error escapes, no silent partial decode."""
+    px = _gen_pixels(6, 9, 8)
+    data = encode_png(9, 8, px)
+    for cut in range(len(data)):
+        with pytest.raises(ValueError):
+            decode_png(data[:cut])
+
+
+def test_png_crc_corruption_detected():
+    px = _gen_pixels(2, 6, 6)
+    data = bytearray(encode_png(6, 6, px))
+    # flip one byte inside the IDAT body (after the 8-byte magic +
+    # 25-byte IHDR chunk + 8-byte IDAT header)
+    data[8 + 25 + 8 + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_png_rejects_unsupported_variants():
+    px = _gen_pixels(0, 4, 4)
+    good = encode_png(4, 4, px)
+
+    def mutate_ihdr(field_off: int, val: int) -> bytes:
+        import struct as _s
+        import zlib
+
+        body = bytearray(good[16:16 + 13])
+        body[field_off] = val
+        chunk = (
+            _s.pack(">I", 13) + b"IHDR" + bytes(body)
+            + _s.pack(">I", zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF)
+        )
+        return good[:8] + chunk + good[8 + 25:]
+
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(mutate_ihdr(8, 16))    # bit depth 16
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(mutate_ihdr(9, 3))     # palette color type
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(mutate_ihdr(12, 1))    # interlaced
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\xFF" + good[8:])  # bad magic
+
+
+def test_png_bad_filter_byte_rejected():
+    import struct as _s
+    import zlib
+
+    # hand-build: 2x2 gray, row filter byte 5 (invalid)
+    raw = bytes([5, 1, 2]) + bytes([0, 3, 4])
+    idat = zlib.compress(raw)
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+
+    def chunk(t, b):
+        return _s.pack(">I", len(b)) + t + b + _s.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    data = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter"):
+        decode_png(data)
+
+
+def test_png_multiple_idat_chunks_concatenate():
+    """The spec allows IDAT split across chunks — the walk must stitch
+    them before inflating."""
+    import struct as _s
+    import zlib
+
+    px = _gen_pixels(4, 5, 6)
+    good = encode_png(5, 6, px)
+    # re-split the single IDAT into two chunks
+    ilen = _s.unpack_from(">I", good, 8 + 25)[0]
+    body = good[8 + 25 + 8:8 + 25 + 8 + ilen]
+    a, b = body[:3], body[3:]
+
+    def chunk(t, bb):
+        return _s.pack(">I", len(bb)) + t + bb + _s.pack(
+            ">I", zlib.crc32(t + bb) & 0xFFFFFFFF
+        )
+
+    data = (
+        good[:8 + 25] + chunk(b"IDAT", a) + chunk(b"IDAT", b)
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, out = decode_png(data)
+    assert np.array_equal(out, px)
+
+
+def test_decode_media_stats_png_tier(spark, sf_dir):
+    """The synthetic corpus now emits PNG for id % 4 == 0 — those rows
+    must decode for real (decode_ok='png') with the SAME closed-form
+    sums as the BMP tier (filtering is lossless)."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        decode_media_stats, synthetic_media_corpus,
+    )
+    from kafka_connect_hdfs_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    stats = decode_media_stats(synthetic_media_corpus(docs)).collect()
+    assert stats, "empty fixture"
+    saw_png = saw_bmp = False
+    for r in stats:
+        did = r["media_id"]
+        if did % 2 == 1:
+            assert r["decode_ok"] == "wav"
+            continue
+        w, h = 4 + did % 13, 3 + did % 9
+        px = _gen_pixels(did, w, h).astype(np.int64)
+        idx = np.arange(w * h, dtype=np.int64).reshape(h, w)
+        assert r["decode_ok"] == ("png" if did % 4 == 0 else "bmp")
+        saw_png |= did % 4 == 0
+        saw_bmp |= did % 4 == 2
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["val_sum"] == int(px.sum())
+        assert r["pos_sum"] == int((px * idx).sum())
+    assert saw_png and saw_bmp
