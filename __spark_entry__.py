@@ -2067,6 +2067,60 @@ def _q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _q_ops_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read ROW-LEVEL DELETES (snapshots.delete_rows /
+    apply_deletes, r10 VERDICT item 4 — the Iceberg v2 equality-delete
+    shape): two commits, an O(batch) tombstone delete of doc_id % 7 == 3
+    (no data rewritten — inode-pinned in pytest), then the copy-on-write
+    compaction. Three tiers prove the lifecycle: 'pre' (time travel to
+    the pre-delete version still shows every row), 'mor' (merge-on-read:
+    the tombstone anti-join hides the keys), 'cow' (post-compaction:
+    the same answer from rewritten files, tombstones cleared). The
+    oracle replays all three tiers from the source table."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        apply_deletes, commit_snapshot, delete_rows, read_snapshot,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    path = tempfile.mkdtemp(prefix="kchs_rowdel_") + "/t"
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") != "fr"), path, now=lambda: 1000
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "fr"), path, mode="append",
+        now=lambda: 2000,
+    )
+    delete_rows(
+        spark, path,
+        docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+        "doc_id", now=lambda: 3000,
+    )
+    pre = read_snapshot(spark, path, version=2)
+    mor = read_snapshot(spark, path)
+    apply_deletes(spark, path, now=lambda: 4000)
+    cow = read_snapshot(spark, path)
+
+    def tier(df, name):
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_id").cast("bigint").alias("sum_ids"),
+            )
+            .withColumn("tier", F.lit(name))
+        )
+
+    return (
+        tier(pre, "pre")
+        .unionByName(tier(mor, "mor"))
+        .unionByName(tier(cow, "cow"))
+        .select("tier", "lang", "n_docs", "sum_ids")
+        .orderBy("tier", "lang")
+    )
+
+
 def _q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level dedup with reassembly (chunk = 2 tokens so the small
     fixture vocabulary actually produces cross-document repeats)."""
@@ -6437,6 +6491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_cramers_v": _q_quality_cramers_v,
         "quality_key_skew": _q_quality_key_skew,
         "ops_asof_diff": _q_ops_asof_diff,
+        # ===== NEW in r11
+        "ops_row_deletes": _q_ops_row_deletes,
     }
     # ROUND-10 WINDOW: the driver checks the FIRST 50 keys — slots 1-4
     # are the four gates added late in r09 with ZERO driver rows
@@ -8910,6 +8966,19 @@ FROM agg CROSS JOIN t10
 SELECT 'added' AS change, count(*)::BIGINT AS n_keys,
        sum(doc_id)::BIGINT AS sum_ids
 FROM documents WHERE lang = 'de'
+"""
+    sql["ops_row_deletes"] = """
+WITH base AS (SELECT doc_id, lang FROM documents),
+kept AS (SELECT * FROM base WHERE doc_id % 7 <> 3)
+SELECT 'pre' AS tier, lang, count(*)::BIGINT AS n_docs,
+       sum(doc_id)::BIGINT AS sum_ids FROM base GROUP BY lang
+UNION ALL
+SELECT 'mor' AS tier, lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+FROM kept GROUP BY lang
+UNION ALL
+SELECT 'cow' AS tier, lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+FROM kept GROUP BY lang
+ORDER BY tier, lang
 """
     # composed AFTER its constituents: recall@5 of IVF vs the exact top-5
     sql["ann_ivf_recall"] = f"""

@@ -10,8 +10,11 @@ map with ``avro.schema``/``avro.codec``, 16-byte sync markers, zigzag-varint
 binary encoding) — enough to land Spark rows as valid .avro files and read
 them back, schema included.
 
-Codecs: ``null`` (reference default) and ``deflate`` (raw RFC-1951 via zlib),
-matching the two spec-mandated codecs (avro.codec test:
+Codecs: ``null`` (reference default), ``deflate`` (raw RFC-1951 via zlib),
+``snappy`` (pure-Python literal-only encoder + full block decoder with the
+spec's big-endian CRC32 trailer — closing the last ``avro.codec``
+enumeration gap, avro/AvroRecordWriterProvider.java:69), and ``bzip2`` —
+the spec-mandated set (avro.codec test:
 DataWriterAvroTest.testAvroCompression:405-442).
 
 Scale note: files are written per Spark partition on the executors
@@ -74,6 +77,112 @@ def write_bytes(buf: io.BytesIO, b: bytes) -> None:
 
 def read_bytes(buf: io.BytesIO) -> bytes:
     return buf.read(read_long(buf))
+
+
+# ---------------------------------------------------------------------------
+# snappy block codec (r10 VERDICT item 7) — pure Python, no dependency.
+# Avro's `snappy` codec is a raw snappy BLOCK (not the framed stream)
+# followed by the 4-byte BIG-endian CRC32 of the UNCOMPRESSED data
+# (Avro spec §"snappy" / Java SnappyCodec). The encoder is literal-only
+# — valid snappy by construction (the format permits any literal/copy
+# mix; compressors differ only in ratio) — while the decoder handles the
+# FULL element grammar (all four tags, overlapping copies), so blocks
+# written by real snappy libraries (spark-avro, python-snappy) read
+# back correctly.
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    out = bytearray()
+    n = len(data)
+    while True:  # preamble: uncompressed length, little-endian varint
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | 0x80 if n else b)
+        if not n:
+            break
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos:pos + (1 << 24) - 1]
+        ln = len(chunk)
+        if ln <= 60:
+            out.append((ln - 1) << 2)
+        elif ln <= 256:
+            out.append(60 << 2)
+            out.append(ln - 1)
+        elif ln <= 65536:
+            out.append(61 << 2)
+            out += (ln - 1).to_bytes(2, "little")
+        else:
+            out.append(62 << 2)
+            out += (ln - 1).to_bytes(3, "little")
+        out += chunk
+        pos += ln
+    return bytes(out)
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    pos, n, shift = 0, 0, 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("snappy: truncated preamble")
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 32:
+            raise ValueError("snappy: preamble varint too long")
+    out = bytearray()
+    ln_data = len(data)
+    while pos < ln_data:
+        tag = data[pos]
+        pos += 1
+        t = tag & 3
+        if t == 0:  # literal
+            ln = (tag >> 2) + 1
+            if ln > 60:
+                nb = ln - 60
+                if pos + nb > ln_data:
+                    raise ValueError("snappy: truncated literal length")
+                ln = int.from_bytes(data[pos:pos + nb], "little") + 1
+                pos += nb
+            if pos + ln > ln_data:
+                raise ValueError("snappy: truncated literal")
+            out += data[pos:pos + ln]
+            pos += ln
+            continue
+        if t == 1:  # copy, 1-byte offset (3-bit length 4..11)
+            if pos >= ln_data:
+                raise ValueError("snappy: truncated copy1")
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif t == 2:  # copy, 2-byte little-endian offset
+            if pos + 2 > ln_data:
+                raise ValueError("snappy: truncated copy2")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte little-endian offset
+            if pos + 4 > ln_data:
+                raise ValueError("snappy: truncated copy4")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        if off >= ln:  # disjoint: one slice append
+            start = len(out) - off
+            out += out[start:start + ln]
+        else:  # overlapping copy runs byte-wise by definition
+            for _ in range(ln):
+                out.append(out[-off])
+    if len(out) != n:
+        raise ValueError(
+            f"snappy: decoded length {len(out)} != preamble {n}"
+        )
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -340,6 +449,10 @@ def write_container(
             raw = payload.getvalue()
             if codec == "deflate":
                 raw = zlib.compress(raw, 6)[2:-4]  # raw RFC-1951 (strip zlib wrapper)
+            elif codec == "snappy":
+                # block + big-endian CRC32 of the UNCOMPRESSED bytes
+                crc = zlib.crc32(raw) & 0xFFFFFFFF
+                raw = _snappy_compress(raw) + crc.to_bytes(4, "big")
             elif codec == "bzip2":
                 import bz2
 
@@ -409,6 +522,11 @@ def read_container(path: str) -> tuple[dict, list[dict]]:
         payload = buf.read(n_bytes)
         if codec == "deflate":
             payload = zlib.decompress(payload, wbits=-15)
+        elif codec == "snappy":
+            crc = int.from_bytes(payload[-4:], "big")
+            payload = _snappy_decompress(payload[:-4])
+            if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+                raise ValueError(f"snappy block CRC mismatch in {path}")
         elif codec == "bzip2":
             import bz2
 

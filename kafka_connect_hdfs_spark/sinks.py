@@ -150,11 +150,13 @@ class PurePythonAvroSink(FormatSink):
         codec = self.options.get("compression", "null")
         if codec == "uncompressed":  # spark-avro's alias for the null codec
             codec = "null"
-        if codec not in ("null", "deflate", "bzip2"):
-            # The reference supports snappy through a native lib
-            # (avro/AvroRecordWriterProvider.java:69); the pure-Python
-            # fallback writer has no snappy codec. Never downgrade silently:
-            # fail by default, warn-and-downgrade only on explicit opt-in.
+        if codec not in ("null", "deflate", "snappy", "bzip2"):
+            # The full reference codec enumeration
+            # (avro/AvroRecordWriterProvider.java:69) is supported
+            # natively since r11 (snappy via the pure-Python block codec
+            # in formats.avro_io). Anything else: never downgrade
+            # silently — fail by default, warn-and-downgrade only on
+            # explicit opt-in.
             if self.options.get("allowCodecFallback", False):
                 import warnings
 

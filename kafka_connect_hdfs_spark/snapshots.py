@@ -28,10 +28,13 @@ from pyspark.sql import functions as F
 
 
 def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, Path
+    # route through the statedir.hadoop_fs fault-injection seam (r11):
+    # the chaos kill-point sweep monkeypatches that single acquisition
+    # point, so every snapshot-log mutation (manifest rename, tombstone
+    # write, delete-compaction commit, expire) is killable in turn
+    from kafka_connect_hdfs_spark import statedir
+
+    return statedir.hadoop_fs(spark, path)
 
 
 def _manifest_dir(path: str) -> str:
@@ -130,9 +133,6 @@ def commit_snapshot(
     df.write.format(fmt).mode("error").save(data_dir)
 
     files = [data_dir]
-    if mode == "append" and versions:
-        prev = _read_manifest(spark, path, versions[-1])
-        files = prev["files"] + files
     manifest = {
         "version": version,
         "mode": mode,
@@ -140,6 +140,16 @@ def commit_snapshot(
         "files": files,
         "committed_at": committed_at,
     }
+    if mode == "append" and versions:
+        prev = _read_manifest(spark, path, versions[-1])
+        manifest["files"] = prev["files"] + files
+        # live tombstones carry FORWARD through appends (r11 row-level
+        # deletes): an append after a delete must not resurrect the
+        # deleted keys. Overwrite resets them — the whole table state
+        # was just replaced.
+        if prev.get("deletes"):
+            manifest["deletes"] = prev["deletes"]
+            manifest["delete_key"] = prev["delete_key"]
     mdir = _manifest_dir(path)
     fs.mkdirs(Path(mdir))
     tmp = Path(f"{mdir}/.v{version}.json.tmp")
@@ -177,7 +187,27 @@ def read_snapshot(
         reader = reader.option(k, val)
     # load() takes ONE path-or-list argument; *args would bind the second
     # directory to the format parameter
-    return reader.load(man["files"])
+    df = reader.load(man["files"])
+    return _apply_tombstones(spark, df, man)
+
+
+def _apply_tombstones(
+    spark: SparkSession, df: DataFrame, man: dict
+) -> DataFrame:
+    """Merge-on-read: anti-join the version's live tombstone key sets
+    onto the scan (Iceberg v2 equality-delete shape). Versions without
+    ``deletes`` return the scan untouched — zero read overhead for
+    tables that never delete. Tombstone keys are cast to the table's
+    key dtype before the join (the repo's F.hash/int-width discipline:
+    a dtype mismatch must never silently keep deleted rows alive)."""
+    dels = man.get("deletes") or []
+    if not dels:
+        return df
+    k = man["delete_key"]
+    tomb = spark.read.parquet(*dels).select(k).distinct()
+    if k in df.columns:
+        tomb = tomb.select(F.col(k).cast(df.schema[k].dataType).alias(k))
+    return df.join(tomb, k, "left_anti")
 
 
 def resolve_as_of(spark: SparkSession, path: str, ts_ms: int) -> int:
@@ -298,7 +328,179 @@ def read_incremental(
         reader = reader.option(k, val)
     if not added:
         return reader.load(man_to["files"]).limit(0)
-    return reader.load(added)
+    # v_to's live tombstones apply to the added rows too (equality
+    # deletes cover later appends): the delta a consumer ingests must
+    # agree with what read_snapshot(v_to) shows
+    return _apply_tombstones(spark, reader.load(added), man_to)
+
+
+def _tombstones_dir(path: str) -> str:
+    return path.rstrip("/") + "/_tombstones"
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    now=None,
+) -> int:
+    """Merge-on-read ROW-LEVEL DELETE (r10 VERDICT item 4 — the Iceberg
+    v2 equality-delete shape): commit a new version whose manifest
+    references the SAME data files plus one appended tombstone key set
+    under ``_tombstones/v<N>/``. Cost is O(delete batch) — one small
+    distributed write of the distinct keys and one manifest rename; no
+    data partition is rewritten (contrast merge_keyed, which rewrites
+    every touched partition). Readers (:func:`read_snapshot`,
+    :func:`read_as_of`, :func:`read_tag`) anti-join the live tombstones
+    at read time; versions before this commit still see the rows — the
+    delete is itself time travel-able. :func:`apply_deletes` is the
+    compaction that folds tombstones back into data files.
+
+    All delete commits on a table must share ``key_col`` (one equality
+    schema per table — Iceberg's identifier-field contract); a
+    conflicting key raises before anything is written.
+
+    Scale: the tombstone write shuffles only the distinct delete keys;
+    reads add one anti-join whose build side is the (small) tombstone
+    union — broadcast by AQE below the threshold. Accumulating many
+    delete commits grows that union; apply_deletes bounds it.
+    """
+    fs, Path = _fs(spark, path)
+    versions = list_snapshots(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    prev = _read_manifest(spark, path, versions[-1])
+    if prev.get("deletes") and prev.get("delete_key") != key_col:
+        raise ValueError(
+            f"delete key {key_col!r} conflicts with the table's existing "
+            f"tombstone key {prev.get('delete_key')!r}: one equality-"
+            "delete schema per table (apply_deletes first to change it)"
+        )
+    version = versions[-1] + 1
+    committed_at = _commit_ts(spark, path, versions, now)
+    tomb_dir = f"{_tombstones_dir(path)}/v{version}"
+    # same orphan rule as commit_snapshot: v<N> is in no manifest, so an
+    # existing dir can only be a crashed delete's residue
+    if fs.exists(Path(tomb_dir)):
+        fs.delete(Path(tomb_dir), True)
+    keys.select(key_col).distinct().write.mode("error").parquet(tomb_dir)
+    manifest = {
+        "version": version,
+        "mode": "delete",
+        "format": prev["format"],
+        "files": prev["files"],
+        "deletes": (prev.get("deletes") or []) + [tomb_dir],
+        "delete_key": key_col,
+        "committed_at": committed_at,
+    }
+    mdir = _manifest_dir(path)
+    fs.mkdirs(Path(mdir))
+    tmp = Path(f"{mdir}/.v{version}.json.tmp")
+    final = Path(f"{mdir}/v{version}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"delete commit rename failed for v{version}")
+    return version
+
+
+def apply_deletes(spark: SparkSession, path: str, now=None) -> dict:
+    """Fold the live tombstones into data files — the merge-on-read →
+    copy-on-write compaction (Iceberg's rewrite_position_delete_files /
+    rewrite_data_files pair, equality flavor). Rewrites ONLY the data
+    dirs that actually contain a deleted key: one distributed probe pass
+    finds the affected files via ``input_file_name`` + a semi-join
+    against the tombstone union, the survivors of the AFFECTED dirs are
+    rewritten into ``data/v<new>``, and the new manifest references the
+    untouched dirs AS-IS (inode-identical — pytest-pinned) with an empty
+    tombstone list. Returns
+    ``{"version", "n_dirs_rewritten", "n_dirs_untouched"}``
+    (version None when there was nothing to apply).
+
+    Crash recovery: the manifest rename is the only publish point — a
+    crash after the data write leaves an orphan ``data/v<new>`` that the
+    next commit's orphan rule (or vacuum_orphans) clears; the old
+    version remains fully readable throughout (readers hold manifests,
+    not directory listings).
+
+    Scale: the probe is one column-pruned scan + semi-join keyed on the
+    delete key; the rewrite reads only affected dirs. Tombstone dirs of
+    superseded versions are reclaimed by :func:`expire_snapshots`.
+    """
+    versions = list_snapshots(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    man = _read_manifest(spark, path, versions[-1])
+    dels = man.get("deletes") or []
+    if not dels:
+        return {
+            "version": None, "n_dirs_rewritten": 0,
+            "n_dirs_untouched": len(man["files"]),
+        }
+    fs, Path = _fs(spark, path)
+    k = man["delete_key"]
+    reader = spark.read.format(man["format"])
+    src = reader.load(man["files"])
+    tomb = spark.read.parquet(*dels).select(k).distinct()
+    if k in src.columns:
+        tomb = tomb.select(F.col(k).cast(src.schema[k].dataType).alias(k))
+    # ONE distributed probe finds every file holding a doomed key; files
+    # map back to their manifest dir by path prefix
+    hit_files = [
+        r[0]
+        for r in src.withColumn("_f", F.input_file_name())
+        .join(tomb, k, "left_semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    ]
+    norm = [d.rstrip("/") + "/" for d in man["files"]]
+    affected = sorted(
+        {
+            d.rstrip("/")
+            for d, dslash in zip(man["files"], norm)
+            if any(f.replace("file://", "").startswith(dslash)
+                   or f.startswith(dslash) for f in hit_files)
+        }
+    )
+    untouched = [d for d in man["files"] if d.rstrip("/") not in affected]
+    version = versions[-1] + 1
+    committed_at = _commit_ts(spark, path, versions, now)
+    files = list(untouched)
+    n_rewritten = len(affected)
+    if affected:
+        new_dir = f"{path.rstrip('/')}/data/v{version}"
+        if fs.exists(Path(new_dir)):
+            fs.delete(Path(new_dir), True)
+        survivors = reader.load(affected).join(tomb, k, "left_anti")
+        survivors.write.format(man["format"]).mode("error").save(new_dir)
+        files = files + [new_dir]
+    manifest = {
+        "version": version,
+        "mode": "compact-deletes",
+        "format": man["format"],
+        "files": files,
+        "committed_at": committed_at,
+    }
+    mdir = _manifest_dir(path)
+    tmp = Path(f"{mdir}/.v{version}.json.tmp")
+    final = Path(f"{mdir}/v{version}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"compact-deletes commit rename failed for v{version}")
+    return {
+        "version": version,
+        "n_dirs_rewritten": n_rewritten,
+        "n_dirs_untouched": len(untouched),
+    }
 
 
 def rollback_snapshot(
@@ -323,6 +525,11 @@ def rollback_snapshot(
         "files": target["files"],
         "committed_at": _commit_ts(spark, path, versions, now),
     }
+    # the rolled-to state includes its tombstones: reverting to a
+    # version with live deletes must not resurrect the deleted rows
+    if target.get("deletes"):
+        manifest["deletes"] = target["deletes"]
+        manifest["delete_key"] = target["delete_key"]
     mdir = _manifest_dir(path)
     tmp = Path(f"{mdir}/.v{version}.json.tmp")
     final = Path(f"{mdir}/v{version}.json")
@@ -368,22 +575,33 @@ def expire_snapshots(
     if not expired:
         return []
     keep_files: set = set()
+    keep_tombs: set = set()
     for v in versions:
         if v not in expired:
-            keep_files.update(_read_manifest(spark, path, v)["files"])
+            man = _read_manifest(spark, path, v)
+            keep_files.update(man["files"])
+            keep_tombs.update(man.get("deletes") or [])
     own_prefix = path.rstrip("/") + "/data/"
+    own_tombs = _tombstones_dir(path) + "/"
     doomed: "list[str]" = []
+    doomed_tombs: "list[str]" = []
     for v in expired:
-        for f in _read_manifest(spark, path, v)["files"]:
+        man = _read_manifest(spark, path, v)
+        for f in man["files"]:
             if f not in keep_files and f.startswith(own_prefix):
                 doomed.append(f)
+        # tombstone key sets retire with their manifests, same scoping
+        # rule (only this table's own _tombstones/ prefix is touched)
+        for t in man.get("deletes") or []:
+            if t not in keep_tombs and t.startswith(own_tombs):
+                doomed_tombs.append(t)
     # clone pins: refuse BEFORE deleting anything so a blocked expire
     # leaves the table byte-identical (fault-injection-testable)
     live, stale = _partition_clones(spark, path)
     pinned: "set[str]" = set()
     for reg in live:
         pinned.update(reg["files"])
-    blocked = sorted(set(doomed) & pinned)
+    blocked = sorted((set(doomed) | set(doomed_tombs)) & pinned)
     if blocked:
         holders = sorted(
             reg["path"]
@@ -402,11 +620,15 @@ def expire_snapshots(
             False,
         )
     doomed_set = set(doomed)
+    doomed_tomb_set = set(doomed_tombs)
     for v in expired:
         man = _read_manifest(spark, path, v)
         for f in man["files"]:
             if f in doomed_set:
                 fs.delete(Path(f), True)
+        for t in man.get("deletes") or []:
+            if t in doomed_tomb_set:
+                fs.delete(Path(t), True)
         fs.delete(Path(f"{_manifest_dir(path)}/v{v}.json"), False)
     return expired
 
@@ -876,7 +1098,10 @@ def clone_table(
     reg = {
         "path": dst_path.rstrip("/"),
         "version": v,
-        "files": list(src_manifest["files"]),
+        # tombstone dirs are pinned alongside data dirs: the clone's
+        # reads anti-join them, so source expire must not reclaim them
+        "files": list(src_manifest["files"])
+        + list(src_manifest.get("deletes") or []),
     }
     reg_tmp = SPath(f"{cdir}/.{_clone_reg_name(dst_path)}.json.tmp")
     reg_final = SPath(f"{cdir}/{_clone_reg_name(dst_path)}.json")
@@ -900,6 +1125,10 @@ def clone_table(
         "cloned_from": {"path": src_path, "version": v},
         "committed_at": _commit_ts(spark, dst_path, [], now),
     }
+    if src_manifest.get("deletes"):
+        # the cloned state includes its live tombstones
+        manifest["deletes"] = list(src_manifest["deletes"])
+        manifest["delete_key"] = src_manifest["delete_key"]
     mdir = _manifest_dir(dst_path)
     fs.mkdirs(Path(mdir))
     tmp = Path(f"{mdir}/.v1.json.tmp")

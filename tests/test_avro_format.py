@@ -29,7 +29,7 @@ def test_zigzag_varint_golden():
         assert read_long(io.BytesIO(expect)) == n
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2"])
 def test_container_roundtrip_all_types(tmp_path, codec):
     schema = {
         "type": "record", "name": "r", "fields": [
@@ -232,26 +232,28 @@ def test_overwrite_mode_and_invalid_mode(spark, tmp_path):
 
 
 def test_unsupported_codec_fails_loudly_not_silently(spark, tmp_path):
-    """The reference supports snappy via a native lib
-    (avro/AvroRecordWriterProvider.java:69); the pure-Python fallback does
-    not. It must refuse — never silently write null-codec — unless the
-    caller opts into the downgrade, which then warns."""
+    """The reference's codec enumeration (null/deflate/snappy/bzip2,
+    avro/AvroRecordWriterProvider.java:69) is fully supported since r11;
+    anything OUTSIDE it (e.g. the optional zstandard codec) must refuse
+    — never silently write null-codec — unless the caller opts into the
+    downgrade, which then warns."""
     import warnings
 
     out = f"{tmp_path}/codec"
     df = spark.createDataFrame([Row(v=1)])
 
-    sink = PurePythonAvroSink("avro", ".avro", {"compression": "snappy"})
-    with pytest.raises(ValueError, match="snappy"):
+    sink = PurePythonAvroSink("avro", ".avro", {"compression": "zstandard"})
+    with pytest.raises(ValueError, match="zstandard"):
         sink.write(df, out, [])
 
     lenient = PurePythonAvroSink(
-        "avro", ".avro", {"compression": "snappy", "allowCodecFallback": True}
+        "avro", ".avro",
+        {"compression": "zstandard", "allowCodecFallback": True},
     )
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         lenient.write(df, out, [])
-    assert any("snappy" in str(w.message) for w in caught)
+    assert any("zstandard" in str(w.message) for w in caught)
     assert lenient.read(spark, out).count() == 1
 
 

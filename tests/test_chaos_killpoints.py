@@ -355,3 +355,57 @@ def test_sweep_merge_keyed_with_index(spark, tmp_path):
         assert back.filter(F.col("p") == "c2").count() == 0
 
     _sweep(setup, op, recover, invariant, max_points=96)
+
+
+# ---------------------------------------------------------------------------
+# snapshots row-level deletes (r11): delete_rows tombstone commit +
+# apply_deletes compaction — snapshots._fs routes through the seam, so
+# every manifest rename / tombstone orphan-clean / compaction publish
+# boundary is killable. Recovery is re-running the pair: a crashed
+# delete recomputes the same version over its own residue; a crashed
+# compaction leaves the previous version readable (manifest rename is
+# the only publish point) and the re-run folds everything.
+
+
+def test_sweep_delete_rows_and_apply(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        apply_deletes, commit_snapshot, delete_rows, list_snapshots,
+        read_snapshot,
+    )
+
+    it = iter(range(10_000))
+    expected = set(range(12)) - {2, 7, 11}
+
+    def setup():
+        path = str(tmp_path / f"rowdel{next(it)}" / "t")
+        a = spark.range(6).select(F.col("id").alias("k"))
+        b = spark.range(6, 12).select(F.col("id").alias("k"))
+        commit_snapshot(spark, a, path, now=lambda: 1000)
+        commit_snapshot(spark, b, path, mode="append", now=lambda: 2000)
+        return {"path": path, "clock": iter(range(3000, 100000, 7))}
+
+    def _keys():
+        return spark.createDataFrame([(2,), (7,), (11,)], "k long")
+
+    def op(ctx):
+        now = lambda: next(ctx["clock"])  # noqa: E731
+        delete_rows(spark, ctx["path"], _keys(), "k", now=now)
+        apply_deletes(spark, ctx["path"], now=now)
+
+    def recover(ctx):
+        op(ctx)
+
+    def invariant(ctx):
+        live = {r["k"] for r in read_snapshot(spark, ctx["path"]).collect()}
+        assert live == expected
+        # latest version carries no tombstones and every version reads
+        from kafka_connect_hdfs_spark.snapshots import _read_manifest
+
+        vs = list_snapshots(spark, ctx["path"])
+        assert not _read_manifest(spark, ctx["path"], vs[-1]).get("deletes")
+        for v in vs:
+            read_snapshot(spark, ctx["path"], version=v).count()
+
+    _sweep(setup, op, recover, invariant, max_points=64)

@@ -365,3 +365,264 @@ def test_decode_media_stats_png_tier(spark, sf_dir):
         assert r["val_sum"] == int(px.sum())
         assert r["pos_sum"] == int((px * idx).sum())
     assert saw_png and saw_bmp
+
+
+# ---------------------------------------------------------------------------
+# Row-level deletes (r10 VERDICT item 4) — merge-on-read tombstones
+
+
+def _commit_two(spark, tmp_path, name):
+    from kafka_connect_hdfs_spark.snapshots import commit_snapshot
+
+    path = str(tmp_path / name)
+    a = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("a").alias("src")
+    )
+    b = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit("b").alias("src")
+    )
+    commit_snapshot(spark, a, path, now=lambda: 1000)
+    commit_snapshot(spark, b, path, mode="append", now=lambda: 2000)
+    return path
+
+
+def _data_listing(path):
+    out = {}
+    droot = os.path.join(path, "data")
+    for d in os.listdir(droot):
+        full = os.path.join(droot, d)
+        out[d] = {
+            (f, os.stat(os.path.join(full, f)).st_ino)
+            for f in os.listdir(full)
+            if not f.startswith((".", "_"))
+        }
+    return out
+
+
+def test_delete_rows_is_metadata_only_and_time_travels(spark, tmp_path):
+    """A row delete is O(batch): no data dir changes (inode-pinned),
+    the latest read hides the keys, the pre-delete version still shows
+    them, and an append AFTER the delete does not resurrect them."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, delete_rows, read_snapshot,
+    )
+
+    path = _commit_two(spark, tmp_path, "t_del")
+    before = _data_listing(path)
+    keys = spark.createDataFrame([(3,), (15,)], "k long")
+    v = delete_rows(spark, path, keys, "k", now=lambda: 3000)
+    assert v == 3
+    assert _data_listing(path) == before  # inode-identical data dirs
+    live = {r["k"] for r in read_snapshot(spark, path).collect()}
+    assert live == set(range(20)) - {3, 15}
+    pre = {r["k"] for r in read_snapshot(spark, path, version=2).collect()}
+    assert pre == set(range(20))
+    # append after delete: tombstones carry forward
+    c = spark.range(20, 25).select(
+        F.col("id").alias("k"), F.lit("c").alias("src")
+    )
+    commit_snapshot(spark, c, path, mode="append", now=lambda: 4000)
+    live2 = {r["k"] for r in read_snapshot(spark, path).collect()}
+    assert live2 == set(range(25)) - {3, 15}
+
+
+def test_delete_rows_conflicting_key_raises(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import delete_rows
+
+    path = _commit_two(spark, tmp_path, "t_conflict")
+    delete_rows(
+        spark, path, spark.createDataFrame([(1,)], "k long"), "k",
+        now=lambda: 3000,
+    )
+    with pytest.raises(ValueError, match="equality"):
+        delete_rows(
+            spark, path, spark.createDataFrame([("a",)], "src string"),
+            "src", now=lambda: 4000,
+        )
+
+
+def test_apply_deletes_rewrites_only_affected_dirs(spark, tmp_path):
+    """Delete keys confined to the v2 data dir: compaction must rewrite
+    ONLY that dir — the v1 dir stays inode-identical and referenced
+    as-is — and clear the tombstone list."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        _read_manifest, apply_deletes, delete_rows, list_snapshots,
+        read_snapshot,
+    )
+
+    path = _commit_two(spark, tmp_path, "t_cow")
+    before = _data_listing(path)
+    keys = spark.createDataFrame([(15,), (17,)], "k long")  # only in v2
+    delete_rows(spark, path, keys, "k", now=lambda: 3000)
+    info = apply_deletes(spark, path, now=lambda: 4000)
+    assert info["version"] == 4
+    assert info["n_dirs_rewritten"] == 1
+    assert info["n_dirs_untouched"] == 1
+    assert _data_listing(path)["v1"] == before["v1"]  # untouched inode
+    man = _read_manifest(spark, path, 4)
+    assert not man.get("deletes")
+    assert any(f.endswith("/v1") for f in man["files"])
+    live = {r["k"] for r in read_snapshot(spark, path).collect()}
+    assert live == set(range(20)) - {15, 17}
+    # no-op second compaction: metadata answer, no new version
+    info2 = apply_deletes(spark, path)
+    assert info2["version"] is None
+    assert 4 == list_snapshots(spark, path)[-1]
+
+
+def test_rollback_and_incremental_respect_deletes(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, delete_rows, read_incremental, read_snapshot,
+        rollback_snapshot,
+    )
+
+    path = _commit_two(spark, tmp_path, "t_rb")
+    delete_rows(
+        spark, path, spark.createDataFrame([(5,), (22,)], "k long"), "k",
+        now=lambda: 3000,
+    )
+    c = spark.range(20, 25).select(
+        F.col("id").alias("k"), F.lit("c").alias("src")
+    )
+    commit_snapshot(spark, c, path, mode="append", now=lambda: 4000)  # v4
+    # incremental v2→v4: only the appended rows, minus tombstoned 22
+    inc = {r["k"] for r in read_incremental(spark, path, 2).collect()}
+    assert inc == {20, 21, 23, 24}
+    # overwrite v5 resets deletes; rollback to v4 restores them
+    commit_snapshot(
+        spark,
+        spark.range(2).select(F.col("id").alias("k"), F.lit("o").alias("src")),
+        path, now=lambda: 5000,
+    )
+    assert {r["k"] for r in read_snapshot(spark, path).collect()} == {0, 1}
+    rollback_snapshot(spark, path, 4, now=lambda: 6000)
+    live = {r["k"] for r in read_snapshot(spark, path).collect()}
+    assert live == set(range(25)) - {5, 22}
+
+
+def test_expire_reclaims_tombstone_dirs(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        apply_deletes, delete_rows, expire_snapshots,
+    )
+
+    path = _commit_two(spark, tmp_path, "t_exp")
+    delete_rows(
+        spark, path, spark.createDataFrame([(1,)], "k long"), "k",
+        now=lambda: 3000,
+    )
+    tomb = os.path.join(path, "_tombstones", "v3")
+    assert os.path.isdir(tomb)
+    apply_deletes(spark, path, now=lambda: 4000)
+    expired = expire_snapshots(spark, path, keep_last=1)
+    assert expired == [1, 2, 3]
+    assert not os.path.isdir(tomb)
+
+
+def test_clone_carries_live_tombstones(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        clone_table, delete_rows, read_snapshot,
+    )
+
+    src = _commit_two(spark, tmp_path, "t_clone_src")
+    delete_rows(
+        spark, src, spark.createDataFrame([(7,)], "k long"), "k",
+        now=lambda: 3000,
+    )
+    dst = str(tmp_path / "t_clone_dst")
+    clone_table(spark, src, dst, now=lambda: 4000)
+    live = {r["k"] for r in read_snapshot(spark, dst).collect()}
+    assert live == set(range(20)) - {7}
+
+
+# ---------------------------------------------------------------------------
+# Avro snappy codec (r10 VERDICT item 7) — pure Python block codec
+
+
+def test_snappy_roundtrip_and_ratio():
+    from kafka_connect_hdfs_spark.formats.avro_io import (
+        _snappy_compress, _snappy_decompress,
+    )
+
+    for payload in (
+        b"", b"x", b"abc" * 40, bytes(range(256)) * 300,
+        b"\x00" * 70000,  # crosses the 2-byte length form
+    ):
+        assert _snappy_decompress(_snappy_compress(payload)) == payload
+
+
+def test_snappy_decoder_full_grammar():
+    """The decoder must handle blocks real snappy libraries emit: all
+    four element tags including overlapping copies (RLE) — our encoder
+    never produces them, so hand-build the blocks."""
+    from kafka_connect_hdfs_spark.formats.avro_io import _snappy_decompress
+
+    # 'abcd' literal + copy1(off=4, len=4)  → 'abcdabcd'
+    blk = bytes([8]) + bytes([(4 - 1) << 2]) + b"abcd" + bytes(
+        [0b001 | ((4 - 4) << 2)]
+    ) + bytes([4])
+    assert _snappy_decompress(blk) == b"abcdabcd"
+    # overlapping RLE: 'a' literal + copy1(off=1, len=10) → 'a' * 11
+    blk = bytes([11]) + bytes([0]) + b"a" + bytes(
+        [0b001 | ((10 - 4) << 2)]
+    ) + bytes([1])
+    assert _snappy_decompress(blk) == b"a" * 11
+    # copy2: 'xy' literal + copy with 2-byte offset 2, len 6 → 'xyxyxyxy'
+    blk = bytes([8]) + bytes([(2 - 1) << 2]) + b"xy" + bytes(
+        [0b010 | ((6 - 1) << 2)]
+    ) + (2).to_bytes(2, "little")
+    assert _snappy_decompress(blk) == b"xyxyxyxy"
+    # corruption: bad offset
+    with pytest.raises(ValueError, match="offset"):
+        _snappy_decompress(bytes([4]) + bytes([0b001]) + bytes([99]))
+    # corruption: length mismatch vs preamble
+    with pytest.raises(ValueError, match="length"):
+        _snappy_decompress(bytes([9]) + bytes([(4 - 1) << 2]) + b"abcd")
+
+
+def test_avro_snappy_container_crc_guard(tmp_path):
+    from kafka_connect_hdfs_spark.formats.avro_io import (
+        read_container, write_container,
+    )
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "i", "type": "long"}],
+    }
+    p = str(tmp_path / "s.avro")
+    write_container(
+        p, schema, [{"i": n} for n in range(500)], codec="snappy"
+    )
+    got_schema, got = read_container(p)
+    assert got_schema == schema
+    assert [r["i"] for r in got] == list(range(500))
+    # flip one payload byte: the block CRC must catch it
+    data = bytearray(open(p, "rb").read())
+    data[-30] ^= 0xFF
+    bad = str(tmp_path / "bad.avro")
+    open(bad, "wb").write(bytes(data))
+    with pytest.raises((ValueError, AssertionError)):
+        read_container(bad)
+
+
+def test_avro_snappy_jvm_cross_read(spark, tmp_path):
+    """spark-avro (when present) must read our snappy containers — the
+    real spec-compliance oracle for the block+CRC layout."""
+    from kafka_connect_hdfs_spark.formats.avro_io import write_container
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    out = str(tmp_path / "sj")
+    os.makedirs(out)
+    write_container(
+        f"{out}/p0.avro", schema, [{"a": n} for n in range(50)],
+        codec="snappy",
+    )
+    try:
+        back = spark.read.format("avro").load(out)
+        n = back.count()
+    except Exception as e:
+        pytest.skip(f"JVM avro datasource unavailable: {e}")
+    assert n == 50
+    assert back.agg(F.sum("a")).first()[0] == sum(range(50))
