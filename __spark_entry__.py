@@ -6494,97 +6494,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== NEW in r11
         "ops_row_deletes": _q_ops_row_deletes,
     }
-    # ROUND-10 WINDOW: the driver checks the FIRST 50 keys — slots 1-4
-    # are the four gates added late in r09 with ZERO driver rows
-    # (r09 VERDICT item 1, mandatory); slots 5-16 the twelve NEW r10
-    # operators (real-codec decode stats, FFT spectrum, image
-    # gradients/resize, audio resample, Kneser-Ney, Cramér's V, key
-    # skew, timestamp time travel, history, as-of diff, index-backed
-    # MERGE); slots 17-19 the r09-displaced changed-pair swaps; slots
-    # 20-28 the gates whose code paths changed THIS round (merge swap
-    # hardening + LOCATE index integration, compaction cutover guard +
-    # recovery-call fix + fs seam, snapshots committed_at manifests,
-    # multimodal _decode real-codec dispatch); slots 29-50 the
-    # r03-latest block (stalest driver evidence) in documented order.
-    # ROUND-11 QUEUE: the r03-latest remainder displaced here
-    # (q_event_cooccurrence, q_funnel_stages, q_hll_distinct_users,
-    # q_integrity_check, q_peak_concurrency, q_profile_events, q_rate_cap_flags,
-    # q_scd2_dimension, q_source_report, q_table_checksum,
-    # q_user_erasure, q_value_histogram, q_value_outliers,
-    # q_zorder_values, semantic_dedup_flags, text_bigram_counts,
-    # text_hot_ngrams, text_quality_filter, text_strip_markup,
-    # text_unk_replace) + ops_orphan_report (also snapshots-touched,
-    # displaced by slot pressure), then the r04-latest block
-    # (ann_cell_stats, ann_label_mrr, ann_triplets, asof_last_signup,
+    # ROUND-11 WINDOW: the driver checks the FIRST 50 keys — slot 1 is
+    # the gate added this round with ZERO driver rows (mandatory);
+    # slots 2-10 the changed Spark/oracle pairs (chi2/MI null-census
+    # filter + cramers_v clamp, PNG tier in decode stats, the
+    # star-kernel default for the dedup cluster family); slots 11-30
+    # the gates whose package code paths changed this round (merge
+    # _table_sig mtime + empty-table bootstrap, snapshots fs-seam
+    # rerouting + tombstone plumbing + clone/expire/rollback carry,
+    # avro snappy, multimodal _decode PNG dispatch); slots 31-50 the
+    # r03-latest block displaced from r10 (stalest driver evidence),
+    # exactly as queued in the r10 comment.
+    # ROUND-12 QUEUE: the r04-latest block (ann_cell_stats,
+    # ann_label_mrr, ann_triplets, asof_last_signup,
     # corpus_curriculum/datacard/e2e_pipeline_v2/pack_manifest/
-    # reduction_report/split_balance, dedup_cluster_sizes/containment/
-    # lsh_eval/prefix_jaccard/semantic_text/star_clusters,
-    # graph_source_jaccard/source_pagerank/triangle_count,
-    # media_exact_dedup, p1/p2, q_basket_lift, q_event_transitions,
-    # q_feature_asof_join, q_hll_set_overlap, q_hourly_anomalies,
-    # q_session_sequences, q_split_leakage, text_bm25*/bpe_pairs/
-    # gopher_rules/hybrid_search/kwic/lang_confusion/ngram_novelty/
-    # vocab_drift).
-    _R10_WINDOW = [
-        # slots 1-4: zero-driver-row gates from late r09 (MANDATORY per
-        # r09 verdict item 1)
-        "stream_jsd_drift",
+    # reduction_report/split_balance, dedup_containment/lsh_eval/
+    # prefix_jaccard/semantic_text, graph_source_jaccard/
+    # source_pagerank/triangle_count, media_exact_dedup, p1/p2,
+    # q_basket_lift, q_event_transitions, q_feature_asof_join,
+    # q_hll_set_overlap, q_hourly_anomalies, q_session_sequences,
+    # q_split_leakage, text_bm25*/bpe_pairs/gopher_rules/
+    # hybrid_search/kwic/lang_confusion/ngram_novelty/vocab_drift)
+    # plus the r11 code-touched gates displaced by slot pressure
+    # (ops_snapshot_tags, ops_snapshot_schema_merge, ops_wap_publish,
+    # ops_schema_drift, o1_avro_decimal_roundtrip,
+    # o1_avro_primitive_values), then the r05-latest block.
+    _R11_WINDOW = [
+        # slot 1: zero-driver-row gate (NEW in r11)
+        "ops_row_deletes",
+        # slots 2-10: changed Spark/oracle pairs
         "quality_chi2",
-        "q_unpivot_metrics",
-        "graph_clustering_coeff",
-        # slots 5-9: NEW in r10
-        "media_decode_stats",
-        "ops_read_as_of",
-        "ops_merge_indexed",
-        "media_audio_spectrum",
-        "media_image_gradients",
-        "ops_snapshot_history",
-        "media_image_resize",
-        "media_audio_resample",
-        "text_kneser_ney",
+        "quality_mutual_info",
         "quality_cramers_v",
-        "quality_key_skew",
-        "ops_asof_diff",
-        # slots 17-19: r09-displaced changed-pair swaps
-        "ann_filtered_topk",
-        "ann_hard_negatives",
-        "ann_index_serve",
-        # slots 20-28: Spark code paths changed in r10 — re-check
+        "media_decode_stats",
+        "media_image_gradients",
+        "media_image_resize",
+        "dedup_clusters",
+        "dedup_cluster_reps",
+        "dedup_cluster_sizes",
+        # slots 11-30: package code paths changed in r11 — re-check
+        "dedup_star_clusters",
         "ops_merge_keyed",
-        "ops_partition_evolution",
-        "ops_partition_evolution_incr",
-        "ops_clone_table",
-        "ops_expire_snapshots",
+        "ops_merge_indexed",
+        "ops_read_as_of",
+        "ops_snapshot_history",
+        "ops_asof_diff",
         "ops_incremental_read",
+        "ops_expire_snapshots",
+        "ops_clone_table",
         "ops_vacuum_orphans",
+        "ops_orphan_report",
+        "ops_time_travel",
+        "ops_snapshot_rollback",
+        "ops_snapshot_diff",
+        "ops_snapshot_content_diff",
+        "ops_snapshot_audit",
+        "o1_avro_roundtrip",
         "media_features",
         "media_frame_sample",
-        # slots 29-50: the r03-latest block (stalest driver evidence)
-        "ann_ivfpq_topk",
-        "ann_pq_topk",
-        "cdc_changelog_compact",
-        "cdc_latest_state",
-        "corpus_chunk_overlap",
-        "corpus_pack_bestfit",
-        "corpus_snapshot_diff",
-        "corpus_temperature_mix",
-        "corpus_token_budget",
-        "dedup_chunks",
-        "dedup_cluster_reps",
-        "dedup_fuzzy_prefix",
-        "dedup_incremental_neardup",
-        "dedup_lsh_jaccard_est",
-        "embedding_dim_stats",
-        "embedding_normalize",
-        "json_quarantine",
-        "media_phash_neardup",
-        "q12_priority_shipping",
-        "q_approx_quantiles",
-        "q_cms_heavy_hitters",
-        "q_cohort_retention",
+        "media_audio_resample",
+        # slots 31-50: the r03-latest block (stalest driver evidence)
+        "q_event_cooccurrence",
+        "q_funnel_stages",
+        "q_hll_distinct_users",
+        "q_integrity_check",
+        "q_peak_concurrency",
+        "q_profile_events",
+        "q_rate_cap_flags",
+        "q_scd2_dimension",
+        "q_source_report",
+        "q_table_checksum",
+        "q_user_erasure",
+        "q_value_histogram",
+        "q_value_outliers",
+        "q_zorder_values",
+        "semantic_dedup_flags",
+        "text_bigram_counts",
+        "text_hot_ngrams",
+        "text_quality_filter",
+        "text_strip_markup",
+        "text_unk_replace",
     ]
-    assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
-    out = {k: reg.pop(k) for k in _R10_WINDOW}
+    assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+    out = {k: reg.pop(k) for k in _R11_WINDOW}
     out.update(reg)
     return out
 

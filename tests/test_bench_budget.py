@@ -98,6 +98,8 @@ def test_stream_lane_covers_monitors():
     assert set(d["monitors"]) >= {
         "ks_grid_monitor", "psi_bucket_monitor", "windowed_counts",
         "sessionize", "dedup",
+        # r10 VERDICT item 6: the incremental-mart lanes
+        "mart_refresh", "cms_topk",
     }
     for name, m in d["monitors"].items():
         assert m["n_batches"] >= 4, (name, m)
