@@ -377,6 +377,11 @@ def delete_rows(
             f"tombstone key {prev.get('delete_key')!r}: one equality-"
             "delete schema per table (apply_deletes first to change it)"
         )
+    distinct_keys = keys.select(key_col).distinct()
+    if distinct_keys.isEmpty():
+        # an empty tombstone dir would break parquet schema inference on
+        # every later read — an empty delete is a no-op, not a commit
+        return versions[-1]
     version = versions[-1] + 1
     committed_at = _commit_ts(spark, path, versions, now)
     tomb_dir = f"{_tombstones_dir(path)}/v{version}"
@@ -384,7 +389,7 @@ def delete_rows(
     # existing dir can only be a crashed delete's residue
     if fs.exists(Path(tomb_dir)):
         fs.delete(Path(tomb_dir), True)
-    keys.select(key_col).distinct().write.mode("error").parquet(tomb_dir)
+    distinct_keys.write.mode("error").parquet(tomb_dir)
     manifest = {
         "version": version,
         "mode": "delete",
@@ -458,15 +463,33 @@ def apply_deletes(spark: SparkSession, path: str, now=None) -> dict:
         .distinct()
         .collect()
     ]
-    norm = [d.rstrip("/") + "/" for d in man["files"]]
-    affected = sorted(
-        {
-            d.rstrip("/")
-            for d, dslash in zip(man["files"], norm)
-            if any(f.replace("file://", "").startswith(dslash)
-                   or f.startswith(dslash) for f in hit_files)
-        }
-    )
+    def _no_scheme(p: str) -> str:
+        # input_file_name returns a URI (file:///...); manifests hold
+        # whatever the caller committed with. Compare scheme-less so a
+        # form mismatch can't silently mis-map a hit file.
+        if "://" in p:
+            p = p.split("://", 1)[1]
+        elif p.startswith("file:/"):
+            p = p[len("file:"):]
+        return p
+
+    norm = {d: _no_scheme(d.rstrip("/")) + "/" for d in man["files"]}
+    affected_set = set()
+    for f in hit_files:
+        fn = _no_scheme(f)
+        owner = next(
+            (d for d, dslash in norm.items() if fn.startswith(dslash)), None
+        )
+        if owner is None:
+            # a hit file that maps to NO manifest dir must abort: if we
+            # published anyway with a cleared tombstone list, its
+            # deleted rows would resurrect
+            raise IOError(
+                f"apply_deletes: probed file {f} is outside every "
+                f"manifest dir of {path} — refusing to publish"
+            )
+        affected_set.add(owner)
+    affected = sorted(d.rstrip("/") for d in affected_set)
     untouched = [d for d in man["files"] if d.rstrip("/") not in affected]
     version = versions[-1] + 1
     committed_at = _commit_ts(spark, path, versions, now)

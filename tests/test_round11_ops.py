@@ -626,3 +626,21 @@ def test_avro_snappy_jvm_cross_read(spark, tmp_path):
         pytest.skip(f"JVM avro datasource unavailable: {e}")
     assert n == 50
     assert back.agg(F.sum("a")).first()[0] == sum(range(50))
+
+
+def test_delete_rows_empty_batch_is_noop(spark, tmp_path):
+    """An empty key batch must not commit (an empty tombstone dir would
+    break parquet schema inference on every later read)."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        delete_rows, list_snapshots, read_snapshot,
+    )
+
+    path = _commit_two(spark, tmp_path, "t_empty_del")
+    v = delete_rows(
+        spark, path,
+        spark.createDataFrame([], "k long"), "k", now=lambda: 3000,
+    )
+    assert v == 2
+    assert list_snapshots(spark, path) == [1, 2]
+    assert read_snapshot(spark, path).count() == 20
+    assert not os.path.isdir(os.path.join(path, "_tombstones"))
