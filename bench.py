@@ -274,7 +274,12 @@ def main() -> None:
                     "diffs of single-run numbers are mostly noise); "
                     "ann_index_serve times ONLY the partition-pruned "
                     "serve read against a pre-built index, build cost is "
-                    "the separate ann_index_build entry"
+                    "the separate ann_index_build entry. r11 A/B of the "
+                    "two r10 movers (3 interleaved runs, quiet machine, "
+                    "code unchanged r09->r10 per git): corpus_rehydrate "
+                    "0.72-0.79s (r10's 1.26 was noise), "
+                    "bitext_mine_margin stable 2.66-2.73s (the r09 1.95 "
+                    "was the outlier run, not a regression)"
                 ),
                 "queries": timings,
                 "runs": raw_runs,
