@@ -644,3 +644,34 @@ def test_delete_rows_empty_batch_is_noop(spark, tmp_path):
     assert list_snapshots(spark, path) == [1, 2]
     assert read_snapshot(spark, path).count() == 20
     assert not os.path.isdir(os.path.join(path, "_tombstones"))
+
+
+def test_png_ancillary_chunks_skipped():
+    """Real-world PNGs carry ancillary chunks (tEXt, pHYs, ...) between
+    IHDR and IDAT — the walk must skip them (CRC still validated) and
+    decode identically."""
+    import struct as _s
+    import zlib
+
+    px = _gen_pixels(8, 7, 6)
+    good = encode_png(7, 6, px)
+
+    def chunk(t, b):
+        return _s.pack(">I", len(b)) + t + b + _s.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    spliced = (
+        good[:8 + 25]
+        + chunk(b"tEXt", b"Comment\x00synthetic fixture")
+        + chunk(b"pHYs", _s.pack(">IIB", 2835, 2835, 1))
+        + good[8 + 25:]
+    )
+    dw, dh, out = decode_png(spliced)
+    assert (dw, dh) == (7, 6)
+    assert np.array_equal(out, px)
+    # a CORRUPT ancillary chunk still fails loudly (CRC covers them too)
+    bad = bytearray(spliced)
+    bad[8 + 25 + 8 + 2] ^= 0xFF  # inside tEXt body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
