@@ -130,6 +130,11 @@ def commit_snapshot(
     # model — SURVEY §2.5 W4 — so nobody else can be mid-write here.)
     if fs.exists(Path(data_dir)):
         fs.delete(Path(data_dir), True)
+    # same rule for a crashed delete_rows at this version number: its
+    # tombstone dir is in no manifest either, so it can only be residue
+    tomb_res = Path(f"{_tombstones_dir(path)}/v{version}")
+    if fs.exists(tomb_res):
+        fs.delete(tomb_res, True)
     df.write.format(fmt).mode("error").save(data_dir)
 
     files = [data_dir]
@@ -672,26 +677,46 @@ def orphan_report(spark: SparkSession, path: str) -> DataFrame:
     never ``orphan`` — a vacuum acting on this report must not strand
     the clone.
 
+    Tombstone dirs (r11 row-level deletes) are audited the same way,
+    reported as ``_tombstones/v<N>`` rows: a crashed delete's residue
+    shows ``orphan``; live tombstones referenced by a manifest's
+    ``deletes`` list (or pinned by a clone) show ``live``.
+
     Scale: pure driver metadata (one directory listing + the manifest
     list); no data files are opened.
     """
     fs, Path = _fs(spark, path)
     own_prefix = path.rstrip("/") + "/data/"
     referenced: "dict[str, int]" = {}
+    tomb_referenced: "dict[str, int]" = {}
     for v in list_snapshots(spark, path):
-        for f in _read_manifest(spark, path, v)["files"]:
+        man = _read_manifest(spark, path, v)
+        for f in man["files"]:
             name = f.rstrip("/").rsplit("/", 1)[-1]
             referenced[name] = referenced.get(name, 0) + 1
+        for t in man.get("deletes") or []:
+            name = t.rstrip("/").rsplit("/", 1)[-1]
+            tomb_referenced[name] = tomb_referenced.get(name, 0) + 1
+    own_tombs = _tombstones_dir(path) + "/"
     live_clones, _ = _partition_clones(spark, path)
     for reg in live_clones:
         for f in reg["files"]:
             if f.startswith(own_prefix):
                 name = f.rstrip("/").rsplit("/", 1)[-1]
                 referenced[name] = referenced.get(name, 0) + 1
+            elif f.startswith(own_tombs):
+                name = f.rstrip("/").rsplit("/", 1)[-1]
+                tomb_referenced[name] = tomb_referenced.get(name, 0) + 1
     ddir = Path(path.rstrip("/") + "/data")
     on_disk = set()
     if fs.exists(ddir):
         on_disk = {st.getPath().getName() for st in fs.listStatus(ddir)}
+    tdir = Path(_tombstones_dir(path))
+    tombs_on_disk = set()
+    if fs.exists(tdir):
+        tombs_on_disk = {
+            st.getPath().getName() for st in fs.listStatus(tdir)
+        }
     rows = []
     for name in sorted(on_disk | set(referenced)):
         if name in referenced:
@@ -699,6 +724,14 @@ def orphan_report(spark: SparkSession, path: str) -> DataFrame:
         else:
             status = "orphan"
         rows.append((name, status, referenced.get(name, 0)))
+    for name in sorted(tombs_on_disk | set(tomb_referenced)):
+        if name in tomb_referenced:
+            status = "live" if name in tombs_on_disk else "missing"
+        else:
+            status = "orphan"
+        rows.append(
+            (f"_tombstones/{name}", status, tomb_referenced.get(name, 0))
+        )
     return spark.createDataFrame(
         rows, "data_dir string, status string, n_refs int"
     )
@@ -718,9 +751,15 @@ def vacuum_orphans(spark: SparkSession, path: str) -> "list[str]":
     fs, Path = _fs(spark, path)
     deleted: "list[str]" = []
     for r in orphan_report(spark, path).collect():
-        if r["status"] == "orphan":
-            fs.delete(Path(f"{path.rstrip('/')}/data/{r['data_dir']}"), True)
-            deleted.append(r["data_dir"])
+        if r["status"] != "orphan":
+            continue
+        name = r["data_dir"]
+        if name.startswith("_tombstones/"):
+            target = f"{path.rstrip('/')}/{name}"
+        else:
+            target = f"{path.rstrip('/')}/data/{name}"
+        fs.delete(Path(target), True)
+        deleted.append(name)
     return deleted
 
 

@@ -675,3 +675,41 @@ def test_png_ancillary_chunks_skipped():
     bad[8 + 25 + 8 + 2] ^= 0xFF  # inside tEXt body
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
+
+
+def test_tombstone_residue_audited_and_swept(spark, tmp_path):
+    """A crashed delete's tombstone residue (dir present, in no
+    manifest) must report 'orphan' in orphan_report and be reclaimed by
+    vacuum_orphans; live tombstones report 'live'. A later normal
+    commit at the same version number also sweeps residue."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, delete_rows, orphan_report, vacuum_orphans,
+    )
+
+    path = _commit_two(spark, tmp_path, "t_tres")
+    delete_rows(
+        spark, path, spark.createDataFrame([(1,)], "k long"), "k",
+        now=lambda: 3000,
+    )
+    # fake a crashed delete at v4: tombstone dir, no manifest
+    residue = os.path.join(path, "_tombstones", "v4")
+    os.makedirs(residue)
+    open(os.path.join(residue, "part-junk.parquet"), "wb").write(b"x")
+    rep = {
+        r["data_dir"]: r["status"]
+        for r in orphan_report(spark, path).collect()
+    }
+    assert rep["_tombstones/v3"] == "live"
+    assert rep["_tombstones/v4"] == "orphan"
+    deleted = vacuum_orphans(spark, path)
+    assert "_tombstones/v4" in deleted
+    assert not os.path.isdir(residue)
+    assert os.path.isdir(os.path.join(path, "_tombstones", "v3"))
+    # commit_snapshot's own orphan rule sweeps same-version residue
+    os.makedirs(residue)
+    commit_snapshot(
+        spark,
+        spark.range(3).select(F.col("id").alias("k"), F.lit("d").alias("src")),
+        path, mode="append", now=lambda: 5000,
+    )  # commits v4
+    assert not os.path.isdir(residue)
