@@ -1031,8 +1031,14 @@ def mutual_information(
     from kafka_connect_hdfs_spark.operators.similarity import q6_col
 
     cells = (
-        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        # filter on df BEFORE the aliasing select (r11 ADVICE): after the
+        # select, F.col(a_col)/F.col(b_col) would resolve against the
+        # ALIASED output when the caller's column is literally named "a"
+        # or "b" (e.g. mutual_information(df, "x", "a")) — the filter
+        # would then check the wrong column and NULL-keyed rows would
+        # re-enter the marginals and N
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_ab"))
     )
@@ -1093,8 +1099,11 @@ def chi2_independence(
     from kafka_connect_hdfs_spark.operators.similarity import q6_col
 
     cells = (
-        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        # filter BEFORE the aliasing select — see mutual_information
+        # (r11 ADVICE: a caller column literally named "a"/"b" would
+        # otherwise be filtered against the aliased output)
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_ab"))
     )
@@ -1202,10 +1211,12 @@ def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     from kafka_connect_hdfs_spark.operators.similarity import q6_col
 
     cells = (
-        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         # explicit upfront exclusion (not a join side effect) so N, r, c
-        # and the fold all see the same census
-        .filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        # and the fold all see the same census; filter BEFORE the
+        # aliasing select so a caller column literally named "a"/"b"
+        # resolves against the caller's frame (r11 ADVICE)
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_ab"))
     )
