@@ -2121,6 +2121,65 @@ def _q_ops_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ops_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware CHANGE FEED (snapshots.changelog_scan, r11 VERDICT
+    item 2 — Delta CDF / Iceberg ChangelogScanTask parity): commits
+    non-fr (v1), appends fr (v2), row-DELETES doc_id % 5 == 2 (v3,
+    merge-on-read tombstone), then re-appends the doc_id % 10 == 2 half
+    of the deleted keys (v4 — newer than the tombstone by sequence
+    scoping). The feed over v1→v4 must emit the v2/v4 appends as
+    inserts and the full row images of the v3 deaths as deletes — the
+    exact rows read_incremental REFUSES to summarize — and the 'live'
+    tier pins that re-inserted keys are visible while never-re-inserted
+    ones stay dead. The oracle replays every tier from the source
+    table's closed form."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        changelog_scan, commit_snapshot, delete_rows, read_snapshot,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    path = tempfile.mkdtemp(prefix="kchs_cdf_") + "/t"
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") != "fr"), path, now=lambda: 1000
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "fr"), path, mode="append",
+        now=lambda: 2000,
+    )
+    delete_rows(
+        spark, path,
+        docs.filter(F.col("doc_id") % 5 == 2).select("doc_id"),
+        "doc_id", now=lambda: 3000,
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("doc_id") % 10 == 2), path,
+        mode="append", now=lambda: 4000,
+    )
+    feed = changelog_scan(spark, path, 1, 4)
+    agg = feed.groupBy("change_version", "change_type", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+    )
+    live = (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .withColumn("change_version", F.lit(99).cast("int"))
+        .withColumn("change_type", F.lit("live"))
+    )
+    cols = ["change_version", "change_type", "lang", "n_docs", "sum_ids"]
+    return (
+        agg.select(*cols)
+        .unionByName(live.select(*cols))
+        .orderBy("change_version", "change_type", "lang")
+    )
+
+
 def _q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level dedup with reassembly (chunk = 2 tokens so the small
     fixture vocabulary actually produces cross-document repeats)."""
@@ -5246,7 +5305,7 @@ def _q_media_image_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = image_gradient_stats(
         synthetic_media_corpus(_docs(spark, sf_dir))
-    ).filter(F.col("decode_ok").isin("bmp", "png"))
+    ).filter(F.col("decode_ok").isin("bmp", "png", "jpeg"))
     return st.select(
         "media_id",
         "width",
@@ -5273,7 +5332,7 @@ def _q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = image_resize_stats(
         synthetic_media_corpus(_docs(spark, sf_dir)), out_w=4, out_h=3
-    ).filter(F.col("decode_ok").isin("bmp", "png"))
+    ).filter(F.col("decode_ok").isin("bmp", "png", "jpeg"))
     return st.select(
         "media_id", "src_w", "src_h", "out_w", "out_h",
         "rs_val_sum", "rs_pos_sum",
@@ -5856,13 +5915,17 @@ def _q_ops_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ops_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-integrity audit (snapshots.snapshot_audit): overwrite,
-    append, and rollback commits must each report their dir count and
-    footer-stats row count; a healthy table has zero missing dirs (the
-    corrupted path is fault-injection-tested in pytest)."""
+    append, rollback, and row-DELETE commits must each report their dir
+    count and row count; a healthy table has zero missing dirs (the
+    corrupted paths — vanished data AND tombstone dirs — are
+    fault-injection-tested in pytest). Tombstone-aware (r11 VERDICT item
+    7): the delete version's n_rows is the LIVE tombstone-applied count
+    (never the physical count, which would overstate a post-delete
+    table) and n_deleted_keys its distinct tombstoned keys."""
     import tempfile
 
     from kafka_connect_hdfs_spark.snapshots import (
-        commit_snapshot, rollback_snapshot, snapshot_audit,
+        commit_snapshot, delete_rows, rollback_snapshot, snapshot_audit,
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
@@ -5872,6 +5935,11 @@ def _q_ops_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs.filter(F.col("lang") == "de"), tbl, mode="append"
     )  # v2 = v1 dirs + de
     rollback_snapshot(spark, tbl, 1)  # v3 = v1's files
+    delete_rows(
+        spark, tbl,
+        docs.filter(F.col("doc_id") % 11 == 5).select("doc_id"),
+        "doc_id",
+    )  # v4: merge-on-read delete over v1's files
     return snapshot_audit(spark, tbl).orderBy("version")
 
 
@@ -6493,90 +6561,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_asof_diff": _q_ops_asof_diff,
         # ===== NEW in r11
         "ops_row_deletes": _q_ops_row_deletes,
+        # ===== NEW in r12
+        "ops_changelog_scan": _q_ops_changelog_scan,
     }
-    # ROUND-11 WINDOW: the driver checks the FIRST 50 keys — slot 1 is
-    # the gate added this round with ZERO driver rows (mandatory);
-    # slots 2-10 the changed Spark/oracle pairs (chi2/MI null-census
-    # filter + cramers_v clamp, PNG tier in decode stats, the
-    # star-kernel default for the dedup cluster family); slots 11-30
-    # the gates whose package code paths changed this round (merge
-    # _table_sig mtime + empty-table bootstrap, snapshots fs-seam
-    # rerouting + tombstone plumbing + clone/expire/rollback carry,
-    # avro snappy, multimodal _decode PNG dispatch); slots 31-50 the
-    # r03-latest block displaced from r10 (stalest driver evidence),
-    # exactly as queued in the r10 comment.
-    # ROUND-12 QUEUE: the r04-latest block (ann_cell_stats,
-    # ann_label_mrr, ann_triplets, asof_last_signup,
-    # corpus_curriculum/datacard/e2e_pipeline_v2/pack_manifest/
-    # reduction_report/split_balance, dedup_containment/lsh_eval/
-    # prefix_jaccard/semantic_text, graph_source_jaccard/
-    # source_pagerank/triangle_count, media_exact_dedup, p1/p2,
-    # q_basket_lift, q_event_transitions, q_feature_asof_join,
-    # q_hll_set_overlap, q_hourly_anomalies, q_session_sequences,
-    # q_split_leakage, text_bm25*/bpe_pairs/gopher_rules/
-    # hybrid_search/kwic/lang_confusion/ngram_novelty/vocab_drift)
-    # plus the r11 code-touched gates displaced by slot pressure
-    # (ops_snapshot_tags, ops_snapshot_schema_merge, ops_wap_publish,
-    # ops_schema_drift, o1_avro_decimal_roundtrip,
-    # o1_avro_primitive_values), then the r05-latest block.
-    _R11_WINDOW = [
-        # slot 1: zero-driver-row gate (NEW in r11)
-        "ops_row_deletes",
+    # ROUND-12 WINDOW: the driver checks the FIRST 50 keys — slot 1 is
+    # the gate added this round with ZERO driver rows (mandatory:
+    # ops_changelog_scan, the delete-aware change feed); slots 2-10 the
+    # changed Spark/oracle pairs (snapshot_audit tombstone-aware
+    # n_rows/n_deleted_keys, row-delete sequence scoping + dtype
+    # fail-fast + read_incremental delete refusal, the JPEG tier in the
+    # media corpus + decode/gradient/resize oracles, the chi2/MI/
+    # cramers_v filter-before-alias fix); slots 11-46 the r04-latest
+    # block exactly as queued in the r11 comment (36 gates — the
+    # staleness floor moves to r05); slots 47-50 four of the six
+    # displaced r11 code-touched gates (the two o1_avro_* carry newer
+    # r08 evidence and defer). Package-code re-checks of the other
+    # snapshot ops gates (merge/time-travel/clone/expire, all r11
+    # evidence) are covered by pytest + this session's oracle spot-runs;
+    # their driver rows refresh next round.
+    # ROUND-13 QUEUE: o1_avro_decimal_roundtrip,
+    # o1_avro_primitive_values (displaced twice), the snapshot-ops
+    # read-path re-checks (ops_merge_keyed/indexed, ops_read_as_of,
+    # ops_time_travel, ops_snapshot_history, ops_asof_diff,
+    # ops_expire_snapshots, ops_clone_table, ops_vacuum_orphans,
+    # ops_orphan_report, ops_snapshot_rollback, ops_snapshot_diff,
+    # ops_snapshot_content_diff — their shared reader went through
+    # _load_with_tombstones in r12), then the r05-latest block
+    # (ann_ivfpq_recall, ann_knn_graph, ann_knn_refine, ann_maxsim_topk,
+    # ann_probe_sweep, ann_trunc_recall, corpus_concentration,
+    # corpus_modality_coverage, corpus_pack_bpe, corpus_pack_efficiency,
+    # corpus_pack_unigram, corpus_source_budget, corpus_token_entropy,
+    # dedup_rate_by_source, dedup_span_coverage, graph_assortativity,
+    # graph_degree_dist, graph_kcore, graph_lpa_communities,
+    # graph_modularity, media_phash_clusters, ops_constraint_report,
+    # q_event_interarrival, q_revenue_pareto, q_scd2_asof_enrich,
+    # quality_length_corr, semantic_knn_clusters, stream_cdc_upsert,
+    # stream_windowed_hll, text_bpe_encode, text_bpe_fertility,
+    # text_dsir_select, text_quality_filter_approx, text_unigram_encode,
+    # text_unigram_lm, text_unk_replace_join, text_zipf_slope).
+    _R12_WINDOW = [
+        # slot 1: zero-driver-row gate (NEW in r12)
+        "ops_changelog_scan",
         # slots 2-10: changed Spark/oracle pairs
-        "quality_chi2",
-        "quality_mutual_info",
-        "quality_cramers_v",
+        "ops_snapshot_audit",
+        "ops_row_deletes",
+        "ops_incremental_read",
         "media_decode_stats",
         "media_image_gradients",
         "media_image_resize",
-        "dedup_clusters",
-        "dedup_cluster_reps",
-        "dedup_cluster_sizes",
-        # slots 11-30: package code paths changed in r11 — re-check
-        "dedup_star_clusters",
-        "ops_merge_keyed",
-        "ops_merge_indexed",
-        "ops_read_as_of",
-        "ops_snapshot_history",
-        "ops_asof_diff",
-        "ops_incremental_read",
-        "ops_expire_snapshots",
-        "ops_clone_table",
-        "ops_vacuum_orphans",
-        "ops_orphan_report",
-        "ops_time_travel",
-        "ops_snapshot_rollback",
-        "ops_snapshot_diff",
-        "ops_snapshot_content_diff",
-        "ops_snapshot_audit",
-        "o1_avro_roundtrip",
-        "media_features",
-        "media_frame_sample",
-        "media_audio_resample",
-        # slots 31-50: the r03-latest block (stalest driver evidence)
-        "q_event_cooccurrence",
-        "q_funnel_stages",
-        "q_hll_distinct_users",
-        "q_integrity_check",
-        "q_peak_concurrency",
-        "q_profile_events",
-        "q_rate_cap_flags",
-        "q_scd2_dimension",
-        "q_source_report",
-        "q_table_checksum",
-        "q_user_erasure",
-        "q_value_histogram",
-        "q_value_outliers",
-        "q_zorder_values",
-        "semantic_dedup_flags",
-        "text_bigram_counts",
-        "text_hot_ngrams",
-        "text_quality_filter",
-        "text_strip_markup",
-        "text_unk_replace",
+        "quality_chi2",
+        "quality_mutual_info",
+        "quality_cramers_v",
+        # slots 11-46: the r04-latest block (stalest driver evidence)
+        "ann_cell_stats",
+        "ann_label_mrr",
+        "ann_triplets",
+        "asof_last_signup",
+        "corpus_curriculum",
+        "corpus_datacard",
+        "corpus_e2e_pipeline_v2",
+        "corpus_pack_manifest",
+        "corpus_reduction_report",
+        "corpus_split_balance",
+        "dedup_containment",
+        "dedup_lsh_eval",
+        "dedup_prefix_jaccard",
+        "dedup_semantic_text",
+        "graph_source_jaccard",
+        "graph_source_pagerank",
+        "graph_triangle_count",
+        "media_exact_dedup",
+        "p1_default_partition",
+        "p2_field_partition",
+        "q_basket_lift",
+        "q_event_transitions",
+        "q_feature_asof_join",
+        "q_hll_set_overlap",
+        "q_hourly_anomalies",
+        "q_session_sequences",
+        "q_split_leakage",
+        "text_bm25",
+        "text_bm25_batch",
+        "text_bpe_pairs",
+        "text_gopher_rules",
+        "text_hybrid_search",
+        "text_kwic",
+        "text_lang_confusion",
+        "text_ngram_novelty",
+        "text_vocab_drift",
+        # slots 47-50: displaced r11 code-touched gates (r05/r07/r08
+        # evidence, oldest first)
+        "ops_snapshot_schema_merge",
+        "ops_wap_publish",
+        "ops_snapshot_tags",
+        "ops_schema_drift",
     ]
-    assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
-    out = {k: reg.pop(k) for k in _R11_WINDOW}
+    assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+    out = {k: reg.pop(k) for k in _R12_WINDOW}
     out.update(reg)
     return out
 
@@ -8775,7 +8856,10 @@ WITH img AS (
 ),
 ival AS (
   SELECT doc_id, w, h, i,
-         (doc_id*31 + (i % w)*7 + (i // w)*13) % 256 AS v
+         CASE WHEN doc_id % 8 = 6
+              THEN (doc_id*31 + ((i % w) // 8)*7 + ((i // w) // 8)*13) % 256
+              ELSE (doc_id*31 + (i % w)*7 + (i // w)*13) % 256
+         END AS v
   FROM (SELECT doc_id, w, h, unnest(range(0, w*h)) AS i FROM img)
 ),
 istat AS (
@@ -8783,7 +8867,8 @@ istat AS (
          CAST(NULL AS BIGINT) AS sample_rate, 1::INT AS n_frames,
          {_OQ6('sum(v)::DOUBLE / count(*)')} AS val_mean,
          {_OQ6('sum(v*i)::DOUBLE / count(*)')} AS val_pos_mean,
-         CASE WHEN doc_id % 4 = 0 THEN 'png' ELSE 'bmp' END AS decode_ok
+         CASE WHEN doc_id % 8 = 6 THEN 'jpeg'
+              WHEN doc_id % 4 = 0 THEN 'png' ELSE 'bmp' END AS decode_ok
   FROM ival GROUP BY doc_id, w, h
 ),
 aud AS (
@@ -8830,14 +8915,24 @@ WITH img AS (
 ),
 gx AS (
   SELECT doc_id,
-         abs(((doc_id*31 + ((i % (w-1)) + 1)*7 + (i // (w-1))*13) % 256)
-           - ((doc_id*31 + (i % (w-1))*7 + (i // (w-1))*13) % 256)) AS g
+         CASE WHEN doc_id % 8 = 6 THEN
+           abs(((doc_id*31 + ((((i % (w-1)) + 1)) // 8)*7 + ((i // (w-1)) // 8)*13) % 256)
+             - ((doc_id*31 + ((i % (w-1)) // 8)*7 + ((i // (w-1)) // 8)*13) % 256))
+         ELSE
+           abs(((doc_id*31 + ((i % (w-1)) + 1)*7 + (i // (w-1))*13) % 256)
+             - ((doc_id*31 + (i % (w-1))*7 + (i // (w-1))*13) % 256))
+         END AS g
   FROM (SELECT doc_id, w, h, unnest(range(0, (w-1)*h)) AS i FROM img)
 ),
 gy AS (
   SELECT doc_id,
-         abs(((doc_id*31 + (i % w)*7 + ((i // w) + 1)*13) % 256)
-           - ((doc_id*31 + (i % w)*7 + (i // w)*13) % 256)) AS g
+         CASE WHEN doc_id % 8 = 6 THEN
+           abs(((doc_id*31 + ((i % w) // 8)*7 + ((((i // w) + 1)) // 8)*13) % 256)
+             - ((doc_id*31 + ((i % w) // 8)*7 + ((i // w) // 8)*13) % 256))
+         ELSE
+           abs(((doc_id*31 + (i % w)*7 + ((i // w) + 1)*13) % 256)
+             - ((doc_id*31 + (i % w)*7 + (i // w)*13) % 256))
+         END AS g
   FROM (SELECT doc_id, w, h, unnest(range(0, w*(h-1))) AS i FROM img)
 ),
 gxs AS (
@@ -8861,9 +8956,15 @@ WITH img AS (
 ),
 px AS (
   SELECT doc_id, w, h, i,
-         (doc_id*31
-          + (((i % 4) * w) // 4) * 7
-          + (((i // 4) * h) // 3) * 13) % 256 AS v
+         CASE WHEN doc_id % 8 = 6 THEN
+           (doc_id*31
+            + ((((i % 4) * w) // 4) // 8) * 7
+            + ((((i // 4) * h) // 3) // 8) * 13) % 256
+         ELSE
+           (doc_id*31
+            + (((i % 4) * w) // 4) * 7
+            + (((i // 4) * h) // 3) * 13) % 256
+         END AS v
   FROM (SELECT doc_id, w, h, unnest(range(0, 12)) AS i FROM img)
 )
 SELECT doc_id AS media_id, w AS src_w, h AS src_h,
@@ -8971,6 +9072,26 @@ UNION ALL
 SELECT 'cow' AS tier, lang, count(*)::BIGINT, sum(doc_id)::BIGINT
 FROM kept GROUP BY lang
 ORDER BY tier, lang
+"""
+    # changelog feed: v2 insert = fr rows, v3 delete = the %5==2 rows
+    # alive at v2 (all of them — no earlier tombstones), v4 insert = the
+    # re-appended %10==2 rows (raw — newer than the tombstone), live =
+    # every doc except the deleted-and-never-re-inserted %10==7 half
+    sql["ops_changelog_scan"] = """
+WITH base AS (SELECT doc_id, lang FROM documents)
+SELECT 2 AS change_version, 'insert' AS change_type, lang,
+       count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+FROM base WHERE lang = 'fr' GROUP BY lang
+UNION ALL
+SELECT 3, 'delete', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+FROM base WHERE doc_id % 5 = 2 GROUP BY lang
+UNION ALL
+SELECT 4, 'insert', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+FROM base WHERE doc_id % 10 = 2 GROUP BY lang
+UNION ALL
+SELECT 99, 'live', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+FROM base WHERE doc_id % 10 <> 7 GROUP BY lang
+ORDER BY change_version, change_type, lang
 """
     # composed AFTER its constituents: recall@5 of IVF vs the exact top-5
     sql["ann_ivf_recall"] = f"""
@@ -12928,13 +13049,18 @@ ORDER BY "column"
     # same documents construction
     sql["ops_snapshot_audit"] = """
 WITH n AS (SELECT count(*) AS total FROM documents),
-d AS (SELECT count(*) AS de FROM documents WHERE lang = 'de')
+d AS (SELECT count(*) AS de FROM documents WHERE lang = 'de'),
+x AS (SELECT count(*) AS dead FROM documents WHERE doc_id % 11 = 5)
 SELECT 1 AS version, 'overwrite' AS mode, 1 AS n_data_dirs,
-       0 AS n_missing_dirs, total AS n_rows FROM n
+       0 AS n_missing_dirs, total AS n_rows, 0::BIGINT AS n_deleted_keys
+FROM n
 UNION ALL
-SELECT 2, 'append', 2, 0, total + de FROM n CROSS JOIN d
+SELECT 2, 'append', 2, 0, total + de, 0::BIGINT FROM n CROSS JOIN d
 UNION ALL
-SELECT 3, 'rollback:1', 1, 0, total FROM n
+SELECT 3, 'rollback:1', 1, 0, total, 0::BIGINT FROM n
+UNION ALL
+SELECT 4, 'delete', 1, 0, total - dead, dead::BIGINT
+FROM n CROSS JOIN x
 ORDER BY version
 """
     # ===== r08 oracles

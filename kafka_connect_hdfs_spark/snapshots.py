@@ -149,12 +149,17 @@ def commit_snapshot(
         prev = _read_manifest(spark, path, versions[-1])
         manifest["files"] = prev["files"] + files
         # live tombstones carry FORWARD through appends (r11 row-level
-        # deletes): an append after a delete must not resurrect the
-        # deleted keys. Overwrite resets them — the whole table state
-        # was just replaced.
+        # deletes) TOGETHER with their scopes (r11 ADVICE — Iceberg v2
+        # sequence-number semantics): each tombstone applies only to the
+        # data dirs that existed when it was committed, so rows of THIS
+        # append sharing a deleted key are new data, not resurrected
+        # ghosts — they stay visible. Overwrite resets everything — the
+        # whole table state was just replaced.
         if prev.get("deletes"):
             manifest["deletes"] = prev["deletes"]
             manifest["delete_key"] = prev["delete_key"]
+            if prev.get("delete_scopes"):
+                manifest["delete_scopes"] = prev["delete_scopes"]
     mdir = _manifest_dir(path)
     fs.mkdirs(Path(mdir))
     tmp = Path(f"{mdir}/.v{version}.json.tmp")
@@ -187,32 +192,109 @@ def read_snapshot(
     if v not in versions:
         raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
     man = _read_manifest(spark, path, v)
+    return _load_with_tombstones(spark, man, man["files"], options)
+
+
+# numeric widenings that can never null or mangle a tombstone key — the
+# only casts _tombstone_keys performs silently (schema evolution widened
+# the table's key column after deletes were committed); anything else
+# fails fast instead of producing anti-join-inert NULLs (r11 ADVICE)
+_SAFE_KEY_WIDENING = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"), ("float", "double"),
+}
+
+
+def _tombstone_keys(
+    spark: SparkSession, df: DataFrame, key: str, tomb_dirs: "list[str]"
+) -> DataFrame:
+    """The distinct tombstoned keys of ``tomb_dirs``, dtype-reconciled
+    against the scan ``df``. delete_rows normalizes keys to the table
+    dtype at WRITE time, so a read-time mismatch can only come from
+    later schema evolution: identical types pass through, lossless
+    numeric widenings cast, everything else raises — a silent cast to a
+    mismatched type yields NULLs that match nothing in the anti-join and
+    deleted rows would stay alive (r11 ADVICE)."""
+    tomb = spark.read.parquet(*tomb_dirs).select(key).distinct()
+    if key not in df.columns:
+        return tomb
+    tt = tomb.schema[key].dataType
+    dt = df.schema[key].dataType
+    if tt == dt:
+        return tomb
+    if (tt.simpleString(), dt.simpleString()) in _SAFE_KEY_WIDENING:
+        return tomb.select(F.col(key).cast(dt).alias(key))
+    raise TypeError(
+        f"tombstone key {key!r} has dtype {tt.simpleString()} but the "
+        f"scan reads {dt.simpleString()}: refusing to cast (a lossy "
+        "cast could NULL keys and silently resurrect deleted rows); "
+        "run apply_deletes before evolving the key column's type"
+    )
+
+
+def _dirs_by_tombstones(
+    man: dict, dirs: "list[str]"
+) -> "dict[tuple, list[str]]":
+    """Group ``dirs`` by the tuple of tombstone dirs that apply to each,
+    honoring the manifest's ``delete_scopes`` (Iceberg v2 sequence
+    semantics: a tombstone applies only to data dirs that existed when
+    it was committed, so rows appended AFTER a delete never match it).
+    Tombstones from before scope tracking (no ``delete_scopes`` entry)
+    apply to every dir — the legacy carry-forward behavior."""
+    dels = man.get("deletes") or []
+    scopes = man.get("delete_scopes") or {}
+    scope_sets = {t: set(scopes[t]) for t in dels if t in scopes}
+    groups: "dict[tuple, list[str]]" = {}
+    for d in dirs:
+        applies = tuple(
+            t for t in dels if t not in scope_sets or d in scope_sets[t]
+        )
+        groups.setdefault(applies, []).append(d)
+    return groups
+
+
+def _load_with_tombstones(
+    spark: SparkSession,
+    man: dict,
+    dirs: "list[str]",
+    options: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Merge-on-read scan of ``dirs`` under manifest ``man``: anti-join
+    each data dir against exactly the tombstone key sets whose SCOPE
+    covers it (Iceberg v2 equality-delete + sequence-number shape).
+    Versions without ``deletes`` load untouched — zero read overhead for
+    tables that never delete.
+
+    Scale: dirs sharing a tombstone set load as ONE scan (the number of
+    groups is bounded by the number of delete commits + 1, and after any
+    compaction it is 1); each anti-join's build side is that group's
+    tombstone union — AQE-broadcast below the threshold. Groups union by
+    name with missing-column fill so schema-evolved appends keep
+    working."""
     reader = spark.read.format(man["format"])
     for k, val in (options or {}).items():
         reader = reader.option(k, val)
-    # load() takes ONE path-or-list argument; *args would bind the second
-    # directory to the format parameter
-    df = reader.load(man["files"])
-    return _apply_tombstones(spark, df, man)
-
-
-def _apply_tombstones(
-    spark: SparkSession, df: DataFrame, man: dict
-) -> DataFrame:
-    """Merge-on-read: anti-join the version's live tombstone key sets
-    onto the scan (Iceberg v2 equality-delete shape). Versions without
-    ``deletes`` return the scan untouched — zero read overhead for
-    tables that never delete. Tombstone keys are cast to the table's
-    key dtype before the join (the repo's F.hash/int-width discipline:
-    a dtype mismatch must never silently keep deleted rows alive)."""
     dels = man.get("deletes") or []
-    if not dels:
-        return df
-    k = man["delete_key"]
-    tomb = spark.read.parquet(*dels).select(k).distinct()
-    if k in df.columns:
-        tomb = tomb.select(F.col(k).cast(df.schema[k].dataType).alias(k))
-    return df.join(tomb, k, "left_anti")
+    if not dels or not dirs:
+        # load() takes ONE path-or-list argument; *args would bind the
+        # second directory to the format parameter
+        return reader.load(list(dirs))
+    key = man["delete_key"]
+    pieces = []
+    for tombs, group_dirs in _dirs_by_tombstones(man, dirs).items():
+        df = reader.load(group_dirs)
+        if tombs:
+            df = df.join(
+                _tombstone_keys(spark, df, key, list(tombs)),
+                key,
+                "left_anti",
+            )
+        pieces.append(df)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def resolve_as_of(spark: SparkSession, path: str, ts_ms: int) -> int:
@@ -304,6 +386,13 @@ def read_incremental(
     a full read (the same contract Iceberg enforces on
     replace/overwrite snapshots).
 
+    Row DELETES in the range refuse too (r11 VERDICT item 2 — the
+    delete-blind mirror divergence): this function returns added rows
+    only, so a consumer syncing from it would silently never learn that
+    pre-existing rows died. When the live tombstone set grew between
+    ``v_from`` and ``v_to``, the raise points at
+    :func:`changelog_scan`, which emits both inserts AND deletes.
+
     Scale: planning-time pruning — ONLY the added data dirs are listed
     and read; the cost is O(delta), never O(table). An empty delta
     returns an empty frame with the table's schema.
@@ -327,16 +416,149 @@ def read_incremental(
             "delta is not expressible as added files — resync with a "
             "full read_snapshot"
         )
+    if set(man_to.get("deletes") or []) - set(man_from.get("deletes") or []):
+        raise ValueError(
+            f"versions v{v_from}..v{v_to} of {path} contain row DELETES: "
+            "an added-rows-only delta would silently miss the deaths of "
+            "pre-existing rows — use changelog_scan for a delete-aware "
+            "change feed, or resync with a full read_snapshot"
+        )
     added = [f for f in man_to["files"] if f not in base]
     reader = spark.read.format(man_to["format"])
     for k, val in (options or {}).items():
         reader = reader.option(k, val)
     if not added:
         return reader.load(man_to["files"]).limit(0)
-    # v_to's live tombstones apply to the added rows too (equality
-    # deletes cover later appends): the delta a consumer ingests must
-    # agree with what read_snapshot(v_to) shows
-    return _apply_tombstones(spark, reader.load(added), man_to)
+    # tombstones already live at v_from still apply where their scope
+    # covers the added dirs (legacy unscoped tombstones): the delta a
+    # consumer ingests must agree with what read_snapshot(v_to) shows
+    return _load_with_tombstones(spark, man_to, added, options)
+
+
+def changelog_scan(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: "int | None" = None,
+    options: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Delete-aware CHANGE FEED between two versions (r11 VERDICT item
+    2 — Delta ``readChangeFeed`` / Iceberg ``ChangelogScanTask``
+    parity): every row changed after ``v_from`` (exclusive) up to
+    ``v_to`` (inclusive; default latest), as full row images plus
+    ``change_type`` ∈ {'insert', 'delete'} and ``change_version`` (the
+    commit that produced the change). A consumer maintaining a mirror
+    applies each version's inserts then its deletes, in
+    ``change_version`` order, and lands exactly on
+    ``read_snapshot(v_to)`` — including through row deletes, which
+    :func:`read_incremental` refuses precisely because it cannot
+    express them.
+
+    Per committed version in the range:
+
+    - **append**: the added dirs' rows emit as ``insert`` (raw — new
+      dirs are newer than every prior tombstone by sequence scoping).
+    - **delete**: the rows ALIVE in the tombstone's scope just before
+      the delete that match its keys emit as ``delete`` — materialized
+      from the tombstone commit by one scope-bounded scan with the key
+      semi-join pushed into it (never O(table) beyond the scope, and
+      the scope is pruned at planning time like every snapshot read).
+    - **compact-deletes** rewrites files without changing visible rows
+      → contributes nothing.
+    - **overwrite / rollback** raise — the feed is not expressible as
+      row changes (the consumer must resync from a full read; the same
+      contract as :func:`read_incremental`).
+
+    If intermediate versions were expired, their changes attribute to
+    the first SURVIVING version at-or-after the commit (the files/
+    tombstone diffs between surviving manifests still reconstruct the
+    net changes; an insert-then-delete collapsed into one step emits
+    both and nets out on apply).
+
+    Reference: the reference connector's WAL replays per-partition
+    appends only (SURVEY §2.5); deletes are the lakehouse extension's
+    half, mirrored on Iceberg's changelog-scan semantics.
+    """
+    versions = list_snapshots(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    for v in (v_from, *(() if v_to is None else (v_to,))):
+        if v not in versions:
+            raise FileNotFoundError(
+                f"snapshot v{v} not found (have {versions})"
+            )
+    v_to = versions[-1] if v_to is None else v_to
+    if v_to < v_from:
+        raise ValueError(f"v_to ({v_to}) must be >= v_from ({v_from})")
+    vs = [v for v in versions if v_from <= v <= v_to]
+    mans = {v: _read_manifest(spark, path, v) for v in vs}
+
+    def _reader(man):
+        r = spark.read.format(man["format"])
+        for k, val in (options or {}).items():
+            r = r.option(k, val)
+        return r
+
+    pieces: "list[DataFrame]" = []
+    prev = mans[vs[0]]
+    for v in vs[1:]:
+        man = mans[v]
+        prev_files = set(prev["files"])
+        prev_dels = set(prev.get("deletes") or [])
+        if prev_files - set(man["files"]) or prev_dels - set(
+            man.get("deletes") or []
+        ):
+            raise ValueError(
+                f"versions v{v_from}..v{v_to} of {path} are not append+"
+                "delete lineage (an overwrite or rollback replaced state "
+                f"at or before v{v}): the changelog is not expressible "
+                "as row changes — resync with a full read_snapshot"
+            )
+        added = [f for f in man["files"] if f not in prev_files]
+        if added:
+            pieces.append(
+                _reader(man)
+                .load(added)
+                .withColumn("change_type", F.lit("insert"))
+                .withColumn("change_version", F.lit(v).cast("int"))
+            )
+        dels = man.get("deletes") or []
+        scopes = man.get("delete_scopes") or {}
+        for i, t in enumerate(dels):
+            if t in prev_dels:
+                continue
+            key = man["delete_key"]
+            scope = list(scopes.get(t) or man["files"])
+            # rows alive in t's scope just before t: the same manifest
+            # with only the EARLIER tombstones applied
+            pre_man = {
+                "format": man["format"],
+                "files": scope,
+                "deletes": dels[:i],
+                "delete_key": key,
+                "delete_scopes": scopes,
+            }
+            alive = _load_with_tombstones(spark, pre_man, scope, options)
+            dead = alive.join(
+                _tombstone_keys(spark, alive, key, [t]), key, "left_semi"
+            )
+            pieces.append(
+                dead.withColumn("change_type", F.lit("delete"))
+                .withColumn("change_version", F.lit(v).cast("int"))
+            )
+        prev = man
+    if not pieces:
+        return (
+            _reader(mans[v_to])
+            .load(mans[v_to]["files"])
+            .limit(0)
+            .withColumn("change_type", F.lit("insert"))
+            .withColumn("change_version", F.lit(0).cast("int"))
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def _tombstones_dir(path: str) -> str:
@@ -366,6 +588,18 @@ def delete_rows(
     schema per table — Iceberg's identifier-field contract); a
     conflicting key raises before anything is written.
 
+    Sequence scoping (r11 ADVICE — Iceberg v2 sequence-number
+    semantics): the manifest records, next to the tombstone dir, the set
+    of data dirs present at delete time (``delete_scopes``). Readers
+    anti-join ONLY those dirs, so a key re-inserted by a LATER append is
+    new data and stays visible — the delete never reaches forward in
+    time.
+
+    Delete keys are normalized to the TABLE key column's dtype at write
+    time, failing fast if any non-NULL key cannot represent losslessly
+    (a silently-miscast tombstone would match nothing at read time and
+    the deleted rows would stay alive — r11 ADVICE).
+
     Scale: the tombstone write shuffles only the distinct delete keys;
     reads add one anti-join whose build side is the (small) tombstone
     union — broadcast by AQE below the threshold. Accumulating many
@@ -382,7 +616,36 @@ def delete_rows(
             f"tombstone key {prev.get('delete_key')!r}: one equality-"
             "delete schema per table (apply_deletes first to change it)"
         )
+    scan = spark.read.format(prev["format"]).load(prev["files"])
+    if key_col not in scan.columns:
+        raise ValueError(
+            f"delete key {key_col!r} is not a column of {path} "
+            f"(have {scan.columns})"
+        )
     distinct_keys = keys.select(key_col).distinct()
+    tgt = scan.schema[key_col].dataType
+    if distinct_keys.schema[key_col].dataType != tgt:
+        # normalize to the table dtype via try_cast (ANSI-safe), then
+        # FAIL if any non-NULL key degraded to NULL — that tombstone
+        # would never match and the rows would silently stay alive
+        probe = distinct_keys.select(
+            F.col(key_col).alias("_o"),
+            F.expr(f"try_cast(`{key_col}` AS {tgt.simpleString()})").alias(
+                "_c"
+            ),
+        )
+        n_bad = probe.filter(
+            F.col("_o").isNotNull() & F.col("_c").isNull()
+        ).count()
+        if n_bad:
+            raise TypeError(
+                f"{n_bad} delete key(s) cannot be cast losslessly from "
+                f"{distinct_keys.schema[key_col].dataType.simpleString()} "
+                f"to the table key dtype {tgt.simpleString()}: refusing "
+                "the delete (a miscast tombstone matches nothing and the "
+                "rows would silently stay alive)"
+            )
+        distinct_keys = probe.select(F.col("_c").alias(key_col)).distinct()
     if distinct_keys.isEmpty():
         # an empty tombstone dir would break parquet schema inference on
         # every later read — an empty delete is a no-op, not a commit
@@ -402,6 +665,12 @@ def delete_rows(
         "files": prev["files"],
         "deletes": (prev.get("deletes") or []) + [tomb_dir],
         "delete_key": key_col,
+        # sequence scope: this tombstone applies to exactly the data
+        # dirs that exist NOW — later appends are newer than the delete
+        "delete_scopes": {
+            **(prev.get("delete_scopes") or {}),
+            tomb_dir: list(prev["files"]),
+        },
         "committed_at": committed_at,
     }
     mdir = _manifest_dir(path)
@@ -454,20 +723,7 @@ def apply_deletes(spark: SparkSession, path: str, now=None) -> dict:
     fs, Path = _fs(spark, path)
     k = man["delete_key"]
     reader = spark.read.format(man["format"])
-    src = reader.load(man["files"])
-    tomb = spark.read.parquet(*dels).select(k).distinct()
-    if k in src.columns:
-        tomb = tomb.select(F.col(k).cast(src.schema[k].dataType).alias(k))
-    # ONE distributed probe finds every file holding a doomed key; files
-    # map back to their manifest dir by path prefix
-    hit_files = [
-        r[0]
-        for r in src.withColumn("_f", F.input_file_name())
-        .join(tomb, k, "left_semi")
-        .select("_f")
-        .distinct()
-        .collect()
-    ]
+
     def _no_scheme(p: str) -> str:
         # input_file_name returns a URI (file:///...); manifests hold
         # whatever the caller committed with. Compare scheme-less so a
@@ -478,24 +734,53 @@ def apply_deletes(spark: SparkSession, path: str, now=None) -> dict:
             p = p[len("file:"):]
         return p
 
-    norm = {d: _no_scheme(d.rstrip("/")) + "/" for d in man["files"]}
-    affected_set = set()
-    for f in hit_files:
-        fn = _no_scheme(f)
-        owner = next(
-            (d for d, dslash in norm.items() if fn.startswith(dslash)), None
-        )
-        if owner is None:
-            # a hit file that maps to NO manifest dir must abort: if we
-            # published anyway with a cleared tombstone list, its
-            # deleted rows would resurrect
-            raise IOError(
-                f"apply_deletes: probed file {f} is outside every "
-                f"manifest dir of {path} — refusing to publish"
+    # probe PER TOMBSTONE-SCOPE GROUP (r11 ADVICE sequence semantics): a
+    # dir outside every tombstone's scope holds re-inserted rows that
+    # must survive, so it is never probed, never rewritten. Typically
+    # one group exists (no post-delete appends) and this is the same
+    # single probe as before.
+    affected_set: "set[str]" = set()
+    survivor_parts: "list[DataFrame]" = []
+    for tombs, group_dirs in _dirs_by_tombstones(man, man["files"]).items():
+        if not tombs:
+            continue
+        src = reader.load(group_dirs)
+        tomb = _tombstone_keys(spark, src, k, list(tombs))
+        # ONE distributed probe per group finds every file holding a
+        # doomed key; files map back to their manifest dir by path prefix
+        hit_files = [
+            r[0]
+            for r in src.withColumn("_f", F.input_file_name())
+            .join(tomb, k, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        ]
+        norm = {d: _no_scheme(d.rstrip("/")) + "/" for d in group_dirs}
+        group_affected = set()
+        for f in hit_files:
+            fn = _no_scheme(f)
+            owner = next(
+                (d for d, dslash in norm.items() if fn.startswith(dslash)),
+                None,
             )
-        affected_set.add(owner)
-    affected = sorted(d.rstrip("/") for d in affected_set)
-    untouched = [d for d in man["files"] if d.rstrip("/") not in affected]
+            if owner is None:
+                # a hit file that maps to NO manifest dir must abort: if
+                # we published anyway with a cleared tombstone list, its
+                # deleted rows would resurrect
+                raise IOError(
+                    f"apply_deletes: probed file {f} is outside every "
+                    f"manifest dir of {path} — refusing to publish"
+                )
+            group_affected.add(owner)
+        if group_affected:
+            ordered = sorted(group_affected)
+            survivor_parts.append(
+                reader.load(ordered).join(tomb, k, "left_anti")
+            )
+            affected_set.update(d.rstrip("/") for d in ordered)
+    affected = sorted(affected_set)
+    untouched = [d for d in man["files"] if d.rstrip("/") not in affected_set]
     version = versions[-1] + 1
     committed_at = _commit_ts(spark, path, versions, now)
     files = list(untouched)
@@ -504,7 +789,9 @@ def apply_deletes(spark: SparkSession, path: str, now=None) -> dict:
         new_dir = f"{path.rstrip('/')}/data/v{version}"
         if fs.exists(Path(new_dir)):
             fs.delete(Path(new_dir), True)
-        survivors = reader.load(affected).join(tomb, k, "left_anti")
+        survivors = survivor_parts[0]
+        for p in survivor_parts[1:]:
+            survivors = survivors.unionByName(p, allowMissingColumns=True)
         survivors.write.format(man["format"]).mode("error").save(new_dir)
         files = files + [new_dir]
     manifest = {
@@ -558,6 +845,8 @@ def rollback_snapshot(
     if target.get("deletes"):
         manifest["deletes"] = target["deletes"]
         manifest["delete_key"] = target["delete_key"]
+        if target.get("delete_scopes"):
+            manifest["delete_scopes"] = target["delete_scopes"]
     mdir = _manifest_dir(path)
     tmp = Path(f"{mdir}/.v{version}.json.tmp")
     final = Path(f"{mdir}/v{version}.json")
@@ -1077,34 +1366,53 @@ def snapshot_schema_drift(
 
 def snapshot_audit(spark: SparkSession, path: str) -> DataFrame:
     """Manifest-integrity audit over EVERY committed version: one row
-    ``(version, mode, n_data_dirs, n_missing_dirs, n_rows)`` — the
-    consistency check a warehouse runs before trusting time travel after
-    an incident (a manifest referencing a vanished data dir is exactly
-    the corruption :func:`expire_snapshots` misuse or manual deletion
-    leaves behind). ``n_rows`` is NULL for a version with missing dirs
-    (it is no longer fully readable) instead of a misleading partial
-    count.
+    ``(version, mode, n_data_dirs, n_missing_dirs, n_rows,
+    n_deleted_keys)`` — the consistency check a warehouse runs before
+    trusting time travel after an incident (a manifest referencing a
+    vanished data dir is exactly the corruption
+    :func:`expire_snapshots` misuse or manual deletion leaves behind).
 
-    Scale: manifests are driver metadata (O(files) strings); the row
-    counts are parquet footer-statistics counts per version — no column
-    data is scanned.
+    Tombstone-aware (r11 VERDICT item 7 / ADVICE): the missing-dir check
+    covers the manifest's tombstone dirs too — a vanished
+    ``_tombstones/v*`` still referenced by a manifest makes that version
+    unreadable exactly like a vanished data dir, and must not audit
+    healthy. ``n_rows`` is the LIVE row count (the tombstone-applied
+    read — what :func:`read_snapshot` of that version actually serves,
+    never the physical count that would overstate a post-delete table)
+    and ``n_deleted_keys`` the distinct tombstoned keys (0 when none).
+    Both are NULL for a version with missing dirs (no longer fully
+    readable) instead of a misleading partial count.
+
+    Scale: manifests are driver metadata (O(files) strings); the counts
+    are one count per version — parquet footer statistics when the
+    version has no tombstones, one anti-join count otherwise.
     """
     fs, Path = _fs(spark, path)
     rows = []
     for v in list_snapshots(spark, path):
         man = _read_manifest(spark, path, v)
         dirs = man["files"]
-        missing = [d for d in dirs if not fs.exists(Path(d))]
+        dels = man.get("deletes") or []
+        missing = [d for d in dirs + dels if not fs.exists(Path(d))]
         n_rows = None
+        n_deleted = None
         if not missing:
-            n_rows = (
-                spark.read.format(man["format"]).load(dirs).count()
+            n_rows = _load_with_tombstones(spark, man, dirs).count()
+            n_deleted = (
+                spark.read.parquet(*dels)
+                .select(man["delete_key"])
+                .distinct()
+                .count()
+                if dels
+                else 0
             )
-        rows.append((v, man["mode"], len(dirs), len(missing), n_rows))
+        rows.append(
+            (v, man["mode"], len(dirs), len(missing), n_rows, n_deleted)
+        )
     return spark.createDataFrame(
         rows,
         "version int, mode string, n_data_dirs int, n_missing_dirs int, "
-        "n_rows long",
+        "n_rows long, n_deleted_keys long",
     )
 
 
@@ -1188,9 +1496,11 @@ def clone_table(
         "committed_at": _commit_ts(spark, dst_path, [], now),
     }
     if src_manifest.get("deletes"):
-        # the cloned state includes its live tombstones
+        # the cloned state includes its live tombstones (and scopes)
         manifest["deletes"] = list(src_manifest["deletes"])
         manifest["delete_key"] = src_manifest["delete_key"]
+        if src_manifest.get("delete_scopes"):
+            manifest["delete_scopes"] = dict(src_manifest["delete_scopes"])
     mdir = _manifest_dir(dst_path)
     fs.mkdirs(Path(mdir))
     tmp = Path(f"{mdir}/.v1.json.tmp")

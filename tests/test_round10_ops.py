@@ -190,11 +190,20 @@ def test_media_decode_stats_matches_closed_form(spark, sf_dir):
         row = stats[did]
         if did % 2 == 0:
             w, h = 4 + did % 13, 3 + did % 9
-            px = _gen_pixels(did, w, h).astype(np.int64)
+            if did % 8 == 6:
+                # r12: the JPEG tier is block-constant (DC-only encode
+                # is bit-exact), so its closed form uses block coords
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = (did * 31 + (xx // 8) * 7 + (yy // 8) * 13) % 256
+                px = px.astype(np.int64)
+                want_codec = "jpeg"
+            else:
+                px = _gen_pixels(did, w, h).astype(np.int64)
+                want_codec = "png" if did % 4 == 0 else "bmp"
             idx = np.arange(w * h).reshape(h, w)
             # r11: id % 4 == 0 images are genuine PNG now; stats share
             # the same closed form (filtering is lossless)
-            assert row["decode_ok"] == ("png" if did % 4 == 0 else "bmp")
+            assert row["decode_ok"] == want_codec
             assert (row["width"], row["height"]) == (w, h)
             assert row["val_sum"] == int(px.sum())
             assert row["pos_sum"] == int((px * idx).sum())

@@ -349,22 +349,31 @@ def test_decode_media_stats_png_tier(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(40)
     stats = decode_media_stats(synthetic_media_corpus(docs)).collect()
     assert stats, "empty fixture"
-    saw_png = saw_bmp = False
+    saw_png = saw_bmp = saw_jpeg = False
     for r in stats:
         did = r["media_id"]
         if did % 2 == 1:
             assert r["decode_ok"] == "wav"
             continue
         w, h = 4 + did % 13, 3 + did % 9
-        px = _gen_pixels(did, w, h).astype(np.int64)
+        if did % 8 == 6:
+            # r12 JPEG tier: block-constant field, DC-only bit-exact
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = ((did * 31 + (xx // 8) * 7 + (yy // 8) * 13) % 256)
+            px = px.astype(np.int64)
+            want = "jpeg"
+        else:
+            px = _gen_pixels(did, w, h).astype(np.int64)
+            want = "png" if did % 4 == 0 else "bmp"
         idx = np.arange(w * h, dtype=np.int64).reshape(h, w)
-        assert r["decode_ok"] == ("png" if did % 4 == 0 else "bmp")
-        saw_png |= did % 4 == 0
-        saw_bmp |= did % 4 == 2
+        assert r["decode_ok"] == want
+        saw_png |= want == "png"
+        saw_bmp |= want == "bmp"
+        saw_jpeg |= want == "jpeg"
         assert (r["width"], r["height"]) == (w, h)
         assert r["val_sum"] == int(px.sum())
         assert r["pos_sum"] == int((px * idx).sum())
-    assert saw_png and saw_bmp
+    assert saw_png and saw_bmp and saw_jpeg
 
 
 # ---------------------------------------------------------------------------
@@ -471,6 +480,12 @@ def test_apply_deletes_rewrites_only_affected_dirs(spark, tmp_path):
 
 
 def test_rollback_and_incremental_respect_deletes(spark, tmp_path):
+    """r12 semantics: a tombstone is sequence-SCOPED to the data dirs
+    present at delete time (Iceberg v2), so key 22 — deleted BEFORE it
+    ever existed, then appended — is new data and stays visible; and
+    read_incremental REFUSES a range containing a delete commit (an
+    added-rows-only delta would silently miss row deaths — the
+    changelog_scan emission test covers the feed itself)."""
     from kafka_connect_hdfs_spark.snapshots import (
         commit_snapshot, delete_rows, read_incremental, read_snapshot,
         rollback_snapshot,
@@ -478,17 +493,36 @@ def test_rollback_and_incremental_respect_deletes(spark, tmp_path):
 
     path = _commit_two(spark, tmp_path, "t_rb")
     delete_rows(
-        spark, path, spark.createDataFrame([(5,), (22,)], "k long"), "k",
+        spark, path, spark.createDataFrame([(5,), (15,)], "k long"), "k",
         now=lambda: 3000,
     )
-    c = spark.range(20, 25).select(
+    c = spark.range(13, 25).select(
         F.col("id").alias("k"), F.lit("c").alias("src")
     )
     commit_snapshot(spark, c, path, mode="append", now=lambda: 4000)  # v4
-    # incremental v2→v4: only the appended rows, minus tombstoned 22
-    inc = {r["k"] for r in read_incremental(spark, path, 2).collect()}
-    assert inc == {20, 21, 23, 24}
-    # overwrite v5 resets deletes; rollback to v4 restores them
+    # the delete at v3 is inside v2→v4: an added-rows-only delta would
+    # be delete-blind — refuse and point at the changelog
+    with pytest.raises(ValueError, match="changelog_scan"):
+        read_incremental(spark, path, 2)
+    # a range WITHOUT the delete still serves: v3→v4 adds the c rows,
+    # and the re-appended 5/15 copies are newer than the tombstone
+    inc = {r["k"] for r in read_incremental(spark, path, 3).collect()}
+    assert inc == set(range(13, 25))
+    # scoped semantics: 15 was deleted at v3 but RE-INSERTED by the v4
+    # append — the tombstone only covers the v1/v2 dirs, so the new copy
+    # is visible (15's old copy is dead); 5 was never re-inserted and
+    # stays deleted
+    live = {r["k"] for r in read_snapshot(spark, path).collect()}
+    assert live == set(range(25)) - {5}
+    # ...exactly ONE physical copy of 15 (the v4 one), while 13 (never
+    # deleted, appended twice) has two
+    by_k = {
+        r["k"]: r["n"]
+        for r in read_snapshot(spark, path).groupBy("k").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_k[15] == 1 and by_k[13] == 2 and 5 not in by_k
+    # overwrite v5 resets deletes; rollback to v4 restores them + scopes
     commit_snapshot(
         spark,
         spark.range(2).select(F.col("id").alias("k"), F.lit("o").alias("src")),
@@ -496,8 +530,15 @@ def test_rollback_and_incremental_respect_deletes(spark, tmp_path):
     )
     assert {r["k"] for r in read_snapshot(spark, path).collect()} == {0, 1}
     rollback_snapshot(spark, path, 4, now=lambda: 6000)
-    live = {r["k"] for r in read_snapshot(spark, path).collect()}
-    assert live == set(range(25)) - {5, 22}
+    assert {
+        r["k"] for r in read_snapshot(spark, path).collect()
+    } == set(range(25)) - {5}
+    by_k2 = {
+        r["k"]: r["n"]
+        for r in read_snapshot(spark, path).groupBy("k").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_k2[15] == 1 and 5 not in by_k2
 
 
 def test_expire_reclaims_tombstone_dirs(spark, tmp_path):
