@@ -178,6 +178,55 @@ def main() -> None:
     qs = dict(qs)
     qs["ann_index_serve"] = _bench_index_serve
     qs["ann_index_build"] = _bench_index_build
+
+    # media fixture caching (VERDICT r11 item 5): the five media gates
+    # build their synthetic binary corpus (PNG zlib deflate + JPEG
+    # Huffman + WAV encode) INSIDE the gate, so their bench timings were
+    # ~60-100% fixture-encode cost (media_audio_spectrum 0.87->2.07 s in
+    # r11 was 100% the new PNG tier's encode). Build each corpus ONCE to
+    # parquet here, time that build as its own explicit entries, and
+    # point the media entries at the cached corpus — the same
+    # build/serve split as the ann index above. Correctness gates are
+    # untouched (the driver still runs the self-contained versions).
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        synthetic_media_corpus, synthetic_sine_corpus,
+    )
+
+    _media_pq = tempfile.mkdtemp(prefix="kchs_bench_media_") + "/corpus"
+    _sine_pq = tempfile.mkdtemp(prefix="kchs_bench_media_") + "/sine"
+    synthetic_media_corpus(entrymod._docs(spark, sf_dir)).write.parquet(
+        _media_pq
+    )
+    synthetic_sine_corpus(entrymod._docs(spark, sf_dir)).write.parquet(
+        _sine_pq
+    )
+
+    def _cached_media(fn, path):
+        def run(spark, sf_dir):
+            return fn(spark, sf_dir, corpus=spark.read.parquet(path))
+        return run
+
+    for _name, _path in [
+        ("media_decode_stats", _media_pq),
+        ("media_image_gradients", _media_pq),
+        ("media_image_resize", _media_pq),
+        ("media_audio_resample", _media_pq),
+        ("media_audio_spectrum", _sine_pq),
+    ]:
+        qs[_name] = _cached_media(getattr(entrymod, f"_q_{_name}"), _path)
+
+    def _bench_media_corpus_build(spark, sf_dir):
+        p = tempfile.mkdtemp(prefix="kchs_bench_mediab_") + "/c"
+        synthetic_media_corpus(entrymod._docs(spark, sf_dir)).write.parquet(p)
+        return spark.read.parquet(p).select("media_id")
+
+    def _bench_sine_corpus_build(spark, sf_dir):
+        p = tempfile.mkdtemp(prefix="kchs_bench_mediab_") + "/s"
+        synthetic_sine_corpus(entrymod._docs(spark, sf_dir)).write.parquet(p)
+        return spark.read.parquet(p).select("media_id")
+
+    qs["media_corpus_build"] = _bench_media_corpus_build
+    qs["sine_corpus_build"] = _bench_sine_corpus_build
     # full-registry coverage: every gated query is benched — the explicit
     # list above keeps round-over-round comparability for the long-lived
     # entries, everything else appends in registry order so the per-query
@@ -274,7 +323,12 @@ def main() -> None:
                     "diffs of single-run numbers are mostly noise); "
                     "ann_index_serve times ONLY the partition-pruned "
                     "serve read against a pre-built index, build cost is "
-                    "the separate ann_index_build entry. r11 A/B of the "
+                    "the separate ann_index_build entry; r12: the five "
+                    "media_* entries likewise read a corpus pre-built "
+                    "once (media_corpus_build / sine_corpus_build are "
+                    "the explicit encode-cost entries), so media gate "
+                    "timings measure the OPERATOR, not repeated "
+                    "PNG/JPEG/WAV fixture encoding. r11 A/B of the "
                     "two r10 movers (3 interleaved runs, quiet machine, "
                     "code unchanged r09->r10 per git): corpus_rehydrate "
                     "0.72-0.79s (r10's 1.26 was noise), "

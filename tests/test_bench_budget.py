@@ -93,6 +93,46 @@ def test_stream_state_bounded():
     assert not over, f"monitors with unbounded state: {over}"
 
 
+# ---------------------------------------------------------------------------
+# Scale-proof lane (r11 VERDICT item 4): the row-delete lifecycle's
+# headline claims carry measured numbers in BENCH_SCALE.json
+
+_SCALE = os.path.join(os.path.dirname(_DETAIL), "BENCH_SCALE.json")
+
+
+def _scale():
+    if not os.path.exists(_SCALE):
+        pytest.skip("BENCH_SCALE.json not present (scale proof not run)")
+    with open(_SCALE) as fh:
+        return json.load(fh)
+
+
+def test_scale_delete_rows_tracks_batch_not_table():
+    """delete_rows commits a FIXED 512-key batch at 1x and 10x data: the
+    O(batch) claim means wall must stay roughly flat (3x bound leaves
+    shared-host noise headroom on ~1 s walls), never track the 10x
+    table volume."""
+    d = _scale()
+    e = d["entries"].get("delete_rows")
+    if e is None:
+        pytest.skip("delete lane not yet measured")
+    assert e["wall_factor"] <= 3.0, e
+
+
+def test_scale_apply_deletes_rewrites_only_affected_dirs():
+    """Tombstones confined to one of eight dirs: compaction must report
+    exactly one dir rewritten and seven untouched at BOTH scales — the
+    affected-dir-only rewrite claim, measured."""
+    d = _scale()
+    e = d["entries"].get("apply_deletes")
+    if e is None:
+        pytest.skip("delete lane not yet measured")
+    big = f"{d['data_factor']}x"
+    assert e["n_dirs_rewritten_1x"] == 1 and e["n_dirs_untouched_1x"] == 7, e
+    assert e[f"n_dirs_rewritten_{big}"] == 1, e
+    assert e[f"n_dirs_untouched_{big}"] == 7, e
+
+
 def test_stream_lane_covers_monitors():
     d = _stream()
     assert set(d["monitors"]) >= {
