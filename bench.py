@@ -333,7 +333,14 @@ def main() -> None:
                     "code unchanged r09->r10 per git): corpus_rehydrate "
                     "0.72-0.79s (r10's 1.26 was noise), "
                     "bitext_mine_margin stable 2.66-2.73s (the r09 1.95 "
-                    "was the outlier run, not a regression)"
+                    "was the outlier run, not a regression). r12 A/B of "
+                    "the two r11 movers (same 3-interleaved-runs "
+                    "protocol; text.py/similarity.py unchanged in r11 "
+                    "per git diff --stat): text_hot_ngrams 2.96-3.28s "
+                    "(r11's 5.38 was noise, r10's 3.15 is the real "
+                    "level) and embedding_covariance 2.45-2.61s (r11's "
+                    "4.56 was noise) - both shared-VM swings, no code "
+                    "action taken"
                 ),
                 "queries": timings,
                 "runs": raw_runs,
