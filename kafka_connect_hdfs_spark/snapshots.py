@@ -503,6 +503,12 @@ def changelog_scan(
     prev = mans[vs[0]]
     for v in vs[1:]:
         man = mans[v]
+        if man["mode"] == "compact-deletes":
+            # apply_deletes rewrites files without changing a single
+            # visible row (its contract, chaos-swept) — zero changes to
+            # emit; later diffs compare against the compacted manifest
+            prev = man
+            continue
         prev_files = set(prev["files"])
         prev_dels = set(prev.get("deletes") or [])
         if prev_files - set(man["files"]) or prev_dels - set(

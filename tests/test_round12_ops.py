@@ -129,6 +129,40 @@ def test_changelog_scan_emits_inserts_and_deletes(spark, tmp_path):
     assert {"change_type", "change_version"} <= set(empty.columns)
 
 
+def test_changelog_scan_skips_compaction(spark, tmp_path):
+    """apply_deletes inside the range changes files but not one visible
+    row — the feed must emit the delete at ITS version, nothing at the
+    compaction version, and keep serving appends after it."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        apply_deletes, changelog_scan, commit_snapshot, delete_rows,
+    )
+
+    path = _three_commits(spark, tmp_path, "t_cdf_compact")
+    delete_rows(
+        spark, path, spark.createDataFrame([(7,)], "k long"), "k",
+        now=lambda: 3000,
+    )  # v3
+    info = apply_deletes(spark, path, now=lambda: 4000)  # v4
+    assert info["version"] == 4
+    commit_snapshot(
+        spark,
+        spark.range(30, 33).select(
+            F.col("id").alias("k"), F.lit("d").alias("src")
+        ),
+        path, mode="append", now=lambda: 5000,
+    )  # v5
+    feed = changelog_scan(spark, path, 1, 5).collect()
+    by_version = {}
+    for r in feed:
+        by_version.setdefault(
+            (r["change_version"], r["change_type"]), set()
+        ).add(r["k"])
+    assert by_version[(2, "insert")] == set(range(10, 20))
+    assert by_version[(3, "delete")] == {7}
+    assert (4, "insert") not in by_version and (4, "delete") not in by_version
+    assert by_version[(5, "insert")] == {30, 31, 32}
+
+
 def test_changelog_scan_refuses_overwrite(spark, tmp_path):
     from kafka_connect_hdfs_spark.snapshots import (
         changelog_scan, commit_snapshot,
