@@ -1280,3 +1280,57 @@ def test_kneser_ney_single_corpus_shuffle_no_smj(spark, sf):
     )
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastExchange") >= 3  # ctx, cont, total
+
+
+def test_snapshot_read_without_deletes_is_plain_scan(spark, tmp_path_factory):
+    """The merge-on-read seam costs NOTHING for tables that never
+    delete: read_snapshot of a delete-free version must compile to a
+    bare scan — no join, no extra exchange (the r11/r12 zero-overhead
+    claim, plan-pinned)."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, read_snapshot,
+    )
+
+    path = str(tmp_path_factory.mktemp("plan_snap") / "t")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    commit_snapshot(spark, df, path)
+    commit_snapshot(spark, df, path, mode="append")
+    plan = _plan(read_snapshot(spark, path))
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_scoped_tombstone_read_joins_only_in_scope(spark, tmp_path_factory):
+    """Sequence scoping in the PLAN: after delete → append, the scan
+    splits into the scoped group (one anti-join against the tombstone
+    keys) and the post-delete group (raw scan) unioned — exactly one
+    join, and the union proves the newer dir bypasses the tombstone
+    filter entirely."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, delete_rows, read_snapshot,
+    )
+
+    path = str(tmp_path_factory.mktemp("plan_snap2") / "t")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    commit_snapshot(spark, df, path)
+    delete_rows(
+        spark, path, spark.createDataFrame([(5,)], "k long"), "k"
+    )
+    commit_snapshot(
+        spark,
+        spark.range(100, 110).select(F.col("id").alias("k")),
+        path, mode="append",
+    )
+    import re
+
+    plan = _plan(read_snapshot(spark, path))
+    # exactly one anti-join node (formatted mode lists each operator in
+    # the tree AND the numbered detail — count the numbered nodes): the
+    # appended dir reads unfiltered on the other Union branch
+    joins = re.findall(r"\(\d+\) \w*Join", plan)
+    assert len(joins) == 1 and "LeftAnti" in plan, plan
+    assert "Union" in plan, plan
