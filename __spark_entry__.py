@@ -2184,6 +2184,31 @@ def _q_ops_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_video_frames(
+    spark: SparkSession, sf_dir: str, corpus: "DataFrame | None" = None
+) -> DataFrame:
+    """REAL video decoding (multimodal.decode_avi_mjpeg, r12 — the
+    video modality goes from stub to genuine): every doc becomes an
+    AVI/MJPEG clip (2 + id%4 frames, each frame a DC-only baseline JPEG
+    of a block-constant field), the operator walks the RIFF container
+    and Huffman-decodes every frame for real, and emits exact per-frame
+    integer sums. The oracle replays the generator's closed form per
+    (doc, frame, pixel) — a frame-order, odd-chunk-padding, header, or
+    entropy-decode bug breaks it. The capability-stub boundary is now
+    MP3/MP4-audio only."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        synthetic_video_corpus, video_frame_stats,
+    )
+
+    if corpus is None:
+        corpus = synthetic_video_corpus(_docs(spark, sf_dir))
+    st = video_frame_stats(corpus)
+    return st.select(
+        "media_id", "frame_idx", "width", "height", "n_frames",
+        "val_sum", "pos_sum", "decode_ok",
+    ).orderBy("media_id", "frame_idx")
+
+
 def _q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level dedup with reassembly (chunk = 2 tokens so the small
     fixture vocabulary actually produces cross-document repeats)."""
@@ -6581,24 +6606,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_row_deletes": _q_ops_row_deletes,
         # ===== NEW in r12
         "ops_changelog_scan": _q_ops_changelog_scan,
+        "media_video_frames": _q_media_video_frames,
     }
-    # ROUND-12 WINDOW: the driver checks the FIRST 50 keys — slot 1 is
-    # the gate added this round with ZERO driver rows (mandatory:
-    # ops_changelog_scan, the delete-aware change feed); slots 2-10 the
-    # changed Spark/oracle pairs (snapshot_audit tombstone-aware
+    # ROUND-12 WINDOW: the driver checks the FIRST 50 keys — slots 1-2
+    # are the gates added this round with ZERO driver rows (mandatory:
+    # ops_changelog_scan, the delete-aware change feed;
+    # media_video_frames, the real AVI/MJPEG video decode); slots 3-11
+    # the changed Spark/oracle pairs (snapshot_audit tombstone-aware
     # n_rows/n_deleted_keys, row-delete sequence scoping + dtype
     # fail-fast + read_incremental delete refusal, the JPEG tier in the
     # media corpus + decode/gradient/resize oracles, the chi2/MI/
-    # cramers_v filter-before-alias fix); slots 11-46 the r04-latest
+    # cramers_v filter-before-alias fix); slots 12-47 the r04-latest
     # block exactly as queued in the r11 comment (36 gates — the
-    # staleness floor moves to r05); slots 47-50 four of the six
-    # displaced r11 code-touched gates (the two o1_avro_* carry newer
-    # r08 evidence and defer). Package-code re-checks of the other
-    # snapshot ops gates (merge/time-travel/clone/expire, all r11
-    # evidence) are covered by pytest + this session's oracle spot-runs;
-    # their driver rows refresh next round.
+    # staleness floor moves to r05); slots 48-50 three of the six
+    # displaced r11 code-touched gates (oldest evidence first; the two
+    # o1_avro_* and ops_schema_drift carry newer r08 evidence and
+    # defer). Package-code re-checks of the other snapshot ops gates
+    # (merge/time-travel/clone/expire, all r11 evidence) are covered by
+    # pytest + this session's oracle spot-runs; their driver rows
+    # refresh next round.
     # ROUND-13 QUEUE: o1_avro_decimal_roundtrip,
-    # o1_avro_primitive_values (displaced twice), the snapshot-ops
+    # o1_avro_primitive_values, ops_schema_drift (displaced, r08
+    # evidence), the snapshot-ops
     # read-path re-checks (ops_merge_keyed/indexed, ops_read_as_of,
     # ops_time_travel, ops_snapshot_history, ops_asof_diff,
     # ops_expire_snapshots, ops_clone_table, ops_vacuum_orphans,
@@ -6618,9 +6647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_dsir_select, text_quality_filter_approx, text_unigram_encode,
     # text_unigram_lm, text_unk_replace_join, text_zipf_slope).
     _R12_WINDOW = [
-        # slot 1: zero-driver-row gate (NEW in r12)
+        # slots 1-2: zero-driver-row gates (NEW in r12)
         "ops_changelog_scan",
-        # slots 2-10: changed Spark/oracle pairs
+        "media_video_frames",
+        # slots 3-11: changed Spark/oracle pairs
         "ops_snapshot_audit",
         "ops_row_deletes",
         "ops_incremental_read",
@@ -6630,7 +6660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_chi2",
         "quality_mutual_info",
         "quality_cramers_v",
-        # slots 11-46: the r04-latest block (stalest driver evidence)
+        # slots 12-47: the r04-latest block (stalest driver evidence)
         "ann_cell_stats",
         "ann_label_mrr",
         "ann_triplets",
@@ -6667,12 +6697,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_confusion",
         "text_ngram_novelty",
         "text_vocab_drift",
-        # slots 47-50: displaced r11 code-touched gates (r05/r07/r08
-        # evidence, oldest first)
+        # slots 48-50: displaced r11 code-touched gates (r05/r07
+        # evidence, oldest first; ops_schema_drift at r08 defers)
         "ops_snapshot_schema_merge",
         "ops_wap_publish",
         "ops_snapshot_tags",
-        "ops_schema_drift",
     ]
     assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
     out = {k: reg.pop(k) for k in _R12_WINDOW}
@@ -9090,6 +9119,26 @@ UNION ALL
 SELECT 'cow' AS tier, lang, count(*)::BIGINT, sum(doc_id)::BIGINT
 FROM kept GROUP BY lang
 ORDER BY tier, lang
+"""
+    # per-(doc, frame, pixel) closed-form replay of the MJPEG generator;
+    # the Spark side decodes the actual AVI container + JPEG frames
+    sql["media_video_frames"] = """
+WITH vid AS (
+  SELECT doc_id, (4 + doc_id % 13)::INT AS w, (3 + doc_id % 9)::INT AS h,
+         (2 + doc_id % 4)::INT AS n
+  FROM documents
+),
+fr AS (SELECT doc_id, w, h, n, unnest(range(0, n))::INT AS f FROM vid),
+px AS (
+  SELECT doc_id, w, h, n, f, i,
+         (doc_id*31 + f*17 + ((i % w) // 8)*7 + ((i // w) // 8)*13) % 256 AS v
+  FROM (SELECT doc_id, w, h, n, f, unnest(range(0, w*h)) AS i FROM fr)
+)
+SELECT doc_id AS media_id, f AS frame_idx, w AS width, h AS height,
+       n AS n_frames, sum(v)::BIGINT AS val_sum, sum(v*i)::BIGINT AS pos_sum,
+       'mjpeg' AS decode_ok
+FROM px GROUP BY doc_id, f, w, h, n
+ORDER BY media_id, frame_idx
 """
     # changelog feed: v2 insert = fr rows, v3 delete = the %5==2 rows
     # alive at v2 (all of them — no earlier tombstones), v4 insert = the

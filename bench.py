@@ -190,15 +190,20 @@ def main() -> None:
     # untouched (the driver still runs the self-contained versions).
     from kafka_connect_hdfs_spark.operators.multimodal import (
         synthetic_media_corpus, synthetic_sine_corpus,
+        synthetic_video_corpus,
     )
 
     _media_pq = tempfile.mkdtemp(prefix="kchs_bench_media_") + "/corpus"
     _sine_pq = tempfile.mkdtemp(prefix="kchs_bench_media_") + "/sine"
+    _video_pq = tempfile.mkdtemp(prefix="kchs_bench_media_") + "/video"
     synthetic_media_corpus(entrymod._docs(spark, sf_dir)).write.parquet(
         _media_pq
     )
     synthetic_sine_corpus(entrymod._docs(spark, sf_dir)).write.parquet(
         _sine_pq
+    )
+    synthetic_video_corpus(entrymod._docs(spark, sf_dir)).write.parquet(
+        _video_pq
     )
 
     def _cached_media(fn, path):
@@ -212,6 +217,7 @@ def main() -> None:
         ("media_image_resize", _media_pq),
         ("media_audio_resample", _media_pq),
         ("media_audio_spectrum", _sine_pq),
+        ("media_video_frames", _video_pq),
     ]:
         qs[_name] = _cached_media(getattr(entrymod, f"_q_{_name}"), _path)
 
@@ -225,8 +231,14 @@ def main() -> None:
         synthetic_sine_corpus(entrymod._docs(spark, sf_dir)).write.parquet(p)
         return spark.read.parquet(p).select("media_id")
 
+    def _bench_video_corpus_build(spark, sf_dir):
+        p = tempfile.mkdtemp(prefix="kchs_bench_mediab_") + "/v"
+        synthetic_video_corpus(entrymod._docs(spark, sf_dir)).write.parquet(p)
+        return spark.read.parquet(p).select("media_id")
+
     qs["media_corpus_build"] = _bench_media_corpus_build
     qs["sine_corpus_build"] = _bench_sine_corpus_build
+    qs["video_corpus_build"] = _bench_video_corpus_build
     # full-registry coverage: every gated query is benched — the explicit
     # list above keeps round-over-round comparability for the long-lived
     # entries, everything else appends in registry order so the per-query

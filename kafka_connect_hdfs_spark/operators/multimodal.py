@@ -149,6 +149,9 @@ def _decode(media_type: str, payload: bytes) -> tuple[int, int, int]:
             w, h, _ = decode_jpeg(bytes(payload))
             return w, h, 1
         if payload[:4] == b"RIFF":
+            if payload[8:12] == b"AVI ":  # RIFF disambiguation: AVI vs WAVE
+                w, h, frames = decode_avi_mjpeg(bytes(payload))
+                return w, h, int(len(frames))
             _, _, frames = decode_wav(bytes(payload))
             return 0, 0, int(len(frames))
     except (ValueError, TypeError, _struct.error):
@@ -1006,6 +1009,149 @@ def _decode_image_gray(payload: bytes):
     raise ValueError("not a decodable image payload")
 
 
+# --- MJPEG-in-AVI video (r12): a genuine RIFF/AVI container walk with
+# per-frame baseline-JPEG decoding — the VIDEO modality becomes real
+# (the capability-stub boundary moves to MP3/MP4-audio only). The
+# container layout is the public AVI spec: hdrl (avih + strl/strh/strf)
+# headers, a movi LIST of 00dc frame chunks, and an idx1 index.
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""  # odd chunks carry a pad byte
+    return fourcc + _struct.pack("<I", len(body)) + body + pad
+
+
+def encode_avi_mjpeg(width: int, height: int, frames, fps: int = 10) -> bytes:
+    """Encode grayscale frame rasters as a REAL AVI/MJPEG video: each
+    frame is a genuine baseline JPEG (:func:`encode_jpeg_gray`) inside a
+    ``00dc`` chunk of the ``movi`` LIST, with a proper ``hdrl`` header
+    tree (avih main header, strh stream header with the 'MJPG' handler,
+    strf BITMAPINFOHEADER) and an ``idx1`` keyframe index. ``frames``
+    is an iterable of (height, width) uint8 arrays."""
+    jpegs = [
+        encode_jpeg_gray(width, height, _np.asarray(f, dtype=_np.uint8))
+        for f in frames
+    ]
+    n = len(jpegs)
+    max_bytes = max((len(j) for j in jpegs), default=0)
+    avih = _struct.pack(
+        "<14I",
+        1_000_000 // fps, max_bytes * fps, 0, 0x10,  # HASINDEX
+        n, 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + _struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                       max_bytes, 0, 0)
+        + _struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = _struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    strl = b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    hdrl = (
+        b"hdrl"
+        + _riff_chunk(b"avih", avih)
+        + _riff_chunk(b"LIST", strl)
+    )
+    movi_body = b"".join(_riff_chunk(b"00dc", j) for j in jpegs)
+    movi = b"movi" + movi_body
+    # idx1: one entry per frame — offsets are movi-relative (from 'movi')
+    idx = bytearray()
+    off = 4  # past the 'movi' fourcc
+    for j in jpegs:
+        idx += b"00dc" + _struct.pack("<III", 0x10, off, len(j))
+        off += 8 + len(j) + (len(j) & 1)
+    body = (
+        b"AVI "
+        + _riff_chunk(b"LIST", hdrl)
+        + _riff_chunk(b"LIST", movi)
+        + _riff_chunk(b"idx1", bytes(idx))
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes):
+    """Decode an AVI/MJPEG video: genuine RIFF chunk walk (hdrl header
+    validation — stream handler must be MJPG, dims cross-checked against
+    the per-frame JPEG headers), ``movi`` frame iteration with odd-chunk
+    padding, and a REAL :func:`decode_jpeg` per ``00dc`` frame. Returns
+    ``(width, height, [frame ndarray uint8 (h, w)])``. Raises ValueError
+    for non-AVI RIFF subtypes (WAV routes to :func:`decode_wav`),
+    non-MJPG streams, truncation, frame-count or dimension mismatches —
+    the same honest-rejection envelope as the image codecs."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    pos = 12
+    width = height = None
+    n_frames = None
+    handler_ok = False
+    frames: "list" = []
+    saw_movi = False
+
+    def _walk(pos: int, end: int):
+        nonlocal width, height, n_frames, handler_ok, saw_movi
+        while pos + 8 <= end:
+            cid = data[pos:pos + 4]
+            size = _struct.unpack_from("<I", data, pos + 4)[0]
+            body_at = pos + 8
+            if body_at + size > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                subtype = data[body_at:body_at + 4]
+                if subtype == b"movi":
+                    saw_movi = True
+                _walk(body_at + 4, body_at + size)
+            elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("short avih header")
+                vals = _struct.unpack_from("<10I", data, body_at)
+                n_frames = vals[4]
+                width, height = vals[8], vals[9]
+            elif cid == b"strh":
+                if data[body_at:body_at + 4] != b"vids":
+                    pass  # non-video stream: ignore
+                elif data[body_at + 4:body_at + 8] != b"MJPG":
+                    raise ValueError(
+                        "unsupported AVI video handler "
+                        f"{data[body_at + 4:body_at + 8]!r} (MJPG only)"
+                    )
+                else:
+                    handler_ok = True
+            elif cid in (b"00dc", b"00db"):
+                frames.append(data[body_at:body_at + size])
+            # idx1 / strf / JUNK / others: ancillary for decoding
+            pos = body_at + size + (size & 1)
+
+    # clamp the declared RIFF extent to the actual buffer: a size field
+    # pointing past the data is truncation, and the chunk-bound check
+    # inside the walk must report it as ValueError, not a struct error
+    declared_end = 12 + _struct.unpack_from("<I", data, 4)[0] - 4
+    if declared_end > len(data):
+        raise ValueError("truncated AVI payload")
+    _walk(12, declared_end)
+    if width is None or not saw_movi:
+        raise ValueError("AVI missing avih header or movi list")
+    if not handler_ok:
+        raise ValueError("AVI has no MJPG video stream")
+    if n_frames is not None and len(frames) != n_frames:
+        raise ValueError(
+            f"AVI frame count mismatch: header says {n_frames}, "
+            f"movi holds {len(frames)}"
+        )
+    out = []
+    for j in frames:
+        fw, fh, px = decode_jpeg(j)
+        if (fw, fh) != (width, height):
+            raise ValueError(
+                f"AVI frame dims {fw}x{fh} disagree with header "
+                f"{width}x{height}"
+            )
+        out.append(px)
+    return width, height, out
+
+
 def encode_wav_pcm16(samples, rate: int, channels: int = 1) -> bytes:
     """Encode int16 PCM samples as a real RIFF/WAVE file (``fmt `` +
     ``data`` chunks, little-endian PCM16). ``samples`` is a flat int16
@@ -1515,6 +1661,125 @@ def audio_resample_stats(df: DataFrame, n_out: int = 50) -> DataFrame:
 
     return fan_out(df.select("media_id", "payload")).mapInPandas(
         batches, schema=RESAMPLE_SCHEMA
+    )
+
+
+def synthetic_video_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a REAL binary VIDEO table from the documents fixture: every
+    doc becomes a genuine AVI/MJPEG clip of n = 2 + id % 4 frames, each
+    frame a baseline JPEG of the BLOCK-CONSTANT field pixel (x, y) of
+    frame f = (id*31 + f*17 + (x//8)*7 + (y//8)*13) % 256 at the same
+    dims as the image tiers (w = 4+id%13, h = 3+id%9). Block-constant
+    frames are DC-only JPEGs (q₀=8 → bit-exact round-trip), so every
+    decoded per-frame statistic has a closed form a SQL oracle replays
+    while the container walk + per-frame Huffman/IDCT machinery is
+    genuinely exercised.
+
+    Scale: same as :func:`synthetic_media_corpus` — encode runs in
+    mapInPandas, only ids enter Python, payloads never shuffle."""
+    enc_schema = StructType(
+        list(MEDIA_SCHEMA.fields)
+        + [StructField("sample_rate", LongType(), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "media_type": [], "payload": [],
+                "mime": [], "n_bytes": [], "sample_rate": [],
+            }
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 9
+                n = 2 + did % 4
+                yy, xx = _np.mgrid[0:h, 0:w]
+                frames = [
+                    ((did * 31 + f * 17 + (xx // 8) * 7 + (yy // 8) * 13)
+                     % 256).astype(_np.uint8)
+                    for f in range(n)
+                ]
+                payload = encode_avi_mjpeg(w, h, frames)
+                out["media_id"].append(did)
+                out["media_type"].append("video")
+                out["payload"].append(payload)
+                out["mime"].append("video/x-msvideo")
+                out["n_bytes"].append(len(payload))
+                out["sample_rate"].append(None)
+            yield pd.DataFrame(out)
+
+    from kafka_connect_hdfs_spark.functions import fan_out
+
+    return fan_out(docs.select(id_col)).mapInPandas(
+        batches, schema=enc_schema
+    )
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("val_sum", LongType(), True),
+        StructField("pos_sum", LongType(), True),
+        StructField("n_vals", LongType(), True),
+        StructField("decode_ok", StringType(), True),  # mjpeg | stub
+    ]
+)
+
+
+def video_frame_stats(df: DataFrame) -> DataFrame:
+    """Genuinely decode each AVI/MJPEG payload and emit ONE ROW PER
+    FRAME with exact integer statistics over the decoded pixels
+    (``val_sum`` = Σ gray, ``pos_sum`` = Σ gray·(x + width·y) top-down)
+    — the per-frame feature pass of a video training pipeline
+    (frame-level dedup, shot detection, quality filters key on exactly
+    these). Non-AVI payloads keep the honest stub path (one NULL-stat
+    row). The container walk, per-frame Huffman decode, and dequant/
+    IDCT are all real; a frame-order, padding, or index bug shifts
+    ``frame_idx`` attribution and breaks the oracle's closed form.
+
+    Scale: one mapInPandas pass; each payload reduces to n_frames thin
+    rows in the scan projection — the binary never shuffles, and frame
+    explosion happens AFTER decode inside the executor (rows carry
+    eight scalars, not pixels)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
+
+            def emit(rec):
+                for k in rows:
+                    rows[k].append(rec.get(k))
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    if payload[8:12] != b"AVI ":
+                        raise ValueError("not an AVI payload")
+                    w, h, frames = decode_avi_mjpeg(payload)
+                    idx = _np.arange(w * h, dtype=_np.int64).reshape(h, w)
+                    for f, px in enumerate(frames):
+                        g = px.astype(_np.int64)
+                        emit(
+                            {
+                                "media_id": int(mid), "frame_idx": f,
+                                "width": w, "height": h,
+                                "n_frames": len(frames),
+                                "val_sum": int(g.sum()),
+                                "pos_sum": int((g * idx).sum()),
+                                "n_vals": w * h, "decode_ok": "mjpeg",
+                            }
+                        )
+                except (ValueError, _struct.error):
+                    emit({"media_id": int(mid), "decode_ok": "stub"})
+            yield pd.DataFrame(rows)
+
+    from kafka_connect_hdfs_spark.functions import fan_out
+
+    return fan_out(df.select("media_id", "payload")).mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA
     )
 
 

@@ -437,6 +437,99 @@ def test_jpeg_dispatch_in_image_operators():
     assert (out == px).all()
 
 
+# ---------------------------------------------------------------------------
+# AVI/MJPEG video codec (r12) — the video modality made real
+
+
+def _avi_fixture(did):
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+    )
+
+    w, h = 4 + did % 13, 3 + did % 9
+    n = 2 + did % 4
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = [
+        ((did * 31 + f * 17 + (xx // 8) * 7 + (yy // 8) * 13) % 256)
+        .astype(np.uint8)
+        for f in range(n)
+    ]
+    return w, h, frames, encode_avi_mjpeg(w, h, frames)
+
+
+def test_avi_mjpeg_dc_tier_exact_roundtrip():
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+    )
+
+    for did in range(0, 160):  # covers all (w, h, n) combos
+        w, h, frames, data = _avi_fixture(did)
+        dw, dh, out = decode_avi_mjpeg(data)
+        assert (dw, dh) == (w, h) and len(out) == len(frames)
+        for f, px in enumerate(frames):
+            assert (out[f] == px).all(), (did, f)
+
+
+def test_avi_riff_disambiguation():
+    """WAV and AVI share the RIFF magic: the subtype at bytes 8-12 must
+    route each to its own codec, in both directions."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        _decode, decode_avi_mjpeg, decode_wav, encode_wav_pcm16,
+    )
+
+    _, _, _, avi = _avi_fixture(7)
+    wav = encode_wav_pcm16(np.arange(50, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_mjpeg(wav)
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        decode_wav(avi)
+    w, h = 4 + 7 % 13, 3 + 7 % 9
+    assert _decode("video", avi) == (w, h, 2 + 7 % 4)
+    assert _decode("audio", wav) == (0, 0, 50)
+
+
+def test_avi_corruption_raises():
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+    )
+
+    _, _, _, data = _avi_fixture(11)
+    for cut in (4, 11, 40, len(data) // 2):
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(data[:cut])
+    # non-MJPG handler
+    corrupt = bytearray(data)
+    at = data.index(b"vidsMJPG")
+    corrupt[at + 4:at + 8] = b"H264"
+    with pytest.raises(ValueError, match="MJPG only"):
+        decode_avi_mjpeg(bytes(corrupt))
+    # frame-count mismatch: header claims one more frame than movi holds
+    corrupt = bytearray(data)
+    avih_at = data.index(b"avih") + 8
+    n = int.from_bytes(data[avih_at + 16:avih_at + 20], "little")
+    corrupt[avih_at + 16:avih_at + 20] = (n + 1).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="frame count"):
+        decode_avi_mjpeg(bytes(corrupt))
+    # header dims disagreeing with the per-frame JPEG dims
+    corrupt = bytearray(data)
+    corrupt[avih_at + 32:avih_at + 36] = (99).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="dims"):
+        decode_avi_mjpeg(bytes(corrupt))
+
+
+def test_video_frame_stats_stub_on_non_avi(spark):
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        video_frame_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"definitely not a video")], "media_id long, payload binary"
+    )
+    rows = video_frame_stats(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["decode_ok"] == "stub" and rows[0]["val_sum"] is None
+
+
 def test_null_census_swapped_collision(spark):
     # a_col named 'b' AND b_col named 'a': the select SWAPS the names, so
     # a post-select filter reads each check against the opposite column —
