@@ -530,6 +530,55 @@ def test_video_frame_stats_stub_on_non_avi(spark):
     assert rows[0]["decode_ok"] == "stub" and rows[0]["val_sum"] is None
 
 
+# ---------------------------------------------------------------------------
+# MP4 / MP3 container probes (r12) — only sample decode remains stubbed
+
+
+def test_probe_mp4_roundtrip_and_corruption():
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        encode_mp4_stub, probe_mp4,
+    )
+
+    data = encode_mp4_stub(
+        12_345, [("vide", 640, 360), ("soun", 0, 0)]
+    )
+    meta = probe_mp4(data)
+    assert meta == {
+        "duration_ms": 12_345, "n_tracks": 2,
+        "track_types": ["vide", "soun"], "width": 640, "height": 360,
+    }
+    with pytest.raises(ValueError, match="not an ISO-BMFF"):
+        probe_mp4(b"RIFFxxxxWAVE")
+    for cut in (10, 40, len(data) - 9):
+        with pytest.raises(ValueError):
+            probe_mp4(data[:cut])
+    # a moov-less file (just the ftyp box) is outside the envelope
+    with pytest.raises(ValueError, match="moov"):
+        probe_mp4(data[:int.from_bytes(data[:4], "big")])
+
+
+def test_probe_mp3_frame_walk():
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        encode_mp3_stub, probe_mp3,
+    )
+
+    data = encode_mp3_stub(25, bitrate_kbps=128, sample_rate=44100)
+    meta = probe_mp3(data)
+    assert meta["n_frames"] == 25
+    assert meta["bitrate_kbps"] == 128 and meta["sample_rate"] == 44100
+    assert meta["duration_ms"] == 25 * 1152 * 1000 // 44100
+    # ID3v2 prefix skips transparently
+    id3 = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    assert probe_mp3(id3 + data)["n_frames"] == 25
+    # truncated mid-frame / garbage / sync loss all raise
+    with pytest.raises(ValueError, match="truncated"):
+        probe_mp3(data[:-10])
+    with pytest.raises(ValueError, match="sync"):
+        probe_mp3(b"\x00\x01\x02\x03" + data)
+    with pytest.raises(ValueError):
+        probe_mp3(b"")
+
+
 def test_null_census_swapped_collision(spark):
     # a_col named 'b' AND b_col named 'a': the select SWAPS the names, so
     # a post-select filter reads each check against the opposite column —
