@@ -163,6 +163,72 @@ def test_changelog_scan_skips_compaction(spark, tmp_path):
     assert by_version[(5, "insert")] == {30, 31, 32}
 
 
+def test_changelog_scan_with_schema_evolution(spark, tmp_path):
+    """An append that ADDS a column mid-range: the feed unions by name
+    with missing-column fill (old rows read NULL for the new column),
+    and delete materialization still resolves the key — the same
+    mergeSchema contract as read_snapshot."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        changelog_scan, commit_snapshot, delete_rows,
+    )
+
+    path = str(tmp_path / "t_cdf_evo")
+    a = spark.range(5).select(F.col("id").alias("k"))
+    commit_snapshot(spark, a, path, now=lambda: 1000)
+    b = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("new").alias("extra")
+    )
+    commit_snapshot(spark, b, path, mode="append", now=lambda: 2000)
+    delete_rows(
+        spark, path, spark.createDataFrame([(2,), (6,)], "k long"), "k",
+        now=lambda: 3000,
+    )
+    feed = changelog_scan(
+        spark, path, 1, 3, options={"mergeSchema": "true"}
+    ).collect()
+    ins = {(r["k"], r["extra"]) for r in feed
+           if r["change_type"] == "insert"}
+    dels = {(r["k"], r["extra"]) for r in feed
+            if r["change_type"] == "delete"}
+    assert ins == {(5, "new"), (6, "new"), (7, "new")}
+    # both deleted rows materialize; the v1 row has NULL for the
+    # evolved column, the v2 row carries its value
+    assert dels == {(2, None), (6, "new")}
+
+
+def test_clone_carries_sequence_scopes(spark, tmp_path):
+    """A clone of a table with scoped deletes must preserve the scopes:
+    appending a deleted key to the CLONE re-inserts it there (newer
+    than the cloned tombstone), while the clone still hides the
+    source's originally-deleted copies."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        clone_table, commit_snapshot, delete_rows, read_snapshot,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_scope_src")
+    delete_rows(
+        spark, src, spark.createDataFrame([(4,), (14,)], "k long"), "k",
+        now=lambda: 3000,
+    )
+    dst = str(tmp_path / "t_scope_clone")
+    clone_table(spark, src, dst, now=lambda: 4000)
+    assert {r["k"] for r in read_snapshot(spark, dst).collect()} == (
+        set(range(20)) - {4, 14}
+    )
+    commit_snapshot(
+        spark,
+        spark.createDataFrame([(4, "re")], "k long, src string"),
+        dst, mode="append", now=lambda: 5000,
+    )
+    rows = read_snapshot(spark, dst).collect()
+    assert {r["k"] for r in rows} == set(range(20)) - {14}
+    assert {r["src"] for r in rows if r["k"] == 4} == {"re"}
+    # the source is untouched by the clone's append
+    assert {r["k"] for r in read_snapshot(spark, src).collect()} == (
+        set(range(20)) - {4, 14}
+    )
+
+
 def test_changelog_scan_refuses_overwrite(spark, tmp_path):
     from kafka_connect_hdfs_spark.snapshots import (
         changelog_scan, commit_snapshot,
