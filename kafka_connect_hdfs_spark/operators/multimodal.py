@@ -952,6 +952,16 @@ def decode_jpeg(data: bytes):
     q = _np.asarray(qtables[qsel], dtype=_np.int64)
     dc_tab, ac_tab = huff[(0, dcsel)], huff[(1, acsel)]
     bw, bh = (w + 7) // 8, (h + 7) // 8
+    # bound the raster BEFORE allocating (r12 ADVICE): a ~30-byte corrupt
+    # payload can claim 65535x65535 in SOF0 and would spike ~4 GiB of
+    # executor memory (MemoryError escapes the ValueError stub fallback).
+    # Two cheap rejections: a sane decode envelope, and the information-
+    # theoretic floor of >=2 scan bits per block (1-bit DC code + 1-bit
+    # EOB) — a raster the payload cannot possibly encode is corrupt.
+    if w * h > (1 << 26):  # 64 MP envelope, 64 MiB padded raster
+        raise ValueError(f"JPEG dims {w}x{h} exceed the decode envelope")
+    if bw * bh * 2 > (len(data) - scan_at) * 8:
+        raise ValueError("JPEG scan data too short for its block grid")
     out = _np.zeros((bh * 8, bw * 8), dtype=_np.uint8)
     reader = _JpegBitReader(data, scan_at)
     prev_dc = 0

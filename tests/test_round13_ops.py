@@ -331,3 +331,30 @@ def test_changelog_diff_preserves_appenddelete_fast_path(spark, tmp_path):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode envelope (r12 ADVICE low): corrupt SOF0 dims must reject
+# cheaply, never allocate a multi-GiB raster
+
+
+def test_jpeg_oversized_dims_rejected_before_allocation():
+    import numpy as np
+
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg_gray,
+    )
+
+    data = encode_jpeg_gray(8, 8, np.zeros((8, 8), np.uint8))
+    sof_at = data.index(b"\xff\xc0")
+    # 65535x65535 claim (~4 GiB padded raster) on a ~100-byte payload
+    corrupt = bytearray(data)
+    corrupt[sof_at + 5:sof_at + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="envelope|too short"):
+        decode_jpeg(bytes(corrupt))
+    # a claim INSIDE the 64 MP envelope but impossible for the scan
+    # bytes (1024x1024 needs >=4 KiB of scan data at 2 bits/block)
+    corrupt2 = bytearray(data)
+    corrupt2[sof_at + 5:sof_at + 9] = b"\x04\x00\x04\x00"
+    with pytest.raises(ValueError, match="too short"):
+        decode_jpeg(bytes(corrupt2))
