@@ -83,6 +83,26 @@ def state_marker(
     return None
 
 
+def recover_state(spark: SparkSession, state_path: str, suffix: str) -> None:
+    """Step-1 crash recovery of the two-rename swap, callable on its
+    own: state missing but the ``_old`` backup present means the
+    previous swap died between its renames — restore the backup.
+    Callers that READ swap-published metadata (e.g. the changelog
+    mirror's sync marker) before swapping must run this first, or a
+    crash in that two-op window reads as 'no state yet'."""
+    fs, Path = _fs(spark, state_path)
+    parent, leaf = state_path.rstrip("/").rsplit("/", 1)
+    old = f"{parent}/.{leaf}__{suffix}_old"
+    if not fs.exists(Path(state_path)) and fs.exists(Path(old)):
+        if not fs.rename(Path(old), Path(state_path)):
+            raise IOError(f"{suffix} state swap: crash-recovery restore failed")
+    elif fs.exists(Path(state_path)) and fs.exists(Path(old)):
+        # live + backup: the publish landed and only the final backup
+        # delete was lost — finish it (a marker-guarded caller may
+        # never swap again, so the residue would otherwise persist)
+        fs.delete(Path(old), True)
+
+
 def swap_state_update(
     spark: SparkSession,
     state_path: str,
@@ -99,9 +119,7 @@ def swap_state_update(
     tmp = f"{parent}/.{leaf}__{suffix}_new"
     old = f"{parent}/.{leaf}__{suffix}_old"
 
-    if not fs.exists(Path(state_path)) and fs.exists(Path(old)):
-        if not fs.rename(Path(old), Path(state_path)):
-            raise IOError(f"{suffix} state swap: crash-recovery restore failed")
+    recover_state(spark, state_path, suffix)
 
     base = (
         spark.read.parquet(state_path)

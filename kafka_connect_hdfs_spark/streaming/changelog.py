@@ -1,0 +1,172 @@
+"""Changelog MIRROR consumer: maintain a downstream replica of a
+snapshot-log table from its delete-aware change feed — the consumer
+half of :func:`kafka_connect_hdfs_spark.snapshots.changelog_scan`
+(r12 VERDICT item 4). Reference analogue: the reference connector's
+consumers re-read landed files wholesale; Delta/Iceberg mirror jobs
+subscribe to the change feed instead and pay O(delta) per sync.
+
+Per sync tick: read the mirror's last-applied source version from the
+marker the previous swap published, scan the feed forward to the
+source's latest version, and fold it into the mirror state as ONE
+multiset update — ``state ∪ inserts`` minus ``deletes`` (``exceptAll``,
+so duplicate rows keep honest counts; an insert-then-delete of the same
+row inside the range nets out exactly). The fold and the marker publish
+through :func:`statedir.swap_state_update` — one atomic unit, so a
+crash either leaves the old state + old marker (the tick re-runs from
+the same inputs) or the new state + new marker (the tick is a no-op).
+Replay-safe without idempotent semantics: the marker IS the replay
+guard.
+
+Scale: each tick reads only the feed's delta dirs + tombstone scopes
+(changelog_scan's O(delta + scope) contract — BENCH_SCALE lane
+``changelog_scan``) plus one rewrite of the mirror state; with
+``on_overwrite="diff"`` a replace boundary honestly costs the two-state
+diff, still cheaper than the full resync it replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MARK = "_cdfsync_v"
+
+
+def last_synced_version(
+    spark: SparkSession, mirror_path: str
+) -> "int | None":
+    """The source version the mirror last applied (None before the
+    bootstrap sync) — read from the marker file the state swap
+    publishes atomically with the data."""
+    from kafka_connect_hdfs_spark.statedir import state_marker
+
+    name = state_marker(spark, mirror_path, _MARK)
+    return None if name is None else int(name[len(_MARK):])
+
+
+def _aligned(a: DataFrame, b: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """Project both frames onto the union of their columns (missing
+    columns fill as typed NULLs) so exceptAll's same-schema contract
+    holds across schema-evolved feeds."""
+    allcols = list(dict.fromkeys(a.columns + b.columns))
+    for c in allcols:
+        if c not in a.columns:
+            a = a.withColumn(c, F.lit(None).cast(b.schema[c].dataType))
+        if c not in b.columns:
+            b = b.withColumn(c, F.lit(None).cast(a.schema[c].dataType))
+    return a.select(allcols), b.select(allcols)
+
+
+def sync_changelog_mirror(
+    spark: SparkSession,
+    src_path: str,
+    mirror_path: str,
+    on_overwrite: str = "refuse",
+    options: "dict[str, str] | None" = None,
+) -> dict:
+    """One sync tick. Returns ``{"from_version", "to_version",
+    "bootstrapped"}`` (``from_version`` None on the bootstrap tick,
+    both equal when the mirror was already current).
+
+    The first tick BOOTSTRAPS: one full ``read_snapshot`` of the
+    source's latest version (every mirror starts with an initial copy —
+    the feed only carries changes). Later ticks are incremental. A
+    marker version the source has EXPIRED raises — the feed can no
+    longer reconstruct the delta and the mirror must re-bootstrap
+    (drop the mirror dir) — same contract as Iceberg's
+    incremental-read-from-expired-snapshot.
+    """
+    from kafka_connect_hdfs_spark.snapshots import (
+        changelog_scan, list_snapshots, read_snapshot,
+    )
+    from kafka_connect_hdfs_spark.statedir import (
+        recover_state, swap_state_update,
+    )
+
+    # a crash between the previous swap's two renames leaves the state
+    # (and its marker) at the backup path — restore BEFORE reading the
+    # marker, or this tick would wrongly re-bootstrap
+    recover_state(spark, mirror_path, "cdfsync")
+    versions = list_snapshots(spark, src_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {src_path}")
+    latest = versions[-1]
+    m = last_synced_version(spark, mirror_path)
+    if m is None:
+        snap = read_snapshot(spark, src_path, latest, options=options)
+        swap_state_update(
+            spark, mirror_path, lambda _s: snap, suffix="cdfsync",
+            marker=f"{_MARK}{latest}",
+        )
+        return {
+            "from_version": None, "to_version": latest, "bootstrapped": True,
+        }
+    if m == latest:
+        return {
+            "from_version": m, "to_version": latest, "bootstrapped": False,
+        }
+    if m not in versions:
+        raise ValueError(
+            f"mirror {mirror_path} last synced v{m} of {src_path}, which "
+            f"has been expired (have {versions}): the delta is no longer "
+            "reconstructable — delete the mirror dir to re-bootstrap"
+        )
+    feed = changelog_scan(
+        spark, src_path, m, latest, options=options,
+        on_overwrite=on_overwrite,
+    )
+    inserts = feed.filter(F.col("change_type") == "insert").drop(
+        "change_type", "change_version"
+    )
+    deletes = feed.filter(F.col("change_type") == "delete").drop(
+        "change_type", "change_version"
+    )
+
+    def _upd(state: "DataFrame | None") -> DataFrame:
+        # the marker proves state exists whenever m is not None; a None
+        # state here means the dir vanished out-of-band — fail loudly
+        # rather than silently rebuilding from the delta alone
+        if state is None:
+            raise IOError(
+                f"mirror state at {mirror_path} vanished but its sync "
+                "marker survived: refusing to rebuild from a delta"
+            )
+        new_state = state.unionByName(inserts, allowMissingColumns=True)
+        new_state, dels = _aligned(new_state, deletes)
+        return new_state.exceptAll(dels)
+
+    swap_state_update(
+        spark, mirror_path, _upd, suffix="cdfsync",
+        marker=f"{_MARK}{latest}",
+    )
+    return {"from_version": m, "to_version": latest, "bootstrapped": False}
+
+
+def start_changelog_mirror(
+    trigger: DataFrame,
+    src_path: str,
+    mirror_path: str,
+    checkpoint: str,
+    on_overwrite: str = "refuse",
+    options: "dict[str, str] | None" = None,
+    available_now: bool = True,
+):
+    """The foreachBatch lane: run one :func:`sync_changelog_mirror`
+    tick per micro-batch of ``trigger`` (any stream works — a rate
+    source for wall-clock polling, a notification topic for push). The
+    tick is marker-guarded, so redundant or replayed triggers are
+    no-ops; the batch's own rows are only a clock."""
+    spark = trigger.sparkSession
+
+    def _tick(batch_df: DataFrame, batch_id: int) -> None:
+        sync_changelog_mirror(
+            spark, src_path, mirror_path, on_overwrite=on_overwrite,
+            options=options,
+        )
+
+    writer = trigger.writeStream.foreachBatch(_tick).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

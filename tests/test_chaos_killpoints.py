@@ -409,3 +409,80 @@ def test_sweep_delete_rows_and_apply(spark, tmp_path):
             read_snapshot(spark, ctx["path"], version=v).count()
 
     _sweep(setup, op, recover, invariant, max_points=64)
+
+
+# ---------------------------------------------------------------------------
+# streaming.changelog.sync_changelog_mirror — the marker-guarded mirror
+# tick (r13): a kill at any boundary of the bootstrap-or-incremental
+# swap must leave a re-run converging on the snapshot census, never a
+# double-applied delta (the marker publishes atomically with the state)
+
+
+def test_sweep_changelog_mirror_sync(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, delete_rows, read_snapshot,
+    )
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        last_synced_version, sync_changelog_mirror,
+    )
+
+    it = iter(range(10_000))
+
+    def setup():
+        root = tmp_path / f"cdfsync{next(it)}"
+        src = str(root / "src")
+        mirror = str(root / "mirror")
+        commit_snapshot(
+            spark,
+            spark.range(10).select(
+                F.col("id").alias("k"), F.lit("a").alias("src")
+            ),
+            src, now=lambda: 1000,
+        )
+        # bootstrap OUTSIDE the sweep: the swept op is the incremental tick
+        sync_changelog_mirror(spark, src, mirror)
+        commit_snapshot(
+            spark,
+            spark.range(10, 14).select(
+                F.col("id").alias("k"), F.lit("b").alias("src")
+            ),
+            src, mode="append", now=lambda: 2000,
+        )
+        delete_rows(
+            spark, src, spark.createDataFrame([(3,), (11,)], "k long"),
+            "k", now=lambda: 3000,
+        )
+        return {"src": src, "mirror": mirror}
+
+    def op(ctx):
+        sync_changelog_mirror(spark, ctx["src"], ctx["mirror"])
+
+    def recover(ctx):
+        sync_changelog_mirror(spark, ctx["src"], ctx["mirror"])
+
+    def invariant(ctx):
+        from collections import Counter
+
+        got = Counter(
+            (r["k"], r["src"])
+            for r in spark.read.parquet(ctx["mirror"]).collect()
+        )
+        want = Counter(
+            (r["k"], r["src"])
+            for r in read_snapshot(spark, ctx["src"]).collect()
+        )
+        assert got == want
+        assert last_synced_version(spark, ctx["mirror"]) == 3
+        parent = ctx["mirror"].rsplit("/", 1)[0]
+        fs, Path = statedir.hadoop_fs(spark, parent)
+        residue = [
+            st.getPath().getName()
+            for st in fs.listStatus(Path(parent))
+            if st.getPath().getName().startswith(".mirror__cdfsync")
+        ]
+        assert residue == [], residue
+
+    n = _sweep(setup, op, recover, invariant)
+    assert n >= 5  # marker create + delete(tmp/old) + 2 renames + delete

@@ -358,3 +358,127 @@ def test_jpeg_oversized_dims_rejected_before_allocation():
     corrupt2[sof_at + 5:sof_at + 9] = b"\x04\x00\x04\x00"
     with pytest.raises(ValueError, match="too short"):
         decode_jpeg(bytes(corrupt2))
+
+
+# ---------------------------------------------------------------------------
+# Changelog mirror consumer (r12 VERDICT item 4a): the downstream
+# replica maintained from the feed must always equal read_snapshot
+
+
+def test_changelog_mirror_sync_matches_snapshot(spark, tmp_path):
+    from collections import Counter
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, delete_rows, read_snapshot,
+    )
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        last_synced_version, sync_changelog_mirror,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_mirror_src")
+    mirror = str(tmp_path / "t_mirror")
+
+    def _census(df):
+        return Counter((r["k"], r["src"]) for r in df.collect())
+
+    # bootstrap tick: full copy of latest
+    info = sync_changelog_mirror(spark, src, mirror)
+    assert info["bootstrapped"] and info["to_version"] == 2
+    assert _census(spark.read.parquet(mirror)) == _census(
+        read_snapshot(spark, src)
+    )
+    # idle tick: marker-guarded no-op
+    info = sync_changelog_mirror(spark, src, mirror)
+    assert not info["bootstrapped"]
+    assert info["from_version"] == info["to_version"] == 2
+    # incremental: a delete and a re-insert land through the feed
+    delete_rows(
+        spark, src, spark.createDataFrame([(3,), (15,)], "k long"), "k",
+        now=lambda: 3000,
+    )  # v3
+    commit_snapshot(
+        spark,
+        spark.range(15, 17).select(
+            F.col("id").alias("k"), F.lit("c").alias("src")
+        ),
+        src, mode="append", now=lambda: 4000,
+    )  # v4
+    info = sync_changelog_mirror(spark, src, mirror)
+    assert (info["from_version"], info["to_version"]) == (2, 4)
+    assert last_synced_version(spark, mirror) == 4
+    assert _census(spark.read.parquet(mirror)) == _census(
+        read_snapshot(spark, src)
+    )
+
+
+def test_changelog_mirror_across_overwrite(spark, tmp_path):
+    """With on_overwrite='diff' the mirror replays straight through a
+    replace commit and still equals the snapshot; the default refuses
+    (and leaves the mirror untouched)."""
+    from collections import Counter
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, read_snapshot,
+    )
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        sync_changelog_mirror,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_mirror_ow_src")
+    mirror = str(tmp_path / "t_mirror_ow")
+    sync_changelog_mirror(spark, src, mirror)
+    commit_snapshot(
+        spark,
+        spark.range(100, 104).select(
+            F.col("id").alias("k"), F.lit("o").alias("src")
+        ),
+        src, now=lambda: 3000,
+    )  # v3 overwrite
+    before = sorted(
+        (r["k"], r["src"]) for r in spark.read.parquet(mirror).collect()
+    )
+    with pytest.raises(ValueError, match="on_overwrite"):
+        sync_changelog_mirror(spark, src, mirror)
+    assert before == sorted(
+        (r["k"], r["src"]) for r in spark.read.parquet(mirror).collect()
+    )
+    info = sync_changelog_mirror(spark, src, mirror, on_overwrite="diff")
+    assert (info["from_version"], info["to_version"]) == (2, 3)
+    assert Counter(
+        (r["k"], r["src"]) for r in spark.read.parquet(mirror).collect()
+    ) == Counter(
+        (r["k"], r["src"]) for r in read_snapshot(spark, src).collect()
+    )
+
+
+def test_changelog_mirror_foreachbatch_lane(spark, tmp_path):
+    """The streaming wrapper: any trigger stream drives marker-guarded
+    sync ticks; after the run the mirror equals the snapshot."""
+    from collections import Counter
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        delete_rows, read_snapshot,
+    )
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        start_changelog_mirror, sync_changelog_mirror,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_mirror_fb_src")
+    mirror = str(tmp_path / "t_mirror_fb")
+    sync_changelog_mirror(spark, src, mirror)  # bootstrap
+    delete_rows(
+        spark, src, spark.createDataFrame([(7,)], "k long"), "k",
+        now=lambda: 3000,
+    )
+    ticks = str(tmp_path / "ticks")
+    spark.range(3).write.parquet(ticks)  # 3 trigger rows -> >=1 batch
+    q = start_changelog_mirror(
+        spark.readStream.schema("id long").parquet(ticks),
+        src, mirror, str(tmp_path / "chk"),
+    )
+    q.awaitTermination(120)
+    assert Counter(
+        (r["k"], r["src"]) for r in spark.read.parquet(mirror).collect()
+    ) == Counter(
+        (r["k"], r["src"]) for r in read_snapshot(spark, src).collect()
+    )
