@@ -2209,6 +2209,32 @@ def _q_media_video_frames(
     ).orderBy("media_id", "frame_idx")
 
 
+def _q_media_container_probe(
+    spark: SparkSession, sf_dir: str, corpus: "DataFrame | None" = None
+) -> DataFrame:
+    """REAL container-metadata probing (multimodal.probe_mp4 /
+    probe_mp3, r12 VERDICT item 5 — the r12 probes gain their driver
+    gate): even docs become genuine ISO-BMFF files (box walk: mvhd
+    duration, tkhd 16.16 dims, hdlr track types), odd docs valid
+    MPEG-1 Layer III streams (frame-header walk: frame count, bitrate,
+    sample rate, 1152-samples-per-frame duration). Every probed field
+    is an integer closed form of the doc id, so the oracle replays the
+    stub encoders' parameters with no shared code — a box-framing,
+    fixed-point, or frame-hop bug breaks the match. Sample decode
+    remains the honest stub boundary."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        container_probe_stats, synthetic_container_corpus,
+    )
+
+    if corpus is None:
+        corpus = synthetic_container_corpus(_docs(spark, sf_dir))
+    st = container_probe_stats(corpus)
+    return st.select(
+        "media_id", "kind", "duration_ms", "n_tracks", "track_types",
+        "width", "height", "n_frames", "bitrate_kbps", "sample_rate",
+    ).orderBy("media_id")
+
+
 def _q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level dedup with reassembly (chunk = 2 tokens so the small
     fixture vocabulary actually produces cross-document repeats)."""
@@ -6607,6 +6633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== NEW in r12
         "ops_changelog_scan": _q_ops_changelog_scan,
         "media_video_frames": _q_media_video_frames,
+        "media_container_probe": _q_media_container_probe,
     }
     # ROUND-12 WINDOW: the driver checks the FIRST 50 keys — slots 1-2
     # are the gates added this round with ZERO driver rows (mandatory:
@@ -9119,6 +9146,39 @@ UNION ALL
 SELECT 'cow' AS tier, lang, count(*)::BIGINT, sum(doc_id)::BIGINT
 FROM kept GROUP BY lang
 ORDER BY tier, lang
+"""
+    # closed-form replay of the MP4/MP3 stub encoders' parameters; the
+    # Spark side genuinely walks the ISO-BMFF boxes / MP3 frame headers
+    sql["media_container_probe"] = """
+WITH m AS (SELECT doc_id FROM documents),
+mp4 AS (
+  SELECT doc_id AS media_id, 'mp4' AS kind,
+         (1000 + (doc_id % 97) * 50)::BIGINT AS duration_ms,
+         (CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END)::INT AS n_tracks,
+         CASE WHEN doc_id % 4 = 0 THEN 'vide,soun' ELSE 'vide' END
+           AS track_types,
+         (160 + (doc_id % 8) * 16)::INT AS width,
+         (120 + (doc_id % 6) * 8)::INT AS height,
+         NULL::INT AS n_frames, NULL::INT AS bitrate_kbps,
+         NULL::INT AS sample_rate
+  FROM m WHERE doc_id % 2 = 0
+),
+mp3p AS (
+  SELECT doc_id, (10 + doc_id % 53) AS nf,
+         ([64, 128, 192, 320])[(doc_id // 2) % 4 + 1] AS br,
+         ([44100, 48000, 32000])[(doc_id // 2) % 3 + 1] AS rate
+  FROM m WHERE doc_id % 2 = 1
+),
+mp3 AS (
+  SELECT doc_id AS media_id, 'mp3' AS kind,
+         (nf * 1152 * 1000 // rate)::BIGINT AS duration_ms,
+         NULL::INT AS n_tracks, NULL AS track_types,
+         NULL::INT AS width, NULL::INT AS height,
+         nf::INT AS n_frames, br::INT AS bitrate_kbps,
+         rate::INT AS sample_rate
+  FROM mp3p
+)
+SELECT * FROM mp4 UNION ALL SELECT * FROM mp3 ORDER BY media_id
 """
     # per-(doc, frame, pixel) closed-form replay of the MJPEG generator;
     # the Spark side decodes the actual AVI container + JPEG frames

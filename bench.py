@@ -189,8 +189,8 @@ def main() -> None:
     # build/serve split as the ann index above. Correctness gates are
     # untouched (the driver still runs the self-contained versions).
     from kafka_connect_hdfs_spark.operators.multimodal import (
-        synthetic_media_corpus, synthetic_sine_corpus,
-        synthetic_video_corpus,
+        synthetic_container_corpus, synthetic_media_corpus,
+        synthetic_sine_corpus, synthetic_video_corpus,
     )
 
     _media_pq = tempfile.mkdtemp(prefix="kchs_bench_media_") + "/corpus"
@@ -205,6 +205,10 @@ def main() -> None:
     synthetic_video_corpus(entrymod._docs(spark, sf_dir)).write.parquet(
         _video_pq
     )
+    _container_pq = tempfile.mkdtemp(prefix="kchs_bench_media_") + "/cont"
+    synthetic_container_corpus(entrymod._docs(spark, sf_dir)).write.parquet(
+        _container_pq
+    )
 
     def _cached_media(fn, path):
         def run(spark, sf_dir):
@@ -218,6 +222,7 @@ def main() -> None:
         ("media_audio_resample", _media_pq),
         ("media_audio_spectrum", _sine_pq),
         ("media_video_frames", _video_pq),
+        ("media_container_probe", _container_pq),
     ]:
         qs[_name] = _cached_media(getattr(entrymod, f"_q_{_name}"), _path)
 
@@ -236,7 +241,15 @@ def main() -> None:
         synthetic_video_corpus(entrymod._docs(spark, sf_dir)).write.parquet(p)
         return spark.read.parquet(p).select("media_id")
 
+    def _bench_container_corpus_build(spark, sf_dir):
+        p = tempfile.mkdtemp(prefix="kchs_bench_mediab_") + "/k"
+        synthetic_container_corpus(
+            entrymod._docs(spark, sf_dir)
+        ).write.parquet(p)
+        return spark.read.parquet(p).select("media_id")
+
     qs["media_corpus_build"] = _bench_media_corpus_build
+    qs["container_corpus_build"] = _bench_container_corpus_build
     qs["sine_corpus_build"] = _bench_sine_corpus_build
     qs["video_corpus_build"] = _bench_video_corpus_build
     # full-registry coverage: every gated query is benched — the explicit

@@ -482,3 +482,34 @@ def test_changelog_mirror_foreachbatch_lane(spark, tmp_path):
     ) == Counter(
         (r["k"], r["src"]) for r in read_snapshot(spark, src).collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# Container probe gate plumbing (r12 VERDICT item 5)
+
+
+def test_container_probe_dispatch_and_stub(spark):
+    """The probe operator routes ftyp -> MP4, frame-sync/ID3 -> MP3,
+    anything else to the honest stub row."""
+    from kafka_connect_hdfs_spark.operators.multimodal import (
+        container_probe_stats, encode_mp3_stub, encode_mp4_stub,
+    )
+
+    mp4 = encode_mp4_stub(2000, [("vide", 320, 240)])
+    mp3 = encode_mp3_stub(5, bitrate_kbps=128, sample_rate=44100)
+    id3 = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + mp3
+    rows = container_probe_stats(
+        spark.createDataFrame(
+            [(1, bytearray(mp4)), (2, bytearray(mp3)),
+             (3, bytearray(id3)), (4, bytearray(b"garbage")),
+             (5, bytearray(mp4[:20]))],
+            "media_id long, payload binary",
+        )
+    ).collect()
+    by = {r["media_id"]: r for r in rows}
+    assert by[1]["kind"] == "mp4" and by[1]["duration_ms"] == 2000
+    assert by[1]["track_types"] == "vide" and by[1]["width"] == 320
+    assert by[2]["kind"] == "mp3" and by[2]["n_frames"] == 5
+    assert by[3]["kind"] == "mp3" and by[3]["n_frames"] == 5  # ID3 skip
+    assert by[4]["kind"] == "stub" and by[4]["duration_ms"] is None
+    assert by[5]["kind"] == "stub"  # truncated MP4: honest rejection
