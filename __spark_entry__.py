@@ -2129,13 +2129,16 @@ def _q_ops_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-aware CHANGE FEED (snapshots.changelog_scan, r11 VERDICT
     item 2 — Delta CDF / Iceberg ChangelogScanTask parity): commits
     non-fr (v1), appends fr (v2), row-DELETES doc_id % 5 == 2 (v3,
-    merge-on-read tombstone), then re-appends the doc_id % 10 == 2 half
-    of the deleted keys (v4 — newer than the tombstone by sequence
-    scoping). The feed over v1→v4 must emit the v2/v4 appends as
-    inserts and the full row images of the v3 deaths as deletes — the
-    exact rows read_incremental REFUSES to summarize — and the 'live'
-    tier pins that re-inserted keys are visible while never-re-inserted
-    ones stay dead. The oracle replays every tier from the source
+    merge-on-read tombstone), re-appends the doc_id % 10 == 2 half of
+    the deleted keys (v4 — newer than the tombstone by sequence
+    scoping), then OVERWRITES with the doc_id % 3 == 0 slice (v5 — a
+    replace boundary, r12 VERDICT item 3) and appends doc_id % 7 == 1
+    (v6 — the feed continues past the boundary). With
+    on_overwrite='diff' the v5 boundary emits NET row images (Delta
+    CDF REPLACE semantics): deletes = rows alive at v4 absent from the
+    new state, inserts = new-state rows that were not alive at v4 —
+    survivors of the overwrite emit NOTHING. The 'live' tier pins the
+    final census. The oracle replays every tier from the source
     table's closed form."""
     import tempfile
 
@@ -2161,7 +2164,15 @@ def _q_ops_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs.filter(F.col("doc_id") % 10 == 2), path,
         mode="append", now=lambda: 4000,
     )
-    feed = changelog_scan(spark, path, 1, 4)
+    commit_snapshot(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), path,
+        now=lambda: 5000,
+    )  # v5 overwrite: the replace boundary
+    commit_snapshot(
+        spark, docs.filter(F.col("doc_id") % 7 == 1), path,
+        mode="append", now=lambda: 6000,
+    )  # v6: ordinary append after the boundary
+    feed = changelog_scan(spark, path, 1, 6, on_overwrite="diff")
     agg = feed.groupBy("change_version", "change_type", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("sum_ids"),
@@ -9202,8 +9213,13 @@ ORDER BY media_id, frame_idx
 """
     # changelog feed: v2 insert = fr rows, v3 delete = the %5==2 rows
     # alive at v2 (all of them — no earlier tombstones), v4 insert = the
-    # re-appended %10==2 rows (raw — newer than the tombstone), live =
-    # every doc except the deleted-and-never-re-inserted %10==7 half
+    # re-appended %10==2 rows (newer than the tombstone). v5 is the
+    # overwrite boundary's NET diff: state-at-v4 = {%10<>7}, new state =
+    # {%3==0}, so deletes = %10<>7 AND %3<>0 (lost rows), inserts =
+    # %3==0 AND %10==7 (rows the old state lacked) — the %3==0 AND
+    # %10<>7 survivors emit nothing. v6 insert = the %7==1 append; live
+    # = {%3==0} ∪ {%7==1} as a MULTISET (a doc matching both is there
+    # twice).
     sql["ops_changelog_scan"] = """
 WITH base AS (SELECT doc_id, lang FROM documents)
 SELECT 2 AS change_version, 'insert' AS change_type, lang,
@@ -9216,8 +9232,21 @@ UNION ALL
 SELECT 4, 'insert', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
 FROM base WHERE doc_id % 10 = 2 GROUP BY lang
 UNION ALL
+SELECT 5, 'delete', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+FROM base WHERE doc_id % 10 <> 7 AND doc_id % 3 <> 0 GROUP BY lang
+UNION ALL
+SELECT 5, 'insert', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+FROM base WHERE doc_id % 3 = 0 AND doc_id % 10 = 7 GROUP BY lang
+UNION ALL
+SELECT 6, 'insert', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+FROM base WHERE doc_id % 7 = 1 GROUP BY lang
+UNION ALL
 SELECT 99, 'live', lang, count(*)::BIGINT, sum(doc_id)::BIGINT
-FROM base WHERE doc_id % 10 <> 7 GROUP BY lang
+FROM (
+  SELECT doc_id, lang FROM base WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, lang FROM base WHERE doc_id % 7 = 1
+) GROUP BY lang
 ORDER BY change_version, change_type, lang
 """
     # composed AFTER its constituents: recall@5 of IVF vs the exact top-5

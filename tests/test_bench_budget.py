@@ -133,6 +133,36 @@ def test_scale_apply_deletes_rewrites_only_affected_dirs():
     assert e[f"n_dirs_untouched_{big}"] == 7, e
 
 
+def test_scale_changelog_append_range_is_delta_bounded():
+    """changelog_scan over an append-only range reads ONLY the added
+    dir (planning-time pruning): with a FIXED 512-row delta the wall
+    must stay flat as the table grows 10x (3x bound = shared-host noise
+    headroom on sub-second walls), and the emitted row images are the
+    same delta at both scales."""
+    d = _scale()
+    e = d["entries"].get("changelog_scan_append")
+    if e is None:
+        pytest.skip("changelog lane not yet measured")
+    big = f"{d['data_factor']}x"
+    assert e["wall_factor"] <= 3.0, e
+    assert e["rows_1x"] == e[f"rows_{big}"] == 512, e
+
+
+def test_scale_changelog_delete_range_is_scope_bounded():
+    """The delete-range feed additionally scans the tombstone's SCOPE
+    (key column, semi-join pushed in): wall may grow with the scope but
+    never faster than the data factor, and the dead row images stay the
+    fixed delta (the 512 appended + 512 original copies) at both
+    scales — O(delta + scope), measured."""
+    d = _scale()
+    e = d["entries"].get("changelog_scan_delete")
+    if e is None:
+        pytest.skip("changelog lane not yet measured")
+    big = f"{d['data_factor']}x"
+    assert e["wall_factor"] <= d["data_factor"], e
+    assert e["rows_1x"] == e[f"rows_{big}"] == 1024, e
+
+
 def test_stream_lane_covers_monitors():
     d = _stream()
     assert set(d["monitors"]) >= {
