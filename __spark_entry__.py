@@ -6663,86 +6663,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (merge/time-travel/clone/expire, all r11 evidence) are covered by
     # pytest + this session's oracle spot-runs; their driver rows
     # refresh next round.
-    # ROUND-13 QUEUE: o1_avro_decimal_roundtrip,
-    # o1_avro_primitive_values, ops_schema_drift (displaced, r08
-    # evidence), the snapshot-ops
-    # read-path re-checks (ops_merge_keyed/indexed, ops_read_as_of,
-    # ops_time_travel, ops_snapshot_history, ops_asof_diff,
-    # ops_expire_snapshots, ops_clone_table, ops_vacuum_orphans,
-    # ops_orphan_report, ops_snapshot_rollback, ops_snapshot_diff,
-    # ops_snapshot_content_diff — their shared reader went through
-    # _load_with_tombstones in r12), then the r05-latest block
-    # (ann_ivfpq_recall, ann_knn_graph, ann_knn_refine, ann_maxsim_topk,
-    # ann_probe_sweep, ann_trunc_recall, corpus_concentration,
-    # corpus_modality_coverage, corpus_pack_bpe, corpus_pack_efficiency,
-    # corpus_pack_unigram, corpus_source_budget, corpus_token_entropy,
-    # dedup_rate_by_source, dedup_span_coverage, graph_assortativity,
-    # graph_degree_dist, graph_kcore, graph_lpa_communities,
-    # graph_modularity, media_phash_clusters, ops_constraint_report,
-    # q_event_interarrival, q_revenue_pareto, q_scd2_asof_enrich,
-    # quality_length_corr, semantic_knn_clusters, stream_cdc_upsert,
-    # stream_windowed_hll, text_bpe_encode, text_bpe_fertility,
+    # ROUND-14 QUEUE: the seven r05-latest text gates the r13 window
+    # could not fit (text_bpe_encode, text_bpe_fertility,
     # text_dsir_select, text_quality_filter_approx, text_unigram_encode,
-    # text_unigram_lm, text_unk_replace_join, text_zipf_slope).
-    _R12_WINDOW = [
-        # slots 1-2: zero-driver-row gates (NEW in r12)
+    # text_unigram_lm, text_unk_replace_join, text_zipf_slope — eight
+    # with zipf), any gate whose Spark/oracle pair changes in r14, then
+    # the r06-latest block (next-stalest driver evidence; enumerate from
+    # CORRECTNESS history at queue-build time).
+    _R13_WINDOW = [
+        # slot 1: zero-driver-row gate (NEW in r13)
+        "media_container_probe",
+        # slots 2-5: r13 code/oracle-changed pairs (watermark scoping,
+        # changelog overwrite boundary, delete-key round-trip guard,
+        # tombstone-aware audit reader)
         "ops_changelog_scan",
-        "media_video_frames",
-        # slots 3-11: changed Spark/oracle pairs
-        "ops_snapshot_audit",
         "ops_row_deletes",
         "ops_incremental_read",
-        "media_decode_stats",
-        "media_image_gradients",
-        "media_image_resize",
-        "quality_chi2",
-        "quality_mutual_info",
-        "quality_cramers_v",
-        # slots 12-47: the r04-latest block (stalest driver evidence)
-        "ann_cell_stats",
-        "ann_label_mrr",
-        "ann_triplets",
-        "asof_last_signup",
-        "corpus_curriculum",
-        "corpus_datacard",
-        "corpus_e2e_pipeline_v2",
-        "corpus_pack_manifest",
-        "corpus_reduction_report",
-        "corpus_split_balance",
-        "dedup_containment",
-        "dedup_lsh_eval",
-        "dedup_prefix_jaccard",
-        "dedup_semantic_text",
-        "graph_source_jaccard",
-        "graph_source_pagerank",
-        "graph_triangle_count",
-        "media_exact_dedup",
-        "p1_default_partition",
-        "p2_field_partition",
-        "q_basket_lift",
-        "q_event_transitions",
-        "q_feature_asof_join",
-        "q_hll_set_overlap",
-        "q_hourly_anomalies",
-        "q_session_sequences",
-        "q_split_leakage",
-        "text_bm25",
-        "text_bm25_batch",
-        "text_bpe_pairs",
-        "text_gopher_rules",
-        "text_hybrid_search",
-        "text_kwic",
-        "text_lang_confusion",
-        "text_ngram_novelty",
-        "text_vocab_drift",
-        # slots 48-50: displaced r11 code-touched gates (r05/r07
-        # evidence, oldest first; ops_schema_drift at r08 defers)
-        "ops_snapshot_schema_merge",
-        "ops_wap_publish",
-        "ops_snapshot_tags",
+        "ops_snapshot_audit",
+        # slots 6-8: queued r12 deferrals (driver rows pending)
+        "o1_avro_decimal_roundtrip",
+        "o1_avro_primitive_values",
+        "ops_schema_drift",
+        # slots 9-20: the snapshot-ops read-path re-checks (their shared
+        # reader went through _load_with_tombstones in r12 and through
+        # sequence watermarks in r13)
+        "ops_merge_keyed",
+        "ops_merge_indexed",
+        "ops_read_as_of",
+        "ops_time_travel",
+        "ops_snapshot_history",
+        "ops_asof_diff",
+        "ops_expire_snapshots",
+        "ops_clone_table",
+        "ops_vacuum_orphans",
+        "ops_orphan_report",
+        "ops_snapshot_rollback",
+        "ops_snapshot_content_diff",
+        # slots 21-50: the r05-latest block (stalest driver evidence;
+        # ops_snapshot_diff rides here from the re-check list, the
+        # seven trailing text gates defer to r14 — see queue above)
+        "ops_snapshot_diff",
+        "ann_ivfpq_recall",
+        "ann_knn_graph",
+        "ann_knn_refine",
+        "ann_maxsim_topk",
+        "ann_probe_sweep",
+        "ann_trunc_recall",
+        "corpus_concentration",
+        "corpus_modality_coverage",
+        "corpus_pack_bpe",
+        "corpus_pack_efficiency",
+        "corpus_pack_unigram",
+        "corpus_source_budget",
+        "corpus_token_entropy",
+        "dedup_rate_by_source",
+        "dedup_span_coverage",
+        "graph_assortativity",
+        "graph_degree_dist",
+        "graph_kcore",
+        "graph_lpa_communities",
+        "graph_modularity",
+        "media_phash_clusters",
+        "ops_constraint_report",
+        "q_event_interarrival",
+        "q_revenue_pareto",
+        "q_scd2_asof_enrich",
+        "quality_length_corr",
+        "semantic_knn_clusters",
+        "stream_cdc_upsert",
+        "stream_windowed_hll",
     ]
-    assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
-    out = {k: reg.pop(k) for k in _R12_WINDOW}
+    assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+    out = {k: reg.pop(k) for k in _R13_WINDOW}
     out.update(reg)
     return out
 
