@@ -365,7 +365,19 @@ def main() -> None:
                     "(r11's 5.38 was noise, r10's 3.15 is the real "
                     "level) and embedding_covariance 2.45-2.61s (r11's "
                     "4.56 was noise) - both shared-VM swings, no code "
-                    "action taken"
+                    "action taken. r13 A/B of the r12 mover "
+                    "corpus_source_overlap (two fresh sessions x 3 "
+                    "interleaved runs; dedup.py untouched r12-r13 per "
+                    "git): 1.95-3.63s observed, floor ~2.0s - r11's "
+                    "1.54 and r12's 2.79 both sit inside the swing "
+                    "band, shared-VM noise, no code action. "
+                    "ops_snapshot_audit's r12 1.14->2.01s is PRICED, "
+                    "not noise: the audit now computes the "
+                    "tombstone-applied LIVE row count per version (r11 "
+                    "verdict item 7 capability change, +~0.9s on this "
+                    "gate only); r13 media entries additionally read "
+                    "the cached container corpus "
+                    "(container_corpus_build is its encode-cost entry)"
                 ),
                 "queries": timings,
                 "runs": raw_runs,

@@ -513,3 +513,50 @@ def test_container_probe_dispatch_and_stub(spark):
     assert by[3]["kind"] == "mp3" and by[3]["n_frames"] == 5  # ID3 skip
     assert by[4]["kind"] == "stub" and by[4]["duration_ms"] is None
     assert by[5]["kind"] == "stub"  # truncated MP4: honest rejection
+
+
+def test_clone_seq_continuation_scopes_new_deletes(spark, tmp_path):
+    """The clone continues the SOURCE's seq counter: a delete committed
+    ON THE CLONE outranks every carried dir (including dirs the source
+    added after earlier deletes), while the clone's own later appends
+    outrank that delete — the full watermark ordering survives the
+    clone boundary."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        clone_table, commit_snapshot, delete_rows, read_snapshot,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_cloneseq_src")
+    delete_rows(
+        spark, src, spark.createDataFrame([(4,)], "k long"), "k",
+        now=lambda: 3000,
+    )  # src v3 (seq 3)
+    commit_snapshot(
+        spark,
+        spark.range(20, 22).select(
+            F.col("id").alias("k"), F.lit("c").alias("src")
+        ),
+        src, mode="append", now=lambda: 4000,
+    )  # src v4 (seq 4) — dirs newer than src's tombstone
+    dst = str(tmp_path / "t_cloneseq_dst")
+    clone_table(spark, src, dst, now=lambda: 5000)  # clone seq = 4
+    # delete ON THE CLONE: must reach the carried v4 dir (seq 4 <= 5)
+    delete_rows(
+        spark, dst, spark.createDataFrame([(20,), (7,)], "k long"), "k",
+        now=lambda: 6000,
+    )  # clone seq 5
+    # clone's own append after its delete: newer, stays visible
+    commit_snapshot(
+        spark,
+        spark.createDataFrame([(7, "re")], "k long, src string"),
+        dst, mode="append", now=lambda: 7000,
+    )  # clone seq 6
+    rows = read_snapshot(spark, dst).collect()
+    ks = sorted(r["k"] for r in rows)
+    # 4 dead (src tombstone carried), 20 dead (clone delete reached the
+    # carried post-src-delete dir), 7's old copy dead but re-insert alive
+    assert ks == sorted(set(range(20)) - {4, 7, 20} | {7, 21}), ks
+    assert {r["src"] for r in rows if r["k"] == 7} == {"re"}
+    # the source never observes any of it
+    assert sorted(
+        r["k"] for r in read_snapshot(spark, src).collect()
+    ) == sorted(set(range(22)) - {4})
