@@ -1334,3 +1334,33 @@ def test_scoped_tombstone_read_joins_only_in_scope(spark, tmp_path_factory):
     joins = re.findall(r"\(\d+\) \w*Join", plan)
     assert len(joins) == 1 and "LeftAnti" in plan, plan
     assert "Union" in plan, plan
+
+
+def test_changelog_append_range_insert_is_plain_scan(spark, tmp_path_factory):
+    """r13: changelog inserts route through the tombstone-aware loader
+    (legacy-table correctness), but on a WATERMARKED table the added
+    dirs outrank every tombstone — the append-range feed must still
+    compile to a bare scan of the added dir, no join, no exchange."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        changelog_scan, commit_snapshot, delete_rows,
+    )
+
+    path = str(tmp_path_factory.mktemp("plan_cdf") / "t")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    commit_snapshot(spark, df, path)
+    delete_rows(
+        spark, path, spark.createDataFrame([(5,)], "k long"), "k"
+    )  # v2: live tombstone
+    commit_snapshot(
+        spark,
+        spark.range(100, 110).select(F.col("id").alias("k")),
+        path, mode="append",
+    )  # v3
+    feed = changelog_scan(spark, path, 2, 3)  # append-only range
+    plan = _plan(feed)
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    files = feed.inputFiles()
+    assert files and all("/data/v3/" in f for f in files), files
