@@ -2195,6 +2195,66 @@ def _q_ops_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ops_row_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC ROW DELTA (snapshots.commit_changes, r13 — the Iceberg
+    row-delta commit: inserts + equality deletes published by ONE
+    manifest rename, the apply primitive the changelog mirror rides):
+    one commit UPDATES the doc_id % 11 == 0 rows to lang 'zz' (delete
+    old copies + insert new images — same commit, strict-seq rule
+    keeps the new images alive) and pure-DELETES the remaining
+    doc_id % 7 == 3 rows. Tiers: 'pre' (time travel shows the
+    untouched state), 'post' (merge-on-read after the delta), 'cow'
+    (after apply_deletes folds the tombstone — same answer from
+    rewritten files). The oracle replays all three in closed form."""
+    import tempfile
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        apply_deletes, commit_changes, commit_snapshot, read_snapshot,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    path = tempfile.mkdtemp(prefix="kchs_rowdelta_") + "/t"
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") != "fr"), path, now=lambda: 1000
+    )
+    commit_snapshot(
+        spark, docs.filter(F.col("lang") == "fr"), path, mode="append",
+        now=lambda: 2000,
+    )
+    commit_changes(
+        spark, path,
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            "doc_id", F.lit("zz").alias("lang")
+        ),
+        docs.filter(
+            (F.col("doc_id") % 7 == 3) | (F.col("doc_id") % 11 == 0)
+        ).select("doc_id"),
+        "doc_id", now=lambda: 3000,
+    )
+    pre = read_snapshot(spark, path, version=2)
+    post = read_snapshot(spark, path)
+    apply_deletes(spark, path, now=lambda: 4000)
+    cow = read_snapshot(spark, path)
+
+    def tier(df, name):
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_id").cast("bigint").alias("sum_ids"),
+            )
+            .withColumn("tier", F.lit(name))
+        )
+
+    return (
+        tier(pre, "pre")
+        .unionByName(tier(post, "post"))
+        .unionByName(tier(cow, "cow"))
+        .select("tier", "lang", "n_docs", "sum_ids")
+        .orderBy("tier", "lang")
+    )
+
+
 def _q_media_video_frames(
     spark: SparkSession, sf_dir: str, corpus: "DataFrame | None" = None
 ) -> DataFrame:
@@ -6641,6 +6701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_asof_diff": _q_ops_asof_diff,
         # ===== NEW in r11
         "ops_row_deletes": _q_ops_row_deletes,
+        "ops_row_delta": _q_ops_row_delta,
         # ===== NEW in r12
         "ops_changelog_scan": _q_ops_changelog_scan,
         "media_video_frames": _q_media_video_frames,
@@ -6663,28 +6724,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (merge/time-travel/clone/expire, all r11 evidence) are covered by
     # pytest + this session's oracle spot-runs; their driver rows
     # refresh next round.
-    # ROUND-14 QUEUE: the seven r05-latest text gates the r13 window
-    # could not fit (text_bpe_encode, text_bpe_fertility,
+    # ROUND-14 QUEUE: stream_windowed_hll (displaced by the
+    # ops_row_delta gate) and the eight r05-latest text gates the r13
+    # window could not fit (text_bpe_encode, text_bpe_fertility,
     # text_dsir_select, text_quality_filter_approx, text_unigram_encode,
-    # text_unigram_lm, text_unk_replace_join, text_zipf_slope — eight
-    # with zipf), any gate whose Spark/oracle pair changes in r14, then
-    # the r06-latest block (next-stalest driver evidence; enumerate from
-    # CORRECTNESS history at queue-build time).
+    # text_unigram_lm, text_unk_replace_join, text_zipf_slope), any
+    # gate whose Spark/oracle pair changes in r14, then the r06-latest
+    # block (next-stalest driver evidence; enumerate from CORRECTNESS
+    # history at queue-build time).
     _R13_WINDOW = [
-        # slot 1: zero-driver-row gate (NEW in r13)
+        # slots 1-2: zero-driver-row gates (NEW in r13)
         "media_container_probe",
-        # slots 2-5: r13 code/oracle-changed pairs (watermark scoping,
+        "ops_row_delta",
+        # slots 3-6: r13 code/oracle-changed pairs (watermark scoping,
         # changelog overwrite boundary, delete-key round-trip guard,
         # tombstone-aware audit reader)
         "ops_changelog_scan",
         "ops_row_deletes",
         "ops_incremental_read",
         "ops_snapshot_audit",
-        # slots 6-8: queued r12 deferrals (driver rows pending)
+        # slots 7-9: queued r12 deferrals (driver rows pending)
         "o1_avro_decimal_roundtrip",
         "o1_avro_primitive_values",
         "ops_schema_drift",
-        # slots 9-20: the snapshot-ops read-path re-checks (their shared
+        # slots 10-21: the snapshot-ops read-path re-checks (their shared
         # reader went through _load_with_tombstones in r12 and through
         # sequence watermarks in r13)
         "ops_merge_keyed",
@@ -6699,9 +6762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_orphan_report",
         "ops_snapshot_rollback",
         "ops_snapshot_content_diff",
-        # slots 21-50: the r05-latest block (stalest driver evidence;
-        # ops_snapshot_diff rides here from the re-check list, the
-        # seven trailing text gates defer to r14 — see queue above)
+        # slots 22-50: the r05-latest block (stalest driver evidence;
+        # ops_snapshot_diff rides here from the re-check list;
+        # stream_windowed_hll and the eight trailing text gates defer
+        # to r14 — see queue above)
         "ops_snapshot_diff",
         "ann_ivfpq_recall",
         "ann_knn_graph",
@@ -6731,7 +6795,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_length_corr",
         "semantic_knn_clusters",
         "stream_cdc_upsert",
-        "stream_windowed_hll",
     ]
     assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
     out = {k: reg.pop(k) for k in _R13_WINDOW}
@@ -9136,6 +9199,26 @@ FROM agg CROSS JOIN t10
 SELECT 'added' AS change, count(*)::BIGINT AS n_keys,
        sum(doc_id)::BIGINT AS sum_ids
 FROM documents WHERE lang = 'de'
+"""
+    # row delta: %11==0 rows update to lang 'zz' (delete+insert, one
+    # commit), remaining %7==3 rows pure-delete; pre = untouched state
+    sql["ops_row_delta"] = """
+WITH base AS (SELECT doc_id, lang FROM documents),
+post AS (
+  SELECT doc_id, 'zz' AS lang FROM base WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, lang FROM base
+  WHERE doc_id % 11 <> 0 AND doc_id % 7 <> 3
+)
+SELECT 'pre' AS tier, lang, count(*)::BIGINT AS n_docs,
+       sum(doc_id)::BIGINT AS sum_ids FROM base GROUP BY lang
+UNION ALL
+SELECT 'post' AS tier, lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+FROM post GROUP BY lang
+UNION ALL
+SELECT 'cow' AS tier, lang, count(*)::BIGINT, sum(doc_id)::BIGINT
+FROM post GROUP BY lang
+ORDER BY tier, lang
 """
     sql["ops_row_deletes"] = """
 WITH base AS (SELECT doc_id, lang FROM documents),

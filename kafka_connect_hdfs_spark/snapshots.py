@@ -98,6 +98,7 @@ def commit_snapshot(
     mode: str = "overwrite",
     fmt: str = "parquet",
     now=None,
+    properties: "dict | None" = None,
 ) -> int:
     """Commit ``df`` as the next table version and return its number.
 
@@ -112,7 +113,11 @@ def commit_snapshot(
 
     Each manifest records ``committed_at`` (epoch millis, monotonic per
     table — see :func:`_commit_ts`); ``now`` injects the clock for
-    deterministic tests.
+    deterministic tests. ``properties`` attaches caller metadata to
+    THIS commit's manifest (Iceberg snapshot-summary shape — e.g. the
+    changelog mirror's ``mirror_of_version`` replay marker), published
+    atomically with the data by the manifest rename; read back via
+    :func:`latest_property`.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown snapshot mode: {mode!r}")
@@ -171,6 +176,8 @@ def commit_snapshot(
                 manifest["delete_seqs"] = prev["delete_seqs"]
             if prev.get("delete_scopes"):  # r11/r12 list-scope format
                 manifest["delete_scopes"] = prev["delete_scopes"]
+    if properties:
+        manifest["properties"] = dict(properties)
     mdir = _manifest_dir(path)
     fs.mkdirs(Path(mdir))
     tmp = Path(f"{mdir}/.v{version}.json.tmp")
@@ -289,16 +296,22 @@ def _tomb_applies(
     """Does tombstone ``tomb`` apply to data dir ``d`` under manifest
     ``man``? Iceberg v2 sequence semantics: a tombstone deletes only
     from dirs that existed when it was committed. Current manifests
-    answer with ONE integer comparison (``dir_seq <= tomb_seq`` — the
-    r12-verdict watermark design); manifests written by the r11/r12
-    list-scope format fall back to their ``delete_scopes`` dir lists;
-    tombstones predating both apply to every dir (legacy behavior)."""
+    answer with ONE integer comparison — STRICTLY ``dir_seq <
+    tomb_seq``, Iceberg's exact rule: a data file with the SAME
+    sequence number as an equality delete is part of the same commit
+    and is NOT affected, which is what lets :func:`commit_changes`
+    publish inserts + deletes atomically with the inserts surviving
+    (for the plain :func:`delete_rows` writer the strict and inclusive
+    forms are identical — its tombstone's seq is always one above every
+    prior dir's). Manifests written by the r11/r12 list-scope format
+    fall back to their ``delete_scopes`` dir lists; tombstones
+    predating both apply to every dir (legacy behavior)."""
     ts = (_tomb_seq_map(man) if tomb_seqs is None else tomb_seqs).get(tomb)
     if ts is not None:
         ds = (_dir_seq_map(man) if dir_seqs is None else dir_seqs).get(d)
         # an unknown dir seq predates tracking, hence predates the
         # (tracked, newer) tombstone: it applies
-        return ds is None or ds <= ts
+        return ds is None or ds < ts
     scopes = man.get("delete_scopes") or {}
     if tomb in scopes:
         return d in set(scopes[tomb])
@@ -704,6 +717,65 @@ def _tombstones_dir(path: str) -> str:
     return path.rstrip("/") + "/_tombstones"
 
 
+def _normalized_delete_keys(
+    spark: SparkSession,
+    path: str,
+    prev: dict,
+    keys: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Validate + dtype-normalize a delete-key batch against manifest
+    ``prev`` (shared by :func:`delete_rows` and :func:`commit_changes`):
+    the equality-schema conflict check, the column-exists check, and
+    the write-time round-trip cast guard — a key try_cast NULLs OR
+    value-changes (4.5 -> 4) refuses loudly instead of deleting wrong
+    rows (r11 + r12 ADVICE)."""
+    if prev.get("deletes") and prev.get("delete_key") != key_col:
+        raise ValueError(
+            f"delete key {key_col!r} conflicts with the table's existing "
+            f"tombstone key {prev.get('delete_key')!r}: one equality-"
+            "delete schema per table (apply_deletes first to change it)"
+        )
+    scan = spark.read.format(prev["format"]).load(prev["files"])
+    if key_col not in scan.columns:
+        raise ValueError(
+            f"delete key {key_col!r} is not a column of {path} "
+            f"(have {scan.columns})"
+        )
+    distinct_keys = keys.select(key_col).distinct()
+    src_t = distinct_keys.schema[key_col].dataType
+    tgt = scan.schema[key_col].dataType
+    if src_t != tgt:
+        # normalize to the table dtype via try_cast (ANSI-safe), then
+        # FAIL if any non-NULL key degraded — a NULLed key's tombstone
+        # would never match (rows silently stay alive), and a key that
+        # try_cast ACCEPTS but VALUE-CHANGES (r12 ADVICE: try_cast(4.5
+        # AS bigint) = 4, non-NULL) would delete a row the caller never
+        # targeted. The round trip back to the source dtype catches the
+        # second class: a lossless key survives _o -> _c -> _b intact.
+        probe = distinct_keys.select(
+            F.col(key_col).alias("_o"),
+            F.expr(f"try_cast(`{key_col}` AS {tgt.simpleString()})").alias(
+                "_c"
+            ),
+        ).withColumn(
+            "_b", F.expr(f"try_cast(_c AS {src_t.simpleString()})")
+        )
+        n_bad = probe.filter(
+            F.col("_o").isNotNull() & ~F.col("_b").eqNullSafe(F.col("_o"))
+        ).count()
+        if n_bad:
+            raise TypeError(
+                f"{n_bad} delete key(s) cannot be cast losslessly from "
+                f"{src_t.simpleString()} "
+                f"to the table key dtype {tgt.simpleString()}: refusing "
+                "the delete (a miscast tombstone matches nothing — or a "
+                "value-changed one deletes an untargeted row)"
+            )
+        distinct_keys = probe.select(F.col("_c").alias(key_col)).distinct()
+    return distinct_keys
+
+
 def delete_rows(
     spark: SparkSession,
     path: str,
@@ -752,49 +824,7 @@ def delete_rows(
     if not versions:
         raise FileNotFoundError(f"no snapshots at {path}")
     prev = _read_manifest(spark, path, versions[-1])
-    if prev.get("deletes") and prev.get("delete_key") != key_col:
-        raise ValueError(
-            f"delete key {key_col!r} conflicts with the table's existing "
-            f"tombstone key {prev.get('delete_key')!r}: one equality-"
-            "delete schema per table (apply_deletes first to change it)"
-        )
-    scan = spark.read.format(prev["format"]).load(prev["files"])
-    if key_col not in scan.columns:
-        raise ValueError(
-            f"delete key {key_col!r} is not a column of {path} "
-            f"(have {scan.columns})"
-        )
-    distinct_keys = keys.select(key_col).distinct()
-    src_t = distinct_keys.schema[key_col].dataType
-    tgt = scan.schema[key_col].dataType
-    if src_t != tgt:
-        # normalize to the table dtype via try_cast (ANSI-safe), then
-        # FAIL if any non-NULL key degraded — a NULLed key's tombstone
-        # would never match (rows silently stay alive), and a key that
-        # try_cast ACCEPTS but VALUE-CHANGES (r12 ADVICE: try_cast(4.5
-        # AS bigint) = 4, non-NULL) would delete a row the caller never
-        # targeted. The round trip back to the source dtype catches the
-        # second class: a lossless key survives _o -> _c -> _b intact.
-        probe = distinct_keys.select(
-            F.col(key_col).alias("_o"),
-            F.expr(f"try_cast(`{key_col}` AS {tgt.simpleString()})").alias(
-                "_c"
-            ),
-        ).withColumn(
-            "_b", F.expr(f"try_cast(_c AS {src_t.simpleString()})")
-        )
-        n_bad = probe.filter(
-            F.col("_o").isNotNull() & ~F.col("_b").eqNullSafe(F.col("_o"))
-        ).count()
-        if n_bad:
-            raise TypeError(
-                f"{n_bad} delete key(s) cannot be cast losslessly from "
-                f"{src_t.simpleString()} "
-                f"to the table key dtype {tgt.simpleString()}: refusing "
-                "the delete (a miscast tombstone matches nothing — or a "
-                "value-changed one deletes an untargeted row)"
-            )
-        distinct_keys = probe.select(F.col("_c").alias(key_col)).distinct()
+    distinct_keys = _normalized_delete_keys(spark, path, prev, keys, key_col)
     if distinct_keys.isEmpty():
         # an empty tombstone dir would break parquet schema inference on
         # every later read — an empty delete is a no-op, not a commit
@@ -843,6 +873,127 @@ def delete_rows(
     if not fs.rename(tmp, final):
         raise IOError(f"delete commit rename failed for v{version}")
     return version
+
+
+def commit_changes(
+    spark: SparkSession,
+    path: str,
+    inserts: "DataFrame | None",
+    delete_keys: "DataFrame | None",
+    key_col: str,
+    now=None,
+    properties: "dict | None" = None,
+) -> int:
+    """ATOMIC ROW DELTA: publish inserts AND equality deletes as ONE
+    new version — the Iceberg row-delta commit (a snapshot carrying
+    both data files and delete files) that MERGE-shaped appliers need.
+    One manifest rename is the only publish point, so a consumer
+    applying a change feed (``delete every touched key's old copies,
+    insert the final images``) can never be observed half-applied, and
+    its replay marker (``properties``) travels in the same rename.
+
+    The strict sequence rule makes this sound: the tombstone and the
+    new data dir share this commit's seq, and a tombstone applies only
+    to dirs with STRICTLY SMALLER seq (:func:`_tomb_applies`, Iceberg's
+    data-sequence-number semantics) — so the deletes erase pre-existing
+    copies while this commit's own inserts survive, exactly the
+    delete-then-insert-in-one-transaction contract.
+
+    ``delete_keys`` goes through the same write-time dtype guard as
+    :func:`delete_rows`; ``key_col`` must be the table's equality key
+    (one schema per table). Either side may be None/empty — the commit
+    degrades to a pure append or a pure delete; both empty commits
+    nothing and returns the current version.
+
+    Scale: O(delta) — one distributed write per non-empty side plus one
+    manifest rename; no existing data is read beyond the key-dtype
+    probe's metadata. Accumulated tombstones fold via
+    :func:`apply_deletes` as usual.
+    """
+    fs, Path = _fs(spark, path)
+    versions = list_snapshots(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    prev = _read_manifest(spark, path, versions[-1])
+    keys_df = None
+    if delete_keys is not None:
+        keys_df = _normalized_delete_keys(
+            spark, path, prev, delete_keys, key_col
+        )
+        if keys_df.isEmpty():
+            keys_df = None
+    has_inserts = inserts is not None and not inserts.isEmpty()
+    if keys_df is None and not has_inserts:
+        return versions[-1]
+    version = versions[-1] + 1
+    seq = _seq_of(prev) + 1
+    committed_at = _commit_ts(spark, path, versions, now)
+    data_dir = f"{path.rstrip('/')}/data/v{version}"
+    tomb_dir = f"{_tombstones_dir(path)}/v{version}"
+    # same orphan rule as commit_snapshot/delete_rows: v<N> is in no
+    # manifest, so existing dirs can only be a crashed commit's residue
+    for residue in (data_dir, tomb_dir):
+        if fs.exists(Path(residue)):
+            fs.delete(Path(residue), True)
+    prev_dels = prev.get("deletes") or []
+    manifest = {
+        "version": version,
+        "seq": seq,
+        "mode": "rowdelta",
+        "format": prev["format"],
+        "files": list(prev["files"]),
+        "file_seqs": list(
+            prev.get("file_seqs") or [None] * len(prev["files"])
+        ),
+        "committed_at": committed_at,
+    }
+    if keys_df is not None:
+        keys_df.write.mode("error").parquet(tomb_dir)
+        manifest["deletes"] = prev_dels + [tomb_dir]
+        manifest["delete_key"] = key_col
+        manifest["delete_seqs"] = (
+            prev.get("delete_seqs") or [None] * len(prev_dels)
+        ) + [seq]
+    elif prev_dels:
+        manifest["deletes"] = prev_dels
+        manifest["delete_key"] = prev["delete_key"]
+        if prev.get("delete_seqs"):
+            manifest["delete_seqs"] = prev["delete_seqs"]
+    if prev.get("delete_scopes"):  # r11/r12 list-scope tombstones carry
+        manifest["delete_scopes"] = prev["delete_scopes"]
+    if has_inserts:
+        inserts.write.format(prev["format"]).mode("error").save(data_dir)
+        manifest["files"].append(data_dir)
+        manifest["file_seqs"].append(seq)
+    if properties:
+        manifest["properties"] = dict(properties)
+    mdir = _manifest_dir(path)
+    fs.mkdirs(Path(mdir))
+    tmp = Path(f"{mdir}/.v{version}.json.tmp")
+    final = Path(f"{mdir}/v{version}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"rowdelta commit rename failed for v{version}")
+    return version
+
+
+def latest_property(
+    spark: SparkSession, path: str, key: str
+) -> "tuple[int, object] | None":
+    """The most recent committed value of manifest property ``key`` as
+    ``(version, value)`` (None if no manifest carries it). Properties
+    are per-commit (Iceberg snapshot-summary shape, not carried
+    forward), so this walks the version log newest-first — driver
+    metadata only, stops at the first hit."""
+    for v in reversed(list_snapshots(spark, path)):
+        props = _read_manifest(spark, path, v).get("properties") or {}
+        if key in props:
+            return v, props[key]
+    return None
 
 
 def apply_deletes(spark: SparkSession, path: str, now=None) -> dict:

@@ -17,11 +17,23 @@ the same inputs) or the new state + new marker (the tick is a no-op).
 Replay-safe without idempotent semantics: the marker IS the replay
 guard.
 
+TWO mirror shapes, chosen by the replica's size:
+
+- :func:`sync_changelog_mirror` — the mirror is a plain parquet DIR,
+  each tick rewrites it whole through the state swap. Right for
+  BOUNDED downstream marts (the streaming-mart convention); the
+  rewrite is O(mirror) per tick.
+- :func:`sync_changelog_mirror_table` — the mirror is itself a
+  SNAPSHOT TABLE and each tick lands as ONE atomic row-delta commit
+  (:func:`snapshots.commit_changes`: delete the touched keys + insert
+  the final images, marker in the same manifest rename). O(delta) per
+  tick at ANY mirror size — the 100 TB shape.
+
 Scale: each tick reads only the feed's delta dirs + tombstone scopes
 (changelog_scan's O(delta + scope) contract — BENCH_SCALE lane
-``changelog_scan``) plus one rewrite of the mirror state; with
-``on_overwrite="diff"`` a replace boundary honestly costs the two-state
-diff, still cheaper than the full resync it replaces.
+``changelog_scan``); with ``on_overwrite="diff"`` a replace boundary
+honestly costs the two-state diff, still cheaper than the full resync
+it replaces.
 """
 
 from __future__ import annotations
@@ -140,6 +152,112 @@ def sync_changelog_mirror(
         marker=f"{_MARK}{latest}",
     )
     return {"from_version": m, "to_version": latest, "bootstrapped": False}
+
+
+def sync_changelog_mirror_table(
+    spark: SparkSession,
+    src_path: str,
+    mirror_path: str,
+    key_col: str,
+    on_overwrite: str = "refuse",
+    options: "dict[str, str] | None" = None,
+    now=None,
+) -> dict:
+    """The 100 TB-shaped mirror: maintain the replica as a SNAPSHOT
+    TABLE and apply each sync as ONE atomic row-delta commit
+    (:func:`snapshots.commit_changes`) — O(delta) per tick, where the
+    directory-state form (:func:`sync_changelog_mirror`) rewrites the
+    whole mirror every tick (right for bounded marts, wrong for a
+    table-sized replica). The replay marker (``mirror_of_version``)
+    rides IN the commit's manifest, so the data and the marker publish
+    in the same rename.
+
+    Apply rule (the CDF-as-MERGE netting): reduce the feed to each
+    key's LAST change (by change_version; insert outranks delete
+    within a version — an overwrite-diff 'modified' key is
+    delete+insert at one version and must land as the new image), then
+    commit ``delete every touched key`` + ``insert the final images``
+    in one row delta. The strict sequence rule makes the same-commit
+    inserts survive their own tombstone, so delete-then-reinsert,
+    update, and net-zero (insert-then-delete inside the range) all
+    land exactly. Requires ``key_col`` to identify rows (non-null, one
+    live row per key — the same contract as merge_keyed/delete_rows);
+    multiset tables need the directory-state form.
+
+    A range that advanced versions but changed no rows (pure
+    compactions) commits nothing and leaves the marker — the next tick
+    re-derives the same empty feed from metadata, which is cheaper
+    than spending a commit to move a pointer.
+
+    Compaction cadence: each tick adds one tombstone; fold them back
+    into data files with ``apply_deletes`` on the mirror at the same
+    cadence as any delete-heavy table.
+    """
+    from pyspark.sql import Window
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        changelog_scan, commit_changes, commit_snapshot, latest_property,
+        list_snapshots, read_snapshot,
+    )
+
+    versions = list_snapshots(spark, src_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {src_path}")
+    latest = versions[-1]
+    if not list_snapshots(spark, mirror_path):
+        snap = read_snapshot(spark, src_path, latest, options=options)
+        mv = commit_snapshot(
+            spark, snap, mirror_path, now=now,
+            properties={"mirror_of_version": latest},
+        )
+        return {
+            "from_version": None, "to_version": latest,
+            "bootstrapped": True, "mirror_version": mv,
+        }
+    marked = latest_property(spark, mirror_path, "mirror_of_version")
+    if marked is None:
+        raise ValueError(
+            f"{mirror_path} is a snapshot table but carries no "
+            "mirror_of_version property: refusing to treat a foreign "
+            "table as a mirror"
+        )
+    m = int(marked[1])
+    if m == latest:
+        return {
+            "from_version": m, "to_version": latest,
+            "bootstrapped": False, "mirror_version": None,
+        }
+    if m not in versions:
+        raise ValueError(
+            f"mirror {mirror_path} last synced v{m} of {src_path}, which "
+            f"has been expired (have {versions}): the delta is no longer "
+            "reconstructable — delete the mirror table to re-bootstrap"
+        )
+    feed = changelog_scan(
+        spark, src_path, m, latest, options=options,
+        on_overwrite=on_overwrite,
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("change_version").desc(),
+        F.when(F.col("change_type") == "insert", 1).otherwise(0).desc(),
+    )
+    last = (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    final_ins = last.filter(F.col("change_type") == "insert").drop(
+        "change_type", "change_version"
+    )
+    touched = feed.select(key_col).distinct()
+    mv = commit_changes(
+        spark, mirror_path, final_ins, touched, key_col, now=now,
+        properties={"mirror_of_version": latest},
+    )
+    return {
+        "from_version": m, "to_version": latest, "bootstrapped": False,
+        "mirror_version": mv,
+    }
 
 
 def start_changelog_mirror(

@@ -486,3 +486,73 @@ def test_sweep_changelog_mirror_sync(spark, tmp_path):
 
     n = _sweep(setup, op, recover, invariant)
     assert n >= 5  # marker create + delete(tmp/old) + 2 renames + delete
+
+
+# ---------------------------------------------------------------------------
+# snapshots.commit_changes via the snapshot-table mirror tick (r13):
+# the atomic row-delta — a kill at any boundary leaves either the old
+# mirror version + old marker (re-tick re-applies the same delta) or
+# the fully-published new one (re-tick is a marker-guarded no-op)
+
+
+def test_sweep_mirror_table_sync(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, delete_rows, read_snapshot,
+    )
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        sync_changelog_mirror_table,
+    )
+
+    it = iter(range(10_000))
+
+    def setup():
+        root = tmp_path / f"mtsync{next(it)}"
+        src = str(root / "src")
+        mirror = str(root / "mirror")
+        commit_snapshot(
+            spark,
+            spark.range(10).select(
+                F.col("id").alias("k"), F.lit("a").alias("src")
+            ),
+            src, now=lambda: 1000,
+        )
+        sync_changelog_mirror_table(spark, src, mirror, "k")
+        commit_snapshot(
+            spark,
+            spark.createDataFrame(
+                [(3, "b"), (12, "b")], "k long, src string"
+            ),
+            src, mode="append", now=lambda: 2000,
+        )
+        delete_rows(
+            spark, src, spark.createDataFrame([(3,), (5,)], "k long"),
+            "k", now=lambda: 3000,
+        )
+        return {"src": src, "mirror": mirror}
+
+    def op(ctx):
+        sync_changelog_mirror_table(spark, ctx["src"], ctx["mirror"], "k")
+
+    def recover(ctx):
+        sync_changelog_mirror_table(spark, ctx["src"], ctx["mirror"], "k")
+
+    def invariant(ctx):
+        got = sorted(
+            (r["k"], r["src"])
+            for r in read_snapshot(spark, ctx["mirror"]).collect()
+        )
+        want = sorted(
+            (r["k"], r["src"])
+            for r in read_snapshot(spark, ctx["src"]).collect()
+        )
+        assert got == want
+        # exactly one row-delta landed: v1 bootstrap + v2 delta, never
+        # a double-applied v3
+        from kafka_connect_hdfs_spark.snapshots import list_snapshots
+
+        assert list_snapshots(spark, ctx["mirror"]) == [1, 2]
+
+    n = _sweep(setup, op, recover, invariant)
+    assert n >= 3  # residue deletes + tombstone/data writes + rename

@@ -560,3 +560,184 @@ def test_clone_seq_continuation_scopes_new_deletes(spark, tmp_path):
     assert sorted(
         r["k"] for r in read_snapshot(spark, src).collect()
     ) == sorted(set(range(22)) - {4})
+
+
+# ---------------------------------------------------------------------------
+# Atomic row-delta commit + the O(delta) snapshot-table mirror
+
+
+def test_commit_changes_row_delta_semantics(spark, tmp_path):
+    """ONE commit carrying inserts + equality deletes: pre-existing
+    copies of the deleted keys die, the commit's OWN inserts survive
+    their own tombstone (strict seq rule), pure appends and pure
+    deletes degrade correctly, and the whole delta is one version."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_changes, read_snapshot, snapshot_history,
+    )
+
+    path = _three_commits(spark, tmp_path, "t_rowdelta")
+    ins = spark.createDataFrame(
+        [(4, "new"), (99, "new")], "k long, src string"
+    )
+    dels = spark.createDataFrame([(4,), (7,)], "k long")
+    v = commit_changes(spark, path, ins, dels, "k", now=lambda: 3000)
+    assert v == 3
+    rows = read_snapshot(spark, path).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["k"], []).append(r["src"])
+    assert by[4] == ["new"]          # updated: old copy dead, new alive
+    assert 7 not in by               # pure delete
+    assert by[99] == ["new"]         # pure insert
+    assert by[5] == ["a"]            # untouched
+    # time travel: v2 still shows the old state
+    old = {r["k"]: r["src"] for r in read_snapshot(spark, path, 2).collect()}
+    assert old[4] == "a" and old[7] == "a" and 99 not in old
+    # pure-append / pure-delete degradations
+    v = commit_changes(
+        spark, path,
+        spark.createDataFrame([(100, "p")], "k long, src string"),
+        None, "k", now=lambda: 4000,
+    )
+    assert v == 4
+    v = commit_changes(
+        spark, path, None,
+        spark.createDataFrame([(100,)], "k long"), "k", now=lambda: 5000,
+    )
+    assert v == 5
+    ks = {r["k"] for r in read_snapshot(spark, path).collect()}
+    assert 100 not in ks
+    # both-empty is a no-op, not a commit
+    assert commit_changes(
+        spark, path,
+        spark.createDataFrame([], "k long, src string"),
+        spark.createDataFrame([], "k long"), "k", now=lambda: 6000,
+    ) == 5
+    assert [r["version"] for r in snapshot_history(spark, path).collect()] \
+        == [1, 2, 3, 4, 5]
+
+
+def test_commit_changes_dtype_guard_and_properties(spark, tmp_path):
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_changes, latest_property,
+    )
+
+    path = _three_commits(spark, tmp_path, "t_rowdelta_g")
+    with pytest.raises(TypeError, match="losslessly"):
+        commit_changes(
+            spark, path, None,
+            spark.createDataFrame([(4.5,)], "k double"), "k",
+            now=lambda: 3000,
+        )
+    v = commit_changes(
+        spark, path, None, spark.createDataFrame([(4,)], "k int"), "k",
+        now=lambda: 4000, properties={"job": "t1"},
+    )
+    assert latest_property(spark, path, "job") == (v, "t1")
+    assert latest_property(spark, path, "nope") is None
+
+
+def test_mirror_table_sync_matches_snapshot(spark, tmp_path):
+    """The O(delta) mirror: bootstrap + per-tick row-delta commits keep
+    the snapshot-table replica equal to read_snapshot through appends,
+    deletes, re-inserts, updates, and an overwrite boundary."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, delete_rows, read_snapshot, snapshot_history,
+    )
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        sync_changelog_mirror_table,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_mt_src")
+    mirror = str(tmp_path / "t_mt_mirror")
+
+    def _census(p):
+        return sorted(
+            (r["k"], r["src"])
+            for r in read_snapshot(spark, p).collect()
+        )
+
+    info = sync_changelog_mirror_table(
+        spark, src, mirror, "k", now=lambda: 9000
+    )
+    assert info["bootstrapped"] and info["mirror_version"] == 1
+    assert _census(mirror) == _census(src)
+    # idle tick: no new commit
+    info = sync_changelog_mirror_table(
+        spark, src, mirror, "k", now=lambda: 9001
+    )
+    assert info["mirror_version"] is None
+    # delta: delete 3+15, re-append 15 (update), append 20
+    delete_rows(
+        spark, src, spark.createDataFrame([(3,), (15,)], "k long"), "k",
+        now=lambda: 3000,
+    )
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(15, "c"), (20, "c")], "k long, src string"
+        ),
+        src, mode="append", now=lambda: 4000,
+    )
+    info = sync_changelog_mirror_table(
+        spark, src, mirror, "k", now=lambda: 9002
+    )
+    assert (info["from_version"], info["to_version"]) == (2, 4)
+    assert info["mirror_version"] == 2  # ONE commit for the whole delta
+    assert _census(mirror) == _census(src)
+    # overwrite boundary with diff mode
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(1, "o"), (15, "o"), (50, "o")], "k long, src string"
+        ),
+        src, now=lambda: 5000,
+    )
+    with pytest.raises(ValueError, match="on_overwrite"):
+        sync_changelog_mirror_table(
+            spark, src, mirror, "k", now=lambda: 9003
+        )
+    info = sync_changelog_mirror_table(
+        spark, src, mirror, "k", on_overwrite="diff", now=lambda: 9004
+    )
+    assert _census(mirror) == _census(src) == [
+        (1, "o"), (15, "o"), (50, "o")
+    ]
+    # crash-replay equivalence: a re-tick after the marker landed is a
+    # no-op (the marker rode the same manifest rename as the data)
+    before = [r["version"]
+              for r in snapshot_history(spark, mirror).collect()]
+    info = sync_changelog_mirror_table(
+        spark, src, mirror, "k", now=lambda: 9005
+    )
+    assert info["mirror_version"] is None
+    assert [r["version"]
+            for r in snapshot_history(spark, mirror).collect()] == before
+
+
+def test_mirror_table_net_zero_key_inside_range(spark, tmp_path):
+    """A key inserted AND deleted between two syncs must not appear in
+    the mirror (the netting keeps the tombstone from missing it and
+    the same-commit insert rule from resurrecting it)."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, delete_rows, read_snapshot,
+    )
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        sync_changelog_mirror_table,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_mt_nz_src")
+    mirror = str(tmp_path / "t_mt_nz_mirror")
+    sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9000)
+    commit_snapshot(
+        spark, spark.createDataFrame([(77, "x")], "k long, src string"),
+        src, mode="append", now=lambda: 3000,
+    )
+    delete_rows(
+        spark, src, spark.createDataFrame([(77,), (5,)], "k long"), "k",
+        now=lambda: 4000,
+    )
+    sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9001)
+    ks = {r["k"] for r in read_snapshot(spark, mirror).collect()}
+    assert 77 not in ks and 5 not in ks
+    assert ks == {r["k"] for r in read_snapshot(spark, src).collect()}
