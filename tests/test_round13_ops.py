@@ -741,3 +741,61 @@ def test_mirror_table_net_zero_key_inside_range(spark, tmp_path):
     ks = {r["k"] for r in read_snapshot(spark, mirror).collect()}
     assert 77 not in ks and 5 not in ks
     assert ks == {r["k"] for r in read_snapshot(spark, src).collect()}
+
+
+def test_changelog_scan_across_expired_intermediates(spark, tmp_path):
+    """Expired versions inside the range: changes attribute to the
+    first SURVIVING version at-or-after the commit and the replay
+    still lands on the snapshot (the docstring's claim, pinned)."""
+    from collections import Counter
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        changelog_scan, commit_snapshot, delete_rows, expire_snapshots,
+        read_snapshot,
+    )
+
+    path = _three_commits(spark, tmp_path, "t_cdf_expire")
+    delete_rows(
+        spark, path, spark.createDataFrame([(3,)], "k long"), "k",
+        now=lambda: 3000,
+    )  # v3
+    commit_snapshot(
+        spark,
+        spark.range(30, 33).select(
+            F.col("id").alias("k"), F.lit("d").alias("src")
+        ),
+        path, mode="append", now=lambda: 4000,
+    )  # v4
+    commit_snapshot(
+        spark,
+        spark.range(40, 42).select(
+            F.col("id").alias("k"), F.lit("e").alias("src")
+        ),
+        path, mode="append", now=lambda: 5000,
+    )  # v5
+    start = Counter(
+        (r["k"], r["src"]) for r in read_snapshot(spark, path, 2).collect()
+    )
+    expired = expire_snapshots(spark, path, keep_last=4)
+    assert expired == [1]  # v2..v5 survive; range 2..5 has a gap-free
+    # baseline, but v3's tombstone and v4's dir diffs still reconstruct
+    feed = changelog_scan(spark, path, 2, 5).collect()
+    final = Counter(
+        (r["k"], r["src"]) for r in read_snapshot(spark, path, 5).collect()
+    )
+    # replay applied on top of the v2 census must land on v5
+    mirror = Counter(start)
+    for v in sorted({r["change_version"] for r in feed}):
+        for r in feed:
+            if r["change_version"] == v and r["change_type"] == "insert":
+                mirror[(r["k"], r["src"])] += 1
+        for r in feed:
+            if r["change_version"] == v and r["change_type"] == "delete":
+                mirror[(r["k"], r["src"])] -= 1
+    assert +mirror == final
+    # now expire INTO the range's middle: v4, v5 survive only
+    expired = expire_snapshots(spark, path, keep_last=2)
+    assert expired == [2, 3]
+    feed2 = changelog_scan(spark, path, 4, 5).collect()
+    assert {(r["k"], r["change_version"]) for r in feed2
+            if r["change_type"] == "insert"} == {(40, 5), (41, 5)}
