@@ -799,3 +799,43 @@ def test_changelog_scan_across_expired_intermediates(spark, tmp_path):
     feed2 = changelog_scan(spark, path, 4, 5).collect()
     assert {(r["k"], r["change_version"]) for r in feed2
             if r["change_type"] == "insert"} == {(40, 5), (41, 5)}
+
+
+def test_mirror_table_marker_survives_compaction(spark, tmp_path):
+    """apply_deletes on the mirror (routine tombstone folding) commits
+    a manifest WITHOUT properties; the next sync must still find the
+    marker by walking back — and keep applying deltas correctly."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        apply_deletes, commit_snapshot, delete_rows, read_snapshot,
+    )
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        sync_changelog_mirror_table,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_mt_cpt_src")
+    mirror = str(tmp_path / "t_mt_cpt_mirror")
+    sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9000)
+    delete_rows(
+        spark, src, spark.createDataFrame([(5,)], "k long"), "k",
+        now=lambda: 3000,
+    )
+    sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9001)
+    # maintenance: fold the mirror's tombstones (marker-less commit)
+    info = apply_deletes(spark, mirror, now=lambda: 9002)
+    assert info["version"] is not None
+    # idle tick resolves the marker through the compaction commit
+    tick = sync_changelog_mirror_table(
+        spark, src, mirror, "k", now=lambda: 9003
+    )
+    assert tick["mirror_version"] is None and tick["from_version"] == 3
+    # and a real delta still applies on the compacted mirror
+    commit_snapshot(
+        spark, spark.createDataFrame([(5, "re")], "k long, src string"),
+        src, mode="append", now=lambda: 4000,
+    )
+    sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9004)
+    assert sorted(
+        (r["k"], r["src"]) for r in read_snapshot(spark, mirror).collect()
+    ) == sorted(
+        (r["k"], r["src"]) for r in read_snapshot(spark, src).collect()
+    )
