@@ -335,6 +335,44 @@ def _run_delete_suite(spark, sf_dir: str, tag: str) -> list[dict]:
             "shuffle_write_mb": 0.0,
         }
     )
+    # mirror-table tick lane (r13 — the O(delta) apply claim measured):
+    # bootstrap a snapshot-table mirror of this table (untimed build
+    # step), then time sync ticks each applying a FIXED delta (512-row
+    # append + 512-key delete committed to the source between ticks).
+    # Each tick = changelog_scan over the delta + ONE row-delta commit;
+    # wall must track the delta, never the 10x mirror size.
+    import tempfile as _tf
+
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        sync_changelog_mirror_table,
+    )
+
+    mirror = _tf.mkdtemp(prefix=f"kchs_scale_mirror_{tag}_") + "/m"
+    sync_changelog_mirror_table(spark, path, mirror, "doc_id")
+    walls = []
+    for i in range(2):
+        batch2 = (
+            docs.filter(F.col("doc_id") % 8 == (6 if i == 0 else 7))
+            .limit(512)
+            .cache()
+        )
+        batch2.count()
+        commit_snapshot(spark, batch2, path, mode="append")
+        delete_rows(spark, path, batch2.select("doc_id"), "doc_id")
+        t0 = time.perf_counter()
+        info = sync_changelog_mirror_table(spark, path, mirror, "doc_id")
+        walls.append(time.perf_counter() - t0)
+        assert info["mirror_version"] is not None
+        batch2.unpersist()
+    out.append(
+        {
+            "entry": f"mirror_table_tick@{tag}",
+            "rows": 512,
+            "wall_sec": round(min(walls), 3),
+            "shuffle_read_mb": 0.0,
+            "shuffle_write_mb": 0.0,
+        }
+    )
     slice5.unpersist()
     for r in out:
         print(json.dumps(r))

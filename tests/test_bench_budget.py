@@ -163,6 +163,19 @@ def test_scale_changelog_delete_range_is_scope_bounded():
     assert e["rows_1x"] == e[f"rows_{big}"] == 1024, e
 
 
+def test_scale_mirror_tick_is_delta_bounded():
+    """sync_changelog_mirror_table applies a FIXED 512-row delta per
+    tick (feed + one row-delta commit): wall must stay flat as the
+    mirrored table grows 10x — the O(delta) apply claim, measured."""
+    d = _scale()
+    e = d["entries"].get("mirror_table_tick")
+    if e is None:
+        pytest.skip("mirror lane not yet measured")
+    big = f"{d['data_factor']}x"
+    assert e["wall_factor"] <= 3.0, e
+    assert e["rows_1x"] == e[f"rows_{big}"] == 512, e
+
+
 def test_stream_lane_covers_monitors():
     d = _stream()
     assert set(d["monitors"]) >= {
