@@ -217,6 +217,46 @@ def test_lifecycle_model_with_live_mirror(spark, tmp_path, seed):
         )
 
 
+def test_lifecycle_model_continues_on_clone(spark, tmp_path):
+    """Run the lifecycle on a ZERO-COPY clone: 5 ops on the source,
+    clone, then 10 random ops (with a live mirror) on the clone. The
+    clone must track its own model — including deletes/compactions that
+    touch clone-carried SOURCE dirs — while the source's latest state
+    and every recorded source version stay untouched."""
+    from kafka_connect_hdfs_spark.snapshots import clone_table
+
+    src = _Lifecycle(spark, str(tmp_path / "t_src"), 43)
+    src.op_append()
+    for _ in range(5):
+        src.step()
+    src_state = dict(src.live)
+    src_models = {v: dict(m) for v, m in src.model_at.items()}
+
+    dst_path = str(tmp_path / "t_clone")
+    clone_table(spark, src.path, dst_path)
+    dst = _Lifecycle(spark, dst_path, 44)
+    dst.live = dict(src.live)
+    dst.dead = set(src.dead)
+    dst.next_key = src.next_key
+    dst.model_at = {1: dict(src.live)}  # the clone commit is its v1
+    mirror = str(tmp_path / "m_clone")
+    for _ in range(10):
+        dst.step()
+        assert _snap(spark, dst.path) == dst.expect(), "clone diverged"
+        sync_changelog_mirror_table(
+            spark, dst.path, mirror, "k", on_overwrite="diff", now=dst.now,
+        )
+        assert _snap(spark, mirror) == dst.expect(), "clone mirror diverged"
+    for v, model in sorted(dst.model_at.items()):
+        assert _snap(spark, dst.path, v) == sorted(model.items())
+    # the source never observes any of it
+    assert _snap(spark, src.path) == sorted(src_state.items())
+    for v, model in sorted(src_models.items()):
+        assert _snap(spark, src.path, v) == sorted(model.items()), (
+            f"source v{v} disturbed by clone lifecycle"
+        )
+
+
 def test_lifecycle_model_with_expiry(spark, tmp_path):
     """Same net without the mirror, adding expire_snapshots into the
     mix: expiry must never change the LATEST state, and every version
