@@ -743,6 +743,15 @@ def _normalized_delete_keys(
             f"(have {scan.columns})"
         )
     distinct_keys = keys.select(key_col).distinct()
+    if distinct_keys.filter(F.col(key_col).isNull()).limit(1).count():
+        # a NULL key never matches the read-time equality anti-join —
+        # the delete would silently no-op (Iceberg's identifier-field
+        # non-null rule, enforced rather than documented)
+        raise ValueError(
+            f"delete key batch contains NULL {key_col!r}: equality "
+            "deletes cannot target NULL keys (the anti-join would "
+            "never match and the rows would silently stay alive)"
+        )
     src_t = distinct_keys.schema[key_col].dataType
     tgt = scan.schema[key_col].dataType
     if src_t != tgt:

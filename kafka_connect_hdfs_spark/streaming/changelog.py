@@ -241,8 +241,12 @@ def sync_changelog_mirror_table(
         F.col("change_version").desc(),
         F.when(F.col("change_type") == "insert", 1).otherwise(0).desc(),
     )
+    # rank(), not row_number(): ties (two images of one key at the same
+    # version with the same change_type — a multiset source) must BOTH
+    # survive so the contract check below can see them; for a keyed
+    # source rank and row_number pick identically
     last = (
-        feed.withColumn("_rn", F.row_number().over(w))
+        feed.withColumn("_rn", F.rank().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
@@ -250,6 +254,32 @@ def sync_changelog_mirror_table(
         "change_type", "change_version"
     )
     touched = feed.select(key_col).distinct()
+    # ENFORCE the keyed-table contract instead of documenting it (a
+    # violation diverges SILENTLY: a NULL-keyed row re-inserts every
+    # tick because its tombstone matches nothing; a duplicate-keyed
+    # source collapses to an arbitrary row_number winner). Both checks
+    # are O(delta) — they scan the feed, never the table.
+    if touched.filter(F.col(key_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"change feed of {src_path} carries NULL {key_col!r} keys: "
+            "the row-delta mirror needs a non-null identifier — use "
+            "sync_changelog_mirror (directory form) for such tables"
+        )
+    dup = (
+        last.filter(F.col("change_type") == "insert")
+        .groupBy(key_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"change feed of {src_path} carries multiple final row "
+            f"images for one {key_col!r} key: the source is not keyed "
+            "(one live row per key) — use sync_changelog_mirror "
+            "(directory/multiset form) instead"
+        )
     mv = commit_changes(
         spark, mirror_path, final_ins, touched, key_col, now=now,
         properties={"mirror_of_version": latest},

@@ -839,3 +839,69 @@ def test_mirror_table_marker_survives_compaction(spark, tmp_path):
     ) == sorted(
         (r["k"], r["src"]) for r in read_snapshot(spark, src).collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# Contract enforcement (r13 hardening): the keyed-mirror and non-null-
+# delete-key contracts FAIL FAST instead of silently diverging
+
+
+def test_delete_rows_null_key_refused(spark, tmp_path):
+    """A NULL delete key can never match the read-time equality
+    anti-join — the delete would silently no-op. Enforced at write time
+    (Iceberg's identifier-field non-null rule), for delete_rows and the
+    rowdelta commit alike."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_changes, delete_rows,
+    )
+
+    path = _three_commits(spark, tmp_path, "t_nullkey")
+    bad = spark.createDataFrame([(3,), (None,)], "k long")
+    with pytest.raises(ValueError, match="NULL"):
+        delete_rows(spark, path, bad, "k", now=lambda: 3000)
+    with pytest.raises(ValueError, match="NULL"):
+        commit_changes(spark, path, None, bad, "k", now=lambda: 3001)
+
+
+def test_mirror_table_refuses_multiset_source(spark, tmp_path):
+    """Two live rows sharing one key: the rowdelta netting would pick
+    an arbitrary row_number winner — the sync must refuse and point at
+    the directory/multiset form instead."""
+    from kafka_connect_hdfs_spark.snapshots import commit_snapshot
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        sync_changelog_mirror_table,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_multiset_src")
+    mirror = str(tmp_path / "t_multiset_mirror")
+    sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9000)
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(50, "x"), (50, "y")], "k long, src string"
+        ),
+        src, mode="append", now=lambda: 3000,
+    )
+    with pytest.raises(ValueError, match="not keyed"):
+        sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9001)
+
+
+def test_mirror_table_refuses_null_key_source(spark, tmp_path):
+    """A NULL-keyed row's tombstone matches nothing, so the row would
+    re-insert on EVERY tick and the mirror would grow without bound —
+    refuse up front."""
+    from kafka_connect_hdfs_spark.snapshots import commit_snapshot
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        sync_changelog_mirror_table,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_nullsrc")
+    mirror = str(tmp_path / "t_nullsrc_mirror")
+    sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9000)
+    commit_snapshot(
+        spark,
+        spark.createDataFrame([(None, "n")], "k long, src string"),
+        src, mode="append", now=lambda: 3000,
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9001)
