@@ -162,6 +162,7 @@ def sync_changelog_mirror_table(
     on_overwrite: str = "refuse",
     options: "dict[str, str] | None" = None,
     now=None,
+    validate: str = "feed",
 ) -> dict:
     """The 100 TB-shaped mirror: maintain the replica as a SNAPSHOT
     TABLE and apply each sync as ONE atomic row-delta commit
@@ -184,6 +185,18 @@ def sync_changelog_mirror_table(
     live row per key — the same contract as merge_keyed/delete_rows);
     multiset tables need the directory-state form.
 
+    Contract ENFORCEMENT (``validate``): ``"feed"`` (default, O(delta))
+    refuses NULL keys and any key whose feed insert/delete balance
+    leaves more than one (or less than minus one) live copy — which
+    catches every multiset violation expressible inside the range,
+    same-version or cross-version. The one violation a feed cannot
+    show: an insert of a key that was ALREADY live before the range
+    with no intervening delete (indistinguishable from a legitimate
+    re-insert of a dead key). ``validate="mirror"`` closes it by
+    additionally semi-joining those first-op-is-insert keys against
+    the mirror's live rows — an honest O(mirror key-column scan) per
+    tick for bulletproof ticks on untrusted sources.
+
     A range that advanced versions but changed no rows (pure
     compactions) commits nothing and leaves the marker — the next tick
     re-derives the same empty feed from metadata, which is cheaper
@@ -200,6 +213,8 @@ def sync_changelog_mirror_table(
         list_snapshots, read_snapshot,
     )
 
+    if validate not in ("feed", "mirror"):
+        raise ValueError(f"unknown validate mode: {validate!r}")
     versions = list_snapshots(spark, src_path)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {src_path}")
@@ -257,29 +272,63 @@ def sync_changelog_mirror_table(
     # ENFORCE the keyed-table contract instead of documenting it (a
     # violation diverges SILENTLY: a NULL-keyed row re-inserts every
     # tick because its tombstone matches nothing; a duplicate-keyed
-    # source collapses to an arbitrary row_number winner). Both checks
-    # are O(delta) — they scan the feed, never the table.
+    # source nets multiple live copies down to one image). The default
+    # checks are O(delta) — they scan the feed, never a table.
     if touched.filter(F.col(key_col).isNull()).limit(1).count():
         raise ValueError(
             f"change feed of {src_path} carries NULL {key_col!r} keys: "
             "the row-delta mirror needs a non-null identifier — use "
             "sync_changelog_mirror (directory form) for such tables"
         )
-    dup = (
-        last.filter(F.col("change_type") == "insert")
-        .groupBy(key_col)
-        .count()
-        .filter(F.col("count") > 1)
+    # per-key insert/delete balance: a keyed source alternates
+    # insert/delete per key, so the range balance is -1, 0, or +1; any
+    # |balance| > 1 proves multiple live copies existed at once —
+    # same-version duplicates and cross-version double-inserts alike
+    delta = F.when(F.col("change_type") == "insert", 1).otherwise(-1)
+    unbal = (
+        feed.groupBy(key_col)
+        .agg(F.sum(delta).alias("_bal"))
+        .filter(F.abs(F.col("_bal")) > 1)
         .limit(1)
         .count()
     )
-    if dup:
+    if unbal:
         raise ValueError(
-            f"change feed of {src_path} carries multiple final row "
-            f"images for one {key_col!r} key: the source is not keyed "
-            "(one live row per key) — use sync_changelog_mirror "
-            "(directory/multiset form) instead"
+            f"change feed of {src_path} shows a {key_col!r} key with "
+            "more than one live copy inside the range: the source is "
+            "not keyed (one live row per key) — use "
+            "sync_changelog_mirror (directory/multiset form) instead"
         )
+    if validate == "mirror":
+        # the one feed-invisible violation: an insert of a key already
+        # live BEFORE the range with no intervening delete. First op
+        # per key == insert AND key currently live in the mirror ⇒
+        # violation. O(mirror key-column scan), opt-in.
+        w_first = Window.partitionBy(key_col).orderBy(
+            F.col("change_version").asc(),
+            F.when(F.col("change_type") == "delete", 0).otherwise(1).asc(),
+        )
+        fresh = (
+            feed.withColumn("_rn", F.row_number().over(w_first))
+            .filter(
+                (F.col("_rn") == 1) & (F.col("change_type") == "insert")
+            )
+            .select(key_col)
+        )
+        clash = (
+            read_snapshot(spark, mirror_path, options=options)
+            .select(key_col)
+            .join(fresh, key_col, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if clash:
+            raise ValueError(
+                f"change feed of {src_path} inserts a {key_col!r} key "
+                "that is already live in the mirror with no intervening "
+                "delete: the source is not keyed — use "
+                "sync_changelog_mirror (directory/multiset form) instead"
+            )
     mv = commit_changes(
         spark, mirror_path, final_ins, touched, key_col, now=now,
         properties={"mirror_of_version": latest},

@@ -905,3 +905,71 @@ def test_mirror_table_refuses_null_key_source(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL"):
         sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9001)
+
+
+def test_mirror_table_refuses_cross_version_double_insert(spark, tmp_path):
+    """The key appears twice across DIFFERENT versions with no delete
+    between — one live copy per key is violated even though no single
+    version shows a duplicate; the feed balance check catches it."""
+    from kafka_connect_hdfs_spark.snapshots import commit_snapshot
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        sync_changelog_mirror_table,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_xver_src")
+    mirror = str(tmp_path / "t_xver_mirror")
+    sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9000)
+    for ts, tag in ((3000, "x"), (4000, "y")):
+        commit_snapshot(
+            spark,
+            spark.createDataFrame([(50, tag)], "k long, src string"),
+            src, mode="append", now=lambda t=ts: t,
+        )
+    with pytest.raises(ValueError, match="not keyed"):
+        sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9001)
+
+
+def test_mirror_table_validate_mirror_catches_prerange_dup(spark, tmp_path):
+    """The feed-invisible violation: ONE insert of a key that was
+    already live before the range. validate='feed' cannot see it (and
+    applies the netting); validate='mirror' refuses."""
+    from kafka_connect_hdfs_spark.snapshots import commit_snapshot
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        sync_changelog_mirror_table,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_prerange_src")
+    mirror = str(tmp_path / "t_prerange_mirror")
+    sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9000)
+    commit_snapshot(  # k=5 is already live from v1
+        spark,
+        spark.createDataFrame([(5, "dup")], "k long, src string"),
+        src, mode="append", now=lambda: 3000,
+    )
+    with pytest.raises(ValueError, match="already live"):
+        sync_changelog_mirror_table(
+            spark, src, mirror, "k", now=lambda: 9001, validate="mirror",
+        )
+    # and a legitimate re-insert of a DEAD key passes strict validation
+    from kafka_connect_hdfs_spark.snapshots import delete_rows, read_snapshot
+
+    src2 = _three_commits(spark, tmp_path, "t_prerange_ok")
+    mirror2 = str(tmp_path / "t_prerange_ok_mirror")
+    sync_changelog_mirror_table(spark, src2, mirror2, "k", now=lambda: 9000)
+    delete_rows(
+        spark, src2, spark.createDataFrame([(5,)], "k long"), "k",
+        now=lambda: 3000,
+    )
+    commit_snapshot(
+        spark,
+        spark.createDataFrame([(5, "re")], "k long, src string"),
+        src2, mode="append", now=lambda: 4000,
+    )
+    sync_changelog_mirror_table(
+        spark, src2, mirror2, "k", now=lambda: 9001, validate="mirror",
+    )
+    assert sorted(
+        (r["k"], r["src"]) for r in read_snapshot(spark, mirror2).collect()
+    ) == sorted(
+        (r["k"], r["src"]) for r in read_snapshot(spark, src2).collect()
+    )
