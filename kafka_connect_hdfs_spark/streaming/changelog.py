@@ -347,19 +347,28 @@ def start_changelog_mirror(
     on_overwrite: str = "refuse",
     options: "dict[str, str] | None" = None,
     available_now: bool = True,
+    key_col: "str | None" = None,
 ):
-    """The foreachBatch lane: run one :func:`sync_changelog_mirror`
-    tick per micro-batch of ``trigger`` (any stream works — a rate
-    source for wall-clock polling, a notification topic for push). The
-    tick is marker-guarded, so redundant or replayed triggers are
-    no-ops; the batch's own rows are only a clock."""
+    """The foreachBatch lane: run one mirror sync tick per micro-batch
+    of ``trigger`` (any stream works — a rate source for wall-clock
+    polling, a notification topic for push). The tick is
+    marker-guarded, so redundant or replayed triggers are no-ops; the
+    batch's own rows are only a clock. With ``key_col`` the tick is the
+    snapshot-TABLE form (:func:`sync_changelog_mirror_table`, O(delta)
+    row-delta commits); without it, the directory form."""
     spark = trigger.sparkSession
 
     def _tick(batch_df: DataFrame, batch_id: int) -> None:
-        sync_changelog_mirror(
-            spark, src_path, mirror_path, on_overwrite=on_overwrite,
-            options=options,
-        )
+        if key_col is not None:
+            sync_changelog_mirror_table(
+                spark, src_path, mirror_path, key_col,
+                on_overwrite=on_overwrite, options=options,
+            )
+        else:
+            sync_changelog_mirror(
+                spark, src_path, mirror_path, on_overwrite=on_overwrite,
+                options=options,
+            )
 
     writer = trigger.writeStream.foreachBatch(_tick).option(
         "checkpointLocation", checkpoint

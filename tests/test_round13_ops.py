@@ -973,3 +973,35 @@ def test_mirror_table_validate_mirror_catches_prerange_dup(spark, tmp_path):
     ) == sorted(
         (r["k"], r["src"]) for r in read_snapshot(spark, src2).collect()
     )
+
+
+def test_changelog_mirror_foreachbatch_table_form(spark, tmp_path):
+    """The streaming wrapper's snapshot-TABLE form (key_col given):
+    ticks land as row-delta commits and the mirror table equals the
+    source snapshot after the run."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        delete_rows, read_snapshot,
+    )
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        start_changelog_mirror, sync_changelog_mirror_table,
+    )
+
+    src = _three_commits(spark, tmp_path, "t_mirror_fbt_src")
+    mirror = str(tmp_path / "t_mirror_fbt")
+    sync_changelog_mirror_table(spark, src, mirror, "k", now=lambda: 9000)
+    delete_rows(
+        spark, src, spark.createDataFrame([(7,)], "k long"), "k",
+        now=lambda: 3000,
+    )
+    ticks = str(tmp_path / "fbt_ticks")
+    spark.range(3).write.parquet(ticks)
+    q = start_changelog_mirror(
+        spark.readStream.schema("id long").parquet(ticks),
+        src, mirror, str(tmp_path / "fbt_chk"), key_col="k",
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        (r["k"], r["src"]) for r in read_snapshot(spark, mirror).collect()
+    ) == sorted(
+        (r["k"], r["src"]) for r in read_snapshot(spark, src).collect()
+    )
