@@ -932,6 +932,21 @@ def commit_changes(
         if keys_df.isEmpty():
             keys_df = None
     has_inserts = inserts is not None and not inserts.isEmpty()
+    if has_inserts:
+        # the identifier-field contract cuts both ways: an insert with
+        # a NULL (or absent) key can never be targeted by a later
+        # row-delta delete — the row would be permanently unmergeable
+        if key_col not in inserts.columns:
+            raise ValueError(
+                f"row-delta inserts lack the identifier column "
+                f"{key_col!r} (have {inserts.columns})"
+            )
+        if inserts.filter(F.col(key_col).isNull()).limit(1).count():
+            raise ValueError(
+                f"row-delta inserts carry NULL {key_col!r} keys: such "
+                "rows could never be deleted or replaced by a later "
+                "row delta — use commit_snapshot for non-keyed appends"
+            )
     if keys_df is None and not has_inserts:
         return versions[-1]
     version = versions[-1] + 1

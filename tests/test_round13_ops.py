@@ -1005,3 +1005,24 @@ def test_changelog_mirror_foreachbatch_table_form(spark, tmp_path):
     ) == sorted(
         (r["k"], r["src"]) for r in read_snapshot(spark, src).collect()
     )
+
+
+def test_commit_changes_null_or_missing_insert_key_refused(spark, tmp_path):
+    """Row-delta inserts must carry a non-null identifier — a NULL or
+    absent key row could never be deleted or replaced by a later row
+    delta."""
+    from kafka_connect_hdfs_spark.snapshots import commit_changes
+
+    path = _three_commits(spark, tmp_path, "t_rd_nullins")
+    with pytest.raises(ValueError, match="NULL"):
+        commit_changes(
+            spark, path,
+            spark.createDataFrame([(None, "n")], "k long, src string"),
+            None, "k", now=lambda: 3000,
+        )
+    with pytest.raises(ValueError, match="identifier column"):
+        commit_changes(
+            spark, path,
+            spark.createDataFrame([("x",)], "src string"),
+            None, "k", now=lambda: 3001,
+        )
