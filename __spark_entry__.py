@@ -6731,7 +6731,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_unigram_lm, text_unk_replace_join, text_zipf_slope), any
     # gate whose Spark/oracle pair changes in r14, then the r06-latest
     # block (next-stalest driver evidence; enumerate from CORRECTNESS
-    # history at queue-build time).
+    # history at queue-build time). Note: the late-r13 contract guards
+    # (NULL delete/insert keys, mirror balance check) landed AFTER this
+    # window was queued; every window gate plus ops_row_delta/
+    # ops_row_deletes was oracle-revalidated on the final tree in-
+    # session, so no extra r14 re-check slots are needed for them.
     _R13_WINDOW = [
         # slots 1-2: zero-driver-row gates (NEW in r13)
         "media_container_probe",
