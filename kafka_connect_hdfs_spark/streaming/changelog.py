@@ -126,7 +126,7 @@ def sync_changelog_mirror(
     feed = changelog_scan(
         spark, src_path, m, latest, options=options,
         on_overwrite=on_overwrite,
-    )
+    ).localCheckpoint(eager=True)  # O(delta); consumed by both filters
     inserts = feed.filter(F.col("change_type") == "insert").drop(
         "change_type", "change_version"
     )
@@ -248,10 +248,15 @@ def sync_changelog_mirror_table(
             f"has been expired (have {versions}): the delta is no longer "
             "reconstructable — delete the mirror table to re-bootstrap"
         )
+    # materialize the feed ONCE: it is O(delta) by contract, and every
+    # consumer below (contract checks, netting window, touched keys,
+    # commit_changes' emptiness probes and both writes) would otherwise
+    # re-derive the whole changelog plan per action — measured at ~2x
+    # the tick cost in the scale lane
     feed = changelog_scan(
         spark, src_path, m, latest, options=options,
         on_overwrite=on_overwrite,
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy(key_col).orderBy(
         F.col("change_version").desc(),
         F.when(F.col("change_type") == "insert", 1).otherwise(0).desc(),
@@ -274,25 +279,30 @@ def sync_changelog_mirror_table(
     # tick because its tombstone matches nothing; a duplicate-keyed
     # source nets multiple live copies down to one image). The default
     # checks are O(delta) — they scan the feed, never a table.
-    if touched.filter(F.col(key_col).isNull()).limit(1).count():
-        raise ValueError(
-            f"change feed of {src_path} carries NULL {key_col!r} keys: "
-            "the row-delta mirror needs a non-null identifier — use "
-            "sync_changelog_mirror (directory form) for such tables"
-        )
     # per-key insert/delete balance: a keyed source alternates
     # insert/delete per key, so the range balance is -1, 0, or +1; any
     # |balance| > 1 proves multiple live copies existed at once —
-    # same-version duplicates and cross-version double-inserts alike
+    # same-version duplicates and cross-version double-inserts alike.
+    # The NULL-key census rides the same single aggregation (a NULL key
+    # is its own group).
     delta = F.when(F.col("change_type") == "insert", 1).otherwise(-1)
-    unbal = (
+    bad = (
         feed.groupBy(key_col)
         .agg(F.sum(delta).alias("_bal"))
-        .filter(F.abs(F.col("_bal")) > 1)
+        .filter(
+            F.col(key_col).isNull() | (F.abs(F.col("_bal")) > 1)
+        )
         .limit(1)
-        .count()
+        .collect()
     )
-    if unbal:
+    if bad:
+        if bad[0][key_col] is None:
+            raise ValueError(
+                f"change feed of {src_path} carries NULL {key_col!r} "
+                "keys: the row-delta mirror needs a non-null identifier "
+                "— use sync_changelog_mirror (directory form) for such "
+                "tables"
+            )
         raise ValueError(
             f"change feed of {src_path} shows a {key_col!r} key with "
             "more than one live copy inside the range: the source is "
