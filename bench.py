@@ -377,7 +377,16 @@ def main() -> None:
                     "verdict item 7 capability change, +~0.9s on this "
                     "gate only); r13 media entries additionally read "
                     "the cached container corpus "
-                    "(container_corpus_build is its encode-cost entry)"
+                    "(container_corpus_build is its encode-cost entry). "
+                    "Late-r13 PRICED change: delete_rows/commit_changes "
+                    "gained a write-time NULL-key refusal (one tiny "
+                    "driver job per delete commit), so the delete-"
+                    "machinery gates (ops_row_delta, ops_row_deletes, "
+                    "ops_changelog_scan) carry ~+0.1-0.2s per delete "
+                    "commit in their fixtures - enforcement cost, not "
+                    "regression; the mirror-tick contract checks are "
+                    "free (feed localCheckpoint, BENCH_SCALE "
+                    "mirror_table_tick factor 1.11)"
                 ),
                 "queries": timings,
                 "runs": raw_runs,
