@@ -1026,3 +1026,57 @@ def test_commit_changes_null_or_missing_insert_key_refused(spark, tmp_path):
             spark.createDataFrame([("x",)], "src string"),
             None, "k", now=lambda: 3001,
         )
+
+
+def test_mirror_table_across_schema_evolution(spark, tmp_path):
+    """The row-delta mirror through an EVOLVING source: an appended
+    commit adds a column (older dirs read it as NULL via mergeSchema),
+    then a delete and an update of pre-evolution rows. Every tick must
+    land the mirror on the evolved snapshot."""
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_changes, commit_snapshot, delete_rows, read_snapshot,
+    )
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        sync_changelog_mirror_table,
+    )
+
+    opts = {"mergeSchema": "true"}
+    src = _three_commits(spark, tmp_path, "t_evo_src")
+    mirror = str(tmp_path / "t_evo_mirror")
+    sync_changelog_mirror_table(
+        spark, src, mirror, "k", options=opts, now=lambda: 9000,
+    )
+    commit_snapshot(  # v3 adds the `lang` column
+        spark,
+        spark.createDataFrame(
+            [(30, "c", "en"), (31, "c", "de")],
+            "k long, src string, lang string",
+        ),
+        src, mode="append", now=lambda: 3000,
+    )
+    delete_rows(
+        spark, src, spark.createDataFrame([(4,)], "k long"), "k",
+        now=lambda: 4000,
+    )
+    commit_changes(  # update a pre-evolution row to an evolved image
+        spark, src,
+        spark.createDataFrame(
+            [(7, "upd", "fr")], "k long, src string, lang string"
+        ),
+        spark.createDataFrame([(7,)], "k long"), "k", now=lambda: 5000,
+    )
+    for tick in (9001, 9002):  # second tick is the idle no-op
+        sync_changelog_mirror_table(
+            spark, src, mirror, "k", options=opts,
+            now=lambda t=tick: t, validate="mirror",
+        )
+    want = sorted(
+        (r["k"], r["src"], r["lang"])
+        for r in read_snapshot(spark, src, options=opts).collect()
+    )
+    got = sorted(
+        (r["k"], r["src"], r["lang"])
+        for r in read_snapshot(spark, mirror, options=opts).collect()
+    )
+    assert got == want and (7, "upd", "fr") in got and (30, "c", "en") in got
+    assert all(k != 4 for k, _, _ in got)
