@@ -1080,3 +1080,44 @@ def test_mirror_table_across_schema_evolution(spark, tmp_path):
     )
     assert got == want and (7, "upd", "fr") in got and (30, "c", "en") in got
     assert all(k != 4 for k, _, _ in got)
+
+
+def test_mirror_dir_form_across_schema_evolution(spark, tmp_path):
+    """The directory-form mirror through an evolving source: the
+    multiset fold (_aligned + exceptAll) must carry the added column,
+    with pre-evolution mirror rows reading it as NULL."""
+    from collections import Counter
+
+    from kafka_connect_hdfs_spark.snapshots import (
+        commit_snapshot, delete_rows, read_snapshot,
+    )
+    from kafka_connect_hdfs_spark.streaming.changelog import (
+        sync_changelog_mirror,
+    )
+
+    opts = {"mergeSchema": "true"}
+    src = _three_commits(spark, tmp_path, "t_evo_dir_src")
+    mirror = str(tmp_path / "t_evo_dir_mirror")
+    sync_changelog_mirror(spark, src, mirror, options=opts)
+    commit_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(40, "c", "en")], "k long, src string, lang string"
+        ),
+        src, mode="append", now=lambda: 3000,
+    )
+    delete_rows(
+        spark, src, spark.createDataFrame([(2,)], "k long"), "k",
+        now=lambda: 4000,
+    )
+    sync_changelog_mirror(spark, src, mirror, options=opts)
+    want = Counter(
+        (r["k"], r["src"], r["lang"])
+        for r in read_snapshot(spark, src, options=opts).collect()
+    )
+    got = Counter(
+        (r["k"], r["src"], r["lang"])
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(mirror).collect()
+    )
+    assert got == want and (40, "c", "en") in got
