@@ -262,16 +262,30 @@ def connected_components_star(
       small-star(u): connect every neighbor v ≤ u, and u itself, to
                      m = min(N≤(u) ∪ {u})
 
-    Each half-round is one groupBy + one join keyed on the center node —
-    the same shuffle primitives as label propagation, just fewer rounds.
-    Convergence is detected from a count + order-free xxhash checksum of
-    the edge set (two scalars, no edge-set comparison join);
-    ``localCheckpoint`` truncates lineage per round as in
-    duplicate_clusters.
+    Each half-round is ONE exchange: the center minimum
+    m = min(N(u) ∪ {u}) is a partition-frame window min over the center
+    key instead of the old groupBy + join-back (r13 optimization round,
+    guide §2.4 — two exchanges of the edge list per half-round collapsed
+    into one; the WindowExec sort buffers exactly what the old
+    sort-merge join's sort already buffered per center, so the hub-skew
+    profile is unchanged while the shuffled bytes halve). Large-star's
+    output is NOT distinct-ed: small-star's window min is
+    duplicate-insensitive, so the intra-round distinct was a pure extra
+    |E| shuffle (one distinct per full round, at the end of small-star,
+    still bounds the edge multiset). Convergence is detected from a
+    count + order-free xxhash checksum of the edge set (two scalars, no
+    per-round comparison join) and then CONFIRMED exactly by one
+    left-anti join on the converged star forest (equal counts of two
+    distinct sets + empty anti ⇒ set equality) — replacing the old
+    second full contraction round (3 more |E| shuffles) with one
+    O(nodes) probe, and upgrading the stop condition from probabilistic
+    (hash) to exact. ``localCheckpoint`` truncates lineage per round as
+    in duplicate_clusters.
 
     Equivalence with duplicate_clusters is pytest-gated on random graphs
     and on the chain topology where propagation is at its worst.
     """
+    from pyspark.sql import Window
     # materialize the raw pair projection ONCE — the contraction loop, the
     # convergence signature, and the self-pair restore below all derive
     # from it, and `pairs` is typically an expensive generated frame
@@ -295,19 +309,21 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
+    _w_center = Window.partitionBy("u")
+
     def _large_star(edges: DataFrame) -> DataFrame:
+        # duplicate-tolerant (window min ignores multiplicity) and emits a
+        # multiset: the consumer (_small_star) is itself duplicate-
+        # insensitive, so no distinct here — one exchange, not three
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        m = F.least(F.min("v").over(_w_center), F.col("u"))
         return (
-            sym.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
+            sym.withColumn("m", m)
+            .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(edges: DataFrame) -> DataFrame:
@@ -315,35 +331,38 @@ def connected_components_star(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         le = sym.filter(F.col("v") <= F.col("u"))
-        mins = le.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+        m = F.least(F.min("v").over(_w_center), F.col("u"))
+        # neighbor edge (v, m) from every row; center edge (u, m) emitted
+        # per row instead of once per center — the round-final distinct
+        # collapses the copies, and skipping the separate center frame
+        # keeps the half-round at ONE exchange
+        both = F.array(
+            F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+            F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
         )
-        nbr_edges = le.join(mins, "u").select(
-            F.col("v").alias("u"), F.col("m").alias("v")
-        )
-        center_edges = mins.select(F.col("u"), F.col("m").alias("v"))
         return (
-            nbr_edges.unionByName(center_edges)
+            le.withColumn("m", m)
+            .select(F.explode(both).alias("e"))
+            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
 
     sig = _sig(e)
-    stable = 0
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        new_sig = _sig(e)
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _sig(new_e)
         if new_sig == sig:
-            # require TWO consecutive equal signatures: star rounds are
-            # idempotent at the fixed point, so the confirm round is cheap,
-            # and a hash collision between successive DISTINCT edge sets
-            # can no longer terminate the loop silently
-            stable += 1
-            if stable >= 2:
+            # counts match (from the signature) and both sides are
+            # distinct sets, so one empty left-anti join PROVES set
+            # equality — an exact fixed-point witness for the price of a
+            # star-forest probe, where the old code paid a second full
+            # contraction round to re-check the hash
+            if new_e.join(e, ["u", "v"], "left_anti").isEmpty():
+                e = new_e
                 break
-        else:
-            stable = 0
         sig = new_sig
+        e = new_e
     # converged graph is a union of stars centered at component minima:
     # every node's label is its minimum incident endpoint (or itself)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
