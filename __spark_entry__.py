@@ -3500,9 +3500,13 @@ def _q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         covisit_edges, triangle_count,
     )
 
+    # materialize the thresholded edge list once: the wedge kernel's three
+    # orientations partition it three different ways, and left lazy each
+    # one re-runs the covisit pair-join (measured 6.3 -> 4.0 s at sf0.1;
+    # same call as graph_covisit_pagerank's)
     edges = covisit_edges(
         _events(spark, sf_dir), max_users_per_bucket=200
-    ).filter(F.col("n_covisits") >= 3)
+    ).filter(F.col("n_covisits") >= 3).localCheckpoint(eager=True)
     return triangle_count(edges, id_a="user_a", id_b="user_b")
 
 
@@ -3517,9 +3521,12 @@ def _q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         clustering_coefficients, covisit_edges,
     )
 
+    # same single materialization as graph_triangle_count — the kernel's
+    # wedge orientations otherwise re-run the covisit pair-join per
+    # partitioning (guide §5)
     edges = covisit_edges(
         _events(spark, sf_dir), max_users_per_bucket=200
-    ).filter(F.col("n_covisits") >= 3)
+    ).filter(F.col("n_covisits") >= 3).localCheckpoint(eager=True)
     return clustering_coefficients(edges, id_a="user_a", id_b="user_b")
 
 
@@ -3832,9 +3839,12 @@ def _q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution."""
     from kafka_connect_hdfs_spark.operators.graph import covisit_edges
 
+    # materialized once: sym is consumed under two join partitionings
+    # (by u and by v) plus the degree aggregate — left lazy, each one
+    # re-runs the covisit pair-join (the graph_triangle_count lesson)
     e = covisit_edges(
         _events(spark, sf_dir), max_users_per_bucket=200
-    ).filter(F.col("n_covisits") >= 3)
+    ).filter(F.col("n_covisits") >= 3).localCheckpoint(eager=True)
     sym = e.select(
         F.col("user_a").alias("u"), F.col("user_b").alias("v")
     ).unionByName(
