@@ -3121,20 +3121,34 @@ def vacuum_ivf_index(
         return {}
     tomb = spark.read.parquet(tomb_dir).select(id_col).distinct()
     index = spark.read.parquet(path + "/cells")
-    affected = sorted(
-        int(r["cell"])
-        for r in index.join(F.broadcast(tomb), id_col)
-        .select("cell")
-        .distinct()
+    # ONE pruned pass discovers the affected cells AND both row counts
+    # (r13 optimization round, guide §1.2: the old shape re-scanned every
+    # affected cell twice more — count(cur) + count(kept) — before the
+    # rewrite, 3 jobs per cell; a broadcast left-join marker folds all of
+    # that into the discovery aggregate)
+    marked = index.select(id_col, "cell").join(
+        F.broadcast(tomb.withColumn("_t", F.lit(1))), id_col, "left"
+    )
+    per_cell = (
+        marked.groupBy("cell")
+        .agg(
+            F.count("*").alias("_nb"),
+            F.count(F.when(F.col("_t").isNull(), 1)).alias("_na"),
+        )
+        .filter(F.col("_nb") != F.col("_na"))
         .collect()
     )
-    stats: "dict[int, tuple[int, int]]" = {}
-    for c in affected:
+    counts = {
+        int(r["cell"]): (int(r["_nb"]), int(r["_na"])) for r in per_cell
+    }
+    affected = sorted(counts)
+
+    def _rewrite(c: int) -> None:
         cell_dir = f"{path}/cells/cell={c}"
         bak = f"{path}/cells/.cell={c}.__vacuum_old"
-        cur = spark.read.parquet(cell_dir)
-        kept = cur.join(F.broadcast(tomb), id_col, "anti")
-        n_before, n_after = cur.count(), kept.count()
+        kept = spark.read.parquet(cell_dir).join(
+            F.broadcast(tomb), id_col, "anti"
+        )
         tmp = f"{path}/cells/.cell={c}.__vacuum"
         if fs.exists(Path(tmp)):
             fs.delete(Path(tmp), True)
@@ -3147,6 +3161,15 @@ def vacuum_ivf_index(
             fs.rename(Path(bak), Path(cell_dir))  # restore and fail
             raise IOError(f"vacuum swap failed for cell={c}")
         fs.delete(Path(bak), True)
-        stats[c] = (n_before, n_after)
+
+    # cells rewrite independently (disjoint dirs) — overlap the small
+    # per-cell write jobs so one cell's straggling tasks back-fill with
+    # the next cell's (guide §2.6); pool kept small on purpose
+    from concurrent.futures import ThreadPoolExecutor
+
+    if affected:
+        with ThreadPoolExecutor(max_workers=min(4, len(affected))) as pool:
+            list(pool.map(_rewrite, affected))
+    stats: "dict[int, tuple[int, int]]" = {c: counts[c] for c in affected}
     fs.delete(Path(tomb_dir), True)
     return stats
