@@ -201,7 +201,15 @@ def relayout_partitions(
     fs.delete(Path(tmp_dir), True)
     fs.delete(Path(old_dir), True)
     (
-        df.write.format(fmt)
+        # cluster rows by the new partition key before the partitioned
+        # write (the "ONE shuffle" the contract describes): without it
+        # every task emits a file per key it touches — tasks × keys
+        # output files — and the per-file stage renames and read-back
+        # listings pay for all of them. REBALANCE lets AQE coalesce
+        # small keys into shared files AND split oversized keys at the
+        # advisory size, so file counts stay O(keys) at any scale.
+        df.hint("rebalance", *new_partition_cols)
+        .write.format(fmt)
         .partitionBy(*new_partition_cols)
         .mode("overwrite")
         .save(tmp_dir)
@@ -352,7 +360,11 @@ def _relayout_scoped(
                 f"{df.columns}"
             )
         (
-            df.write.format(fmt)
+            # same rebalance-before-partitionBy as the global path: the
+            # per-leaf slice otherwise stages tasks × keys files, every
+            # one of which the driver renames into the stage tree below
+            df.hint("rebalance", *new_partition_cols)
+            .write.format(fmt)
             .partitionBy(*new_partition_cols)
             .mode("overwrite")
             .save(tmp_str)
