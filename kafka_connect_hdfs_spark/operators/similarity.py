@@ -1937,7 +1937,13 @@ def embedding_covariance(
             "bigint"
         ),
     )
-    scaled = embeddings.select(s.alias("_s"))
+    # the explode below expands every row d(d+1)/2-fold (dim=64 → 2080
+    # product rows per vector) BEFORE the partial aggregation, so an
+    # under-partitioned scan (one small parquet file) serializes the
+    # whole quadratic expansion onto one core — fan_out spreads the thin
+    # scaled vectors first (no-op when the scan is already wide); all
+    # aggregates are exact integers, so partitioning cannot change values
+    scaled = fan_out(embeddings.select(s.alias("_s")))
     v = F.col("_s")
     d = F.size(v)
     prods = F.flatten(
