@@ -71,8 +71,13 @@ def merge_upsert(
             else:
                 fs.delete(st.getPath(), True)
 
-    parts = sorted(r[0] for r in updates.select(partition_col).distinct().collect())
-    n_update_rows = updates.count()
+    # one pass over updates yields the touched partitions AND the row
+    # count (was a distinct-collect plus a second full count() scan)
+    part_stats = (
+        updates.groupBy(partition_col).agg(F.count("*").alias("_n")).collect()
+    )
+    parts = sorted(r[0] for r in part_stats)
+    n_update_rows = sum(r["_n"] for r in part_stats)
 
     tgt = spark.read.format(fmt).load(table_path)
     existing = tgt.filter(F.col(partition_col).isin(parts))
@@ -263,17 +268,22 @@ def merge_keyed(
         elif name.endswith("__merge_dropped"):
             fs.delete(st.getPath(), True)
 
-    dup = (
+    # ONE aggregate answers the key-uniqueness check AND the update row
+    # count (was a dup-check job plus a second full count() pass over the
+    # update frame — at scale updates are the large input here)
+    _key_stats = (
         updates.groupBy(key_col)
         .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > 1)
+        .agg(F.max("_n").alias("_mx"), F.sum("_n").alias("_rows"))
+        .collect()[0]
     )
-    if dup.limit(1).count() > 0:
+    if (_key_stats["_mx"] or 0) > 1:
         raise ValueError(
             f"updates are not key-unique on {key_col!r}: a MERGE source "
             "with multiple rows per key is ambiguous (Delta's "
             "multiple-matches error) — pre-aggregate to one row per key"
         )
+    n_update_rows = int(_key_stats["_rows"] or 0)
 
     all_keys = updates.select(key_col).distinct()
     if delete_col is not None:
@@ -311,7 +321,6 @@ def merge_keyed(
         r[0] for r in upd_rows.select(partition_col).distinct().collect()
     ]
     touched = sorted(set(old_vals) | set(new_vals), key=str)
-    n_update_rows = updates.count()
     if not touched:
         return {
             "n_partitions_touched": 0,
@@ -548,7 +557,13 @@ def build_key_index(
                 fs.delete(st.getPath(), True)
     staging = f"{root}/.data_stage"
     fs.delete(Path(staging), True)
-    pairs.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+    # cluster by bucket before the partitioned write: without it every
+    # scan task emits a file per bucket it touches (tasks x n_buckets
+    # files at scale); REBALANCE keeps it O(n_buckets), AQE still splits
+    # an oversized bucket
+    pairs.hint("rebalance", "bucket").write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(staging)
     old = f"{root}/.data_old"
     fs.delete(Path(old), True)
     if fs.exists(Path(data_dir)) and not fs.rename(Path(data_dir), Path(old)):
@@ -728,7 +743,10 @@ def refresh_key_index(
         merged = existing.unionByName(fresh)
         staging = f"{root}/.refresh_stage"
         fs.delete(Path(staging), True)
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+        # same rebalance-before-partitionBy as build_key_index
+        merged.hint("rebalance", "bucket").write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(staging)
         for b in buckets:
             leaf = f"bucket={b}"
             live = Path(f"{data_dir}/{leaf}")
