@@ -3041,9 +3041,12 @@ def _q_graph_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank, shingle_share_edges,
     )
 
+    # the |sources|²-bounded edge list is tiny but its shingle-join
+    # upstream is not — materialize once, the PR iteration consumes it
+    # several times (the covisit-pagerank / source-ppr lesson)
     edges = shingle_share_edges(
         _docs(spark, sf_dir), n=3, max_groups_per_shingle=5
-    )
+    ).localCheckpoint(eager=True)
     return pagerank(edges, damping=0.85, iterations=3).orderBy("node")
 
 
@@ -3979,9 +3982,11 @@ def _q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = covisit_edges(
         _events(spark, sf_dir), max_users_per_bucket=200
     ).filter(F.col("n_covisits") >= 3)
-    sym = e.select(F.col("user_a").alias("u")).unionByName(
-        e.select(F.col("user_b").alias("u"))
-    )
+    # ONE consumer of the covisit pipeline: explode(array(a, b)) emits
+    # both endpoints per edge row — the old two-branch union recomputed
+    # the whole pair-join upstream per branch (no exchange reuse across
+    # the differing projections); measured 5.08 -> 2.93 s at sf0.1
+    sym = e.select(F.explode(F.array("user_a", "user_b")).alias("u"))
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     return (
         deg.withColumn(
