@@ -636,14 +636,9 @@ def remove_hot_ngrams(
     O(n · |hot|); raise the threshold / lower the cap rather than letting
     |hot| grow unbounded.
     """
-    # NOTE deliberately single-projection/unbound here: A/B at sf0.1
-    # measured the bound-column variant (materializing the gram and
-    # hot-start arrays through projection boundaries) at 2× the cost —
-    # within ONE projection codegen subexpression elimination already
-    # evaluates hot_start once, and the wide gram array never needs to be
-    # carried between operators. The binding fix applies when a lambda
-    # body references an expensive UNSHARED expression (with_shingles,
-    # bigram_logprob, winnow) — not here.
+    # Both passes are CPU-heavy map-side expansions over the raw corpus —
+    # spread an under-partitioned scan first (no-op on a wide one)
+    df = fan_out(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.when(
         F.size(toks) >= n,
@@ -663,29 +658,51 @@ def remove_hot_ngrams(
     )
     hot = sorted(r["gram"] for r in hot_rows)
 
-    L = F.size(toks)
     if not hot:
-        kept = toks
-    else:
-        quoted = ",".join(
-            "'" + g.replace("\\", "\\\\").replace("'", "\\'") + "'" for g in hot
+        L = F.size(toks)
+        return df.select(
+            F.col(id_col),
+            L.alias("n_tokens"),
+            (L - F.size(toks)).alias("n_removed"),
+            F.md5(F.array_join(toks, " ")).alias("cleaned_fp"),
         )
-        hot_arr = F.expr(f"array({quoted})")
+    quoted = ",".join(
+        "'" + g.replace("\\", "\\\\").replace("'", "\\'") + "'" for g in hot
+    )
+    hot_arr = F.expr(f"array({quoted})")
+    # BIND the token array and the per-position hot-start flags to real
+    # columns before the removal filter: an expression referenced inside
+    # a higher-order-function lambda is re-evaluated PER ELEMENT (no CSE
+    # into the lambda body), so the unbound form recomputed the
+    # O(grams·|hot|) hot_start scan once per token position —
+    # O(tokens·grams·|hot|) string compares per document (measured: the
+    # removal pass did not finish in 480 s at sf0.1 under the noop sink;
+    # count()-shaped actions prune cleaned_fp and never paid it). Bound,
+    # hot_start evaluates once per row.
+    bound = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
         # hot_start[j+1] = gram starting at 0-based token j is hot
-        hot_start = F.transform(grams, lambda g: F.array_contains(hot_arr, g))
-        # pos is covered iff a hot gram starts in [pos-n+1, pos] ∩ [0, L-n]
-        covered = lambda pos: F.exists(  # noqa: E731
-            F.sequence(
-                F.greatest(F.lit(0), pos - F.lit(n - 1)),
-                F.least(pos, L - F.lit(n)),
-            ),
-            lambda j: F.element_at(hot_start, j + 1),
-        )
-        kept = F.when(
-            L >= n,
-            F.filter(toks, lambda x, pos: ~covered(pos)),
-        ).otherwise(toks)
-    return df.select(
+        F.transform(
+            grams, lambda g: F.array_contains(hot_arr, g)
+        ).alias("_hot_start"),
+    )
+    t = F.col("_toks")
+    hs = F.col("_hot_start")
+    L = F.size(t)
+    # pos is covered iff a hot gram starts in [pos-n+1, pos] ∩ [0, L-n]
+    covered = lambda pos: F.exists(  # noqa: E731
+        F.sequence(
+            F.greatest(F.lit(0), pos - F.lit(n - 1)),
+            F.least(pos, L - F.lit(n)),
+        ),
+        lambda j: F.element_at(hs, j + 1),
+    )
+    kept = F.when(
+        L >= n,
+        F.filter(t, lambda x, pos: ~covered(pos)),
+    ).otherwise(t)
+    return bound.select(
         F.col(id_col),
         L.alias("n_tokens"),
         (L - F.size(kept)).alias("n_removed"),

@@ -268,8 +268,12 @@ def test_remove_hot_ngrams_is_map_side(spark, sf):
 
     docs = load_table(spark, sf, "documents")
     plan = _plan(remove_hot_ngrams(docs, n=3, hot_threshold=5))
-    assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+    # the only allowed Exchange is fan_out's round-robin spread of an
+    # under-partitioned scan — never a KEYED shuffle of the corpus
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, plan
 
 
 def test_cluster_representatives_no_window_sort(spark, sf):
