@@ -271,9 +271,9 @@ def test_remove_hot_ngrams_is_map_side(spark, sf):
     assert "Join" not in plan, plan
     # the only allowed Exchange is fan_out's round-robin spread of an
     # under-partitioned scan — never a KEYED shuffle of the corpus
-    for line in plan.splitlines():
-        if "Exchange" in line:
-            assert "RoundRobinPartitioning" in line, plan
+    low = plan.lower()
+    assert "hashpartitioning" not in low, plan
+    assert "rangepartitioning" not in low, plan
 
 
 def test_cluster_representatives_no_window_sort(spark, sf):
