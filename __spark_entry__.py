@@ -2630,9 +2630,32 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", f"{base}/chk")
         .start()
     )
-    if not q.awaitTermination(300):
-        # timed-out query would otherwise keep running and die noisily
-        # at spark.stop(); stopping yields a visibly-partial result
+    # ProcessingTimeTimeout makes the engine keep scheduling microbatches
+    # until state timers fire (30 min away), so availableNow NEVER
+    # self-terminates here — the old awaitTermination(300) burned its
+    # full five minutes of ~1 s empty batches on every run (measured:
+    # 312+ zero-row batches). No timer can fire inside the run (the
+    # oracle's stated premise), so the first COMPLETED zero-row batch
+    # after data has been seen proves no further batch can emit a row —
+    # stop there. Result-identical, seconds instead of five minutes.
+    # (Safe ONLY for this processing-time-timeout gate: in the
+    # watermark/append gates a trailing empty batch DOES emit final
+    # windows, so they keep plain awaitTermination.)
+    import time as _time
+
+    _deadline = _time.time() + 300
+    _data_seen = False
+    while _time.time() < _deadline:
+        if q.awaitTermination(2):
+            break
+        lp = q.lastProgress
+        if lp is None:
+            continue
+        if lp["numInputRows"] > 0:
+            _data_seen = True
+        elif _data_seen:
+            break  # source exhausted; only timer no-op batches remain
+    if q.isActive:
         q.stop()
     return (
         spark.table(name)
