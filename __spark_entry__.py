@@ -886,7 +886,11 @@ def _q_dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_hdfs_spark.operators.similarity import semantic_dedup
     from kafka_connect_hdfs_spark.operators.text import embed_text
 
-    emb = embed_text(_docs(spark, sf_dir), dim=8)
+    # semantic_dedup consumes the embedding table several times (seed
+    # collect, both self-join sides, the flag join-back) — left lazy each
+    # consumer re-runs the md5-projection embed over the raw text;
+    # materialize the (id, dim-8 vector) table once
+    emb = embed_text(_docs(spark, sf_dir), dim=8).localCheckpoint(eager=True)
     return semantic_dedup(
         emb, n_seeds=8, threshold=0.99, id_col="doc_id"
     ).orderBy("doc_id")

@@ -853,7 +853,16 @@ def embed_text(
         raise ValueError(f"dim must be in [1, 10], got {dim}")
     t = F.col(text_col)
     toks = F.split(F.lower(F.trim(t)), r"\s+")
-    digests = F.transform(toks, F.md5)
+    # BIND the digest array to a real column: each of the ``dim``
+    # aggregates below takes it as input, and an expression repeated
+    # across aggregates in one projection re-runs per aggregate — the
+    # unbound form computed md5 per token ``dim`` times (the
+    # remove_hot_ngrams lambda lesson). fan_out spreads the md5-heavy
+    # map over an under-partitioned scan (no-op on a wide one).
+    base = fan_out(df.filter(F.length(F.trim(t)) > 0)).select(
+        F.col(id_col), F.transform(toks, F.md5).alias("_dg")
+    )
+    digests = F.col("_dg")
     n = F.size(digests)
 
     def _fold(j: int):
@@ -869,7 +878,7 @@ def embed_text(
         comps.append(
             F.round((csum.cast("double") / n) / F.lit(2048.0) - 1.0, 6)
         )
-    return df.filter(F.length(F.trim(t)) > 0).select(
+    return base.select(
         F.col(id_col), F.array(*comps).alias(out_col)
     )
 
