@@ -4784,6 +4784,11 @@ def _q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
         .agg(F.count("*").alias("w"))
+        # the |pairs|-bounded edge list feeds hubs/auths and TWO joins per
+        # HITS round under different key partitionings — left lazy each
+        # re-derives the orders⋈lineitem aggregate (the covisit-pagerank
+        # lesson); materialize once
+        .localCheckpoint(eager=True)
     )
     scores = hits_scores(edges, iterations=2)
     # exact decimal -> double via the shared nested split (r09): the old

@@ -2776,7 +2776,12 @@ def knn_graph_refine(
     """
     from pyspark.sql import Window
 
-    e = edges.select("src", "dst")
+    # the k-bounded edge list is consumed THREE times under different
+    # partitionings (the union branch, e1 keyed on dst, e2 keyed on src) —
+    # left lazy each re-derives the full kNN-build upstream (the
+    # link_prediction lesson); one eager materialization of ≤ k·n id
+    # pairs caps that at a single computation
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     # two-hop: src -> mid -> dst (skip self), plus the original edges
     two_hop = (
         e.alias("e1")
