@@ -947,18 +947,24 @@ def _q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     knobs."""
     from kafka_connect_hdfs_spark.operators.dedup import (
         dedup_keep_first, minhash_lsh_candidates, ngram_jaccard_pairs,
-        pair_candidate_eval,
+        pair_candidate_eval, shingle_arrays,
     )
 
     kept = dedup_keep_first(_docs(spark, sf_dir))
+    # both arms shingle the SAME survivor corpus at n=3: tokenize once,
+    # materialize the |corpus-tokens|-bounded (id, shingle-array) table,
+    # and feed it to the banding arm (hashes the arrays) and the truth
+    # arm (explodes them) — §5 cache iff reused; previously each arm
+    # re-ran dedup_keep_first + the full split/transform shingle pipeline
+    sharr = shingle_arrays(kept, n=3).localCheckpoint(eager=True)
     cand = minhash_lsh_candidates(
-        kept, num_hashes=8, bands=4, max_bucket_size=100
+        kept, num_hashes=8, bands=4, max_bucket_size=100, shingles=sharr
     )
     # truth via the plain inverted index — measured FASTER than the
     # prefix-filtered variant on this tiny-vocab synthetic corpus (every
     # shingle is common, so the prefix prunes little; see README probes)
     truth = ngram_jaccard_pairs(
-        kept, n=3, threshold=0.2, max_shingle_freq=200
+        kept, n=3, threshold=0.2, max_shingle_freq=200, shingles=sharr
     )
     return pair_candidate_eval(cand, truth)
 
@@ -2645,22 +2651,9 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Safe ONLY for this processing-time-timeout gate: in the
     # watermark/append gates a trailing empty batch DOES emit final
     # windows, so they keep plain awaitTermination.)
-    import time as _time
+    from kafka_connect_hdfs_spark.streaming.stateful import stop_after_drain
 
-    _deadline = _time.time() + 300
-    _data_seen = False
-    while _time.time() < _deadline:
-        if q.awaitTermination(2):
-            break
-        lp = q.lastProgress
-        if lp is None:
-            continue
-        if lp["numInputRows"] > 0:
-            _data_seen = True
-        elif _data_seen:
-            break  # source exhausted; only timer no-op batches remain
-    if q.isActive:
-        q.stop()
+    stop_after_drain(q, timeout=300)
     return (
         spark.table(name)
         .select(

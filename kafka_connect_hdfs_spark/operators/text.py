@@ -2650,7 +2650,7 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
 def kneser_ney_bigrams(
     df: DataFrame,
     discount: float = 0.75,
-    top_n: int = 100,
+    top_n: "int | None" = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -2667,7 +2667,10 @@ def kneser_ney_bigrams(
     continuation probability that fixes the San-Francisco problem —
     'francisco' is frequent but follows only 'san'), T = distinct bigram
     types, d the absolute discount. Returns the ``top_n`` bigrams by
-    count: ``(prev, cur, c_big, p_kn)``.
+    count: ``(prev, cur, c_big, p_kn)``; ``top_n=None`` returns the FULL
+    unordered table — callers wanting everything must use None, not a
+    huge limit: a giant top-k plans TakeOrderedAndProject, whose per-task
+    buffer is sized by the LIMIT (not the data), an at-scale OOM.
 
     Scale: ONE shuffle builds the bigram count table; every other term
     (context totals, continuation counts, T) is an aggregation OF that
@@ -2705,7 +2708,7 @@ def kneser_ney_bigrams(
     nf = F.col("n_follow").cast("double")
     np_ = F.col("n_prec").cast("double")
     tt = F.col("_tt").cast("double")
-    return (
+    out = (
         big.join(F.broadcast(ctx), "prev")
         .join(F.broadcast(cont), "cur")
         .crossJoin(F.broadcast(tot))
@@ -2717,6 +2720,7 @@ def kneser_ney_bigrams(
                 "p_kn"
             ),
         )
-        .orderBy(F.desc("c_big"), "prev", "cur")
-        .limit(top_n)
     )
+    if top_n is None:
+        return out
+    return out.orderBy(F.desc("c_big"), "prev", "cur").limit(top_n)

@@ -140,3 +140,41 @@ def streaming_sessionize(events: DataFrame) -> DataFrame:
         "total_value",
         "closed_by",
     )
+
+
+def stop_after_drain(q, timeout: float = 300.0) -> None:
+    """Stop an availableNow ProcessingTimeTimeout query once its source is
+    drained. The microbatch engine keeps scheduling ~1 s empty batches
+    until state timers fire (which for 30-min session timers is never
+    inside a test/gate run), so ``awaitTermination`` would burn the full
+    ``timeout`` on no-op batches. The first COMPLETED zero-row batch
+    after data has been seen proves no further batch can emit a row —
+    stop there. Scans recentProgress past the last-seen batchId (not just
+    lastProgress) so a data batch overwritten by a following empty batch
+    between polls is never missed (ADVICE r13).
+
+    Safe ONLY for processing-time-timeout pipelines where no timer can
+    fire inside the run; watermark/append queries emit final windows from
+    their trailing batch and must keep plain awaitTermination.
+    """
+    import time as _time
+
+    deadline = _time.time() + timeout
+    data_seen = False
+    last_batch = -1
+    while _time.time() < deadline:
+        if q.awaitTermination(2):
+            break
+        done = False
+        for rp in q.recentProgress:
+            if rp is None or rp["batchId"] <= last_batch:
+                continue
+            last_batch = rp["batchId"]
+            if rp["numInputRows"] > 0:
+                data_seen = True
+            elif data_seen:
+                done = True  # source exhausted; only timer no-ops remain
+        if done:
+            break
+    if q.isActive:
+        q.stop()

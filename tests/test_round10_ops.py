@@ -649,7 +649,10 @@ def test_kneser_ney_probabilities_sum_to_one_per_context(spark, sf_dir):
     from kafka_connect_hdfs_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    full = kneser_ney_bigrams(docs, discount=0.75, top_n=10**9)
+    # top_n=None = the untruncated table; the old top_n=10**9 planned a
+    # TakeOrdered whose per-task buffer is sized by the LIMIT — observed
+    # as task OOM-retry storms that made this test take 80+ s
+    full = kneser_ney_bigrams(docs, discount=0.75, top_n=None)
     # Σ_observed [(c-d)/cc] = 1 - d·nf/cc, and the backoff term adds
     # d·nf/cc · Σ_observed P_cont(w2); the remaining mass goes to unseen
     # w2, so per context: Σ observed P_KN ≤ 1 and > 1 - d·nf/cc

@@ -195,8 +195,7 @@ class _Lifecycle:
         return sorted(self.live.items())
 
 
-@pytest.mark.parametrize("seed", [7, 29])
-def test_lifecycle_model_with_live_mirror(spark, tmp_path, seed):
+def _mirror_scenario(spark, tmp_path, seed):
     """12 random ops; after each, latest-read == model AND a row-delta
     mirror synced over the change feed (diff mode) == model; at the
     end, every surviving historical version == its recorded model."""
@@ -217,7 +216,7 @@ def test_lifecycle_model_with_live_mirror(spark, tmp_path, seed):
         )
 
 
-def test_lifecycle_model_continues_on_clone(spark, tmp_path):
+def _clone_scenario(spark, tmp_path):
     """Run the lifecycle on a ZERO-COPY clone: 5 ops on the source,
     clone, then 10 random ops (with a live mirror) on the clone. The
     clone must track its own model — including deletes/compactions that
@@ -257,7 +256,7 @@ def test_lifecycle_model_continues_on_clone(spark, tmp_path):
         )
 
 
-def test_lifecycle_model_with_expiry(spark, tmp_path):
+def _expiry_scenario(spark, tmp_path):
     """Same net without the mirror, adding expire_snapshots into the
     mix: expiry must never change the LATEST state, and every version
     that survives it must still read back as recorded."""
@@ -277,3 +276,29 @@ def test_lifecycle_model_with_expiry(spark, tmp_path):
         assert _snap(spark, lc.path) == lc.expect(), f"diverged at op {i}"
     for v, model in sorted(lc.model_at.items()):
         assert _snap(spark, lc.path, v) == sorted(model.items())
+
+
+def test_lifecycle_model_scenarios(spark, tmp_path):
+    """All four lifecycle scenarios (mirror seed 7, mirror seed 29,
+    clone continuation, expiry mix) drive DISJOINT table trees, so they
+    overlap in a thread pool — identical coverage (the bodies are the
+    former individual tests, unchanged), ~half the wall. Each scenario's
+    steps stay strictly sequential; failures are re-raised with the
+    scenario name."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    scenarios = {
+        "mirror[7]": lambda: _mirror_scenario(spark, tmp_path, 7),
+        "mirror[29]": lambda: _mirror_scenario(spark, tmp_path, 29),
+        "clone": lambda: _clone_scenario(spark, tmp_path),
+        "expiry": lambda: _expiry_scenario(spark, tmp_path),
+    }
+    with ThreadPoolExecutor(max_workers=len(scenarios)) as pool:
+        futures = {name: pool.submit(fn) for name, fn in scenarios.items()}
+        failures = []
+        for name, fut in futures.items():
+            try:
+                fut.result()
+            except Exception as exc:  # noqa: BLE001 - re-reported below
+                failures.append(f"{name}: {exc!r}")
+    assert not failures, "; ".join(failures)

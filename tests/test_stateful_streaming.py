@@ -30,7 +30,13 @@ def test_streaming_sessionize_closes_gap_sessions(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # the ProcessingTimeTimeout pipeline never self-terminates under
+    # availableNow (30-min timers never fire in-test) — a plain
+    # awaitTermination(120) burned its full two minutes on ~1 s empty
+    # batches; stop at the first completed zero-row batch after data
+    from kafka_connect_hdfs_spark.streaming.stateful import stop_after_drain
+
+    stop_after_drain(q, timeout=120)
     got = spark.sql("SELECT * FROM sessions_out")
 
     # compare closed (gap) sessions against the batch sessionizer:
