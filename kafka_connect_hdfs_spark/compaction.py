@@ -114,6 +114,21 @@ def compact_partitions(
     return results
 
 
+def _maybe_rebalance(df, cols: "list[str]"):
+    """REBALANCE(cols) before a partitionBy write, but only when the scan
+    actually plans >1 input task. With a single input split the write
+    already emits O(keys) files (1 task × keys), so the clustering
+    exchange is pure overhead; with many splits it is what keeps file
+    counts O(keys) instead of tasks × keys, with AQE still splitting an
+    oversized key (guide §2.5/§6). The split count comes from the planned
+    scan — no job runs — so the condition self-adapts with input size:
+    at 100 TB every relayout slice is many splits and the hint always
+    fires."""
+    if df.rdd.getNumPartitions() <= 1:
+        return df
+    return df.hint("rebalance", *cols)
+
+
 def _walk_leaves(fs, root) -> "list[tuple[str, list]]":
     """All leaf data directories under ``root`` as ``(abs_path, files)``
     (a dir with files and no visible subdirs; hidden ``_``/``.`` entries
@@ -223,8 +238,10 @@ def relayout_partitions(
         # output files — and the per-file stage renames and read-back
         # listings pay for all of them. REBALANCE lets AQE coalesce
         # small keys into shared files AND split oversized keys at the
-        # advisory size, so file counts stay O(keys) at any scale.
-        df.hint("rebalance", *new_partition_cols)
+        # advisory size, so file counts stay O(keys) at any scale;
+        # _maybe_rebalance skips the exchange when the scan is a single
+        # split (1 task × keys is already O(keys)).
+        _maybe_rebalance(df, new_partition_cols)
         .write.format(fmt)
         .partitionBy(*new_partition_cols)
         .mode("overwrite")
@@ -378,8 +395,9 @@ def _relayout_scoped(
         (
             # same rebalance-before-partitionBy as the global path: the
             # per-leaf slice otherwise stages tasks × keys files, every
-            # one of which the driver renames into the stage tree below
-            df.hint("rebalance", *new_partition_cols)
+            # one of which the driver renames into the stage tree below;
+            # skipped when the slice reads as one split (already O(keys))
+            _maybe_rebalance(df, new_partition_cols)
             .write.format(fmt)
             .partitionBy(*new_partition_cols)
             .mode("overwrite")

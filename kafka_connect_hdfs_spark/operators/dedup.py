@@ -67,15 +67,16 @@ def dedup_keep_first(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 # shingling
 
 
-def with_shingles(
+def shingle_arrays(
     df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """word n-gram shingle set per document (distinct), as one exploded row
-    per (doc, shingle).
-
-    Built-ins only: split → transform over index range → concat_ws. The
-    explode multiplies rows by ~tokens/doc; downstream operators aggregate
-    immediately, so nothing holds the full exploded set in memory at once.
+    """Distinct word n-gram shingle ARRAY per document, as
+    ``(id_col, _shingles)`` — the shared upstream of :func:`with_shingles`
+    (which explodes it) and :func:`minhash_signatures` (which hashes it).
+    A caller that needs BOTH views of the same corpus (dedup_lsh_eval's
+    candidate + truth arms) materializes this frame once instead of
+    running the split/transform shingle pipeline twice; the frame is
+    |corpus-tokens|-bounded (each token appears in ≤ n shingles).
 
     The token array is BOUND to a column before the per-position lambda:
     expressions referenced inside transform/slice lambdas are not
@@ -94,7 +95,23 @@ def with_shingles(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
         )
     )
-    return base.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return base.select(F.col(id_col), shingles.alias("_shingles"))
+
+
+def with_shingles(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """word n-gram shingle set per document (distinct), as one exploded row
+    per (doc, shingle).
+
+    Built-ins only: split → transform over index range → concat_ws (see
+    :func:`shingle_arrays` for the array construction). The explode
+    multiplies rows by ~tokens/doc; downstream operators aggregate
+    immediately, so nothing holds the full exploded set in memory at once.
+    """
+    return shingle_arrays(df, n, id_col, text_col).select(
+        F.col(id_col), F.explode("_shingles").alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -104,6 +121,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_freq: int = 100,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate-pair n-gram Jaccard similarity via inverted index.
 
@@ -114,8 +132,19 @@ def ngram_jaccard_pairs(
     at scale. Set sizes come from the same filtered set as the intersection,
     so the ratio is a true Jaccard (of filtered sets), not biased low for
     pairs sharing frequent shingles.
+
+    ``shingles`` (optional): a pre-computed :func:`shingle_arrays` frame
+    for the same corpus/n — callers that also feed the arrays to another
+    consumer (dedup_lsh_eval's banding arm) pass the materialized frame so
+    the corpus is tokenized once; ``df``/``n``/``text_col`` are ignored
+    for shingle construction then.
     """
-    sh = with_shingles(df, n, id_col, text_col)
+    if shingles is not None:
+        sh = shingles.select(
+            F.col(id_col), F.explode("_shingles").alias("shingle")
+        )
+    else:
+        sh = with_shingles(df, n, id_col, text_col)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     sh_f = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
     sizes = sh_f.groupBy(id_col).agg(F.count("*").alias("set_size"))
@@ -166,6 +195,7 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: sig_i = min over shingles of
     ((a_i * h + b_i) mod M), h = md5-derived shingle hash.
@@ -179,7 +209,20 @@ def minhash_signatures(
     shuffle (a doc's shingles never leave its row). The earlier
     explode+groupBy formulation shuffled ~50 rows per doc; this one moves
     nothing until the caller's own aggregation.
+
+    ``shingles`` (optional): a pre-computed :func:`shingle_arrays` frame
+    for the same corpus/n (see :func:`ngram_jaccard_pairs`) — the
+    signature pipeline then starts from the shared arrays instead of
+    re-tokenizing ``text_col``.
     """
+    if shingles is not None:
+        out = shingles.select(
+            F.col(id_col),
+            F.transform(
+                F.col("_shingles"), lambda s: _shingle_hash64(s)
+            ).alias("_hs"),
+        )
+        return _sigs_from_hashes(out, num_hashes, id_col)
     df = fan_out(df)
     # single-projection on purpose: A/B at sf0.1 measured the bound-column
     # variant slower (0.68 s vs 0.44 s) — the whole signature pipeline
@@ -202,6 +245,14 @@ def minhash_signatures(
         F.col(id_col),
         F.transform(shingle_arr, lambda s: _shingle_hash64(s)).alias("_hs"),
     )
+    return _sigs_from_hashes(out, num_hashes, id_col)
+
+
+def _sigs_from_hashes(
+    out: DataFrame, num_hashes: int, id_col: str
+) -> DataFrame:
+    """k universal-hash minima over a ``(id_col, _hs)`` hashed-shingle
+    frame — the shared tail of both :func:`minhash_signatures` paths."""
     def _universal(a: int, b: int):
         # closure, NOT default args — a two-param lambda would make Spark
         # pass the array index as the second argument
@@ -266,9 +317,12 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the k-hash signature into ``bands`` bands of
     k/bands rows; docs agreeing on any full band are candidate pairs.
+    ``shingles`` (optional): pre-computed :func:`shingle_arrays` frame,
+    forwarded to :func:`minhash_signatures`.
 
     Scale: candidates form inside (band, band-signature) buckets — a single
     groupBy-like self-join on the bucket key; bucket sizes are the only
@@ -278,7 +332,9 @@ def minhash_lsh_candidates(
     the cheap exact_duplicates pass should collapse FIRST; run this on
     dedup_keep_first output.
     """
-    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    sig = minhash_signatures(
+        df, num_hashes, n, id_col, text_col, shingles=shingles
+    )
     return _banded_candidate_pairs(sig, num_hashes, bands, id_col, max_bucket_size)
 
 

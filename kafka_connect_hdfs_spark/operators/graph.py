@@ -601,14 +601,22 @@ def kcore_decompose(
     prev_nodes = None
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     for _ in range(max_rounds):
-        keep = deg.filter(F.col("d") >= k).select("u")
+        # checkpoint FIRST, then count the checkpointed frame: the old
+        # count()-then-checkpoint order ran the degree aggregation TWICE
+        # per round (once for the convergence count, once to materialize
+        # keep) — counting cached partitions is a near-free job (§1.2
+        # "don't compute things you throw away")
+        keep = (
+            deg.filter(F.col("d") >= k)
+            .select("u")
+            .localCheckpoint(eager=True)
+        )
         n_keep = keep.count()
         if prev_nodes is not None and n_keep == prev_nodes:
             break
         prev_nodes = n_keep
         if n_keep == 0:
             break
-        keep = keep.localCheckpoint(eager=True)
         sym = (
             sym.join(keep, "u")
             .join(keep.select(F.col("u").alias("v")), "v")
@@ -663,7 +671,16 @@ def label_propagation_communities(
         nbr = sym.join(
             labels.select(F.col("u").alias("v"), "lbl"), "v"
         ).select("u", "lbl")
-        counts = nbr.groupBy("u", "lbl").agg(F.count("*").alias("c"))
+        # ONE u-keyed exchange per sweep instead of two: HashPartitioning(u)
+        # satisfies the clustering required by BOTH the (u, lbl) count and
+        # the (u) argmax, so repartitioning the neighbor stream by u lets
+        # the two aggregations fuse into a single shuffle (§2.4 — the same
+        # shared-exchange trick as the star kernel's window min); the old
+        # shape exchanged partial (u, lbl) counts and then re-exchanged
+        # them by u
+        counts = nbr.repartition("u").groupBy("u", "lbl").agg(
+            F.count("*").alias("c")
+        )
         # argmax by (count DESC, label ASC) as one min-of-struct agg:
         # (-c, lbl) — the COUNT is negated (always numeric), not the
         # label, so string/any-type node ids order by their natural ASC

@@ -64,7 +64,7 @@ def main() -> None:
         names = sys.argv[3:]
         outdir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "plans", "r13",
+            "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
         )
         os.makedirs(outdir, exist_ok=True)
         for name in names:
@@ -74,7 +74,7 @@ def main() -> None:
                 df.explain("formatted")
             with open(os.path.join(outdir, f"{name}_{tag}.txt"), "w") as fh:
                 fh.write(buf.getvalue())
-            print(f"wrote plans/r13/{name}_{tag}.txt")
+            print(f"wrote {os.path.join(outdir, name + '_' + tag + '.txt')}")
             _clear_persisted()
     elif mode == "jobs":
         name = sys.argv[2]
