@@ -1018,6 +1018,15 @@ def link_prediction(
     are dropped from the wedge middle first (a hub manufactures
     quadratically many meaningless candidates — same hygiene as
     covisit_edges' cell cap). Existing edges leave via one anti-join.
+
+    Eager-materialization contract (ADVICE r13): building the plan
+    ``localCheckpoint(eager=True)``s the |E|-bounded edge list — work
+    runs at CONSTRUCTION time and the checkpointed RDD stays persisted
+    for the session. Long-lived callers composing many operator calls
+    should clear persisted RDDs between batches (what bench.py's
+    ``_clear_persisted`` does); the checkpoint cannot be scoped to the
+    returned plan's lifetime because Spark offers no
+    unpersist-on-consume hook.
     """
     # materialized ONCE: sym feeds three differently-partitioned consumers
     # (wedge left side keyed on _v, wedge right side keyed on _u, the

@@ -2773,6 +2773,11 @@ def knn_graph_refine(
     dedup BEFORE the vectors join back (two hash joins on id), and the
     re-rank is a cell-free per-src window over ≤ k+k² rows per vector.
     Rounds compose — call again for round two.
+
+    Eager-materialization contract (ADVICE r13): plan construction
+    ``localCheckpoint(eager=True)``s the ≤ k·n id-pair edge list, which
+    stays persisted for the session; long-lived callers should clear
+    persisted RDDs between batches (bench.py's ``_clear_persisted``).
     """
     from pyspark.sql import Window
 
@@ -3175,12 +3180,24 @@ def vacuum_ivf_index(
 
     # cells rewrite independently (disjoint dirs) — overlap the small
     # per-cell write jobs so one cell's straggling tasks back-fill with
-    # the next cell's (guide §2.6); pool kept small on purpose
-    from concurrent.futures import ThreadPoolExecutor
+    # the next cell's (guide §2.6); pool kept small on purpose.
+    # Futures are submitted individually and outstanding work is
+    # cancelled on first failure, preserving the sequential loop's
+    # fail-fast semantics (ADVICE r13): tomb_dir stays in place either
+    # way, so the state is recoverable.
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
     if affected:
         with ThreadPoolExecutor(max_workers=min(4, len(affected))) as pool:
-            list(pool.map(_rewrite, affected))
+            futures = [pool.submit(_rewrite, c) for c in affected]
+            done, not_done = wait(futures, return_when=FIRST_EXCEPTION)
+            first_err = next(
+                (f.exception() for f in done if f.exception()), None
+            )
+            if first_err is not None:
+                for f in not_done:
+                    f.cancel()
+                raise first_err
     stats: "dict[int, tuple[int, int]]" = {c: counts[c] for c in affected}
     fs.delete(Path(tomb_dir), True)
     return stats

@@ -270,10 +270,17 @@ def test_remove_hot_ngrams_is_map_side(spark, sf):
     plan = _plan(remove_hot_ngrams(docs, n=3, hot_threshold=5))
     assert "Join" not in plan, plan
     # the only allowed Exchange is fan_out's round-robin spread of an
-    # under-partitioned scan — never a KEYED shuffle of the corpus
+    # under-partitioned scan — never a KEYED shuffle of the corpus, and
+    # not a SinglePartition collapse either: EVERY Exchange in the plan
+    # must be RoundRobinPartitioning (ADVICE r13 — the substring checks
+    # alone would admit Exchange SinglePartition)
     low = plan.lower()
     assert "hashpartitioning" not in low, plan
     assert "rangepartitioning" not in low, plan
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"^\(\d+\) exchange$", low, _re.MULTILINE))
+    assert n_exchanges == low.count("roundrobinpartitioning"), plan
 
 
 def test_cluster_representatives_no_window_sort(spark, sf):
